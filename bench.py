@@ -1,0 +1,69 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line with per-query and total wall time.
+
+Usage: python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from data_pipelines_snowflake_procedures_spark.queries import REGISTRY
+from data_pipelines_snowflake_procedures_spark.session import get_spark
+
+#: Queries timed by the benchmark. Kept explicit so adding an expensive
+#: experimental registry entry doesn't silently regress the bench.
+HEADLINE = [
+    "pricing_summary",
+    "region_revenue",
+    "top_customers_by_revenue",
+    "latest_order_per_customer",
+    "order_priority_counts",
+    "customers_without_big_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="bench")
+    timings: dict[str, float] = {}
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    # Warm the JVM + parquet footers once so timings measure query
+    # execution, not session bring-up.
+    REGISTRY[names[0]].spark_fn(spark, sf_dir).count()
+
+    total0 = time.perf_counter()
+    for name in names:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = spec.spark_fn(spark, sf_dir)
+        n = df.count() if len(df.columns) > 0 else 0
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    total = round(time.perf_counter() - total0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

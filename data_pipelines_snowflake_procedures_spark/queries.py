@@ -1,0 +1,246 @@
+"""Named query registry: PySpark implementation + DuckDB oracle SQL.
+
+Every operator claimed in SURVEY.md §2 lands here as a ``QuerySpec``:
+``spark_fn(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) an
+ANSI-SQL ``oracle`` string the driver runs on DuckDB over the same
+parquet. The driver compares row-count + schema + order-insensitive
+value-hash, so:
+
+* every computed column is aliased identically on both sides,
+* double aggregates are rounded (accumulation order differs between
+  engines; unrounded doubles are not bit-comparable),
+* integer sums are cast explicitly (DuckDB ``sum(BIGINT)`` is HUGEINT).
+
+Registered via ``@register`` in dependency order; modules for later
+build steps append their own entries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .session import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name=name, spark_fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Relational core — the query surface the reference's EXECUTION_ENGINE and
+# generated pipelines (G2/G3) exercise, expressed over the harness tables.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           CAST(count(*) AS BIGINT)                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Flagship TPC-H-Q1-style pricing summary (A1-A4/A9/G3). Single "
+    "shuffle on two low-cardinality keys; map-side partial agg makes the "
+    "shuffle O(groups), scale-safe at 100 TB.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "region_revenue",
+    """
+    SELECT r.r_name AS region_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Multi-hop star join (J1/G2) lineitem→orders→customer→nation→region. "
+    "nation/region are broadcast (tiny dims); customer broadcasts under the "
+    "64 MB threshold at bench SF and shuffle-joins beyond it.",
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "top_customers_by_revenue",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(o_totalprice), 2) AS total_spent,
+           CAST(count(*) AS BIGINT)    AS n_orders
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_spent DESC, c_custkey
+    LIMIT 10
+    """,
+    doc="Join + group + global top-k (O2/O3, G2). TakeOrdered physical op: "
+    "per-partition top-10 then driver merge — no full sort at scale.",
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+             o_orderdate,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC
+             ) AS rn
+      FROM orders
+    ) t WHERE rn = 1
+    """,
+    doc="W1: latest-record-per-key via row_number window — the SCD1 dedup "
+    "primitive (CODE_GENERATOR.sql:45,56). One shuffle on the partition key; "
+    "deterministic tie-break on o_orderkey so the oracle hash is stable.",
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderdate",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "order_priority_counts",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="Semi-join (EXISTS) + group (TPC-H Q4 shape). left_semi avoids "
+    "materializing the join fan-out; aggregate keys are tiny.",
+)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "customers_without_big_orders",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 400000
+    )
+    GROUP BY c_mktsegment
+    """,
+    doc="Anti-join (NOT EXISTS) + group — the SCD1 parquet-fallback "
+    "primitive (J4). left_anti keeps only the probe side. The price "
+    "threshold keeps the result non-trivial on the harness data (every "
+    "customer has at least one order).",
+)
+def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )

@@ -1,0 +1,117 @@
+"""SparkSession construction and test-data table registry.
+
+The reference ran inside a Snowflake session (``session.sql``/
+``session.table``); here the equivalent ambient context is a
+SparkSession tuned for the harness: local[N] single-JVM, AQE on,
+UTC session timezone (required for DuckDB-oracle comparison), Arrow
+enabled for the pandas interchange paths.
+
+At cluster scale the same settings apply unchanged except
+``master``/memory, which come from spark-submit; nothing here assumes
+local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables the driver materializes under /root/testdata/sf*/ (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(
+    app_name: str = "data_pipelines_snowflake_procedures_spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | str | None = None,
+) -> SparkSession:
+    """Build (or reuse) the harness SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default 32 per the
+    driver contract); shuffle partitions default to the same so a local
+    shuffle is one wave. On a real cluster, pass ``shuffle_partitions``
+    sized to data volume (~128 MB per post-shuffle partition) and let
+    AQE coalesce down.
+    """
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = str(shuffle_partitions or cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle_partitions)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Harness parquet stores some timestamps as TIMESTAMP(NANOS),
+        # which Spark has no native type for; read them as epoch-nano
+        # longs and convert in load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one harness table (plain parquet scan; pushdown-friendly).
+
+    TIMESTAMP(NANOS) parquet columns (e.g. ``events.ts``) surface as
+    epoch-nano longs under ``nanosAsLong``; convert them back to
+    timestamps with integer ``div`` (a float divide would lose
+    precision above 2^53 ns). Column pruning still reaches the scan;
+    only predicates on the converted column evaluate post-scan, which
+    is acceptable for the one nano-typed column in the harness.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for field in _nano_timestamp_fields(path):
+        df = df.withColumn(
+            field, F.expr(f"timestamp_micros(`{field}` div 1000)")
+        )
+    return df
+
+
+def _nano_timestamp_fields(path: str) -> list[str]:
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Register every harness table as a temp view named after itself.
+
+    Lets ``spark.sql`` queries and the execution engine (plans/engine.py)
+    refer to the same names the DuckDB oracle uses. Parquet scans are
+    lazy; registering all ten costs only footer reads.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
