@@ -244,3 +244,242 @@ def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+# --------------------------------------------------------------------------
+# Profiling + data-quality (SURVEY.md §2.10: Q1-Q7) — oracle SQL is
+# generated by the helpers below so the Spark plan and the DuckDB SQL
+# stay structurally in sync.
+# --------------------------------------------------------------------------
+
+_PROFILE_CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def _profile_oracle(table: str, cols: list[str]) -> str:
+    aggs = ["count(*) AS total"]
+    for c in cols:
+        aggs.append(f"count(DISTINCT {c}) AS d_{c}")
+        aggs.append(f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_{c}")
+    selects = [
+        f"""SELECT '{c}' AS column_name, CAST(total AS BIGINT) AS count_all,
+            CAST(d_{c} AS BIGINT) AS count_distinct, n_{c} AS count_nulls,
+            round(n_{c}::DOUBLE / greatest(total, 1), 6) AS null_ratio,
+            round(d_{c}::DOUBLE / greatest(total, 1), 6) AS distinct_ratio
+            FROM a"""
+        for c in cols
+    ]
+    return f"WITH a AS (SELECT {', '.join(aggs)} FROM {table})\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "profile_customer",
+    _profile_oracle("customer", _PROFILE_CUSTOMER_COLS),
+    doc="Q7 column profile of customer as one single-pass wide aggregate "
+    "exploded to long format (vs the reference's query-per-column at "
+    "Data_Quality_Table.sql:70-77).",
+)
+def profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import profile_long
+
+    return profile_long(load_table(spark, sf_dir, "customer"))
+
+
+_DQ_NOW = "1995-06-01 00:00:00"
+_ORDERS_COLS = [
+    ("o_orderkey", "numeric"),
+    ("o_custkey", "numeric"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "numeric"),
+    ("o_orderdate", "datelike"),
+    ("o_orderpriority", "string"),
+]
+
+
+def _table_dq_oracle(table: str, cols: list[tuple[str, str]], now: str) -> str:
+    aggs = ["count(*) AS total"]
+    for c, kind in cols:
+        aggs.append(f"count(DISTINCT {c}) AS d_{c}")
+        aggs.append(f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_{c}")
+        if kind == "numeric":
+            aggs.append(f"avg({c}) AS avg_{c}")
+        if kind == "datelike":
+            aggs.append(
+                f"sum(CASE WHEN {c} > TIMESTAMP '{now}' THEN 1 ELSE 0 END) AS fut_{c}"
+            )
+    selects = []
+    for c, kind in cols:
+        comp = f"(1.0 - n_{c}::DOUBLE / greatest(total, 1))"
+        uniq = f"(d_{c}::DOUBLE / greatest(total, 1))"
+        if kind == "numeric":
+            val = f"(CASE WHEN coalesce(avg_{c}, 0) >= 0 THEN 1.0 ELSE 0.5 END)"
+        else:
+            val = "1.0"
+        if kind == "datelike":
+            acc = f"(CASE WHEN total > 0 THEN 1.0 - fut_{c}::DOUBLE / total ELSE 1.0 END)"
+        else:
+            acc = "1.0"
+        selects.append(
+            f"""SELECT '{c}' AS column_name,
+                round({comp}, 3) AS completeness,
+                round({uniq}, 3) AS uniqueness,
+                round({val}, 3) AS validity,
+                round({acc}, 3) AS accuracy,
+                round(1.0, 3) AS consistency,
+                round(({comp} + {uniq} + {val} + {acc} + 1.0) / 5, 3) AS column_score
+                FROM a"""
+        )
+    return f"WITH a AS (SELECT {', '.join(aggs)} FROM {table})\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "dq_table_scores_orders",
+    _table_dq_oracle("orders", _ORDERS_COLS, _DQ_NOW),
+    doc="Table-engine five-pillar DQ scores (Data_Quality_Table.sql:106-173) "
+    "for orders, future-date accuracy pinned to 1995-06-01 so the rule is "
+    "non-trivial on TPC-H-dated data. Single-pass; consistency is the "
+    "reference's 1.0 stub.",
+)
+def dq_table_scores_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dq import table_dq_long
+
+    return table_dq_long(load_table(spark, sf_dir, "orders"), now=_DQ_NOW)
+
+
+def _cu_oracle(table: str, cols: list[str]) -> str:
+    aggs = ["count(*) AS total"]
+    for c in cols:
+        aggs.append(f"count(DISTINCT {c}) AS d_{c}")
+        aggs.append(f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_{c}")
+    selects = []
+    for c in cols:
+        comp = f"((total - n_{c})::DOUBLE / greatest(total, 1))"
+        uniq = f"(d_{c}::DOUBLE / greatest(total, 1))"
+        for pillar, expr in (("completeness", comp), ("uniqueness", uniq)):
+            selects.append(
+                f"""SELECT '{c}' AS column_name, '{pillar}' AS pillar,
+                    round({expr}, 6) AS result,
+                    CASE WHEN {expr} >= 0.95 THEN 'passed' ELSE 'failed' END AS status
+                    FROM a"""
+            )
+    return f"WITH a AS (SELECT {', '.join(aggs)} FROM {table})\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "dq_file_completeness_uniqueness_customer",
+    _cu_oracle("customer", _PROFILE_CUSTOMER_COLS),
+    doc="File-engine completeness + uniqueness rules with 0.95 pass/fail "
+    "status (Data_Discovery_File.sql:217-273), one aggregate pass.",
+)
+def dq_file_cu_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dq import completeness_uniqueness_long
+
+    return completeness_uniqueness_long(load_table(spark, sf_dir, "customer"))
+
+
+_SUPPLIER_NUMERIC = ["s_suppkey", "s_nationkey", "s_acctbal"]
+
+
+def _zscore_oracle(table: str, cols: list[str]) -> str:
+    aggs = []
+    for c in cols:
+        aggs += [f"avg({c}) AS m_{c}", f"stddev({c}) AS sd_{c}", f"count({c}) AS cnt_{c}"]
+    outs = [
+        f"sum(CASE WHEN abs({c} - st.m_{c}) > 3 * st.sd_{c} THEN 1 ELSE 0 END) AS out_{c}"
+        for c in cols
+    ]
+    selects = [
+        f"""SELECT '{c}' AS column_name,
+            round(1.0 - out_{c}::DOUBLE / cnt_{c}, 6) AS result,
+            CASE WHEN (1.0 - out_{c}::DOUBLE / cnt_{c}) >= 0.95
+                 THEN 'passed' ELSE 'failed' END AS status
+            FROM st, o"""
+        for c in cols
+    ]
+    return (
+        f"WITH st AS (SELECT {', '.join(aggs)} FROM {table}),\n"
+        f"o AS (SELECT {', '.join(outs)} FROM {table}, st)\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@register(
+    "dq_zscore_accuracy_supplier",
+    _zscore_oracle("supplier", _SUPPLIER_NUMERIC),
+    doc="File-engine numeric accuracy: values beyond 3 sample-stddevs "
+    "(Data_Discovery_File.sql:147-183). Two aggregate passes (stats, then "
+    "outlier counts) instead of per-column scans.",
+)
+def dq_zscore_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dq import zscore_accuracy_long
+
+    return zscore_accuracy_long(
+        load_table(spark, sf_dir, "supplier"), _SUPPLIER_NUMERIC
+    )
+
+
+_CUSTOMER_STRINGS = ["c_name", "c_mktsegment"]
+
+
+def _rare_oracle(table: str, cols: list[str]) -> str:
+    selects = []
+    for c in cols:
+        inner = (
+            f"SELECT count(*)::DOUBLE / (SELECT count({c}) FROM {table}) AS freq "
+            f"FROM {table} WHERE {c} IS NOT NULL GROUP BY {c}"
+        )
+        expr = "1.0 - coalesce(sum(CASE WHEN freq < 0.01 THEN freq END), 0)"
+        selects.append(
+            f"""SELECT '{c}' AS column_name, round({expr}, 6) AS result,
+                CASE WHEN ({expr}) >= 0.95 THEN 'passed' ELSE 'failed' END AS status
+                FROM ({inner}) v_{c}"""
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "dq_rare_value_accuracy_customer",
+    _rare_oracle("customer", _CUSTOMER_STRINGS),
+    doc="File-engine string accuracy: 1 - Σ freq(<1%) "
+    "(Data_Discovery_File.sql:185-211). c_name is all-unique so the rule "
+    "fails hard (score 0); c_mktsegment passes — both branches exercised.",
+)
+def dq_rare_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dq import rare_value_accuracy_long
+
+    return rare_value_accuracy_long(
+        load_table(spark, sf_dir, "customer"), _CUSTOMER_STRINGS
+    )
+
+
+_PART_COLS = ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"]
+
+
+def _fd_oracle(table: str, cols: list[str]) -> str:
+    selects = []
+    for c1 in cols:
+        for c2 in cols:
+            if c1 == c2:
+                continue
+            selects.append(
+                f"""SELECT '{c1}->{c2}' AS pair,
+                    CAST(count(*) AS BIGINT) AS inconsistent_keys,
+                    CASE WHEN count(*) = 0 THEN 1.0 ELSE 0.0 END AS result,
+                    CASE WHEN count(*) = 0 THEN 'passed' ELSE 'failed' END AS status
+                    FROM (SELECT {c1} FROM {table}
+                          WHERE {c1} IS NOT NULL AND {c2} IS NOT NULL
+                          GROUP BY {c1} HAVING count(DISTINCT {c2}) > 1) t"""
+            )
+    return "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "dq_fd_consistency_part",
+    _fd_oracle("part", _PART_COLS),
+    doc="File-engine pairwise functional-dependency consistency "
+    "(Data_Discovery_File.sql:97-143): all 30 ordered pairs of part "
+    "columns, unioned into one Spark plan instead of O(cols²) scans.",
+)
+def dq_fd_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dq import fd_consistency_long
+
+    return fd_consistency_long(load_table(spark, sf_dir, "part"), _PART_COLS)

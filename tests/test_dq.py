@@ -1,0 +1,95 @@
+import pandas as pd
+
+from data_pipelines_snowflake_procedures_spark.operators.dq import (
+    run_file_dq,
+    run_table_dq,
+    score_table_pillars,
+)
+from data_pipelines_snowflake_procedures_spark.operators.profile import profile_table
+from data_pipelines_snowflake_procedures_spark.session import load_table
+
+
+def test_profile_table_shape(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    prof = profile_table(cust)
+    assert set(prof) == set(cust.columns)
+    p = prof["c_custkey"]
+    assert p["count_all"] == 1500
+    assert p["count_distinct"] == 1500
+    assert p["count_nulls"] == 0
+    assert p["null_ratio"] == 0.0
+    assert p["distinct_ratio"] == 1.0
+    assert p["numeric_stats"] is not None
+    assert prof["c_mktsegment"]["numeric_stats"] is None
+
+
+def test_profile_approx_close(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    prof = profile_table(cust, approx=True)
+    exact = 1500
+    approx = prof["c_custkey"]["count_distinct"]
+    assert abs(approx - exact) / exact < 0.06
+
+
+def test_score_table_pillars_arithmetic():
+    prof = {
+        "null_ratio": 0.1,
+        "distinct_ratio": 0.5,
+        "count_all": 100,
+        "count_future": 10,
+        "numeric_stats": {"AVG_VAL": "-5.0"},
+    }
+    s = score_table_pillars(prof, dtype_numeric=True, dtype_datelike=True)
+    assert abs(s["completeness"] - 0.9) < 1e-12
+    assert abs(s["uniqueness"] - 0.5) < 1e-12
+    assert s["validity"] == 0.5  # negative average
+    assert abs(s["accuracy"] - 0.9) < 1e-12
+    assert s["consistency"] == 1.0
+    assert abs(s["column_score"] - (0.9 + 0.5 + 0.5 + 0.9 + 1.0) / 5) < 1e-12
+
+
+def test_run_table_dq_report_shape(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    rep = run_table_dq(orders, "orders", now="1995-06-01 00:00:00")
+    assert rep["target_table"] == "orders"
+    assert set(rep["dq_results"]) == set(orders.columns)
+    okey = rep["dq_results"]["o_orderkey"]
+    assert okey["completeness"]["score"] == 1.0
+    assert okey["uniqueness"]["score"] == 1.0
+    # o_orderdate: some orders are after 1995-06-01 → accuracy < 1
+    assert rep["dq_results"]["o_orderdate"]["accuracy"]["score"] < 1.0
+    assert 0 < rep["table_score"] <= 1.0
+
+
+def test_run_file_dq_reference_semantics():
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
+            "cat": ["a"] * 9 + [None],
+            "dup": ["x", "x", "x", "x", "x", "x", "x", "x", "y", "x"],
+        }
+    )
+    results = run_file_dq(pdf)
+    by = {(r["pillar"], r["column"]): r for r in results}
+    # completeness: cat has 1 null of 10 → 0.9 → failed at 0.95
+    assert abs(by[("completeness", "cat")]["result"] - 0.9) < 1e-12
+    assert by[("completeness", "cat")]["status"] == "failed"
+    # uniqueness: k is fully unique → passed
+    assert by[("uniqueness", "k")]["result"] == 1.0
+    assert by[("uniqueness", "k")]["status"] == "passed"
+    # validity is a real bool (reference emitted str(valid))
+    assert by[("validity", "k")]["result"] is True
+    # consistency: cat→dup: 'a' maps to both x and y → failed
+    assert by[("consistency", "cat->dup")]["result"] == 0.0
+    assert by[("consistency", "dup->cat")]["result"] == 1.0
+    # accuracy on k: no 3σ outliers in a uniform ramp
+    assert by[("accuracy", "k")]["result"] == 1.0
+
+
+def test_run_file_dq_rare_values():
+    # 200 rows: one dominant value + 2 singleton (0.5% < 1%) values
+    vals = ["common"] * 198 + ["rare1", "rare2"]
+    pdf = pd.DataFrame({"s": vals})
+    results = run_file_dq(pdf)
+    acc = [r for r in results if r["pillar"] == "accuracy" and r["column"] == "s"][0]
+    assert abs(acc["result"] - (1.0 - 2 / 200)) < 1e-12
