@@ -1,0 +1,104 @@
+"""SCD Type-1 incremental merge (reference G1/W1/J4, SURVEY.md §2.12).
+
+Parity target: the merge contract the reference's code generator emits
+(CODE_GENERATOR.sql:39-59): the source is deduplicated to the latest
+record per business key (ordered by a CREATED_AT-style column), then
+matched target rows are replaced with the latest source data and
+unmatched source rows are inserted.
+
+Spark-first execution:
+
+* **Delta path** (:func:`scd1_merge_delta`) — ``MERGE INTO`` when the
+  delta-spark package is importable; Delta handles the matched/
+  not-matched branches and gives atomic file replacement. Gated behind
+  an import-try so the engine has no hard dependency.
+* **Parquet fallback** (:func:`scd1_merge`) — pure DataFrame plan:
+  ``target LEFT ANTI JOIN dedup_source ON keys`` keeps unmatched
+  target rows, then ``unionByName`` with the deduplicated source.
+  Both sides shuffle once on the business key; AQE picks
+  broadcast-hash when the source increment is small (the common SCD
+  case: daily increment ≪ accumulated target), so at 100 TB target /
+  GB-scale increment the target side never shuffles at all.
+
+The dedup step (:func:`dedup_latest`) is the reference's W1 window —
+``row_number() OVER (PARTITION BY keys ORDER BY order_col DESC)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dedup_latest(
+    source: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """W1: keep only the latest record per key by ``order_col`` desc
+    (CODE_GENERATOR.sql:45,56 contract). ``tiebreakers`` make the
+    choice deterministic when ``order_col`` ties — the reference
+    leaves ties engine-defined; we pin them so results are stable
+    across runs and comparable to an oracle."""
+    order = [F.desc(order_col)] + [F.desc(t) for t in tiebreakers]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        source.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def scd1_merge(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    order_col: str | None = None,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """SCD1 merge as a DataFrame plan (parquet fallback for G1).
+
+    ``order_col=None`` skips dedup (source already unique per key).
+    Output schema is the target's column set.
+    """
+    src = (
+        dedup_latest(source, keys, order_col, tiebreakers)
+        if order_col is not None
+        else source
+    )
+    src = src.select(*target.columns)
+    keep = target.join(src, on=list(keys), how="left_anti")
+    return keep.unionByName(src)
+
+
+def scd1_merge_delta(
+    spark,
+    target_table: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    order_col: str | None = None,
+    tiebreakers: Sequence[str] = (),
+) -> None:
+    """Delta-Lake MERGE INTO path (atomic, file-level pruning on the
+    join key). Raises ImportError when delta-spark is absent — callers
+    fall back to :func:`scd1_merge` + overwrite."""
+    from delta.tables import DeltaTable  # gated: optional dependency
+
+    src = (
+        dedup_latest(source, keys, order_col, tiebreakers)
+        if order_col is not None
+        else source
+    )
+    tgt = DeltaTable.forName(spark, target_table)
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    (
+        tgt.alias("t")
+        .merge(src.alias("s"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )

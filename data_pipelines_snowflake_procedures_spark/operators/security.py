@@ -1,0 +1,177 @@
+"""PII detection + masking (reference F1-F6 / PI1-PI4, SURVEY.md §2.11).
+
+Parity target: ``APPLY_PII_MASKING`` (Data_Security.sql:13-86) — per
+column, sample values are tested against four PII regexes
+(EMAIL → PHONE → AADHAAR → CREDIT_CARD, first match wins per value);
+columns with any match are masked with the mask of their *first*
+detected type and the output gains a ``PII_MASKING_TYPE`` provenance
+column, then the masked table is published with a before/after preview
+report.
+
+Documented divergence (SURVEY.md §2.11 caveat): the reference writes
+only the 1,000-row sample it scanned — its "masked table" silently
+truncates the source (Data_Security.sql:49,68). Here detection stays
+sampled (cheap), but masking is applied to the FULL table with native
+Column expressions — no Python UDFs, so masking is one narrow
+(shuffle-free) projection that whole-stage codegen fuses into the scan
+at any scale.
+
+Patterns are written RE2-compatible (no lookaheads) so the same
+strings work in Spark ``rlike``, DuckDB ``regexp_matches``, and Python
+``re`` — which is what makes the detection step oracle-testable.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Detection order matters: first match wins, like the reference's
+#: detect_pii chain (Data_Security.sql:35-41).
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$",
+    "PHONE": r"^\+?[0-9][0-9 ()-]{8,14}$",
+    "AADHAAR": r"^[0-9]{4} [0-9]{4} [0-9]{4}$",
+    "CREDIT_CARD": r"^[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}$",
+}
+
+#: Rows sampled per table and values tested per column during
+#: detection — the reference's hardcoded bounds (Data_Security.sql:49,54).
+DETECTION_SAMPLE_ROWS = 1000
+
+
+def detect_pii_types(value: Any) -> str | None:
+    """First matching PII type for one value (driver-side helper,
+    mirrors Data_Security.sql:35-41 semantics)."""
+    if not isinstance(value, str):
+        return None
+    for pii_type, pattern in PII_PATTERNS.items():
+        if re.search(pattern, value):
+            return pii_type
+    return None
+
+
+def mask_value(value: Any, pii_type: str) -> Any:
+    """Driver-side masking (parity with Data_Security.sql:20-33);
+    the distributed path uses :func:`mask_expr` instead."""
+    if value is None:
+        return None
+    s = str(value)
+    if pii_type == "EMAIL" and "@" in s:
+        return s[0] + "***@" + s.split("@", 1)[1]
+    if pii_type == "PHONE":
+        return re.sub(r"\d(?=\d{4})", "*", s)
+    if pii_type == "AADHAAR":
+        return "XXXX XXXX " + s[-4:]
+    if pii_type == "CREDIT_CARD":
+        return "XXXX-XXXX-XXXX-" + s[-4:]
+    return "*****"
+
+
+def mask_expr(col: str | Column, pii_type: str) -> Column:
+    """Masking as a native Column expression (F2-F6) — JVM-side, no
+    UDF; fuses into whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    if pii_type == "EMAIL":
+        # keep first char, star the local part, keep the domain
+        return F.when(
+            c.contains("@"),
+            F.concat(F.substring(c, 1, 1), F.lit("***@"), F.element_at(F.split(c, "@", 2), 2)),
+        ).otherwise(F.lit("*****"))
+    if pii_type == "PHONE":
+        # star every digit except the last four, preserving separators
+        return F.regexp_replace(c, r"\d(?=\d{4})", "*")
+    if pii_type == "AADHAAR":
+        return F.concat(F.lit("XXXX XXXX "), F.substring(c, -4, 4))
+    if pii_type == "CREDIT_CARD":
+        return F.concat(F.lit("XXXX-XXXX-XXXX-"), F.substring(c, -4, 4))
+    return F.lit("*****")
+
+
+def detect_pii_columns(
+    df: DataFrame, sample_rows: int = DETECTION_SAMPLE_ROWS
+) -> dict[str, list[str]]:
+    """PI1: per string column, which PII types appear in a sample.
+
+    One aggregate pass over a single ``limit(sample_rows)`` sample
+    evaluates every (column × pattern) predicate at once — versus the
+    reference's per-column Python loop over 100 values. Returns
+    ``{column: [types...]}`` for columns with ≥1 match, types in
+    detection order.
+    """
+    string_cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
+    if not string_cols:
+        return {}
+    sample = df.select(*string_cols).limit(sample_rows)
+    aggs = [
+        F.count(F.when(F.col(c).rlike(pattern), 1)).alias(f"{c}__{pii_type}")
+        for c in string_cols
+        for pii_type, pattern in PII_PATTERNS.items()
+    ]
+    row = sample.agg(*aggs).collect()[0]
+    out: dict[str, list[str]] = {}
+    for c in string_cols:
+        types = [t for t in PII_PATTERNS if row[f"{c}__{t}"] > 0]
+        if types:
+            out[c] = types
+    return out
+
+
+def apply_pii_masking(
+    df: DataFrame,
+    pii_info: dict[str, list[str]] | None = None,
+    sample_rows: int = DETECTION_SAMPLE_ROWS,
+    provenance_column: str = "PII_MASKING_TYPE",
+) -> tuple[DataFrame, dict[str, list[str]]]:
+    """PI2+PI3: mask every detected column in the FULL DataFrame.
+
+    Each column is masked with its *first* detected type (faithful to
+    ``pii_type.split(",")[0]`` at Data_Security.sql:64-65, including
+    masking values that did not individually match). Adds the
+    provenance column as a stringified ``{col: "T1,T2"}`` dict.
+    """
+    if pii_info is None:
+        pii_info = detect_pii_columns(df, sample_rows=sample_rows)
+    masked = df
+    for col, types in pii_info.items():
+        masked = masked.withColumn(col, mask_expr(col, types[0]))
+    provenance = str({c: ",".join(ts) for c, ts in pii_info.items()})
+    masked = masked.withColumn(provenance_column, F.lit(provenance))
+    return masked, pii_info
+
+
+def pii_masking_report(
+    spark,
+    df: DataFrame,
+    table_name: str,
+    save: bool = True,
+    sample_rows: int = DETECTION_SAMPLE_ROWS,
+) -> dict[str, Any]:
+    """PI4: end-to-end masking pipeline + markdown diff report.
+
+    Detect → mask full table → optionally publish ``<table>_MASKED``
+    (managed table, overwrite) → return the reference's report shape:
+    masked column list and before/after 5-row previews.
+    """
+    masked, pii_info = apply_pii_masking(df, sample_rows=sample_rows)
+    masked_name = f"{table_name}_MASKED"
+    if save:
+        masked.write.mode("overwrite").saveAsTable(masked_name)
+    before = df.limit(5).toPandas()
+    after = masked.limit(5).toPandas()
+    try:
+        before_md = before.to_markdown(index=False)
+        after_md = after.to_markdown(index=False)
+    except ImportError:  # tabulate not installed
+        before_md = before.to_string(index=False)
+        after_md = after.to_string(index=False)
+    return {
+        "status": "SUCCESS",
+        "masked_table": masked_name,
+        "masked_columns": {c: ",".join(ts) for c, ts in pii_info.items()},
+        "before_sample": before_md,
+        "after_sample": after_md,
+    }

@@ -483,3 +483,210 @@ def dq_fd_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dq import fd_consistency_long
 
     return fd_consistency_long(load_table(spark, sf_dir, "part"), _PART_COLS)
+
+
+# --------------------------------------------------------------------------
+# PII detection + masking (SURVEY.md §2.11: F1-F6, PI1-PI2). The harness
+# tables carry no real PII, so each query derives deterministic
+# PII-shaped columns from customer keys, then detects/masks them — the
+# expressions under test are the same ones security.py applies to real
+# columns.
+# --------------------------------------------------------------------------
+
+
+def _pii_derived_sql() -> str:
+    return """
+        SELECT c_custkey,
+               'user' || CAST(c_custkey AS VARCHAR) || '@example.com' AS email,
+               lpad(CAST((c_custkey * 7919 + 13) % 10000000000 AS VARCHAR), 10, '0') AS phone,
+               substr(a12, 1, 4) || ' ' || substr(a12, 5, 4) || ' ' || substr(a12, 9, 4) AS aadhaar,
+               substr(c16, 1, 4) || '-' || substr(c16, 5, 4) || '-' ||
+               substr(c16, 9, 4) || '-' || substr(c16, 13, 4) AS card
+        FROM (
+          SELECT c_custkey,
+                 lpad(CAST((c_custkey * 37 + 11) % 1000000000000 AS VARCHAR), 12, '0') AS a12,
+                 lpad(CAST((c_custkey * 101 + 7) % 10000000000000000 AS VARCHAR), 16, '0') AS c16
+          FROM customer
+        )
+    """
+
+
+def _pii_derived_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("long")
+    a12 = F.lpad(((key * 37 + 11) % F.lit(10**12)).cast("string"), 12, "0")
+    c16 = F.lpad(((key * 101 + 7) % F.lit(10**16)).cast("string"), 16, "0")
+    return cust.select(
+        "c_custkey",
+        F.concat(F.lit("user"), key.cast("string"), F.lit("@example.com")).alias("email"),
+        F.lpad(((key * 7919 + 13) % F.lit(10**10)).cast("string"), 10, "0").alias("phone"),
+        F.concat_ws(
+            " ", F.substring(a12, 1, 4), F.substring(a12, 5, 4), F.substring(a12, 9, 4)
+        ).alias("aadhaar"),
+        F.concat_ws(
+            "-",
+            F.substring(c16, 1, 4),
+            F.substring(c16, 5, 4),
+            F.substring(c16, 9, 4),
+            F.substring(c16, 13, 4),
+        ).alias("card"),
+    )
+
+
+@register(
+    "pii_mask_customer",
+    f"""
+    SELECT c_custkey,
+           substr(email, 1, 1) || '***@' || split_part(email, '@', 2) AS email_masked,
+           repeat('*', length(phone) - 4) || right(phone, 4)          AS phone_masked,
+           'XXXX XXXX ' || right(aadhaar, 4)                          AS aadhaar_masked,
+           'XXXX-XXXX-XXXX-' || right(card, 4)                        AS card_masked
+    FROM ({_pii_derived_sql()}) d
+    """,
+    doc="F2-F5 masking expressions (Data_Security.sql:20-33 semantics) "
+    "applied full-table as native Column expressions — narrow plan, no "
+    "shuffle, no UDF. The Spark side uses the production mask_expr() "
+    "builders (incl. the lookahead digit-star for phones); the oracle "
+    "re-states each mask in portable SQL, so the test checks semantics, "
+    "not shared syntax.",
+)
+def pii_mask_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.security import mask_expr
+
+    d = _pii_derived_df(spark, sf_dir)
+    return d.select(
+        "c_custkey",
+        mask_expr("email", "EMAIL").alias("email_masked"),
+        mask_expr("phone", "PHONE").alias("phone_masked"),
+        mask_expr("aadhaar", "AADHAAR").alias("aadhaar_masked"),
+        mask_expr("card", "CREDIT_CARD").alias("card_masked"),
+    )
+
+
+def _pii_detect_oracle() -> str:
+    from .operators.security import PII_PATTERNS
+
+    selects = []
+    for col in ("email", "phone", "aadhaar", "card"):
+        for pii_type, pattern in PII_PATTERNS.items():
+            selects.append(
+                f"""SELECT '{col}' AS column_name, '{pii_type}' AS pii_type,
+                    CAST(coalesce(sum(CASE WHEN regexp_matches({col}, '{pattern}')
+                        THEN 1 END), 0) AS BIGINT) AS n_matches
+                    FROM d"""
+            )
+    return f"WITH d AS ({_pii_derived_sql()})\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "pii_detect_customer",
+    _pii_detect_oracle(),
+    doc="PI1 detection matrix: one aggregate pass evaluating every "
+    "(column × PII pattern) predicate at once (vs the reference's "
+    "per-column 100-value Python loop, Data_Security.sql:52-59). "
+    "Patterns are RE2-safe so Spark rlike and DuckDB regexp_matches "
+    "agree. Note AADHAAR values also match the (looser) PHONE pattern — "
+    "faithful to first-match-wins detection ordering.",
+)
+def pii_detect_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.security import PII_PATTERNS
+
+    d = _pii_derived_df(spark, sf_dir)
+    structs = []
+    wide = d.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col(c).rlike(p), 1)), F.lit(0)
+            ).cast("long").alias(f"{c}__{t}")
+            for c in ("email", "phone", "aadhaar", "card")
+            for t, p in PII_PATTERNS.items()
+        ]
+    )
+    for c in ("email", "phone", "aadhaar", "card"):
+        for t in PII_PATTERNS:
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.lit(t).alias("pii_type"),
+                    F.col(f"{c}__{t}").alias("n_matches"),
+                )
+            )
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+# --------------------------------------------------------------------------
+# SCD1 incremental merge (SURVEY.md §2.12 G1, §2.5 W1, §2.3 J4)
+# --------------------------------------------------------------------------
+
+_SCD1_SRC_SQL = """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority,
+           1 AS created_at
+    FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice + 20.0, o_orderdate, o_orderpriority, 2
+    FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, 'N',
+           o_totalprice + 5.0, o_orderdate, o_orderpriority, 1
+    FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+
+def _scd1_source_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    upd = orders.filter(F.col("o_orderkey") % 5 == 0)
+    v1 = upd.withColumn("o_totalprice", F.col("o_totalprice") + 10.0).withColumn(
+        "created_at", F.lit(1)
+    )
+    v2 = upd.withColumn("o_totalprice", F.col("o_totalprice") + 20.0).withColumn(
+        "created_at", F.lit(2)
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5.0)
+        .withColumn("created_at", F.lit(1))
+    )
+    return v1.unionByName(v2).unionByName(new)
+
+
+@register(
+    "scd1_merge_orders",
+    f"""
+    WITH src AS ({_SCD1_SRC_SQL}),
+    latest AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_orderkey ORDER BY created_at DESC
+        ) AS rn FROM src
+      ) WHERE rn = 1
+    ),
+    merged AS (
+      SELECT o.* FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = o.o_orderkey)
+      UNION ALL
+      SELECT * FROM latest
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 2) AS o_totalprice, o_orderdate, o_orderpriority
+    FROM merged
+    """,
+    doc="G1 SCD1 merge on the parquet fallback path: W1 dedup "
+    "(latest-per-key by created_at) then anti-join + unionByName "
+    "(CODE_GENERATOR.sql:39-59 contract). Source mixes duplicate-key "
+    "updates (+10 then +20 — the +20 version must win), and brand-new keys. One "
+    "shuffle per side on the business key; a small daily increment "
+    "broadcasts under AQE so the 100 TB target never moves.",
+)
+def scd1_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scd import scd1_merge
+
+    target = load_table(spark, sf_dir, "orders")
+    source = _scd1_source_df(spark, sf_dir)
+    merged = scd1_merge(target, source, ["o_orderkey"], order_col="created_at")
+    return merged.withColumn("o_totalprice", F.round("o_totalprice", 2))

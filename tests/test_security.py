@@ -1,0 +1,68 @@
+"""Unit tests for PII detection/masking (SURVEY.md §2.11)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipelines_snowflake_procedures_spark.operators.security import (
+    apply_pii_masking,
+    detect_pii_columns,
+    detect_pii_types,
+    mask_value,
+)
+
+
+@pytest.mark.parametrize(
+    "value,expected",
+    [
+        ("alice@example.com", "EMAIL"),
+        ("a.b+tag@sub.domain.org", "EMAIL"),
+        ("9876543210", "PHONE"),
+        ("+1 415 555 0000", "PHONE"),
+        ("1234 5678 9012", "PHONE"),  # aadhaar shape also matches PHONE first
+        ("1234-5678-9012-3456", "CREDIT_CARD"),
+        ("not pii", None),
+        (42, None),
+        (None, None),
+    ],
+)
+def test_detect_pii_types(value, expected):
+    assert detect_pii_types(value) == expected
+
+
+def test_mask_values():
+    assert mask_value("alice@example.com", "EMAIL") == "a***@example.com"
+    assert mask_value("9876543210", "PHONE") == "******3210"
+    # the digit-star mask only hides digits with >=4 contiguous digits
+    # after them — separator-formatted numbers keep their groups
+    # (faithful to the reference's phone mask)
+    assert mask_value("14155550000", "PHONE") == "*******0000"
+    assert mask_value("+1 415 555 0000", "PHONE") == "+1 415 555 0000"
+    assert mask_value("1234 5678 9012", "AADHAAR") == "XXXX XXXX 9012"
+    assert mask_value("1234-5678-9012-3456", "CREDIT_CARD") == "XXXX-XXXX-XXXX-3456"
+    assert mask_value("whatever", "OTHER") == "*****"
+    assert mask_value(None, "EMAIL") is None
+
+
+def test_detect_and_mask_full_table(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alice@example.com", "clean"),
+            (2, "bob@test.org", "words"),
+            (3, "not-an-email", "more"),
+        ],
+        ["id", "contact", "note"],
+    )
+    info = detect_pii_columns(df)
+    assert info == {"contact": ["EMAIL"]}
+
+    masked, info2 = apply_pii_masking(df)
+    assert info2 == info
+    rows = {r["id"]: r for r in masked.collect()}
+    assert rows[1]["contact"] == "a***@example.com"
+    # first-detected-type masking applies to non-matching values too
+    # (faithful to the reference's column-level masking)
+    assert rows[3]["contact"] == "*****"
+    assert rows[1]["PII_MASKING_TYPE"] == "{'contact': 'EMAIL'}"
+    # non-PII column untouched
+    assert rows[2]["note"] == "words"
