@@ -1,0 +1,264 @@
+"""File discovery: multi-format readers, type palette, metadata, and the
+end-to-end DQ discovery pipeline (reference S1-S6, F13, SURVEY.md §3.2).
+
+Parity target: ``DQ_DISCOVERY_AND_CHECKS(FILE_PATH)``
+(Data_Discovery_File.sql:317-433) — load a csv/xlsx/json/xml/parquet
+file, infer its schema into the 6-type palette, build a file-metadata
+document, run the five-pillar DQ sweep, and return the combined
+envelope with an audit log.
+
+Spark-first notes:
+
+* CSV/JSON/parquet read natively distributed (``spark.read``) — at
+  100 TB these are the formats that matter; schema inference samples,
+  predicate pushdown and column pruning reach the scan.
+* Excel/XML are inherently small-file, driver-side formats; they load
+  via pandas (import-gated — the container may lack openpyxl/lxml) and
+  promote to a DataFrame. The reference did the same for every format
+  (Data_Discovery_File.sql:317-349); we only keep pandas where Spark
+  has no native reader.
+* The reference copied stage files to local disk first
+  (``session.file.get``, :363). Spark reads paths (local/S3/HDFS)
+  directly, so S6 is a no-op here.
+* The DQ sweep runs on the Spark DataFrame through the distributed
+  rule engines (operators/dq.py) — a handful of aggregate jobs total —
+  instead of whole-file pandas. Full-fidelity rule records
+  (reason strings, pass/fail) are preserved.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+AGENT_NAME = "DataDiscoveryAgent"
+
+#: The reference's 6-type palette (Data_Discovery_File.sql:27-53),
+#: keyed by Spark type instead of pandas dtype.
+_PALETTE: list[tuple[type, str]] = [
+    (T.StringType, "VARCHAR"),
+    (T.LongType, "NUMBER"),
+    (T.IntegerType, "NUMBER"),
+    (T.ShortType, "NUMBER"),
+    (T.ByteType, "NUMBER"),
+    (T.DoubleType, "FLOAT"),
+    (T.FloatType, "FLOAT"),
+    (T.DecimalType, "FLOAT"),
+    (T.BooleanType, "BOOLEAN"),
+    (T.TimestampType, "TIMESTAMP"),
+    (T.TimestampNTZType, "TIMESTAMP"),
+    (T.DateType, "TIMESTAMP"),
+]
+
+
+def map_type_to_palette(dtype: T.DataType) -> str:
+    """Spark type → reference palette name; anything unmapped (arrays,
+    maps, structs, binary) is VARIANT, like the reference's fallback."""
+    for spark_type, name in _PALETTE:
+        if isinstance(dtype, spark_type):
+            return name
+    return "VARIANT"
+
+
+def format_file_size(n_bytes: int) -> str:
+    """Human file size, B/KB/MB tiers (Data_Discovery_File.sql:57-69)."""
+    if n_bytes < 1024:
+        return f"{n_bytes} B"
+    if n_bytes < 1024**2:
+        return f"{round(n_bytes / 1024, 2)} KB"
+    return f"{round(n_bytes / 1024 ** 2, 2)} MB"
+
+
+def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    """S1-S5 dispatch: load a file of any supported format as a
+    DataFrame. ``fmt`` overrides extension sniffing."""
+    ext = (fmt or os.path.splitext(path)[1].lstrip(".")).lower()
+    if ext == "csv":
+        return (
+            spark.read.option("header", True).option("inferSchema", True).csv(path)
+        )
+    if ext in ("json", "ndjson", "jsonl"):
+        df = spark.read.json(path)
+        if df.columns == ["_corrupt_record"] or not df.columns:
+            df = spark.read.option("multiLine", True).json(path)
+        return df
+    if ext == "parquet":
+        return spark.read.parquet(path)
+    if ext in ("xls", "xlsx"):
+        import pandas as pd  # driver-side: Excel is a small-file format
+
+        try:
+            pdf = pd.read_excel(path)
+        except ImportError as exc:  # openpyxl missing in this container
+            raise NotImplementedError(
+                f"Excel reading requires openpyxl/xlrd: {exc}"
+            ) from exc
+        return spark.createDataFrame(pdf)
+    if ext == "xml":
+        import pandas as pd
+
+        try:
+            pdf = pd.read_xml(path)
+        except ImportError as exc:  # lxml missing in this container
+            raise NotImplementedError(f"XML reading requires lxml: {exc}") from exc
+        return spark.createDataFrame(pdf)
+    raise ValueError(f"Unsupported file format: {ext!r} ({path})")
+
+
+def file_metadata(path: str, df: DataFrame, row_count: int | None = None) -> dict:
+    """File-definition document (Data_Discovery_File.sql:73-93 shape):
+    name, type, size, row/column counts, palette-typed column list."""
+    size = os.path.getsize(path) if os.path.exists(path) else None
+    return {
+        "file_name": os.path.basename(path),
+        "file_type": os.path.splitext(path)[1].lstrip(".").lower(),
+        "file_size": format_file_size(size) if size is not None else None,
+        "row_count": row_count if row_count is not None else df.count(),
+        "column_count": len(df.columns),
+        "columns": [
+            {"column_name": f.name, "type": map_type_to_palette(f.dataType)}
+            for f in df.schema.fields
+        ],
+    }
+
+
+def run_file_dq_distributed(
+    df: DataFrame, max_pairs: int | None = None
+) -> list[dict[str, Any]]:
+    """Five-pillar DQ sweep on a Spark DataFrame, returning the
+    reference's flat rule-record shape (Data_Discovery_File.sql:217-313)
+    from the distributed rule engines — four aggregate-style jobs total
+    regardless of column count.
+
+    Validity is schema-level here: a typed DataFrame column cannot hold
+    mixed types, so a column is valid iff its type maps into the
+    palette (VARIANT → failed, mirroring the reference's "values must
+    match the inferred type" intent on data Spark could not type).
+    """
+    from ..operators.dq import (
+        PASS_THRESHOLD,
+        completeness_uniqueness_long,
+        fd_consistency_long,
+        rare_value_accuracy_long,
+        zscore_accuracy_long,
+    )
+    from ..operators.profile import is_numeric
+
+    results: list[dict[str, Any]] = []
+    schema = {f.name: f.dataType for f in df.schema.fields}
+
+    for row in completeness_uniqueness_long(df).collect():
+        results.append(
+            {
+                "pillar": row["pillar"],
+                "column": row["column_name"],
+                "result": float(row["result"]),
+                "rule": f"{row['pillar'].capitalize()} of {row['column_name']}",
+                "status": row["status"],
+            }
+        )
+    for col, dtype in schema.items():
+        valid = map_type_to_palette(dtype) != "VARIANT"
+        results.append(
+            {
+                "pillar": "validity",
+                "column": col,
+                "result": valid,
+                "rule": f"Validity of {col}",
+                "status": "passed" if valid else "failed",
+            }
+        )
+    numeric_cols = [c for c, t in schema.items() if is_numeric(t)]
+    if numeric_cols:
+        for row in zscore_accuracy_long(df, numeric_cols).collect():
+            results.append(
+                {
+                    "pillar": "accuracy",
+                    "column": row["column_name"],
+                    "result": float(row["result"]),
+                    "rule": f"Outlier check on {row['column_name']} (z-score > 3)",
+                    "status": row["status"],
+                }
+            )
+    string_cols = [c for c, t in schema.items() if isinstance(t, T.StringType)]
+    if string_cols:
+        for row in rare_value_accuracy_long(df, string_cols).collect():
+            results.append(
+                {
+                    "pillar": "accuracy",
+                    "column": row["column_name"],
+                    "result": float(row["result"]),
+                    "rule": f"Rare value check on {row['column_name']} (<1% frequency)",
+                    "status": row["status"],
+                }
+            )
+    for row in fd_consistency_long(df, max_pairs=max_pairs).collect():
+        results.append(
+            {
+                "pillar": "consistency",
+                "column": row["pair"],
+                "result": float(row["result"]),
+                "rule": f"Functional dependency {row['pair']}",
+                "status": row["status"],
+            }
+        )
+    # PASS_THRESHOLD re-exported for callers building summaries.
+    results_summary_threshold = PASS_THRESHOLD  # noqa: F841
+    return results
+
+
+def summarize_rules(results: list[dict[str, Any]]) -> dict[str, Any]:
+    """Pass/fail partition of rule records
+    (Data_Discovery_File.sql:379-405 shape)."""
+    passed = [r for r in results if r["status"] == "passed"]
+    failed = [r for r in results if r["status"] == "failed"]
+    return {
+        "total_rules": len(results),
+        "passed_rules": len(passed),
+        "failed_rules": len(failed),
+        "failed_details": failed,
+    }
+
+
+def discover_and_run_dq(
+    spark: SparkSession,
+    file_path: str,
+    fmt: str | None = None,
+    max_pairs: int | None = None,
+) -> dict[str, Any]:
+    """End-to-end `DQ_DISCOVERY_AND_CHECKS` parity
+    (Data_Discovery_File.sql:353-433): read → metadata → DQ sweep →
+    envelope with audit log."""
+    start = _dt.datetime.now(_dt.timezone.utc)
+    try:
+        df = read_any(spark, file_path, fmt=fmt)
+        row_count = df.count()
+        definition = file_metadata(file_path, df, row_count=row_count)
+        rules = run_file_dq_distributed(df, max_pairs=max_pairs)
+        end = _dt.datetime.now(_dt.timezone.utc)
+        return {
+            "status": "SUCCESS",
+            "file_definition": definition,
+            "dq_auto_check_result": {
+                "summary": summarize_rules(rules),
+                "rules": rules,
+            },
+            "audit_log": {
+                "agent_name": AGENT_NAME,
+                "input_file": file_path,
+                "start_time": start.isoformat(),
+                "end_time": end.isoformat(),
+                "duration_seconds": round((end - start).total_seconds(), 4),
+            },
+        }
+    except Exception as exc:  # noqa: BLE001 — error envelope (X7)
+        return {
+            "status": "FAILED",
+            "error": str(exc),
+            "agent_name": AGENT_NAME,
+            "input_file": file_path,
+        }

@@ -1,0 +1,110 @@
+"""Tests for file discovery + end-to-end DQ pipeline (SURVEY.md §3.2)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from data_pipelines_snowflake_procedures_spark.sources.discovery import (
+    discover_and_run_dq,
+    file_metadata,
+    format_file_size,
+    map_type_to_palette,
+    read_any,
+)
+from pyspark.sql import types as T
+
+
+def test_format_file_size():
+    assert format_file_size(512) == "512 B"
+    assert format_file_size(2048) == "2.0 KB"
+    assert format_file_size(3 * 1024 * 1024) == "3.0 MB"
+
+
+def test_type_palette():
+    assert map_type_to_palette(T.StringType()) == "VARCHAR"
+    assert map_type_to_palette(T.LongType()) == "NUMBER"
+    assert map_type_to_palette(T.IntegerType()) == "NUMBER"
+    assert map_type_to_palette(T.DoubleType()) == "FLOAT"
+    assert map_type_to_palette(T.BooleanType()) == "BOOLEAN"
+    assert map_type_to_palette(T.TimestampType()) == "TIMESTAMP"
+    assert map_type_to_palette(T.ArrayType(T.FloatType())) == "VARIANT"
+
+
+@pytest.fixture(scope="module")
+def sample_files(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("discovery")
+    rows = [
+        {"id": i, "name": f"n{i}", "score": float(i) / 2, "flag": i % 2 == 0}
+        for i in range(50)
+    ]
+    csv_path = tmp / "sample.csv"
+    with open(csv_path, "w") as f:
+        f.write("id,name,score,flag\n")
+        for r in rows:
+            f.write(f"{r['id']},{r['name']},{r['score']},{r['flag']}\n")
+    json_path = tmp / "sample.json"
+    with open(json_path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return {"csv": str(csv_path), "json": str(json_path)}
+
+
+def test_read_csv_and_json(spark, sample_files):
+    for fmt in ("csv", "json"):
+        df = read_any(spark, sample_files[fmt])
+        assert df.count() == 50
+        assert set(df.columns) == {"id", "name", "score", "flag"}
+
+
+def test_read_parquet(spark, sf_dir):
+    df = read_any(spark, f"{sf_dir}/region.parquet")
+    assert df.count() == 5
+
+
+def test_read_unsupported(spark):
+    with pytest.raises(ValueError, match="Unsupported"):
+        read_any(spark, "/tmp/file.avro")
+
+
+def test_file_metadata(spark, sample_files):
+    df = read_any(spark, sample_files["csv"])
+    meta = file_metadata(sample_files["csv"], df)
+    assert meta["file_name"] == "sample.csv"
+    assert meta["file_type"] == "csv"
+    assert meta["row_count"] == 50
+    assert meta["column_count"] == 4
+    types = {c["column_name"]: c["type"] for c in meta["columns"]}
+    assert types["id"] == "NUMBER"
+    assert types["name"] == "VARCHAR"
+    assert types["score"] == "FLOAT"
+    assert types["flag"] == "BOOLEAN"
+
+
+def test_discover_and_run_dq_envelope(spark, sample_files):
+    out = discover_and_run_dq(spark, sample_files["csv"])
+    assert out["status"] == "SUCCESS"
+    assert out["file_definition"]["row_count"] == 50
+    summary = out["dq_auto_check_result"]["summary"]
+    assert summary["total_rules"] == summary["passed_rules"] + summary["failed_rules"]
+    rules = out["dq_auto_check_result"]["rules"]
+    pillars = {r["pillar"] for r in rules}
+    assert pillars == {"completeness", "uniqueness", "validity", "accuracy", "consistency"}
+    # id is fully unique & complete
+    by_col = {
+        (r["pillar"], r["column"]): r for r in rules if r["pillar"] != "consistency"
+    }
+    assert by_col[("completeness", "id")]["result"] == 1.0
+    assert by_col[("uniqueness", "id")]["result"] == 1.0
+    # id -> name is a functional dependency; flag -> id is not
+    cons = {r["column"]: r["status"] for r in rules if r["pillar"] == "consistency"}
+    assert cons["id->name"] == "passed"
+    assert cons["flag->id"] == "failed"
+    assert out["audit_log"]["agent_name"] == "DataDiscoveryAgent"
+
+
+def test_discover_failure_envelope(spark):
+    out = discover_and_run_dq(spark, "/nonexistent/nope.csv")
+    assert out["status"] == "FAILED"
+    assert "error" in out
