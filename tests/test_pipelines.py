@@ -1,0 +1,162 @@
+"""Tests for codegen / interpreter / glossary / ingestion pipelines
+(SURVEY.md §2.8, §2.9, §2.12)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from data_pipelines_snowflake_procedures_spark.pipelines.codegen import (
+    classify_task,
+    generate_code,
+)
+from data_pipelines_snowflake_procedures_spark.pipelines.glossary import (
+    generate_business_glossary,
+)
+from data_pipelines_snowflake_procedures_spark.pipelines.ingestion import (
+    ingestion_code_generator,
+)
+from data_pipelines_snowflake_procedures_spark.pipelines.interpreter import (
+    filter_relevant_tables,
+    interpret_objective,
+)
+
+
+@pytest.mark.parametrize(
+    "objective,expected",
+    [
+        ("Build an SCD1 pipeline for customers", "scd1_pipeline"),
+        ("incremental load of orders", "scd1_pipeline"),
+        ("join orders with customers", "join_query"),
+        ("monthly revenue summary", "aggregation"),
+        ("aggregate sales by region", "aggregation"),
+        ("load filename: data.csv from stage: @mystage", "ddl_copy"),
+        ("show me something", "generic"),
+    ],
+)
+def test_classify_task(objective, expected):
+    assert classify_task(objective) == expected
+
+
+_META = {
+    "tables": [
+        {
+            "table": "ORDERS",
+            "columns": [
+                {"column_name": "o_orderkey", "type": "NUMBER"},
+                {"column_name": "o_totalprice", "type": "FLOAT"},
+                {"column_name": "o_orderstatus", "type": "VARCHAR"},
+            ],
+        },
+        {
+            "table": "CUSTOMER",
+            "columns": [
+                {"column_name": "c_custkey", "type": "NUMBER"},
+                {"column_name": "c_name", "type": "VARCHAR"},
+            ],
+        },
+    ]
+}
+
+
+def test_generate_scd1_code():
+    out = generate_code("SCD1 incremental pipeline for orders", _META)
+    assert out["status"] == "SUCCESS" and out["task_type"] == "scd1_pipeline"
+    assert "MERGE INTO ORDERS" in out["sql_code"]
+    assert "row_number() OVER" in out["sql_code"]
+    assert "scd1_merge" in out["pyspark_code"]
+    assert "o_orderkey" in out["pyspark_code"]
+
+
+def test_generate_join_code():
+    out = generate_code("join the tables", _META)
+    assert out["task_type"] == "join_query"
+    assert "JOIN CUSTOMER" in out["sql_code"]
+    assert 'how="inner"' in out["pyspark_code"]
+
+
+def test_generate_aggregation_code():
+    out = generate_code("monthly summary of totals", _META)
+    assert out["task_type"] == "aggregation"
+    assert "GROUP BY" in out["sql_code"]
+    assert "groupBy" in out["pyspark_code"]
+
+
+def test_generate_code_accepts_json_string_and_llm_hook():
+    calls = []
+
+    def fake_llm(prompt: str) -> str:
+        calls.append(prompt)
+        return "-- generated"
+
+    out = generate_code("join stuff", json.dumps(_META), llm=fake_llm)
+    assert out["sql_code"] == "-- generated"
+    assert len(calls) == 2
+
+
+def test_filter_relevant_tables():
+    kept = filter_relevant_tables(_META["tables"], "show o_totalprice trends")
+    assert [t["table"] for t in kept] == ["ORDERS"]
+    # table-name mention is also a hit
+    kept = filter_relevant_tables(_META["tables"], "describe the CUSTOMER data")
+    assert [t["table"] for t in kept] == ["CUSTOMER"]
+    # aggregation keywords pull in every table with numeric columns
+    kept = filter_relevant_tables(_META["tables"], "SUM of sales")
+    assert len(kept) == 2
+    kept = filter_relevant_tables(_META["tables"], "nothing matches here")
+    assert kept == []
+
+
+def test_interpret_objective_with_catalog(spark, sf_dir):
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    out = interpret_objective(spark, "join o_orderkey against something")
+    assert out["status"] == "SUCCESS"
+    # temp views are visible through listTables; orders_v carries o_orderkey
+    names = [t["table"] for t in out["relevant_metadata"]["tables"]]
+    assert "orders_v" in names
+    assert out["audit_log"]["agent_name"] == "ObjectiveInterpreterAgent"
+
+
+def test_glossary_lifecycle(spark, sf_dir):
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    load_table(spark, sf_dir, "region").limit(5).write.mode(
+        "overwrite"
+    ).saveAsTable("gloss_region")
+    out = generate_business_glossary(spark, "gloss_region")
+    assert out["status"] == "SUCCESS"
+    assert out["columns_defined"] == 2
+    rows = spark.table("BUSINESS_GLOSSARY").collect()
+    assert {r["COLUMN_NAME"] for r in rows} == {"r_regionkey", "r_name"}
+    # regenerating must not duplicate (targeted delete then append)
+    out2 = generate_business_glossary(spark, "gloss_region")
+    assert out2["status"] == "SUCCESS"
+    assert spark.table("BUSINESS_GLOSSARY").count() == 2
+
+
+def test_glossary_rejects_bad_identifier(spark):
+    out = generate_business_glossary(spark, "bad; DROP TABLE x")
+    assert out["status"] == "FAILED"
+
+
+def test_ingestion_orchestrator(spark, tmp_path):
+    p = tmp_path / "sales.csv"
+    p.write_text(
+        "sale_id,region,amount\n1,EU,10.5\n2,US,20.0\n3,EU,7.25\n"
+    )
+    out = ingestion_code_generator(
+        spark, "aggregate amount by region", str(p)
+    )
+    assert out["status"] == "SUCCESS"
+    assert out["task_type"] == "aggregation"
+    assert out["dq_summary"]["total_rules"] > 0
+    assert "GROUP BY" in out["sql_code"]
+    assert out["file_definition"]["column_count"] == 3
+
+
+def test_ingestion_orchestrator_failure(spark):
+    out = ingestion_code_generator(spark, "whatever", "/missing.csv")
+    assert out["status"] == "FAILED" and out["stage"] == "dq_discovery"
