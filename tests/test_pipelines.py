@@ -121,8 +121,15 @@ def test_interpret_objective_with_catalog(spark, sf_dir):
 
 
 def test_glossary_lifecycle(spark, sf_dir):
+    import shutil
+
     from data_pipelines_snowflake_procedures_spark.session import load_table
 
+    # drop any stale on-disk state from prior sessions: the in-memory
+    # catalog forgets tables on restart but warehouse dirs persist
+    for t in ("gloss_region", "BUSINESS_GLOSSARY"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
     load_table(spark, sf_dir, "region").limit(5).write.mode(
         "overwrite"
     ).saveAsTable("gloss_region")
