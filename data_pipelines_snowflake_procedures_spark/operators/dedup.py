@@ -1,0 +1,280 @@
+"""Deduplication operators for LLM training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+North-star extensions (SURVEY.md §7 step 8) over the ``documents`` /
+``embeddings`` harness tables. All hashing is md5-based so Spark and
+the DuckDB oracle agree bit-for-bit (DuckDB lacks xxhash64); swap
+:func:`token_hash` to ``F.xxhash64`` for ~3× faster production hashing
+when cross-engine determinism is not needed.
+
+Scale design (the point of each operator, in order of cost):
+
+* **exact_dedup** — one shuffle on the 128-bit content hash; group
+  sizes are tiny (true duplicates), so no skew concern.
+* **token_jaccard_pairs** — inverted-index self-join: shuffle on
+  token, pair counts aggregated map-side. The classic failure mode at
+  100 TB is high-document-frequency tokens exploding the join
+  (quadratic in df); ``max_token_df`` drops those tokens (standard
+  practice — a token in half the corpus carries no dedup signal).
+* **minhash_lsh_pairs** — the scale path: candidate generation touches
+  only (doc, band) rows, shuffles on band key, and the quadratic blowup
+  is confined to hash buckets (actual near-dups). Verification runs
+  exact Jaccard on candidates only.
+* **simhash** — one narrow projection producing a 32-bit signature;
+  near-dup blocking joins on rotated signature bands (Hamming ≤ k).
+* **embedding_near_dup_pairs** — exact O(n²); use only on bounded
+  slices or after LSH blocking (operators/similarity.py) at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles, tokens
+
+SIMHASH_BITS = 32
+
+
+def content_key(col: str | Column) -> Column:
+    """Normalization + hash used for exact dedup: md5 of the
+    whitespace-collapsed, lowercased text."""
+    return F.md5(F.concat_ws(" ", tokens(col)))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the minimum-id representative per normalized
+    content hash. One shuffle on the hash; survivors keep all columns.
+    """
+    keyed = df.withColumn("__ck", content_key(text_col))
+    winners = keyed.groupBy("__ck").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(winners, on=["__ck", id_col], how="inner")
+        .drop("__ck")
+    )
+
+
+def doc_tokens(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 1
+) -> DataFrame:
+    """(id, token) inverted-index rows; n>1 switches to n-token
+    shingles. Distinct per document (set semantics for Jaccard)."""
+    unit = tokens(text_col) if n == 1 else shingles(text_col, n)
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(unit)).alias("tok"))
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold: float = 0.9,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """All document pairs with token-set Jaccard ≥ threshold, via the
+    inverted-index join (never a cross join). Output
+    ``(doc_a, doc_b, jaccard)`` with doc_a < doc_b.
+
+    ``max_token_df`` drops tokens appearing in more than that many
+    documents before pairing — the skew guard that makes this viable
+    beyond toy scale (dropped tokens only *lower* Jaccard estimates;
+    at the default None, Jaccard is exact).
+    """
+    toks = doc_tokens(df, text_col, id_col, n).cache()
+    if max_token_df is not None:
+        rare = toks.groupBy("tok").count().filter(F.col("count") <= max_token_df)
+        toks = toks.join(rare.select("tok"), "tok")
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 24,
+    n: int = 1,
+) -> DataFrame:
+    """MinHash signatures: permutation i's hash of shingle s is
+    ``md5(i || '|' || s)`` and the signature entry is the minimum over
+    the document's shingle set — the lexicographic-min-of-md5 form of
+    MinHash (any universal hash family works; md5 keeps it portable).
+    Output: (id, sig_0..sig_{num_perm-1}) — one narrow projection."""
+    unit = tokens(text_col) if n == 1 else shingles(text_col, n)
+    unit = F.array_distinct(unit)
+    sigs = [
+        F.array_min(
+            F.transform(unit, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        ).alias(f"sig_{i}")
+        for i in range(num_perm)
+    ]
+    return df.select(F.col(id_col).alias("id"), *sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 24,
+    bands: int = 6,
+    n: int = 1,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup detection, the 100 TB dedup
+    path: signature → band keys → bucket join (quadratic only inside
+    buckets) → exact-Jaccard verification of candidates.
+
+    Output ``(doc_a, doc_b, jaccard)``, a recall-bounded subset of
+    :func:`token_jaccard_pairs` at the same threshold. With r =
+    num_perm/bands rows per band, P(candidate) = 1-(1-j^r)^bands.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, n)
+    band_rows = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"sig_{bi * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    exact = token_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def token_hash(tok: Column, bits: int = 60) -> Column:
+    """Deterministic cross-engine integer hash: the first 15 md5 hex
+    digits parsed base-16 (60 bits, always positive in a long)."""
+    assert bits <= 60
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash signature per document: each output bit is the majority
+    vote of that bit across the document's distinct token hashes.
+    Output (id, simhash) — one narrow projection, no shuffle.
+
+    Near-dup candidates then block on signature bands (documents
+    within Hamming distance k share a band with high probability)."""
+    hashes = F.transform(F.array_distinct(tokens(text_col)), lambda t: token_hash(t))
+    n_tok = F.size(hashes)
+    value = F.lit(0).cast("long")
+
+    def bit_set(j: int):
+        # single-arg lambda per bit: a two-arg lambda would bind the
+        # second parameter to the array index in Spark's HOF protocol
+        return lambda h: F.shiftright(h, j) % 2 == 1
+
+    for j in range(bits):
+        set_count = F.size(F.filter(hashes, bit_set(j)))
+        bit_on = (set_count * 2) >= n_tok
+        value = value + F.when(bit_on, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(n_tok > 0, value).otherwise(F.lit(0).cast("long")).alias("simhash"),
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, computed in
+    double, element order preserved (portable accumulation)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine ≥ threshold) via
+    self-join — O(n²), the verification/baseline path. At scale, block
+    first with signed-random-projection buckets
+    (operators/similarity.py ``srp_bucket``) and run this inside
+    buckets only."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

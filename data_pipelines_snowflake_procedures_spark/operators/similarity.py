@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(the exact baseline) and signed-random-projection LSH bucketing (the
+scale path). North-star extension per SURVEY.md §7 step 8, over the
+``embeddings`` harness table (``array<float>`` of dim 64).
+
+Scale design: brute-force is one broadcast of the (small) query set
+against the corpus — a narrow map over corpus partitions followed by a
+per-query top-k (TakeOrdered-style: per-partition heads then a tiny
+final reduce; never a global sort). SRP-LSH replaces the full scan
+with a bucket equi-join: only vectors sharing a signature bucket are
+compared, trading recall for a ~(corpus/buckets) scan reduction;
+multi-probe (xor-ing single bits) recovers recall at the margin.
+
+Hyperplanes are derived deterministically from md5 (seeded), so the
+same buckets come out on any engine / cluster / run — which also makes
+the bucketing oracle-testable in SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import cosine
+
+
+def srp_hyperplanes(n_planes: int, dim: int, seed: str = "srp") -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: component (p, d) is +1 when the
+    first hex digit of md5(f"{seed}|{p}|{d}") is even. Pure function of
+    (seed, p, d) — reproducible anywhere, including inside SQL."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def srp_bucket(
+    emb: Column, planes: list[list[int]]
+) -> Column:
+    """SRP signature as a bucket id: bit p is 1 iff emb · plane_p ≥ 0.
+    One narrow expression per plane — stays in codegen, no UDF."""
+    value = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        value = value + F.when(dot >= 0, F.lit(2**p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return value
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus,
+    rank per query. Output (query_id, neighbor_id, cosine, rank).
+
+    The join is a broadcast nested loop over corpus partitions (query
+    sets are small by definition); ranking is a per-query window over
+    k·|queries| candidate rows after AQE's partial top-k pushdown."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "srp",
+) -> DataFrame:
+    """Approximate top-k: compare only within SRP buckets. Same output
+    shape as :func:`knn_bruteforce`; recall < 1 by construction (a
+    query's true neighbor may land in another bucket). At 2^n_planes
+    buckets the candidate set shrinks ~2^n_planes-fold; lower n_planes
+    or add multi-probe for higher recall."""
+    planes = srp_hyperplanes(n_planes, dim, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        srp_bucket(F.col(emb_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        srp_bucket(F.col(emb_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

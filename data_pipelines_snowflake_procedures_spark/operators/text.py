@@ -1,0 +1,184 @@
+"""Text analysis operators for LLM training-data pipelines: token
+counting, quality scoring, language ID, document fingerprinting.
+
+Not present in the reference (its domain stops at DQ/PII); these are
+the north-star extensions called for by SURVEY.md §7 step 8, built for
+the ``documents`` harness table and any corpus with a text column.
+
+Everything here is a **native Column expression builder** — no Python
+UDFs, so the hot path stays inside whole-stage codegen and scales as a
+narrow (shuffle-free) projection over arbitrarily many partitions.
+Cross-engine determinism (for the DuckDB oracle gate) comes from
+md5-based hashing: Spark ``md5`` and DuckDB ``md5`` agree bit-for-bit,
+unlike xxhash64 which DuckDB lacks.
+
+At 100 TB: all per-document ops are embarrassingly parallel; the only
+caveat is very long documents inflating token arrays — cap with
+``F.slice`` before arrayful ops if documents exceed ~1 MB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish pre-tokenizer: alphanumeric runs or single non-space symbols
+#: (the classic GPT-2-style split, minus unicode categories).
+BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic. Deliberately small: the point is the operator shape
+#: (argmax over per-language hit counts), not lexicon quality.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "los", "las", "y", "en", "que", "un", "una"],
+    "fr": ["le", "la", "les", "des", "et", "en", "une", "est", "du", "dans"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "von", "zu", "mit", "ist"],
+}
+
+#: Generic stopword set for quality scoring (English-biased, like most
+#: pretraining quality heuristics).
+QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokens of the lowercased, trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def ws_token_count(col: str | Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """Count of BPE-ish pre-tokens (alnum runs + isolated symbols)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0))).cast("long")
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """Share of characters that are neither alphanumeric nor whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_token_length(col: str | Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(
+        F.size(toks) > 0, total.cast("double") / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_hits(col: str | Column, words: list[str] | None = None) -> Column:
+    """Distinct stopwords present in the text (set intersection size —
+    deterministic and cheap; frequency-weighted variants can use
+    explode + join when lexicons outgrow literal arrays)."""
+    words = words or QUALITY_STOPWORDS
+    return F.size(
+        F.array_intersect(tokens(col), F.array(*[F.lit(w) for w in words]))
+    ).cast("long")
+
+
+def quality_indicators(col: str | Column) -> dict[str, Column]:
+    """Four pretraining-quality gates as boolean indicators. Indicator
+    (not continuous) scoring keeps the result exactly portable across
+    engines — no float-rounding edge cases at the pass boundary."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "len_ok": (F.length(c) >= 50) & (F.length(c) <= 20000),
+        "tok_len_ok": (mean_token_length(c) >= 2.0) & (mean_token_length(c) <= 12.0),
+        "stopword_ok": stopword_hits(c) >= 1,
+        "punct_ok": punct_ratio(c) <= 0.2,
+    }
+
+
+def quality_score(col: str | Column) -> Column:
+    """Mean of the four indicators, in [0, 1] steps of 0.25."""
+    ind = quality_indicators(col)
+    total = None
+    for flag in ind.values():
+        term = F.when(flag, 1).otherwise(0)
+        total = term if total is None else total + term
+    return total.cast("double") / F.lit(float(len(ind)))
+
+
+def lang_hits(col: str | Column) -> dict[str, Column]:
+    return {
+        lang: stopword_hits(col, words) for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def detect_language(col: str | Column) -> Column:
+    """Stopword-hit argmax language ID with fixed tie order
+    en > es > fr > de; 'und' when nothing matches."""
+    h = lang_hits(col)
+    return (
+        F.when(
+            (h["en"] == 0) & (h["es"] == 0) & (h["fr"] == 0) & (h["de"] == 0),
+            F.lit("und"),
+        )
+        .when(
+            (h["en"] >= h["es"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["de"]),
+            F.lit("en"),
+        )
+        .when((h["es"] >= h["fr"]) & (h["es"] >= h["de"]), F.lit("es"))
+        .when(h["fr"] >= h["de"], F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Whole-document fingerprint: md5 of the whitespace-normalized,
+    lowercased text. Identical logical content → identical hash."""
+    return F.md5(F.concat_ws(" ", tokens(col)))
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct n-token shingles (token n-grams joined by single
+    spaces). Empty array when the document has fewer than n tokens."""
+    toks = tokens(col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def min_shingle_fingerprint(col: str | Column, n: int = 3) -> Column:
+    """Rolling-hash-style locality fingerprint: minimum md5 over the
+    document's n-token shingles (a 1-permutation MinHash). Documents
+    sharing their minimal shingle collide — cheap near-dup blocking."""
+    sh = shingles(col, n)
+    return F.when(
+        F.size(sh) > 0, F.array_min(F.transform(sh, F.md5))
+    ).otherwise(F.md5(F.lit("")))
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass per-document text profile: counts, ratios, quality,
+    language, fingerprints — a single narrow projection."""
+    c = F.col(text_col)
+    return df.select(
+        id_col,
+        ws_token_count(c).alias("n_tokens_ws"),
+        bpe_token_count(c).alias("n_tokens_bpe"),
+        F.length(c).cast("long").alias("n_chars"),
+        F.round(mean_token_length(c), 4).alias("mean_token_len"),
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(quality_score(c), 2).alias("quality_score"),
+        detect_language(c).alias("detected_lang"),
+        fingerprint(c).alias("fingerprint"),
+        min_shingle_fingerprint(c).alias("min_shingle_fp"),
+    )

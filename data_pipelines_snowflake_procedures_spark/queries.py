@@ -690,3 +690,8 @@ def scd1_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = _scd1_source_df(spark, sf_dir)
     merged = scd1_merge(target, source, ["o_orderkey"], order_col="created_at")
     return merged.withColumn("o_totalprice", F.round("o_totalprice", 2))
+
+
+# LLM training-data operator entries (text/dedup/similarity) register
+# themselves on import; placed last so REGISTRY and helpers exist.
+from . import queries_llm  # noqa: E402,F401  (registration side effect)

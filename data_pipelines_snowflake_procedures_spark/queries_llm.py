@@ -1,0 +1,451 @@
+"""Registry entries for the LLM training-data operators (SURVEY.md §7
+step 8): text analysis, deduplication, similarity search — each with a
+DuckDB oracle restating the semantics in portable SQL.
+
+Cross-engine determinism notes (why these oracles can hash-match):
+
+* all hashing is md5 (identical hex in Spark and DuckDB);
+* integer hashes parse the first 15 md5 hex digits (60 bits, positive
+  in BIGINT on both engines);
+* float work happens in double with identical element order, and every
+  emitted float is rounded;
+* DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark's
+  replace-all default;
+* Spark arrays are 0-indexed in ``transform`` lambdas, DuckDB lists
+  are 1-indexed — oracles use ``range(1, n+1)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import register
+from .session import load_table
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+_TOKSET = f"list_distinct({_TOKS})"
+_JACCARD_THRESHOLD = 0.9
+_NUM_PERM = 24
+_BANDS = 6
+_ROWS_PER_BAND = _NUM_PERM // _BANDS
+
+
+def _sql_stopword_hits(words: list[str]) -> str:
+    lit = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_intersect({_TOKSET}, {lit}))"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def _text_profile_oracle() -> str:
+    from .operators.text import LANG_STOPWORDS, QUALITY_STOPWORDS
+
+    h = {lang: _sql_stopword_hits(ws) for lang, ws in LANG_STOPWORDS.items()}
+    mean_tok = (
+        f"(list_aggregate(list_transform({_TOKS}, t -> len(t)), 'sum')::DOUBLE"
+        f" / len({_TOKS}))"
+    )
+    punct = (
+        "(CASE WHEN length(text) > 0 THEN "
+        r"length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE"
+        " / length(text) ELSE 0.0 END)"
+    )
+    indicators = [
+        "(length(text) BETWEEN 50 AND 20000)",
+        f"({mean_tok} BETWEEN 2.0 AND 12.0)",
+        f"({_sql_stopword_hits(QUALITY_STOPWORDS)} >= 1)",
+        f"({punct} <= 0.2)",
+    ]
+    quality = (
+        "(" + " + ".join(f"CASE WHEN {i} THEN 1 ELSE 0 END" for i in indicators)
+        + ")::DOUBLE / 4"
+    )
+    lang = f"""CASE
+        WHEN {h["en"]} = 0 AND {h["es"]} = 0 AND {h["fr"]} = 0 AND {h["de"]} = 0 THEN 'und'
+        WHEN {h["en"]} >= {h["es"]} AND {h["en"]} >= {h["fr"]} AND {h["en"]} >= {h["de"]} THEN 'en'
+        WHEN {h["es"]} >= {h["fr"]} AND {h["es"]} >= {h["de"]} THEN 'es'
+        WHEN {h["fr"]} >= {h["de"]} THEN 'fr'
+        ELSE 'de' END"""
+    shingle3 = (
+        f"list_distinct(list_transform(range(1, len({_TOKS}) - 1), "
+        f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))"
+    )
+    min_fp = (
+        f"CASE WHEN len({_TOKS}) >= 3 THEN "
+        f"list_min(list_transform({shingle3}, s -> md5(s))) "
+        f"ELSE md5('') END"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           round({mean_tok}, 4) AS mean_token_len,
+           round({punct}, 4) AS punct_ratio,
+           round({quality}, 2) AS quality_score,
+           {lang} AS detected_lang,
+           md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
+           {min_fp} AS min_shingle_fp
+    FROM documents
+    """
+
+
+@register(
+    "text_profile_documents",
+    _text_profile_oracle(),
+    doc="Per-document text analysis in ONE narrow projection: "
+    "whitespace + BPE-ish token counts, mean token length, punctuation "
+    "ratio, 4-gate quality score, stopword-argmax language ID, md5 "
+    "fingerprint, and min-shingle (1-perm MinHash) fingerprint. No "
+    "UDFs; whole-stage codegen end to end.",
+)
+def text_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import text_profile
+
+    return text_profile(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+_DEDUP_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _dedup_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return docs.unionByName(dups)
+
+
+@register(
+    "dedup_exact_documents",
+    f"""
+    WITH corpus AS ({_DEDUP_CORPUS_SQL}),
+    keyed AS (
+      SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS content_hash
+      FROM corpus
+    )
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, content_hash
+    FROM keyed GROUP BY content_hash
+    """,
+    doc="Exact dedup over a corpus with planted duplicate texts: keep "
+    "the min-id representative per normalized-content md5. One shuffle "
+    "on the 128-bit hash; duplicate groups are tiny so no skew.",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import content_key, exact_dedup
+
+    corpus = _dedup_corpus_df(spark, sf_dir)
+    return exact_dedup(corpus).select(
+        "doc_id", content_key("text").alias("content_hash")
+    )
+
+
+_PAIR_SUBSET = "doc_id < 200"
+
+_TSETS_SQL = f"""
+    tsets AS (
+      SELECT doc_id, {_TOKSET} AS toks FROM documents WHERE {_PAIR_SUBSET}
+    )
+"""
+
+_VERIFY_JACCARD_SQL = """
+    round(len(list_intersect(ta.toks, tb.toks))::DOUBLE /
+          (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))),
+          6)
+"""
+
+
+@register(
+    "dedup_jaccard_pairs_documents",
+    f"""
+    WITH {_TSETS_SQL}
+    SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b,
+           {_VERIFY_JACCARD_SQL} AS jaccard
+    FROM tsets ta JOIN tsets tb ON ta.doc_id < tb.doc_id
+    WHERE {_VERIFY_JACCARD_SQL} >= {_JACCARD_THRESHOLD}
+    """,
+    doc="n-gram (token-set) Jaccard near-dup pairs at ≥0.9 via the "
+    "inverted-index token self-join — shuffle on token, never a cross "
+    "join. At 100 TB add max_token_df to drop no-signal high-DF tokens "
+    "(the skew guard). Oracle restates with list_intersect.",
+)
+def dedup_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import token_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return token_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD)
+
+
+def _minhash_lsh_oracle() -> str:
+    sig_aggs = ",\n        ".join(
+        f"min(md5('{i}|' || tok)) AS sig_{i}" for i in range(_NUM_PERM)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS key FROM sigs".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f"sig_{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKSET}) AS tok
+      FROM documents WHERE {_PAIR_SUBSET}
+    ),
+    sigs AS (
+      SELECT doc_id,
+        {sig_aggs}
+      FROM tok GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    {_TSETS_SQL}
+    SELECT c.doc_a, c.doc_b, {_VERIFY_JACCARD_SQL} AS jaccard
+    FROM cand c
+    JOIN tsets ta ON ta.doc_id = c.doc_a
+    JOIN tsets tb ON tb.doc_id = c.doc_b
+    WHERE {_VERIFY_JACCARD_SQL} >= {_JACCARD_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_minhash_lsh_documents",
+    _minhash_lsh_oracle(),
+    doc="MinHash(24 perms)+LSH(6 bands × 4 rows) near-dup detection — "
+    "the 100 TB dedup path: quadratic work confined to hash buckets, "
+    "then exact-Jaccard verification of candidates only. Deterministic "
+    "md5 min-hashing makes Spark and DuckDB produce identical "
+    "candidate sets (a recall-bounded subset of the exact pair list).",
+)
+def dedup_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return minhash_lsh_pairs(
+        docs, num_perm=_NUM_PERM, bands=_BANDS, threshold=_JACCARD_THRESHOLD
+    )
+
+
+def _simhash_oracle() -> str:
+    bit_counts = ",\n        ".join(
+        f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE 0 END) AS c{j}"
+        for j in range(32)
+    )
+    value = " + ".join(
+        f"(CASE WHEN c{j} * 2 >= n THEN {2**j} ELSE 0 END)" for j in range(32)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKSET}) AS tok FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM tok
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n,
+        {bit_counts}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id AS id, CAST({value} AS BIGINT) AS simhash FROM agg
+    """
+
+
+@register(
+    "dedup_simhash_documents",
+    _simhash_oracle(),
+    doc="32-bit SimHash signatures (per-bit majority vote over distinct "
+    "token hashes) — one narrow shuffle-free projection per document; "
+    "near-dup blocking then joins on signature bands (Hamming ≤ k). "
+    "Token hashes are the first 60 bits of md5, identical across "
+    "engines.",
+)
+def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup + similarity search
+# ---------------------------------------------------------------------------
+
+_EMB_CORPUS_SQL = """
+    corpus AS (
+      SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS emb
+      FROM embeddings WHERE vec_id % 2 = 0
+      UNION ALL
+      SELECT vec_id + 1000000,
+             [CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.01
+                   ELSE embedding[i]::DOUBLE END
+              FOR i IN range(1, len(embedding) + 1)]
+      FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    normed AS (
+      SELECT vec_id, emb,
+             sqrt(list_aggregate([x * x FOR x IN emb], 'sum')) AS nrm
+      FROM corpus
+    )
+"""
+
+_PAIR_COSINE_SQL = """
+    round(list_aggregate([a.emb[i] * b.emb[i] FOR i IN range(1, len(a.emb) + 1)],
+                         'sum') / (a.nrm * b.nrm), 6)
+"""
+
+
+def _emb_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x.cast("double") + 0.01).otherwise(
+                x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    return base.unionByName(pert)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    f"""
+    WITH {_EMB_CORPUS_SQL}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_PAIR_COSINE_SQL} AS cosine
+    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+    WHERE {_PAIR_COSINE_SQL} >= 0.99
+    """,
+    doc="Embedding-cosine near-dup pairs (≥0.99) over a corpus with "
+    "planted perturbed copies. Exact O(n²) verification path — at "
+    "100 TB, block with SRP-LSH buckets first and run this inside "
+    "buckets. Cosine computed in double with identical element order "
+    "on both engines.",
+)
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _emb_corpus_df(spark, sf_dir), threshold=0.99
+    )
+
+
+_KNN_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+             sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN embedding], 'sum')) AS qn
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding AS ce,
+             sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN embedding], 'sum')) AS cn
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_aggregate(
+                     [qe[i]::DOUBLE * ce[i]::DOUBLE FOR i IN range(1, len(qe) + 1)],
+                     'sum') / (qn * cn), 6) AS cosine
+      FROM c, q WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@register(
+    "knn_bruteforce_embeddings",
+    _KNN_ORACLE,
+    doc="Exact cosine top-5 for 5 query vectors: broadcast the query "
+    "set against the corpus (narrow map over corpus partitions), rank "
+    "per query on the ROUNDED cosine with id tie-break so ordering is "
+    "engine-independent. The brute-force ANN baseline.",
+)
+def knn_bruteforce_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def _knn_lsh_oracle() -> str:
+    from .operators.similarity import srp_hyperplanes
+
+    planes = srp_hyperplanes(8, 64)
+    bucket_terms = []
+    for p, plane in enumerate(planes):
+        w = "[" + ", ".join(f"{float(x)}" for x in plane) + "]"
+        dot = (
+            f"list_aggregate([embedding[i]::DOUBLE * ({w})[i] "
+            f"FOR i IN range(1, 65)], 'sum')"
+        )
+        bucket_terms.append(f"(CASE WHEN {dot} >= 0 THEN {2**p} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             CAST({bucket} AS BIGINT) AS bucket,
+             sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN embedding], 'sum')) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_aggregate(
+                     [q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+                      FOR i IN range(1, len(q.embedding) + 1)],
+                     'sum') / (q.nrm * c.nrm), 6) AS cosine
+      FROM v c JOIN q ON c.bucket = q.bucket AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@register(
+    "knn_lsh_embeddings",
+    _knn_lsh_oracle(),
+    doc="Approximate top-5 via signed-random-projection LSH (8 md5-"
+    "derived hyperplanes → 256 buckets): candidates limited to the "
+    "query's bucket, so the scan shrinks ~bucket-count-fold at scale; "
+    "recall < 1 by construction. Deterministic planes make the "
+    "bucketing itself oracle-checkable.",
+)
+def knn_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import knn_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_lsh(emb, emb.filter(F.col("vec_id") < 20), k=5, n_planes=8)

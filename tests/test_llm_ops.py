@@ -1,0 +1,97 @@
+"""Unit tests for the LLM training-data operators (text / dedup /
+similarity) — edge semantics the DuckDB oracle queries don't reach."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipelines_snowflake_procedures_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    token_jaccard_pairs,
+)
+from data_pipelines_snowflake_procedures_spark.operators.similarity import (
+    knn_bruteforce,
+    knn_lsh,
+    srp_hyperplanes,
+)
+from data_pipelines_snowflake_procedures_spark.operators.text import (
+    text_profile,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "The  quick brown fox jumps over the lazy dog"),  # ws/case variant
+            (3, "el perro y el gato en la casa que es una"),
+            (4, "completely different words entirely unrelated content here"),
+            (5, "x"),  # single short token
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_text_profile_edges(spark):
+    prof = {r["doc_id"]: r for r in text_profile(_docs(spark)).collect()}
+    assert prof[1]["n_tokens_ws"] == 9
+    assert prof[1]["detected_lang"] == "en"
+    assert prof[3]["detected_lang"] == "es"
+    assert prof[5]["detected_lang"] == "und"
+    # whitespace/case-insensitive fingerprint: 1 and 2 collide
+    assert prof[1]["fingerprint"] == prof[2]["fingerprint"]
+    # fewer than 3 tokens → sentinel min-shingle fingerprint
+    assert prof[5]["min_shingle_fp"] == prof[5]["min_shingle_fp"]
+    assert prof[5]["n_tokens_ws"] == 1
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    kept = exact_dedup(_docs(spark)).select("doc_id").collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    assert ids == [1, 3, 4, 5]  # doc 2 normalizes into doc 1
+
+
+def test_jaccard_and_lsh_agree_on_identical_docs(spark):
+    exact = token_jaccard_pairs(_docs(spark), threshold=0.9).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in exact} == {(1, 2)}
+    assert exact[0]["jaccard"] == 1.0
+    lsh = minhash_lsh_pairs(_docs(spark), threshold=0.9).collect()
+    # identical token sets share every band → LSH must find the pair
+    assert {(r["doc_a"], r["doc_b"]) for r in lsh} == {(1, 2)}
+
+
+def _vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+
+def test_knn_bruteforce_ranks(spark):
+    vecs = _vectors(spark)
+    out = knn_bruteforce(vecs, vecs.filter(F.col("vec_id") == 1), k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [2, 3, 4]  # by descending cosine to (1,0,0,0)
+    assert out[0]["query_id"] == 1
+
+
+def test_srp_hyperplanes_deterministic():
+    a = srp_hyperplanes(4, 8)
+    b = srp_hyperplanes(4, 8)
+    assert a == b
+    assert all(w in (-1, 1) for row in a for w in row)
+    assert srp_hyperplanes(4, 8, seed="other") != a
+
+
+def test_knn_lsh_subset_of_bucket(spark):
+    vecs = _vectors(spark)
+    out = knn_lsh(vecs, vecs, k=3, n_planes=2, dim=4).collect()
+    # near-identical vectors 1 and 2 always share every SRP bucket
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in out}
+    assert (1, 2) in pairs and (2, 1) in pairs
+    # opposite vectors never share a bucket (all plane signs flip)
+    assert (1, 4) not in pairs
