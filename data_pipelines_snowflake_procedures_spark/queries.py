@@ -692,6 +692,7 @@ def scd1_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.withColumn("o_totalprice", F.round("o_totalprice", 2))
 
 
-# LLM training-data operator entries (text/dedup/similarity) register
-# themselves on import; placed last so REGISTRY and helpers exist.
-from . import queries_llm  # noqa: E402,F401  (registration side effect)
+# Extension entries (LLM text/dedup/similarity; event windows;
+# multimodal) register themselves on import; placed last so REGISTRY
+# and helpers exist.
+from . import queries_events, queries_llm  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,136 @@
+"""Registry entries for event-time windowing (streaming/windows.py)
+and multimodal plumbing (operators/multimodal.py).
+
+Timestamp precision note: the harness ``events.ts`` is parquet
+TIMESTAMP(NANOS). Spark reads it as epoch-nano longs and truncates to
+microseconds (session.load_table); the oracles apply
+``CAST(ts AS TIMESTAMP)`` which truncates identically in DuckDB, so
+emitted timestamps hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .queries import register
+from .session import load_table
+
+
+@register(
+    "events_hourly_by_type",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour event-time windows per event type — the "
+    "batch form of the streaming aggregation (same function runs under "
+    "readStream+watermark in streaming/stream.py). One shuffle on "
+    "(window, type); partial aggregation makes it O(windows).",
+)
+def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import tumbling_agg
+
+    return tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sliding_30m",
+    """
+    WITH e AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS tb,
+             event_type, value
+      FROM events
+    ),
+    x AS (
+      SELECT tb AS ws, event_type, value FROM e
+      UNION ALL
+      SELECT tb - INTERVAL 30 MINUTE, event_type, value FROM e
+    )
+    SELECT ws AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM x GROUP BY 1, 2
+    """,
+    doc="Sliding windows (1 h window, 30 min slide): every event lands "
+    "in two windows. The oracle restates the window-assignment rule "
+    "explicitly (bucket and bucket−30min).",
+)
+def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import sliding_agg
+
+    return sliding_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sessions_user",
+    """
+    WITH o AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM o
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Session windows (30-minute inactivity gap) per user via "
+    "Catalyst's native session_window; the oracle restates sessions as "
+    "the classic gaps-and-islands lag/cumsum construction. In "
+    "streaming, the same expression runs stateful with watermark-"
+    "bounded state.",
+)
+def events_sessions_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import session_agg
+
+    return session_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_props_agg",
+    """
+    SELECT event_type,
+           CAST(count(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_with_k,
+           round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
+           CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured (VARIANT-style) access: extract $.k from the "
+    "JSON props column JVM-side (get_json_object — no UDF) and "
+    "aggregate per event type.",
+)
+def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import props_agg
+
+    return props_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "multimodal_features_documents",
+    None,  # checksum is byte-level Python; rows-only check by design
+    doc="Multimodal plumbing: documents promoted to (payload BINARY, "
+    "media_meta STRUCT) rows, then Arrow-batched mapInPandas feature "
+    "extraction (size, rolling checksum, leading bytes). The decode "
+    "step for real media is a registered-decoder stub; the Spark-side "
+    "schema, batching, and UDF signature are the real production "
+    "shape. Verified by unit tests (tests/test_multimodal.py).",
+)
+def multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_binary, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_binary(docs))

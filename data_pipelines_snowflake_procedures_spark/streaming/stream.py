@@ -1,0 +1,85 @@
+"""Structured Streaming wiring for the event-window operators.
+
+The reference has no streaming (SURVEY.md §2.13) — this is the
+Spark-native extension: the SAME aggregation functions from
+streaming/windows.py run behind ``readStream`` with an event-time
+watermark for late data, proving the operators are streaming-legal.
+
+Pattern: parquet file source (each file = one micro-batch replay) →
+``withWatermark`` → windowed agg → memory/any sink. In production the
+source becomes Kafka/files-on-arrival and the sink a Delta/parquet
+table with checkpointing; nothing in the transform changes — that is
+the point of Structured Streaming's unified batch/stream model.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .windows import session_agg, tumbling_agg
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, ts_col: str = "ts"
+) -> DataFrame:
+    """File-source stream over the harness events parquet. Schema comes
+    from a batch peek (file streams require a declared schema); the
+    TIMESTAMP(NANOS) column is converted exactly like the batch path."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # file-source streams want a directory: stream the sf dir filtered
+    # down to the events file (each matching file = one replayable unit)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # TIMESTAMP(NANOS) columns surface as epoch-nano longs under the
+    # session's nanosAsLong setting — same conversion as load_table.
+    if isinstance(raw_schema[ts_col].dataType, T.LongType):
+        stream = stream.withColumn(
+            ts_col, F.expr(f"timestamp_micros(`{ts_col}` div 1000)")
+        )
+    return stream
+
+
+def hourly_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming tumbling-hour aggregation with late-data watermark."""
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return tumbling_agg(events)
+
+
+def sessions_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming session windows — stateful; watermark bounds state."""
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return session_agg(events)
+
+
+def run_to_memory(
+    streaming_df: DataFrame, name: str | None = None, timeout_sec: int = 120
+) -> DataFrame:
+    """Execute a streaming query to completion over the available data
+    (``availableNow`` trigger) into an in-memory table; returns the
+    result as a batch DataFrame. Used by tests to assert
+    stream-equals-batch."""
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    spark = streaming_df.sparkSession
+    return spark.table(name)

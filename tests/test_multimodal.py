@@ -1,0 +1,70 @@
+"""Tests for multimodal binary plumbing and Structured Streaming
+(SURVEY.md §7 step 8 / §2.13 extension)."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+    attach_binary,
+    decode,
+    extract_features,
+    frame_sample_plan,
+    set_decoder,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world"), (2, "spark multimodal bytes")], ["doc_id", "text"]
+    )
+
+
+def test_attach_binary_schema_and_meta(spark):
+    media = attach_binary(_docs(spark))
+    assert [f.name for f in media.schema.fields] == ["doc_id", "payload", "media_meta"]
+    row = media.filter("doc_id = 1").collect()[0]
+    assert bytes(row["payload"]) == b"hello world"
+    assert row["media_meta"]["mime"] == "text/plain"
+    assert row["media_meta"]["n_bytes"] == 11
+
+
+def test_extract_features_checksum(spark):
+    out = {r["doc_id"]: r for r in extract_features(attach_binary(_docs(spark))).collect()}
+    assert out[1]["n_bytes"] == 11
+    assert out[1]["head_hex"] == b"hello wo".hex()
+    # rolling checksum matches the canonical Adler-32 (mod-65521 form)
+    assert out[1]["checksum"] == zlib.adler32(b"hello world")
+    assert out[2]["checksum"] == zlib.adler32(b"spark multimodal bytes")
+
+
+def test_decode_stub_and_registration():
+    with pytest.raises(NotImplementedError, match="no decoder registered"):
+        decode("image", b"\x89PNG")
+    set_decoder("image", lambda b: {"n": len(b)})
+    assert decode("image", b"\x89PNG") == {"n": 4}
+
+
+def test_frame_sample_plan(spark):
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    assert frame_sample_plan(df, every_n=10).count() == 10
+
+
+def test_stream_matches_batch(spark, sf_dir):
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+    from data_pipelines_snowflake_procedures_spark.streaming.stream import (
+        hourly_stream,
+        run_to_memory,
+    )
+    from data_pipelines_snowflake_procedures_spark.streaming.windows import (
+        tumbling_agg,
+    )
+
+    streamed = run_to_memory(hourly_stream(spark, sf_dir)).collect()
+    batch = tumbling_agg(load_table(spark, sf_dir, "events")).collect()
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    assert sorted(
+        [(key(r), r["n_events"], r["sum_value"]) for r in streamed]
+    ) == sorted([(key(r), r["n_events"], r["sum_value"]) for r in batch])
