@@ -129,7 +129,8 @@ def test_glossary_lifecycle(spark, sf_dir):
     # catalog forgets tables on restart but warehouse dirs persist
     for t in ("gloss_region", "BUSINESS_GLOSSARY"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        # warehouse directories are lowercased table names
+        shutil.rmtree(f"spark-warehouse/{t.lower()}", ignore_errors=True)
     load_table(spark, sf_dir, "region").limit(5).write.mode(
         "overwrite"
     ).saveAsTable("gloss_region")
