@@ -19,12 +19,26 @@ from data_pipelines_snowflake_procedures_spark.session import get_spark
 #: Queries timed by the benchmark. Kept explicit so adding an expensive
 #: experimental registry entry doesn't silently regress the bench.
 HEADLINE = [
+    # relational core
     "pricing_summary",
     "region_revenue",
     "top_customers_by_revenue",
     "latest_order_per_customer",
     "order_priority_counts",
     "customers_without_big_orders",
+    # DQ / profiling / PII / SCD
+    "profile_customer",
+    "dq_table_scores_orders",
+    "pii_mask_customer",
+    "scd1_merge_orders",
+    # LLM training-data operators (full-table, scale with SF)
+    "text_profile_documents",
+    "dedup_exact_documents",
+    "dedup_simhash_documents",
+    "knn_bruteforce_embeddings",
+    # event-time windows
+    "events_hourly_by_type",
+    "events_sessions_user",
 ]
 
 

@@ -46,13 +46,18 @@ def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact dedup: keep the minimum-id representative per normalized
-    content hash. One shuffle on the hash; survivors keep all columns.
+    content hash. ONE shuffle on the hash (window row_number), no
+    join-back — the min-id-then-rejoin formulation scans and shuffles
+    the corpus twice for the same answer.
     """
-    keyed = df.withColumn("__ck", content_key(text_col))
-    winners = keyed.groupBy("__ck").agg(F.min(id_col).alias(id_col))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__ck").orderBy(F.col(id_col).asc())
     return (
-        keyed.join(winners, on=["__ck", id_col], how="inner")
-        .drop("__ck")
+        df.withColumn("__ck", content_key(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__ck", "__rn")
     )
 
 
@@ -231,29 +236,36 @@ def simhash(
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float-array columns, computed in
-    double, element order preserved (portable accumulation)."""
-    dot = F.aggregate(
+def dot_product(a: Column, b: Column) -> Column:
+    """Ordered-fold dot product in double — identical accumulation
+    order on every engine, so results are portable bit-for-bit."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(
+
+
+def norm(a: Column) -> Column:
+    """Euclidean norm in double (ordered fold)."""
+    return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
     )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns. For joins, prefer
+    precomputing :func:`norm` per side before pairing (see
+    operators/similarity.py) — this convenience form recomputes norms
+    per pair."""
+    na, nb = norm(a), norm(b)
+    return F.when(
+        (na > 0) & (nb > 0), dot_product(a, b) / (na * nb)
+    ).otherwise(F.lit(0.0))
 
 
 def embedding_near_dup_pairs(
@@ -267,14 +279,27 @@ def embedding_near_dup_pairs(
     first with signed-random-projection buckets
     (operators/similarity.py ``srp_bucket``) and run this inside
     buckets only."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).alias("emb"),
+        norm(F.col(emb_col)).alias("nrm"),
+    )
+    a = normed.select(
+        F.col("id").alias("id_a"), F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = normed.select(
+        F.col("id").alias("id_b"), F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b")
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+            F.round(
+                dot_product(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

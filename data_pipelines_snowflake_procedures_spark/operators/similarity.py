@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import cosine
+from .dedup import dot_product, norm
 
 
 def srp_hyperplanes(n_planes: int, dim: int, seed: str = "srp") -> list[list[int]]:
@@ -76,18 +76,28 @@ def knn_bruteforce(
     The join is a broadcast nested loop over corpus partitions (query
     sets are small by definition); ranking is a per-query window over
     k·|queries| candidate rows after AQE's partial top-k pushdown."""
+    # norms are computed once per row BEFORE the join — recomputing
+    # them per (query, corpus) pair would redo |queries|× the work
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm(F.col(emb_col)).alias("q_nrm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm(F.col(emb_col)).alias("c_nrm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine"),
+            F.round(
+                dot_product(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -118,11 +128,13 @@ def knn_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),
+        norm(F.col(emb_col)).alias("q_nrm"),
         srp_bucket(F.col(emb_col), planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("c_emb"),
+        norm(F.col(emb_col)).alias("c_nrm"),
         srp_bucket(F.col(emb_col), planes).alias("bucket"),
     )
     scored = (
@@ -131,7 +143,11 @@ def knn_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine"),
+            F.round(
+                dot_product(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
