@@ -449,3 +449,74 @@ def knn_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_lsh(emb, emb.filter(F.col("vec_id") < 20), k=5, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Extended profiling (SURVEY.md §7 step 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentile_profile_lineitem",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact linear-interpolated percentiles per group — the "
+    "distribution-profiling extension of Q7. Exact percentile "
+    "materializes per-group value multisets; at 100 TB switch to "
+    "approx_percentile (t-digest sketch: mergeable, bounded memory) — "
+    "kept exact here so the oracle hash-matches.",
+)
+def percentile_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_extendedprice", F.lit(p)), 4).alias(name)
+            for p, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95"))
+        ]
+    )
+
+
+@register(
+    "documents_quality_by_source",
+    f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+           round(avg(length(text)), 4) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+    doc="Corpus rollup per source: document counts, total whitespace "
+    "tokens, average length — the curation dashboard aggregate over "
+    "the text operators. One shuffle on the low-cardinality source key.",
+)
+def documents_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import ws_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ws_token_count("text")).alias("total_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "profile_lineitem_approx",
+    None,  # HLL sketch counts are engine-specific by design → rows-only
+    doc="The 100 TB profiling variant: approx_count_distinct "
+    "(HyperLogLog++, rsd 2%) instead of exact countDistinct — no "
+    "Expand-node row multiplication before the shuffle, mergeable "
+    "sketch state. Rows-only check: sketch estimates are "
+    "engine-specific (DuckDB's approx_distinct uses a different "
+    "sketch), asserted within tolerance in tests/test_dq.py.",
+)
+def profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import profile_long
+
+    return profile_long(load_table(spark, sf_dir, "lineitem"), approx=True)

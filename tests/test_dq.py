@@ -93,3 +93,27 @@ def test_run_file_dq_rare_values():
     results = run_file_dq(pdf)
     acc = [r for r in results if r["pillar"] == "accuracy" and r["column"] == "s"][0]
     assert abs(acc["result"] - (1.0 - 2 / 200)) < 1e-12
+
+
+def test_approx_profile_within_tolerance(spark, sf_dir):
+    """HLL approx_count_distinct profiling (the 100 TB path) tracks the
+    exact distinct counts within the configured 2% rsd (3 sigma)."""
+    from data_pipelines_snowflake_procedures_spark.operators.profile import (
+        profile_long,
+    )
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_returnflag"
+    )
+    exact = {
+        r["column_name"]: r["count_distinct"]
+        for r in profile_long(li).collect()
+    }
+    approx = {
+        r["column_name"]: r["count_distinct"]
+        for r in profile_long(li, approx=True).collect()
+    }
+    for col, ex in exact.items():
+        ap = approx[col]
+        assert abs(ap - ex) <= max(0.06 * ex, 2), (col, ex, ap)
