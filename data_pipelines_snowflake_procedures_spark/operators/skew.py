@@ -1,0 +1,74 @@
+"""Skew mitigation: salted two-phase aggregation and salted joins.
+
+At 100 TB, low-cardinality or power-law keys (event types, hot
+customers) concentrate a shuffle into few reducers. Spark's AQE skew
+handling covers sort-merge *joins*; aggregations and broadcast-
+ineligible hot-key joins still benefit from explicit salting. These
+helpers keep salting semantics-preserving and deterministic (salt is a
+hash of a high-cardinality column, never a random number — results
+must not depend on run or partitioning).
+
+Two-phase aggregation note: only decomposable aggregates (sum, count,
+min, max — and avg as sum/count) can re-aggregate across salt buckets.
+Spark's own partial aggregation already does map-side combining for
+these; explicit salting matters when the *reduce* side still hot-spots
+(extreme key skew × high combine cardinality, e.g. distinct-ish
+sub-keys under the hot key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_column(source_col: str | Column, buckets: int) -> Column:
+    """Deterministic salt in [0, buckets): hash of a high-cardinality
+    column. Using a data column (not rand()) keeps every run and every
+    retry bit-identical."""
+    c = F.col(source_col) if isinstance(source_col, str) else source_col
+    return F.pmod(F.xxhash64(c), F.lit(buckets)).cast("int")
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    salt_source: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: phase 1 groups on
+    (keys + salt) — spreading each hot key over ``buckets`` reducers —
+    phase 2 re-aggregates the per-salt partials on the true keys.
+    Output: keys, n_rows, sum_value (decomposable aggregates only).
+    """
+    salted = df.withColumn("__salt", salt_column(salt_source, buckets))
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        F.count("*").alias("__n"), F.sum(value_col).alias("__s")
+    )
+    return phase1.groupBy(*keys).agg(
+        F.sum("__n").alias("n_rows"), F.sum("__s").alias("sum_value")
+    )
+
+
+def salted_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_source: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key equi-join: replicate the small side across every salt
+    bucket (explode) and join on (key, salt), so one hot key's rows
+    spread over ``buckets`` tasks instead of one. Join results are
+    identical to the unsalted join — salt participates only in
+    routing. Use when the small side is over the broadcast threshold
+    but the key distribution is pathological."""
+    small_rep = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    big_salted = big.withColumn("__salt", salt_column(salt_source, buckets))
+    return big_salted.join(small_rep, on=[key, "__salt"], how=how).drop("__salt")

@@ -692,6 +692,84 @@ def scd1_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.withColumn("o_totalprice", F.round("o_totalprice", 2))
 
 
+@register(
+    "events_rollup_type_day",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(strftime(day, '%Y-%m-%d'), 'ALL') AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             value
+      FROM events
+    ) GROUP BY ROLLUP (event_type, day)
+    """,
+    doc="Multi-dimensional profiling via ROLLUP (event_type, day): "
+    "detail rows + per-type subtotals + grand total in one pass. "
+    "Catalyst plans rollup as Expand(3 groupings) before a single "
+    "shuffle — the multi-dim extension SURVEY.md §2.4 notes the "
+    "reference never had. NULL grouping slots are labeled 'ALL' so the "
+    "output is unambiguous (and hash-comparable).",
+)
+def events_rollup_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        "value",
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.date_format("day", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "customer_period_setops",
+    """
+    WITH early AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+    ),
+    late AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    ),
+    big AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 350000
+    )
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey FROM (
+      SELECT o_custkey FROM early
+      INTERSECT
+      SELECT o_custkey FROM late
+      EXCEPT
+      SELECT o_custkey FROM big
+    )
+    """,
+    doc="Set operations (INTERSECT/EXCEPT — SURVEY.md §2.6 notes the "
+    "reference has none; Spark supplies them): customers active in "
+    "both halves of the date range minus big spenders. Catalyst "
+    "rewrites both set ops to semi/anti joins over pre-aggregated "
+    "(distinct) inputs — each leg shuffles only distinct keys.",
+)
+def customer_period_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    early = orders.filter(F.col("o_orderdate") < cutoff).select("o_custkey").distinct()
+    late = orders.filter(F.col("o_orderdate") >= cutoff).select("o_custkey").distinct()
+    big = orders.filter(F.col("o_totalprice") > 350000).select("o_custkey").distinct()
+    return early.intersect(late).exceptAll(big)
+
+
 # Extension entries (LLM text/dedup/similarity; event windows;
 # multimodal) register themselves on import; placed last so REGISTRY
 # and helpers exist.

@@ -120,6 +120,31 @@ def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_salted_type_agg",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-safe two-phase aggregation: 5 hot event-type keys spread "
+    "over 16 salt buckets in phase 1 (keys+salt shuffle), re-aggregated "
+    "on the true keys in phase 2. The oracle is the PLAIN group-by — "
+    "the point of the check is that salting is semantics-preserving.",
+)
+def events_salted_type_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators.skew import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_sum_count(
+        ev, ["event_type"], "value", salt_source="event_id", buckets=16
+    )
+    return out.withColumn("sum_value", F.round("sum_value", 2))
+
+
+@register(
     "multimodal_features_documents",
     None,  # checksum is byte-level Python; rows-only check by design
     doc="Multimodal plumbing: documents promoted to (payload BINARY, "
