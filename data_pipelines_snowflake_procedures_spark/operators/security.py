@@ -92,20 +92,30 @@ def mask_expr(col: str | Column, pii_type: str) -> Column:
 
 
 def detect_pii_columns(
-    df: DataFrame, sample_rows: int = DETECTION_SAMPLE_ROWS
+    df: DataFrame,
+    sample_rows: int = DETECTION_SAMPLE_ROWS,
+    sample_fraction: float | None = None,
 ) -> dict[str, list[str]]:
     """PI1: per string column, which PII types appear in a sample.
 
-    One aggregate pass over a single ``limit(sample_rows)`` sample
-    evaluates every (column × pattern) predicate at once — versus the
-    reference's per-column Python loop over 100 values. Returns
-    ``{column: [types...]}`` for columns with ≥1 match, types in
-    detection order.
+    One aggregate pass over a sample evaluates every (column ×
+    pattern) predicate at once — versus the reference's per-column
+    Python loop over 100 values. Returns ``{column: [types...]}`` for
+    columns with ≥1 match, types in detection order.
+
+    Sampling: the reference's ``limit(1000)`` reads one partition — a
+    biased sample if data is clustered by source. Pass
+    ``sample_fraction`` for an unbiased Bernoulli sample across all
+    partitions (seeded, deterministic); the default keeps the cheap
+    first-partition ``limit`` for parity.
     """
     string_cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
     if not string_cols:
         return {}
-    sample = df.select(*string_cols).limit(sample_rows)
+    if sample_fraction is not None:
+        sample = df.select(*string_cols).sample(fraction=sample_fraction, seed=42)
+    else:
+        sample = df.select(*string_cols).limit(sample_rows)
     aggs = [
         F.count(F.when(F.col(c).rlike(pattern), 1)).alias(f"{c}__{pii_type}")
         for c in string_cols

@@ -168,3 +168,37 @@ def test_ingestion_orchestrator(spark, tmp_path):
 def test_ingestion_orchestrator_failure(spark):
     out = ingestion_code_generator(spark, "whatever", "/missing.csv")
     assert out["status"] == "FAILED" and out["stage"] == "dq_discovery"
+
+
+def test_generated_code_round_trip(spark, sf_dir):
+    """The generated SQL must actually run: interpret the catalog,
+    generate an aggregation query, execute it through the engine
+    (X4 -> G3 -> X1 chain)."""
+    from data_pipelines_snowflake_procedures_spark.pipelines.interpreter import (
+        fetch_catalog_metadata,
+    )
+    from data_pipelines_snowflake_procedures_spark.plans.engine import (
+        execute_sql_batch,
+    )
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rt")
+    meta = [t for t in fetch_catalog_metadata(spark) if t["table"] == "orders_rt"]
+    gen = generate_code("monthly aggregate of order totals", {"tables": meta})
+    assert gen["status"] == "SUCCESS" and gen["task_type"] == "aggregation"
+    report = execute_sql_batch(spark, gen["sql_code"] + ";")
+    assert report["status"] == "SUCCESS", report
+    stmt = report["details"][0]
+    assert stmt["status"] == "SUCCESS" and stmt["row_count"] > 0
+
+
+def test_pii_sampling_fraction(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.security import (
+        detect_pii_columns,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("user"), F.col("id"), F.lit("@example.com")).alias("email")
+    )
+    assert detect_pii_columns(df, sample_fraction=0.1) == {"email": ["EMAIL"]}
