@@ -109,6 +109,87 @@ def knn_bruteforce(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its
+    highest-cosine centroid (ties broken by centroid id). Centroids
+    broadcast (there are k of them); assignment is a narrow
+    broadcast-join + per-vector top-1 — no shuffle of the corpus.
+
+    Centroid choice is the caller's: k-means, or any deterministic
+    seed set (tests use the first k vectors). Output: all input
+    columns + ``centroid_id``."""
+    cents = centroids.select(
+        F.col(centroid_id), F.col(emb_col).alias("__c_emb"),
+        norm(F.col(emb_col)).alias("__c_nrm"),
+    )
+    scored = (
+        df.withColumn("__v_nrm", norm(F.col(emb_col)))
+        .join(F.broadcast(cents))
+        .withColumn(
+            "__sim",
+            dot_product(F.col(emb_col), F.col("__c_emb"))
+            / (F.col("__v_nrm") * F.col("__c_nrm")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc(centroid_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__c_emb", "__c_nrm", "__v_nrm", "__sim", "__rn")
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: quantize corpus and queries to their
+    nearest centroid, then search only the query's cell (nprobe=1).
+    Same output shape as :func:`knn_bruteforce`; recall < 1 when a true
+    neighbor lives in a different cell. At scale the corpus is
+    pre-partitioned (and pre-written bucketed) by centroid_id, so a
+    query touches ~1/k of the data."""
+    c_assigned = ivf_assign(corpus, centroids, emb_col, id_col)
+    q_assigned = ivf_assign(queries, centroids, emb_col, id_col)
+    q = q_assigned.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm(F.col(emb_col)).alias("q_nrm"),
+        "centroid_id",
+    )
+    c = c_assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm(F.col(emb_col)).alias("c_nrm"),
+        "centroid_id",
+    )
+    scored = (
+        c.join(F.broadcast(q), on="centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_product(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
