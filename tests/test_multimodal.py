@@ -68,3 +68,41 @@ def test_stream_matches_batch(spark, sf_dir):
     assert sorted(
         [(key(r), r["n_events"], r["sum_value"]) for r in streamed]
     ) == sorted([(key(r), r["n_events"], r["sum_value"]) for r in batch])
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir):
+    """applyInPandasWithState running totals: after draining the whole
+    stream, per-user state equals the batch group-by."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+    from data_pipelines_snowflake_procedures_spark.streaming.stateful import (
+        user_totals_stream,
+    )
+
+    q = (
+        user_totals_stream(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode may emit a row per micro-batch; the last row per user
+    # is the final state
+    streamed = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.table("user_totals").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
+    }
+    assert streamed.keys() == batch.keys()
+    for u, (n, t) in batch.items():
+        assert streamed[u][0] == n, u
+        assert abs(streamed[u][1] - t) < 0.02, u
