@@ -1,0 +1,75 @@
+"""Physical-plan regression guards: the plan properties that make the
+headline queries scale must not silently regress (pushdown reaching
+the parquet scan, broadcast joins for dims, column pruning, partial
+window limits, narrow no-shuffle projections)."""
+
+from __future__ import annotations
+
+from data_pipelines_snowflake_procedures_spark.queries import REGISTRY
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = REGISTRY[name].spark_fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, "pricing_summary", sf_dir)
+    # the shipdate predicate must reach the parquet scan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: untouched lineitem columns never read
+    assert "l_orderkey" not in plan
+    assert "l_partkey" not in plan
+    # no join, exactly one aggregate exchange
+    assert "Join" not in plan
+
+
+def test_region_revenue_broadcasts_all_dims(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, "region_revenue", sf_dir)
+    # formatted explain lists nodes in tree + detail: count detail nodes
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 4
+    assert "SortMergeJoin" not in plan
+    # pruning: lineitem reads only join key + price columns
+    assert "l_quantity" not in plan
+
+
+def test_semi_and_anti_joins_planned(spark, sf_dir):
+    semi = _plan(spark, "order_priority_counts", sf_dir)
+    assert "LeftSemi" in semi
+    anti = _plan(spark, "customers_without_big_orders", sf_dir)
+    assert "LeftAnti" in anti
+    # the totalprice filter reaches the orders scan on the build side
+    assert "GreaterThan(o_totalprice,400000" in anti
+
+
+def test_exact_dedup_partial_window_limit(spark, sf_dir):
+    plan = _plan(spark, "dedup_exact_documents", sf_dir)
+    # min-id-per-hash must plan as WindowGroupLimit (partial before the
+    # exchange), not a full window sort of every duplicate group
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+
+
+def test_text_profile_is_narrow(spark, sf_dir):
+    plan = _plan(spark, "text_profile_documents", sf_dir)
+    # per-document profile: one scan, zero shuffles
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_masking_is_narrow(spark, sf_dir):
+    plan = _plan(spark, "pii_mask_customer", sf_dir)
+    assert "Exchange" not in plan
+    # no Python evaluation anywhere in the masking path
+    assert "Python" not in plan
+
+
+def test_rollup_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, "events_rollup_type_day", sf_dir)
+    assert "Expand" in plan
+    # one aggregation exchange only
+    assert plan.count("(Exchange") <= 1 or plan.count("Exchange") <= 2
