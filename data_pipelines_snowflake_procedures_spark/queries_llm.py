@@ -289,6 +289,55 @@ def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"))
 
 
+def _simhash_pairs_oracle() -> str:
+    bit_counts = ",\n        ".join(
+        f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE 0 END) AS c{j}"
+        for j in range(32)
+    )
+    value = " + ".join(
+        f"(CASE WHEN c{j} * 2 >= n THEN {2**j} ELSE 0 END)" for j in range(32)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKSET}) AS tok
+      FROM documents WHERE {_PAIR_SUBSET}
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM tok
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n, {bit_counts} FROM h GROUP BY doc_id
+    ),
+    s AS (SELECT doc_id, CAST({value} AS BIGINT) AS sh FROM agg),
+    bands AS (
+      SELECT doc_id, sh, band, (sh >> (8 * band)) & 255 AS bv
+      FROM s, unnest([0, 1, 2, 3]) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 1
+    """
+
+
+@register(
+    "dedup_simhash_pairs_documents",
+    _simhash_pairs_oracle(),
+    doc="SimHash near-dup detection: byte-slice banding (pigeonhole "
+    "guarantees candidates up to Hamming 3 share a band), exact "
+    "bit_count(xor) verification at Hamming ≤ 1. Integer-signature "
+    "counterpart of MinHash-LSH — 4 bytes of signature per document.",
+)
+def dedup_simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_near_dup_pairs(docs, max_hamming=1)
+
+
 # ---------------------------------------------------------------------------
 # Embedding near-dup + similarity search
 # ---------------------------------------------------------------------------

@@ -55,3 +55,21 @@ def test_scd1_merge_updates_and_inserts(spark):
     assert rows[2]["name"] == "b3" and rows[2]["amount"] == 202.0  # latest wins
     assert rows[9]["name"] == "new"  # insert, deduped
     assert merged.columns == ["k", "name", "amount"]  # target schema preserved
+
+
+def test_delta_merge_gated(spark):
+    """scd1_merge_delta is gated behind an import-try: without
+    delta-spark installed it must raise ImportError, never crash the
+    engine."""
+    import importlib.util
+
+    import pytest
+
+    from data_pipelines_snowflake_procedures_spark.operators.scd import (
+        scd1_merge_delta,
+    )
+
+    if importlib.util.find_spec("delta") is not None:
+        pytest.skip("delta-spark installed; gate not exercisable")
+    with pytest.raises(ImportError):
+        scd1_merge_delta(spark, "any_table", _source(spark), ["k"], "created_at")
