@@ -42,12 +42,30 @@ HEADLINE = [
 ]
 
 
+def _shuffle_partitions_for(sf_dir: str, cpus: int) -> int:
+    """Size shuffle partitions to data volume (~64 MB post-shuffle per
+    partition), clamped to [8, cpus]. The standard sizing rule — at
+    bench scale (tens of MB) this avoids paying 32-task scheduling
+    overhead per tiny stage; at cluster scale the same rule yields
+    thousands of partitions."""
+    total = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    return max(8, min(cpus, total // (64 * 1024 * 1024) + 1))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark(app_name="bench")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="bench",
+        shuffle_partitions=_shuffle_partitions_for(sf_dir, cpus),
+    )
     timings: dict[str, float] = {}
 
     names = [n for n in HEADLINE if n in REGISTRY]
