@@ -120,6 +120,44 @@ def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_click_before_error",
+    """
+    WITH ev AS (SELECT event_id, user_id, event_type, value,
+                       CAST(ts AS TIMESTAMP) AS ts FROM events),
+    errors AS (SELECT * FROM ev WHERE event_type = 'error'),
+    clicks AS (SELECT * FROM ev WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id,
+           round(c.value, 2) AS value_asof, c.ts AS ts_asof, e.ts
+    FROM errors e LEFT JOIN LATERAL (
+      SELECT value, ts FROM clicks c
+      WHERE c.user_id = e.user_id AND c.ts <= e.ts
+      ORDER BY c.ts DESC LIMIT 1
+    ) c ON true
+    """,
+    doc="As-of join: each error event picks up the most recent "
+    "preceding click by the same user. Spark side is the single-window "
+    "merge formulation (union + last-ignorenulls over one per-key "
+    "sort — ONE shuffle, no candidate pairs); the oracle deliberately "
+    "uses a different formulation (LATERAL top-1) so the check is of "
+    "semantics, not shared structure.",
+)
+def events_asof_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").drop("event_type", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "value", "ts"
+    )
+    out = asof_join(errors, clicks, on=["user_id"], ts_col="ts", value_cols=["value"])
+    return out.withColumn("value_asof", F.round("value_asof", 2))
+
+
+@register(
     "events_salted_type_agg",
     """
     SELECT event_type,
