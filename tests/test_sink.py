@@ -1,0 +1,51 @@
+"""Tests for partitioned/bucketed sinks and pruning (sources/sink.py)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from data_pipelines_snowflake_procedures_spark.session import load_table
+from data_pipelines_snowflake_procedures_spark.sources.sink import (
+    scan_is_pruned,
+    write_bucketed_table,
+    write_partitioned,
+)
+
+
+def test_partitioned_write_and_pruning(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    path = str(tmp_path / "events_part")
+    write_partitioned(ev, path, ["event_type"])
+
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    filtered = back.filter(F.col("event_type") == "click")
+    # the predicate must become a PartitionFilter (directory pruning),
+    # not a post-scan row filter
+    assert scan_is_pruned(spark, filtered, "event_type")
+    expected = ev.filter(F.col("event_type") == "click").count()
+    assert filtered.count() == expected
+
+
+def test_bucketed_table_join_has_no_exchange(spark, sf_dir):
+    for t in ("orders_b", "customer_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").limit(5000)
+    cust = load_table(spark, sf_dir, "customer").limit(1000)
+    write_bucketed_table(orders, "orders_b", ["o_custkey"], 8, sort_by=["o_custkey"])
+    write_bucketed_table(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "customer_b",
+        ["o_custkey"], 8, sort_by=["o_custkey"],
+    )
+    joined = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # co-located bucketed join: SMJ reads pre-bucketed data with no
+    # shuffle exchange on either side (broadcast also acceptable: one
+    # side tiny). The load-bearing assertion: no ShuffleExchange.
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() > 0
