@@ -345,6 +345,28 @@ def dq_table_scores_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_dq_long(load_table(spark, sf_dir, "orders"), now=_DQ_NOW)
 
 
+_DOCS_COLS = [
+    ("doc_id", "numeric"),
+    ("text", "string"),
+    ("lang", "string"),
+    ("source", "string"),
+    ("n_chars", "numeric"),
+]
+
+
+@register(
+    "dq_table_scores_documents",
+    _table_dq_oracle("documents", _DOCS_COLS, _DQ_NOW),
+    doc="Table-engine five-pillar DQ over the documents corpus — the "
+    "same single-pass rule engine applied to a text table (validity "
+    "from numeric sign, no date columns so accuracy is 1.0).",
+)
+def dq_table_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dq import table_dq_long
+
+    return table_dq_long(load_table(spark, sf_dir, "documents"), now=_DQ_NOW)
+
+
 def _cu_oracle(table: str, cols: list[str]) -> str:
     aggs = ["count(*) AS total"]
     for c in cols:

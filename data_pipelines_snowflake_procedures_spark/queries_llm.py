@@ -338,6 +338,48 @@ def dedup_simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return simhash_near_dup_pairs(docs, max_hamming=1)
 
 
+@register(
+    "tfidf_cosine_pairs_documents",
+    r"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+    tf AS (
+      SELECT doc_id AS id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM docs)
+      GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT tok, ln((SELECT count(*) FROM docs)::DOUBLE / count(DISTINCT id)) AS idf
+      FROM tf GROUP BY tok
+    ),
+    w AS (SELECT id, tf.tok, tf.tf * idf.idf AS w FROM tf JOIN idf ON tf.tok = idf.tok),
+    norms AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
+    dots AS (
+      SELECT a.id AS doc_a, b.id AS doc_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, cosine FROM (
+      SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+      FROM dots
+      JOIN norms na ON na.id = doc_a
+      JOIN norms nb ON nb.id = doc_b
+    ) WHERE cosine >= 0.85
+    """,
+    doc="TF-IDF cosine document pairs (≥0.85) — weighted bag-of-words "
+    "similarity without embeddings. Inverted-index plan throughout: "
+    "term and document frequencies from one exploded relation, dot "
+    "products from the token self-join (only co-occurring tokens "
+    "pair), norms from one aggregate. Same skew guard as token "
+    "Jaccard (min_idf floor) at scale.",
+)
+def tfidf_cosine_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.tfidf import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return tfidf_cosine_pairs(docs, threshold=0.85)
+
+
 # ---------------------------------------------------------------------------
 # Embedding near-dup + similarity search
 # ---------------------------------------------------------------------------
