@@ -75,6 +75,87 @@ def scd1_merge(
     return keep.unionByName(src)
 
 
+def scd2_merge(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    change_cols: Sequence[str],
+    effective_col: str,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+    current_col: str = "is_current",
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """SCD Type-2 merge: history-preserving upsert (the natural
+    extension of the reference's SCD1 contract — G1 keeps only the
+    latest row; SCD2 closes it instead).
+
+    ``target`` carries ``from_col``/``to_col``/``current_col`` tracking
+    columns; ``source`` carries business columns + ``effective_col``
+    (the change timestamp). Per business key:
+
+    * source row differs from the current target row on any
+      ``change_cols`` → close the current row (``to_col`` = source
+      effective time, ``current_col`` = false) and insert the source
+      row as the new current version;
+    * source row identical on ``change_cols`` → target unchanged;
+    * new key → insert as current.
+
+    One window over the source (latest-per-key) + one shuffle join of
+    current target rows against the source on the business key;
+    historical (non-current) rows pass through untouched — at scale,
+    partition the target by ``current_col`` so the closed majority of
+    a 100 TB dimension is never read.
+    """
+    keys = list(keys)
+    tracking = (from_col, to_col, current_col)
+    business = [c for c in target.columns if c not in tracking]
+
+    latest = dedup_latest(source, keys, effective_col, tiebreakers)
+    src = latest.select(
+        *[F.col(c).alias(f"s_{c}") for c in business],
+        F.col(effective_col).alias("s_eff"),
+    )
+
+    history = target.filter(~F.col(current_col))
+    current = target.filter(F.col(current_col))
+    joined = current.join(
+        src, on=[F.col(k) == F.col(f"s_{k}") for k in keys], how="left"
+    )
+    matched = F.col(f"s_{keys[0]}").isNotNull()
+    differs = sum(
+        (~F.col(c).eqNullSafe(F.col(f"s_{c}"))).cast("int") for c in change_cols
+    ) > 0
+    changed = matched & differs
+
+    untouched = joined.filter(~changed).select(*target.columns)
+    closed = joined.filter(changed).select(
+        *business,
+        F.col(from_col),
+        F.col("s_eff").alias(to_col),
+        F.lit(False).alias(current_col),
+    ).select(*target.columns)
+
+    def as_current(rows: DataFrame) -> DataFrame:
+        return rows.select(
+            *[F.col(f"s_{c}").alias(c) for c in business],
+            F.col("s_eff").alias(from_col),
+            F.lit(None).cast(target.schema[to_col].dataType).alias(to_col),
+            F.lit(True).alias(current_col),
+        ).select(*target.columns)
+
+    new_versions = as_current(joined.filter(changed))
+    inserts = as_current(
+        src.join(current, on=[F.col(f"s_{k}") == F.col(k) for k in keys], how="left_anti")
+    )
+    return (
+        history.unionByName(untouched)
+        .unionByName(closed)
+        .unionByName(new_versions)
+        .unionByName(inserts)
+    )
+
+
 def scd1_merge_delta(
     spark,
     target_table: str,

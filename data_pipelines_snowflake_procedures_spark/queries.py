@@ -714,6 +714,105 @@ def scd1_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.withColumn("o_totalprice", F.round("o_totalprice", 2))
 
 
+_SCD2_ORACLE = """
+    WITH cur AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS amount,
+             o_orderdate AS effective_from,
+             CAST(NULL AS TIMESTAMP) AS effective_to, TRUE AS is_current
+      FROM orders
+    ),
+    src AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             o_totalprice + 50.0 AS amount, TIMESTAMP '1999-06-01' AS eff
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, TIMESTAMP '1999-06-01'
+      FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey + 200000000, 'N', o_totalprice, TIMESTAMP '1999-06-01'
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    changed AS (
+      SELECT c.k, c.status, c.amount, c.effective_from,
+             s.status AS s_status, s.amount AS s_amount, s.eff
+      FROM cur c JOIN src s ON c.k = s.k
+      WHERE c.status IS DISTINCT FROM s.status
+         OR c.amount IS DISTINCT FROM s.amount
+    ),
+    untouched AS (
+      SELECT c.* FROM cur c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM src s WHERE s.k = c.k
+          AND (c.status IS DISTINCT FROM s.status
+               OR c.amount IS DISTINCT FROM s.amount)
+      )
+    ),
+    merged AS (
+      SELECT * FROM untouched
+      UNION ALL
+      SELECT k, status, amount, effective_from, eff, FALSE FROM changed
+      UNION ALL
+      SELECT k, s_status, s_amount, eff, CAST(NULL AS TIMESTAMP), TRUE FROM changed
+      UNION ALL
+      SELECT s.k, s.status, s.amount, s.eff, CAST(NULL AS TIMESTAMP), TRUE
+      FROM src s WHERE NOT EXISTS (SELECT 1 FROM cur c WHERE c.k = s.k)
+    )
+    SELECT k, status, round(amount, 2) AS amount, effective_from,
+           effective_to, is_current
+    FROM merged
+"""
+
+
+@register(
+    "scd2_merge_orders",
+    _SCD2_ORACLE,
+    doc="SCD Type-2 history-preserving merge (the natural extension of "
+    "G1): changed keys close their current version (effective_to = "
+    "change time) and insert a new current one; unchanged keys pass "
+    "untouched; new keys insert as current. Source mixes changed, "
+    "identical (no-op), and brand-new keys so every branch is "
+    "exercised. One source window + one key-join of current rows.",
+)
+def scd2_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scd import scd2_merge
+
+    orders = load_table(spark, sf_dir, "orders")
+    eff = F.lit("1999-06-01 00:00:00").cast("timestamp")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderdate").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    changed = base.filter(F.col("k") % 7 == 0).withColumn(
+        "amount", F.col("amount") + 50.0
+    )
+    noop = base.filter((F.col("k") % 11 == 0) & (F.col("k") % 7 != 0))
+    new = (
+        base.filter(F.col("k") % 13 == 0)
+        .withColumn("k", F.col("k") + 200000000)
+        .withColumn("status", F.lit("N"))
+    )
+    source = (
+        changed.unionByName(noop).unionByName(new).withColumn("created_at", eff)
+    )
+    merged = scd2_merge(
+        target,
+        source,
+        keys=["k"],
+        change_cols=["status", "amount"],
+        effective_col="created_at",
+    )
+    return merged.withColumn("amount", F.round("amount", 2))
+
+
 @register(
     "events_rollup_type_day",
     """

@@ -73,3 +73,74 @@ def test_delta_merge_gated(spark):
         pytest.skip("delta-spark installed; gate not exercisable")
     with pytest.raises(ImportError):
         scd1_merge_delta(spark, "any_table", _source(spark), ["k"], "created_at")
+
+
+def _scd2_target(spark):
+    import datetime as dt
+
+    t = dt.datetime
+    return spark.createDataFrame(
+        [
+            # key 1: one closed version + one current
+            (1, "a-v1", 100.0, t(2020, 1, 1), t(2021, 1, 1), False),
+            (1, "a-v2", 110.0, t(2021, 1, 1), None, True),
+            # key 2: single current version
+            (2, "b", 200.0, t(2020, 6, 1), None, True),
+            # key 3: single current version
+            (3, "c", 300.0, t(2020, 6, 1), None, True),
+        ],
+        "k INT, name STRING, amount DOUBLE, effective_from TIMESTAMP, "
+        "effective_to TIMESTAMP, is_current BOOLEAN",
+    )
+
+
+def test_scd2_merge(spark):
+    import datetime as dt
+
+    from data_pipelines_snowflake_procedures_spark.operators.scd import scd2_merge
+
+    t = dt.datetime
+    source = spark.createDataFrame(
+        [
+            # key 2 changes (two versions in batch: latest wins)
+            (2, "b-new-old", 201.0, t(2022, 1, 1)),
+            (2, "b-new", 202.0, t(2022, 2, 1)),
+            # key 3 unchanged
+            (3, "c", 300.0, t(2022, 2, 1)),
+            # key 9 brand new
+            (9, "new", 900.0, t(2022, 3, 1)),
+        ],
+        "k INT, name STRING, amount DOUBLE, created_at TIMESTAMP",
+    )
+    merged = scd2_merge(
+        _scd2_target(spark),
+        source,
+        keys=["k"],
+        change_cols=["name", "amount"],
+        effective_col="created_at",
+    )
+    rows = sorted(
+        merged.collect(), key=lambda r: (r["k"], r["effective_from"])
+    )
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+
+    # key 1 untouched (not in source): history + current preserved
+    assert [r["name"] for r in by_key[1]] == ["a-v1", "a-v2"]
+    assert by_key[1][1]["is_current"] is True
+    # key 2: old current closed at latest source effective time,
+    # new current row from the LATEST source version (dedup)
+    assert len(by_key[2]) == 2
+    closed, current = by_key[2]
+    assert closed["is_current"] is False
+    assert closed["effective_to"] == t(2022, 2, 1)
+    assert current["name"] == "b-new" and current["is_current"] is True
+    assert current["effective_from"] == t(2022, 2, 1)
+    assert current["effective_to"] is None
+    # key 3 unchanged: single current row, untouched effective_from
+    assert len(by_key[3]) == 1
+    assert by_key[3][0]["effective_from"] == t(2020, 6, 1)
+    assert by_key[3][0]["is_current"] is True
+    # key 9 inserted as current
+    assert len(by_key[9]) == 1 and by_key[9][0]["is_current"] is True
