@@ -714,6 +714,67 @@ def scd1_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.withColumn("o_totalprice", F.round("o_totalprice", 2))
 
 
+@register(
+    "customer_order_analytics",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS price,
+           round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_prev,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING
+           ), 2) AS running_total,
+           CAST(rank() OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+           ) AS BIGINT) AS price_rank,
+           round(o_totalprice
+                 + coalesce(lag(o_totalprice, 1) OVER w, 0)
+                 + coalesce(lag(o_totalprice, 2) OVER w, 0), 2) AS moving_sum3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Analytic window surface (SURVEY.md §2.5 commitment beyond "
+    "W1): lag deltas, running totals, rank, and a 3-row moving average "
+    "per customer — all over ONE shuffle on the partition key "
+    "(moving 3-row sum via explicit lags: cross-engine-stable arithmetic) "
+    "(Catalyst groups same-partitioning window specs into shared "
+    "exchanges). Deterministic secondary sort on o_orderkey makes "
+    "every function hash-stable.",
+)
+def customer_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = by_date.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # moving average via explicit lags, NOT a sliding-frame avg: frame
+    # aggregates accumulate differently across engines (segment tree vs
+    # recompute), flipping cent-rounding on boundary values
+    lag1 = F.lag("o_totalprice", 1).over(by_date)
+    lag2 = F.lag("o_totalprice", 2).over(by_date)
+    # moving SUM, not avg: averaging 2-decimal prices creates exact
+    # .xx5 values whose round() differs between Spark (BigDecimal
+    # half-up) and DuckDB (scaled-double); sums of 2-decimal values
+    # stay ~1e-9 from any rounding boundary
+    moving_sum = (
+        F.col("o_totalprice")
+        + F.coalesce(lag1, F.lit(0.0))
+        + F.coalesce(lag2, F.lit(0.0))
+    )
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(by_date), 2
+        ).alias("delta_prev"),
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_total"),
+        F.rank().over(by_price).cast("long").alias("price_rank"),
+        F.round(moving_sum, 2).alias("moving_sum3"),
+    )
+
+
 _SCD2_ORACLE = """
     WITH cur AS (
       SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS amount,
