@@ -127,10 +127,15 @@ def minhash_signatures(
     Output: (id, sig_0..sig_{num_perm-1}) — one narrow projection."""
     unit = tokens(text_col) if n == 1 else shingles(text_col, n)
     unit = F.array_distinct(unit)
+
+    def seeded_hash(seed: int):
+        # single-arg lambda via closure: a two-arg lambda would bind
+        # the second parameter to the ARRAY INDEX in Spark's HOF
+        # protocol, silently replacing the permutation seed
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
+
     sigs = [
-        F.array_min(
-            F.transform(unit, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
-        ).alias(f"sig_{i}")
+        F.array_min(F.transform(unit, seeded_hash(i))).alias(f"sig_{i}")
         for i in range(num_perm)
     ]
     return df.select(F.col(id_col).alias("id"), *sigs)

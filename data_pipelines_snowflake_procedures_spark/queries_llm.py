@@ -250,6 +250,79 @@ def dedup_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_estimate_oracle() -> str:
+    sig_aggs = ",\n        ".join(
+        f"min(md5('{i}|' || tok)) AS sig_{i}" for i in range(_NUM_PERM)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(_NUM_PERM)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKSET}) AS tok
+      FROM documents WHERE doc_id < 120
+    ),
+    sigs AS (
+      SELECT doc_id,
+        {sig_aggs}
+      FROM tok GROUP BY doc_id
+    ),
+    {_TSETS_SQL.replace("doc_id < 200", "doc_id < 120")}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(({matches}) / {float(_NUM_PERM)}, 6) AS est_jaccard,
+           {_VERIFY_JACCARD_SQL} AS exact_jaccard
+    FROM sigs a
+    JOIN sigs b ON a.doc_id < b.doc_id
+    JOIN tsets ta ON ta.doc_id = a.doc_id
+    JOIN tsets tb ON tb.doc_id = b.doc_id
+    WHERE ({matches}) >= 20
+    """
+
+
+@register(
+    "minhash_estimate_pairs_documents",
+    _minhash_estimate_oracle(),
+    doc="MinHash similarity ESTIMATION: estimated Jaccard = matching "
+    "signature components / 24, reported next to the exact value for "
+    "high-agreement pairs (≥20/24). This is the sketch math LSH "
+    "banding approximates — at 100 TB only signatures (24 strings/doc) "
+    "are pairwise-compared, never the token sets.",
+)
+def minhash_estimate_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_signatures, token_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    sigs = minhash_signatures(docs, num_perm=_NUM_PERM)
+    a = sigs.select([F.col(c).alias(f"a_{c}") for c in sigs.columns])
+    b = sigs.select([F.col(c).alias(f"b_{c}") for c in sigs.columns])
+    matches = None
+    for i in range(_NUM_PERM):
+        term = F.when(F.col(f"a_sig_{i}") == F.col(f"b_sig_{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    pairs = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            F.col("a_id").alias("doc_a"),
+            F.col("b_id").alias("doc_b"),
+            matches.alias("__m"),
+        )
+        .filter(F.col("__m") >= 20)
+    )
+    exact = token_jaccard_pairs(docs, threshold=0.0).withColumnRenamed(
+        "jaccard", "exact_jaccard"
+    )
+    return (
+        pairs.join(exact, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("__m") / F.lit(float(_NUM_PERM)), 6).alias("est_jaccard"),
+            F.coalesce(F.col("exact_jaccard"), F.lit(0.0)).alias("exact_jaccard"),
+        )
+    )
+
+
 def _simhash_oracle() -> str:
     bit_counts = ",\n        ".join(
         f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE 0 END) AS c{j}"

@@ -65,6 +65,20 @@ def sessions_stream(
     return session_agg(events)
 
 
+def dedup_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup on event_id: duplicates arriving within
+    the watermark window are dropped with bounded state
+    (``dropDuplicatesWithinWatermark`` expires seen-keys past the
+    watermark — plain ``dropDuplicates`` state grows forever).
+    Demonstrated over a self-union of the source (every event arrives
+    twice)."""
+    a = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    b = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return a.union(b).dropDuplicatesWithinWatermark(["event_id"])
+
+
 def run_to_memory(
     streaming_df: DataFrame, name: str | None = None, timeout_sec: int = 120
 ) -> DataFrame:

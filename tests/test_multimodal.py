@@ -106,3 +106,24 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
     for u, (n, t) in batch.items():
         assert streamed[u][0] == n, u
         assert abs(streamed[u][1] - t) < 0.02, u
+
+
+def test_streaming_dedup_drops_self_union_duplicates(spark, sf_dir):
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+    from data_pipelines_snowflake_procedures_spark.streaming.stream import (
+        dedup_stream,
+        run_to_memory,
+    )
+
+    q = (
+        dedup_stream(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("dedup_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("dedup_events").count()
+    batch = load_table(spark, sf_dir, "events").count()
+    assert streamed == batch  # every duplicate from the self-union dropped
