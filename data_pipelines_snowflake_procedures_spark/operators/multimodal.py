@@ -124,6 +124,44 @@ def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
     return df.mapInPandas(per_batches, schema=FEATURE_SCHEMA)
 
 
+GROUP_ZSCORE_SCHEMA = "event_id BIGINT, event_type STRING, zscore DOUBLE"
+
+
+def groupwise_zscore(
+    df: DataFrame,
+    key: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-group z-score normalization via ``applyInPandas`` — the
+    grouped Pandas-UDF surface (group-in → Arrow batch → group-out).
+
+    This op is deliberately SQL-expressible (windowed mean/stddev), so
+    the oracle cross-checks the Pandas plumbing itself; real uses of
+    this surface are the NON-expressible ones (per-group model scoring,
+    library calls). One shuffle on the group key; each group must fit
+    in one worker's memory — for the hot-key case pre-split with
+    operators/skew.py salting."""
+
+    def normalize(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        std = pdf[value_col].std()  # ddof=1, matches stddev_samp
+        mean = pdf[value_col].mean()
+        z = (pdf[value_col] - mean) / std if std and std > 0 else pdf[value_col] * 0.0
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                key: pdf[key],
+                "zscore": z.round(4),
+            }
+        )
+
+    return df.select(id_col, key, value_col).groupBy(key).applyInPandas(
+        normalize, schema=GROUP_ZSCORE_SCHEMA
+    )
+
+
 def frame_sample_plan(
     df: DataFrame, every_n: int = 10, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -183,6 +183,30 @@ def events_salted_type_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_groupwise_zscore",
+    """
+    SELECT event_id,
+           event_type,
+           round(CASE WHEN stddev_samp(value) OVER (PARTITION BY event_type) > 0
+                      THEN (value - avg(value) OVER (PARTITION BY event_type))
+                           / stddev_samp(value) OVER (PARTITION BY event_type)
+                      ELSE 0.0 END, 4) AS zscore
+    FROM events
+    """,
+    doc="Grouped Pandas-UDF surface (applyInPandas): per-event-type "
+    "z-score normalization computed in pandas per Arrow group, "
+    "cross-checked against the pure-SQL window formulation — the "
+    "oracle validates the group-in/group-out plumbing itself. Real "
+    "uses are the non-SQL-expressible per-group computations (model "
+    "scoring, library calls).",
+)
+def events_groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import groupwise_zscore
+
+    return groupwise_zscore(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "multimodal_features_documents",
     None,  # checksum is byte-level Python; rows-only check by design
     doc="Multimodal plumbing: documents promoted to (payload BINARY, "
