@@ -95,7 +95,11 @@ WHEN NOT MATCHED THEN INSERT *"""
 target = spark.table("{target}")
 source = spark.table("{target}_STAGING")
 merged = scd1_merge(target, source, keys={keys!r}, order_col="CREATED_AT")
-merged.write.mode("overwrite").saveAsTable("{target}")"""
+# Spark cannot overwrite a table that feeds the plan being written:
+# materialize to a staging table, then swap (atomic at catalog level).
+merged.write.mode("overwrite").saveAsTable("{target}__MERGED")
+spark.sql("DROP TABLE {target}")
+spark.sql("ALTER TABLE {target}__MERGED RENAME TO {target}")"""
     return {"sql_code": sql, "pyspark_code": pyspark}
 
 

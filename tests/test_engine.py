@@ -48,3 +48,25 @@ def test_row_cap(spark):
     d = rep["details"][0]
     assert d["row_count"] == 7
     assert d["rows_truncated"] is True
+
+
+def test_ddl_insert_select_chain(spark, tmp_path):
+    """X1 over a DDL + DML + query chain (the EXECUTION_ENGINE's
+    ingestion/transformation use case)."""
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS engine_chain_t")
+    shutil.rmtree("spark-warehouse/engine_chain_t", ignore_errors=True)
+    rep = execute_sql_batch(
+        spark,
+        """
+        CREATE TABLE engine_chain_t (k INT, v STRING) USING parquet;
+        INSERT INTO engine_chain_t VALUES (1, 'a'), (2, 'b');
+        SELECT count(*) AS n FROM engine_chain_t;
+        """,
+    )
+    assert rep["status"] == "SUCCESS", rep
+    assert rep["total_statements"] == 3
+    assert rep["details"][2]["rows"][0]["n"] == 2
+    # DDL/DML statements carry no rows payload
+    assert "rows" not in rep["details"][0]
