@@ -875,6 +875,38 @@ def scd2_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "referential_integrity_orders",
+    """
+    WITH child_keys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    parent_keys AS (SELECT DISTINCT c_custkey AS k FROM customer),
+    orphans AS (
+      SELECT k FROM child_keys
+      WHERE NOT EXISTS (SELECT 1 FROM parent_keys p WHERE p.k = child_keys.k)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM child_keys)  AS n_child_keys,
+           (SELECT CAST(count(*) AS BIGINT) FROM orphans)     AS n_orphan_keys,
+           round(1.0 - (SELECT count(*) FROM orphans)::DOUBLE /
+                 greatest((SELECT count(*) FROM child_keys), 1), 6) AS integrity_ratio
+    """,
+    doc="Cross-table consistency (the pillar the reference stubbed at "
+    "1.0): orphan analysis of orders.o_custkey against "
+    "customer.c_custkey via a distinct-key anti-join — the shuffle "
+    "carries distinct keys, never rows.",
+)
+def referential_integrity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.integrity import referential_integrity
+
+    return referential_integrity(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )
+
+
+@register(
     "events_rollup_type_day",
     """
     SELECT coalesce(event_type, 'ALL') AS event_type,
