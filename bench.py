@@ -26,19 +26,24 @@ HEADLINE = [
     "latest_order_per_customer",
     "order_priority_counts",
     "customers_without_big_orders",
+    "customer_order_analytics",
     # DQ / profiling / PII / SCD
     "profile_customer",
     "dq_table_scores_orders",
+    "referential_integrity_orders",
     "pii_mask_customer",
     "scd1_merge_orders",
+    "scd2_merge_orders",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "dedup_exact_documents",
     "dedup_simhash_documents",
     "knn_bruteforce_embeddings",
-    # event-time windows
+    # event-time windows + pandas surface
     "events_hourly_by_type",
     "events_sessions_user",
+    "events_asof_click_before_error",
+    "events_groupwise_zscore",
 ]
 
 
