@@ -82,6 +82,7 @@ def run_table_dq(
     table_name: str = "",
     now: _dt.datetime | str | None = None,
     approx: bool = False,
+    related: dict[str, tuple[DataFrame, str]] | None = None,
 ) -> dict[str, Any]:
     """Full table DQ report in the reference's shape
     (Data_Quality_Table.sql:183-189): columns, profiling, dq_results
@@ -91,15 +92,38 @@ def run_table_dq(
     1 + N + numeric + date queries. ``now`` pins the future-date
     reference point; defaults to the current UTC time like the
     reference's CURRENT_TIMESTAMP().
+
+    ``related`` upgrades the consistency pillar from the reference's
+    hardcoded 1.0 stub (documented divergence, opt-in): map an FK
+    column to ``(parent_df, pk_col)`` and its consistency score
+    becomes the referential-integrity ratio (share of distinct child
+    keys present in the parent) — one distinct-key anti-join per
+    declared relation.
     """
     now = now or _dt.datetime.now(_dt.timezone.utc)
     schema = {f.name: f.dataType for f in df.schema.fields}
     profiling = profile_table(df, now=now, approx=approx)
+    integrity: dict[str, float] = {}
+    if related:
+        from .integrity import referential_integrity
+
+        for fk, (parent, pk) in related.items():
+            row = referential_integrity(df, parent, fk, pk).collect()[0]
+            integrity[fk] = float(row["integrity_ratio"])
     dq_results: dict[str, Any] = {}
     for col, prof in profiling.items():
         pillars = score_table_pillars(
             prof, is_numeric(schema[col]), is_datelike(schema[col])
         )
+        if col in integrity:
+            pillars["consistency"] = integrity[col]
+            pillars["column_score"] = (
+                pillars["completeness"]
+                + pillars["uniqueness"]
+                + pillars["validity"]
+                + pillars["accuracy"]
+                + pillars["consistency"]
+            ) / 5
         dq_results[col] = {
             "completeness": {
                 "rule": f"{col} should have minimal nulls",

@@ -41,3 +41,32 @@ def test_discover_inclusion_dependencies(spark, sf_dir):
     assert ("customer.c_nationkey", "nation.n_nationkey") in names
     assert ("customer.c_custkey", "nation.n_nationkey") not in names
     assert all(r["n_orphan_keys"] == 0 for r in found)
+
+
+def test_run_table_dq_with_related_tables(spark, sf_dir):
+    """The consistency pillar upgrades from the 1.0 stub to the
+    referential-integrity ratio when relations are declared."""
+    from data_pipelines_snowflake_procedures_spark.operators.dq import run_table_dq
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    out = run_table_dq(
+        orders,
+        "orders",
+        now="1995-06-01 00:00:00",
+        related={"o_custkey": (customer, "c_custkey")},
+    )
+    cons = out["dq_results"]["o_custkey"]["consistency"]["score"]
+    assert cons == 1.0  # harness data has no orphans — but computed, not stubbed
+    # stub remains for undeclared columns
+    assert out["dq_results"]["o_orderkey"]["consistency"]["score"] == 1.0
+    assert 0 < out["table_score"] <= 1.0
+
+    # now break integrity: parent with half its keys removed
+    half = customer.filter("c_custkey % 2 = 0")
+    out2 = run_table_dq(
+        orders, "orders", now="1995-06-01 00:00:00",
+        related={"o_custkey": (half, "c_custkey")},
+    )
+    assert out2["dq_results"]["o_custkey"]["consistency"]["score"] < 1.0
