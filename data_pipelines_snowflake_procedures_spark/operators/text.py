@@ -42,9 +42,13 @@ QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
 
 
 def tokens(col: str | Column) -> Column:
-    """Whitespace tokens of the lowercased, trimmed text."""
+    """Whitespace tokens of the lowercased, trimmed text. NULL text is
+    treated as empty text everywhere in this module — otherwise NULLs
+    propagate through hit-count comparisons and flip downstream
+    CASE/when chains to their fallback branches (e.g. a NULL document
+    would language-classify as the last language checked)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.lower(F.trim(c)), r"\s+")
+    return F.split(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+")
 
 
 def ws_token_count(col: str | Column) -> Column:
@@ -53,13 +57,13 @@ def ws_token_count(col: str | Column) -> Column:
 
 def bpe_token_count(col: str | Column) -> Column:
     """Count of BPE-ish pre-tokens (alnum runs + isolated symbols)."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0))).cast("long")
 
 
 def punct_ratio(col: str | Column) -> Column:
     """Share of characters that are neither alphanumeric nor whitespace."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
     n = F.length(c)
     punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
     return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
@@ -91,7 +95,7 @@ def quality_indicators(col: str | Column) -> dict[str, Column]:
     """Four pretraining-quality gates as boolean indicators. Indicator
     (not continuous) scoring keeps the result exactly portable across
     engines — no float-rounding edge cases at the pass boundary."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
     return {
         "len_ok": (F.length(c) >= 50) & (F.length(c) <= 20000),
         "tok_len_ok": (mean_token_length(c) >= 2.0) & (mean_token_length(c) <= 12.0),
@@ -168,8 +172,9 @@ def min_shingle_fingerprint(col: str | Column, n: int = 3) -> Column:
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document text profile: counts, ratios, quality,
-    language, fingerprints — a single narrow projection."""
-    c = F.col(text_col)
+    language, fingerprints — a single narrow projection. NULL text
+    profiles as empty text (see :func:`tokens`)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
     return df.select(
         id_col,
         ws_token_count(c).alias("n_tokens_ws"),

@@ -95,3 +95,20 @@ def test_knn_lsh_subset_of_bucket(spark):
     assert (1, 2) in pairs and (2, 1) in pairs
     # opposite vectors never share a bucket (all plane signs flip)
     assert (1, 4) not in pairs
+
+
+def test_text_ops_null_safe(spark):
+    """NULL text must profile as empty text — without the coalesce, a
+    NULL document language-classifies as the CASE chain's fallback
+    language and token counts go NULL."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   ")], "doc_id BIGINT, text STRING"
+    )
+    prof = {r["doc_id"]: r for r in text_profile(df).collect()}
+    for d in (1, 2, 3):
+        assert prof[d]["detected_lang"] == "und", d
+        assert prof[d]["quality_score"] == 0.25
+        assert prof[d]["n_tokens_bpe"] == 0
+    assert prof[1]["n_chars"] == 0  # NULL → empty
+    # null and empty normalize to the same fingerprint (documented)
+    assert prof[1]["fingerprint"] == prof[2]["fingerprint"]
