@@ -53,6 +53,36 @@ def salted_sum_count(
     )
 
 
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    approx: bool = False,
+) -> DataFrame:
+    """Key-distribution profile: the top-k heaviest values of a column
+    with their share of all rows — the input to every salting/skew
+    decision (SCALING.md). Output (value, n_rows, share), heaviest
+    first.
+
+    One groupBy + top-k (TakeOrdered, no global sort). ``approx=True``
+    estimates with a count-min-style sample for columns whose
+    cardinality itself would blow up the groupBy (rare: group counts
+    shuffle one row per distinct value)."""
+    src = df.sample(fraction=0.01, seed=42) if approx else df
+    total = src.count()
+    counts = (
+        src.groupBy(F.col(col).cast("string").alias("value"))
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy(F.desc("n_rows"), F.asc("value"))
+        .limit(k)
+    )
+    return counts.select(
+        "value",
+        "n_rows",
+        F.round(F.col("n_rows") / F.lit(float(max(total, 1))), 6).alias("share"),
+    )
+
+
 def salted_broadcast_join(
     big: DataFrame,
     small: DataFrame,

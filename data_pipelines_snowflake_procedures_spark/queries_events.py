@@ -183,6 +183,29 @@ def events_salted_type_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_heavy_hitters",
+    """
+    SELECT value, n_rows, round(n_rows::DOUBLE / total, 6) AS share
+    FROM (
+      SELECT CAST(user_id AS VARCHAR) AS value,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             (SELECT count(*) FROM events) AS total
+      FROM events GROUP BY user_id
+      ORDER BY n_rows DESC, value LIMIT 10
+    )
+    """,
+    doc="Heavy-hitter key profile of events.user_id: top-10 keys by "
+    "row share — the measurement that drives salting decisions "
+    "(operators/skew.py). groupBy + TakeOrdered: no global sort; the "
+    "shuffle carries one row per distinct key.",
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import heavy_hitters
+
+    return heavy_hitters(load_table(spark, sf_dir, "events"), "user_id", k=10)
+
+
+@register(
     "events_groupwise_zscore",
     """
     SELECT event_id,

@@ -56,6 +56,40 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def table_storage_report(path: str) -> dict:
+    """Storage-layout report from parquet footers (no data read):
+    file count, bytes, rows, row groups, and the small-files flag that
+    drives compaction decisions. Footer-only, so it is cheap even on a
+    100 TB table — this is the report that tells you whether
+    ``write_partitioned``'s repartition-first did its job."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files: list[str] = []
+    for root, _dirs, names in os.walk(path):
+        files += [os.path.join(root, n) for n in names if n.endswith(".parquet")]
+    if os.path.isfile(path):
+        files = [path]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    rows = 0
+    row_groups = 0
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        rows += meta.num_rows
+        row_groups += meta.num_row_groups
+    avg = total_bytes / len(files) if files else 0
+    return {
+        "n_files": len(files),
+        "total_bytes": total_bytes,
+        "n_rows": rows,
+        "n_row_groups": row_groups,
+        "avg_file_bytes": int(avg),
+        # < 8 MB average is the classic small-files smell
+        "small_files": bool(files) and avg < 8 * 1024 * 1024,
+    }
+
+
 def scan_is_pruned(spark: SparkSession, df: DataFrame, partition_col: str) -> bool:
     """True when the physical plan prunes on ``partition_col`` (the
     predicate reached PartitionFilters instead of a post-scan filter)."""

@@ -49,3 +49,21 @@ def test_bucketed_table_join_has_no_exchange(spark, sf_dir):
     # side tiny). The load-bearing assertion: no ShuffleExchange.
     assert "Exchange hashpartitioning" not in plan
     assert joined.count() > 0
+
+
+def test_table_storage_report(sf_dir, tmp_path, spark):
+    from data_pipelines_snowflake_procedures_spark.sources.sink import (
+        table_storage_report,
+    )
+
+    rep = table_storage_report(f"{sf_dir}/lineitem.parquet")
+    assert rep["n_files"] == 1
+    assert rep["n_rows"] > 0 and rep["total_bytes"] > 0
+    # write a deliberately fragmented copy and catch the smell
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    frag = str(tmp_path / "frag")
+    load_table(spark, sf_dir, "region").repartition(4).write.parquet(frag)
+    rep2 = table_storage_report(frag)
+    assert rep2["n_files"] >= 4
+    assert rep2["small_files"] is True
