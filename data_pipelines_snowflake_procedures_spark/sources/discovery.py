@@ -109,6 +109,26 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
     raise ValueError(f"Unsupported file format: {ext!r} ({path})")
 
 
+def write_any(
+    df: DataFrame, path: str, fmt: str | None = None, mode: str = "overwrite"
+) -> None:
+    """S1-S5 write-side counterpart of :func:`read_any`: csv (with
+    header), json (ndjson), parquet — distributed writers; Excel/XML
+    are read-only formats here (nothing at 100 TB should be written as
+    either; export small results via ``.toPandas().to_excel``)."""
+    ext = (fmt or os.path.splitext(path)[1].lstrip(".")).lower()
+    if ext == "csv":
+        df.write.mode(mode).option("header", True).csv(path)
+        return
+    if ext in ("json", "ndjson", "jsonl"):
+        df.write.mode(mode).json(path)
+        return
+    if ext == "parquet":
+        df.write.mode(mode).parquet(path)
+        return
+    raise ValueError(f"Unsupported write format: {ext!r} ({path})")
+
+
 def file_metadata(path: str, df: DataFrame, row_count: int | None = None) -> dict:
     """File-definition document (Data_Discovery_File.sql:73-93 shape):
     name, type, size, row/column counts, palette-typed column list."""

@@ -108,3 +108,20 @@ def test_discover_failure_envelope(spark):
     out = discover_and_run_dq(spark, "/nonexistent/nope.csv")
     assert out["status"] == "FAILED"
     assert "error" in out
+
+
+def test_write_any_round_trip(spark, sf_dir, tmp_path):
+    from data_pipelines_snowflake_procedures_spark.sources.discovery import (
+        write_any,
+    )
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    src = load_table(spark, sf_dir, "region")
+    for fmt in ("csv", "json", "parquet"):
+        path = str(tmp_path / f"out_{fmt}")
+        write_any(src, path, fmt=fmt)
+        back = read_any(spark, path, fmt=fmt)
+        assert back.count() == 5
+        assert set(back.columns) == set(src.columns)
+    with pytest.raises(ValueError, match="Unsupported write"):
+        write_any(src, str(tmp_path / "x.avro"))

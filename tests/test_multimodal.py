@@ -127,3 +127,60 @@ def test_streaming_dedup_drops_self_union_duplicates(spark, sf_dir):
     streamed = spark.table("dedup_events").count()
     batch = load_table(spark, sf_dir, "events").count()
     assert streamed == batch  # every duplicate from the self-union dropped
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics: with a 1-hour watermark and one file per
+    micro-batch, a window whose state was already emitted and evicted
+    (watermark passed its end in an earlier batch) DROPS a late
+    arrival instead of re-emitting."""
+    import datetime as dt
+    import time
+
+    from data_pipelines_snowflake_procedures_spark.streaming.windows import (
+        tumbling_agg,
+    )
+
+    t = dt.datetime
+    d = str(tmp_path / "late_events")
+    schema = "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    batches = [
+        # batch 0: the 10:00 window's only on-time event
+        [(1, t(2024, 1, 1, 10, 15), "click", 1.0)],
+        # batch 1: advances the watermark to 13:00
+        [(2, t(2024, 1, 1, 14, 0), "click", 1.0)],
+        # batch 2: runs with watermark 13:00 → the 10:00 window is
+        # finalized (emitted + state evicted) at this batch's end
+        [(3, t(2024, 1, 1, 15, 0), "click", 1.0)],
+        # batch 3: a late arrival for the now-closed 10:00 window —
+        # its state is gone, the row must be dropped, not re-emitted
+        [(4, t(2024, 1, 1, 10, 30), "click", 1.0)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{d}/f={i}"
+        )
+        time.sleep(1.5)  # file-source orders batches by modification time
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/f=*")
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        tumbling_agg(stream)
+        .writeStream.format("memory")
+        .queryName("late_agg")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["window_start"].hour, r["n_events"])
+        for r in spark.table("late_agg").collect()
+    }
+    # the 10:00 window emitted exactly once, WITHOUT the late arrival
+    assert (10, 1) in rows, rows
+    assert (10, 2) not in rows, rows
