@@ -507,7 +507,10 @@ def run_file_dq(pdf, max_pairs: int | None = None) -> list[dict[str, Any]]:
                     else "Outliers within acceptable range",
                 }
             )
-        elif pd.api.types.is_string_dtype(pdf[col]):
+        elif pd.api.types.is_string_dtype(pdf[col]) or pdf[col].dtype == object:
+            # pandas ≥2 is_string_dtype no longer accepts plain object
+            # columns; the reference ran where object ⇒ string, so an
+            # object column must still get the rare-value rule
             value_counts = pdf[col].value_counts(normalize=True)
             rare = value_counts[value_counts < RARE_FREQ]
             result = 1.0 - float(rare.sum())

@@ -117,3 +117,42 @@ def test_approx_profile_within_tolerance(spark, sf_dir):
     for col, ex in exact.items():
         ap = approx[col]
         assert abs(ap - ex) <= max(0.06 * ex, 2), (col, ex, ap)
+
+
+def test_file_dq_engines_agree(spark):
+    """The pandas parity engine (run_file_dq) and the distributed
+    engine (run_file_dq_distributed) must produce the same
+    completeness / uniqueness / accuracy / consistency results on the
+    same data (validity intentionally differs: value-level vs
+    schema-level — SURVEY.md §2.10 note)."""
+    import pandas as pd
+
+    from data_pipelines_snowflake_procedures_spark.sources.discovery import (
+        run_file_dq_distributed,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "k": list(range(1, 21)),
+            "cat": ["a"] * 10 + ["b"] * 9 + [None],
+            "dep": ["x"] * 10 + ["y"] * 9 + ["x"],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    pandas_rules = {
+        (r["pillar"], r["column"]): round(float(r["result"]), 6)
+        for r in run_file_dq(pdf)
+        if r["pillar"] != "validity"
+    }
+    spark_rules = {
+        (r["pillar"], r["column"]): round(float(r["result"]), 6)
+        for r in run_file_dq_distributed(sdf)
+        if r["pillar"] != "validity"
+    }
+    assert pandas_rules.keys() == spark_rules.keys()
+    diffs = {
+        k: (pandas_rules[k], spark_rules[k])
+        for k in pandas_rules
+        if abs(pandas_rules[k] - spark_rules[k]) > 1e-9
+    }
+    assert not diffs, diffs

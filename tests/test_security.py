@@ -66,3 +66,31 @@ def test_detect_and_mask_full_table(spark):
     assert rows[1]["PII_MASKING_TYPE"] == "{'contact': 'EMAIL'}"
     # non-PII column untouched
     assert rows[2]["note"] == "words"
+
+
+def test_pii_masking_report_end_to_end(spark):
+    """PI4: full pipeline — detect, mask full table, publish
+    <table>_MASKED, and return the before/after report."""
+    import shutil
+
+    from data_pipelines_snowflake_procedures_spark.operators.security import (
+        pii_masking_report,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS pii_src_MASKED")
+    shutil.rmtree("spark-warehouse/pii_src_masked", ignore_errors=True)
+    df = spark.createDataFrame(
+        [(i, f"user{i}@mail.com", f"note {i}") for i in range(20)],
+        ["id", "email", "note"],
+    )
+    rep = pii_masking_report(spark, df, "pii_src")
+    assert rep["status"] == "SUCCESS"
+    assert rep["masked_table"] == "pii_src_MASKED"
+    assert rep["masked_columns"] == {"email": "EMAIL"}
+    assert "u***@mail.com" in rep["after_sample"]
+    published = spark.table("pii_src_MASKED")
+    assert published.count() == 20  # FULL table, not the sample
+    assert all(
+        r["email"].startswith("u***@") for r in published.limit(20).collect()
+    )
+    assert "PII_MASKING_TYPE" in published.columns
