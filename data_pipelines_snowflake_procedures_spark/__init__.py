@@ -31,6 +31,7 @@ __version__ = "0.2.0"
 # Public API: the procedure-equivalent entry points.
 from .operators.dq import run_file_dq, run_table_dq  # noqa: F401
 from .operators.profile import profile_table  # noqa: F401
+from .operators.report import table_report  # noqa: F401
 from .operators.scd import scd1_merge  # noqa: F401
 from .operators.security import apply_pii_masking, pii_masking_report  # noqa: F401
 from .pipelines.codegen import generate_code  # noqa: F401

@@ -70,3 +70,26 @@ def test_run_table_dq_with_related_tables(spark, sf_dir):
         related={"o_custkey": (half, "c_custkey")},
     )
     assert out2["dq_results"]["o_custkey"]["consistency"]["score"] < 1.0
+
+
+def test_table_report_composition(spark, sf_dir):
+    from data_pipelines_snowflake_procedures_spark.operators.report import (
+        table_report,
+    )
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rep = table_report(
+        orders,
+        "orders",
+        path=f"{sf_dir}/orders.parquet",
+        skew_columns=["o_orderpriority"],
+        now="1995-06-01 00:00:00",
+        related={"o_custkey": (customer, "c_custkey")},
+    )
+    assert rep["dq"]["table_score"] > 0
+    assert rep["dq"]["dq_results"]["o_custkey"]["consistency"]["score"] == 1.0
+    hh = rep["skew"]["o_orderpriority"]
+    assert len(hh) == 5 and abs(sum(r["share"] for r in hh) - 1.0) < 0.01
+    assert rep["storage"]["n_rows"] == orders.count()
