@@ -82,6 +82,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     is acceptable for the one nano-typed column in the harness.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Runtime-settable SQL conf: callers may hand us a vanilla session
+    # (the harness driver does), so set it at read time rather than
+    # relying on get_spark()'s builder-time config.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for field in _nano_timestamp_fields(path):
         df = df.withColumn(
