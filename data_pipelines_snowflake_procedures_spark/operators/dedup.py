@@ -193,11 +193,28 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
     )
-    exact = token_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    # Verify candidates only: join each candidate pair to the two
+    # documents' token SETS and intersect per pair. Cost is linear in
+    # (candidate pairs × doc size) — never the corpus-wide quadratic
+    # token-token self-join that token_jaccard_pairs(threshold=0.0)
+    # would materialize (Catalyst cannot push a candidate filter into
+    # that aggregate).
+    token_sets = doc_tokens(df, text_col, id_col, n).groupBy("id").agg(
+        F.collect_set("tok").alias("toks"), F.count("*").alias("sz")
+    )
+    ta = token_sets.select(
+        F.col("id").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("sz").alias("sz_a")
+    )
+    tb = token_sets.select(
+        F.col("id").alias("doc_b"), F.col("toks").alias("toks_b"), F.col("sz").alias("sz_b")
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])
+        candidates.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -354,6 +371,61 @@ def embedding_near_dup_pairs(
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot_product(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_blocked(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: str = "srp",
+) -> DataFrame:
+    """Embedding near-dup pairs, SRP-blocked — the 100 TB path.
+
+    Bucket every vector by its signed-random-projection signature
+    (2^n_planes buckets) and compute cosine only within buckets: the
+    self-join becomes a bucket equi-join, shrinking pair work
+    ~2^n_planes-fold. Recall < 1 by construction (a near-dup pair can
+    straddle a hyperplane), but for cosine ≥ 0.99 the two vectors
+    disagree on a plane with probability ≈ arccos(0.99)/π ≈ 4.5% per
+    plane; lower n_planes or multi-probe to push recall higher.
+
+    Output ``(id_a, id_b, cosine)`` — a subset of
+    :func:`embedding_near_dup_pairs` at the same threshold.
+    """
+    from .similarity import srp_bucket, srp_hyperplanes
+
+    planes = srp_hyperplanes(n_planes, dim, seed)
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).alias("emb"),
+        norm(F.col(emb_col)).alias("nrm"),
+        srp_bucket(F.col(emb_col), planes).alias("bucket"),
+    )
+    a = normed.select(
+        F.col("id").alias("id_a"), F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"), "bucket",
+    )
+    b = normed.select(
+        F.col("id").alias("id_b"), F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"), "bucket",
+    )
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",

@@ -240,25 +240,42 @@ def completeness_uniqueness_long(df: DataFrame) -> DataFrame:
     return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
-def zscore_accuracy_long(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def zscore_accuracy_long(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    stats: dict[str, tuple[float | None, float | None, int]] | None = None,
+) -> DataFrame:
     """Numeric accuracy: share of values within 3 sample-stddevs of the
     mean (Data_Discovery_File.sql:147-183). Two passes — one for
     mean/std/count, one counting outliers — both full aggregates, no
     per-column scans. ``result`` rounded to 6 for cross-engine hashing.
+
+    ``stats`` lets a caller that already profiled the table (e.g. the
+    file-DQ sweep's fused first pass) supply ``{col: (mean, std, n)}``
+    and skip the stats job entirely.
     """
     schema = {f.name: f.dataType for f in df.schema.fields}
     cols = cols or [c for c in df.columns if is_numeric(schema[c])]
-    stats_row = df.agg(
-        *[
-            agg
+    if stats is not None:
+        stats_row = {
+            k: v
             for c in cols
-            for agg in (
-                F.avg(c).alias(f"{c}__mean"),
-                F.stddev(c).alias(f"{c}__std"),
-                F.count(F.col(c)).alias(f"{c}__n"),
+            for k, v in zip(
+                (f"{c}__mean", f"{c}__std", f"{c}__n"), stats[c]
             )
-        ]
-    ).collect()[0]
+        }
+    else:
+        stats_row = df.agg(
+            *[
+                agg
+                for c in cols
+                for agg in (
+                    F.avg(c).alias(f"{c}__mean"),
+                    F.stddev(c).alias(f"{c}__std"),
+                    F.count(F.col(c)).alias(f"{c}__n"),
+                )
+            ]
+        ).collect()[0]
     outlier_aggs = []
     for c in cols:
         mean, std = stats_row[f"{c}__mean"], stats_row[f"{c}__std"]

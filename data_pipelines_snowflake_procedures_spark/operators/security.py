@@ -30,12 +30,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Detection order matters: first match wins, like the reference's
-#: detect_pii chain (Data_Security.sql:35-41).
+#: detect_pii chain (Data_Security.sql:35-41). Patterns are UNANCHORED
+#: substring matches like the reference's (values with embedded PII —
+#: "contact me at a@b.com" — must be detected), but use explicit
+#: ``(^|[^0-9])``-style boundary guards instead of ``\b`` so the exact
+#: same string runs identically under Java regex (Spark rlike), RE2
+#: (DuckDB regexp_matches), and Python ``re``. CREDIT_CARD accepts
+#: ``-``, space, or no separator (Data_Security.sql:17).
+#: Documented narrowing vs the reference: its PHONE pattern
+#: (Data_Security.sql:15) matches ANY 6-10 digit run (zip codes, order
+#: ids); ours requires 9-15 phone-shaped chars starting and ending in a
+#: digit. Like the reference, PHONE still matches aadhaar- and
+#: card-shaped digit runs, and first-match-wins classifies those as
+#: PHONE.
 PII_PATTERNS: dict[str, str] = {
-    "EMAIL": r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$",
-    "PHONE": r"^\+?[0-9][0-9 ()-]{8,14}$",
-    "AADHAAR": r"^[0-9]{4} [0-9]{4} [0-9]{4}$",
-    "CREDIT_CARD": r"^[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}$",
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"(^|[^0-9])\+?[0-9][0-9 ()-]{7,13}[0-9]([^0-9]|$)",
+    "AADHAAR": r"(^|[^0-9])[0-9]{4} [0-9]{4} [0-9]{4}([^0-9]|$)",
+    "CREDIT_CARD": r"(^|[^0-9])[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}([^0-9]|$)",
 }
 
 #: Rows sampled per table and values tested per column during
@@ -169,6 +181,18 @@ def pii_masking_report(
     masked, pii_info = apply_pii_masking(df, sample_rows=sample_rows)
     masked_name = f"{table_name}_MASKED"
     if save:
+        spark.sql(f"DROP TABLE IF EXISTS `{masked_name}`")
+        # A previous SESSION's overwrite can leave an orphan managed
+        # location this session's fresh catalog doesn't know about;
+        # overwrite would then fail with LOCATION_ALREADY_EXISTS.
+        import os
+        import shutil
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        local = warehouse.removeprefix("file:")
+        loc = os.path.join(local, masked_name.lower())
+        if local.startswith("/") and os.path.isdir(loc):
+            shutil.rmtree(loc)
         masked.write.mode("overwrite").saveAsTable(masked_name)
     before = df.limit(5).toPandas()
     after = masked.limit(5).toPandas()

@@ -636,6 +636,38 @@ def pii_detect_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+@register(
+    "pii_masking_report_customer",
+    None,  # publish + markdown-diff side effects → rows-only check
+    doc="PI4 end-to-end (Data_Security.sql:68-86): detect → mask full "
+    "table → publish <table>_MASKED (managed overwrite) → markdown "
+    "before/after diff report. Registry surface returns one row per "
+    "masked column (column_name, pii_types, report status, non-empty "
+    "previews) so the driver exercises the publish path; the report "
+    "content itself is asserted in tests/test_security.py.",
+)
+def pii_masking_report_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.security import pii_masking_report
+
+    d = _pii_derived_df(spark, sf_dir)
+    report = pii_masking_report(spark, d, "PII_DEMO_CUSTOMER", save=True)
+    rows = [
+        (
+            col,
+            types,
+            report["status"],
+            report["masked_table"],
+            bool(report["before_sample"]) and bool(report["after_sample"]),
+        )
+        for col, types in sorted(report["masked_columns"].items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column_name STRING, pii_types STRING, status STRING, "
+        "masked_table STRING, has_previews BOOLEAN",
+    )
+
+
 # --------------------------------------------------------------------------
 # SCD1 incremental merge (SURVEY.md §2.12 G1, §2.5 W1, §2.3 J4)
 # --------------------------------------------------------------------------

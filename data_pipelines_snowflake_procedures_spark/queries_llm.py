@@ -521,6 +521,55 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _srp_bucket_sql(emb_expr: str, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB expression for the SRP bucket of a double-array column —
+    restates operators/similarity.srp_bucket so the blocking rule
+    itself is oracle-checked, not just the final cosines."""
+    from .operators.similarity import srp_hyperplanes
+
+    terms = []
+    for p, plane in enumerate(srp_hyperplanes(n_planes, dim)):
+        w = "[" + ", ".join(f"{float(x)}" for x in plane) + "]"
+        dot = (
+            f"list_aggregate([{emb_expr}[i] * ({w})[i] "
+            f"FOR i IN range(1, {dim + 1})], 'sum')"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {2**p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _embedding_near_dup_blocked_oracle() -> str:
+    return f"""
+    WITH {_EMB_CORPUS_SQL},
+    bucketed AS (
+      SELECT vec_id, emb, nrm, {_srp_bucket_sql("emb")} AS bucket FROM normed
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_PAIR_COSINE_SQL} AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_PAIR_COSINE_SQL} >= 0.99
+    """
+
+
+@register(
+    "embedding_near_dup_blocked",
+    _embedding_near_dup_blocked_oracle(),
+    doc="Embedding-cosine near-dup pairs (≥0.99), SRP-blocked — the "
+    "scale path for the exact query above. Vectors are bucketed by an "
+    "8-plane signed-random-projection signature (256 buckets) and "
+    "cosine runs only within buckets, so pair work shrinks "
+    "~256-fold; recall < 1 by construction (≈4.5%/plane straddle "
+    "probability at cosine 0.99). The oracle restates the bucket rule "
+    "in SQL, so the blocking itself is verified.",
+)
+def embedding_near_dup_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import embedding_near_dup_blocked
+
+    return embedding_near_dup_blocked(
+        _emb_corpus_df(spark, sf_dir), threshold=0.99, n_planes=8, dim=64
+    )
+
+
 _KNN_ORACLE = """
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qe,

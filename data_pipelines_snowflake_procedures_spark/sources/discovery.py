@@ -152,35 +152,51 @@ def run_file_dq_distributed(
     """Five-pillar DQ sweep on a Spark DataFrame, returning the
     reference's flat rule-record shape (Data_Discovery_File.sql:217-313)
     from the distributed rule engines — four aggregate-style jobs total
-    regardless of column count.
+    regardless of column count: one fused profiling pass serving both
+    completeness/uniqueness AND the z-score mean/std stats (they scan
+    the same rows), one outlier-count pass, one rare-value pass, one
+    FD pass.
 
     Validity is schema-level here: a typed DataFrame column cannot hold
     mixed types, so a column is valid iff its type maps into the
     palette (VARIANT → failed, mirroring the reference's "values must
     match the inferred type" intent on data Spark could not type).
     """
+    from decimal import ROUND_HALF_UP, Decimal
+
     from ..operators.dq import (
         PASS_THRESHOLD,
-        completeness_uniqueness_long,
         fd_consistency_long,
         rare_value_accuracy_long,
         zscore_accuracy_long,
     )
-    from ..operators.profile import is_numeric
+    from ..operators.profile import is_numeric, profile_aggregates
+
+    def _round6(x: float) -> float:
+        # Spark's round() is HALF_UP; Python's round() is banker's —
+        # match Spark so driver-side records agree with the engines.
+        return float(Decimal(str(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
     results: list[dict[str, Any]] = []
     schema = {f.name: f.dataType for f in df.schema.fields}
+    cols = df.columns
 
-    for row in completeness_uniqueness_long(df).collect():
-        results.append(
-            {
-                "pillar": row["pillar"],
-                "column": row["column_name"],
-                "result": float(row["result"]),
-                "rule": f"{row['pillar'].capitalize()} of {row['column_name']}",
-                "status": row["status"],
-            }
-        )
+    # Job 1 (fused): null/distinct counts + numeric mean/std in ONE pass.
+    prow = df.agg(*profile_aggregates(df, cols)).collect()[0]
+    total = float(max(int(prow["count_all"]), 1))
+    for c in cols:
+        completeness = (prow["count_all"] - prow[f"{c}__count_nulls"]) / total
+        uniqueness = prow[f"{c}__count_distinct"] / total
+        for pillar, result in (("completeness", completeness), ("uniqueness", uniqueness)):
+            results.append(
+                {
+                    "pillar": pillar,
+                    "column": c,
+                    "result": _round6(result),
+                    "rule": f"{pillar.capitalize()} of {c}",
+                    "status": "passed" if result >= PASS_THRESHOLD else "failed",
+                }
+            )
     for col, dtype in schema.items():
         valid = map_type_to_palette(dtype) != "VARIANT"
         results.append(
@@ -194,7 +210,16 @@ def run_file_dq_distributed(
         )
     numeric_cols = [c for c, t in schema.items() if is_numeric(t)]
     if numeric_cols:
-        for row in zscore_accuracy_long(df, numeric_cols).collect():
+        stats = {
+            c: (
+                prow[f"{c}__avg"],
+                prow[f"{c}__stddev"],
+                int(prow["count_all"]) - int(prow[f"{c}__count_nulls"]),
+            )
+            for c in numeric_cols
+        }
+        # Job 2: outlier counting only — the stats job is fused above.
+        for row in zscore_accuracy_long(df, numeric_cols, stats=stats).collect():
             results.append(
                 {
                     "pillar": "accuracy",

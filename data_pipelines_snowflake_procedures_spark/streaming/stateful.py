@@ -43,34 +43,49 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _update_user_totals(
-    key: tuple[Any, ...],
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Fold this micro-batch's rows for one user into persisted
-    (count, total) state and emit the updated running totals."""
-    if state.hasTimedOut:
-        state.remove()
-        return
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
-    )
+#: Idle keys expire after this much processing time without new events
+#: (overridable via running_user_totals); bounds state to O(active keys).
+DEFAULT_IDLE_TIMEOUT_MS = 10 * 60 * 1000
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
+def _make_update_user_totals(idle_timeout_ms: int):
+    def _update_user_totals(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Fold this micro-batch's rows for one user into persisted
+        (count, total) state and emit the updated running totals."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        # Without registering a duration, ProcessingTimeTimeout never
+        # fires and idle-key state grows unboundedly; re-arm on every
+        # update so the clock measures idleness, not key age.
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return _update_user_totals
+
+
+def running_user_totals(
+    events: DataFrame, idle_timeout_ms: int = DEFAULT_IDLE_TIMEOUT_MS
+) -> DataFrame:
     """Attach the stateful running-total operator to a (streaming or
-    batch-test) events DataFrame grouped by user."""
+    batch-test) events DataFrame grouped by user. ``idle_timeout_ms``
+    controls when an idle user's state is dropped."""
     return (
         events.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update_user_totals,
+            _make_update_user_totals(idle_timeout_ms),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",

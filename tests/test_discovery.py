@@ -110,6 +110,90 @@ def test_discover_failure_envelope(spark):
     assert "error" in out
 
 
+def test_file_dq_action_count(spark, sample_files, monkeypatch):
+    """The sweep must run exactly 4 collect actions regardless of
+    column count: fused profile (completeness/uniqueness + z-score
+    stats in ONE pass), outlier count, rare-value, FD — the unfused
+    version ran 5. (Raw Spark job ids are no proxy here: AQE
+    materializes one job per stage, so the count is counted at the
+    action boundary.)"""
+    from data_pipelines_snowflake_procedures_spark.sources.discovery import (
+        run_file_dq_distributed,
+    )
+
+    df = read_any(spark, sample_files["csv"])
+    # patch the CONCRETE class (pyspark 4 classic subclasses the
+    # pyspark.sql.DataFrame ABC and overrides collect)
+    cls = type(df)
+    real_collect = cls.collect
+    calls = []
+
+    def counting_collect(self):
+        calls.append(1)
+        return real_collect(self)
+
+    monkeypatch.setattr(cls, "collect", counting_collect)
+    run_file_dq_distributed(df)
+    assert len(calls) == 4, f"file-DQ sweep ran {len(calls)} actions, expected 4"
+
+
+def test_excel_dispatch_with_stub_engine(spark, monkeypatch, tmp_path):
+    """S2 routing (Data_Discovery_File.sql:325-341): .xlsx dispatches to
+    pandas read_excel and the frame promotes through the palette type
+    mapping — exercised with a stubbed engine since the container lacks
+    openpyxl."""
+    import pandas as pd
+
+    fake = pd.DataFrame({"id": [1, 2, 3], "name": ["a", "b", "c"], "score": [0.5, 1.5, 2.5]})
+    seen = {}
+
+    def fake_read_excel(path, *a, **k):
+        seen["path"] = path
+        return fake
+
+    monkeypatch.setattr(pd, "read_excel", fake_read_excel)
+    xlsx = tmp_path / "book.xlsx"
+    xlsx.write_bytes(b"PK\x03\x04stub")
+    df = read_any(spark, str(xlsx))
+    assert seen["path"] == str(xlsx)
+    assert df.count() == 3
+    meta = file_metadata(str(xlsx), df)
+    types = {c["column_name"]: c["type"] for c in meta["columns"]}
+    assert types == {"id": "NUMBER", "name": "VARCHAR", "score": "FLOAT"}
+
+
+def test_xml_dispatch_with_stub_engine(spark, monkeypatch, tmp_path):
+    """S4 routing: .xml dispatches to pandas read_xml (stubbed — no
+    lxml in the container) and promotes to a typed DataFrame."""
+    import pandas as pd
+
+    fake = pd.DataFrame({"tag": ["x", "y"], "val": [10, 20]})
+    monkeypatch.setattr(pd, "read_xml", lambda path, *a, **k: fake, raising=False)
+    xml = tmp_path / "doc.xml"
+    xml.write_text("<root/>")
+    df = read_any(spark, str(xml))
+    assert df.count() == 2
+    assert {f.name: map_type_to_palette(f.dataType) for f in df.schema.fields} == {
+        "tag": "VARCHAR",
+        "val": "NUMBER",
+    }
+
+
+def test_excel_import_gate_raises(spark, monkeypatch, tmp_path):
+    """Without the optional engine, the gate surfaces
+    NotImplementedError (not a raw ImportError)."""
+    import pandas as pd
+
+    def boom(path, *a, **k):
+        raise ImportError("Missing optional dependency 'openpyxl'")
+
+    monkeypatch.setattr(pd, "read_excel", boom)
+    xlsx = tmp_path / "book.xlsx"
+    xlsx.write_bytes(b"PK\x03\x04stub")
+    with pytest.raises(NotImplementedError, match="openpyxl"):
+        read_any(spark, str(xlsx))
+
+
 def test_write_any_round_trip(spark, sf_dir, tmp_path):
     from data_pipelines_snowflake_procedures_spark.sources.discovery import (
         write_any,

@@ -61,6 +61,22 @@ def test_jaccard_and_lsh_agree_on_identical_docs(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in lsh} == {(1, 2)}
 
 
+def test_lsh_plan_has_no_token_self_join(spark):
+    """Scale regression (VERDICT r1 #2): minhash_lsh_pairs must verify
+    candidates by joining candidate PAIRS to per-doc token sets — never
+    by materializing the corpus-wide token-token self-join
+    (token_jaccard_pairs at threshold 0). The old plan contained a join
+    keyed on tok = tok; the fixed plan intersects collected token
+    arrays, so no join condition mentions tok."""
+    import re
+
+    plan = minhash_lsh_pairs(_docs(spark))._jdf.queryExecution().optimizedPlan().toString()
+    assert not re.search(r"tok#\d+L? = tok#\d+", plan), (
+        "unfiltered token-token self-join is back in the LSH plan"
+    )
+    assert "array_intersect" in plan
+
+
 def _vectors(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),

@@ -20,8 +20,15 @@ from data_pipelines_snowflake_procedures_spark.operators.security import (
         ("9876543210", "PHONE"),
         ("+1 415 555 0000", "PHONE"),
         ("1234 5678 9012", "PHONE"),  # aadhaar shape also matches PHONE first
-        ("1234-5678-9012-3456", "CREDIT_CARD"),
+        # card shapes also match PHONE first under first-match-wins —
+        # same as the reference's loose PHONE pattern (Data_Security.sql:15)
+        ("1234-5678-9012-3456", "PHONE"),
+        ("contact me at a@b.com please", "EMAIL"),  # embedded PII detected
+        # 16 contiguous digits exceed PHONE's 9-15 char window and fall
+        # through to the separator-optional CREDIT_CARD pattern
+        ("card 1234567890123456 on file", "CREDIT_CARD"),
         ("not pii", None),
+        ("street 42", None),  # short digit runs are not phones
         (42, None),
         (None, None),
     ],
