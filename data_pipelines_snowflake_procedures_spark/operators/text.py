@@ -170,6 +170,97 @@ def min_shingle_fingerprint(col: str | Column, n: int = 3) -> Column:
     ).otherwise(F.md5(F.lit("")))
 
 
+def _nonempty_lines(c: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
+def _nonempty_tokens(c: Column) -> Column:
+    return F.filter(tokens(c), lambda t: t != "")
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, one narrow projection:
+
+    * ``dup_line_frac`` — fraction of non-empty lines that are repeats
+      of another line (1 - distinct/total).
+    * ``dup_line_char_frac`` — fraction of line characters living in
+      lines that occur more than once.
+    * ``top_bigram_frac`` — fraction of token bigrams taken by the
+      most frequent bigram.
+
+    Boilerplate-heavy and template-generated pages score high on all
+    three; the standard pretraining filter drops documents above
+    thresholds (e.g. dup_line_frac > 0.3, top_bigram_frac > 0.2).
+
+    All signals are per-document array expressions (no shuffle, no
+    UDF). The within-document counting is O(L²)/O(B²) in lines/bigrams
+    per document — fine for web-page-sized docs; cap pathological
+    documents with ``F.slice`` upstream if a corpus has multi-MB texts.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = _nonempty_lines(c)
+    toks = _nonempty_tokens(c)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    line_chars = F.aggregate(
+        F.transform(lines, lambda l: F.length(l)), F.lit(0), lambda a, x: a + x
+    )
+    dup_line_chars = F.aggregate(
+        F.transform(
+            F.filter(
+                lines,
+                lambda l: F.size(F.filter(lines, lambda x: x == l)) > 1,
+            ),
+            lambda l: F.length(l),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    top_bigram_n = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+        )
+    )
+    return df.select(
+        id_col,
+        F.size(lines).cast("long").alias("n_lines"),
+        F.when(
+            F.size(lines) > 0,
+            F.round(
+                1.0 - F.size(F.array_distinct(lines)).cast("double")
+                / F.size(lines).cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(
+            line_chars > 0,
+            F.round(
+                F.coalesce(dup_line_chars, F.lit(0)).cast("double")
+                / line_chars.cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+        F.when(
+            F.size(bigrams) > 0,
+            F.round(
+                top_bigram_n.cast("double") / F.size(bigrams).cast("double"), 6
+            ),
+        ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document text profile: counts, ratios, quality,
     language, fingerprints — a single narrow projection. NULL text

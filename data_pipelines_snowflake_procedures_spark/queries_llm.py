@@ -45,10 +45,12 @@ def _sql_stopword_hits(words: list[str]) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _text_profile_oracle() -> str:
-    from .operators.text import LANG_STOPWORDS, QUALITY_STOPWORDS
+def _quality_sql() -> str:
+    """DuckDB expression for the 4-gate quality score of column
+    ``text`` — shared by the profile, clean-corpus, and budget
+    oracles."""
+    from .operators.text import QUALITY_STOPWORDS
 
-    h = {lang: _sql_stopword_hits(ws) for lang, ws in LANG_STOPWORDS.items()}
     mean_tok = (
         f"(list_aggregate(list_transform({_TOKS}, t -> len(t)), 'sum')::DOUBLE"
         f" / len({_TOKS}))"
@@ -64,16 +66,40 @@ def _text_profile_oracle() -> str:
         f"({_sql_stopword_hits(QUALITY_STOPWORDS)} >= 1)",
         f"({punct} <= 0.2)",
     ]
-    quality = (
+    return (
         "(" + " + ".join(f"CASE WHEN {i} THEN 1 ELSE 0 END" for i in indicators)
         + ")::DOUBLE / 4"
     )
-    lang = f"""CASE
+
+
+def _lang_sql() -> str:
+    """DuckDB expression for the stopword-argmax language of ``text``."""
+    from .operators.text import LANG_STOPWORDS
+
+    h = {lang: _sql_stopword_hits(ws) for lang, ws in LANG_STOPWORDS.items()}
+    return f"""CASE
         WHEN {h["en"]} = 0 AND {h["es"]} = 0 AND {h["fr"]} = 0 AND {h["de"]} = 0 THEN 'und'
         WHEN {h["en"]} >= {h["es"]} AND {h["en"]} >= {h["fr"]} AND {h["en"]} >= {h["de"]} THEN 'en'
         WHEN {h["es"]} >= {h["fr"]} AND {h["es"]} >= {h["de"]} THEN 'es'
         WHEN {h["fr"]} >= {h["de"]} THEN 'fr'
         ELSE 'de' END"""
+
+
+_FP_SQL = f"md5(array_to_string({_TOKS}, ' '))"
+
+
+def _text_profile_oracle() -> str:
+    mean_tok = (
+        f"(list_aggregate(list_transform({_TOKS}, t -> len(t)), 'sum')::DOUBLE"
+        f" / len({_TOKS}))"
+    )
+    punct = (
+        "(CASE WHEN length(text) > 0 THEN "
+        r"length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE"
+        " / length(text) ELSE 0.0 END)"
+    )
+    quality = _quality_sql()
+    lang = _lang_sql()
     shingle3 = (
         f"list_distinct(list_transform(range(1, len({_TOKS}) - 1), "
         f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))"
@@ -92,7 +118,7 @@ def _text_profile_oracle() -> str:
            round({punct}, 4) AS punct_ratio,
            round({quality}, 2) AS quality_score,
            {lang} AS detected_lang,
-           md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
+           {_FP_SQL} AS fingerprint,
            {min_fp} AS min_shingle_fp
     FROM documents
     """
@@ -451,6 +477,144 @@ def tfidf_cosine_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     return tfidf_cosine_pairs(docs, threshold=0.85)
+
+
+_REPETITION_ORACLE = r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || chr(10) || text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    base AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                        l -> trim(l)), l -> l <> '') AS lines,
+             list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                         t -> t <> '') AS toks
+      FROM corpus
+    ),
+    bi AS (
+      SELECT doc_id, lines,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE [] END AS bigrams
+      FROM base
+    )
+    SELECT doc_id,
+      len(lines) AS n_lines,
+      CASE WHEN len(lines) > 0
+           THEN round(1.0 - len(list_distinct(lines))::DOUBLE / len(lines), 6)
+           ELSE 0.0 END AS dup_line_frac,
+      CASE WHEN list_aggregate(list_transform(lines, l -> len(l)), 'sum') > 0
+           THEN round(coalesce(list_aggregate(list_transform(
+                    list_filter(lines, l -> len(list_filter(lines, x -> x = l)) > 1),
+                    l -> len(l)), 'sum'), 0)::DOUBLE
+                / list_aggregate(list_transform(lines, l -> len(l)), 'sum'), 6)
+           ELSE 0.0 END AS dup_line_char_frac,
+      CASE WHEN len(bigrams) > 0
+           THEN round(list_aggregate(list_transform(list_distinct(bigrams),
+                    b -> len(list_filter(bigrams, x -> x = b))), 'max')::DOUBLE
+                / len(bigrams), 6)
+           ELSE 0.0 END AS top_bigram_frac
+    FROM bi
+"""
+
+
+@register(
+    "text_repetition_documents",
+    _REPETITION_ORACLE,
+    doc="Gopher-style repetition quality signals (duplicate-line "
+    "fraction, duplicate-line char fraction, top-bigram fraction) over "
+    "the documents corpus plus planted two-line duplicates — the "
+    "standard boilerplate/template filter for pretraining corpora. One "
+    "narrow array-expression projection per document: no shuffle, no "
+    "UDF; within-document counting is O(lines² + bigrams²), bounded by "
+    "page-sized docs (cap with F.slice for multi-MB outliers).",
+)
+def text_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws("\n", F.col("text"), F.col("text")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    return repetition_signals(corpus)
+
+
+def _corpus_clean_oracle() -> str:
+    return f"""
+    WITH corpus AS ({_DEDUP_CORPUS_SQL}),
+    scored AS (
+      SELECT doc_id, text,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens_ws,
+             round({_quality_sql()}, 2) AS quality_score,
+             {_lang_sql()} AS detected_lang,
+             {_FP_SQL} AS fingerprint
+      FROM corpus
+    )
+    SELECT doc_id, text, n_tokens_ws, quality_score, detected_lang, fingerprint
+    FROM scored
+    WHERE quality_score >= 0.75 AND detected_lang = 'en'
+    QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+    """
+
+
+@register(
+    "corpus_clean_documents",
+    _corpus_clean_oracle(),
+    doc="The C4-style corpus-preparation pipeline in ONE plan: quality "
+    "gate (4-indicator score >= 0.75) + language filter (en) + exact "
+    "dedup (min-id per content fingerprint), over documents with "
+    "planted duplicates. One narrow projection computes every signal, "
+    "the filter prunes BEFORE the only shuffle (dedup window) — at "
+    "100 TB filtering-then-shuffling is the difference between "
+    "shuffling the full corpus and a quarter of it.",
+)
+def corpus_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import clean_corpus
+
+    return clean_corpus(_dedup_corpus_df(spark, sf_dir))
+
+
+@register(
+    "corpus_token_budget",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens_ws,
+             round({_quality_sql()}, 2) AS quality_score,
+             {_lang_sql()} AS detected_lang,
+             {_FP_SQL} AS fingerprint
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE quality_score >= 0.5
+      QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+    )
+    SELECT detected_lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens_ws) AS BIGINT) AS total_tokens,
+           round(avg(quality_score), 4) AS avg_quality
+    FROM kept GROUP BY detected_lang, source
+    """,
+    doc="Token-budget report: tokens/docs per (language x source) "
+    "after cleaning — the sampling-weight input for composing a "
+    "training mix. One aggregate over the cleaned frame; group keys "
+    "are low-cardinality so partial aggregation does the work "
+    "map-side.",
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import clean_corpus, token_budget
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    cleaned = clean_corpus(
+        docs, min_quality=0.5, languages=("en", "es", "fr", "de", "und")
+    )
+    return token_budget(cleaned, group_cols=("detected_lang", "source"))
 
 
 # ---------------------------------------------------------------------------

@@ -88,6 +88,11 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         return df
     if ext == "parquet":
         return spark.read.parquet(path)
+    if ext == "orc":
+        return spark.read.orc(path)
+    if ext in ("txt", "text"):
+        # one row per line, column "value" — the raw-corpus entry point
+        return spark.read.text(path)
     if ext in ("xls", "xlsx"):
         import pandas as pd  # driver-side: Excel is a small-file format
 
@@ -113,9 +118,10 @@ def write_any(
     df: DataFrame, path: str, fmt: str | None = None, mode: str = "overwrite"
 ) -> None:
     """S1-S5 write-side counterpart of :func:`read_any`: csv (with
-    header), json (ndjson), parquet — distributed writers; Excel/XML
-    are read-only formats here (nothing at 100 TB should be written as
-    either; export small results via ``.toPandas().to_excel``)."""
+    header), json (ndjson), parquet, orc, text — distributed writers;
+    Excel/XML are read-only formats here (nothing at 100 TB should be
+    written as either; export small results via
+    ``.toPandas().to_excel``)."""
     ext = (fmt or os.path.splitext(path)[1].lstrip(".")).lower()
     if ext == "csv":
         df.write.mode(mode).option("header", True).csv(path)
@@ -125,6 +131,12 @@ def write_any(
         return
     if ext == "parquet":
         df.write.mode(mode).parquet(path)
+        return
+    if ext == "orc":
+        df.write.mode(mode).orc(path)
+        return
+    if ext in ("txt", "text"):
+        df.write.mode(mode).text(path)  # single string column required
         return
     raise ValueError(f"Unsupported write format: {ext!r} ({path})")
 

@@ -201,11 +201,17 @@ def test_write_any_round_trip(spark, sf_dir, tmp_path):
     from data_pipelines_snowflake_procedures_spark.session import load_table
 
     src = load_table(spark, sf_dir, "region")
-    for fmt in ("csv", "json", "parquet"):
+    for fmt in ("csv", "json", "parquet", "orc"):
         path = str(tmp_path / f"out_{fmt}")
         write_any(src, path, fmt=fmt)
         back = read_any(spark, path, fmt=fmt)
         assert back.count() == 5
         assert set(back.columns) == set(src.columns)
+    # text: one string column in, "value" column out (raw-corpus path)
+    txt = str(tmp_path / "out_txt")
+    write_any(src.select("r_name"), txt, fmt="txt")
+    back = read_any(spark, txt, fmt="txt")
+    assert back.count() == 5
+    assert back.columns == ["value"]
     with pytest.raises(ValueError, match="Unsupported write"):
         write_any(src, str(tmp_path / "x.avro"))
