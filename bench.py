@@ -36,9 +36,13 @@ HEADLINE = [
     "scd2_merge_orders",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
+    "text_repetition_documents",
+    "corpus_clean_documents",
     "dedup_exact_documents",
+    "dedup_minhash_lsh_documents",
     "dedup_simhash_documents",
     "knn_bruteforce_embeddings",
+    "embedding_near_dup_blocked",
     # event-time windows + pandas surface
     "events_hourly_by_type",
     "events_sessions_user",

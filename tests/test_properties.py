@@ -96,7 +96,11 @@ def test_phone_mask_keeps_only_last4(phone):
 @given(st.from_regex(r"[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}", fullmatch=True))
 @settings(max_examples=100, deadline=None)
 def test_card_mask_keeps_only_last4(card):
-    assert detect_pii_types(card) == "CREDIT_CARD"
+    # dash-separated cards hit the (looser) PHONE pattern first, same
+    # as the reference's first-match-wins chain (Data_Security.sql:15);
+    # 16 contiguous digits fall through to CREDIT_CARD
+    assert detect_pii_types(card) == "PHONE"
+    assert detect_pii_types(card.replace("-", "")) == "CREDIT_CARD"
     masked = mask_value(card, "CREDIT_CARD")
     assert masked == "XXXX-XXXX-XXXX-" + card[-4:]
     assert card[:4] not in masked or card[:4] == card[-4:]

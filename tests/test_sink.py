@@ -51,6 +51,36 @@ def test_bucketed_table_join_has_no_exchange(spark, sf_dir):
     assert joined.count() > 0
 
 
+def test_bucketed_join_no_shuffle_with_smj_forced(spark, sf_dir):
+    """Same join with broadcast disabled: co-location (not a broadcast)
+    must be what removes the shuffle — and the identical unbucketed
+    join must still shuffle (control for the assertion primitive)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+
+        # groupBy on the bucket key also reuses the bucketed distribution
+        agg = spark.table("orders_b").groupBy("o_custkey").agg(F.count("*").alias("n"))
+        assert "Exchange" not in agg._jdf.queryExecution().executedPlan().toString()
+
+        # control uses unlimited scans: a limit() collapses both sides
+        # to SinglePartition and no hash exchange would be needed
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+            "c_custkey", "o_custkey"
+        )
+        control = orders.join(cust, "o_custkey")
+        assert "Exchange hashpartitioning" in (
+            control._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_table_storage_report(sf_dir, tmp_path, spark):
     from data_pipelines_snowflake_procedures_spark.sources.sink import (
         table_storage_report,
