@@ -70,6 +70,93 @@ def clean_corpus(
     )
 
 
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash.
+
+    Each id hash-buckets into [0, 1e6) via md5(seed|id); cumulative
+    weight thresholds carve the bucket space. Pure function of
+    (seed, id): re-runs, retries, and other engines agree on every
+    row's split — the property that makes a 100 TB split reproducible
+    without materializing an assignment table. Changing ``seed``
+    resamples; adding documents never reassigns existing ones.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = h % F.lit(1000000)
+    names = list(weights)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = bucket < int(round(cum * 1000000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+    )
+    return df.withColumn(split_col, expr)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window packing step of a training pipeline.
+
+    Output ``(id, chunk_id, chunk_text, n_tokens)``: chunk i covers
+    tokens ``[i*(chunk_tokens-overlap), +chunk_tokens)``; the final
+    chunk may be short. Documents with no tokens produce no chunks.
+
+    Pure per-row explode (narrow, no shuffle): at 100 TB this is a
+    map-only stage whose output is larger than its input by
+    ~overlap/chunk_tokens — the only operator here that grows data, so
+    run it AFTER filtering/dedup, never before.
+    """
+    from .text import tokens
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(tokens(c), lambda t: t != "")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(toks, s, chunk_tokens)).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.size(toks) - s + 1
+            ).cast("long").alias("n_tokens"),
+        ),
+    )
+    return (
+        df.select(id_col, F.posexplode(chunks).alias("chunk_id", "c"))
+        .filter(F.col("c.n_tokens") > 0)
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
+    )
+
+
 def token_budget(
     cleaned: DataFrame,
     group_cols: Sequence[str] = ("detected_lang",),

@@ -617,6 +617,72 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget(cleaned, group_cols=("detected_lang", "source"))
 
 
+@register(
+    "corpus_split_documents",
+    """
+    SELECT doc_id,
+           CASE
+             WHEN ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000000 < 900000 THEN 'train'
+             WHEN ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000000 < 950000 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+    doc="Deterministic 90/5/5 train/val/test assignment by id hash "
+    "(md5-bucket into [0,1e6), cumulative thresholds). Pure function "
+    "of (seed, id): retries, re-runs, and other engines agree row-"
+    "for-row, and adding documents never reassigns existing ones — "
+    "the reproducibility property a 100 TB split needs. Narrow "
+    "projection, no shuffle.",
+)
+def corpus_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import assign_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return assign_split(docs)
+
+
+_CHUNK_TOKENS = 32
+_CHUNK_OVERLAP = 8
+
+
+@register(
+    "corpus_chunk_documents",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE doc_id < 100
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             range(1, greatest(len(toks), 1) + 1, {_CHUNK_TOKENS - _CHUNK_OVERLAP}) AS ss
+      FROM base
+    )
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
+           array_to_string(toks[ss[i] : ss[i] + {_CHUNK_TOKENS - 1}], ' ') AS chunk_text,
+           CAST(least({_CHUNK_TOKENS}, len(toks) - ss[i] + 1) AS BIGINT) AS n_tokens
+    FROM starts, unnest(range(1, len(ss) + 1)) AS u(i)
+    WHERE len(toks) - ss[i] + 1 > 0
+    """,
+    doc="Context-window packing: overlapping token chunks "
+    f"({_CHUNK_TOKENS}-token windows, {_CHUNK_OVERLAP}-token overlap) "
+    "per document. Pure per-row explode — a map-only narrow stage; the "
+    "one operator that GROWS data (~overlap/chunk ratio), so it runs "
+    "after filter/dedup in the pipeline, never before.",
+)
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding near-dup + similarity search
 # ---------------------------------------------------------------------------
