@@ -145,6 +145,40 @@ def ivf_assign(
     )
 
 
+def ivf_assign_multi(
+    df: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Assign every vector to its ``nprobe`` highest-cosine centroids
+    (one output row per (vector, probed cell)). The recall lever for
+    IVF search: querying the 2nd/3rd-closest cells recovers neighbors
+    that sit just across a cell boundary, at nprobe× the scan cost.
+    Same broadcast + window shape as :func:`ivf_assign`."""
+    cents = centroids.select(
+        F.col(centroid_id), F.col(emb_col).alias("__c_emb"),
+        norm(F.col(emb_col)).alias("__c_nrm"),
+    )
+    scored = (
+        df.withColumn("__v_nrm", norm(F.col(emb_col)))
+        .join(F.broadcast(cents))
+        .withColumn(
+            "__sim",
+            dot_product(F.col(emb_col), F.col("__c_emb"))
+            / (F.col("__v_nrm") * F.col("__c_nrm")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc(centroid_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .drop("__c_emb", "__c_nrm", "__v_nrm", "__sim", "__rn")
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -152,15 +186,17 @@ def knn_ivf(
     k: int = 5,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF approximate top-k: quantize corpus and queries to their
-    nearest centroid, then search only the query's cell (nprobe=1).
+    """IVF approximate top-k: quantize corpus vectors to their nearest
+    centroid, then search the query's ``nprobe`` closest cells.
     Same output shape as :func:`knn_bruteforce`; recall < 1 when a true
-    neighbor lives in a different cell. At scale the corpus is
-    pre-partitioned (and pre-written bucketed) by centroid_id, so a
-    query touches ~1/k of the data."""
+    neighbor lives outside the probed cells — raise ``nprobe`` to trade
+    scan cost for recall. At scale the corpus is pre-partitioned (and
+    pre-written bucketed) by centroid_id, so a query touches
+    ~nprobe/k_cells of the data."""
     c_assigned = ivf_assign(corpus, centroids, emb_col, id_col)
-    q_assigned = ivf_assign(queries, centroids, emb_col, id_col)
+    q_assigned = ivf_assign_multi(queries, centroids, nprobe, emb_col, id_col)
     q = q_assigned.select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),

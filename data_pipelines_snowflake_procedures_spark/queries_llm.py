@@ -957,6 +957,70 @@ def knn_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf(emb, queries, centroids, k=5)
 
 
+def _knn_ivf_nprobe_oracle() -> str:
+    dotp = (
+        "list_aggregate([{a}[i]::DOUBLE * {b}[i]::DOUBLE "
+        "FOR i IN range(1, len({a}) + 1)], 'sum')"
+    )
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS ce,
+             sqrt({dotp.format(a="embedding", b="embedding")}) AS cn
+      FROM embeddings WHERE vec_id < 8
+    ),
+    v AS (
+      SELECT vec_id, embedding,
+             sqrt({dotp.format(a="embedding", b="embedding")}) AS vn
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT v.vec_id, v.embedding, v.vn, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY ({dotp.format(a="v.embedding", b="c.ce")} / (v.vn * c.cn)) DESC,
+                        c.centroid_id
+             ) AS rn
+      FROM v, cents c
+    ),
+    corpus AS (SELECT vec_id, embedding, vn, centroid_id FROM ranked WHERE rn = 1),
+    q AS (
+      SELECT vec_id, embedding, vn, centroid_id FROM ranked
+      WHERE rn <= 2 AND vec_id >= 100 AND vec_id < 110
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({dotp.format(a="q.embedding", b="c.embedding")} / (q.vn * c.vn), 6) AS cosine
+      FROM corpus c JOIN q
+        ON c.centroid_id = q.centroid_id AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@register(
+    "knn_ivf_nprobe_embeddings",
+    _knn_ivf_nprobe_oracle(),
+    doc="IVF top-5 with nprobe=2 — the recall lever: each query "
+    "searches its TWO closest cells, recovering neighbors that sit "
+    "just across a cell boundary at 2x the (still ~2/k_cells) scan "
+    "cost. Corpus assignment unchanged, so each (query, neighbor) "
+    "candidate appears exactly once.",
+)
+def knn_ivf_nprobe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import knn_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    return knn_ivf(emb, queries, centroids, k=5, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # Extended profiling (SURVEY.md §7 step 8)
 # ---------------------------------------------------------------------------

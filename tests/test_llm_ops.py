@@ -226,6 +226,26 @@ def test_knn_lsh_subset_of_bucket(spark):
     assert (1, 4) not in pairs
 
 
+def test_ivf_nprobe_expands_candidates(spark):
+    """nprobe=2 must search a superset of nprobe=1's cells: every
+    nprobe=1 neighbor survives (possibly re-ranked), and recall vs the
+    exact answer can only improve."""
+    from data_pipelines_snowflake_procedures_spark.operators.similarity import (
+        knn_ivf,
+    )
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(40)]
+    vecs = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    cents = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    q = vecs.filter(F.col("vec_id") < 3)
+    one = {(r["query_id"], r["neighbor_id"]) for r in knn_ivf(vecs, q, cents, k=30, nprobe=1).collect()}
+    two = {(r["query_id"], r["neighbor_id"]) for r in knn_ivf(vecs, q, cents, k=30, nprobe=2).collect()}
+    assert one <= two
+    assert len(two) > len(one)  # the second cell contributed candidates
+
+
 def test_text_ops_null_safe(spark):
     """NULL text must profile as empty text — without the coalesce, a
     NULL document language-classifies as the CASE chain's fallback

@@ -246,3 +246,39 @@ def test_generated_scd1_pyspark_code_executes(spark, sf_dir):
         staging.select("o_orderkey", F.col("o_totalprice").alias("p")), "o_orderkey"
     )
     assert all(abs(r["o_totalprice"] - r["p"]) < 1e-6 for r in updated.collect())
+
+
+def test_prepare_corpus_envelope(spark, sf_dir):
+    """clean -> split -> chunk -> budget chained with the reference's
+    envelope idiom; split happens on documents (not chunks) so one
+    document's chunks never straddle train/test."""
+    from data_pipelines_snowflake_procedures_spark.pipelines.corpus_prep import (
+        prepare_corpus,
+    )
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    out = prepare_corpus(docs, min_quality=0.5, chunk_tokens=32, chunk_overlap=8)
+    assert out["status"] == "SUCCESS"
+    st = out["stages"]
+    assert 0 < st["cleaned_documents"] <= st["raw_documents"] == 200
+    assert st["chunks"] >= st["cleaned_documents"]
+    assert set(out["split_counts"]) <= {"train", "val", "test"}
+    assert sum(out["split_counts"].values()) == st["cleaned_documents"]
+    # no-leakage invariant: every chunk of a doc carries one split
+    joined = out["chunks"].join(
+        out["cleaned"].select("doc_id", "split"), "doc_id"
+    )
+    assert joined.select("doc_id", "split").distinct().count() == st["cleaned_documents"]
+    assert out["audit_log"]["agent_name"] == "CorpusPrepAgent"
+
+
+def test_prepare_corpus_failure_envelope(spark):
+    from data_pipelines_snowflake_procedures_spark.pipelines.corpus_prep import (
+        prepare_corpus,
+    )
+
+    bad = spark.range(3)  # no text column
+    out = prepare_corpus(bad)
+    assert out["status"] == "FAILED"
+    assert "error" in out
