@@ -235,18 +235,39 @@ def knn_lsh(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     seed: str = "srp",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: compare only within SRP buckets. Same output
     shape as :func:`knn_bruteforce`; recall < 1 by construction (a
     query's true neighbor may land in another bucket). At 2^n_planes
-    buckets the candidate set shrinks ~2^n_planes-fold; lower n_planes
-    or add multi-probe for higher recall."""
+    buckets the candidate set shrinks ~2^n_planes-fold.
+
+    ``multiprobe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's bucket (each single plane flipped):
+    near-dup pairs are missed exactly when they straddle ONE
+    hyperplane, so probing the n_planes 1-flip buckets recovers most
+    lost recall for (1+n_planes)× the candidate cost. Corpus vectors
+    keep one bucket, so each (query, neighbor) candidate appears at
+    most once."""
     planes = srp_hyperplanes(n_planes, dim, seed)
+    q_bucket = srp_bucket(F.col(emb_col), planes)
+    if multiprobe:
+        probe = F.explode(
+            F.array(
+                q_bucket,
+                *[
+                    q_bucket.bitwiseXOR(F.lit(1 << p).cast("long"))
+                    for p in range(n_planes)
+                ],
+            )
+        )
+    else:
+        probe = q_bucket
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),
         norm(F.col(emb_col)).alias("q_nrm"),
-        srp_bucket(F.col(emb_col), planes).alias("bucket"),
+        probe.alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -244,3 +244,26 @@ def multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_binary(docs))
+
+
+@register(
+    "events_hourly_streaming",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="The SAME tumbling aggregation executed as a Structured "
+    "Streaming query (readStream file source -> watermark -> windowed "
+    "agg -> availableNow drain to a memory sink) and hash-checked "
+    "against the SAME DuckDB oracle as the batch form "
+    "(events_hourly_by_type): stream-equals-batch, verified at value "
+    "level, not just in unit tests. Unified-engine guarantee in one "
+    "registry row.",
+)
+def events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stream import hourly_stream, run_to_memory
+
+    return run_to_memory(hourly_stream(spark, sf_dir))

@@ -894,6 +894,65 @@ def knn_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(emb, emb.filter(F.col("vec_id") < 20), k=5, n_planes=8)
 
 
+def _knn_lsh_multiprobe_oracle() -> str:
+    from .operators.similarity import srp_hyperplanes
+
+    planes = srp_hyperplanes(8, 64)
+    bucket_terms = []
+    for p, plane in enumerate(planes):
+        w = "[" + ", ".join(f"{float(x)}" for x in plane) + "]"
+        dot = (
+            f"list_aggregate([embedding[i]::DOUBLE * ({w})[i] "
+            f"FOR i IN range(1, 65)], 'sum')"
+        )
+        bucket_terms.append(f"(CASE WHEN {dot} >= 0 THEN {2**p} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(8)])
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             CAST({bucket} AS BIGINT) AS bucket,
+             sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN embedding], 'sum')) AS nrm
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, embedding, nrm, unnest([{probes}]) AS bucket
+      FROM v WHERE vec_id < 20
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_aggregate(
+                     [q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+                      FOR i IN range(1, len(q.embedding) + 1)],
+                     'sum') / (q.nrm * c.nrm), 6) AS cosine
+      FROM v c JOIN q ON c.bucket = q.bucket AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@register(
+    "knn_lsh_multiprobe_embeddings",
+    _knn_lsh_multiprobe_oracle(),
+    doc="SRP-LSH top-5 with Hamming-1 multi-probe: each query also "
+    "searches the 8 buckets with one signature bit flipped — "
+    "neighbors are lost exactly when a pair straddles one hyperplane, "
+    "so 1-flip probing recovers most recall for 9x the (still tiny) "
+    "candidate cost. The probe set itself is restated in the oracle.",
+)
+def knn_lsh_multiprobe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import knn_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_lsh(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_planes=8, multiprobe=True
+    )
+
+
 def _knn_ivf_oracle() -> str:
     dotp = (
         "list_aggregate([{a}[i]::DOUBLE * {b}[i]::DOUBLE "

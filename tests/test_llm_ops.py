@@ -226,6 +226,24 @@ def test_knn_lsh_subset_of_bucket(spark):
     assert (1, 4) not in pairs
 
 
+def test_lsh_multiprobe_expands_candidates(spark):
+    """Hamming-1 multiprobe must search a superset of the single-bucket
+    candidates and pick up cross-plane neighbors."""
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(60)]
+    vecs = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    q = vecs.filter(F.col("vec_id") < 5)
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_lsh(vecs, q, k=60, n_planes=4, dim=8).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_lsh(vecs, q, k=60, n_planes=4, dim=8, multiprobe=True).collect()
+    }
+    assert single <= multi
+    assert len(multi) > len(single)
+
+
 def test_ivf_nprobe_expands_candidates(spark):
     """nprobe=2 must search a superset of nprobe=1's cells: every
     nprobe=1 neighbor survives (possibly re-ranked), and recall vs the
