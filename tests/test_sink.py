@@ -55,6 +55,20 @@ def test_bucketed_join_no_shuffle_with_smj_forced(spark, sf_dir):
     """Same join with broadcast disabled: co-location (not a broadcast)
     must be what removes the shuffle — and the identical unbucketed
     join must still shuffle (control for the assertion primitive)."""
+    # self-sufficient: (re)create the bucketed tables so this test does
+    # not depend on running after test_bucketed_table_join_has_no_exchange
+    for t in ("orders_b", "customer_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    write_bucketed_table(
+        load_table(spark, sf_dir, "orders").limit(5000),
+        "orders_b", ["o_custkey"], 8, sort_by=["o_custkey"],
+    )
+    write_bucketed_table(
+        load_table(spark, sf_dir, "customer").limit(1000)
+        .withColumnRenamed("c_custkey", "o_custkey"),
+        "customer_b", ["o_custkey"], 8, sort_by=["o_custkey"],
+    )
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
