@@ -111,3 +111,28 @@ def test_table_storage_report(sf_dir, tmp_path, spark):
     rep2 = table_storage_report(frag)
     assert rep2["n_files"] >= 4
     assert rep2["small_files"] is True
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact to a filtered dim on the partition
+    column must plan dynamic partition pruning: the fact scan's
+    PartitionFilters gains a dynamicpruningexpression fed by the dim's
+    broadcast — at 100 TB this skips every partition the dim filter
+    excludes without a static predicate on the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "ev_dpp")
+    write_partitioned(ev, path, ["event_type"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [
+            ("click", "engage"), ("view", "engage"), ("error", "ops"),
+            ("purchase", "rev"), ("signup", "rev"),
+        ],
+        ["event_type", "category"],
+    )
+    joined = fact.join(dim.filter(F.col("category") == "rev"), "event_type")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan[:2000]
+    # pruning must not change results
+    expected = ev.filter(F.col("event_type").isin("purchase", "signup")).count()
+    assert joined.count() == expected
