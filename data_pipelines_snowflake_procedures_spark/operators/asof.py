@@ -1,6 +1,6 @@
-"""As-of (point-in-time) join — the time-series operator Spark lacks
-natively, expressed as a single-window plan (no per-key loops, no
-range cross-join).
+"""As-of (point-in-time) and range (point-in-interval) joins — the two
+time-series operators Spark lacks natively, expressed without range
+cross-joins.
 
 Construction: union both sides with a source tag, sort per key by
 event time within one window, and carry the right side's latest values
@@ -87,4 +87,54 @@ def asof_join(
     return (
         filled.filter(F.col("__is_left") == 1)
         .select(*keep, F.col("__ts").alias(ts_col))
+    )
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    on: Sequence[str] = (),
+    bucket_seconds: int = 600,
+) -> DataFrame:
+    """Inner join of point rows to interval rows with
+    ``start <= point < end`` (half-open), optionally key-matched.
+
+    Naive range predicates plan as a broadcast-nested-loop (or worse, a
+    cross join) — quadratic at scale. This is the bucketed equi-join
+    formulation: time is cut into ``bucket_seconds`` buckets, each
+    range explodes into the buckets it covers, points map to exactly
+    one bucket, and the range predicate is applied only to the
+    bucket-equal pairs. Candidate work is
+    O(points + ranges × span/bucket) with one equi-join shuffle — pick
+    ``bucket_seconds`` near the typical range span so ranges explode
+    into a handful of buckets each.
+
+    Output: all point columns + the matched range's start/end (inner
+    join: points in no range drop; points in several ranges emit one
+    row per match — each (point, range) pair appears exactly once
+    because a point lives in exactly one bucket).
+    """
+    on = list(on)
+    pb = points.withColumn(
+        "__b", F.floor(F.col(point_col).cast("long") / bucket_seconds)
+    )
+    rb = ranges.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("long") / bucket_seconds),
+                F.floor(F.col(end_col).cast("long") / bucket_seconds),
+            )
+        ),
+    )
+    return (
+        pb.join(rb, on=on + ["__b"])
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("__b")
     )

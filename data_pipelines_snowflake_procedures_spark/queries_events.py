@@ -11,6 +11,7 @@ emitted timestamps hash-match.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .queries import register
 from .session import load_table
@@ -267,3 +268,44 @@ def events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.stream import hourly_stream, run_to_memory
 
     return run_to_memory(hourly_stream(spark, sf_dir))
+
+
+@register(
+    "events_range_join",
+    """
+    WITH p AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    ),
+    r AS (
+      SELECT event_id AS range_id, event_type,
+             CAST(ts AS TIMESTAMP) AS start_ts,
+             CAST(ts AS TIMESTAMP) + INTERVAL 15 MINUTE AS end_ts
+      FROM events WHERE event_id % 97 = 0
+    )
+    SELECT p.event_id, p.event_type, p.ts, r.range_id, r.start_ts, r.end_ts
+    FROM p JOIN r
+      ON p.event_type = r.event_type
+     AND p.ts >= r.start_ts AND p.ts < r.end_ts
+    """,
+    doc="Range (point-in-interval) join: every event matched to the "
+    "15-minute windows (derived from every 97th event) of its type "
+    "that contain it. Implemented as the bucketed equi-join "
+    "formulation (time cut into 900 s buckets, ranges exploded into "
+    "covered buckets, predicate applied to bucket-equal pairs only) — "
+    "one equi-join shuffle, never the quadratic broadcast-nested-loop "
+    "a naive range predicate plans.",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import range_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    ranges = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("range_id"),
+        "event_type",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("end_ts"),
+    )
+    return range_join(
+        ev, ranges, "ts", "start_ts", "end_ts",
+        on=["event_type"], bucket_seconds=900,
+    ).select("event_id", "event_type", "ts", "range_id", "start_ts", "end_ts")

@@ -42,3 +42,32 @@ def test_asof_join_semantics(spark):
     # left row count preserved, left columns intact
     assert len(out) == 5
     assert out[1]["ts"] == _ts(10)
+
+
+def test_range_join_half_open_and_multimatch(spark):
+    import datetime as dt
+
+    from data_pipelines_snowflake_procedures_spark.operators.asof import (
+        range_join,
+    )
+
+    t = dt.datetime
+    points = spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1, 10, 0)),   # == range start: included
+            (2, t(2024, 1, 1, 10, 30)),  # in ranges A and B
+            (3, t(2024, 1, 1, 11, 0)),   # == range A end: excluded (half-open)
+            (4, t(2024, 1, 1, 23, 0)),   # no range
+        ],
+        "pid BIGINT, ts TIMESTAMP",
+    )
+    ranges = spark.createDataFrame(
+        [
+            ("A", t(2024, 1, 1, 10, 0), t(2024, 1, 1, 11, 0)),
+            ("B", t(2024, 1, 1, 10, 15), t(2024, 1, 1, 12, 0)),
+        ],
+        "rid STRING, start_ts TIMESTAMP, end_ts TIMESTAMP",
+    )
+    out = range_join(points, ranges, "ts", "start_ts", "end_ts", bucket_seconds=600)
+    pairs = {(r["pid"], r["rid"]) for r in out.collect()}
+    assert pairs == {(1, "A"), (2, "A"), (2, "B"), (3, "B")}
