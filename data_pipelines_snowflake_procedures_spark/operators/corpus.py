@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -155,6 +155,42 @@ def chunk_documents(
             F.col("c.n_tokens").alias("n_tokens"),
         )
     )
+
+
+def sample_mix(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic per-group downsampling to target fractions — the
+    step that turns a token-budget report into an actual training mix.
+
+    Each row keeps iff ``md5(seed|id) % 1e6 < fraction[group] * 1e6``;
+    groups absent from ``fractions`` keep everything. Pure function of
+    (seed, id) like :func:`assign_split`: no RNG state, identical on
+    retry, and per-group sample sizes concentrate tightly around
+    fraction × group size. One narrow filter, no shuffle.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = h % F.lit(1000000)
+    frac: Column | None = None
+    for value, fraction in fractions.items():
+        cond = F.col(group_col) == value
+        frac = (
+            F.when(cond, F.lit(fraction))
+            if frac is None
+            else frac.when(cond, F.lit(fraction))
+        )
+    frac_expr = frac.otherwise(F.lit(1.0)) if frac is not None else F.lit(1.0)
+    return df.filter(bucket < (frac_expr * 1000000).cast("long"))
 
 
 def token_budget(

@@ -54,6 +54,10 @@ PII_PATTERNS: dict[str, str] = {
 #: detection — the reference's hardcoded bounds (Data_Security.sql:49,54).
 DETECTION_SAMPLE_ROWS = 1000
 
+#: Scrubbing order (most-specific-first): see scrub_text_expr. The
+#: DETECTION chain keeps the reference's order via PII_PATTERNS itself.
+SCRUB_ORDER = ("EMAIL", "CREDIT_CARD", "AADHAAR", "PHONE")
+
 
 def detect_pii_types(value: Any) -> str | None:
     """First matching PII type for one value (driver-side helper,
@@ -101,6 +105,40 @@ def mask_expr(col: str | Column, pii_type: str) -> Column:
     if pii_type == "CREDIT_CARD":
         return F.concat(F.lit("XXXX-XXXX-XXXX-"), F.substring(c, -4, 4))
     return F.lit("*****")
+
+
+def scrub_text_expr(col: str | Column) -> Column:
+    """Free-text PII scrubbing for corpus preparation: replace every
+    PII match inside a text column with a typed placeholder
+    (``<EMAIL>``, ``<PHONE>``, ...), preserving surrounding text.
+
+    Column-level masking (PI2) protects structured tables; training
+    corpora need the in-text form — a document mentioning an email
+    mid-sentence must keep the sentence. Replacements run
+    most-specific-first (EMAIL → CREDIT_CARD → AADHAAR → PHONE),
+    unlike the DETECTION chain which keeps the reference's order: a
+    16-digit card must become one <CREDIT_CARD>, not a <PHONE> with
+    its last group left behind by the shorter phone window. The
+    boundary-guard groups in the digit patterns are re-emitted via
+    $1/$2 backreferences so adjacent characters survive. Pure
+    regexp_replace chain — narrow, codegen-fused, no UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c, F.lit(""))
+    for pii_type in SCRUB_ORDER:
+        pattern = PII_PATTERNS[pii_type]
+        if pattern.startswith("(^|"):
+            # guarded patterns CONSUME their boundary char, so two
+            # adjacent matches ("<num> <num>") leave the second without
+            # a guard on pass 1 — a second pass catches it (RE2 has no
+            # lookarounds, so guards cannot be made zero-width
+            # portably)
+            replacement = f"$1<{pii_type}>$2"
+            c = F.regexp_replace(c, pattern, replacement)
+            c = F.regexp_replace(c, pattern, replacement)
+        else:
+            c = F.regexp_replace(c, pattern, f"<{pii_type}>")
+    return c
 
 
 def detect_pii_columns(

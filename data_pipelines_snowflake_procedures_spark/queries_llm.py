@@ -683,6 +683,104 @@ def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scrub_sql(expr: str) -> str:
+    """DuckDB restatement of security.scrub_text_expr — generated from
+    the same PII_PATTERNS dict so the two can't drift."""
+    from .operators.security import PII_PATTERNS, SCRUB_ORDER
+
+    for pii_type in SCRUB_ORDER:
+        pattern = PII_PATTERNS[pii_type]
+        if pattern.startswith("(^|"):
+            repl = f"\\1<{pii_type}>\\2"
+            expr = f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
+            expr = f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
+        else:
+            expr = f"regexp_replace({expr}, '{pattern}', '<{pii_type}>', 'g')"
+    return expr
+
+
+def _corpus_scrub_oracle() -> str:
+    planted = (
+        "text || ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com or ' "
+        "|| lpad(CAST((doc_id * 7919 + 13) % 10000000000 AS VARCHAR), 10, '0')"
+    )
+    scrubbed = _scrub_sql(f"({planted})")
+    return f"""
+    SELECT doc_id, {scrubbed} AS scrubbed,
+           CAST(len(regexp_extract_all({scrubbed},
+                '<(EMAIL|PHONE|AADHAAR|CREDIT_CARD)>')) AS BIGINT) AS n_scrubbed
+    FROM documents
+    """
+
+
+@register(
+    "corpus_scrub_documents",
+    _corpus_scrub_oracle(),
+    doc="Free-text PII scrubbing for corpus prep: emails/phones "
+    "planted mid-sentence into documents are replaced with typed "
+    "placeholders (<EMAIL>, <PHONE>, ...) most-specific-first, "
+    "keeping the surrounding sentence "
+    "(column-level masking would drop it). Pure regexp_replace chain — "
+    "narrow, codegen-fused, no UDF; guarded digit patterns run twice "
+    "so adjacent matches can't hide behind a consumed boundary char.",
+)
+def corpus_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.security import scrub_text_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("long")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me at user"),
+            key.cast("string"),
+            F.lit("@example.com or "),
+            F.lpad(((key * 7919 + 13) % F.lit(10**10)).cast("string"), 10, "0"),
+        ).alias("text"),
+    )
+    scrubbed = scrub_text_expr("text")
+    return planted.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(
+            F.regexp_extract_all(
+                scrubbed, F.lit("<(EMAIL|PHONE|AADHAAR|CREDIT_CARD)>"), F.lit(0)
+            )
+        ).cast("long").alias("n_scrubbed"),
+    )
+
+
+_MIX_FRACTIONS = {"web": 0.5, "books": 1.0, "code": 0.25}
+
+
+@register(
+    "corpus_sample_mix",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000
+          < CAST((CASE source
+                    WHEN 'web' THEN {_MIX_FRACTIONS["web"]}
+                    WHEN 'books' THEN {_MIX_FRACTIONS["books"]}
+                    WHEN 'code' THEN {_MIX_FRACTIONS["code"]}
+                    ELSE 1.0 END) * 1000000 AS BIGINT)
+    """,
+    doc="Deterministic training-mix sampling: per-source keep "
+    "fractions (web 50%, code 25%, books all, unknown sources kept) "
+    "applied via md5(seed|id) hash thresholds — no RNG state, "
+    "identical on retry, stable as the corpus grows. The step that "
+    "turns a token-budget report into an actual mix. One narrow "
+    "filter, no shuffle.",
+)
+def corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import sample_mix
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_mix(docs, _MIX_FRACTIONS, group_col="source")
+
+
 # ---------------------------------------------------------------------------
 # Embedding near-dup + similarity search
 # ---------------------------------------------------------------------------

@@ -311,3 +311,21 @@ def test_text_ops_null_safe(spark):
     assert prof[1]["n_chars"] == 0  # NULL → empty
     # null and empty normalize to the same fingerprint (documented)
     assert prof[1]["fingerprint"] == prof[2]["fingerprint"]
+
+
+def test_sample_mix_deterministic_per_group(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.corpus import (
+        sample_mix,
+    )
+
+    rows = [(i, ["web", "books", "other"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = sample_mix(df, {"web": 0.5, "books": 0.0}).collect()
+    again = sample_mix(df, {"web": 0.5, "books": 0.0}).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(r["doc_id"] for r in again)
+    by_src = {}
+    for r in kept:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    assert "books" not in by_src            # fraction 0 drops all
+    assert by_src["other"] == 1000          # unlisted groups keep all
+    assert 400 < by_src["web"] < 600        # ~50% of 1000

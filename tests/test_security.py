@@ -101,3 +101,27 @@ def test_pii_masking_report_end_to_end(spark):
         r["email"].startswith("u***@") for r in published.limit(20).collect()
     )
     assert "PII_MASKING_TYPE" in published.columns
+
+
+def test_scrub_text_expr(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.security import (
+        scrub_text_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and card 1234-5678-9012-3456 mid-sentence"),
+            # adjacent digit runs: the double-pass must catch the second
+            (2, "nums 1234567890 0987654321 end"),
+            (3, "clean text with no pii at all"),
+            (4, None),
+        ],
+        ["id", "text"],
+    )
+    out = {r["id"]: r["s"] for r in df.select("id", scrub_text_expr("text").alias("s")).collect()}
+    # scrubbing is most-specific-first: the dashed card becomes ONE
+    # <CREDIT_CARD>, not a <PHONE> with its last group left behind
+    assert out[1] == "mail <EMAIL> and card <CREDIT_CARD> mid-sentence"
+    assert out[2] == "nums <PHONE> <PHONE> end"
+    assert out[3] == "clean text with no pii at all"
+    assert out[4] == ""
