@@ -61,6 +61,31 @@ def exact_dedup(
     )
 
 
+def dedup_against(
+    new_batch: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: rows of ``new_batch`` whose normalized
+    content does NOT already exist in ``existing`` — the daily-crawl
+    shape (new batch vs accumulated corpus), composed with
+    :func:`exact_dedup` for within-batch duplicates first.
+
+    Plan: dedup the (small) batch, then LEFT ANTI join its content
+    hashes against the corpus's. The corpus side reduces to a
+    hash-projection scan — at 100 TB, store/maintain the corpus's
+    content-hash column (or a bucketed hash table) so the anti join
+    shuffles 16-byte hashes, never text; with both sides bucketed on
+    the hash it needs no shuffle at all (sources/sink.py).
+    """
+    batch = exact_dedup(new_batch, text_col, id_col).withColumn(
+        "__ck", content_key(text_col)
+    )
+    seen = existing.select(content_key(text_col).alias("__ck")).distinct()
+    return batch.join(seen, on="__ck", how="left_anti").drop("__ck")
+
+
 def doc_tokens(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 1
 ) -> DataFrame:

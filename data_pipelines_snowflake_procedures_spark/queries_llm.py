@@ -182,6 +182,50 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_incremental_documents",
+    f"""
+    WITH existing AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 400
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+    ),
+    keyed AS (
+      SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS content_hash
+      FROM batch
+    ),
+    batch_dedup AS (
+      SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, content_hash
+      FROM keyed GROUP BY content_hash
+    )
+    SELECT doc_id, content_hash FROM batch_dedup
+    WHERE content_hash NOT IN (
+      SELECT md5(array_to_string({_TOKS}, ' ')) FROM existing
+    )
+    """,
+    doc="Incremental exact dedup — the daily-crawl shape: a new batch "
+    "(with planted copies of already-ingested documents) deduped "
+    "within itself, then LEFT ANTI joined by content hash against the "
+    "accumulated corpus. At 100 TB the corpus side is a stored "
+    "content-hash column, so the anti join shuffles 16-byte hashes, "
+    "never text — or nothing at all when both sides are hash-bucketed.",
+)
+def dedup_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import content_key, dedup_against
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400).unionByName(
+        docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    return dedup_against(batch, existing).select(
+        "doc_id", content_key("text").alias("content_hash")
+    )
+
+
 _PAIR_SUBSET = "doc_id < 200"
 
 _TSETS_SQL = f"""
