@@ -39,7 +39,9 @@ HEADLINE = [
     "text_repetition_documents",
     "corpus_clean_documents",
     "dedup_exact_documents",
+    "dedup_incremental_documents",
     "dedup_minhash_lsh_documents",
+    "dedup_clusters_documents",
     "dedup_simhash_documents",
     "knn_bruteforce_embeddings",
     "embedding_near_dup_blocked",

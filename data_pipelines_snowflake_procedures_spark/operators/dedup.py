@@ -243,6 +243,86 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the step
+    that turns near-dup PAIRS (from :func:`minhash_lsh_pairs`,
+    :func:`simhash_near_dup_pairs`, …) into duplicate CLUSTERS so one
+    representative per cluster survives. Output ``(id, comp)`` where
+    ``comp`` is the minimum node id in the component; nodes not in any
+    edge are absent (callers coalesce singletons to their own id).
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    (label ← label-of-label each round), so the propagation distance
+    doubles per iteration — O(log diameter) rounds, and near-dup
+    clusters are near-cliques with diameter 2-3, so 2-3 rounds in
+    practice. Each round is two shuffles over (node, label) pairs —
+    the edge list (near-dup pairs, orders smaller than the corpus),
+    never the corpus itself. ``localCheckpoint`` truncates lineage per
+    round; convergence is detected by an empty changed-set.
+
+    This is the DataFrame form of the label-propagation CC used by
+    large-scale dedup pipelines; the alternating large-star/small-star
+    formulation has the same shuffle shape per round and only wins on
+    adversarially long chains, which dedup graphs are not.
+    """
+    # localCheckpoint BEFORE the self-union: unioning a plan with its
+    # own column-swapped self reuses attribute ids and trips Catalyst's
+    # Union constraint rewrite when the edge list itself came from a
+    # self-join (as near-dup pair lists do).
+    e = edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr")).localCheckpoint()
+    sym = e.unionByName(
+        e.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
+    )
+    labels = (
+        sym.select("id").distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        # min over self + neighbors' labels (one-hop propagation).
+        # Formulated as least(own, min-over-neighbors) via a join, NOT
+        # a union: unioning two frames that share attribute ids (labels
+        # and a join derived from labels) breaks Catalyst's Union
+        # constraint rewrite.
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("id").alias("nbr"), F.col("comp").alias("nc")),
+                "nbr",
+            )
+            .groupBy("id")
+            .agg(F.min("nc").alias("nc"))
+        )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id", F.least(F.col("comp"), F.col("nc")).alias("comp")
+        )
+        # pointer jumping: comp ← comp's own label, doubling reach
+        jumped = (
+            stepped.alias("l")
+            .join(
+                stepped.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("comp2")
+                ),
+                "comp",
+                "left",
+            )
+            .select("id", F.coalesce("comp2", "comp").alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            labels.alias("o")
+            .join(jumped.alias("n"), "id")
+            .filter(F.col("o.comp") != F.col("n.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
 def token_hash(tok: Column, bits: int = 60) -> Column:
     """Deterministic cross-engine integer hash: the first 15 md5 hex
     digits parsed base-16 (60 bits, always positive in a long)."""

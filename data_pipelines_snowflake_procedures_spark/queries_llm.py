@@ -262,6 +262,70 @@ def dedup_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return token_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD)
 
 
+@register(
+    "dedup_clusters_documents",
+    f"""
+    WITH RECURSIVE {_TSETS_SQL},
+    pairs AS (
+      SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b
+      FROM tsets ta JOIN tsets tb ON ta.doc_id < tb.doc_id
+      WHERE {_VERIFY_JACCARD_SQL} >= {_JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a AS id, a AS r FROM edges
+      UNION
+      SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    ),
+    comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    assigned AS (
+      SELECT d.doc_id,
+             CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+      FROM (SELECT doc_id FROM documents WHERE {_PAIR_SUBSET}) d
+      LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           CAST(doc_id = cluster_id AS INT) AS is_rep
+    FROM assigned
+    """,
+    doc="Near-dup pairs → duplicate CLUSTERS via distributed connected "
+    "components (min-label propagation + pointer jumping, O(log "
+    "diameter) rounds over the pair list only — never the corpus). "
+    "cluster_id = min doc_id in the component; is_rep marks the one "
+    "row per cluster a dedup pipeline keeps. Oracle restates CC as a "
+    "DuckDB recursive-CTE transitive closure (feasible at test scale; "
+    "the Spark path is the one that scales).",
+)
+def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.dedup import connected_components, token_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = token_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD)
+    cc = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    assigned = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).cast("long").alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_rep"),
+    )
+
+
 def _minhash_lsh_oracle() -> str:
     sig_aggs = ",\n        ".join(
         f"min(md5('{i}|' || tok)) AS sig_{i}" for i in range(_NUM_PERM)

@@ -329,3 +329,24 @@ def test_sample_mix_deterministic_per_group(spark):
     assert "books" not in by_src            # fraction 0 drops all
     assert by_src["other"] == 1000          # unlisted groups keep all
     assert 400 < by_src["web"] < 600        # ~50% of 1000
+
+
+def test_connected_components_chain_and_islands(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4-5 (diameter 4 — exercises pointer jumping),
+    # triangle 10-11-12 with a redundant edge, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "doc_a BIGINT, doc_b BIGINT",
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
