@@ -38,6 +38,9 @@ HEADLINE = [
     "text_profile_documents",
     "text_repetition_documents",
     "corpus_clean_documents",
+    "corpus_decontaminate_documents",
+    "corpus_pack_documents",
+    "vocab_top_tokens",
     "dedup_exact_documents",
     "dedup_incremental_documents",
     "dedup_minhash_lsh_documents",

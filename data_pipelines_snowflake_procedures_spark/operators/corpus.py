@@ -193,6 +193,98 @@ def sample_mix(
     return df.filter(bucket < (frac_expr * 1000000).cast("long"))
 
 
+def contamination_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-decontamination scan: for every training document that
+    shares at least one n-token shingle with the eval corpus, the count
+    of distinct shared shingles. Output ``(doc_id, n_hits)``.
+
+    Plan shape: explode both sides to (id, shingle), distinct the eval
+    side, equi-join on shingle, aggregate per train doc. The eval set
+    (benchmarks: thousands of docs) is broadcast — the 100 TB train
+    side is scanned once, map-side joined, never shuffled on text.
+    ``n`` should be large in production (8-13 tokens, à la GPT-3's
+    13-gram decontamination); small n here only suits tiny test text.
+    """
+    from .text import shingles
+
+    tr = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(text_col, n)).alias("sh"),
+    )
+    ev = (
+        eval_df.select(F.explode(shingles(text_col, n)).alias("sh"))
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop training documents contaminated by the eval corpus: any doc
+    with ≥ ``min_hits`` distinct shared n-token shingles (see
+    :func:`contamination_hits`). LEFT ANTI join on doc id — the train
+    side passes through unshuffled apart from the hit scan."""
+    flagged = contamination_hits(train, eval_df, text_col, id_col, n).filter(
+        F.col("n_hits") >= min_hits
+    )
+    return train.join(
+        flagged.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    group_col: str | None = "source",
+    ctx_tokens: int = 512,
+) -> DataFrame:
+    """Concat-then-split sequence packing: lay documents end-to-end in
+    a deterministic order and cut every ``ctx_tokens`` — the packing
+    strategy that wastes zero pad tokens (documents may straddle pack
+    boundaries, the standard pretraining trade-off).
+
+    Output ``(id, group, n_tokens, start_offset, pack_id)`` where
+    ``start_offset`` is the document's position in its group's token
+    stream and ``pack_id = floor(start_offset / ctx_tokens)``.
+
+    One window shuffle, partitioned by ``group_col`` (source, split,
+    shard…): each group's stream is independent, so at 100 TB the
+    window never needs a global order — parallelism = number of
+    groups; pre-shard high-volume groups for more. ``group_col=None``
+    degrades to one global stream (single-partition window — test
+    scale only)."""
+    parts = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*parts).orderBy(id_col)
+        if parts
+        else Window.orderBy(id_col)
+    )
+    offset = (F.sum(token_col).over(w) - F.col(token_col)).cast("long")
+    out_cols = [id_col, *parts, token_col]
+    return df.select(
+        *out_cols,
+        offset.alias("start_offset"),
+        F.floor(offset / F.lit(ctx_tokens)).cast("long").alias("pack_id"),
+    )
+
+
 def token_budget(
     cleaned: DataFrame,
     group_cols: Sequence[str] = ("detected_lang",),

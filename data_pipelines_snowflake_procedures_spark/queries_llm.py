@@ -1355,3 +1355,127 @@ def profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.profile import profile_long
 
     return profile_long(load_table(spark, sf_dir, "lineitem"), approx=True)
+
+
+_SHINGLE3_SQL = (
+    f"list_distinct(list_transform(range(1, len({_TOKS}) - 1), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))"
+)
+
+
+@register(
+    "corpus_decontaminate_documents",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLE3_SQL}) AS sh FROM documents
+    ),
+    ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 25 = 0),
+    tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 25 <> 0)
+    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM tr JOIN ev USING (sh)
+    GROUP BY tr.doc_id
+    """,
+    doc="Benchmark decontamination: training documents sharing n-token "
+    "shingles with a held-out eval corpus, with distinct-shared-shingle "
+    "counts. The eval shingle set (benchmarks are tiny vs 100 TB of "
+    "train) is BROADCAST, so the train side is scanned once and never "
+    "shuffled on text. n=3 fits the tiny test documents; production "
+    "uses 8-13-gram matching (GPT-3-style). `decontaminate` anti-joins "
+    "these hits away.",
+)
+def corpus_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import contamination_hits
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    return contamination_hits(train, ev, n=3)
+
+
+_PACK_CTX = 512
+
+
+@register(
+    "corpus_pack_documents",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset,
+           CAST(floor((sum(n_tokens) OVER w - n_tokens) / {_PACK_CTX}.0)
+                AS BIGINT) AS pack_id
+    FROM d
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Concat-then-split sequence packing: documents laid end-to-end "
+    "per source in deterministic doc_id order, cut every 512 tokens — "
+    "zero pad-token waste; documents may straddle pack boundaries (the "
+    "standard pretraining trade-off). One window shuffle partitioned "
+    "by source: each group's token stream is independent, so no global "
+    "order is ever needed — pre-shard high-volume groups for more "
+    "parallelism at 100 TB.",
+)
+def corpus_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import pack_sequences
+    from .operators.text import ws_token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", ws_token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, ctx_tokens=_PACK_CTX)
+
+
+@register(
+    "vocab_top_tokens",
+    f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT tok, count(*) AS cnt FROM tok WHERE tok <> '' GROUP BY tok
+    ),
+    total AS (SELECT sum(cnt) AS t FROM counts),
+    top AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT 50)
+    SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+           round(sum(cnt) OVER (ORDER BY cnt DESC, tok
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+                 / (SELECT t FROM total), 6) AS cum_share
+    FROM top
+    """,
+    doc="Vocabulary coverage profile: top-50 tokens by corpus frequency "
+    "with cumulative share of all token occurrences — the "
+    "tokenizer-design / vocab-pruning report. Token counting is one "
+    "shuffle with map-side partial aggregation; top-k is a "
+    "TakeOrdered (no global sort); the cumulative window runs on k "
+    "driver-small rows. The scalar total rides along as a broadcast "
+    "1-row cross join.",
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("t"))
+    top = counts.orderBy(F.col("cnt").desc(), "tok").limit(50)
+    w = Window.orderBy(F.col("cnt").desc(), "tok").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            "tok",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.sum("cnt").over(w) / F.col("t"), 6).alias("cum_share"),
+        )
+    )

@@ -350,3 +350,50 @@ def test_connected_components_chain_and_islands(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.corpus import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about spark plans"),
+            (3, "a quick brown fox appears here too"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    ev = spark.createDataFrame(
+        [(100, "watch the quick brown fox run")], "doc_id BIGINT, text STRING"
+    )
+    hits = {r["doc_id"]: r["n_hits"] for r in contamination_hits(train, ev).collect()}
+    # shared 3-shingles: doc 1 {the quick brown, quick brown fox}, doc 3 {quick brown fox}
+    assert hits == {1: 2, 3: 1}
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(train, ev, min_hits=1).collect()
+    )
+    assert kept == [2]
+    # min_hits=2 keeps the single-shingle overlap
+    kept2 = sorted(
+        r["doc_id"] for r in decontaminate(train, ev, min_hits=2).collect()
+    )
+    assert kept2 == [2, 3]
+
+
+def test_pack_sequences_offsets_and_boundaries(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.corpus import (
+        pack_sequences,
+    )
+
+    rows = [(1, "a", 300), (2, "a", 300), (3, "a", 100), (10, "b", 600)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING, n_tokens BIGINT")
+    out = {
+        r["doc_id"]: (r["start_offset"], r["pack_id"])
+        for r in pack_sequences(df, ctx_tokens=512).collect()
+    }
+    # group a: offsets 0, 300, 600 -> packs 0, 0, 1; doc 2 straddles 512
+    # group b: independent stream restarts at 0
+    assert out == {1: (0, 0), 2: (300, 0), 3: (600, 1), 10: (0, 0)}
