@@ -27,6 +27,8 @@ HEADLINE = [
     "order_priority_counts",
     "customers_without_big_orders",
     "customer_order_analytics",
+    "orders_priority_pivot",
+    "lineitem_cube_flag_status",
     # DQ / profiling / PII / SCD
     "profile_customer",
     "dq_table_scores_orders",

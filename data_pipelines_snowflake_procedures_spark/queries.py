@@ -1016,6 +1016,83 @@ def customer_period_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return early.intersect(late).exceptAll(big)
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _prio_alias(p: str) -> str:
+    return "p" + p.split("-")[0] + "_" + p.split("-", 1)[1].lower().replace(" ", "_")
+
+
+@register(
+    "orders_priority_pivot",
+    f"""
+    SELECT o_orderstatus,
+           {", ".join(
+               f"CAST(count(*) FILTER (o_orderpriority = '{p}') AS BIGINT)"
+               f" AS {_prio_alias(p)}"
+               for p in _PRIORITIES
+           )}
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="PIVOT: order counts per status, one column per priority. "
+    "With the pivot values listed explicitly, Catalyst compiles this "
+    "to ONE pass of conditional aggregates (count-if per value) — no "
+    "second values-discovery job, no extra shuffle vs a plain groupBy; "
+    "the oracle restates it as count(*) FILTER columns. Omitting the "
+    "value list triggers a distinct-values job first — always "
+    "enumerate pivot values in production.",
+)
+def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))  # count(*) star-expansion is rejected inside pivot
+    )
+    return piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(_prio_alias(p))
+          for p in _PRIORITIES],
+    )
+
+
+@register(
+    "lineitem_cube_flag_status",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE (l_returnflag, l_linestatus): all 4 grouping sets — "
+    "detail, both one-dimension margins, grand total — in one pass. "
+    "Catalyst plans Expand(4 groupings) before a SINGLE shuffle; the "
+    "alternative (4 separate groupBys unioned) scans the fact table 4 "
+    "times. Expand multiplies pre-shuffle rows by the grouping count, "
+    "so cube dimensions should stay low-cardinality at 100 TB — "
+    "partial aggregation collapses them map-side.",
+)
+def lineitem_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
 # Extension entries (LLM text/dedup/similarity; event windows;
 # multimodal) register themselves on import; placed last so REGISTRY
 # and helpers exist.

@@ -397,3 +397,27 @@ def test_pack_sequences_offsets_and_boundaries(spark):
     # group a: offsets 0, 300, 600 -> packs 0, 0, 1; doc 2 straddles 512
     # group b: independent stream restarts at 0
     assert out == {1: (0, 0), 2: (300, 0), 3: (600, 1), 10: (0, 0)}
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark):
+    """Scale invariant: the eval shingle set (tiny benchmarks) must be
+    the broadcast side — the 100 TB train corpus is scanned once and
+    never shuffled for this join."""
+    from data_pipelines_snowflake_procedures_spark.operators.corpus import (
+        contamination_hits,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id BIGINT, text STRING"
+    )
+    ev = spark.createDataFrame(
+        [(2, "beta gamma delta epsilon")], "doc_id BIGINT, text STRING"
+    )
+    plan = (
+        contamination_hits(train, ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
