@@ -53,6 +53,8 @@ HEADLINE = [
     # event-time windows + pandas surface
     "events_hourly_by_type",
     "events_sessions_user",
+    "events_funnel_view_click_purchase",
+    "events_hourly_gapfill",
     "events_asof_click_before_error",
     "events_groupwise_zscore",
 ]

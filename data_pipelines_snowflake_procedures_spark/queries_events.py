@@ -309,3 +309,80 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ranges, "ts", "start_ts", "end_ts",
         on=["event_type"], bucket_seconds=900,
     ).select("event_id", "event_type", "ts", "range_id", "start_ts", "end_ts")
+
+
+@register(
+    "events_funnel_view_click_purchase",
+    """
+    WITH u1 AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    u2 AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM events e JOIN u1 ON e.user_id = u1.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > u1.t1
+      GROUP BY e.user_id
+    ),
+    u3 AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+      FROM events e JOIN u2 ON e.user_id = u2.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > u2.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM u1) AS BIGINT) AS n_step1,
+           CAST((SELECT count(*) FROM u2) AS BIGINT) AS n_step2,
+           CAST((SELECT count(*) FROM u3) AS BIGINT) AS n_step3,
+           round((SELECT count(*) FROM u2)::DOUBLE /
+                 nullif((SELECT count(*) FROM u1), 0), 4) AS rate_step2,
+           round((SELECT count(*) FROM u3)::DOUBLE /
+                 nullif((SELECT count(*) FROM u1), 0), 4) AS rate_step3
+    """,
+    doc="Ordered funnel view → click → purchase: users counted at step "
+    "i+1 only for events strictly AFTER their first step-i event. ONE "
+    "shuffle on user_id with K window passes reusing the same exchange "
+    "— the scale formulation (the oracle restates it as K nested "
+    "join-aggregates, semantically identical).",
+)
+def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import funnel
+
+    return funnel(
+        load_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@register(
+    "events_hourly_gapfill",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+             date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    keys AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT k.event_type, s.hour,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+    FROM spine s CROSS JOIN keys k
+    LEFT JOIN counts c ON c.event_type = k.event_type AND c.hour = s.hour
+    """,
+    doc="Gap-filled dense hourly series per event type: every (type, "
+    "hour) bucket in the data's range, zero-filled — sparse groupBy "
+    "output silently skips empty hours, which breaks rolling averages "
+    "downstream. The hour spine comes from a 1-row min/max aggregate + "
+    "sequence/explode and is broadcast; the fact table is scanned "
+    "once. Spine size = hours × types regardless of fact rows.",
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import gapfill_hourly
+
+    return gapfill_hourly(load_table(spark, sf_dir, "events"))

@@ -114,3 +114,96 @@ def props_agg(
             F.max("k").alias("max_k"),
         )
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed the step
+    sequence in strictly increasing event-time order (step i+1 only
+    counts AFTER that user's first step-i event). Output one row:
+    ``n_step1..n_stepK`` user counts plus conversion rates vs step 1.
+
+    One shuffle on user_id, then K window passes over the SAME
+    partitioning (Catalyst reuses the single exchange — no per-step
+    re-shuffle): pass i computes ``t_i = min(ts where type = step_i
+    and ts > t_{i-1})`` per user. At 100 TB this is the one-exchange
+    formulation; the join-per-step alternative shuffles K times.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col)
+    out = df.select(user_col, type_col, ts_col)
+    prev: str | None = None
+    for i, step in enumerate(steps, start=1):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        out = out.withColumn(f"t{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = f"t{i}"
+    aggs = [
+        F.count_distinct(
+            F.when(F.col(f"t{i}").isNotNull(), F.col(user_col))
+        ).alias(f"n_step{i}")
+        for i in range(1, len(steps) + 1)
+    ]
+    row = out.agg(*aggs)
+    rates = [
+        F.round(
+            F.col(f"n_step{i}").cast("double")
+            / F.when(F.col("n_step1") > 0, F.col("n_step1")),
+            4,
+        ).alias(f"rate_step{i}")
+        for i in range(2, len(steps) + 1)
+    ]
+    return row.select("*", *rates)
+
+
+def gapfill_hourly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Dense hourly time series per key: every (key, hour) bucket in
+    the data's [min, max] hour range, zero-filled where no events
+    landed — the gap-filling step before rolling averages or
+    visualization (sparse groupBy output silently skips empty hours).
+
+    Plan: a 1-row min/max aggregate generates the hour spine with
+    ``sequence`` + ``explode``; the spine cross-joins the distinct key
+    set (both driver-tiny, broadcast) and LEFT joins the hourly
+    counts. The fact table is scanned once; spine size = hours × keys,
+    independent of row count — at 100 TB the spine is still KBs.
+    """
+    hours = (
+        df.agg(
+            F.date_trunc("hour", F.min(ts_col)).alias("h0"),
+            F.date_trunc("hour", F.max(ts_col)).alias("h1"),
+        )
+        .select(
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour")
+        )
+    )
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    counts = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        hours.crossJoin(F.broadcast(keys))
+        .join(counts, ["key", "hour"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            "hour",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )

@@ -184,3 +184,69 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 10:00 window emitted exactly once, WITHOUT the late arrival
     assert (10, 1) in rows, rows
     assert (10, 2) not in rows, rows
+
+
+def test_funnel_order_semantics_and_single_user_exchange(spark):
+    """Steps only count strictly after the user's previous step; the
+    window passes must share ONE hashpartitioning(user_id) exchange."""
+    import datetime as dt
+    import re
+
+    from data_pipelines_snowflake_procedures_spark.streaming.windows import funnel
+
+    T = dt.datetime
+    rows = [
+        (1, "view", T(2024, 1, 1, 0)),
+        (1, "click", T(2024, 1, 1, 1)),
+        (1, "purchase", T(2024, 1, 1, 2)),
+        # clicks BEFORE viewing -> stops at step 1
+        (2, "click", T(2024, 1, 1, 0)),
+        (2, "view", T(2024, 1, 1, 1)),
+        # purchase before click -> stops at step 2
+        (3, "view", T(2024, 1, 1, 0)),
+        (3, "purchase", T(2024, 1, 1, 1)),
+        (3, "click", T(2024, 1, 1, 2)),
+        # never views
+        (4, "purchase", T(2024, 1, 1, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id BIGINT, event_type STRING, ts TIMESTAMP")
+    out = funnel(df, ["view", "click", "purchase"])
+    row = out.collect()[0]
+    assert (row["n_step1"], row["n_step2"], row["n_step3"]) == (3, 2, 1)
+    assert row["rate_step2"] == 0.6667 and row["rate_step3"] == 0.3333
+    # AQE prints "== Final Plan ==" then "== Initial Plan ==" (the same
+    # exchanges again, pre-adaptive) — only scan the final section
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    user_exchanges = re.findall(
+        r"Exchange hashpartitioning\(user_id#\d+L?, \d+\)", plan
+    )
+    assert len(user_exchanges) == 1, plan
+
+
+def test_gapfill_hourly_zero_fills(spark):
+    import datetime as dt
+
+    from data_pipelines_snowflake_procedures_spark.streaming.windows import (
+        gapfill_hourly,
+    )
+
+    T = dt.datetime
+    rows = [
+        (1, "a", T(2024, 1, 1, 0, 15)),
+        (2, "a", T(2024, 1, 1, 3, 5)),   # hours 1, 2 empty for a
+        (3, "b", T(2024, 1, 1, 1, 0)),   # b missing hours 0, 2, 3
+    ]
+    df = spark.createDataFrame(rows, "event_id BIGINT, event_type STRING, ts TIMESTAMP")
+    out = {
+        (r["event_type"], r["hour"].hour): r["n_events"]
+        for r in gapfill_hourly(df).collect()
+    }
+    assert len(out) == 8  # 4 hours x 2 types, dense
+    assert out[("a", 0)] == 1 and out[("a", 1)] == 0 and out[("a", 2)] == 0
+    assert out[("a", 3)] == 1
+    assert out[("b", 1)] == 1 and out[("b", 0)] == 0 and out[("b", 3)] == 0
