@@ -807,6 +807,53 @@ def customer_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "supplier_balance_distribution",
+    """
+    SELECT s_suppkey,
+           CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           round(s_acctbal, 2) AS acctbal,
+           CAST(ntile(4) OVER w AS BIGINT) AS balance_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           round(first_value(s_acctbal) OVER (
+             PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS nation_max_bal,
+           round(lead(s_acctbal) OVER w - s_acctbal, 2) AS gap_to_next
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+    doc="Distribution-analytics window surface completing §2.5: ntile "
+    "quartiles, percent_rank, cume_dist, first_value (per-nation max "
+    "via DESC ordering), and lead gaps — every ranking/distribution "
+    "function over ONE shuffle on s_nationkey (both window specs share "
+    "the partitioning; Catalyst re-sorts within partitions without "
+    "re-exchanging). Deterministic tie-break on s_suppkey keeps ntile "
+    "assignment hash-stable across engines.",
+)
+def supplier_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    w_desc = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sup.select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.ntile(4).over(w).cast("long").alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.first_value("s_acctbal").over(w_desc), 2).alias("nation_max_bal"),
+        F.round(F.lead("s_acctbal").over(w) - F.col("s_acctbal"), 2).alias(
+            "gap_to_next"
+        ),
+    )
+
+
 _SCD2_ORACLE = """
     WITH cur AS (
       SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS amount,

@@ -136,3 +136,37 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     # pruning must not change results
     expected = ev.filter(F.col("event_type").isin("purchase", "signup")).count()
     assert joined.count() == expected
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order vs single-column sort: sorting by x alone leaves y
+    scattered across every file (no pruning on y); the Morton layout
+    must prune files for selective ranges on BOTH dimensions."""
+    from data_pipelines_snowflake_procedures_spark.sources.sink import (
+        files_pruned_by_stats,
+        write_zordered,
+    )
+    from pyspark.sql import functions as F
+
+    n, files = 40000, 16
+    df = spark.range(n).select(
+        (F.col("id") % 200).alias("x"),
+        (F.hash("id") % 200 + 200).alias("y"),  # decorrelated from x
+    )
+    xsorted = str(tmp_path / "xsorted")
+    zordered = str(tmp_path / "zordered")
+    df.repartitionByRange(files, "x").sortWithinPartitions("x").write.parquet(xsorted)
+    write_zordered(df, zordered, ["x", "y"], n_files=files)
+
+    lo, hi = 90, 99  # 5% range in each dimension
+    x_hit_sorted, t1 = files_pruned_by_stats(xsorted, "x", lo, hi)
+    y_hit_sorted, _ = files_pruned_by_stats(xsorted, "y", lo + 200, hi + 200)
+    x_hit_z, t2 = files_pruned_by_stats(zordered, "x", lo, hi)
+    y_hit_z, _ = files_pruned_by_stats(zordered, "y", lo + 200, hi + 200)
+    assert t1 == files and t2 == files
+    # x-sorted layout: great on x, useless on y
+    assert x_hit_sorted <= 3
+    assert y_hit_sorted == files
+    # z-ordered: prunes meaningfully on BOTH dimensions
+    assert x_hit_z <= files // 2
+    assert y_hit_z <= files // 2
