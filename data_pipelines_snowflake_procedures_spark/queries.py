@@ -1140,6 +1140,115 @@ def lineitem_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_grouping_sets",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+           coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="Explicit GROUPING SETS — the two one-dimension margins plus "
+    "the grand total WITHOUT the detail rows a CUBE would add. "
+    "Catalyst plans Expand(3 groupings) before one shuffle, same as "
+    "rollup/cube; listing only the sets you need keeps the Expand "
+    "multiplier (and the shuffle) minimal at 100 TB.",
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", "o_totalprice"
+    )
+    return (
+        orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "nation_trade_flows",
+    """
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN orders   o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation  n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation  n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H-Q7-style cross-nation trade flow: revenue between every "
+    "(supplier nation, customer nation) pair per year. Six-table join "
+    "where BOTH fact-side dims (supplier via l_suppkey, customer via "
+    "o_custkey) resolve to the same tiny nation table, aliased twice "
+    "and broadcast twice — the only real shuffle is lineitem⋈orders "
+    "on the orderkey, then one agg on three low-cardinality keys. "
+    "Exercises Catalyst's join reordering + self-aliased dim reuse.",
+)
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            # Exact decimal arithmetic: double sums are accumulation-order
+            # dependent, and with 4k+ fine-grained groups some land on a
+            # .005 rounding boundary; decimal sums are exact and
+            # order-independent on both engines.
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
 # Extension entries (LLM text/dedup/similarity; event windows;
 # multimodal) register themselves on import; placed last so REGISTRY
 # and helpers exist.

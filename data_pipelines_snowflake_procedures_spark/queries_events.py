@@ -386,3 +386,54 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.windows import gapfill_hourly
 
     return gapfill_hourly(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(datediff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention: users bucket into a cohort by first-active "
+    "day; each (cohort_day, day_offset) cell counts users still active "
+    "offset days later — the standard product-analytics retention "
+    "triangle. Plan shape: ONE shuffle on user_id builds per-user "
+    "distinct-day sets (collect_set), the cohort day is array_min of "
+    "the set (no second agg, no self-join back), then explode + one "
+    "final agg on the tiny (cohort, offset) key space. At 100 TB the "
+    "per-user day set is bounded by the calendar (≤ a few thousand "
+    "entries), so state stays small no matter how many raw events.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    )
+    per_user = ev.groupBy("user_id").agg(F.collect_set("day").alias("days"))
+    act = per_user.select(
+        "user_id",
+        F.array_min("days").alias("cohort_day"),
+        F.explode("days").alias("day"),
+    )
+    return (
+        act.groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+        )
+    )
