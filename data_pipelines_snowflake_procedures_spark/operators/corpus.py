@@ -285,6 +285,140 @@ def pack_sequences(
     )
 
 
+def passage_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passage_tokens: int = 32,
+) -> DataFrame:
+    """Cross-document passage-level dedup (RefinedWeb-style): split every
+    document into non-overlapping ``passage_tokens``-token passages,
+    keep each distinct passage only in the FIRST document it appears in
+    (lexicographic (doc, position) winner), and reassemble surviving
+    passages per document in original order.
+
+    Output ``(id, n_passages_kept, deduped_text)``; documents whose
+    every passage appeared earlier elsewhere vanish (fully boilerplate).
+
+    Plan shape — deliberately NOT a row_number window over the passage
+    hash: a boilerplate passage repeated across millions of documents
+    would make that window partition a straggler. Instead winners come
+    from ``groupBy(passage_hash).agg(min(struct(doc, pos)))`` — a
+    partial-aggregating shuffle that collapses hot hashes map-side —
+    followed by an equi-join back (AQE splits any residual skew).
+    Reassembly is one groupBy on the doc id with an array_sort; state
+    per doc is bounded by the document's own size.
+    """
+    chunks = chunk_documents(
+        df, text_col, id_col, chunk_tokens=passage_tokens, overlap=0
+    )
+    winners = chunks.groupBy(F.md5("chunk_text").alias("ph")).agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_id"))).alias("w")
+    )
+    kept = (
+        chunks.join(
+            winners,
+            (F.md5("chunk_text") == F.col("ph"))
+            & (F.struct(F.col(id_col), F.col("chunk_id")) == F.col("w")),
+            "inner",
+        )
+        .select(id_col, "chunk_id", "chunk_text")
+    )
+    return kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_passages_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+        ).alias("deduped_text"),
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style LM quality scoring with the corpus's own unigram
+    model: per-document mean (and min) token log-probability, where
+    ``p(tok) = count(tok) / total_tokens`` over the whole corpus.
+    Low mean-logprob documents are rare-token-heavy (OCR noise,
+    gibberish, wrong-language residue); downstream filters cut on it.
+
+    Plan shape: one token-explode feeding (a) the vocabulary aggregate
+    — one shuffle on token, partial-agg collapsing repeats map-side —
+    and (b) the scoring join. The vocab (token types, not token
+    instances — millions of rows at 100 TB, not billions) gets its
+    total via a 1-row aggregate cross-joined in, then BROADCASTS to the
+    scoring join, so the corpus-sized side is never shuffled; the final
+    per-doc aggregate shuffles only (doc_id, two doubles).
+
+    Determinism: per-token logprob is rounded to 6 decimals before
+    aggregation so a 1-ulp ``ln`` difference between engines cannot
+    propagate into the per-doc mean.
+    """
+    from .text import tokens
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.filter(tokens(text_col), lambda t: t != "")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = vocab.agg(F.sum("n").cast("double").alias("N"))
+    # Explicit aliases: `total` derives from vocab, so unqualified
+    # references are ambiguous in the self-join lineage.
+    lp = (
+        vocab.alias("v")
+        .crossJoin(F.broadcast(total.alias("t")))
+        .select(
+            F.col("v.tok").alias("tok"),
+            F.round(
+                F.log(F.col("v.n").cast("double") / F.col("t.N")), 6
+            ).alias("tok_logprob"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("tok_logprob"), 6).alias("avg_logprob"),
+            F.round(F.min("tok_logprob"), 6).alias("min_logprob"),
+        )
+    )
+
+
+def quality_quantile_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    min_pct: float = 0.5,
+) -> DataFrame:
+    """Keep each group's top quality quantile: percent_rank of the
+    4-gate quality score within ``group_col`` (deterministic tie-break
+    on the id), filtered to ``>= min_pct`` — "best half of every
+    source", the relative cut that survives distribution drift where an
+    absolute threshold (clean_corpus's ``min_quality``) doesn't.
+
+    One window shuffle partitioned by group; parallelism = number of
+    groups, each group fully sorted. At 100 TB with few huge groups,
+    switch to a two-pass variant: per-group ``approx_percentile``
+    thresholds (one agg), broadcast back as a filter — same semantics
+    to sketch accuracy, no per-group global sort.
+    """
+    from .text import quality_score
+
+    scored = df.withColumn(
+        "quality_score",
+        F.round(quality_score(F.coalesce(F.col(text_col), F.lit(""))), 2),
+    )
+    w = Window.partitionBy(group_col).orderBy("quality_score", id_col)
+    return scored.withColumn(
+        "quality_pct", F.round(F.percent_rank().over(w), 6)
+    ).filter(F.col("quality_pct") >= min_pct)
+
+
 def token_budget(
     cleaned: DataFrame,
     group_cols: Sequence[str] = ("detected_lang",),

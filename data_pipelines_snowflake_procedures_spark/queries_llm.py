@@ -1479,3 +1479,136 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("cnt").over(w) / F.col("t"), 6).alias("cum_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage dedup / LM scoring / quantile gating (corpus prep, round 2)
+# ---------------------------------------------------------------------------
+
+_PASSAGE_TOKENS = 32
+
+_CLEAN_TOKS = (
+    r"list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),"
+    " t -> t <> '')"
+)
+
+
+def _passage_dedup_oracle() -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {_CLEAN_TOKS} AS toks FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             range(1, greatest(len(toks), 1) + 1, {_PASSAGE_TOKENS}) AS ss
+      FROM base
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
+             array_to_string(toks[ss[i] : ss[i] + {_PASSAGE_TOKENS - 1}], ' ') AS chunk_text
+      FROM starts, unnest(range(1, len(ss) + 1)) AS u(i)
+      WHERE len(toks) - ss[i] + 1 > 0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_id
+      ) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages_kept,
+           string_agg(chunk_text, ' ' ORDER BY chunk_id) AS deduped_text
+    FROM ranked WHERE rn = 1
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "corpus_passage_dedup_documents",
+    _passage_dedup_oracle(),
+    doc="Cross-document passage-level dedup (RefinedWeb-style): "
+    f"non-overlapping {_PASSAGE_TOKENS}-token passages, each distinct "
+    "passage kept only at its first (doc, position) occurrence, "
+    "documents reassembled from survivors. Winner selection is "
+    "groupBy(hash)+min(struct) — partial aggregation collapses "
+    "boilerplate passages map-side, where a row_number window would "
+    "straggle on the hot hash. The oracle restates winner choice as a "
+    "row_number window (equivalent lexicographic minimum).",
+)
+def corpus_passage_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import passage_dedup
+
+    return passage_dedup(
+        load_table(spark, sf_dir, "documents"), passage_tokens=_PASSAGE_TOKENS
+    )
+
+
+def _lm_score_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_CLEAN_TOKS}) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total_n FROM vocab),
+    lp AS (
+      SELECT tok, round(ln(CAST(n AS DOUBLE) / total_n), 6) AS tok_logprob
+      FROM vocab, tot
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(tok_logprob), 6) AS avg_logprob,
+           round(min(tok_logprob), 6) AS min_logprob
+    FROM toks t JOIN lp USING (tok)
+    GROUP BY t.doc_id
+    """
+
+
+@register(
+    "corpus_lm_score_documents",
+    _lm_score_oracle(),
+    doc="CCNet-style unigram LM quality score: per-document mean/min "
+    "token log-probability under the corpus's own unigram "
+    "distribution. Vocab aggregate is the only corpus shuffle "
+    "(token-type sized, not token-instance sized); scoring is a "
+    "broadcast join; per-token logprob rounds to 6 decimals before "
+    "aggregation so a 1-ulp ln() difference between engines cannot "
+    "reach the per-doc mean.",
+)
+def corpus_lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import unigram_logprob_score
+
+    return unigram_logprob_score(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_quantile_oracle() -> str:
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source, round({_quality_sql()}, 2) AS quality_score
+      FROM documents
+    )
+    SELECT doc_id, source, quality_score,
+           round(percent_rank() OVER (
+             PARTITION BY source ORDER BY quality_score, doc_id
+           ), 6) AS quality_pct
+    FROM scored
+    QUALIFY quality_pct >= 0.5
+    """
+
+
+@register(
+    "documents_quality_quantile",
+    _quality_quantile_oracle(),
+    doc="Relative quality gate: keep each source's top half by "
+    "percent_rank of the 4-gate quality score (deterministic doc_id "
+    "tie-break) — the distribution-drift-proof cut an absolute "
+    "threshold isn't. One window shuffle partitioned by source; at "
+    "100 TB with few huge sources switch to per-group "
+    "approx_percentile thresholds broadcast back (documented in "
+    "operators/corpus.quality_quantile_gate).",
+)
+def documents_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import quality_quantile_gate
+
+    return quality_quantile_gate(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "quality_score", "quality_pct"
+    )

@@ -421,3 +421,63 @@ def test_decontaminate_plan_broadcasts_eval_side(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_passage_dedup_passages_globally_unique(spark):
+    """Every surviving passage text appears exactly once corpus-wide,
+    and the first-occurrence winner keeps its full document."""
+    from data_pipelines_snowflake_procedures_spark.operators.corpus import (
+        passage_dedup,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(4))
+    uniq = lambda d: " ".join(f"u{d}_{i}" for i in range(4))  # noqa: E731
+    df = spark.createDataFrame(
+        [(1, f"{boiler} {uniq(1)}"), (2, f"{boiler} {uniq(2)}"), (3, boiler)],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in passage_dedup(df, passage_tokens=4).collect()
+    }
+    # doc 1 keeps boilerplate (first occurrence) + its unique passage
+    assert out[1]["n_passages_kept"] == 2
+    # doc 2 loses the boilerplate passage, keeps its unique one
+    assert out[2]["n_passages_kept"] == 1 and out[2]["deduped_text"] == uniq(2)
+    # doc 3 was pure boilerplate -> vanishes
+    assert 3 not in out
+
+
+def test_unigram_logprob_orders_rare_docs_last(spark):
+    """Docs made of corpus-frequent tokens must outscore docs of
+    singletons; all scores are finite negatives."""
+    from data_pipelines_snowflake_procedures_spark.operators.corpus import (
+        unigram_logprob_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "common common common common"), (2, "common rare1 rare2 rare3")],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob_score(df).collect()}
+    assert rows[1]["avg_logprob"] > rows[2]["avg_logprob"]
+    assert all(r["avg_logprob"] < 0 and r["min_logprob"] <= r["avg_logprob"]
+               for r in rows.values())
+
+
+def test_quality_quantile_gate_keeps_top_half_per_group(spark, sf_dir):
+    from data_pipelines_snowflake_procedures_spark.operators.corpus import (
+        quality_quantile_gate,
+    )
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = quality_quantile_gate(docs, min_pct=0.5)
+    per_src_total = {r["source"]: r["c"] for r in
+                     docs.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    per_src_kept = {r["source"]: r["c"] for r in
+                    kept.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    for src, total in per_src_total.items():
+        k = per_src_kept.get(src, 0)
+        # percent_rank >= 0.5 keeps at most ~half (+ties), never more than total
+        assert 0 < k <= total // 2 + 1
