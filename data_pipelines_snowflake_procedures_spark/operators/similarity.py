@@ -295,3 +295,228 @@ def knn_lsh(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means clustering (Lloyd) and scalar-quantized ANN
+# ---------------------------------------------------------------------------
+
+
+def _l2sq_to_lit(emb_col: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance from an embedding column to a LITERAL
+    centroid — a pure narrow expression (stays in codegen, no join, no
+    UDF). (x-y)*(x-y) instead of pow() keeps the arithmetic identical
+    across engines."""
+    arr = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            emb_col,
+            arr,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign_expr(
+    emb_col: Column, centroids: list[list[float]]
+) -> tuple[Column, Column]:
+    """(cluster, distance) columns for assignment to literal centroids:
+    an array of k squared-L2 distances, argmin via
+    array_position(array_min) — first index wins ties, i.e. the lowest
+    cluster id, matching a (dist, cid)-ordered row_number. Zero
+    shuffle: the corpus never moves for an assignment pass."""
+    dists = F.array(*[_l2sq_to_lit(emb_col, c) for c in centroids])
+    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+    return cluster, F.array_min(dists)
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, Spark-first: centroids
+    live on the DRIVER as k×dim literals (metadata-sized, like a
+    broadcast hash table), so every assignment pass is a narrow
+    codegen'd expression over the corpus — no shuffle, no UDF. Each of
+    the ``iters`` update steps costs ONE shuffle: posexplode to
+    (cluster, dim, value) and groupBy-avg, collecting k×dim rounded
+    means back to the driver. Total: iters shuffles + iters tiny
+    collects, independent of corpus size — the same job structure
+    MLlib's KMeans uses (treeAggregate of partial sums), expressed in
+    DataFrame ops.
+
+    Determinism (oracle-matchable): seeds are the k lowest-id vectors;
+    per-dimension means round to ``round_decimals`` so accumulation
+    order can't leak into the next iteration; ties in argmin break to
+    the lowest cluster id. Empty clusters keep their previous centroid.
+
+    Returns (id, cluster, dist) under the FINAL centroids; ``dist`` is
+    squared L2, rounded.
+    """
+    seed_rows = (
+        df.filter(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(emb_col)
+        .collect()
+    )
+    cents = [[float(x) for x in r[emb_col]] for r in seed_rows]
+    for _ in range(iters):
+        cluster, _dist = kmeans_assign_expr(F.col(emb_col), cents)
+        means = (
+            df.select(cluster.alias("__cl"), F.posexplode(F.col(emb_col)))
+            .groupBy("__cl", "pos")
+            .agg(F.round(F.avg(F.col("col").cast("double")), round_decimals).alias("m"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty clusters keep previous
+        by_cl: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cl.setdefault(r["__cl"], {})[r["pos"]] = r["m"]
+        for cl, dims in by_cl.items():
+            new_cents[cl] = [dims[i] for i in range(len(cents[cl]))]
+        cents = new_cents
+    cluster, dist = kmeans_assign_expr(F.col(emb_col), cents)
+    return df.select(
+        F.col(id_col),
+        cluster.alias("cluster"),
+        F.round(dist, 6).alias("dist"),
+    )
+
+
+def sq_bounds(
+    df: DataFrame, emb_col: str = "embedding"
+) -> list[tuple[float, float]]:
+    """Per-dimension (min, max) over the corpus — the scalar-quantizer
+    codebook. One posexplode + groupBy(pos) min/max (exact,
+    order-independent), collected to the driver (dim rows)."""
+    rows = (
+        df.select(F.posexplode(F.col(emb_col)))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("col").cast("double")).alias("lo"),
+            F.max(F.col("col").cast("double")).alias("hi"),
+        )
+        .orderBy("pos")
+        .collect()
+    )
+    return [(r["lo"], r["hi"]) for r in rows]
+
+
+def sq_dequantized_expr(
+    emb_col: Column, bounds: list[tuple[float, float]], levels: int = 256
+) -> Column:
+    """Quantize-then-dequantize an embedding against literal per-dim
+    bounds: code = round((x-lo)/(hi-lo)*(levels-1)) clamped to
+    [0, levels-1], reconstructed as lo + code*(hi-lo)/(levels-1).
+    int8-per-dimension storage (levels=256) is the point at 100 TB:
+    a 64-dim float32 corpus shrinks 4× and the ANN scan becomes
+    memory-bandwidth-bound on codes, not floats. Narrow expression —
+    quantization never shuffles."""
+    los = F.array(*[F.lit(float(lo)) for lo, _ in bounds])
+    his = F.array(*[F.lit(float(hi)) for _, hi in bounds])
+    n = F.lit(float(levels - 1))
+    scaled = F.zip_with(
+        emb_col,
+        F.zip_with(los, his, lambda lo, hi: F.struct(lo.alias("lo"), hi.alias("hi"))),
+        lambda x, b: F.round(
+            (x.cast("double") - b["lo"])
+            / F.when(b["hi"] > b["lo"], b["hi"] - b["lo"]).otherwise(F.lit(1.0))
+            * n,
+            0,
+        ),
+    )
+    code = F.transform(
+        scaled, lambda s: F.least(F.greatest(s, F.lit(0.0)), n)
+    )
+    return F.zip_with(
+        code,
+        F.zip_with(los, his, lambda lo, hi: F.struct(lo.alias("lo"), hi.alias("hi"))),
+        lambda c, b: b["lo"]
+        + c
+        * (
+            F.when(b["hi"] > b["lo"], b["hi"] - b["lo"]).otherwise(F.lit(1.0))
+        )
+        / n,
+    )
+
+
+def knn_sq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    bounds: list[tuple[float, float]],
+    k: int = 5,
+    rerank: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scalar-quantized ANN with exact re-ranking (the SQ analogue of a
+    FAISS SQ8 index): score every (query, corpus) pair on DEQUANTIZED
+    corpus vectors (asymmetric distance — queries stay exact), keep the
+    top ``rerank``·k candidates per query, then re-rank only those on
+    the exact float cosine. Recall loss happens only when quantization
+    error reorders a true top-k neighbor past position rerank·k.
+
+    Same broadcast-query / narrow-scan shape as knn_bruteforce; the
+    second (exact) pass touches rerank·k rows per query. At 100 TB the
+    first pass reads int8 codes (4× less IO than floats) and the exact
+    embeddings are fetched only for candidates."""
+    deq = sq_dequantized_expr(F.col(emb_col), bounds)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm(F.col(emb_col)).alias("q_nrm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm(F.col(emb_col)).alias("c_nrm"),
+        deq.alias("c_deq"),
+    ).withColumn(
+        "c_deq_nrm",
+        F.sqrt(
+            F.aggregate(
+                F.col("c_deq"), F.lit(0.0), lambda acc, v: acc + v * v
+            )
+        ),
+    )
+    approx = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "q_emb",
+            "c_emb",
+            "q_nrm",
+            "c_nrm",
+            F.round(
+                dot_product(F.col("q_emb"), F.col("c_deq"))
+                / (F.col("q_nrm") * F.col("c_deq_nrm")),
+                6,
+            ).alias("approx_cosine"),
+        )
+    )
+    w_a = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("neighbor_id")
+    )
+    cand = approx.withColumn("__arn", F.row_number().over(w_a)).filter(
+        F.col("__arn") <= rerank * k
+    )
+    exact = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot_product(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_nrm") * F.col("c_nrm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

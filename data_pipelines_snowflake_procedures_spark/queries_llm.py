@@ -1612,3 +1612,147 @@ def documents_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_quantile_gate(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "source", "quality_score", "quality_pct"
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means clustering and scalar-quantized ANN (round 2)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_DIST = (
+    "list_aggregate([(e.embedding[i]::DOUBLE - c.c[i]) * "
+    "(e.embedding[i]::DOUBLE - c.c[i]) FOR i IN range(1, 65)], 'sum')"
+)
+
+
+def _kmeans_oracle() -> str:
+    def assign(cents: str, out: str) -> str:
+        return f"""{out} AS (
+      SELECT vec_id, embedding, cid AS cl FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_DIST}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {cents} c
+      ) WHERE rn = 1
+    )"""
+
+    def update(assigned: str, prev: str, out: str) -> str:
+        return f"""{out}_m AS (
+      SELECT cl AS cid, i, round(avg(embedding[i]::DOUBLE), 6) AS m
+      FROM {assigned}, unnest(range(1, 65)) AS t(i)
+      GROUP BY cl, i
+    ),
+    {out}_l AS (SELECT cid, list(m ORDER BY i) AS c FROM {out}_m GROUP BY cid),
+    {out} AS (
+      SELECT s.cid, coalesce(cm.c, s.c) AS c
+      FROM {prev} s LEFT JOIN {out}_l cm USING (cid)
+    )"""
+
+    return f"""
+    WITH c0 AS (
+      SELECT vec_id AS cid, [x::DOUBLE FOR x IN embedding] AS c
+      FROM embeddings WHERE vec_id < {_KM_K}
+    ),
+    {assign("c0", "a1")},
+    {update("a1", "c0", "c1")},
+    {assign("c1", "a2")},
+    {update("a2", "c1", "c2")}
+    SELECT e.vec_id,
+           CAST(c.cid AS BIGINT) AS cluster,
+           round({_KM_DIST.replace("c.c[i]", "c.c[i]")}, 6) AS dist
+    FROM embeddings e CROSS JOIN c2 c
+    QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_DIST}, c.cid) = 1
+    """
+
+
+@register(
+    "kmeans_clusters_embeddings",
+    _kmeans_oracle(),
+    doc="Lloyd's k-means (k=8, 2 iterations), Spark-first: centroids "
+    "are driver-held literals so every assignment pass is a narrow "
+    "codegen'd argmin over the corpus — NO shuffle, no UDF; each "
+    "update step is one posexplode+groupBy-avg shuffle collecting "
+    "k×dim rounded means (the same job structure as MLlib KMeans' "
+    "treeAggregate, in DataFrame ops). Deterministic: lowest-id "
+    "seeds, 6-decimal mean rounding, lowest-cluster tie-break — the "
+    "oracle unrolls both iterations in CTEs.",
+)
+def kmeans_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=_KM_K, iters=2)
+
+
+_SQ_SPAN = "(CASE WHEN his[i] > los[i] THEN his[i] - los[i] ELSE 1.0 END)"
+_SQ_DEQ = (
+    f"[los[i] + least(greatest(round((embedding[i]::DOUBLE - los[i]) / {_SQ_SPAN}"
+    f" * 255.0, 0), 0.0), 255.0) * {_SQ_SPAN} / 255.0 FOR i IN range(1, 65)]"
+)
+
+
+def _knn_sq_oracle() -> str:
+    return f"""
+    WITH b AS (
+      SELECT i, min(embedding[i]::DOUBLE) AS lo, max(embedding[i]::DOUBLE) AS hi
+      FROM embeddings, unnest(range(1, 65)) AS t(i) GROUP BY i
+    ),
+    bl AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM b),
+    v AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN embedding], 'sum')) AS nrm,
+             {_SQ_DEQ} AS deq
+      FROM embeddings, bl
+    ),
+    vd AS (
+      SELECT *, sqrt(list_aggregate([d * d FOR d IN deq], 'sum')) AS deq_nrm FROM v
+    ),
+    q AS (SELECT vec_id, embedding, nrm FROM vd WHERE vec_id < 5),
+    approx AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS q_emb, c.embedding AS c_emb,
+             q.nrm AS q_nrm, c.nrm AS c_nrm,
+             round(list_aggregate(
+                     [q.embedding[i]::DOUBLE * c.deq[i] FOR i IN range(1, 65)],
+                     'sum') / (q.nrm * c.deq_nrm), 6) AS approx_cosine
+      FROM vd c JOIN q ON q.vec_id <> c.vec_id
+    ),
+    cand AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id
+        ) AS arn FROM approx
+      ) WHERE arn <= 15
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id,
+             round(list_aggregate(
+                     [q_emb[i]::DOUBLE * c_emb[i]::DOUBLE FOR i IN range(1, 65)],
+                     'sum') / (q_nrm * c_nrm), 6) AS cosine
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM exact
+    ) WHERE rank <= 5
+    """
+
+
+@register(
+    "knn_sq_embeddings",
+    _knn_sq_oracle(),
+    doc="Scalar-quantized ANN (FAISS-SQ8-style): corpus vectors "
+    "quantized to 8-bit codes against per-dimension min/max bounds, "
+    "scored asymmetrically (exact query × dequantized corpus), top "
+    "3k candidates re-ranked on the exact cosine. At 100 TB the scan "
+    "reads int8 codes (4× less IO than float32) and exact embeddings "
+    "are touched only for candidates. Bounds are exact min/max "
+    "(order-independent), so quantization is engine-deterministic.",
+)
+def knn_sq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import knn_sq, sq_bounds
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_sq(
+        emb, emb.filter(F.col("vec_id") < 5), sq_bounds(emb), k=5, rerank=3
+    )

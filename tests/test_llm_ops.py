@@ -481,3 +481,43 @@ def test_quality_quantile_gate_keeps_top_half_per_group(spark, sf_dir):
         k = per_src_kept.get(src, 0)
         # percent_rank >= 0.5 keeps at most ~half (+ties), never more than total
         assert 0 < k <= total // 2 + 1
+
+
+def test_kmeans_sse_decreases_with_iterations(spark, sf_dir):
+    """Lloyd invariant: total within-cluster squared distance is
+    non-increasing in the iteration count."""
+    from data_pipelines_snowflake_procedures_spark.operators.similarity import kmeans_lloyd
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sse = [
+        kmeans_lloyd(emb, k=4, iters=i).agg(F.sum("dist")).collect()[0][0]
+        for i in (0, 1, 3)
+    ]
+    assert sse[0] >= sse[1] >= sse[2]
+    # k=4 clusters all non-empty on this data
+    assert kmeans_lloyd(emb, k=4, iters=2).select("cluster").distinct().count() == 4
+
+
+def test_knn_sq_recall_vs_bruteforce(spark, sf_dir):
+    """SQ8 + 3k re-rank must recover nearly all exact top-5 neighbors
+    (8-bit quantization error is far below inter-neighbor gaps)."""
+    from data_pipelines_snowflake_procedures_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_sq,
+        sq_bounds,
+    )
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_sq(emb, q, sq_bounds(emb), k=5, rerank=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"SQ recall {recall}"
