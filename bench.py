@@ -27,8 +27,11 @@ HEADLINE = [
     "order_priority_counts",
     "customers_without_big_orders",
     "customer_order_analytics",
+    "supplier_balance_distribution",
     "orders_priority_pivot",
     "lineitem_cube_flag_status",
+    "orders_grouping_sets",
+    "nation_trade_flows",
     # DQ / profiling / PII / SCD
     "profile_customer",
     "dq_table_scores_orders",
@@ -48,13 +51,20 @@ HEADLINE = [
     "dedup_minhash_lsh_documents",
     "dedup_clusters_documents",
     "dedup_simhash_documents",
+    "corpus_passage_dedup_documents",
+    "corpus_lm_score_documents",
+    "documents_quality_quantile",
     "knn_bruteforce_embeddings",
     "embedding_near_dup_blocked",
+    "embedding_near_dup_kmeans",
+    "kmeans_clusters_embeddings",
+    "knn_sq_embeddings",
     # event-time windows + pandas surface
     "events_hourly_by_type",
     "events_sessions_user",
     "events_funnel_view_click_purchase",
     "events_hourly_gapfill",
+    "events_retention_cohorts",
     "events_asof_click_before_error",
     "events_groupwise_zscore",
 ]

@@ -433,3 +433,84 @@ def token_budget(
         F.sum(token_col).cast("long").alias("total_tokens"),
         F.round(F.avg("quality_score"), 4).alias("avg_quality"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    tau: float = 0.5,
+    budget_frac: float = 0.5,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "tmix",
+) -> DataFrame:
+    """Temperature-reweighted training mix: per-group keep-fractions
+    ∝ n_g^tau (tau < 1 upweights low-resource groups — the standard
+    multilingual/multi-source rebalancing), scaled so the sample is
+    ~``budget_frac`` of total tokens, capped at keeping everything.
+    Rows are then kept by the same deterministic md5(seed|id) hash
+    thresholds as :func:`sample_mix` — reproducible, retry-stable,
+    no RNG state.
+
+    Plan shape: ONE aggregate for per-group token counts (groups are
+    driver-tiny — the weights math happens on the driver), then one
+    narrow hash filter over the corpus. Nothing else; the corpus never
+    shuffles.
+
+    Determinism: tau=0.5 uses sqrt (IEEE-correctly-rounded on every
+    engine); fractions round to 6 decimals and thresholds are
+    floor(frac·1e6), so an oracle recomputing them in SQL lands on the
+    identical integers.
+    """
+    import math
+
+    from .text import tokens
+
+    ntok = F.size(F.filter(tokens(text_col), lambda t: t != ""))
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.sum(ntok).alias("n"))
+        .orderBy(group_col)
+        .collect()
+    )
+    n = {r[group_col]: int(r["n"]) for r in counts}
+    total = sum(n.values())
+    powf = math.sqrt if tau == 0.5 else (lambda v: v**tau)
+    wt = {g: powf(float(v)) for g, v in n.items()}
+    wsum = sum(wt[g] for g in sorted(wt))
+    frac = {
+        g: (
+            1.0
+            if n[g] == 0
+            else round(min(1.0, budget_frac * total * (wt[g] / wsum) / n[g]), 6)
+        )
+        for g in n
+    }
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = h % F.lit(1000000)
+    frac_expr: Column | None = None
+    for g, fr in frac.items():
+        cond = F.col(group_col) == g
+        frac_expr = (
+            F.when(cond, F.lit(fr)) if frac_expr is None else frac_expr.when(cond, F.lit(fr))
+        )
+    frac_expr = frac_expr.otherwise(F.lit(1.0)) if frac_expr is not None else F.lit(1.0)
+    thresh = {g: int(math.floor(fr * 1000000)) for g, fr in frac.items()}
+    thresh_expr: Column | None = None
+    for g, t in thresh.items():
+        cond = F.col(group_col) == g
+        thresh_expr = (
+            F.when(cond, F.lit(t)) if thresh_expr is None else thresh_expr.when(cond, F.lit(t))
+        )
+    thresh_expr = (
+        thresh_expr.otherwise(F.lit(1000000)) if thresh_expr is not None else F.lit(1000000)
+    )
+    return df.filter(bucket < thresh_expr).select(
+        id_col, group_col, frac_expr.alias("keep_frac")
+    )

@@ -542,3 +542,62 @@ def embedding_near_dup_blocked(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_near_dup_kmeans(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: cluster the corpus with
+    k-means, then compare embeddings only WITHIN clusters — the
+    curvature-aware alternative to SRP blocking
+    (:func:`embedding_near_dup_blocked`): data-dependent cells follow
+    the embedding distribution, so near-dups co-locate even where
+    fixed hyperplanes would split a dense region.
+
+    Plan shape: :func:`~.similarity.kmeans_fit` (iters shuffles, k×dim
+    driver state), then assignment is a narrow literal-centroid argmin
+    — the pair search is ONE equi-join on cluster id. Pair work drops
+    from n² to Σ n_c²; skewed clusters are the residual risk (raise k,
+    or recurse into oversized cells). Recall < 1 exactly for pairs
+    straddling a cluster boundary.
+
+    Output ``(id_a, id_b, cluster, cosine)`` — a subset of
+    :func:`embedding_near_dup_pairs` at the same threshold.
+    """
+    from .similarity import kmeans_assign_expr, kmeans_fit
+
+    cents = kmeans_fit(df, k=k, iters=iters, emb_col=emb_col, id_col=id_col)
+    cluster, _dist = kmeans_assign_expr(F.col(emb_col), cents)
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).alias("emb"),
+        norm(F.col(emb_col)).alias("nrm"),
+        cluster.alias("cluster"),
+    )
+    a = normed.select(
+        F.col("id").alias("id_a"), F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"), "cluster",
+    )
+    b = normed.select(
+        F.col("id").alias("id_b"), F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"), F.col("cluster").alias("cluster_b"),
+    )
+    return (
+        a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.round(
+                dot_product(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

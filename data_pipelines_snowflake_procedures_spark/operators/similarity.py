@@ -326,10 +326,64 @@ def kmeans_assign_expr(
     an array of k squared-L2 distances, argmin via
     array_position(array_min) — first index wins ties, i.e. the lowest
     cluster id, matching a (dist, cid)-ordered row_number. Zero
-    shuffle: the corpus never moves for an assignment pass."""
-    dists = F.array(*[_l2sq_to_lit(emb_col, c) for c in centroids])
+    shuffle: the corpus never moves for an assignment pass.
+
+    The centroids enter the plan as ONE k×dim literal matrix looped by
+    ``transform`` — k separately-unrolled fold chains would bloat the
+    generated code ~k× and dominate runtime with JIT compilation."""
+    matrix = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    dists = F.transform(
+        matrix,
+        lambda c: F.aggregate(
+            F.zip_with(
+                emb_col,
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
     cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
     return cluster, F.array_min(dists)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 6,
+) -> list[list[float]]:
+    """Fit Lloyd's k-means and return the final centroids as plain
+    Python lists (k×dim — driver-metadata-sized). See
+    :func:`kmeans_lloyd` for the plan-shape and determinism contract;
+    use the centroids with :func:`kmeans_assign_expr` for shuffle-free
+    downstream assignment (clustering, SemDeDup blocking, IVF cells).
+    """
+    # k lowest-id vectors seed the centroids (NOT "id < k": ids need not
+    # be contiguous — e.g. corpora with planted/offset id spaces).
+    seed_rows = df.orderBy(id_col).limit(k).select(emb_col).collect()
+    cents = [[float(x) for x in r[emb_col]] for r in seed_rows]
+    for _ in range(iters):
+        cluster, _dist = kmeans_assign_expr(F.col(emb_col), cents)
+        means = (
+            df.select(cluster.alias("__cl"), F.posexplode(F.col(emb_col)))
+            .groupBy("__cl", "pos")
+            .agg(F.round(F.avg(F.col("col").cast("double")), round_decimals).alias("m"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty clusters keep previous
+        by_cl: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cl.setdefault(r["__cl"], {})[r["pos"]] = r["m"]
+        for cl, dims in by_cl.items():
+            new_cents[cl] = [dims[i] for i in range(len(cents[cl]))]
+        cents = new_cents
+    return cents
 
 
 def kmeans_lloyd(
@@ -359,28 +413,7 @@ def kmeans_lloyd(
     Returns (id, cluster, dist) under the FINAL centroids; ``dist`` is
     squared L2, rounded.
     """
-    seed_rows = (
-        df.filter(F.col(id_col) < k)
-        .orderBy(id_col)
-        .select(emb_col)
-        .collect()
-    )
-    cents = [[float(x) for x in r[emb_col]] for r in seed_rows]
-    for _ in range(iters):
-        cluster, _dist = kmeans_assign_expr(F.col(emb_col), cents)
-        means = (
-            df.select(cluster.alias("__cl"), F.posexplode(F.col(emb_col)))
-            .groupBy("__cl", "pos")
-            .agg(F.round(F.avg(F.col("col").cast("double")), round_decimals).alias("m"))
-            .collect()
-        )
-        new_cents = [list(c) for c in cents]  # empty clusters keep previous
-        by_cl: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cl.setdefault(r["__cl"], {})[r["pos"]] = r["m"]
-        for cl, dims in by_cl.items():
-            new_cents[cl] = [dims[i] for i in range(len(cents[cl]))]
-        cents = new_cents
+    cents = kmeans_fit(df, k, iters, emb_col, id_col, round_decimals)
     cluster, dist = kmeans_assign_expr(F.col(emb_col), cents)
     return df.select(
         F.col(id_col),

@@ -437,3 +437,37 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@register(
+    "events_stream_stream_join",
+    """
+    WITH clk AS (
+      SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    err AS (
+      SELECT event_id AS error_id, user_id, CAST(ts AS TIMESTAMP) AS error_ts
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT c.user_id, c.click_id, e.error_id,
+           CAST((epoch_us(e.error_ts) - epoch_us(c.click_ts)) // 1000000 AS BIGINT) AS gap_sec
+    FROM clk c JOIN err e
+      ON c.user_id = e.user_id
+     AND e.error_ts >= c.click_ts
+     AND e.error_ts <= c.click_ts + INTERVAL 30 MINUTE
+    """,
+    doc="Stream-stream inner join executed as a real Structured "
+    "Streaming query (two watermarked readStream sides, event-time "
+    "range predicate, append-mode memory sink) and hash-checked "
+    "against the batch SQL join — the attribution join (error within "
+    "30 min of a same-user click) with provably bounded state: the "
+    "watermark + time-range condition let the state store evict both "
+    "sides. Stream-equals-batch verified at value level.",
+)
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stream import click_error_stream_join, run_to_memory
+
+    return run_to_memory(
+        click_error_stream_join(spark, sf_dir), output_mode="append"
+    )

@@ -1619,25 +1619,31 @@ def documents_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _KM_K = 8
-_KM_DIST = (
-    "list_aggregate([(e.embedding[i]::DOUBLE - c.c[i]) * "
-    "(e.embedding[i]::DOUBLE - c.c[i]) FOR i IN range(1, 65)], 'sum')"
-)
 
 
-def _kmeans_oracle() -> str:
-    def assign(cents: str, out: str) -> str:
-        return f"""{out} AS (
-      SELECT vec_id, embedding, cid AS cl FROM (
-        SELECT e.vec_id, e.embedding, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_DIST}, c.cid) AS rn
-        FROM embeddings e CROSS JOIN {cents} c
+def _km_dist(emb: str = "embedding") -> str:
+    return (
+        f"list_aggregate([(e.{emb}[i]::DOUBLE - c.c[i]) * "
+        f"(e.{emb}[i]::DOUBLE - c.c[i]) FOR i IN range(1, 65)], 'sum')"
+    )
+
+
+_KM_DIST = _km_dist()
+
+
+def _km_assign(cents: str, out: str, src: str, emb: str) -> str:
+    return f"""{out} AS (
+      SELECT vec_id, {emb}, cid AS cl FROM (
+        SELECT e.vec_id, e.{emb}, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_km_dist(emb)}, c.cid) AS rn
+        FROM {src} e CROSS JOIN {cents} c
       ) WHERE rn = 1
     )"""
 
-    def update(assigned: str, prev: str, out: str) -> str:
-        return f"""{out}_m AS (
-      SELECT cl AS cid, i, round(avg(embedding[i]::DOUBLE), 6) AS m
+
+def _km_update(assigned: str, prev: str, out: str, emb: str) -> str:
+    return f"""{out}_m AS (
+      SELECT cl AS cid, i, round(avg({emb}[i]::DOUBLE), 6) AS m
       FROM {assigned}, unnest(range(1, 65)) AS t(i)
       GROUP BY cl, i
     ),
@@ -1647,18 +1653,30 @@ def _kmeans_oracle() -> str:
       FROM {prev} s LEFT JOIN {out}_l cm USING (cid)
     )"""
 
-    return f"""
-    WITH c0 AS (
-      SELECT vec_id AS cid, [x::DOUBLE FOR x IN embedding] AS c
-      FROM embeddings WHERE vec_id < {_KM_K}
+
+def _kmeans_ctes(src: str = "embeddings", emb: str = "embedding") -> str:
+    """Two unrolled Lloyd iterations (c0 -> a1 -> c1 -> a2 -> c2) —
+    shared by the clustering oracle and the SemDeDup-blocking oracle.
+    Seeds are the k LOWEST ids (ids need not be contiguous)."""
+    return f"""c0 AS (
+      SELECT srn - 1 AS cid, c FROM (
+        SELECT [x::DOUBLE FOR x IN {emb}] AS c,
+               row_number() OVER (ORDER BY vec_id) AS srn
+        FROM {src}
+      ) WHERE srn <= {_KM_K}
     ),
-    {assign("c0", "a1")},
-    {update("a1", "c0", "c1")},
-    {assign("c1", "a2")},
-    {update("a2", "c1", "c2")}
+    {_km_assign("c0", "a1", src, emb)},
+    {_km_update("a1", "c0", "c1", emb)},
+    {_km_assign("c1", "a2", src, emb)},
+    {_km_update("a2", "c1", "c2", emb)}"""
+
+
+def _kmeans_oracle() -> str:
+    return f"""
+    WITH {_kmeans_ctes()}
     SELECT e.vec_id,
            CAST(c.cid AS BIGINT) AS cluster,
-           round({_KM_DIST.replace("c.c[i]", "c.c[i]")}, 6) AS dist
+           round({_KM_DIST}, 6) AS dist
     FROM embeddings e CROSS JOIN c2 c
     QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_DIST}, c.cid) = 1
     """
@@ -1756,3 +1774,87 @@ def knn_sq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_sq(
         emb, emb.filter(F.col("vec_id") < 5), sq_bounds(emb), k=5, rerank=3
     )
+
+
+def _near_dup_kmeans_oracle() -> str:
+    return f"""
+    WITH {_EMB_CORPUS_SQL},
+    {_kmeans_ctes(src="corpus", emb="emb")},
+    af AS (
+      SELECT e.vec_id, e.emb, c.cid AS cluster,
+             sqrt(list_aggregate([x * x FOR x IN e.emb], 'sum')) AS nrm
+      FROM corpus e CROSS JOIN c2 c
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY {_km_dist("emb")}, c.cid) = 1
+    )
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(a.cluster AS BIGINT) AS cluster,
+             round(list_aggregate(
+                     [a.emb[i] * b.emb[i]
+                      FOR i IN range(1, 65)], 'sum') / (a.nrm * b.nrm), 6) AS cosine
+      FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.99
+    """
+
+
+@register(
+    "embedding_near_dup_kmeans",
+    _near_dup_kmeans_oracle(),
+    doc="SemDeDup-style semantic near-dup pairs: k-means cells as the "
+    "blocking structure (data-dependent — follows the embedding "
+    "distribution where SRP hyperplanes are fixed), pair cosine "
+    "computed only within cells via ONE cluster-id equi-join. "
+    "Assignment is the shuffle-free literal-centroid argmin; pair "
+    "work drops n² -> sum(n_cell²). Recall < 1 exactly for pairs "
+    "straddling a cell boundary. Runs over the same planted-near-dup "
+    "corpus as its exact/SRP siblings.",
+)
+def embedding_near_dup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import embedding_near_dup_kmeans as _op
+
+    return _op(_emb_corpus_df(spark, sf_dir), threshold=0.99)
+
+
+def _temperature_mix_oracle() -> str:
+    ntok = (
+        r"len(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),"
+        " x -> x <> ''))"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, {ntok} AS n_tok FROM documents
+    ),
+    g AS (SELECT source, sum(n_tok) AS n FROM t GROUP BY source),
+    tot AS (SELECT sum(n) AS total, sum(sqrt(CAST(n AS DOUBLE))) AS wsum FROM g),
+    f AS (
+      SELECT source,
+             CASE WHEN n = 0 THEN 1.0
+                  ELSE round(least(1.0,
+                         0.5 * total * (sqrt(CAST(n AS DOUBLE)) / wsum)
+                         / CAST(n AS DOUBLE)), 6)
+             END AS keep_frac
+      FROM g, tot
+    )
+    SELECT t.doc_id, t.source, f.keep_frac
+    FROM t JOIN f USING (source)
+    WHERE ('0x' || substr(md5('tmix|' || CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000
+          < CAST(floor(f.keep_frac * 1000000) AS BIGINT)
+    """
+
+
+@register(
+    "corpus_temperature_mix",
+    _temperature_mix_oracle(),
+    doc="Temperature-reweighted sampling (tau=0.5): per-source keep "
+    "fractions ∝ sqrt(tokens), scaled to a 50% token budget and "
+    "applied via deterministic md5 hash thresholds — the standard "
+    "low-resource-upweighting rebalance. One group aggregate (driver "
+    "does the k-group weight math) + one narrow hash filter; the "
+    "corpus never shuffles. sqrt is IEEE-exact so Spark and the SQL "
+    "oracle derive identical thresholds.",
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import temperature_mix
+
+    return temperature_mix(load_table(spark, sf_dir, "documents"))

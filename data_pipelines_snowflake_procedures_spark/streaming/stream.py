@@ -79,18 +79,79 @@ def dedup_stream(
     return a.union(b).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def click_error_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    every (click, error) pair for the same user where the error lands
+    within ``max_gap`` after the click — the real-time attribution
+    join (which click preceded this failure?).
+
+    Both sides carry a watermark and the join predicate bounds
+    error_ts to [click_ts, click_ts + max_gap]; together those let the
+    state store EVICT clicks older than watermark+gap and errors older
+    than watermark — without the time bound, both sides' state grows
+    forever. Inner stream-stream joins emit in append mode as soon as
+    a match arrives. State is partitioned by the equi-key (user_id):
+    one shuffle per side per micro-batch, skew bounded by the hottest
+    user within the watermark horizon."""
+    from pyspark.sql import functions as F
+
+    clk = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    err = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", watermark)
+    )
+    joined = clk.join(
+        err,
+        (F.col("user_id") == F.col("err_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
+    )
+    gap = (
+        F.unix_micros(F.col("error_ts")) - F.unix_micros(F.col("click_ts"))
+    ) / F.lit(1000000)
+    return joined.select(
+        "user_id",
+        "click_id",
+        "error_id",
+        F.floor(gap).cast("long").alias("gap_sec"),
+    )
+
+
 def run_to_memory(
-    streaming_df: DataFrame, name: str | None = None, timeout_sec: int = 120
+    streaming_df: DataFrame,
+    name: str | None = None,
+    timeout_sec: int = 120,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Execute a streaming query to completion over the available data
     (``availableNow`` trigger) into an in-memory table; returns the
     result as a batch DataFrame. Used by tests to assert
-    stream-equals-batch."""
+    stream-equals-batch. Stream-stream joins require ``append``."""
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
     q = (
         streaming_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -521,3 +521,26 @@ def test_knn_sq_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"SQ recall {recall}"
+
+
+def test_near_dup_kmeans_is_subset_with_high_recall(spark, sf_dir):
+    """Cluster-blocked pairs must be a strict subset of the exact O(n²)
+    pairs at the same threshold, with high recall on this data."""
+    from data_pipelines_snowflake_procedures_spark.operators.dedup import (
+        embedding_near_dup_kmeans,
+        embedding_near_dup_pairs,
+    )
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # low threshold so the tiny test SF yields a meaningful pair set
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.5).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_kmeans(emb, threshold=0.5).collect()
+    }
+    assert blocked <= exact
+    assert exact and len(blocked) / len(exact) >= 0.5

@@ -73,3 +73,53 @@ def test_rollup_single_shuffle(spark, sf_dir):
     assert "Expand" in plan
     # one aggregation exchange only
     assert plan.count("(Exchange") <= 1 or plan.count("Exchange") <= 2
+
+
+def test_trade_flows_broadcasts_dims_single_fact_shuffle(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, "nation_trade_flows", sf_dir)
+    # supplier + both nation aliases broadcast; customer under threshold
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 3
+    # pruning: lineitem never reads quantity/tax for this query
+    assert "l_quantity" not in plan
+    assert "l_tax" not in plan
+
+
+def test_grouping_sets_single_expand_single_agg_exchange(spark, sf_dir):
+    plan = _plan(spark, "orders_grouping_sets", sf_dir)
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_kmeans_assignment_is_shuffle_free(spark, sf_dir):
+    """The final k-means assignment pass (literal centroids) must be a
+    narrow projection: no exchange, no join, no Python."""
+    from data_pipelines_snowflake_procedures_spark.operators.similarity import (
+        kmeans_assign_expr,
+        kmeans_fit,
+    )
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=4, iters=1)
+    cluster, dist = kmeans_assign_expr(F.col("embedding"), cents)
+    plan = (
+        emb.select("vec_id", cluster.alias("c"), dist.alias("d"))
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_retention_single_user_shuffle_before_final_agg(spark, sf_dir):
+    plan = _plan(spark, "events_retention_cohorts", sf_dir)
+    # no self-join back to a cohort table — collect_set + array_min only
+    assert "Join" not in plan
