@@ -32,6 +32,7 @@ HEADLINE = [
     "lineitem_cube_flag_status",
     "orders_grouping_sets",
     "nation_trade_flows",
+    "customer_fuzzy_match_pairs",
     # DQ / profiling / PII / SCD
     "profile_customer",
     "dq_table_scores_orders",
@@ -65,6 +66,7 @@ HEADLINE = [
     "events_funnel_view_click_purchase",
     "events_hourly_gapfill",
     "events_retention_cohorts",
+    "events_rolling_anomaly",
     "events_asof_click_before_error",
     "events_groupwise_zscore",
 ]

@@ -569,15 +569,14 @@ def embedding_near_dup_kmeans(
     Output ``(id_a, id_b, cluster, cosine)`` — a subset of
     :func:`embedding_near_dup_pairs` at the same threshold.
     """
-    from .similarity import kmeans_assign_expr, kmeans_fit
+    from .similarity import kmeans_assign_df, kmeans_fit
 
     cents = kmeans_fit(df, k=k, iters=iters, emb_col=emb_col, id_col=id_col)
-    cluster, _dist = kmeans_assign_expr(F.col(emb_col), cents)
-    normed = df.select(
+    normed = kmeans_assign_df(df, cents, emb_col).select(
         F.col(id_col).alias("id"),
         F.col(emb_col).alias("emb"),
         norm(F.col(emb_col)).alias("nrm"),
-        cluster.alias("cluster"),
+        F.col("__cl").alias("cluster"),
     )
     a = normed.select(
         F.col("id").alias("id_a"), F.col("emb").alias("emb_a"),

@@ -350,6 +350,47 @@ def kmeans_assign_expr(
     return cluster, F.array_min(dists)
 
 
+def kmeans_assign_df(
+    df: DataFrame,
+    centroids: list[list[float]],
+    emb_col: str = "embedding",
+    cluster_col: str = "__cl",
+    dist_col: str = "__dist",
+) -> DataFrame:
+    """All of ``df`` plus (cluster, dist) columns, with the centroid
+    matrix riding in as a 1-ROW broadcast table instead of a literal
+    expression tree: same zero-shuffle assignment (a broadcast of k×dim
+    doubles is metadata), but the PLAN stays tiny — a 512-literal
+    expression costs ~1 s of driver-side analysis per job, which
+    dominates every Lloyd iteration at benchmark scale."""
+    spark = df.sparkSession
+    mat = spark.createDataFrame(
+        [([[float(x) for x in c] for c in centroids],)],
+        "__km_matrix: array<array<double>>",
+    )
+    dists = F.transform(
+        F.col("__km_matrix"),
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col(emb_col),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(mat))
+        .withColumn(
+            cluster_col,
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("long"),
+        )
+        .withColumn(dist_col, F.array_min(dists))
+        .drop("__km_matrix")
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,
@@ -369,9 +410,9 @@ def kmeans_fit(
     seed_rows = df.orderBy(id_col).limit(k).select(emb_col).collect()
     cents = [[float(x) for x in r[emb_col]] for r in seed_rows]
     for _ in range(iters):
-        cluster, _dist = kmeans_assign_expr(F.col(emb_col), cents)
         means = (
-            df.select(cluster.alias("__cl"), F.posexplode(F.col(emb_col)))
+            kmeans_assign_df(df, cents, emb_col)
+            .select("__cl", F.posexplode(F.col(emb_col)))
             .groupBy("__cl", "pos")
             .agg(F.round(F.avg(F.col("col").cast("double")), round_decimals).alias("m"))
             .collect()
@@ -414,11 +455,10 @@ def kmeans_lloyd(
     squared L2, rounded.
     """
     cents = kmeans_fit(df, k, iters, emb_col, id_col, round_decimals)
-    cluster, dist = kmeans_assign_expr(F.col(emb_col), cents)
-    return df.select(
+    return kmeans_assign_df(df, cents, emb_col).select(
         F.col(id_col),
-        cluster.alias("cluster"),
-        F.round(dist, 6).alias("dist"),
+        F.col("__cl").alias("cluster"),
+        F.round(F.col("__dist"), 6).alias("dist"),
     )
 
 

@@ -1249,6 +1249,38 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "customer_fuzzy_match_pairs",
+    """
+    WITH c AS (
+      SELECT c_custkey AS id, c_name AS name FROM customer WHERE c_custkey < 2000
+    ),
+    v AS (
+      SELECT id, name,
+             substr(name, 1, i - 1) || '_' || substr(name, i + 1) AS variant
+      FROM c, unnest(range(1, len(name) + 1)) AS t(i)
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+    FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
+    WHERE levenshtein(a.name, b.name) <= 1
+    """,
+    doc="Entity resolution via edit-distance blocking (FastSS "
+    "deletion-neighborhood): names explode into position-masked "
+    "variants, candidates come from ONE inverted-index equi-join on "
+    "the variant (lossless for 1 substitution), exact levenshtein "
+    "verifies candidates only — never an n² cross join. The pattern "
+    "for fuzzy joins at 100 TB: candidate generation is linear in "
+    "input x string length.",
+)
+def customer_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.entity import fuzzy_name_pairs
+
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 2000)
+    return fuzzy_name_pairs(cust)
+
+
 # Extension entries (LLM text/dedup/similarity; event windows;
 # multimodal) register themselves on import; placed last so REGISTRY
 # and helpers exist.

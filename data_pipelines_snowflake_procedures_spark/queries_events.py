@@ -471,3 +471,79 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         click_error_stream_join(spark, sf_dir), output_mode="append"
     )
+
+
+@register(
+    "events_rolling_anomaly",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CAST(round(value * 100, 0) AS BIGINT) AS vc,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER win AS DOUBLE) AS s,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+                      * CAST(round(value * 100, 0) AS BIGINT)) OVER win AS DOUBLE) AS ss,
+             CAST(count(*) OVER win AS DOUBLE) AS n
+      FROM events
+      WINDOW win AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+      )
+    ),
+    scored AS (
+      SELECT event_id, user_id, ts, value, vc, n,
+             (s / n) AS mu_c,
+             sqrt((ss - s * s / n) / (n - 1)) AS sigma_c
+      FROM w WHERE n >= 5
+    )
+    SELECT event_id, user_id, ts,
+           round(value, 2) AS value,
+           round(mu_c / 100, 4) AS base_mean,
+           round(sigma_c / 100, 4) AS base_std,
+           round((vc - mu_c) / sigma_c, 4) AS zscore
+    FROM scored
+    WHERE sigma_c > 0 AND abs(round((vc - mu_c) / sigma_c, 4)) >= 2.5
+    """,
+    doc="Rolling-window anomaly detection: each event scored against "
+    "the SAME user's trailing 20-event baseline (ROWS frame ending at "
+    "1 PRECEDING - the current value never contaminates its own "
+    "baseline), flagged at |z| >= 2.5 with a minimum baseline of 5. "
+    "One shuffle on user_id; O(frame) state per user - the batch twin "
+    "of a streaming anomaly detector, covering the ROWS-frame window "
+    "surface. Baselines accumulate integer cents (rolling sums of "
+    "longs are order-independent-exact), so mean/std/z are "
+    "bit-identical across engines - a float rolling avg differs by "
+    "summation order and flips rounding boundaries.",
+)
+def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    vc = F.round(F.col("value") * 100, 0).cast("long")
+    s_ = F.sum(vc).over(win).cast("double")
+    ss = F.sum(vc * vc).over(win).cast("double")
+    n = F.count("*").over(win).cast("double")
+    mu_c = s_ / n
+    sigma_c = F.sqrt((ss - s_ * s_ / n) / (n - 1))
+    z = F.round((vc - mu_c) / sigma_c, 4)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round("value", 2).alias("value"),
+            F.round(mu_c / 100, 4).alias("base_mean"),
+            F.round(sigma_c / 100, 4).alias("base_std"),
+            z.alias("zscore"),
+            n.alias("__n"),
+            sigma_c.alias("__sigma"),
+        )
+        .filter(
+            (F.col("__n") >= 5) & (F.col("__sigma") > 0) & (F.abs("zscore") >= 2.5)
+        )
+        .drop("__n", "__sigma")
+    )
