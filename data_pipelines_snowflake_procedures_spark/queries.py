@@ -1281,6 +1281,46 @@ def customer_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_name_pairs(cust)
 
 
+@register(
+    "promo_revenue_by_brand",
+    """
+    SELECT p.p_brand,
+           CAST(round(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                     ELSE 0 END), 2) AS DOUBLE) AS promo_revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS total_revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="TPC-H-Q14-style promo share: conditional (CASE-filtered) "
+    "revenue vs total per brand over the lineitem-part join. part "
+    "broadcasts (dimension); the CASE folds into the partial "
+    "aggregate, so promo/total need ONE pass, not two filtered "
+    "scans. Exact decimal sums keep 25-brand roundings "
+    "accumulation-order independent.",
+)
+def promo_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(promo), 2).cast("double").alias("promo_revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 # Extension entries (LLM text/dedup/similarity; event windows;
 # multimodal) register themselves on import; placed last so REGISTRY
 # and helpers exist.
