@@ -33,6 +33,8 @@ HEADLINE = [
     "orders_grouping_sets",
     "nation_trade_flows",
     "customer_fuzzy_match_pairs",
+    "promo_revenue_by_brand",
+    "orders_price_histogram",
     # DQ / profiling / PII / SCD
     "profile_customer",
     "dq_table_scores_orders",
@@ -62,6 +64,7 @@ HEADLINE = [
     "knn_sq_embeddings",
     # event-time windows + pandas surface
     "events_hourly_by_type",
+    "events_props_variant",
     "events_sessions_user",
     "events_funnel_view_click_purchase",
     "events_hourly_gapfill",

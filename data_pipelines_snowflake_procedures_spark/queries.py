@@ -1321,6 +1321,90 @@ def promo_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HIST_BUCKETS = 20
+
+
+@register(
+    "orders_price_histogram",
+    f"""
+    WITH b AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    ),
+    bucketed AS (
+      SELECT least({_HIST_BUCKETS - 1},
+                   CAST(floor((o_totalprice - lo) / ((hi - lo) / {_HIST_BUCKETS}))
+                        AS BIGINT)) AS bucket,
+             o_totalprice, lo, hi
+      FROM orders, b
+    )
+    SELECT bucket,
+           round(min(lo) + bucket * ((min(hi) - min(lo)) / {_HIST_BUCKETS}), 2)
+             AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM bucketed GROUP BY bucket
+    """,
+    doc="Equi-width histogram of order value: bounds from ONE 1-row "
+    "min/max aggregate broadcast back (the gap-fill spine pattern), "
+    "bucket assignment as a narrow expression, one aggregate on "
+    f"{_HIST_BUCKETS} buckets. The distribution-profiling surface the "
+    "reference's per-column stats never had; at 100 TB it is one scan "
+    "+ one O(buckets) shuffle.",
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(_HIST_BUCKETS)
+    bucket = F.least(
+        F.lit(_HIST_BUCKETS - 1),
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("long"),
+    )
+    return (
+        orders.crossJoin(F.broadcast(b))
+        .select(bucket.alias("bucket"), "o_totalprice", "lo", "hi")
+        .groupBy("bucket")
+        .agg(
+            F.round(
+                F.min("lo")
+                + F.col("bucket") * ((F.min("hi") - F.min("lo")) / F.lit(_HIST_BUCKETS)),
+                2,
+            ).alias("bucket_lo"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "customers_above_avg_balance",
+    """
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+    doc="Scalar-subquery filter: customers above the global mean "
+    "balance. Catalyst plans the 1-row aggregate as a separate "
+    "subquery stage whose result is injected into the filter — the "
+    "fact side is scanned once with an ordinary comparison, no join. "
+    "The uncorrelated-scalar-subquery surface of §2.2.",
+)
+def customers_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("__cust_scalar")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+        FROM __cust_scalar
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM __cust_scalar)
+        """
+    )
+
+
 # Extension entries (LLM text/dedup/similarity; event windows;
 # multimodal) register themselves on import; placed last so REGISTRY
 # and helpers exist.

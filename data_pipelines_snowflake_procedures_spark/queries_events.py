@@ -547,3 +547,42 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__n", "__sigma")
     )
+
+
+@register(
+    "events_props_variant",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+             AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Semi-structured aggregation through Spark 4's VARIANT type: "
+    "props parse ONCE into the binary variant encoding "
+    "(parse_json), fields extract with try_variant_get — repeated "
+    "get_json_object calls re-parse the JSON string per extraction, "
+    "variant parses once and extracts from the binary form. The "
+    "modern engine surface for open-schema event properties; the "
+    "oracle restates it with DuckDB's JSON extraction.",
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

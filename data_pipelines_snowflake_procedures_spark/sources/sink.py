@@ -20,6 +20,7 @@ between scanning 100 TB and scanning one partition:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -194,3 +195,49 @@ def files_pruned_by_stats(path: str, col: str, lo, hi) -> tuple[int, int]:
         if fmin is None or (fmax >= lo and fmin <= hi):
             hit += 1
     return hit, total
+
+
+def read_with_schema_evolution(spark, paths: Sequence[str]):
+    """Read parquet written under EVOLVING schemas as one frame:
+    ``mergeSchema`` unions the footers' schemas (new columns become
+    nullable, missing values NULL) — the ingest-side contract for a
+    pipeline whose upstream adds columns over time. Schema merging
+    reads every footer (driver-side); at 100 TB of files keep
+    partition-level schema commonality or a table format (Delta/
+    Iceberg) that tracks schema centrally — this reader is the
+    raw-parquet fallback."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_mb: int = 128,
+    sort_within_by: Sequence[str] | None = None,
+) -> int:
+    """Small-file compaction (storage maintenance): rewrite a parquet
+    directory into ~``target_mb``-sized files — thousands of tiny
+    files cost a task per file at read time and dominate scan
+    scheduling at scale. File count derives from current on-disk
+    bytes; optional ``sort_within_by`` restores clustering (min/max
+    stats) while rewriting. Stage-and-swap like the streaming upsert:
+    never leaves the directory half-written. Returns the new file
+    count."""
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, total // (target_mb * 1024 * 1024) + 1)
+    df = spark.read.parquet(path)
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    staging = path + ".compacting"
+    out.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    staged.write.mode("overwrite").parquet(path)
+    shutil.rmtree(staging, ignore_errors=True)
+    return n_files

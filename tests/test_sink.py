@@ -171,3 +171,36 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     # over the ideal quadrant count — range-boundary sampling wobbles)
     assert x_hit_z <= files * 5 // 8, f"zorder x hits {x_hit_z}/{files}"
     assert y_hit_z <= files * 5 // 8, f"zorder y hits {y_hit_z}/{files}"
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    from data_pipelines_snowflake_procedures_spark.sources.sink import (
+        read_with_schema_evolution,
+    )
+
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a")], "id BIGINT, x STRING").write.parquet(p1)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id BIGINT, x STRING, score DOUBLE"
+    ).write.parquet(p2)
+    df = read_with_schema_evolution(spark, [p1, p2])
+    assert set(df.columns) == {"id", "x", "score"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    import os
+
+    from data_pipelines_snowflake_procedures_spark.sources.sink import (
+        compact_parquet,
+    )
+
+    p = str(tmp_path / "shattered")
+    spark.range(10000).repartition(64).write.parquet(p)
+    before = sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+    assert before >= 32
+    n = compact_parquet(spark, p, target_mb=128)
+    after = sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+    assert after <= n <= 4
+    assert spark.read.parquet(p).count() == 10000
