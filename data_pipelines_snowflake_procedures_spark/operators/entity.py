@@ -29,7 +29,12 @@ def masked_variants(df: DataFrame, name_col: str, id_col: str) -> DataFrame:
     (output = input × string length); equal variants imply equal
     lengths and an equal masked position, so the variant alone is the
     blocking key."""
-    name = F.col(name_col)
+    # two-step select: aliasing the input to "name" and referencing it
+    # inside the explode lambda in ONE select creates a lateral column
+    # alias reference, which Generate cannot carry (Spark internal
+    # error when the input column is itself called "name")
+    base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+    name = F.col("name")
     variants = F.transform(
         F.sequence(F.lit(1), F.length(name)),
         lambda p: F.concat(
@@ -38,9 +43,9 @@ def masked_variants(df: DataFrame, name_col: str, id_col: str) -> DataFrame:
             name.substr(p + 1, F.length(name) - p),
         ),
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        name.alias("name"),
+    return base.select(
+        "id",
+        "name",
         F.posexplode(variants).alias("pos", "variant"),
     )
 

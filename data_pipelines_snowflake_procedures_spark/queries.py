@@ -1405,6 +1405,40 @@ def customers_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lineitem_corr_profile",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(corr(l_discount, l_extendedprice), 4) AS disc_price_corr
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Bivariate profiling: Pearson correlation + sample covariance "
+    "between measure columns per group — the relationship-discovery "
+    "profile (quantity drives price; discount does not). Single-pass "
+    "co-moment aggregates (mergeable partial state), one shuffle on "
+    "the group key; completes the profiling family's univariate "
+    "stats (§2.4 A4) with bivariate ones.",
+)
+def lineitem_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.corr("l_discount", "l_extendedprice"), 4).alias(
+            "disc_price_corr"
+        ),
+    )
+
+
 # Extension entries (LLM text/dedup/similarity; event windows;
 # multimodal) register themselves on import; placed last so REGISTRY
 # and helpers exist.

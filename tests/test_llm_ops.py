@@ -544,3 +544,21 @@ def test_near_dup_kmeans_is_subset_with_high_recall(spark, sf_dir):
     }
     assert blocked <= exact
     assert exact and len(blocked) / len(exact) >= 0.5
+
+
+def test_fuzzy_name_pairs_finds_planted_typo(spark):
+    """A single-character typo must pair with its original; unrelated
+    names must not pair."""
+    from data_pipelines_snowflake_procedures_spark.operators.entity import (
+        fuzzy_name_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "acme corp"), (2, "acme c0rp"), (3, "globex inc")],
+        "id BIGINT, name STRING",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["lev"]
+        for r in fuzzy_name_pairs(df, name_col="name", id_col="id").collect()
+    }
+    assert pairs == {(1, 2): 1}
