@@ -35,6 +35,10 @@ HEADLINE = [
     "customer_fuzzy_match_pairs",
     "promo_revenue_by_brand",
     "orders_price_histogram",
+    "lineitem_corr_profile",
+    "customer_order_distribution",
+    "small_quantity_order_revenue",
+    "large_volume_customers",
     # DQ / profiling / PII / SCD
     "profile_customer",
     "dq_table_scores_orders",

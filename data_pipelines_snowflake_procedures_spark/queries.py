@@ -1439,6 +1439,132 @@ def lineitem_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "customer_order_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+    doc="TPC-H-Q13-style order-count distribution: LEFT OUTER join with a "
+    "join-side predicate (customers with zero qualifying orders must "
+    "survive as c_count=0), per-customer count, then a histogram over the "
+    "counts. The join and the first aggregate share the c_custkey "
+    "partitioning, so Catalyst reuses the exchange — one real shuffle on "
+    "custkey plus an O(distinct-counts) final shuffle; scale-safe.",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "small_quantity_order_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+    doc="TPC-H-Q17-style correlated-subquery filter (small-quantity "
+    "orders below 20% of the part's average). The correlated subquery "
+    "de-correlates to a per-partkey aggregate joined back on l_partkey — "
+    "map-side partial avg, one shuffle, and the tiny filtered part dim "
+    "broadcasts. No per-row re-scan, which is what the naive correlated "
+    "plan would do at 100 TB.",
+)
+def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_limit")
+    ).withColumnRenamed("l_partkey", "pa_partkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part_avg, li.l_partkey == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "large_volume_customers",
+    """
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    doc="TPC-H-Q18-style large-volume customers: IN-subquery over an "
+    "aggregate becomes aggregate -> LEFT SEMI join on l_orderkey. The "
+    "semi-join keeps only qualifying orders before the wide 3-table "
+    "join, so the expensive customer join runs on the filtered ~1% "
+    "of orders. Both lineitem passes shuffle on l_orderkey (exchange "
+    "reuse), customer side broadcasts after the filter.",
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
+                F.col("l_orderkey") == F.col("b_orderkey"), "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .withColumn("o_totalprice", F.round("o_totalprice", 2))
+        .select(
+            "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
 # Extension entries (LLM text/dedup/similarity; event windows;
 # multimodal) register themselves on import; placed last so REGISTRY
 # and helpers exist.
