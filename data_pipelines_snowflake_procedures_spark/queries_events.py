@@ -586,3 +586,24 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "events_distinct_users_sketch",
+    None,  # HLL estimates are engine-specific (DataSketches); rows-only.
+    doc="Mergeable-sketch distinct users per event type: per-(type, day) "
+    "HLL sketches built map-side, unioned up to the type level, "
+    "estimated next to the exact countDistinct for calibration. At "
+    "100 TB the exact column drops out and the per-day sketches "
+    "persist — any date-range distinct query is then a KB-sized "
+    "sketch union, no raw re-scan. tests/test_sketch.py asserts the "
+    "merge invariant (union-of-slices == one-pass sketch) and <2% "
+    "relative error at lgK=14.",
+)
+def events_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import distinct_with_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    return distinct_with_sketch(
+        ev, ["event_type"], F.to_date("ts"), "user_id"
+    )

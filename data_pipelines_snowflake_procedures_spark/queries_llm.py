@@ -1858,3 +1858,77 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.corpus import temperature_mix
 
     return temperature_mix(load_table(spark, sf_dir, "documents"))
+
+
+def _label_cohesion_oracle() -> str:
+    return """
+    WITH m AS (
+      SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS m
+      FROM embeddings, unnest(range(1, 65)) AS t(i)
+      GROUP BY label, i
+    ),
+    c AS (SELECT label, list(m ORDER BY i) AS cent FROM m GROUP BY label),
+    d AS (
+      SELECT e.label,
+             round(list_aggregate(
+               [(e.embedding[i]::DOUBLE - c.cent[i])
+                * (e.embedding[i]::DOUBLE - c.cent[i])
+                FOR i IN range(1, 65)], 'sum'), 6) AS sqd
+      FROM embeddings e JOIN c USING (label)
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(sqd), 4) AS avg_sq_dist,
+           round(max(sqd), 4) AS max_sq_dist
+    FROM d GROUP BY label
+    """
+
+
+@register(
+    "embedding_label_cohesion",
+    _label_cohesion_oracle(),
+    doc="Per-label embedding cohesion — label-noise diagnostics for a "
+    "labeled training corpus: per-label centroid (posexplode + "
+    "groupBy(label, dim) avg — ONE shuffle, partial-agg'd), centroids "
+    "reassembled as arrays and broadcast back (k×dim doubles = "
+    "metadata), then a narrow codegen'd squared-L2 pass and a final "
+    "O(labels) rollup of mean/max spread. Labels whose max >> avg "
+    "flag outliers/mislabels. Centroid means round to 6 decimals so "
+    "both engines fold identical values.",
+)
+def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.m,
+            ).alias("cent")
+        )
+    )
+    sqd = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("cent"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    return (
+        emb.join(F.broadcast(cents), "label")
+        .select("label", sqd.alias("sqd"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("sqd"), 4).alias("avg_sq_dist"),
+            F.round(F.max("sqd"), 4).alias("max_sq_dist"),
+        )
+    )
