@@ -66,6 +66,7 @@ HEADLINE = [
     "embedding_near_dup_kmeans",
     "kmeans_clusters_embeddings",
     "knn_sq_embeddings",
+    "embedding_label_cohesion",
     # event-time windows + pandas surface
     "events_hourly_by_type",
     "events_props_variant",
@@ -76,6 +77,7 @@ HEADLINE = [
     "events_rolling_anomaly",
     "events_asof_click_before_error",
     "events_groupwise_zscore",
+    "events_distinct_users_sketch",
 ]
 
 

@@ -569,14 +569,22 @@ def embedding_near_dup_kmeans(
     Output ``(id_a, id_b, cluster, cosine)`` — a subset of
     :func:`embedding_near_dup_pairs` at the same threshold.
     """
+    from pyspark import StorageLevel
+
     from .similarity import kmeans_assign_df, kmeans_fit
 
     cents = kmeans_fit(df, k=k, iters=iters, emb_col=emb_col, id_col=id_col)
-    normed = kmeans_assign_df(df, cents, emb_col).select(
-        F.col(id_col).alias("id"),
-        F.col(emb_col).alias("emb"),
-        norm(F.col(emb_col)).alias("nrm"),
-        F.col("__cl").alias("cluster"),
+    # Both self-join branches consume the assignment; without a persist
+    # each branch re-runs the k×dim argmin pass over the full corpus.
+    normed = (
+        kmeans_assign_df(df, cents, emb_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(emb_col).alias("emb"),
+            norm(F.col(emb_col)).alias("nrm"),
+            F.col("__cl").alias("cluster"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = normed.select(
         F.col("id").alias("id_a"), F.col("emb").alias("emb_a"),

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -405,13 +406,18 @@ def kmeans_fit(
     use the centroids with :func:`kmeans_assign_expr` for shuffle-free
     downstream assignment (clustering, SemDeDup blocking, IVF cells).
     """
+    # Iterative algorithm: every Lloyd pass re-reads the corpus, so pin
+    # the (id, embedding) projection across iterations — the same
+    # handlePersistence MLlib's KMeans applies. MEMORY_AND_DISK: spills
+    # instead of recomputing from source at 100 TB.
+    base = df.select(id_col, emb_col).persist(StorageLevel.MEMORY_AND_DISK)
     # k lowest-id vectors seed the centroids (NOT "id < k": ids need not
     # be contiguous — e.g. corpora with planted/offset id spaces).
-    seed_rows = df.orderBy(id_col).limit(k).select(emb_col).collect()
+    seed_rows = base.orderBy(id_col).limit(k).select(emb_col).collect()
     cents = [[float(x) for x in r[emb_col]] for r in seed_rows]
     for _ in range(iters):
         means = (
-            kmeans_assign_df(df, cents, emb_col)
+            kmeans_assign_df(base, cents, emb_col)
             .select("__cl", F.posexplode(F.col(emb_col)))
             .groupBy("__cl", "pos")
             .agg(F.round(F.avg(F.col("col").cast("double")), round_decimals).alias("m"))
@@ -424,6 +430,7 @@ def kmeans_fit(
         for cl, dims in by_cl.items():
             new_cents[cl] = [dims[i] for i in range(len(cents[cl]))]
         cents = new_cents
+    base.unpersist()
     return cents
 
 
