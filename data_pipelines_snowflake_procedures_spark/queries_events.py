@@ -607,3 +607,31 @@ def events_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_with_sketch(
         ev, ["event_type"], F.to_date("ts"), "user_id"
     )
+
+
+@register(
+    "events_enriched_hourly_streaming",
+    """
+    WITH dim(event_type, category) AS (
+      VALUES ('view', 'engagement'), ('click', 'engagement'),
+             ('purchase', 'conversion'), ('signup', 'conversion'),
+             ('error', 'reliability')
+    )
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+           category,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events JOIN dim USING (event_type)
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static broadcast enrichment under readStream: events "
+    "joined to a static event_type→category dim (stateless, no "
+    "stream-side shuffle for the join), then the tumbling rollup by "
+    "the ENRICHED key — drained via availableNow and hash-checked "
+    "against the batch SQL oracle. The streaming form of the "
+    "broadcast-dim star join every ETL pipeline runs.",
+)
+def events_enriched_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stream import enriched_hourly_stream, run_to_memory
+
+    return run_to_memory(enriched_hourly_stream(spark, sf_dir))

@@ -211,3 +211,40 @@ def scd1_upsert_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+#: Static enrichment dim for the stream-static join: event_type →
+#: reporting category. Driver-literal by design — the pattern under
+#: test is joining a STREAM to a static/slowly-changing lookup side.
+EVENT_CATEGORIES = [
+    ("view", "engagement"),
+    ("click", "engagement"),
+    ("purchase", "conversion"),
+    ("signup", "conversion"),
+    ("error", "reliability"),
+]
+
+
+def category_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        EVENT_CATEGORIES, "event_type STRING, category STRING"
+    )
+
+
+def enriched_hourly_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (broadcast — the stream side never shuffles for the
+    join and the join keeps NO state; the static side is re-resolved
+    per micro-batch, which is what makes slowly-changing lookup
+    tables pick up updates), then the same tumbling aggregation keyed
+    by the enriched column. The canonical ETL shape: stream → dim
+    lookup → windowed rollup."""
+    from pyspark.sql import functions as F
+
+    from .windows import tumbling_agg
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    enriched = ev.join(F.broadcast(category_dim(spark)), "event_type")
+    return tumbling_agg(enriched, keys=("category",))
