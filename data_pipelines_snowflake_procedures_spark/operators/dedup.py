@@ -138,6 +138,47 @@ def token_jaccard_pairs(
     )
 
 
+def token_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold: float = 0.9,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup: pairs where the SMALLER token set is
+    ≥ ``threshold`` contained in the other (``|A∩B| / min(|A|,|B|)``).
+    Jaccard misses a short document embedded verbatim in a long one
+    (the intersection is dwarfed by the union); containment is the
+    standard detector for quote/boilerplate/sub-document duplication
+    (CCNet-style). Same inverted-index plan shape as
+    :func:`token_jaccard_pairs` — shuffle on token, never a cross
+    join; ``max_token_df`` is the high-DF skew guard.
+
+    Output ``(doc_a, doc_b, containment)`` with doc_a < doc_b.
+    """
+    toks = doc_tokens(df, text_col, id_col, n).cache()
+    if max_token_df is not None:
+        rare = toks.groupBy("tok").count().filter(F.col("count") <= max_token_df)
+        toks = toks.join(rare.select("tok"), "tok")
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    cont = F.col("inter").cast("double") / F.least("sz_a", "sz_b").cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -195,6 +195,43 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "latest_order_per_customer_maxby",
+    """
+    WITH o AS (
+      SELECT *, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+             lpad(CAST(o_orderkey AS VARCHAR), 18, '0') AS ok
+      FROM orders
+    )
+    SELECT o_custkey,
+           arg_max(o_orderkey, ok) AS o_orderkey,
+           round(arg_max(o_totalprice, ok), 2) AS o_totalprice,
+           arg_max(o_orderdate, ok) AS o_orderdate
+    FROM o GROUP BY o_custkey
+    """,
+    doc="Latest-record-per-key as a max_by AGGREGATE — the 100 TB form "
+    "of W1/A8: a window row_number shuffles EVERY row to sort its "
+    "partition; max_by is a plain aggregate with map-side partial "
+    "combine, so one candidate row per (task, key) crosses the wire "
+    "and no partition ever sorts. Tie-break identical to "
+    "latest_order_per_customer via a lexicographic (date | "
+    "zero-padded key) ordering string, which both engines compare "
+    "bytewise.",
+)
+def latest_order_per_customer_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ok = F.concat(
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.lit("|"),
+        F.lpad(F.col("o_orderkey").cast("string"), 18, "0"),
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.max_by(F.col("o_orderkey"), ok).alias("o_orderkey"),
+        F.round(F.max_by(F.col("o_totalprice"), ok), 2).alias("o_totalprice"),
+        F.max_by(F.col("o_orderdate"), ok).alias("o_orderdate"),
+    )
+
+
+@register(
     "order_priority_counts",
     """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders

@@ -1932,3 +1932,30 @@ def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("sqd"), 4).alias("max_sq_dist"),
         )
     )
+
+
+@register(
+    "dedup_containment_pairs_documents",
+    f"""
+    WITH {_TSETS_SQL}
+    SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b,
+           round(len(list_intersect(ta.toks, tb.toks))::DOUBLE /
+                 least(len(ta.toks), len(tb.toks)), 6) AS containment
+    FROM tsets ta JOIN tsets tb ON ta.doc_id < tb.doc_id
+    WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE /
+          least(len(ta.toks), len(tb.toks)) >= 0.8
+    """,
+    doc="Asymmetric containment near-dup (|A∩B| / min set size ≥ 0.8): "
+    "catches a short document embedded verbatim in a long one, which "
+    "Jaccard's union denominator hides — the sub-document duplication "
+    "detector. Same inverted-index join shape as the Jaccard pass "
+    "(shuffle on token, never cross join); at 100 TB the two share "
+    "the cached (id, token) index and high-DF skew guard.",
+)
+def dedup_containment_pairs_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.dedup import token_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return token_containment_pairs(docs, threshold=0.8)
