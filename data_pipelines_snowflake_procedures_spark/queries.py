@@ -1477,6 +1477,107 @@ def lineitem_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_equidepth_histogram",
+    """
+    WITH b AS (
+      SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+             round(quantile_cont(o_totalprice, 0.50), 6) AS q2,
+             round(quantile_cont(o_totalprice, 0.75), 6) AS q3
+      FROM orders
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM (
+      SELECT CASE WHEN o_totalprice <= q1 THEN 0
+                  WHEN o_totalprice <= q2 THEN 1
+                  WHEN o_totalprice <= q3 THEN 2
+                  ELSE 3 END AS bucket,
+             o_totalprice
+      FROM orders, b
+    ) t
+    GROUP BY bucket
+    """,
+    doc="Equi-DEPTH histogram (quartile buckets) — the distribution "
+    "profile equi-width misses on skewed columns: boundaries from ONE "
+    "1-row exact-percentile aggregate broadcast back, then a narrow "
+    "CASE bucket assignment and an O(buckets) shuffle. No global "
+    "sort, no ntile window over the corpus. At 100 TB swap the exact "
+    "percentile for approx_percentile (mergeable digest) — plan "
+    "shape unchanged; exact interpolation here keeps both engines "
+    "bit-identical.",
+)
+def orders_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    b = orders.agg(
+        *[
+            F.round(
+                F.expr(f"percentile(o_totalprice, {p})"), 6
+            ).alias(name)
+            for name, p in (("q1", 0.25), ("q2", 0.50), ("q3", 0.75))
+        ]
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") <= F.col("q1"), 0)
+        .when(F.col("o_totalprice") <= F.col("q2"), 1)
+        .when(F.col("o_totalprice") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        orders.crossJoin(F.broadcast(b))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "orders_monthly_growth",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             round(sum(o_totalprice), 2) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, n_orders,
+           round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_change,
+           round((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 6) AS mom_pct
+    FROM m
+    """,
+    doc="Month-over-month revenue growth: aggregate-then-window — the "
+    "corpus collapses to O(months) rows in one partial-agg'd shuffle "
+    "BEFORE the unpartitioned lag window touches it, so the global "
+    "ordering sorts dozens of rows, not 100 TB. The ordering that "
+    "makes single-partition windows scale-legal: never window the "
+    "fact table, window the rollup.",
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        "n_orders",
+        F.round(F.col("revenue") - prev, 2).alias("mom_change"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_pct"),
+    )
+
+
+@register(
     "customer_order_distribution",
     """
     SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
