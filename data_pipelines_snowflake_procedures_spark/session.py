@@ -82,10 +82,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     is acceptable for the one nano-typed column in the harness.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    # Runtime-settable SQL conf: callers may hand us a vanilla session
-    # (the harness driver does), so set it at read time rather than
+    # Runtime-settable SQL confs: callers may hand us a vanilla session
+    # (the harness driver does), so set them at read time rather than
     # relying on get_spark()'s builder-time config.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Harness timestamps are MICROS with isAdjustedToUTC=false, which
+    # Spark 4 infers as TIMESTAMP_NTZ by default. NTZ is rejected by
+    # streaming watermarks and complicates window/interval arithmetic,
+    # so read them as plain TIMESTAMP (session-tz UTC keeps rendered
+    # values identical to DuckDB's naive timestamps).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for field in _nano_timestamp_fields(path):
         df = df.withColumn(
