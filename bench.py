@@ -2,7 +2,12 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 JSON line with per-query and total wall time.
 
-Usage: python bench.py
+Usage:
+    python bench.py                 # timed headline run (one JSON line)
+    python bench.py --all-queries   # smoke EVERY registry entry once at
+                                    # $SPARK_GRAFT_SMOKE_SF_DIR (default
+                                    # sf0.01); per-entry ok/error status,
+                                    # exit 1 if any entry fails
 """
 
 from __future__ import annotations
@@ -39,6 +44,12 @@ HEADLINE = [
     "customer_order_distribution",
     "small_quantity_order_revenue",
     "large_volume_customers",
+    "unshipped_orders_revenue",
+    "forecast_revenue_delta",
+    "nation_market_share_by_year",
+    "profit_by_nation_year",
+    "part_supplier_counts",
+    "disjunctive_promo_revenue",
     # DQ / profiling / PII / SCD
     "profile_customer",
     "dq_table_scores_orders",
@@ -95,7 +106,50 @@ def _shuffle_partitions_for(sf_dir: str, cpus: int) -> int:
     return max(8, min(cpus, total // (64 * 1024 * 1024) + 1))
 
 
+def smoke_all_queries() -> None:
+    """--all-queries: run EVERY registry entry once at a small SF and
+    print per-entry status — the cheap full-registry breakage check the
+    driver's ~50-entry sampling can miss (VERDICT r2 #8). Counts only;
+    value-level verification stays with tests/test_queries_oracle.py."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark(app_name="bench-smoke")
+    failures: list[str] = []
+    t0 = time.perf_counter()
+    for name in sorted(REGISTRY):
+        spec = REGISTRY[name]
+        try:
+            q0 = time.perf_counter()
+            n = spec.spark_fn(spark, sf_dir).count()
+            print(
+                f"ok    {name}: {n} rows "
+                f"({round(time.perf_counter() - q0, 2)}s)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001 — report and continue
+            failures.append(name)
+            msg = str(exc).splitlines()[0][:200] if str(exc) else type(exc).__name__
+            print(f"ERROR {name}: {msg}", file=sys.stderr)
+    total = round(time.perf_counter() - t0, 2)
+    print(
+        json.dumps(
+            {
+                "metric": "all_queries_smoke",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(REGISTRY),
+                "n_failed": len(failures),
+                "failed": failures,
+            }
+        )
+    )
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
 def main() -> None:
+    if "--all-queries" in sys.argv[1:]:
+        smoke_all_queries()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None

@@ -254,6 +254,8 @@ def pack_sequences(
     id_col: str = "doc_id",
     group_col: str | None = "source",
     ctx_tokens: int = 512,
+    allow_global: bool = False,
+    global_row_limit: int = 1_000_000,
 ) -> DataFrame:
     """Concat-then-split sequence packing: lay documents end-to-end in
     a deterministic order and cut every ``ctx_tokens`` — the packing
@@ -269,7 +271,18 @@ def pack_sequences(
     window never needs a global order — parallelism = number of
     groups; pre-shard high-volume groups for more. ``group_col=None``
     degrades to one global stream (single-partition window — test
-    scale only)."""
+    scale only), so it is guarded: above ``global_row_limit`` rows it
+    raises unless ``allow_global=True`` (VERDICT r2 wrong-list #3 —
+    prevents silently funneling a 100 TB corpus through one task)."""
+    if group_col is None and not allow_global:
+        n = df.count()
+        if n > global_row_limit:
+            raise ValueError(
+                f"pack_sequences(group_col=None) is a single-partition "
+                f"global window; refusing {n} rows > {global_row_limit}. "
+                f"Pass a group_col (source/split/shard) or "
+                f"allow_global=True if you really mean it."
+            )
     parts = [group_col] if group_col else []
     w = (
         Window.partitionBy(*parts).orderBy(id_col)

@@ -1704,6 +1704,6 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Extension entries (LLM text/dedup/similarity; event windows;
-# multimodal) register themselves on import; placed last so REGISTRY
-# and helpers exist.
-from . import queries_events, queries_llm  # noqa: E402,F401  (registration side effect)
+# multimodal; TPC-H-shape relational widening) register themselves on
+# import; placed last so REGISTRY and helpers exist.
+from . import queries_events, queries_llm, queries_tpch  # noqa: E402,F401  (registration side effect)

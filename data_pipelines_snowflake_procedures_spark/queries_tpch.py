@@ -1,0 +1,343 @@
+"""Additional TPC-H-shape relational queries (SURVEY.md §2.15 widening).
+
+Round-3 coverage additions: the classic analytic shapes the registry
+did not yet exercise — unshipped-revenue top-k (Q3), forecast-revenue
+scalar filter-agg (Q6), per-year market share with a window denominator
+(Q8), substring-filtered profit rollup (Q9), top-supplier-by-window-max
+(Q15), distinct-supplier counts behind multi-table exclusion filters
+(Q16), and a disjunctive OR-of-ANDs pushdown aggregate (Q19).
+
+Adapted to the harness schema (TESTDATA.md): there is no ``partsupp``
+(lineitem is the part↔supplier link), no ``l_shipmode``/``l_commitdate``
+/``o_shippriority``; predicates use the columns that exist. Each entry
+follows the registry contract — identical aliases both sides, doubles
+rounded, counts cast to BIGINT.
+
+Scale notes are per-query docstrings; the common theme: filters land
+before every shuffle, small dims broadcast, top-k is TakeOrdered (no
+global sort), and the one window denominator (Q8) partitions by year —
+never a single-partition global window over fact rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .queries import register
+from .session import load_table
+
+
+@register(
+    "unshipped_orders_revenue",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping priority, minus the missing "
+    "o_shippriority column): top-10 highest-value orders placed before "
+    "a date whose items ship after it. Segment + date filters reach "
+    "the scans (pushdown) BEFORE the join shuffles; top-k is "
+    "TakeOrdered with a deterministic orderkey tiebreak, never a "
+    "global sort.",
+)
+def unshipped_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "forecast_revenue_delta",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: the what-if discount-elimination scalar "
+    "aggregate. Pure filter→agg — every predicate pushes to the "
+    "parquet scan (range on shipdate prunes row groups via min/max "
+    "stats), zero joins, one partial-agg shuffle of a single row per "
+    "task. The canonical 'is pushdown working' probe.",
+)
+def forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue_delta"
+            ),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "nation_market_share_by_year",
+    """
+    SELECT o_year, nation,
+           round(nation_revenue, 2) AS nation_revenue,
+           round(nation_revenue / sum(nation_revenue) OVER (PARTITION BY o_year), 6)
+               AS market_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             n.n_name AS nation,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS nation_revenue
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY 1, 2
+    )
+    """,
+    doc="TPC-H Q8 shape (national market share): each ASIA supplier "
+    "nation's share of the region's yearly supply revenue. Region "
+    "filter prunes via the broadcast nation→region dims BEFORE the "
+    "fact shuffle; the share denominator is a window sum PARTITIONED "
+    "BY YEAR over the already-aggregated (year × nation) rows — "
+    "25ish rows per year, never a global window over fact rows.",
+)
+def nation_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian_nations = F.broadcast(
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select("n_nationkey", "n_name")
+    )
+    per_nation_year = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(asian_nations, supp.s_nationkey == F.col("n_nationkey"))
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev_raw"
+            )
+        )
+    )
+    year_total = Window.partitionBy("o_year")
+    return per_nation_year.select(
+        "o_year",
+        "nation",
+        F.round("rev_raw", 2).alias("nation_revenue"),
+        F.round(F.col("rev_raw") / F.sum("rev_raw").over(year_total), 6).alias(
+            "market_share"
+        ),
+    )
+
+
+@register(
+    "profit_by_nation_year",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (product-line profit; no partsupp/supplycost "
+    "in the harness, so profit = discounted revenue): substring filter "
+    "on part name prunes the part dim BEFORE it broadcasts into the "
+    "fact join; one grouped shuffle on (nation, year).",
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "top_revenue_suppliers",
+    """
+    WITH supplier_rev AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier_rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM supplier_rev)
+    """,
+    doc="TPC-H Q15 shape (top supplier): quarter-window revenue per "
+    "supplier, keep the max (ties included — equality on the ROUNDED "
+    "revenue so both engines agree on ties). The max is a window "
+    "aggregate over the per-supplier rollup (|suppliers| rows), not a "
+    "second scan of lineitem.",
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    best = (
+        rev.withColumn(
+            "__max_rev", F.max("total_revenue").over(Window.partitionBy())
+        )
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .drop("__max_rev")
+    )
+    return best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@register(
+    "part_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE p.p_brand <> 'Brand#9'
+      AND p.p_type  <> 'PROMO'
+      AND p.p_size IN (1, 10, 20, 30, 40, 49)
+      AND s.s_acctbal >= 0
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q16 shape (parts/supplier relationship; lineitem is the "
+    "harness's part↔supplier link, negative account balance stands in "
+    "for the complaints exclusion): distinct-supplier counts per part "
+    "attribute behind brand/type/size exclusion filters. Both dims "
+    "filter before broadcasting; count(DISTINCT) expands in the "
+    "grouped shuffle only for qualifying rows.",
+)
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 10, 20, 30, 40, 49)
+    )
+    supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left_semi")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "disjunctive_promo_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1  AND 10
+           AND l.l_quantity BETWEEN 1  AND 15)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 10 AND 25
+           AND l.l_quantity BETWEEN 10 AND 25)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 20 AND 40
+           AND l.l_quantity BETWEEN 20 AND 35)
+    """,
+    doc="TPC-H Q19 shape (discounted revenue, OR-of-ANDs): the "
+    "disjunctive predicate the optimizer must split — per-side "
+    "conjuncts (p_brand/p_size disjunction on part, l_quantity range "
+    "union on lineitem) are inferred and pushed below the join, so "
+    "neither table scans unfiltered at 100 TB.",
+)
+def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return (
+        joined.filter(
+            arm("Brand#1", 1, 10, 1, 15)
+            | arm("Brand#13", 10, 25, 10, 25)
+            | arm("Brand#20", 20, 40, 20, 35)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )

@@ -71,6 +71,30 @@ def get_spark(
     return spark
 
 
+def _set_read_confs(spark: SparkSession) -> None:
+    """Runtime-settable SQL confs every harness read depends on.
+
+    Callers may hand us a vanilla session (the harness driver does), so
+    set these at read time rather than relying on get_spark()'s
+    builder-time config. Shared by the batch (:func:`load_table`) and
+    streaming (``streaming/stream.py``) paths so they cannot drift.
+
+    * ``nanosAsLong`` — harness parquet stores some timestamps as
+      TIMESTAMP(NANOS), which Spark has no native type for; read them
+      as epoch-nano longs and convert after the scan.
+    * ``inferTimestampNTZ`` off — harness timestamps are MICROS with
+      isAdjustedToUTC=false, which Spark 4 infers as TIMESTAMP_NTZ by
+      default. NTZ is rejected by streaming watermarks and complicates
+      window/interval arithmetic, so read them as plain TIMESTAMP.
+    * session timezone UTC — NTZ-physical values read as TIMESTAMP_LTZ
+      only render identically to DuckDB's naive timestamps when the
+      session tz is UTC; a vanilla session could carry any tz.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one harness table (plain parquet scan; pushdown-friendly).
 
@@ -82,16 +106,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     is acceptable for the one nano-typed column in the harness.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    # Runtime-settable SQL confs: callers may hand us a vanilla session
-    # (the harness driver does), so set them at read time rather than
-    # relying on get_spark()'s builder-time config.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Harness timestamps are MICROS with isAdjustedToUTC=false, which
-    # Spark 4 infers as TIMESTAMP_NTZ by default. NTZ is rejected by
-    # streaming watermarks and complicates window/interval arithmetic,
-    # so read them as plain TIMESTAMP (session-tz UTC keeps rendered
-    # values identical to DuckDB's naive timestamps).
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    _set_read_confs(spark)
     df = spark.read.parquet(path)
     for field in _nano_timestamp_fields(path):
         df = df.withColumn(

@@ -13,10 +13,11 @@ Spark-first notes:
   100 TB these are the formats that matter; schema inference samples,
   predicate pushdown and column pruning reach the scan.
 * Excel/XML are inherently small-file, driver-side formats; they load
-  via pandas (import-gated — the container may lack openpyxl/lxml) and
-  promote to a DataFrame. The reference did the same for every format
-  (Data_Discovery_File.sql:317-349); we only keep pandas where Spark
-  has no native reader.
+  via stdlib-only readers (sources/office.py: zipfile + xml.etree —
+  this container has no openpyxl/lxml) and promote to a typed
+  DataFrame. The reference loaded every format driver-side via pandas
+  (Data_Discovery_File.sql:317-349); we keep driver-side parsing only
+  where Spark has no native reader.
 * The reference copied stage files to local disk first
   (``session.file.get``, :363). Spark reads paths (local/S3/HDFS)
   directly, so S6 is a no-op here.
@@ -93,24 +94,18 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
     if ext in ("txt", "text"):
         # one row per line, column "value" — the raw-corpus entry point
         return spark.read.text(path)
-    if ext in ("xls", "xlsx"):
-        import pandas as pd  # driver-side: Excel is a small-file format
+    if ext == "xlsx":
+        from .office import read_xlsx  # stdlib zipfile+ElementTree reader
 
-        try:
-            pdf = pd.read_excel(path)
-        except ImportError as exc:  # openpyxl missing in this container
-            raise NotImplementedError(
-                f"Excel reading requires openpyxl/xlrd: {exc}"
-            ) from exc
-        return spark.createDataFrame(pdf)
+        return read_xlsx(spark, path)
+    if ext == "xls":
+        raise NotImplementedError(
+            "legacy binary .xls (BIFF) is not supported; save as .xlsx"
+        )
     if ext == "xml":
-        import pandas as pd
+        from .office import read_xml  # stdlib ElementTree record inference
 
-        try:
-            pdf = pd.read_xml(path)
-        except ImportError as exc:  # lxml missing in this container
-            raise NotImplementedError(f"XML reading requires lxml: {exc}") from exc
-        return spark.createDataFrame(pdf)
+        return read_xml(spark, path)
     raise ValueError(f"Unsupported file format: {ext!r} ({path})")
 
 

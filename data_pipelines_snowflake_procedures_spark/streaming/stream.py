@@ -31,11 +31,10 @@ def read_events_stream(
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    from ..session import _set_read_confs
+
     path = os.path.join(sf_dir, "events.parquet")
-    # Match load_table's read-time confs: NTZ-inferred timestamps are
-    # rejected by withWatermark, so force plain TIMESTAMP here too.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _set_read_confs(spark)
     raw_schema = spark.read.parquet(path).schema
     # file-source streams want a directory: stream the sf dir filtered
     # down to the events file (each matching file = one replayable unit)

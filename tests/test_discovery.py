@@ -137,61 +137,147 @@ def test_file_dq_action_count(spark, sample_files, monkeypatch):
     assert len(calls) == 4, f"file-DQ sweep ran {len(calls)} actions, expected 4"
 
 
-def test_excel_dispatch_with_stub_engine(spark, monkeypatch, tmp_path):
-    """S2 routing (Data_Discovery_File.sql:325-341): .xlsx dispatches to
-    pandas read_excel and the frame promotes through the palette type
-    mapping — exercised with a stubbed engine since the container lacks
-    openpyxl."""
-    import pandas as pd
+def _write_xlsx_fixture(path: str) -> None:
+    """Build a REAL (minimal, spec-conformant) .xlsx with stdlib
+    zipfile: shared strings, numeric/bool/inlineStr cells, and a sparse
+    row with a missing cell."""
+    import zipfile
 
-    fake = pd.DataFrame({"id": [1, 2, 3], "name": ["a", "b", "c"], "score": [0.5, 1.5, 2.5]})
-    seen = {}
+    shared = ["id", "name", "score", "active", "note", "alpha", "gamma"]
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        f'count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1">'
+        '<c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="s"><v>2</v></c><c r="D1" t="s"><v>3</v></c>'
+        '<c r="E1" t="s"><v>4</v></c>'
+        "</row>"
+        '<row r="2">'
+        '<c r="A2"><v>1</v></c><c r="B2" t="s"><v>5</v></c>'
+        '<c r="C2"><v>0.5</v></c><c r="D2" t="b"><v>1</v></c>'
+        '<c r="E2" t="inlineStr"><is><t>hello</t></is></c>'
+        "</row>"
+        # sparse row: B3 (name) and E3 (note) absent -> None
+        '<row r="3">'
+        '<c r="A3"><v>2</v></c><c r="C3"><v>2</v></c>'
+        '<c r="D3" t="b"><v>0</v></c>'
+        "</row>"
+        '<row r="4">'
+        '<c r="A4"><v>3</v></c><c r="B4" t="s"><v>6</v></c>'
+        '<c r="C4"><v>-150.25</v></c><c r="D4" t="b"><v>1</v></c>'
+        '<c r="E4" t="str"><v>formula result</v></c>'
+        "</row>"
+        "</sheetData></worksheet>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/>'
+        "</sheets></workbook>"
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        "</Types>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
 
-    def fake_read_excel(path, *a, **k):
-        seen["path"] = path
-        return fake
 
-    monkeypatch.setattr(pd, "read_excel", fake_read_excel)
+def test_xlsx_real_read(spark, tmp_path):
+    """S2 for real (Data_Discovery_File.sql:325-341): a genuine .xlsx
+    parses via the stdlib zipfile+ElementTree reader — typed columns,
+    shared/inline/formula strings, bools, sparse cells as NULL."""
     xlsx = tmp_path / "book.xlsx"
-    xlsx.write_bytes(b"PK\x03\x04stub")
+    _write_xlsx_fixture(str(xlsx))
     df = read_any(spark, str(xlsx))
-    assert seen["path"] == str(xlsx)
     assert df.count() == 3
     meta = file_metadata(str(xlsx), df)
     types = {c["column_name"]: c["type"] for c in meta["columns"]}
-    assert types == {"id": "NUMBER", "name": "VARCHAR", "score": "FLOAT"}
-
-
-def test_xml_dispatch_with_stub_engine(spark, monkeypatch, tmp_path):
-    """S4 routing: .xml dispatches to pandas read_xml (stubbed — no
-    lxml in the container) and promotes to a typed DataFrame."""
-    import pandas as pd
-
-    fake = pd.DataFrame({"tag": ["x", "y"], "val": [10, 20]})
-    monkeypatch.setattr(pd, "read_xml", lambda path, *a, **k: fake, raising=False)
-    xml = tmp_path / "doc.xml"
-    xml.write_text("<root/>")
-    df = read_any(spark, str(xml))
-    assert df.count() == 2
-    assert {f.name: map_type_to_palette(f.dataType) for f in df.schema.fields} == {
-        "tag": "VARCHAR",
-        "val": "NUMBER",
+    assert types == {
+        "id": "NUMBER",
+        "name": "VARCHAR",
+        "score": "FLOAT",
+        "active": "BOOLEAN",
+        "note": "VARCHAR",
     }
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["name"] == "alpha" and rows[1]["note"] == "hello"
+    assert rows[1]["active"] is True and rows[3]["active"] is True
+    assert rows[2]["name"] is None and rows[2]["note"] is None
+    assert rows[2]["active"] is False
+    assert rows[3]["score"] == -150.25
+    assert rows[3]["note"] == "formula result"
 
 
-def test_excel_import_gate_raises(spark, monkeypatch, tmp_path):
-    """Without the optional engine, the gate surfaces
-    NotImplementedError (not a raw ImportError)."""
-    import pandas as pd
+def test_xml_real_read(spark, tmp_path):
+    """S4 for real: record-oriented XML via stdlib ElementTree —
+    attributes + child elements become typed columns."""
+    xml = tmp_path / "doc.xml"
+    xml.write_text(
+        "<records>"
+        '<rec id="1"><name>x</name><val>10</val></rec>'
+        '<rec id="2"><name>y</name><val>20.5</val></rec>'
+        '<rec id="3"><name>z</name><flag>true</flag></rec>'
+        "</records>"
+    )
+    df = read_any(spark, str(xml))
+    assert df.count() == 3
+    assert {f.name: map_type_to_palette(f.dataType) for f in df.schema.fields} == {
+        "id": "NUMBER",
+        "name": "VARCHAR",
+        "val": "FLOAT",  # int 10 + float 20.5 -> double
+        "flag": "BOOLEAN",
+    }
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["val"] == 10.0 and rows[2]["val"] == 20.5
+    assert rows[3]["val"] is None and rows[3]["flag"] is True
 
-    def boom(path, *a, **k):
-        raise ImportError("Missing optional dependency 'openpyxl'")
 
-    monkeypatch.setattr(pd, "read_excel", boom)
+def test_file_dq_runs_on_xlsx_and_xml(spark, tmp_path):
+    """The distributed five-pillar DQ sweep runs end-to-end on files
+    ingested from both stdlib readers (discover_and_run_dq parity with
+    DQ_DISCOVERY_AND_CHECKS on Excel/XML inputs)."""
+    from data_pipelines_snowflake_procedures_spark.sources.discovery import (
+        discover_and_run_dq,
+    )
+
     xlsx = tmp_path / "book.xlsx"
-    xlsx.write_bytes(b"PK\x03\x04stub")
-    with pytest.raises(NotImplementedError, match="openpyxl"):
-        read_any(spark, str(xlsx))
+    _write_xlsx_fixture(str(xlsx))
+    xml = tmp_path / "doc.xml"
+    xml.write_text(
+        "<records>"
+        '<rec id="1"><name>x</name><val>10</val></rec>'
+        '<rec id="2"><name>y</name><val>20.5</val></rec>'
+        "</records>"
+    )
+    for path, n_rows in ((str(xlsx), 3), (str(xml), 2)):
+        out = discover_and_run_dq(spark, path)
+        assert out["status"] == "SUCCESS", out
+        assert out["file_definition"]["row_count"] == n_rows
+        summary = out["dq_auto_check_result"]["summary"]
+        assert summary["total_rules"] > 0
+        assert summary["passed_rules"] + summary["failed_rules"] == summary["total_rules"]
+
+
+def test_legacy_xls_raises(spark, tmp_path):
+    xls = tmp_path / "legacy.xls"
+    xls.write_bytes(b"\xd0\xcf\x11\xe0stub")
+    with pytest.raises(NotImplementedError, match="xlsx"):
+        read_any(spark, str(xls))
 
 
 def test_write_any_round_trip(spark, sf_dir, tmp_path):

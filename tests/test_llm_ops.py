@@ -399,6 +399,32 @@ def test_pack_sequences_offsets_and_boundaries(spark):
     assert out == {1: (0, 0), 2: (300, 0), 3: (600, 1), 10: (0, 0)}
 
 
+def test_pack_sequences_global_guard(spark):
+    """group_col=None is a single-partition global window; above the
+    row limit it must refuse unless allow_global=True (VERDICT r2 #3)."""
+    import pytest
+
+    from data_pipelines_snowflake_procedures_spark.operators.corpus import (
+        pack_sequences,
+    )
+
+    df = (
+        spark.range(50)
+        .withColumnRenamed("id", "doc_id")
+        .selectExpr("doc_id", "CAST(10 AS BIGINT) AS n_tokens")
+    )
+    with pytest.raises(ValueError, match="single-partition global window"):
+        pack_sequences(df, group_col=None, global_row_limit=10)
+    # explicit opt-in still works, and small inputs pass un-flagged
+    assert (
+        pack_sequences(
+            df, group_col=None, global_row_limit=10, allow_global=True
+        ).count()
+        == 50
+    )
+    assert pack_sequences(df, group_col=None).count() == 50
+
+
 def test_decontaminate_plan_broadcasts_eval_side(spark):
     """Scale invariant: the eval shingle set (tiny benchmarks) must be
     the broadcast side — the 100 TB train corpus is scanned once and
@@ -544,6 +570,67 @@ def test_near_dup_kmeans_is_subset_with_high_recall(spark, sf_dir):
     }
     assert blocked <= exact
     assert exact and len(blocked) / len(exact) >= 0.5
+
+
+def test_semdedup_cell_cap_splits_skewed_cells(spark):
+    """VERDICT r2 #5: a deliberately clustered corpus (4 well-separated
+    blobs that a k=2 global fit lumps into oversized cells) ends with
+    no cell above the cap after split_oversized_cells, and the guarded
+    pair set stays a subset of the unguarded one."""
+    from data_pipelines_snowflake_procedures_spark.operators.dedup import (
+        embedding_near_dup_kmeans,
+        norm,
+        split_oversized_cells,
+    )
+    from data_pipelines_snowflake_procedures_spark.operators.similarity import (
+        kmeans_assign_df,
+        kmeans_fit,
+    )
+
+    centers = [
+        [10.0, 0.0, 0.0, 0.0],
+        [0.0, 10.0, 0.0, 0.0],
+        [0.0, 0.0, 10.0, 0.0],
+        [0.0, 0.0, 0.0, 10.0],
+    ]
+    rows = []
+    vid = 0
+    for c in centers:
+        for j in range(15):
+            v = list(c)
+            v[(j + 1) % 4] += 0.01 * (j + 1)  # distinct, tightly packed
+            rows.append((vid, v))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+    cents = kmeans_fit(df, k=2, iters=2)
+    from pyspark.sql import functions as F
+
+    assigned = kmeans_assign_df(df, cents).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("emb"),
+        norm(F.col("embedding")).alias("nrm"),
+        F.col("__cl").alias("cluster"),
+    )
+    before = assigned.groupBy("cluster").count().collect()
+    assert any(r["count"] > 20 for r in before), before  # skew exists
+    after = split_oversized_cells(assigned, max_cell_size=20, k=2)
+    sizes = [r["count"] for r in after.groupBy("cluster").count().collect()]
+    assert max(sizes) <= 20, sizes
+    assert sum(sizes) == 60  # no rows lost or duplicated
+
+    unguarded = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_kmeans(df, threshold=0.99, k=2).collect()
+    }
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_kmeans(
+            df, threshold=0.99, k=2, max_cell_size=20
+        ).collect()
+    }
+    assert guarded <= unguarded
+    assert guarded  # within-blob near-dups survive the split
 
 
 def test_fuzzy_name_pairs_finds_planted_typo(spark):

@@ -41,6 +41,22 @@ spark.stop()
 """
 
 
+def test_load_table_forces_utc_session_tz(spark):
+    """ADVICE r2: a caller-supplied session may carry a non-UTC tz;
+    NTZ-physical micros read as TIMESTAMP_LTZ render shifted unless
+    load_table resets the session tz at read time."""
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = load_table(spark, "/root/testdata/sf0.001", "orders")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        df.limit(1).collect()  # still readable
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
+
+
 def test_registry_runs_under_vanilla_session():
     env = dict(os.environ)
     # Make sure nothing from the test session leaks config in.
