@@ -50,6 +50,9 @@ HEADLINE = [
     "profit_by_nation_year",
     "part_supplier_counts",
     "disjunctive_promo_revenue",
+    "idle_customer_cohorts",
+    "orders_rolling_7d_revenue",
+    "nation_balance_quartiles",
     # DQ / profiling / PII / SCD
     "profile_customer",
     "dq_table_scores_orders",

@@ -300,6 +300,135 @@ def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "idle_customer_cohorts",
+    """
+    WITH pos AS (
+      SELECT avg(c_acctbal) AS cutoff FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c, pos
+    WHERE c.c_acctbal > pos.cutoff
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      )
+    GROUP BY c.c_mktsegment
+    """,
+    doc="TPC-H Q22 shape (global sales opportunity; market segment "
+    "stands in for the missing phone country code): well-funded "
+    "customers — balance above the positive-balance average (1-row "
+    "scalar subquery, broadcast back) — with no recent orders "
+    "(LEFT ANTI join against the date-filtered orders scan), rolled "
+    "up per segment. Both the scalar subquery and the anti join "
+    "filter BEFORE the group shuffle.",
+)
+def idle_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    cutoff = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("cutoff")
+    )
+    return (
+        cust.join(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("cutoff"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "orders_rolling_7d_revenue",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS order_day,
+             sum(o_totalprice) AS day_revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT order_day,
+           round(day_revenue, 2) AS day_revenue,
+           round(sum(day_revenue) OVER (
+             ORDER BY order_day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ), 2) AS revenue_7d
+    FROM daily
+    """,
+    doc="Interval-RANGE rolling window: trailing-7-day revenue over the "
+    "DAILY rollup (O(days) rows) — the aggregate-then-window pattern "
+    "that keeps the time-range frame off the fact table. The range "
+    "frame is time-based (RANGE INTERVAL), not row-count-based, so "
+    "gaps in the calendar are handled by frame semantics rather than "
+    "a gap-fill join. Single-partition window is safe: one row per "
+    "day, bounded by the date filter (365 rows).",
+)
+def orders_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("o_orderdate").alias("order_day"))
+        .agg(F.sum("o_totalprice").alias("day_rev_raw"))
+    )
+    # RANGE frame over a timestamp needs a numeric ordering expression
+    # in Spark: order by epoch seconds, frame = trailing 6 days.
+    w = (
+        Window.orderBy(F.unix_timestamp("order_day"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "order_day",
+        F.round("day_rev_raw", 2).alias("day_revenue"),
+        F.round(F.sum("day_rev_raw").over(w), 2).alias("revenue_7d"),
+    )
+
+
+@register(
+    "nation_balance_quartiles",
+    """
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(quantile_cont(s.s_acctbal, 0.25), 4) AS q1_acctbal,
+           round(quantile_cont(s.s_acctbal, 0.50), 4) AS median_acctbal,
+           round(quantile_cont(s.s_acctbal, 0.75), 4) AS q3_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Grouped EXACT percentiles (interpolated quartiles of supplier "
+    "balance per nation): Spark's percentile() aggregate vs DuckDB's "
+    "quantile_cont — both exact linear-interpolation, so values "
+    "hash-match. Exact grouped percentiles sort within each group; "
+    "for 100 TB profiling use the approx_percentile path "
+    "(operators/profile.py) — this entry is the exact baseline.",
+)
+def nation_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.percentile("s_acctbal", F.lit(0.25)), 4).alias("q1_acctbal"),
+            F.round(F.percentile("s_acctbal", F.lit(0.50)), 4).alias("median_acctbal"),
+            F.round(F.percentile("s_acctbal", F.lit(0.75)), 4).alias("q3_acctbal"),
+        )
+    )
+
+
+@register(
     "disjunctive_promo_revenue",
     """
     SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
