@@ -53,6 +53,8 @@ HEADLINE = [
     "idle_customer_cohorts",
     "orders_rolling_7d_revenue",
     "nation_balance_quartiles",
+    "lineitem_winsorized_stats",
+    "sole_supplier_multiline_orders",
     # DQ / profiling / PII / SCD
     "profile_customer",
     "dq_table_scores_orders",

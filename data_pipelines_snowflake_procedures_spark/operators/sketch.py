@@ -1,4 +1,4 @@
-"""Mergeable-sketch distinct counting (Apache DataSketches HLL).
+"""Mergeable sketches: HLL distinct counting + count-min frequency.
 
 The 100 TB pattern: exact ``countDistinct`` over a high-cardinality
 column is a full shuffle of every distinct value; an HLL sketch is a
@@ -80,4 +80,93 @@ def distinct_with_sketch(
             ),
         )
         .withColumn("approx_distinct", F.round("approx_distinct", 2))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (CMS): mergeable FREQUENCY estimation — the
+# heavy-hitter counterpart to HLL's distinct counting. Kept in sparse
+# "long" form ((hash_row, bucket, count) rows, ≤ depth×width per
+# group/slice) so build, merge, and query are all plain DataFrame
+# aggregations: partial sketches build map-side per slice, MERGE is an
+# associative sum, and a point query is min over depth hash rows.
+# Estimates are one-sided (estimate ≥ true count; collisions only
+# inflate) and deterministic: bucket = pmod(xxhash64(value, row), width).
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    df: DataFrame,
+    group_cols: list[str],
+    slice_col: str | Column,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Per-(group, slice) count-min sketch of ``value_col`` frequencies
+    in sparse long form: (group…, __slice, h, b, cnt). One shuffle on
+    (group, slice, h, b); the explode is depth-way (map-side), and the
+    sketch is O(depth × width) rows per slice no matter how many
+    distinct values flow in — the state you would persist per day."""
+    slice_c = F.col(slice_col) if isinstance(slice_col, str) else slice_col
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("h"),
+                F.pmod(F.xxhash64(F.col(value_col), F.lit(i)), F.lit(width))
+                .cast("int")
+                .alias("b"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(*group_cols, slice_c.alias("__slice"), F.explode(buckets).alias("hb"))
+        .groupBy(*group_cols, "__slice", F.col("hb.h").alias("h"), F.col("hb.b").alias("b"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union per-slice sketches to the group level: associative SUM on
+    (group, h, b) — O(groups × depth × width) rows, independent of the
+    original data volume."""
+    return sketches.groupBy(*group_cols, "h", "b").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_point_estimate(
+    merged: DataFrame,
+    keys: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Estimated frequency of each key in ``keys``: hash the key with
+    the SAME (depth, width), join the sketch on (h, b), take the MIN
+    over hash rows. The keys side is the small side (broadcast); the
+    sketch is already tiny. Estimate ≥ true count, equality whenever
+    any hash row is collision-free for that key."""
+    group_cols = group_cols or []
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("h"),
+                F.pmod(F.xxhash64(F.col(value_col), F.lit(i)), F.lit(width))
+                .cast("int")
+                .alias("b"),
+            )
+            for i in range(depth)
+        ]
+    )
+    hashed = keys.select(
+        *group_cols, value_col, F.explode(buckets).alias("hb")
+    ).select(*group_cols, value_col, F.col("hb.h").alias("h"), F.col("hb.b").alias("b"))
+    return (
+        F.broadcast(hashed)
+        .join(merged, [*group_cols, "h", "b"], "left")
+        .groupBy(*group_cols, value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )

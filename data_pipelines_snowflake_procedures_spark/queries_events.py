@@ -610,6 +610,33 @@ def events_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_type_counts_cms",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS est_count
+    FROM events GROUP BY event_type
+    """,
+    doc="Count-min sketch frequency estimation: per-day partial "
+    "sketches (sparse long form, depth 4 × width 1024) built "
+    "map-side, merged associatively to the corpus level, then "
+    "point-queried for each event type (min over hash rows). The "
+    "oracle is the EXACT group count: with 5 distinct values in 1024 "
+    "buckets every key has a collision-free hash row, so the "
+    "one-sided CMS estimate equals truth — the check proves "
+    "build/merge/query plumbing exactly. tests/test_sketch.py covers "
+    "the merge invariant and the overcount-only guarantee on a "
+    "colliding (3k-key) column.",
+)
+def events_type_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import cms_build, cms_merge, cms_point_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    sketches = cms_build(ev, [], F.to_date("ts"), "event_type")
+    merged = cms_merge(sketches, [])
+    keys = ev.select("event_type").distinct()
+    return cms_point_estimate(merged, keys, "event_type")
+
+
+@register(
     "events_enriched_hourly_streaming",
     """
     WITH dim(event_type, category) AS (

@@ -1481,6 +1481,71 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "vocab_zipf_fit",
+    f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT tok, count(*) AS cnt FROM tok WHERE tok <> '' GROUP BY tok
+    ),
+    ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+      FROM counts
+      QUALIFY rnk <= 100
+    ),
+    fit AS (
+      SELECT count(*) AS n,
+             sum(ln(rnk)) AS sx, sum(ln(cnt)) AS sy,
+             sum(ln(rnk) * ln(cnt)) AS sxy, sum(ln(rnk) * ln(rnk)) AS sxx
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_top_tokens,
+           round(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_alpha
+    FROM fit
+    """,
+    doc="Zipf-law fit over the corpus vocabulary: least-squares slope "
+    "of log(frequency) vs log(rank) on the top-100 tokens — the "
+    "corpus-health statistic (natural text sits near alpha≈1; "
+    "boilerplate/spam corpora deviate sharply). Token counting is the "
+    "same one-shuffle partial-agg pass as vocab_top_tokens; the "
+    "regression is a single aggregate over 100 rows (the closed-form "
+    "normal equations — no iterative solver).",
+)
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # top-100 via TakeOrdered, then rank within the 100 driver-small rows
+    top = counts.orderBy(F.col("cnt").desc(), "tok").limit(100)
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "tok"))
+    )
+    lx, ly = F.log(F.col("rnk")), F.log(F.col("cnt"))
+    fit = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    return fit.select(
+        n.cast("long").alias("n_top_tokens"),
+        F.round(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 4).alias("zipf_alpha"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Passage dedup / LM scoring / quantile gating (corpus prep, round 2)
 # ---------------------------------------------------------------------------

@@ -429,6 +429,93 @@ def nation_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sole_supplier_multiline_orders",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             count(*) AS n_lines,
+             count(DISTINCT l_suppkey) AS n_suppliers,
+             min(l_suppkey) AS the_suppkey
+      FROM lineitem
+      GROUP BY l_orderkey
+    )
+    SELECT s.s_name,
+           CAST(count(*) AS BIGINT) AS n_sole_orders
+    FROM per_order p JOIN supplier s ON p.the_suppkey = s.s_suppkey
+    WHERE p.n_lines >= 2 AND p.n_suppliers = 1
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21 shape (no commit/receipt dates in the harness, so "
+    "'sole supplier on a multi-line order' replaces the late-delivery "
+    "exists/not-exists pair): ONE grouped pass over lineitem computes "
+    "per-order line and distinct-supplier counts — the exists + "
+    "not-exists correlated pair de-correlates into a single "
+    "aggregation, no fact self-join — then a HAVING-style filter and "
+    "a broadcast supplier join.",
+)
+def sole_supplier_multiline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.min("l_suppkey").alias("the_suppkey"),
+    )
+    sole = per_order.filter(
+        (F.col("n_lines") >= 2) & (F.col("n_suppliers") == 1)
+    )
+    return (
+        sole.join(F.broadcast(supp), sole.the_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_sole_orders"))
+    )
+
+
+@register(
+    "lineitem_winsorized_stats",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(avg(least(greatest(l.l_extendedprice, b.lo), b.hi)), 4)
+               AS winsorized_avg,
+           round(stddev_samp(least(greatest(l.l_extendedprice, b.lo), b.hi)), 4)
+               AS winsorized_std
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+    doc="Winsorized robust statistics (feature-engineering staple): "
+    "clip each group's price at its own exact p05/p95 (one grouped "
+    "percentile pass → O(groups) bounds broadcast back), then "
+    "mean/std of the clipped values. Two passes total; at 100 TB "
+    "swap the exact percentile for approx_percentile (same plan "
+    "shape, no within-group sort) — this entry is the exact "
+    "baseline that oracle-verifies the clip-and-aggregate plumbing.",
+)
+def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    clipped = li.join(F.broadcast(bounds), "l_returnflag").withColumn(
+        "v", F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.avg("v"), 4).alias("winsorized_avg"),
+        F.round(F.stddev_samp("v"), 4).alias("winsorized_std"),
+    )
+
+
+@register(
     "disjunctive_promo_revenue",
     """
     SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,

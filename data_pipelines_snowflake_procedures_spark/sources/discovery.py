@@ -88,6 +88,12 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
             df = spark.read.option("multiLine", True).json(path)
         return df
     if ext == "parquet":
+        from ..session import _set_read_confs
+
+        # Same read-time confs as session.load_table: a TIMESTAMP(NANOS)
+        # column (e.g. a copy of events.parquet) must not blow up just
+        # because it arrived through the generic file entry point.
+        _set_read_confs(spark)
         return spark.read.parquet(path)
     if ext == "orc":
         return spark.read.orc(path)

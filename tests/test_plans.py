@@ -123,3 +123,45 @@ def test_retention_single_user_shuffle_before_final_agg(spark, sf_dir):
     plan = _plan(spark, "events_retention_cohorts", sf_dir)
     # no self-join back to a cohort table — collect_set + array_min only
     assert "Join" not in plan
+
+
+def test_disjunctive_filters_push_to_both_scans(spark, sf_dir):
+    """Q19 shape: the OR-of-ANDs must split per side — quantity range
+    union at the lineitem scan, brand/size disjunction at the part
+    scan — so neither table scans unfiltered."""
+    plan = _plan(spark, "disjunctive_promo_revenue", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_partkey), Or(" in plan
+    assert "EqualTo(p_brand,Brand#1)" in plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+
+
+def test_unshipped_orders_filters_before_joins(spark, sf_dir):
+    """Q3 shape: segment + both date predicates reach their scans;
+    top-k is TakeOrdered, never a global Sort+Limit."""
+    plan = _plan(spark, "unshipped_orders_revenue", sf_dir)
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_forecast_revenue_all_predicates_pushed(spark, sf_dir):
+    """Q6 shape: every predicate at the scan, zero joins."""
+    plan = _plan(spark, "forecast_revenue_delta", sf_dir)
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in plan, pushed
+    assert "Join" not in plan
+
+
+def test_market_share_window_partitioned_by_year(spark, sf_dir):
+    """Q8 shape: the share denominator windows over the (year, nation)
+    rollup PARTITIONED BY year — no unpartitioned global window."""
+    plan = _plan(spark, "nation_market_share_by_year", sf_dir)
+    assert "Window" in plan
+    # the windowspecdefinition must name o_year as its partition key
+    assert "windowspecdefinition(o_year" in plan

@@ -48,3 +48,57 @@ def test_sketch_estimate_within_error_bound(spark, sf_dir):
         assert r["exact_distinct"] > 0
         # lgK=14 standard error ~0.8%; 2% is a ~2.5-sigma bound.
         assert r["rel_err"] <= 0.02, (r["event_type"], r["rel_err"])
+
+
+def test_cms_merge_invariant_and_one_sided_error(spark, sf_dir):
+    """Count-min sketch: (1) per-day sketches merged == one-pass sketch
+    bucket-for-bucket; (2) point estimates are one-sided (>= exact) on
+    a deliberately colliding configuration (3k users, width 64); (3)
+    exact on a collision-free configuration (5 event types, width
+    1024)."""
+    from data_pipelines_snowflake_procedures_spark.operators.sketch import (
+        cms_build,
+        cms_merge,
+        cms_point_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+
+    # (1) merge invariance: sum of per-slice counts == whole-corpus build
+    daily = cms_merge(cms_build(ev, [], F.to_date("ts"), "user_id"), [])
+    one_pass = cms_merge(
+        cms_build(ev, [], F.lit("all"), "user_id"), []
+    )
+    d = {(r["h"], r["b"]): r["cnt"] for r in daily.collect()}
+    o = {(r["h"], r["b"]): r["cnt"] for r in one_pass.collect()}
+    assert d == o
+
+    # (2) one-sided error under heavy collisions
+    small = cms_merge(
+        cms_build(ev, [], F.lit("all"), "user_id", depth=4, width=64), []
+    )
+    keys = ev.select("user_id").distinct().limit(50)
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in cms_point_estimate(
+            small, keys, "user_id", depth=4, width=64
+        ).collect()
+    }
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert est and all(est[u] >= exact[u] for u in est)
+
+    # (3) exact when a collision-free hash row exists for every key
+    types = cms_merge(cms_build(ev, [], F.to_date("ts"), "event_type"), [])
+    tkeys = ev.select("event_type").distinct()
+    test = {
+        r["event_type"]: r["est_count"]
+        for r in cms_point_estimate(types, tkeys, "event_type").collect()
+    }
+    truth = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert test == truth
