@@ -90,3 +90,38 @@ def test_aqe_splits_skewed_join_partition(spark):
         plan = _final_plan(j)
     assert re.search(r"SortMergeJoin\(skew=true\)", plan)
     assert "skewed" in plan  # the AQEShuffleRead split marker
+
+
+def test_runtime_bloom_filter_injected_for_selective_join(spark, sf_dir):
+    """Runtime semi-join reduction: when a selective dim filter feeds a
+    shuffle join, the optimizer must inject a bloom_filter_agg on the
+    creation (dim) side and a might_contain probe above the fact scan —
+    at 100 TB this prunes fact rows BEFORE the shuffle, the single
+    biggest reduction available to a non-broadcast join."""
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part").filter(
+            F.col("p_brand") == "Brand#1"
+        )
+        j = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        assert j.count() >= 1  # and the filtered join still returns rows
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -301,3 +301,100 @@ def test_write_any_round_trip(spark, sf_dir, tmp_path):
     assert back.columns == ["value"]
     with pytest.raises(ValueError, match="Unsupported write"):
         write_any(src, str(tmp_path / "x.avro"))
+
+
+def _write_xlsx_generic(path: str, header: list[str], rows: list[list]) -> None:
+    """Minimal xlsx writer for round-trip tests: strings as inlineStr
+    (XML-escaped), ints/floats as numeric cells, bools as t=\"b\",
+    None as an absent cell."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def cell(ref: str, v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+
+    def col_letter(i: int) -> str:
+        out = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            out = chr(ord("A") + r) + out
+        return out
+
+    body = []
+    for rix, row in enumerate([header, *rows], start=1):
+        cells = "".join(
+            cell(f"{col_letter(c)}{rix}", v) for c, v in enumerate(row)
+        )
+        body.append(f'<row r="{rix}">{cells}</row>')
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{''.join(body)}</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_xlsx_parser_round_trip_property(tmp_path):
+    """Property: any rectangular table of typed cells survives the
+    write→parse round trip (stdlib parser, no Spark in the loop)."""
+    from hypothesis import given, settings, strategies as st
+
+    from data_pipelines_snowflake_procedures_spark.sources.office import (
+        read_xlsx_rows,
+    )
+
+    text_st = st.text(
+        alphabet=st.characters(
+            min_codepoint=32, max_codepoint=0x2FF, blacklist_characters="\r"
+        ),
+        max_size=20,
+    )
+    value_st = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**53), max_value=2**53),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        text_st,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        header=st.lists(
+            st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+            min_size=1,
+            max_size=5,
+        ),
+        data=st.data(),
+    )
+    def check(header, data):
+        n_rows = data.draw(st.integers(min_value=0, max_value=6))
+        rows = [
+            [data.draw(value_st) for _ in header] for _ in range(n_rows)
+        ]
+        path = str(tmp_path / "prop.xlsx")
+        _write_xlsx_generic(path, header, rows)
+        parsed = read_xlsx_rows(path)
+        assert parsed[0] == [h if h else None for h in header] or parsed[0] == list(header)
+        got = parsed[1:]
+        for want_row, got_row in zip(rows, got):
+            for want, g in zip(want_row, got_row):
+                if want is None or (isinstance(want, str) and want == ""):
+                    # absent cell and empty inlineStr both parse as
+                    # None/"" — normalize
+                    assert g in (None, "")
+                elif isinstance(want, float) and want == int(want) and "e" not in repr(want).lower() and "." not in repr(want):
+                    assert g == want
+                else:
+                    assert g == want, (want, g)
+        # trailing all-None rows collapse is not allowed: row count kept
+        assert len(got) == len(rows)
+
+    check()
