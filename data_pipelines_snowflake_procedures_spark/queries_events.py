@@ -637,6 +637,52 @@ def events_type_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "synthetic_events_agg",
+    """
+    WITH synth AS (
+      SELECT i AS event_id,
+             (i * 40503) % 1000 AS user_id,
+             ['view', 'click', 'purchase', 'signup', 'error'][(i % 5) + 1]
+                 AS event_type,
+             ((i * 2654435761) % 10000) / 100.0 AS value,
+             TIMESTAMP '2024-01-01 00:00:00' + to_seconds(i) AS ts
+      FROM range(10000) t(i)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS sum_value,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM synth GROUP BY event_type
+    """,
+    doc="Custom Python Data Source (PySpark 4 pyspark.sql.datasource "
+    "API): a partition-parallel deterministic generator registered as "
+    "format 'synthetic_events' (sources/pysource.py). The oracle "
+    "REGENERATES the table from range() with the same integer "
+    "arithmetic, so the hash match verifies the source's partition "
+    "planning and row synthesis end-to-end — no files involved.",
+)
+def synthetic_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.pysource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 10000)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register(
     "events_enriched_hourly_streaming",
     """
     WITH dim(event_type, category) AS (

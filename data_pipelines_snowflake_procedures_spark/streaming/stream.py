@@ -140,6 +140,25 @@ def click_error_stream_join(
     )
 
 
+def stream_left_outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    join_expr,
+    select_cols: list,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: like the inner form, but an
+    unmatched left row must eventually emit with NULL right columns —
+    and it can only do so once the watermark passes the row's join
+    horizon (before that, a match could still arrive). Until the
+    watermark advances past a row, that row emits NOTHING; a finite
+    drain whose watermark never moves past the tail therefore holds
+    back trailing unmatched rows — by design, not by bug (the
+    watermark-flush test in tests/test_multimodal.py shows both
+    behaviors). Both sides still need watermarks + a time-bound join
+    predicate so state evicts."""
+    return left.join(right, join_expr, "left_outer").select(*select_cols)
+
+
 def run_to_memory(
     streaming_df: DataFrame,
     name: str | None = None,

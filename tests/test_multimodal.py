@@ -388,3 +388,81 @@ def test_gapfill_hourly_zero_fills(spark):
     assert out[("a", 0)] == 1 and out[("a", 1)] == 0 and out[("a", 2)] == 0
     assert out[("a", 3)] == 1
     assert out[("b", 1)] == 1 and out[("b", 0)] == 0 and out[("b", 3)] == 0
+
+
+def test_stream_left_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """Stream-stream LEFT OUTER semantics: a matched pair emits
+    immediately; an unmatched click emits with NULL error columns only
+    after the global watermark passes its join horizon; a click whose
+    horizon the watermark has NOT passed stays pending (emits nothing)."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_pipelines_snowflake_procedures_spark.streaming.stream import (
+        stream_left_outer_join,
+    )
+
+    t = dt.datetime
+    d = str(tmp_path / "lo_events")
+    schema = "event_id BIGINT, ts TIMESTAMP, event_type STRING, user_id BIGINT"
+    batches = [
+        # two clicks: user 1 will match, user 2 never will
+        [(1, t(2024, 1, 1, 10, 0), "click", 1), (2, t(2024, 1, 1, 10, 5), "click", 2)],
+        # user 1's error 10 min later -> inner match, emits immediately
+        [(3, t(2024, 1, 1, 10, 10), "error", 1)],
+        # late traffic advances BOTH watermarks past user 2's horizon
+        [(4, t(2024, 1, 1, 14, 0), "click", 98)],
+        [(5, t(2024, 1, 1, 14, 30), "error", 99)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{d}/f={i}")
+        time.sleep(1.5)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/f=*")
+    )
+    clk = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    err = (
+        stream.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", "10 minutes")
+    )
+    joined = stream_left_outer_join(
+        clk,
+        err,
+        (F.col("user_id") == F.col("err_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+        ["user_id", "click_id", "error_id"],
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("lo_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["user_id"]: (r["click_id"], r["error_id"])
+        for r in spark.table("lo_join").collect()
+    }
+    assert rows[1] == (1, 3)          # matched pair
+    assert rows[2] == (2, None)       # unmatched, watermark passed -> NULL emit
+    assert 98 not in rows             # horizon not passed -> still pending
