@@ -466,3 +466,74 @@ def test_stream_left_outer_join_emits_unmatched_after_watermark(spark, tmp_path)
     assert rows[1] == (1, 3)          # matched pair
     assert rows[2] == (2, None)       # unmatched, watermark passed -> NULL emit
     assert 98 not in rows             # horizon not passed -> still pending
+
+
+def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restarting a checkpointed stream must resume from the committed
+    offset: files processed before the stop are NOT reprocessed, late
+    files are, and the file-sink result equals the batch aggregate of
+    all input exactly once."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_pipelines_snowflake_procedures_spark.streaming.windows import (
+        tumbling_agg,
+    )
+
+    t = dt.datetime
+    src = str(tmp_path / "cp_src")
+    ckpt = str(tmp_path / "cp_state")
+    sink = str(tmp_path / "cp_sink")
+    schema = "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"
+
+    def run_available():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src + "/f=*")
+            .withWatermark("ts", "1 hour")
+        )
+        q = (
+            tumbling_agg(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: two windows of data + a watermark-advancing tail
+    spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1, 10, 10), "click", 1.0),
+            (2, t(2024, 1, 1, 10, 40), "click", 2.0),
+            (3, t(2024, 1, 1, 11, 20), "view", 3.0),
+            (4, t(2024, 1, 1, 15, 0), "view", 1.0),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(src + "/f=0")
+    run_available()
+
+    # run 2 (restart from checkpoint): a new file, plus the tail again
+    # would be a NEW row — only the new file may contribute
+    spark.createDataFrame(
+        [
+            (5, t(2024, 1, 1, 15, 30), "click", 5.0),
+            (6, t(2024, 1, 1, 19, 0), "view", 1.0),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(src + "/f=1")
+    run_available()
+
+    got = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    # every closed window exactly once, no duplicates from the restart
+    assert got[(10, "click")] == (2, 3.0)
+    assert got[(11, "view")] == (1, 3.0)
+    assert got[(15, "view")] == (1, 1.0)
+    assert got[(15, "click")] == (1, 5.0)
+    assert len([k for k in got if k[0] == 10]) == 1
