@@ -94,6 +94,7 @@ HEADLINE = [
     "events_asof_click_before_error",
     "events_groupwise_zscore",
     "events_distinct_users_sketch",
+    "events_robust_outlier_profile",
 ]
 
 

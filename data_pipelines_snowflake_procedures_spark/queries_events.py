@@ -637,6 +637,65 @@ def events_type_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_robust_outlier_profile",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type,
+             any_value(med) AS med,
+             quantile_cont(abs(value - med), 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(m.mad, 4) AS mad,
+           round(m.med, 4) AS median_value,
+           CAST(count_if(abs(d.value - m.med) / (1.4826 * m.mad) > 3.0)
+                AS BIGINT) AS n_robust_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.med, m.mad
+    """,
+    doc="Robust (median/MAD) outlier profile per event type — the "
+    "outlier detector that, unlike the z-score (operators/dq.py), a "
+    "heavy tail cannot poison: median and MAD are 50%-breakdown "
+    "estimators. Two grouped exact-percentile passes with O(groups) "
+    "bounds broadcast back between them, then a narrow count — at "
+    "100 TB swap percentile for approx_percentile, same plan shape. "
+    "1.4826 scales MAD to the normal-σ-consistent estimator.",
+)
+def events_robust_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.any_value("med").alias("med"),
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"),
+    )
+    scored = ev.join(F.broadcast(mad), "event_type")
+    return scored.groupBy("event_type", "med", "mad").agg(
+        F.count("*").alias("n_events"),
+        F.count_if(
+            F.abs(F.col("value") - F.col("med")) / (1.4826 * F.col("mad")) > 3.0
+        ).alias("n_robust_outliers"),
+    ).select(
+        "event_type",
+        "n_events",
+        F.round("mad", 4).alias("mad"),
+        F.round("med", 4).alias("median_value"),
+        "n_robust_outliers",
+    )
+
+
+@register(
     "synthetic_events_agg",
     """
     WITH synth AS (

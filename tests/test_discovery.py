@@ -398,3 +398,51 @@ def test_xlsx_parser_round_trip_property(tmp_path):
         assert len(got) == len(rows)
 
     check()
+
+
+def test_xml_parser_round_trip_property(tmp_path):
+    """Property: record-oriented XML with random tags/values survives
+    the write→parse round trip (attributes + child elements)."""
+    from xml.sax.saxutils import escape
+
+    from hypothesis import given, settings, strategies as st
+
+    from data_pipelines_snowflake_procedures_spark.sources.office import (
+        read_xml_records,
+    )
+
+    tag_st = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+    val_st = st.text(
+        alphabet=st.characters(
+            min_codepoint=32, max_codepoint=0x2FF, blacklist_characters="\r"
+        ),
+        min_size=1,
+        max_size=20,
+    ).map(str.strip).filter(lambda s: s)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        tags=st.lists(tag_st, min_size=1, max_size=4, unique=True),
+        data=st.data(),
+    )
+    def check(tags, data):
+        n = data.draw(st.integers(min_value=1, max_value=5))
+        records = [
+            {t: data.draw(val_st) for t in tags if data.draw(st.booleans())}
+            for _ in range(n)
+        ]
+        records = [r for r in records if r]
+        if not records:
+            records = [{tags[0]: "x"}]
+        body = "".join(
+            "<rec>"
+            + "".join(f"<{k}>{escape(v)}</{k}>" for k, v in r.items())
+            + "</rec>"
+            for r in records
+        )
+        path = tmp_path / "prop.xml"
+        path.write_text(f"<root>{body}</root>", encoding="utf-8")
+        parsed = read_xml_records(str(path))
+        assert parsed == records
+
+    check()
