@@ -77,6 +77,7 @@ HEADLINE = [
     "corpus_passage_dedup_documents",
     "corpus_lm_score_documents",
     "documents_quality_quantile",
+    "documents_weighted_sample",
     "knn_bruteforce_embeddings",
     "embedding_near_dup_blocked",
     "embedding_near_dup_kmeans",

@@ -527,3 +527,48 @@ def temperature_mix(
     return df.filter(bucket < thresh_expr).select(
         id_col, group_col, frac_expr.alias("keep_frac")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str | Column,
+    id_col: str = "doc_id",
+    group_col: str | None = "source",
+    k: int = 10,
+    seed: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES /
+    exponential-sort reservoir): draw ``k`` items per group with
+    inclusion probability proportional to ``weight_col``.
+
+    The A-ES key is ``ln(u) / w`` with ``u`` a deterministic
+    hash-uniform of (seed, id) — taking the top-k keys per group is
+    EXACTLY a weighted sample without replacement (Efraimidis &
+    Spirakis 2006, u^(1/w) formulation; ln is monotone so the ordering
+    is identical). Because ``u`` is a pure function of (seed, id), the
+    sample is reproducible across runs, retries, and engines — the
+    same property as :func:`assign_split` — and adding new documents
+    never evicts an existing winner unless it genuinely outranks it.
+
+    One window shuffle on ``group_col``; per group the top-k tracker
+    is the WindowGroupLimit partial, so the shuffle carries candidate
+    rows only. Output: input columns + ``sample_rank`` (1..k).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h % 1000000 + 1) / F.lit(1000001.0)
+    key = F.log(u) / F.greatest(w, F.lit(1.0))
+    parts = [group_col] if group_col else []
+    win = Window.partitionBy(*parts).orderBy(F.desc("__aes_key"), F.col(id_col))
+    return (
+        df.withColumn("__aes_key", key)
+        .withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__aes_key")
+    )

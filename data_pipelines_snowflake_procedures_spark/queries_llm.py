@@ -1482,6 +1482,51 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "documents_weighted_sample",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             greatest(len(list_filter({_TOKS}, x -> x <> '')), 1) AS w,
+             ((('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 + 1) / 1000001.0) AS u
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(w AS BIGINT) AS n_tokens, sample_rank
+    FROM (
+      SELECT doc_id, source, w,
+             row_number() OVER (
+               PARTITION BY source ORDER BY ln(u) / w DESC, doc_id
+             ) AS sample_rank
+      FROM t
+    ) WHERE sample_rank <= 10
+    """,
+    doc="Deterministic weighted sampling without replacement (A-ES / "
+    "Efraimidis-Spirakis): top-10 docs per source with inclusion "
+    "probability proportional to token count, via the ln(u)/w "
+    "exponential-sort key where u is a hash-uniform of (seed, id). "
+    "Reproducible across runs/engines like the split assignment; one "
+    "window shuffle on source with the WindowGroupLimit partial "
+    "tracking top-k map-side (operators/corpus.py::weighted_sample).",
+)
+def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import weighted_sample
+    from .operators.text import ws_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id",
+        "source",
+        F.greatest(
+            ws_token_count(F.coalesce(F.col("text"), F.lit(""))), F.lit(1)
+        ).cast("double").alias("w"),
+    )
+    out = weighted_sample(weighted, "w", k=10)
+    return out.select(
+        "doc_id", "source", F.col("w").cast("long").alias("n_tokens"), "sample_rank"
+    )
+
+
+@register(
     "vocab_zipf_fit",
     f"""
     WITH tok AS (

@@ -649,3 +649,29 @@ def test_fuzzy_name_pairs_finds_planted_typo(spark):
         for r in fuzzy_name_pairs(df, name_col="name", id_col="id").collect()
     }
     assert pairs == {(1, 2): 1}
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    """A-ES weighted sampling: identical across runs, rank-bounded, and
+    a dominant-weight item always wins its group (its exponential-sort
+    key stochastically dominates by ~1e6x)."""
+    from data_pipelines_snowflake_procedures_spark.operators.corpus import (
+        weighted_sample,
+    )
+
+    rows = [(i, "s", 1.0) for i in range(40)] + [(99, "s", 1_000_000.0)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING, w DOUBLE")
+    a = sorted(
+        (r["doc_id"], r["sample_rank"])
+        for r in weighted_sample(df, "w", k=5).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["sample_rank"])
+        for r in weighted_sample(df, "w", k=5).collect()
+    )
+    assert a == b and len(a) == 5
+    assert max(r for _, r in a) == 5
+    assert 99 in {d for d, _ in a}  # the heavy item is sampled
+    # a different seed draws a different light-doc set
+    c = {r["doc_id"] for r in weighted_sample(df, "w", k=5, seed="other").collect()}
+    assert c != {d for d, _ in a}
