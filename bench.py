@@ -55,6 +55,7 @@ HEADLINE = [
     "nation_balance_quartiles",
     "lineitem_winsorized_stats",
     "sole_supplier_multiline_orders",
+    "valuable_parts_share",
     # DQ / profiling / PII / SCD
     "profile_customer",
     "dq_table_scores_orders",

@@ -472,6 +472,48 @@ def sole_supplier_multiline_orders(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "valuable_parts_share",
+    """
+    WITH per_part AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS part_rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(part_rev) AS total FROM per_part)
+    SELECT p.p_partkey, p.p_name,
+           round(pp.part_rev, 2) AS part_revenue,
+           round(pp.part_rev / t.total, 8) AS revenue_share
+    FROM per_part pp
+    CROSS JOIN tot t
+    JOIN part p ON pp.l_partkey = p.p_partkey
+    WHERE pp.part_rev / t.total > 0.0005
+    """,
+    doc="TPC-H Q11 shape (important stock; no partsupp in the harness, "
+    "so revenue share replaces supplycost value): parts whose revenue "
+    "exceeds a fraction of the corpus total. The total is a 1-row "
+    "aggregate over the per-part rollup (broadcast back) — the "
+    "HAVING-against-global-scalar pattern with no second fact scan; "
+    "the part dim joins AFTER the filter prunes to the heavy tail.",
+)
+def valuable_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_rev")
+    )
+    total = per_part.agg(F.sum("part_rev").alias("total"))
+    heavy = (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_rev") / F.col("total") > 0.0005)
+    )
+    return heavy.join(F.broadcast(part), heavy.l_partkey == part.p_partkey).select(
+        "p_partkey",
+        "p_name",
+        F.round("part_rev", 2).alias("part_revenue"),
+        F.round(F.col("part_rev") / F.col("total"), 8).alias("revenue_share"),
+    )
+
+
+@register(
     "lineitem_winsorized_stats",
     """
     WITH b AS (

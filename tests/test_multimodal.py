@@ -537,3 +537,33 @@ def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert got[(15, "view")] == (1, 1.0)
     assert got[(15, "click")] == (1, 5.0)
     assert len([k for k in got if k[0] == 10]) == 1
+
+
+def test_ppm_decode_round_trip_property():
+    """Property: decode_ppm recovers exact dimensions and channel means
+    from randomly generated P6 images (pure parser, no Spark)."""
+    from hypothesis import given, settings, strategies as st
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        width=st.integers(min_value=1, max_value=12),
+        height=st.integers(min_value=1, max_value=12),
+        data=st.data(),
+    )
+    def check(width, height, data):
+        n = width * height * 3
+        pixels = bytes(
+            data.draw(st.integers(min_value=0, max_value=255)) for _ in range(n)
+        )
+        payload = f"P6\n{width} {height}\n255\n".encode() + pixels
+        out = decode_ppm(payload)
+        assert (out["width"], out["height"]) == (width, height)
+        for c, name in enumerate(("mean_r", "mean_g", "mean_b")):
+            expect = round(sum(pixels[c::3]) / (width * height), 4)
+            assert out[name] == expect
+
+    check()
