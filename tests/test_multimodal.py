@@ -567,3 +567,36 @@ def test_ppm_decode_round_trip_property():
             assert out[name] == expect
 
     check()
+
+
+def test_streaming_progress_listener_records_batches(spark, sf_dir):
+    """StreamingQueryListener observability: the collector must see the
+    query start, at least one progress event whose input-row total
+    equals the source row count, and the termination."""
+    import time
+
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+    from data_pipelines_snowflake_procedures_spark.streaming.observability import (
+        attach_progress_collector,
+    )
+    from data_pipelines_snowflake_procedures_spark.streaming.stream import (
+        hourly_stream,
+        run_to_memory,
+    )
+
+    collector = attach_progress_collector(spark)
+    try:
+        run_to_memory(hourly_stream(spark, sf_dir))
+        # listener events are delivered asynchronously on the driver bus
+        expected = load_table(spark, sf_dir, "events").count()
+        for _ in range(40):
+            if collector.terminated and collector.total_input_rows() >= expected:
+                break
+            time.sleep(0.5)
+        assert collector.started, "no start event received"
+        assert collector.records, "no progress events received"
+        assert collector.total_input_rows() == expected
+        assert collector.terminated, "no termination event received"
+        assert all(r["batch_duration_ms"] >= 0 for r in collector.records)
+    finally:
+        spark.streams.removeListener(collector)
