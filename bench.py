@@ -85,6 +85,7 @@ HEADLINE = [
     "kmeans_clusters_embeddings",
     "knn_sq_embeddings",
     "embedding_label_cohesion",
+    "hybrid_search_documents",
     # event-time windows + pandas surface
     "events_hourly_by_type",
     "events_props_variant",

@@ -1527,6 +1527,100 @@ def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_search_documents",
+    f"""
+    WITH q AS (
+      SELECT [x::DOUBLE FOR x IN embedding] AS qe,
+             sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN embedding],
+                                 'sum')) AS qn
+      FROM embeddings WHERE vec_id = 0
+    ),
+    lex AS (
+      SELECT doc_id,
+             len(list_intersect(
+                   list_distinct(list_filter({_TOKS}, x -> x <> '')),
+                   ['join', 'hash', 'vector'])) / 3.0 AS lex_score
+      FROM documents
+    ),
+    vec AS (
+      SELECT e.vec_id,
+             list_aggregate(
+               [e.embedding[i]::DOUBLE * q.qe[i]
+                FOR i IN range(1, len(e.embedding) + 1)], 'sum')
+             / (sqrt(list_aggregate(
+                  [x::DOUBLE * x::DOUBLE FOR x IN e.embedding], 'sum')) * q.qn)
+               AS cos_score
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT l.doc_id,
+           round(l.lex_score, 6) AS lex_score,
+           round(v.cos_score, 6) AS cos_score,
+           round(0.5 * l.lex_score + 0.5 * v.cos_score, 6) AS hybrid_score
+    FROM lex l JOIN vec v ON l.doc_id = v.vec_id
+    ORDER BY hybrid_score DESC, l.doc_id
+    LIMIT 20
+    """,
+    doc="Hybrid retrieval: lexical term overlap (fraction of the fixed "
+    "query terms present in the document's distinct tokens) fused "
+    "50/50 with embedding cosine against a query vector (row 0, a "
+    "1-row broadcast). The RAG-retrieval shape: both signals compute "
+    "in one narrow pass per side, one doc_id equi-join, top-k by "
+    "TakeOrdered. At 100 TB the vector side swaps in an ANN "
+    "shortlist (operators/similarity.py) and the lexical side an "
+    "inverted index (operators/tfidf.py) — this entry is the exact "
+    "fused baseline.",
+)
+def hybrid_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dot_product, norm
+    from .operators.text import tokens as _tok
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    terms = F.array(F.lit("join"), F.lit("hash"), F.lit("vector"))
+    lex = docs.select(
+        "doc_id",
+        (
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(
+                        F.filter(
+                            _tok(F.coalesce(F.col("text"), F.lit(""))),
+                            lambda t: t != "",
+                        )
+                    ),
+                    terms,
+                )
+            )
+            / F.lit(3.0)
+        ).alias("lex_score"),
+    )
+    embd = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ve"),
+    )
+    q = (
+        embd.filter(F.col("vec_id") == 0)
+        .select(F.col("ve").alias("qe"), norm(F.col("ve")).alias("qn"))
+    )
+    vec = embd.join(F.broadcast(q)).select(
+        "vec_id",
+        (
+            dot_product(F.col("ve"), F.col("qe"))
+            / (norm(F.col("ve")) * F.col("qn"))
+        ).alias("cos_score"),
+    )
+    fused = lex.join(vec, lex.doc_id == vec.vec_id).select(
+        "doc_id",
+        F.round("lex_score", 6).alias("lex_score"),
+        F.round("cos_score", 6).alias("cos_score"),
+        F.round(
+            0.5 * F.col("lex_score") + 0.5 * F.col("cos_score"), 6
+        ).alias("hybrid_score"),
+    )
+    return fused.orderBy(F.desc("hybrid_score"), F.asc("doc_id")).limit(20)
+
+
+@register(
     "vocab_zipf_fit",
     f"""
     WITH tok AS (
