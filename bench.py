@@ -56,6 +56,7 @@ HEADLINE = [
     "lineitem_winsorized_stats",
     "sole_supplier_multiline_orders",
     "valuable_parts_share",
+    "orders_price_drift_psi",
     # DQ / profiling / PII / SCD
     "profile_customer",
     "dq_table_scores_orders",

@@ -472,6 +472,87 @@ def sole_supplier_multiline_orders(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "orders_price_drift_psi",
+    """
+    WITH binned AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+             CASE WHEN o_totalprice < 0 THEN 0
+                  WHEN o_totalprice >= 600000.0 THEN 13
+                  ELSE CAST(floor(o_totalprice / 50000.0) AS INTEGER) + 1
+             END AS bin
+      FROM orders
+      WHERE year(o_orderdate) IN (1997, 1998)
+    ),
+    counts AS (
+      SELECT bin,
+             count(*) FILTER (WHERE yr = 1997) AS c_base,
+             count(*) FILTER (WHERE yr = 1998) AS c_curr
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT sum(c_base) AS t_base, sum(c_curr) AS t_curr,
+             count(*) AS n_bins
+      FROM counts
+    )
+    SELECT CAST(t.n_bins AS BIGINT) AS n_bins,
+           CAST(t.t_base AS BIGINT) AS n_base,
+           CAST(t.t_curr AS BIGINT) AS n_curr,
+           round(sum(
+             ((c.c_base + 0.5) / (t.t_base + 0.5 * t.n_bins)
+              - (c.c_curr + 0.5) / (t.t_curr + 0.5 * t.n_bins))
+             * ln(((c.c_base + 0.5) / (t.t_base + 0.5 * t.n_bins))
+                  / ((c.c_curr + 0.5) / (t.t_curr + 0.5 * t.n_bins)))
+           ), 6) AS psi
+    FROM counts c CROSS JOIN tot t
+    GROUP BY t.n_bins, t.t_base, t.t_curr
+    """,
+    doc="Distribution-drift detection via the Population Stability "
+    "Index: order prices binned into fixed 50k-wide edges (manual "
+    "floor arithmetic — identical on both engines; DuckDB has no "
+    "width_bucket), "
+    "1997 (base) vs 1998 (current) shares Laplace-smoothed (+0.5 per "
+    "bin) so empty bins can't produce ln(0), PSI = sum((p-q)ln(p/q)). "
+    "Plan: one grouped pass over the date-filtered fact (conditional "
+    "counts fold into the partial agg), then the PSI fold runs over "
+    "<=14 bin rows with the 1-row totals broadcast — the recurring-DQ "
+    "shape for monitoring ingest drift at 100 TB (rule of thumb: "
+    "PSI < 0.1 stable, > 0.25 shifted).",
+)
+def orders_price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    price = F.col("o_totalprice")
+    bucket = (
+        F.when(price < 0, F.lit(0))
+        .when(price >= 600000.0, F.lit(13))
+        .otherwise(F.floor(price / 50000.0).cast("int") + 1)
+    )
+    binned = orders.filter(yr.isin(1997, 1998)).select(
+        yr.cast("int").alias("yr"), bucket.alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count_if(F.col("yr") == 1997).alias("c_base"),
+        F.count_if(F.col("yr") == 1998).alias("c_curr"),
+    )
+    tot = counts.agg(
+        F.sum("c_base").alias("t_base"),
+        F.sum("c_curr").alias("t_curr"),
+        F.count("*").alias("n_bins"),
+    )
+    joined = counts.join(F.broadcast(tot))
+    p = (F.col("c_base") + 0.5) / (F.col("t_base") + 0.5 * F.col("n_bins"))
+    q = (F.col("c_curr") + 0.5) / (F.col("t_curr") + 0.5 * F.col("n_bins"))
+    return joined.groupBy("n_bins", "t_base", "t_curr").agg(
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi")
+    ).select(
+        F.col("n_bins").cast("long").alias("n_bins"),
+        F.col("t_base").cast("long").alias("n_base"),
+        F.col("t_curr").cast("long").alias("n_curr"),
+        "psi",
+    )
+
+
+@register(
     "valuable_parts_share",
     """
     WITH per_part AS (

@@ -446,3 +446,15 @@ def test_xml_parser_round_trip_property(tmp_path):
         assert parsed == records
 
     check()
+
+
+def test_read_any_parquet_nano_timestamps(spark, sf_dir):
+    """Regression (round 3): the generic file entry point must apply
+    the shared read-time confs — a TIMESTAMP(NANOS) parquet (events)
+    read through read_any may not throw PARQUET_TYPE_ILLEGAL."""
+    df = read_any(spark, f"{sf_dir}/events.parquet")
+    assert df.count() > 0
+    # ts surfaces as epoch-nano long under nanosAsLong (read_any does
+    # not convert — that is load_table's contract); the point here is
+    # the read succeeds under any caller session.
+    assert "ts" in df.columns
