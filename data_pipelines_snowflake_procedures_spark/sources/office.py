@@ -80,8 +80,10 @@ def read_xlsx_rows(path: str, sheet: int = 0) -> list[list[Any]]:
             for si in pool:
                 # concatenate <t> runs (rich-text strings split into runs)
                 shared.append("".join(t.text or "" for t in si.iter(f"{_SSML}t")))
+        # numeric sort: sheet2 before sheet10 (lexicographic would not)
         sheets = sorted(
-            n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+            (n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"sheet(\d+)", n).group(1)),
         )
         if not sheets:
             raise ValueError(f"no worksheets found in {path}")

@@ -458,3 +458,28 @@ def test_read_any_parquet_nano_timestamps(spark, sf_dir):
     # not convert — that is load_table's contract); the point here is
     # the read succeeds under any caller session.
     assert "ts" in df.columns
+
+
+def test_xlsx_multi_sheet_numeric_order(tmp_path):
+    """Sheet selection must sort numerically: sheet2 precedes sheet10."""
+    import zipfile
+
+    from data_pipelines_snowflake_procedures_spark.sources.office import (
+        read_xlsx_rows,
+    )
+
+    def sheet_xml(marker: str) -> str:
+        return (
+            '<worksheet xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><sheetData>'
+            f'<row r="1"><c r="A1" t="inlineStr"><is><t>{marker}</t></is></c></row>'
+            "</sheetData></worksheet>"
+        )
+
+    path = str(tmp_path / "multi.xlsx")
+    with zipfile.ZipFile(path, "w") as z:
+        for i in (10, 2, 1):  # insertion order deliberately scrambled
+            z.writestr(f"xl/worksheets/sheet{i}.xml", sheet_xml(f"s{i}"))
+    assert read_xlsx_rows(path, sheet=0)[0] == ["s1"]
+    assert read_xlsx_rows(path, sheet=1)[0] == ["s2"]
+    assert read_xlsx_rows(path, sheet=2)[0] == ["s10"]
