@@ -563,7 +563,11 @@ def weighted_sample(
         10,
     ).cast("long")
     u = (h % 1000000 + 1) / F.lit(1000001.0)
-    key = F.log(u) / F.greatest(w, F.lit(1.0))
+    # Clamp only to a tiny epsilon so fractional weights in (0, 1) keep
+    # their proportional inclusion probability (clamping to 1.0 would
+    # flatten them to uniform); non-positive weights degenerate to the
+    # epsilon floor rather than poisoning the key with inf/NaN.
+    key = F.log(u) / F.greatest(w, F.lit(1e-12))
     parts = [group_col] if group_col else []
     win = Window.partitionBy(*parts).orderBy(F.desc("__aes_key"), F.col(id_col))
     return (

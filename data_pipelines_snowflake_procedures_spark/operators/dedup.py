@@ -616,6 +616,7 @@ def split_oversized_cells(
     from .similarity import kmeans_assign_df, kmeans_fit
 
     out = assigned
+    prev_persisted: DataFrame | None = None
     # fresh labels start above every label k-means can issue
     next_label = (
         out.agg(F.max(F.col(cluster_col)).alias("m")).collect()[0]["m"] or 0
@@ -650,6 +651,13 @@ def split_oversized_cells(
         for p in parts[1:]:
             out = out.unionByName(p)
         out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        # Materialize the new round, then release the prior round's cached
+        # blocks — otherwise every round leaks MEMORY_AND_DISK blocks for
+        # the session lifetime on large corpora.
+        out.count()
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = out
     return out
 
 

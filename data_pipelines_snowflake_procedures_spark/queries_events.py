@@ -657,7 +657,8 @@ def events_type_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_events,
            round(m.mad, 4) AS mad,
            round(m.med, 4) AS median_value,
-           CAST(count_if(abs(d.value - m.med) / (1.4826 * m.mad) > 3.0)
+           CAST(count_if(m.mad > 0
+                         AND abs(d.value - m.med) / (1.4826 * m.mad) > 3.0)
                 AS BIGINT) AS n_robust_outliers
     FROM dev d JOIN mad m USING (event_type)
     GROUP BY d.event_type, m.med, m.mad
@@ -683,8 +684,14 @@ def events_robust_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     scored = ev.join(F.broadcast(mad), "event_type")
     return scored.groupBy("event_type", "med", "mad").agg(
         F.count("*").alias("n_events"),
+        # Guard MAD = 0 (>=50% identical values): Spark's non-ANSI division
+        # would yield NULL while DuckDB yields inf — both engines must agree
+        # that a degenerate group has no robust outliers.
         F.count_if(
-            F.abs(F.col("value") - F.col("med")) / (1.4826 * F.col("mad")) > 3.0
+            F.when(
+                F.col("mad") > 0,
+                F.abs(F.col("value") - F.col("med")) / (1.4826 * F.col("mad")) > 3.0,
+            ).otherwise(F.lit(False))
         ).alias("n_robust_outliers"),
     ).select(
         "event_type",

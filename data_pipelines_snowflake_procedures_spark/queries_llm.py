@@ -1544,12 +1544,16 @@ def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     vec AS (
       SELECT e.vec_id,
-             list_aggregate(
-               [e.embedding[i]::DOUBLE * q.qe[i]
-                FOR i IN range(1, len(e.embedding) + 1)], 'sum')
-             / (sqrt(list_aggregate(
-                  [x::DOUBLE * x::DOUBLE FOR x IN e.embedding], 'sum')) * q.qn)
-               AS cos_score
+             CASE WHEN sqrt(list_aggregate(
+                    [x::DOUBLE * x::DOUBLE FOR x IN e.embedding], 'sum'))
+                  * q.qn > 0
+             THEN list_aggregate(
+                    [e.embedding[i]::DOUBLE * q.qe[i]
+                     FOR i IN range(1, len(e.embedding) + 1)], 'sum')
+                  / (sqrt(list_aggregate(
+                       [x::DOUBLE * x::DOUBLE FOR x IN e.embedding], 'sum'))
+                     * q.qn)
+             ELSE 0.0 END AS cos_score
       FROM embeddings e CROSS JOIN q
     )
     SELECT l.doc_id,
@@ -1602,12 +1606,14 @@ def hybrid_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         embd.filter(F.col("vec_id") == 0)
         .select(F.col("ve").alias("qe"), norm(F.col("ve")).alias("qn"))
     )
+    # Guard zero norms (all-zero vector or query): both engines must agree
+    # the cosine is 0 rather than diverging on NULL (Spark) vs inf (DuckDB).
+    denom = norm(F.col("ve")) * F.col("qn")
     vec = embd.join(F.broadcast(q)).select(
         "vec_id",
-        (
-            dot_product(F.col("ve"), F.col("qe"))
-            / (norm(F.col("ve")) * F.col("qn"))
-        ).alias("cos_score"),
+        F.when(
+            denom > 0, dot_product(F.col("ve"), F.col("qe")) / denom
+        ).otherwise(F.lit(0.0)).alias("cos_score"),
     )
     fused = lex.join(vec, lex.doc_id == vec.vec_id).select(
         "doc_id",

@@ -64,6 +64,53 @@ def _xlsx_cell_value(cell: ET.Element, shared: list[str]) -> Any:
     return float(text)
 
 
+_RELS_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_RID_ATTR = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+)
+
+
+def _sheet_targets_in_tab_order(
+    z: zipfile.ZipFile, names: set[str]
+) -> list[str]:
+    """Worksheet zip entries ordered by the workbook's TAB order.
+
+    Tab order is defined by ``xl/workbook.xml`` ``<sheets>`` (each
+    ``<sheet>`` carries an ``r:id``), resolved to part names via
+    ``xl/_rels/workbook.xml.rels`` — sheet FILE numbering need not
+    match tab order (sheet3.xml can be the first tab), so 'sheet 0'
+    must mean what Excel/pandas would return. Falls back to numeric
+    filename sort when the workbook/rels parts are missing or refer
+    to entries not present in the archive.
+    """
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        target_by_rid = {}
+        for rel in rels.iter(f"{_RELS_NS}Relationship"):
+            target = rel.get("Target", "")
+            if target.startswith("/"):
+                target = target.lstrip("/")
+            elif not target.startswith("xl/"):
+                target = f"xl/{target}"
+            target_by_rid[rel.get("Id")] = target
+        ordered = []
+        sheets_el = wb.find(f"{_SSML}sheets")
+        for sh in (sheets_el if sheets_el is not None else []):
+            target = target_by_rid.get(sh.get(_RID_ATTR))
+            if target and target in names:
+                ordered.append(target)
+        if ordered:
+            return ordered
+    except (KeyError, ET.ParseError):
+        pass
+    # numeric sort: sheet2 before sheet10 (lexicographic would not)
+    return sorted(
+        (n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(re.search(r"sheet(\d+)", n).group(1)),
+    )
+
+
 def read_xlsx_rows(path: str, sheet: int = 0) -> list[list[Any]]:
     """Parse one worksheet of an .xlsx into row lists (stdlib only).
 
@@ -80,11 +127,7 @@ def read_xlsx_rows(path: str, sheet: int = 0) -> list[list[Any]]:
             for si in pool:
                 # concatenate <t> runs (rich-text strings split into runs)
                 shared.append("".join(t.text or "" for t in si.iter(f"{_SSML}t")))
-        # numeric sort: sheet2 before sheet10 (lexicographic would not)
-        sheets = sorted(
-            (n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
-            key=lambda n: int(re.search(r"sheet(\d+)", n).group(1)),
-        )
+        sheets = _sheet_targets_in_tab_order(z, names)
         if not sheets:
             raise ValueError(f"no worksheets found in {path}")
         root = ET.fromstring(z.read(sheets[sheet]))

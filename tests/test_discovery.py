@@ -483,3 +483,48 @@ def test_xlsx_multi_sheet_numeric_order(tmp_path):
     assert read_xlsx_rows(path, sheet=0)[0] == ["s1"]
     assert read_xlsx_rows(path, sheet=1)[0] == ["s2"]
     assert read_xlsx_rows(path, sheet=2)[0] == ["s10"]
+
+
+def test_xlsx_tab_order_overrides_file_numbering(tmp_path):
+    """xlsx tab order comes from xl/workbook.xml <sheets> (r:id via the
+    rels part), NOT from sheetN.xml filename numbering — sheet3.xml can
+    be the FIRST tab. 'sheet 0' must mean the first tab, like pandas."""
+    import zipfile
+
+    from data_pipelines_snowflake_procedures_spark.sources.office import (
+        read_xlsx_rows,
+    )
+
+    def sheet_xml(marker: str) -> str:
+        return (
+            '<worksheet xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><sheetData>'
+            f'<row r="1"><c r="A1" t="inlineStr"><is><t>{marker}</t></is></c></row>'
+            "</sheetData></worksheet>"
+        )
+
+    # Tab order: sheet3 first, then sheet1; sheet2 exists but is not a tab.
+    workbook = (
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets>'
+        '<sheet name="Last Made First" sheetId="1" r:id="rIdB"/>'
+        '<sheet name="First Made Second" sheetId="2" r:id="rIdA"/>'
+        "</sheets></workbook>"
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rIdA" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rIdB" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet3.xml"/>'
+        "</Relationships>"
+    )
+    path = str(tmp_path / "tabs.xlsx")
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        for i in (1, 2, 3):
+            z.writestr(f"xl/worksheets/sheet{i}.xml", sheet_xml(f"s{i}"))
+    assert read_xlsx_rows(path, sheet=0)[0] == ["s3"]
+    assert read_xlsx_rows(path, sheet=1)[0] == ["s1"]

@@ -675,3 +675,24 @@ def test_weighted_sample_deterministic_and_weight_biased(spark):
     # a different seed draws a different light-doc set
     c = {r["doc_id"] for r in weighted_sample(df, "w", k=5, seed="other").collect()}
     assert c != {d for d, _ in a}
+
+
+def test_weighted_sample_fractional_weights_stay_proportional(spark):
+    """ADVICE r3: fractional weights in (0, 1) must keep proportional
+    inclusion probability — a 1e-6 relative weight must essentially
+    never beat a weight-1.0 item for the single slot (the old
+    greatest(w, 1.0) clamp made them uniform coin flips)."""
+    from data_pipelines_snowflake_procedures_spark.operators.corpus import (
+        weighted_sample,
+    )
+
+    # one heavy (w=0.9) vs 10 near-zero (w=0.9e-6) items per group, k=1,
+    # across 30 independent groups: the heavy item should win ~all groups.
+    rows = []
+    for g in range(30):
+        rows.append((g * 100, f"g{g}", 0.9))
+        rows.extend((g * 100 + i, f"g{g}", 0.9e-6) for i in range(1, 11))
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING, w DOUBLE")
+    winners = weighted_sample(df, "w", id_col="doc_id", group_col="source", k=1)
+    heavy_wins = winners.filter(F.col("doc_id") % 100 == 0).count()
+    assert heavy_wins >= 28, f"heavy item won only {heavy_wins}/30 groups"
