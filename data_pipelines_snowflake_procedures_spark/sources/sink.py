@@ -26,6 +26,57 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+def commit_swap(staging: str, target: str) -> None:
+    """Atomically promote a fully-written staging directory to
+    ``target`` (the parquet stand-in for a transactional MERGE/REPLACE,
+    used by compaction and the streaming SCD1 upsert).
+
+    Refuses to promote unless the staging write finished (Spark's
+    ``_SUCCESS`` marker). The swap is two atomic directory renames —
+    target → target.old, staging → target — so the target is NEVER
+    half-written: a crash at any point leaves either the full old
+    version or the full new version on disk, recoverable by
+    :func:`recover_swap`. This replaces the earlier re-write-into-place
+    form, which both doubled the write cost and could die mid-delete.
+    """
+    import shutil
+
+    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+        raise ValueError(
+            f"staging dir {staging} has no _SUCCESS marker; refusing to swap"
+        )
+    old = target + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(target):
+        os.rename(target, old)
+    os.rename(staging, target)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def recover_swap(target: str, staging: str | None = None) -> str:
+    """Crash recovery for :func:`commit_swap`: restore ``target`` to a
+    consistent version after an interrupted swap. Returns which version
+    won: 'target' (already consistent), 'new' (staging promoted), or
+    'old' (prior version restored). Idempotent."""
+    staging = staging or target + ".staging"
+    old = target + ".old"
+    if os.path.exists(target):
+        return "target"
+    if os.path.exists(os.path.join(staging, "_SUCCESS")):
+        os.rename(staging, target)
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
+        return "new"
+    if os.path.exists(old):
+        os.rename(old, target)
+        return "old"
+    raise FileNotFoundError(
+        f"no consistent version of {target} found (no target, no complete "
+        f"staging at {staging}, no {old})"
+    )
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -223,8 +274,6 @@ def compact_parquet(
     stats) while rewriting. Stage-and-swap like the streaming upsert:
     never leaves the directory half-written. Returns the new file
     count."""
-    import shutil
-
     total = sum(
         os.path.getsize(os.path.join(path, f))
         for f in os.listdir(path)
@@ -237,7 +286,5 @@ def compact_parquet(
         out = out.sortWithinPartitions(*sort_within_by)
     staging = path + ".compacting"
     out.write.mode("overwrite").parquet(staging)
-    staged = spark.read.parquet(staging)
-    staged.write.mode("overwrite").parquet(path)
-    shutil.rmtree(staging, ignore_errors=True)
+    commit_swap(staging, path)
     return n_files

@@ -218,14 +218,13 @@ def scd1_upsert_stream(
         merged = scd1_merge(
             target, batch_df, keys, order_col, tuple(tiebreakers or ())
         )
-        # parquet has no transactional MERGE: stage the new version,
-        # then swap — the copy is the documented parquet-fallback cost
-        merged.write.mode("overwrite").parquet(target_path + ".staging")
-        staged = spark.read.parquet(target_path + ".staging")
-        staged.write.mode("overwrite").parquet(target_path)
-        import shutil
+        # parquet has no transactional MERGE: stage the new version, then
+        # promote it with an atomic rename swap (commit_swap) — the target
+        # is only ever fully old or fully new, and the data is written once
+        from ..sources.sink import commit_swap
 
-        shutil.rmtree(target_path + ".staging", ignore_errors=True)
+        merged.write.mode("overwrite").parquet(target_path + ".staging")
+        commit_swap(target_path + ".staging", target_path)
 
     return (
         source_stream.writeStream.foreachBatch(_merge)

@@ -204,3 +204,97 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     after = sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
     assert after <= n <= 4
     assert spark.read.parquet(p).count() == 10000
+
+
+def test_commit_swap_crash_before_swap_leaves_target_fully_old(spark, tmp_path):
+    """VERDICT r3 next-round #5: a failure between the staging write and
+    the swap must leave the target exactly the old version."""
+    from data_pipelines_snowflake_procedures_spark.sources import sink as sink_mod
+
+    p = str(tmp_path / "t")
+    spark.range(100).write.parquet(p)
+    old_rows = {r["id"] for r in spark.read.parquet(p).collect()}
+
+    real_commit = sink_mod.commit_swap
+
+    def boom(staging, target):
+        raise RuntimeError("injected crash before swap")
+
+    sink_mod.commit_swap = boom
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected"):
+            sink_mod.compact_parquet(spark, p, target_mb=128)
+    finally:
+        sink_mod.commit_swap = real_commit
+    # target untouched: fully old
+    assert {r["id"] for r in spark.read.parquet(p).collect()} == old_rows
+
+
+def test_commit_swap_crash_mid_swap_is_recoverable(spark, tmp_path):
+    """A crash BETWEEN the two renames (old moved away, new not yet
+    promoted) must be recoverable to the fully-new version — the target
+    is never half-written."""
+    import os
+
+    from data_pipelines_snowflake_procedures_spark.sources.sink import (
+        commit_swap,
+        recover_swap,
+    )
+
+    p = str(tmp_path / "t")
+    staging = p + ".staging"
+    spark.range(100).write.parquet(p)
+    spark.range(200).write.parquet(staging)
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def flaky_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the staging -> target promotion
+            raise RuntimeError("injected crash mid-swap")
+        real_rename(src, dst)
+
+    os.rename = flaky_rename
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="mid-swap"):
+            commit_swap(staging, p)
+    finally:
+        os.rename = real_rename
+
+    assert not os.path.exists(p)  # the documented metadata-only window
+    assert recover_swap(p, staging) == "new"
+    assert spark.read.parquet(p).count() == 200
+    # idempotent once consistent
+    assert recover_swap(p, staging) == "target"
+
+
+def test_commit_swap_crash_with_incomplete_staging_restores_old(spark, tmp_path):
+    """If the crash happened with an INCOMPLETE staging dir (no _SUCCESS),
+    recovery must restore the fully-old version, never promote."""
+    import os
+
+    from data_pipelines_snowflake_procedures_spark.sources.sink import (
+        commit_swap,
+        recover_swap,
+    )
+
+    p = str(tmp_path / "t")
+    staging = p + ".staging"
+    spark.range(100).write.parquet(p)
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-00000.parquet"), "wb") as f:
+        f.write(b"torn write")  # no _SUCCESS marker
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="_SUCCESS"):
+        commit_swap(staging, p)
+    # simulate the worst pre-crash state: old moved aside, target absent
+    os.rename(p, p + ".old")
+    assert recover_swap(p, staging) == "old"
+    assert spark.read.parquet(p).count() == 100
