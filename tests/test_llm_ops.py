@@ -696,3 +696,22 @@ def test_weighted_sample_fractional_weights_stay_proportional(spark):
     winners = weighted_sample(df, "w", id_col="doc_id", group_col="source", k=1)
     heavy_wins = winners.filter(F.col("doc_id") % 100 == 0).count()
     assert heavy_wins >= 28, f"heavy item won only {heavy_wins}/30 groups"
+
+
+def test_knn_recall_report_structural_invariants(spark, sf_dir):
+    """The recall lever must actually lever: more probes/cells can only
+    add candidates (recall monotone), and SQ8's full scan + exact
+    rerank must be lossless on this corpus."""
+    from data_pipelines_snowflake_procedures_spark.queries import REGISTRY
+
+    rep = {
+        r["variant"]: r["recall_at_5"]
+        for r in REGISTRY["knn_recall_report"].spark_fn(spark, sf_dir).collect()
+    }
+    assert set(rep) == {
+        "ivf_nprobe1", "ivf_nprobe2", "lsh", "lsh_multiprobe", "sq8"
+    }
+    assert rep["sq8"] == 1.0
+    assert rep["lsh_multiprobe"] >= rep["lsh"]
+    assert rep["ivf_nprobe2"] >= rep["ivf_nprobe1"]
+    assert all(0.0 <= v <= 1.0 for v in rep.values())
