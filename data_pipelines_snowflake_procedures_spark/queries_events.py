@@ -785,3 +785,120 @@ def events_enriched_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFr
     from .streaming.stream import enriched_hourly_stream, run_to_memory
 
     return run_to_memory(enriched_hourly_stream(spark, sf_dir))
+
+
+@register(
+    "events_stream_stream_left_outer",
+    """
+    WITH clk AS (
+      SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    err AS (
+      SELECT event_id AS error_id, user_id AS err_user,
+             CAST(ts AS TIMESTAMP) AS error_ts
+      FROM events WHERE event_type = 'error'
+    ),
+    wm AS (
+      SELECT least(
+               (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+                WHERE event_type = 'click'),
+               (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+                WHERE event_type = 'error')
+             ) - INTERVAL 2 HOUR AS wm_final
+    ),
+    lo AS (
+      SELECT c.user_id, c.click_id, e.error_id, c.click_ts
+      FROM clk c LEFT JOIN err e
+        ON c.user_id = e.err_user
+       AND e.error_ts >= c.click_ts
+       AND e.error_ts <= c.click_ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id, click_id, error_id
+    FROM lo, wm
+    WHERE error_id IS NOT NULL
+       OR click_ts + INTERVAL 30 MINUTE <= wm.wm_final
+    """,
+    doc="Stream-stream LEFT OUTER join executed as a real streaming "
+    "drain and hash-checked against the batch SQL restatement of its "
+    "EXACT emission rule: matched (click, error-within-30min) pairs "
+    "emit immediately; an unmatched click emits with NULL error "
+    "columns once the final global watermark — min(max click ts, max "
+    "error ts) − 2 h, the min-across-inputs rule — passes its join "
+    "horizon (click_ts + 30 min); later clicks stay pending by "
+    "design. Both sides watermarked + time-bound so state evicts "
+    "(streaming/stream.py::stream_left_outer_join). The r3-test-only "
+    "surface, now driver-sampleable.",
+)
+def events_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stream import (
+        read_events_stream,
+        run_to_memory,
+        stream_left_outer_join,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    clk = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    err = (
+        stream.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", "2 hours")
+    )
+    joined = stream_left_outer_join(
+        clk,
+        err,
+        (F.col("user_id") == F.col("err_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+        ["user_id", "click_id", "error_id"],
+    )
+    return run_to_memory(joined, output_mode="append")
+
+
+@register(
+    "events_user_totals_stateful_streaming",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState) "
+    "driver-sampleable: per-user running totals folded across "
+    "micro-batches in the state store (processing-time timeout bounds "
+    "state to active keys), drained with availableNow; update mode "
+    "emits one row per (user, micro-batch), so the entry keeps each "
+    "user's LAST emission (max n_events — the count is strictly "
+    "increasing per emission) and hash-checks it against the batch "
+    "GROUP BY. Rounding to 2 decimals is boundary-safe: true sums are "
+    "exact multiples of 0.01 while float accumulation error is "
+    "~1e-12, far from the .005 rounding boundary. The r3-test-only "
+    "surface (streaming/stateful.py), now oracle-verified.",
+)
+def events_user_totals_stateful_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .streaming.stateful import user_totals_stream
+    from .streaming.stream import run_to_memory
+
+    drained = run_to_memory(user_totals_stream(spark, sf_dir), output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        drained.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
