@@ -409,6 +409,13 @@ def fd_consistency_long(
             )
         )
         parts.append(inconsistent)
+    if not parts:
+        # single-column (or empty) frame: no pairs to check — return an
+        # empty result with the contract schema instead of crashing
+        return df.sparkSession.createDataFrame(
+            [],
+            "pair STRING, inconsistent_keys BIGINT, result DOUBLE, status STRING",
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -105,9 +105,9 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
 
         return read_xlsx(spark, path)
     if ext == "xls":
-        raise NotImplementedError(
-            "legacy binary .xls (BIFF) is not supported; save as .xlsx"
-        )
+        from .office import read_xls  # stdlib MS-CFB + BIFF8 reader
+
+        return read_xls(spark, path)
     if ext == "xml":
         from .office import read_xml  # stdlib ElementTree record inference
 

@@ -238,6 +238,20 @@ def read_xlsx(spark: SparkSession, path: str) -> DataFrame:
     return rows_to_df(spark, header, rows[1:])
 
 
+def read_xls(spark: SparkSession, path: str) -> DataFrame:
+    """S2 legacy branch: BIFF8 ``.xls`` -> DataFrame, first row as
+    header — same promotion contract as :func:`read_xlsx` (the
+    reference accepted both through one ``pd.read_excel`` call,
+    Data_Discovery_File.sql:325-327)."""
+    from .biff import read_xls_rows
+
+    rows = read_xls_rows(path)
+    if not rows:
+        raise ValueError(f"empty worksheet in {path}")
+    header = [str(h) if h is not None else f"col_{i}" for i, h in enumerate(rows[0])]
+    return rows_to_df(spark, header, rows[1:])
+
+
 def read_xml(spark: SparkSession, path: str) -> DataFrame:
     """S4: record-oriented XML -> DataFrame
     (Data_Discovery_File.sql:337-341 used ``pd.read_xml``)."""

@@ -273,11 +273,200 @@ def test_file_dq_runs_on_xlsx_and_xml(spark, tmp_path):
         assert summary["passed_rules"] + summary["failed_rules"] == summary["total_rules"]
 
 
-def test_legacy_xls_raises(spark, tmp_path):
+def test_corrupt_xls_raises(spark, tmp_path):
+    """A truncated OLE2 file must fail loudly, not return garbage."""
     xls = tmp_path / "legacy.xls"
     xls.write_bytes(b"\xd0\xcf\x11\xe0stub")
-    with pytest.raises(NotImplementedError, match="xlsx"):
+    with pytest.raises(Exception):
         read_any(spark, str(xls))
+
+
+def _write_xls_fixture(path: str, sheets: list[tuple[str, list[list]]]) -> None:
+    """Hand-assemble a REAL (minimal, spec-conformant) BIFF8 .xls:
+    an OLE2 compound file holding a Workbook stream with a globals
+    substream (BOF, BOUNDSHEETs in tab order, SST, EOF) and one cell
+    substream per sheet (LABELSST/RK/NUMBER/BOOLERR records). Mirrors
+    the role of _write_xlsx_fixture for the zip-based format."""
+    import struct
+
+    def rec(t: int, payload: bytes) -> bytes:
+        return struct.pack("<HH", t, len(payload)) + payload
+
+    def bof(dt: int) -> bytes:
+        return rec(0x0809, struct.pack("<HHHHII", 0x0600, dt, 0, 0, 0, 0))
+
+    # shared-string pool over all sheets
+    strings: list[str] = []
+    index: dict[str, int] = {}
+
+    def isst(s: str) -> int:
+        if s not in index:
+            index[s] = len(strings)
+            strings.append(s)
+        return index[s]
+
+    sheet_blobs: list[bytes] = []
+    n_label_cells = 0
+    for _name, rows in sheets:
+        cells = []
+        for r, row in enumerate(rows):
+            for c, v in enumerate(row):
+                if v is None:
+                    continue
+                if isinstance(v, bool):
+                    cells.append(
+                        rec(0x0205, struct.pack("<HHHBB", r, c, 0, int(v), 0))
+                    )
+                elif isinstance(v, int) and -(2**29) <= v < 2**29:
+                    rk = ((v & 0x3FFFFFFF) << 2) | 2
+                    cells.append(rec(0x027E, struct.pack("<HHHI", r, c, 0, rk)))
+                elif isinstance(v, (int, float)):
+                    cells.append(
+                        rec(0x0203, struct.pack("<HHH", r, c, 0)
+                            + struct.pack("<d", float(v)))
+                    )
+                else:
+                    n_label_cells += 1
+                    cells.append(
+                        rec(0x00FD, struct.pack("<HHHI", r, c, 0, isst(str(v))))
+                    )
+        sheet_blobs.append(bof(0x0010) + b"".join(cells) + rec(0x000A, b""))
+
+    def encode_str(s: str) -> bytes:
+        try:
+            raw = s.encode("latin-1")
+            return struct.pack("<HB", len(s), 0) + raw
+        except UnicodeEncodeError:
+            return struct.pack("<HB", len(s), 1) + s.encode("utf-16-le")
+
+    sst_payload = struct.pack("<II", n_label_cells, len(strings)) + b"".join(
+        encode_str(s) for s in strings
+    )
+
+    # two-pass: BOUNDSHEET offsets depend on globals length
+    def globals_blob(offsets: list[int]) -> bytes:
+        bs = b"".join(
+            rec(
+                0x0085,
+                struct.pack("<IHBB", off, 0, len(name), 0)
+                + name.encode("latin-1"),
+            )
+            for off, (name, _) in zip(offsets, sheets)
+        )
+        return bof(0x0005) + bs + rec(0x00FC, sst_payload) + rec(0x000A, b"")
+
+    glen = len(globals_blob([0] * len(sheets)))
+    offsets = []
+    pos = glen
+    for blob in sheet_blobs:
+        offsets.append(pos)
+        pos += len(blob)
+    stream = globals_blob(offsets) + b"".join(sheet_blobs)
+    # pad past the 4096-byte mini-stream cutoff so the stream lives in
+    # regular FAT sectors (padding after the final EOF is never scanned)
+    if len(stream) < 4096:
+        stream += b"\x00" * (4096 - len(stream))
+
+    # --- OLE2 container: FAT sector + 1 directory sector + stream ---
+    ssz = 512
+    n_stream_sectors = (len(stream) + ssz - 1) // ssz
+    stream += b"\x00" * (n_stream_sectors * ssz - len(stream))
+    # sectors: 0=FAT, 1=directory, 2..=stream
+    fat = [0xFFFFFFFD, 0xFFFFFFFE]  # FATSECT, dir ENDOFCHAIN
+    for i in range(n_stream_sectors):
+        fat.append(2 + i + 1 if i < n_stream_sectors - 1 else 0xFFFFFFFE)
+    fat += [0xFFFFFFFF] * (ssz // 4 - len(fat))
+
+    def direntry(name: str, obj_type: int, start: int, size: int) -> bytes:
+        raw = name.encode("utf-16-le") + b"\x00\x00"
+        e = bytearray(128)
+        e[: len(raw)] = raw
+        struct.pack_into("<H", e, 64, len(raw))
+        e[66] = obj_type
+        e[67] = 1  # black
+        struct.pack_into("<III", e, 68, 0xFFFFFFFF, 0xFFFFFFFF, 0xFFFFFFFF)
+        struct.pack_into("<I", e, 116, start)
+        struct.pack_into("<Q", e, 120, size)
+        return bytes(e)
+
+    directory = (
+        direntry("Root Entry", 5, 0xFFFFFFFE, 0)
+        + direntry("Workbook", 2, 2, len(stream))
+        + b"\x00" * 256
+    )
+    header = bytearray(512)
+    header[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", header, 24, 0x003E)  # minor
+    struct.pack_into("<H", header, 26, 0x0003)  # major (v3, 512B)
+    struct.pack_into("<H", header, 28, 0xFFFE)  # little-endian
+    struct.pack_into("<H", header, 30, 9)       # sector shift
+    struct.pack_into("<H", header, 32, 6)       # mini shift
+    struct.pack_into("<I", header, 44, 1)       # one FAT sector
+    struct.pack_into("<I", header, 48, 1)       # first dir sector
+    struct.pack_into("<I", header, 56, 4096)    # mini cutoff
+    struct.pack_into("<I", header, 60, 0xFFFFFFFE)  # no miniFAT
+    struct.pack_into("<I", header, 68, 0xFFFFFFFE)  # no extra DIFAT
+    difat = [0] + [0xFFFFFFFF] * 108
+    struct.pack_into("<109I", header, 76, *difat)
+
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(struct.pack(f"<{ssz // 4}I", *fat))
+        f.write(directory + b"\x00" * (ssz - len(directory)))
+        f.write(stream)
+
+
+def test_xls_biff8_real_read(spark, tmp_path):
+    """S2 legacy branch for real: a genuine BIFF8 .xls (OLE2 container
+    assembled from the MS-CFB/MS-XLS specs) reads through read_any with
+    typed columns — ints via RK, floats via NUMBER, bools via BOOLERR,
+    strings via SST/LABELSST, sparse cells as NULL."""
+    xls = tmp_path / "book.xls"
+    _write_xls_fixture(
+        str(xls),
+        [(
+            "Sheet1",
+            [
+                ["id", "name", "score", "active", "note"],
+                [1, "alpha", 0.5, True, "hello"],
+                [2, None, 2, False, None],            # sparse row
+                [3, "gamma", -150.25, True, "wörld"],  # utf-16 SST path
+            ],
+        )],
+    )
+    df = read_any(spark, str(xls))
+    assert df.columns == ["id", "name", "score", "active", "note"]
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows[1]["name"] == "alpha" and rows[1]["score"] == 0.5
+    assert rows[1]["active"] is True and rows[1]["note"] == "hello"
+    assert rows[2]["name"] is None and rows[2]["score"] == 2.0
+    assert rows[3]["score"] == -150.25 and rows[3]["note"] == "wörld"
+
+
+def test_xls_multi_sheet_tab_order_and_dq(spark, tmp_path):
+    """BOUNDSHEET record order is tab order; the DQ sweep runs on the
+    promoted frame exactly like every other format."""
+    from data_pipelines_snowflake_procedures_spark.sources.biff import (
+        read_xls_rows,
+    )
+    from data_pipelines_snowflake_procedures_spark.sources.discovery import (
+        discover_and_run_dq,
+    )
+
+    xls = tmp_path / "multi.xls"
+    _write_xls_fixture(
+        str(xls),
+        [
+            ("Z_first_tab", [["m"], ["tab0"]]),
+            ("A_second_tab", [["m"], ["tab1"]]),
+        ],
+    )
+    assert read_xls_rows(str(xls), sheet=0)[1] == ["tab0"]
+    assert read_xls_rows(str(xls), sheet=1)[1] == ["tab1"]
+    out = discover_and_run_dq(spark, str(xls))
+    assert out["status"] == "SUCCESS"
+    assert out["file_definition"]["row_count"] == 1
 
 
 def test_write_any_round_trip(spark, sf_dir, tmp_path):
@@ -528,3 +717,56 @@ def test_xlsx_tab_order_overrides_file_numbering(tmp_path):
             z.writestr(f"xl/worksheets/sheet{i}.xml", sheet_xml(f"s{i}"))
     assert read_xlsx_rows(path, sheet=0)[0] == ["s3"]
     assert read_xlsx_rows(path, sheet=1)[0] == ["s1"]
+
+
+def test_xls_parser_round_trip_property(tmp_path):
+    """Property: any rectangular table of typed cells survives the
+    BIFF8 write→parse round trip (stdlib parser, no Spark in the
+    loop) — the .xls counterpart of the xlsx property test. Numeric
+    identity is compared as doubles because integral NUMBER cells
+    legitimately surface as ints."""
+    from hypothesis import given, settings, strategies as st
+
+    from data_pipelines_snowflake_procedures_spark.sources.biff import (
+        read_xls_rows,
+    )
+
+    text_st = st.text(
+        alphabet=st.characters(
+            min_codepoint=32, max_codepoint=0x2FF, blacklist_characters="\r"
+        ),
+        max_size=20,
+    )
+    value_st = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**53), max_value=2**53),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        text_st,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(data=st.data())
+    def check(data):
+        n_cols = data.draw(st.integers(min_value=1, max_value=5))
+        n_rows = data.draw(st.integers(min_value=0, max_value=6))
+        header = [f"c{i}" for i in range(n_cols)]
+        rows = [
+            [data.draw(value_st) for _ in range(n_cols)] for _ in range(n_rows)
+        ]
+        path = str(tmp_path / "prop.xls")
+        _write_xls_fixture(path, [("S", [header] + rows)])
+        parsed = read_xls_rows(path)
+        assert parsed[0] == header
+        for want_row, got_row in zip(rows, parsed[1:]):
+            for want, got in zip(want_row, got_row):
+                if want is None:
+                    assert got is None
+                elif isinstance(want, bool):
+                    assert got is want
+                elif isinstance(want, (int, float)):
+                    assert float(got) == float(want), (want, got)
+                else:
+                    assert got == want, (want, got)
+
+    check()
