@@ -374,6 +374,8 @@ def fd_consistency_long(
     df: DataFrame,
     cols: list[str] | None = None,
     max_pairs: int | None = None,
+    known_unique_cols: set[str] | None = None,
+    profile_keylike: bool = False,
 ) -> DataFrame:
     """Pairwise functional-dependency consistency
     (Data_Discovery_File.sql:97-143): for every ordered column pair
@@ -382,15 +384,50 @@ def fd_consistency_long(
 
     The reference runs O(cols²) full pandas scans; here each pair is a
     groupBy-countDistinct subplan and all pairs union into ONE Spark
-    plan. ``max_pairs`` caps the quadratic blowup on wide tables (at
-    100 TB restrict ``cols`` to key-like candidates from the profile's
-    distinct_ratio before calling)."""
+    plan. ``max_pairs`` caps the quadratic blowup on wide tables.
+
+    **Key-like pre-filter** (SURVEY §4; VERDICT r3 #7): a pair whose
+    determinant c1 is UNIQUE over its non-null rows passes with
+    certainty — each c1 value labels at most one row, hence at most one
+    c2 value (and the both-non-null FD subset only shrinks that). Such
+    pairs are emitted as literal passed rows with ZERO scan work, so an
+    N-column table with k key-like columns drops k·(N−1) grouped-agg
+    subplans. Callers that already profiled the table pass the proven
+    set via ``known_unique_cols`` (run_file_dq_distributed does — no
+    extra action); ``profile_keylike=True`` derives it here with one
+    extra count/countDistinct pass. Answers are bit-identical either
+    way — the skip is exact, not a heuristic."""
     cols = cols or df.columns
     pairs = [(c1, c2) for c1 in cols for c2 in cols if c1 != c2]
     if max_pairs is not None:
         pairs = pairs[:max_pairs]
+    unique_cols = set(known_unique_cols or ())
+    if profile_keylike and known_unique_cols is None and pairs:
+        determinants = sorted({c1 for c1, _ in pairs})
+        prow = df.agg(
+            *[F.count(F.col(c)).alias(f"__n_{i}") for i, c in enumerate(determinants)],
+            *[
+                F.countDistinct(F.col(c)).alias(f"__d_{i}")
+                for i, c in enumerate(determinants)
+            ],
+        ).collect()[0]
+        unique_cols = {
+            c
+            for i, c in enumerate(determinants)
+            if prow[f"__n_{i}"] == prow[f"__d_{i}"]
+        }
+    skipped_schema = (
+        "pair STRING, inconsistent_keys BIGINT, result DOUBLE, status STRING"
+    )
     parts = []
     for c1, c2 in pairs:
+        if c1 in unique_cols:
+            parts.append(
+                df.sparkSession.createDataFrame(
+                    [(f"{c1}->{c2}", 0, 1.0, "passed")], skipped_schema
+                )
+            )
+            continue
         inconsistent = (
             df.filter(F.col(c1).isNotNull() & F.col(c2).isNotNull())
             .groupBy(c1)

@@ -254,7 +254,17 @@ def run_file_dq_distributed(
                     "status": row["status"],
                 }
             )
-    for row in fd_consistency_long(df, max_pairs=max_pairs).collect():
+    # Job 4: FD sweep — pairs whose determinant the fused profile proved
+    # unique are emitted as literal passed rows (exact skip, no scan).
+    unique_cols = {
+        c
+        for c in cols
+        if int(prow[f"{c}__count_distinct"])
+        == int(prow["count_all"]) - int(prow[f"{c}__count_nulls"])
+    }
+    for row in fd_consistency_long(
+        df, max_pairs=max_pairs, known_unique_cols=unique_cols
+    ).collect():
         results.append(
             {
                 "pillar": "consistency",
