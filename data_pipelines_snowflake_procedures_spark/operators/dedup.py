@@ -666,9 +666,10 @@ def embedding_near_dup_kmeans(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     max_cell_size: int | None = None,
+    target_cell_size: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: cluster the corpus with
     k-means, then compare embeddings only WITHIN clusters — the
@@ -677,12 +678,19 @@ def embedding_near_dup_kmeans(
     the embedding distribution, so near-dups co-locate even where
     fixed hyperplanes would split a dense region.
 
+    **k scales with the corpus** (the sf1 stress finding): with a FIXED
+    k, mean cell size grows linearly in n and the within-cell pair join
+    grows as n²/k — a 50× corpus cost 65× wall-clock. The default
+    ``k=None`` derives ``k = max(8, ceil(n / target_cell_size))`` from
+    one count, holding EXPECTED cell size (hence Σ n_c² / n) constant —
+    the SemDeDup contract is bounded cells, not a fixed cell count —
+    and arms ``max_cell_size = 4 × target_cell_size`` so a skewed cell
+    re-clusters recursively (:func:`split_oversized_cells`) before the
+    pair join. Pass an explicit ``k`` to reproduce a fixed clustering.
+
     Plan shape: :func:`~.similarity.kmeans_fit` (iters shuffles, k×dim
-    driver state), then assignment is a narrow literal-centroid argmin
-    — the pair search is ONE equi-join on cluster id. Pair work drops
-    from n² to Σ n_c²; skewed clusters are the residual risk: pass
-    ``max_cell_size`` to recursively re-cluster any cell above the cap
-    (:func:`split_oversized_cells`) before the pair join. Recall < 1
+    driver state), then assignment is a narrow broadcast-centroid
+    argmin — the pair search is ONE equi-join on cluster id. Recall < 1
     exactly for pairs straddling a cluster (or sub-cell) boundary.
 
     Output ``(id_a, id_b, cluster, cosine)`` — a subset of
@@ -692,6 +700,11 @@ def embedding_near_dup_kmeans(
 
     from .similarity import kmeans_assign_df, kmeans_fit
 
+    if k is None:
+        n = df.count()
+        k = max(8, -(-n // target_cell_size))
+        if max_cell_size is None:
+            max_cell_size = 4 * target_cell_size
     cents = kmeans_fit(df, k=k, iters=iters, emb_col=emb_col, id_col=id_col)
     # Both self-join branches consume the assignment; without a persist
     # each branch re-runs the k×dim argmin pass over the full corpus.
@@ -706,8 +719,10 @@ def embedding_near_dup_kmeans(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if max_cell_size is not None:
+        # sub-splits always use a small k: the goal is halving-ish cuts
+        # of one oversized cell, not re-clustering the corpus
         normed = split_oversized_cells(
-            normed, max_cell_size, k=k, iters=iters
+            normed, max_cell_size, k=min(k, 8), iters=iters
         )
     a = normed.select(
         F.col("id").alias("id_a"), F.col("emb").alias("emb_a"),

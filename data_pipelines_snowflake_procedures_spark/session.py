@@ -118,6 +118,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _nano_timestamp_fields(path: str) -> list[str]:
     import pyarrow.parquet as pq
 
+    # Spark-written tables are DIRECTORIES of part files with one
+    # common schema; probe the first part (footer-only read)
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            return []
+        path = os.path.join(path, parts[0])
     schema = pq.read_schema(path)
     return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
 
