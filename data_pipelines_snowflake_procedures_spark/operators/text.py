@@ -170,6 +170,38 @@ def min_shingle_fingerprint(col: str | Column, n: int = 3) -> Column:
     ).otherwise(F.md5(F.lit("")))
 
 
+def trim_repeated_lines(col: str | Column) -> Column:
+    """Intra-document repeated-line removal — the crawl-cleaning
+    transform that strips per-page boilerplate (nav bars, cookie
+    banners, footers) repeated WITHIN one document: keep each line's
+    first occurrence, preserving order. Map-only narrow expression
+    (split → array_distinct → join); no Python, no shuffle — pairs
+    with the cross-document detectors in operators/dedup.py, which
+    never see within-doc repetition."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.array_distinct(F.split(c, "\n")), "\n")
+
+
+#: RE2-safe (Java+DuckDB identical) markup patterns, most-specific first.
+MARKUP_PATTERNS: list[str] = [
+    r"https?://[^\s]+",                                   # URLs
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",    # emails
+    r"<[^>]+>",                                           # HTML tags
+]
+
+
+def strip_markup(col: str | Column) -> Column:
+    """Remove web markup noise (URLs, e-mail addresses, HTML tags) and
+    collapse the leftover whitespace — the first transform of every
+    crawl-to-training-text pipeline. Pure regexp_replace chain
+    (whole-stage codegen); patterns avoid lookarounds and ``\\b`` so
+    Java and RE2 engines agree character-for-character."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in MARKUP_PATTERNS:
+        c = F.regexp_replace(c, pat, "")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def _nonempty_lines(c: Column) -> Column:
     return F.filter(
         F.transform(F.split(c, "\n"), lambda l: F.trim(l)),

@@ -326,6 +326,213 @@ def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_neardup_dedup_apply",
+    f"""
+    WITH RECURSIVE {_TSETS_SQL},
+    pairs AS (
+      SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b
+      FROM tsets ta JOIN tsets tb ON ta.doc_id < tb.doc_id
+      WHERE {_VERIFY_JACCARD_SQL} >= {_JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a AS id, a AS r FROM edges
+      UNION
+      SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    ),
+    comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    assigned AS (
+      SELECT d.doc_id, d.source,
+             len(list_filter({_TOKS}, x -> x <> '')) AS n_tok,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM (SELECT doc_id, source, text FROM documents WHERE {_PAIR_SUBSET}) d
+      LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count_if(doc_id = cluster_id) AS BIGINT) AS n_kept,
+           CAST(count_if(doc_id <> cluster_id) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN doc_id = cluster_id THEN n_tok ELSE 0 END)
+                AS BIGINT) AS tokens_kept
+    FROM assigned GROUP BY source
+    """,
+    doc="The APPLY step the pair detectors feed: near-dup pairs → "
+    "connected components → keep the min-id representative per cluster "
+    "→ materialize the surviving corpus (reported per source with "
+    "token budgets). Closes the detection→reduction loop end-to-end: "
+    "pairs shuffle on token (inverted index), CC shuffles the edge "
+    "list only, the keep-filter is doc_id = cluster_id (min-label "
+    "invariant — no extra aggregate), and the report is one groupBy. "
+    "Oracle restates CC as a recursive-CTE transitive closure.",
+)
+def corpus_neardup_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components, token_jaccard_pairs
+    from .operators.text import tokens as _tok
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = token_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD)
+    cc = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    assigned = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(
+                F.filter(_tok(F.col("text")), lambda t: t != "")
+            ).alias("n_tok"),
+        )
+        .join(cc, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("comp", F.col("doc_id")))
+    )
+    kept = F.col("doc_id") == F.col("cluster_id")
+    return assigned.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(kept).alias("n_kept"),
+        F.count_if(~kept).alias("n_dropped"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+
+
+@register(
+    "documents_trim_repeated_lines",
+    f"""
+    WITH page AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               'nav home about contact',
+               coalesce(array_to_string(
+                 list_filter({_TOKS}, x -> x <> '')[1:15], ' '), ''),
+               'nav home about contact',
+               coalesce(array_to_string(
+                 list_filter({_TOKS}, x -> x <> '')[16:], ' '), ''),
+               'copyright footer', 'copyright footer') AS text
+      FROM documents WHERE doc_id < 300
+    ),
+    lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS ord
+      FROM page
+    ),
+    firsts AS (
+      SELECT doc_id, line, min(ord) AS ord FROM lines GROUP BY doc_id, line
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY ord) AS text_clean,
+             count(*) AS n_after
+      FROM firsts GROUP BY doc_id
+    )
+    SELECT r.doc_id,
+           CAST(len(string_split(p.text, chr(10))) AS BIGINT) AS n_lines_before,
+           CAST(n_after AS BIGINT) AS n_lines_after,
+           md5(text_clean) AS clean_hash
+    FROM rebuilt r JOIN page p USING (doc_id)
+    """,
+    doc="Intra-document repeated-line removal (operators/text.py::"
+    "trim_repeated_lines) — strips per-page boilerplate (nav bars, "
+    "footers) repeated WITHIN one document, which the cross-document "
+    "dedup family never sees. The synthetic corpus is single-line, so "
+    "the entry deterministically rebuilds each document as a crawl "
+    "page (nav + body-head + nav + body-rest + duplicated footer) in "
+    "BOTH engines, then hash-compares the cleaned text. Map-only "
+    "narrow expression: split → array_distinct (first occurrence "
+    "preserved) → join; no shuffle, no Python.",
+)
+def documents_trim_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import tokens as _tok
+    from .operators.text import trim_repeated_lines
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = F.filter(_tok(F.col("text")), lambda t: t != "")
+    page = F.concat_ws(
+        "\n",
+        F.lit("nav home about contact"),
+        F.array_join(F.slice(toks, 1, 15), " "),
+        F.lit("nav home about contact"),
+        F.array_join(
+            F.when(F.size(toks) > 15, F.slice(toks, 16, 1000000))
+            .otherwise(F.array().cast("array<string>")),
+            " ",
+        ),
+        F.lit("copyright footer"),
+        F.lit("copyright footer"),
+    )
+    with_page = docs.select("doc_id", page.alias("page"))
+    clean = trim_repeated_lines(F.col("page"))
+    return with_page.select(
+        "doc_id",
+        F.size(F.split(F.col("page"), "\n")).cast("long").alias("n_lines_before"),
+        F.size(F.split(clean, "\n")).cast("long").alias("n_lines_after"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+@register(
+    "documents_strip_markup",
+    f"""
+    WITH page AS (
+      SELECT doc_id,
+             concat('visit https://example.com/', CAST(doc_id AS VARCHAR),
+                    '?ref=home now <div class="content main">', text,
+                    '</div> contact ops', CAST(doc_id % 50 AS VARCHAR),
+                    '@example.org today') AS text
+      FROM documents WHERE doc_id < 300
+    ),
+    cleaned AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, 'https?://[^\\s]+', '', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '', 'g'),
+                 '<[^>]+>', '', 'g'),
+               '\\s+', ' ', 'g')) AS clean
+      FROM page
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_before,
+           CAST(length(clean) AS BIGINT) AS n_chars_after,
+           md5(clean) AS clean_hash
+    FROM cleaned
+    """,
+    doc="Web-markup stripping (operators/text.py::strip_markup): URLs, "
+    "e-mail addresses, and HTML tags removed, whitespace collapsed — "
+    "the first transform of every crawl-to-training-text pipeline. "
+    "The synthetic corpus is markup-free, so the entry plants a "
+    "deterministic URL + tag wrapper + e-mail around each document in "
+    "BOTH engines and hash-compares the cleaned text. Pure "
+    "regexp_replace chain, RE2-safe patterns (no lookarounds, no \\b) "
+    "so Java and DuckDB agree character-for-character.",
+)
+def documents_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import strip_markup
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    page = F.concat(
+        F.lit("visit https://example.com/"),
+        F.col("doc_id").cast("string"),
+        F.lit('?ref=home now <div class="content main">'),
+        F.col("text"),
+        F.lit("</div> contact ops"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("@example.org today"),
+    )
+    with_page = docs.select("doc_id", page.alias("page"))
+    clean = strip_markup(F.col("page"))
+    return with_page.select(
+        "doc_id",
+        F.length("page").cast("long").alias("n_chars_before"),
+        F.length(clean).cast("long").alias("n_chars_after"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
 def _minhash_lsh_oracle() -> str:
     sig_aggs = ",\n        ".join(
         f"min(md5('{i}|' || tok)) AS sig_{i}" for i in range(_NUM_PERM)

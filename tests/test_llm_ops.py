@@ -715,3 +715,51 @@ def test_knn_recall_report_structural_invariants(spark, sf_dir):
     assert rep["lsh_multiprobe"] >= rep["lsh"]
     assert rep["ivf_nprobe2"] >= rep["ivf_nprobe1"]
     assert all(0.0 <= v <= 1.0 for v in rep.values())
+
+
+def test_trim_repeated_lines_semantics(spark):
+    """Keep each line's FIRST occurrence, preserve order, leave unique
+    lines (including interleaved repeats and empty lines) intact."""
+    from data_pipelines_snowflake_procedures_spark.operators.text import (
+        trim_repeated_lines,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "nav\nbody one\nnav\nbody two\nnav\nfooter\nfooter"),
+            (2, "only line"),
+            (3, "a\n\nb\n\na"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["clean"]
+        for r in df.select(
+            "doc_id", trim_repeated_lines("text").alias("clean")
+        ).collect()
+    }
+    assert out[1] == "nav\nbody one\nbody two\nfooter"
+    assert out[2] == "only line"
+    assert out[3] == "a\n\nb"  # second empty line and second 'a' dropped
+
+
+def test_strip_markup_semantics(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.text import (
+        strip_markup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 'see https://x.io/a?b=1 and <a href="u">link</a> mail a.b@c.org!'),
+            (2, "no markup here"),
+            (3, "<div><p>nested</p></div>   spaces\t\ttabs"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["clean"]
+        for r in df.select("doc_id", strip_markup("text").alias("clean")).collect()
+    }
+    assert out[1] == "see and link mail !"
+    assert out[2] == "no markup here"
+    assert out[3] == "nested spaces tabs"
