@@ -78,6 +78,10 @@ HEADLINE = [
     "dedup_simhash_documents",
     "corpus_passage_dedup_documents",
     "corpus_lm_score_documents",
+    "corpus_bigram_lm_score_documents",
+    "corpus_neardup_dedup_apply",
+    "documents_trim_repeated_lines",
+    "documents_strip_markup",
     "documents_quality_quantile",
     "documents_weighted_sample",
     "knn_bruteforce_embeddings",

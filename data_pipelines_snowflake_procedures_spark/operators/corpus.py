@@ -529,6 +529,89 @@ def temperature_mix(
     )
 
 
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.8,
+) -> DataFrame:
+    """Interpolated bigram LM quality score — the context-aware upgrade
+    of :func:`unigram_logprob_score`: per-document mean (and min) of
+    ``ln(λ·P(w_i|w_{i-1}) + (1-λ)·P(w_i))`` under the corpus's own
+    counts. Catches locally-implausible token SEQUENCES (shuffled
+    text, template spam) that unigram frequency alone scores as
+    normal; linear interpolation with the unigram floor means unseen
+    bigrams degrade smoothly instead of -inf.
+
+    Plan shape mirrors the unigram operator, one level up: one bigram
+    explode feeds (a) the bigram-type aggregate (shuffle on the pair,
+    map-side partials) and (b) the scoring join; the probability table
+    — bigram TYPES joined to their prefix and word unigram counts, so
+    its size is vocabulary-shaped, not corpus-shaped — broadcasts to
+    the scoring join, and the final per-doc aggregate shuffles only
+    (doc_id, two doubles). Per-bigram logprob rounds to 6 decimals
+    before aggregation (the cross-engine ulp guard). Documents with
+    fewer than 2 tokens have no bigrams and drop out, like every
+    n-gram operator here.
+    """
+    from .text import tokens
+
+    toks_arr = F.filter(tokens(text_col), lambda t: t != "")
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks_arr) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks_arr) - 2),
+                    lambda i: F.struct(
+                        F.element_at(toks_arr, i + 1).alias("prev"),
+                        F.element_at(toks_arr, i + 2).alias("cur"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+        ).alias("g"),
+    ).select(id_col, F.col("g.prev").alias("prev"), F.col("g.cur").alias("cur"))
+
+    uni = df.select(
+        F.explode(toks_arr).alias("tok")
+    ).groupBy("tok").agg(F.count("*").alias("n1"))
+    total = uni.agg(F.sum("n1").cast("double").alias("N"))
+    big = grams.groupBy("prev", "cur").agg(F.count("*").alias("n2"))
+    lp = (
+        big.alias("b")
+        .join(F.broadcast(uni.alias("p")), F.col("b.prev") == F.col("p.tok"))
+        .join(F.broadcast(uni.alias("c")), F.col("b.cur") == F.col("c.tok"))
+        .crossJoin(F.broadcast(total.alias("t")))
+        .select(
+            F.col("b.prev").alias("prev"),
+            F.col("b.cur").alias("cur"),
+            # micro-logprob as an INTEGER: the per-doc mean then sums
+            # exactly (associative), so engines cannot drift a final ulp
+            # the way a float avg of 6-decimal values can
+            F.round(
+                F.log(
+                    F.lit(lam) * F.col("b.n2").cast("double")
+                    / F.col("p.n1").cast("double")
+                    + F.lit(1.0 - lam) * F.col("c.n1").cast("double") / F.col("t.N")
+                )
+                * 1e6
+            ).cast("long").alias("lp_micro"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(lp), ["prev", "cur"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum("lp_micro") / F.count("*") / F.lit(1e6), 6
+            ).alias("avg_logprob"),
+            F.round(F.min("lp_micro") / F.lit(1e6), 6).alias("min_logprob"),
+        )
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str | Column,

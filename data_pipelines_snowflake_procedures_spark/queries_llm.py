@@ -1997,6 +1997,61 @@ def corpus_lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_score(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "corpus_bigram_lm_score_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_CLEAN_TOKS} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, g['prev'] AS prev, g['cur'] AS cur
+      FROM (
+        SELECT doc_id,
+               unnest([struct_pack(prev := toks[i], cur := toks[i + 1])
+                       FOR i IN range(1, len(toks))]) AS g
+        FROM toks WHERE len(toks) >= 2
+      )
+    ),
+    uni AS (
+      SELECT tok, count(*) AS n1
+      FROM (SELECT unnest(toks) AS tok FROM toks) GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(n1) AS DOUBLE) AS N FROM uni),
+    big AS (SELECT prev, cur, count(*) AS n2 FROM grams GROUP BY prev, cur),
+    lp AS (
+      SELECT b.prev, b.cur,
+             CAST(round(ln(0.8 * CAST(b.n2 AS DOUBLE) / p.n1
+                           + 0.2 * CAST(c.n1 AS DOUBLE) / t.N) * 1e6, 0)
+                  AS BIGINT) AS lp_micro
+      FROM big b
+      JOIN uni p ON b.prev = p.tok
+      JOIN uni c ON b.cur = c.tok
+      CROSS JOIN tot t
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(lp_micro) / count(*) / 1e6, 6) AS avg_logprob,
+           round(min(lp_micro) / 1e6, 6) AS min_logprob
+    FROM grams g JOIN lp USING (prev, cur)
+    GROUP BY g.doc_id
+    """,
+    doc="Interpolated bigram LM quality score (context-aware upgrade "
+    "of the CCNet-style unigram entry): per-document mean/min of "
+    "ln(0.8·P(cur|prev) + 0.2·P(cur)) under the corpus's own counts — "
+    "catches locally-implausible token SEQUENCES (shuffled text, "
+    "template spam) that unigram frequency scores as normal. The "
+    "probability table is bigram-TYPE-sized (vocabulary-shaped, not "
+    "corpus-shaped) and broadcasts to the scoring join; per-bigram "
+    "logprob is stored as an INTEGER micro-logprob so the per-doc mean "
+    "sums exactly — a float avg of rounded values still drifted a "
+    "final ulp between engines. corpus.py::bigram_logprob_score.",
+)
+def corpus_bigram_lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import bigram_logprob_score
+
+    return bigram_logprob_score(load_table(spark, sf_dir, "documents"))
+
+
 def _quality_quantile_oracle() -> str:
     return f"""
     WITH scored AS (

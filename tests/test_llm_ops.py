@@ -763,3 +763,28 @@ def test_strip_markup_semantics(spark):
     assert out[1] == "see and link mail !"
     assert out[2] == "no markup here"
     assert out[3] == "nested spaces tabs"
+
+
+def test_bigram_lm_scores_shuffled_text_worse(spark):
+    """The point of the bigram upgrade: a document whose tokens are
+    individually common but sequenced implausibly must score BELOW the
+    naturally-ordered documents that share its vocabulary."""
+    from data_pipelines_snowflake_procedures_spark.operators.corpus import (
+        bigram_logprob_score,
+    )
+
+    natural = "the cat sat on the mat and the dog sat on the rug"
+    rows = [
+        (i, natural) for i in range(10)
+    ] + [
+        (10, "the cat sat on the mat and the dog sat on the floor"),
+        # same vocabulary, scrambled order -> unseen bigrams
+        (11, "mat the on dog sat the and rug cat the on sat the"),
+        (12, "hi"),  # single token: no bigrams, drops out
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_logprob_score(df).collect()}
+    assert 12 not in out
+    assert out[11]["avg_logprob"] < out[0]["avg_logprob"]
+    assert out[11]["avg_logprob"] < out[10]["avg_logprob"]
+    assert out[0]["n_bigrams"] == len(natural.split()) - 1
