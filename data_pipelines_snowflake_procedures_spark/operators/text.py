@@ -147,16 +147,24 @@ def fingerprint(col: str | Column) -> Column:
 
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Distinct n-token shingles (token n-grams joined by single
-    spaces). Empty array when the document has fewer than n tokens."""
+    spaces). Empty array when the document has fewer than n tokens.
+
+    Built by zipping ``n`` shifted slices of the token array — NOT by
+    indexing a captured expression inside a transform lambda: Spark
+    does no common-subexpression elimination inside lambda bodies, so
+    ``slice(tokens(col), i, n)`` per position re-evaluates the whole
+    split per token, turning shingling O(L²) per document (measured
+    ~10× on the bigram-LM operator before the same fix)."""
     toks = tokens(col)
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, cnt).alias(f"t{i}") for i in range(n)]
+    )
     return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        F.transform(
+            zipped,
+            lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]),
+        )
     )
 
 
@@ -237,13 +245,14 @@ def repetition_signals(
     c = F.coalesce(F.col(text_col), F.lit(""))
     lines = _nonempty_lines(c)
     toks = _nonempty_tokens(c)
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    # zip-slices, not element_at-in-lambda: see the shingles() note
+    n_big = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.transform(
+        F.arrays_zip(
+            F.slice(toks, 1, n_big).alias("a"), F.slice(toks, 2, n_big).alias("b")
         ),
-    ).otherwise(F.array().cast("array<string>"))
+        lambda s: F.concat_ws(" ", s["a"], s["b"]),
+    )
 
     line_chars = F.aggregate(
         F.transform(lines, lambda l: F.length(l)), F.lit(0), lambda a, x: a + x
