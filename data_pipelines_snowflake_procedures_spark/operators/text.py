@@ -241,18 +241,30 @@ def repetition_signals(
     UDF). The within-document counting is O(L²)/O(B²) in lines/bigrams
     per document — fine for web-page-sized docs; cap pathological
     documents with ``F.slice`` upstream if a corpus has multi-MB texts.
+
+    The line/bigram arrays are BOUND as columns in a first projection
+    before any nested lambda references them: Spark performs no
+    common-subexpression elimination inside lambda bodies, so the
+    nested duplicate-count filters over a captured split expression
+    would otherwise re-split the text per comparison (an extra O(L)
+    factor on the already-quadratic counting).
     """
     c = F.coalesce(F.col(text_col), F.lit(""))
-    lines = _nonempty_lines(c)
-    toks = _nonempty_tokens(c)
-    # zip-slices, not element_at-in-lambda: see the shingles() note
-    n_big = F.greatest(F.size(toks) - 1, F.lit(0))
-    bigrams = F.transform(
-        F.arrays_zip(
-            F.slice(toks, 1, n_big).alias("a"), F.slice(toks, 2, n_big).alias("b")
-        ),
-        lambda s: F.concat_ws(" ", s["a"], s["b"]),
+    toks0 = _nonempty_tokens(c)
+    n_big = F.greatest(F.size(toks0) - 1, F.lit(0))
+    bound = df.select(
+        "*",
+        _nonempty_lines(c).alias("__lines"),
+        F.transform(
+            F.arrays_zip(
+                F.slice(toks0, 1, n_big).alias("a"),
+                F.slice(toks0, 2, n_big).alias("b"),
+            ),
+            lambda s: F.concat_ws(" ", s["a"], s["b"]),
+        ).alias("__bigrams"),
     )
+    lines = F.col("__lines")
+    bigrams = F.col("__bigrams")
 
     line_chars = F.aggregate(
         F.transform(lines, lambda l: F.length(l)), F.lit(0), lambda a, x: a + x
@@ -274,7 +286,7 @@ def repetition_signals(
             lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
         )
     )
-    return df.select(
+    return bound.select(
         id_col,
         F.size(lines).cast("long").alias("n_lines"),
         F.when(
