@@ -168,7 +168,19 @@ def run_to_memory(
     """Execute a streaming query to completion over the available data
     (``availableNow`` trigger) into an in-memory table; returns the
     result as a batch DataFrame. Used by tests to assert
-    stream-equals-batch. Stream-stream joins require ``append``."""
+    stream-equals-batch. Stream-stream joins require ``append``.
+
+    Drain detection: most availableNow queries terminate by
+    themselves, but a stateful operator with PROCESSING-TIME timeouts
+    keeps the query alive with no-data batches until every key's idle
+    timeout fires (10 min default — measured as the full 120 s
+    awaitTermination plus a leaked query killed only at session
+    shutdown). Once data batches are done, the memory table is
+    complete except for watermark-flush output, which a no-data batch
+    emits — so we stop after TWO consecutive completed no-data batches
+    (the first may be the flush itself)."""
+    import time as _time
+
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
     q = (
         streaming_df.writeStream.format("memory")
@@ -177,7 +189,25 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    saw_data = False
+    idle_batches = 0
+    last_batch = None
+    deadline = _time.time() + timeout_sec
+    while q.isActive and _time.time() < deadline:
+        lp = q.lastProgress
+        if lp is not None and lp["batchId"] != last_batch:
+            last_batch = lp["batchId"]
+            if lp["numInputRows"] > 0:
+                saw_data = True
+                idle_batches = 0
+            elif saw_data:
+                idle_batches += 1
+                if idle_batches >= 2:
+                    break
+        _time.sleep(0.2)
+    if q.isActive:
+        q.stop()
+    q.awaitTermination(30)
     spark = streaming_df.sparkSession
     return spark.table(name)
 
