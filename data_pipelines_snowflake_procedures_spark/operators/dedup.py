@@ -200,11 +200,16 @@ def minhash_signatures(
         # protocol, silently replacing the permutation seed
         return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
 
+    # Bind the shingle array ONCE before the per-permutation transforms:
+    # Spark does no CSE inside lambda bodies, so referencing the raw
+    # expression would re-tokenize + re-distinct the text num_perm times
+    # per row (measured as GC-thrashing allocation churn at 500k docs).
+    base = df.select(F.col(id_col).alias("id"), unit.alias("__unit"))
     sigs = [
-        F.array_min(F.transform(unit, seeded_hash(i))).alias(f"sig_{i}")
+        F.array_min(F.transform(F.col("__unit"), seeded_hash(i))).alias(f"sig_{i}")
         for i in range(num_perm)
     ]
-    return df.select(F.col(id_col).alias("id"), *sigs)
+    return base.select("id", *sigs)
 
 
 def minhash_lsh_pairs(
@@ -215,6 +220,7 @@ def minhash_lsh_pairs(
     bands: int = 6,
     n: int = 1,
     threshold: float = 0.9,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup detection, the 100 TB dedup
     path: signature → band keys → bucket join (quadratic only inside
@@ -223,6 +229,22 @@ def minhash_lsh_pairs(
     Output ``(doc_a, doc_b, jaccard)``, a recall-bounded subset of
     :func:`token_jaccard_pairs` at the same threshold. With r =
     num_perm/bands rows per band, P(candidate) = 1-(1-j^r)^bands.
+
+    **The shingle unit is load-bearing at scale.** ``n=1`` hashes the
+    raw token SET; on a low-diversity corpus (tiny vocabulary, heavy
+    boilerplate) most documents share near-identical token sets, band
+    buckets approach corpus size, and the bucket join degenerates to
+    the all-pairs quadratic — measured at sf1 (500k docs, ~50-word
+    base vocabulary): n=1 GC-thrashed to death while ``n=3`` shingles
+    finished in 77 s with 25k verified pairs. Use n≥3 for real
+    corpora; run exact dedup first (clean_corpus does) so identical
+    documents collapse before banding.
+
+    ``max_bucket_size`` is the skew guard for the residue: band
+    buckets larger than the cap are DROPPED from candidate generation
+    (one extra groupBy when enabled). That loses recall for exactly
+    the documents whose buckets overflowed — never silently: inspect
+    :func:`lsh_bucket_stats` first and log what the cap drops.
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, n)
@@ -248,6 +270,13 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        sizes = band_rows.groupBy("band", "key").agg(F.count("*").alias("__bn"))
+        band_rows = (
+            band_rows.join(sizes, ["band", "key"])
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     a, b = band_rows.alias("a"), band_rows.alias("b")
     candidates = (
         a.join(
@@ -281,6 +310,55 @@ def minhash_lsh_pairs(
         .join(tb, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 24,
+    bands: int = 6,
+    n: int = 1,
+) -> DataFrame:
+    """Band-bucket size distribution for :func:`minhash_lsh_pairs` —
+    the pre-flight check before choosing ``max_bucket_size``: one row
+    per bucket size with its bucket count and the pair-work (Σ size²)
+    that size class contributes. A heavy tail here means the shingle
+    unit is too coarse (raise ``n``) or exact dedup should run first."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, n)
+    band_rows = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"sig_{bi * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    return (
+        band_rows.groupBy("band", "key")
+        .agg(F.count("*").alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+        .withColumn(
+            "pair_work", F.col("n_buckets") * F.col("bucket_size") * F.col("bucket_size")
+        )
+        .orderBy(F.desc("bucket_size"))
     )
 
 

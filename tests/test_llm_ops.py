@@ -788,3 +788,28 @@ def test_bigram_lm_scores_shuffled_text_worse(spark):
     assert out[11]["avg_logprob"] < out[0]["avg_logprob"]
     assert out[11]["avg_logprob"] < out[10]["avg_logprob"]
     assert out[0]["n_bigrams"] == len(natural.split()) - 1
+
+
+def test_lsh_bucket_cap_and_stats(spark):
+    """max_bucket_size drops only overflowing buckets' candidates;
+    lsh_bucket_stats reports the size distribution that justifies it."""
+    from data_pipelines_snowflake_procedures_spark.operators.dedup import (
+        lsh_bucket_stats,
+        minhash_lsh_pairs,
+    )
+
+    # 30 identical docs (one giant bucket) + 2 distinct near-dup docs
+    rows = [(i, "all these words are the same words") for i in range(30)]
+    rows += [(100, "completely different unique content here"),
+             (101, "completely different unique content there")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    stats = {r["bucket_size"]: r["n_buckets"] for r in lsh_bucket_stats(df).collect()}
+    assert 30 in stats  # the boilerplate bucket is visible pre-flight
+    full = minhash_lsh_pairs(df, threshold=0.5)
+    capped = minhash_lsh_pairs(df, threshold=0.5, max_bucket_size=10)
+    full_pairs = {(r["doc_a"], r["doc_b"]) for r in full.collect()}
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (100, 101) in full_pairs and (100, 101) in capped_pairs
+    # the 30-doc bucket's pairs are gone under the cap, nothing else
+    assert capped_pairs == {p for p in full_pairs if p == (100, 101)}
+    assert len(full_pairs) == 30 * 29 // 2 + 1
