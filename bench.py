@@ -74,6 +74,7 @@ HEADLINE = [
     "dedup_exact_documents",
     "dedup_incremental_documents",
     "dedup_minhash_lsh_documents",
+    "dedup_minhash_lsh_shingles_documents",
     "dedup_clusters_documents",
     "dedup_simhash_documents",
     "corpus_passage_dedup_documents",
