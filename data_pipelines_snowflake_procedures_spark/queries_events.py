@@ -648,6 +648,42 @@ def events_type_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_incremental_rollup",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 4) AS sum_value,
+           round(sum(value) / count(*), 4) AS avg_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Incremental aggregate maintenance (operators/incremental.py): "
+    "the events table arrives as three date-range batches, each "
+    "reduced to a PARTIAL state (count/sum/min/max per key), the "
+    "states merged associatively, then finalized (avg derives from "
+    "sum/n so it stays mergeable). The oracle is the from-scratch "
+    "GROUP BY over everything — proving the pipeline-level partial/"
+    "merge algebra gives bit-identical answers to recomputation, "
+    "which is why a 100 TB daily rollup never re-reads history. "
+    "Non-mergeable metrics (exact distinct/percentiles) are exactly "
+    "what the sketch operators exist for.",
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.incremental import finalize, merge_partials, partial_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.dayofmonth("ts")
+    batches = [
+        ev.filter(day < 10),
+        ev.filter((day >= 10) & (day < 20)),
+        ev.filter(day >= 20),
+    ]
+    partials = [partial_agg(b, ["event_type"], "value") for b in batches]
+    return finalize(merge_partials(partials, ["event_type"]), ["event_type"])
+
+
+@register(
     "events_robust_outlier_profile",
     """
     WITH med AS (

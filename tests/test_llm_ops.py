@@ -813,3 +813,37 @@ def test_lsh_bucket_cap_and_stats(spark):
     # the 30-doc bucket's pairs are gone under the cap, nothing else
     assert capped_pairs == {p for p in full_pairs if p == (100, 101)}
     assert len(full_pairs) == 30 * 29 // 2 + 1
+
+
+def test_incremental_partial_merge_invariants(spark):
+    """merge(partial(A), partial(B)) must equal partial(A ∪ B) for any
+    split and any merge order — the algebra a daily rollup relies on."""
+    from data_pipelines_snowflake_procedures_spark.operators.incremental import (
+        finalize,
+        merge_partials,
+        partial_agg,
+    )
+
+    rows = [(i, f"k{i % 3}", (i * 7 % 100) / 4.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "k", "v"])
+    full = {
+        r["k"]: r
+        for r in finalize(partial_agg(df, ["k"], "v"), ["k"]).collect()
+    }
+    a, b, c = (df.filter(f"id % 3 = {i}") for i in range(3))
+    pa, pb, pc = (partial_agg(x, ["k"], "v") for x in (a, b, c))
+    inc = {
+        r["k"]: r
+        for r in finalize(merge_partials([pc, pa, pb], ["k"]), ["k"]).collect()
+    }
+    assert set(inc) == set(full)
+    for k, r in full.items():
+        for col in ("n_rows", "sum_value", "avg_value", "min_value", "max_value"):
+            assert inc[k][col] == r[col], (k, col)
+    # empty batch is the identity element
+    empty = partial_agg(df.filter("id < 0"), ["k"], "v")
+    with_empty = {
+        r["k"]: r["n_rows"]
+        for r in finalize(merge_partials([pa, empty, pb, pc], ["k"]), ["k"]).collect()
+    }
+    assert with_empty == {k: r["n_rows"] for k, r in full.items()}
