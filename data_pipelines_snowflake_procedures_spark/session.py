@@ -17,6 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Tables the driver materializes under /root/testdata/sf*/ (TESTDATA.md).
 TESTDATA_TABLES = (
@@ -109,9 +110,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _set_read_confs(spark)
     df = spark.read.parquet(path)
     for field in _nano_timestamp_fields(path):
-        df = df.withColumn(
-            field, F.expr(f"timestamp_micros(`{field}` div 1000)")
-        )
+        # Convert only when Spark actually surfaced the column as a
+        # nano LONG: Spark-written INT96 timestamps also probe as
+        # timestamp[ns] in the parquet footer but read as TIMESTAMP,
+        # and dividing a timestamp by 1000 is an analysis error.
+        if isinstance(df.schema[field].dataType, T.LongType):
+            df = df.withColumn(
+                field, F.expr(f"timestamp_micros(`{field}` div 1000)")
+            )
     return df
 
 

@@ -36,13 +36,19 @@ def read_events_stream(
     path = os.path.join(sf_dir, "events.parquet")
     _set_read_confs(spark)
     raw_schema = spark.read.parquet(path).schema
-    # file-source streams want a directory: stream the sf dir filtered
-    # down to the events file (each matching file = one replayable unit)
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # Spark-written table: a directory of part files — stream it
+        # directly (the glob filter below would match nothing)
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        # single-file harness layout: file-source streams want a
+        # directory, so stream the sf dir filtered down to the events
+        # file (each matching file = one replayable unit)
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     # TIMESTAMP(NANOS) columns surface as epoch-nano longs under the
     # session's nanosAsLong setting — same conversion as load_table.
     if isinstance(raw_schema[ts_col].dataType, T.LongType):

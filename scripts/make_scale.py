@@ -124,9 +124,17 @@ def scale_table(spark: SparkSession, src: str, name: str) -> DataFrame:
             "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
         )
     if name == "events":
+        # The source ts is TIMESTAMP(NANOS); a raw session read surfaces
+        # it as NTZ (or nano-long under nanosAsLong), neither of which
+        # watermarks/epoch-casts accept. Emit a true TIMESTAMP (LTZ,
+        # session tz UTC) — exactly what load_table's nano conversion
+        # yields for the original testdata, so sf1 behaves identically.
+        ts = F.col("ts")
+        if dict(df.dtypes)["ts"] == "bigint":
+            ts = F.expr("timestamp_micros(ts div 1000)")
         return c.select(
             _shift("event_id", "event_id"),
-            "ts",
+            ts.cast("timestamp").alias("ts"),
             _shift("user_id", "user_id"),
             "event_type", "value", "props",
         )
