@@ -2469,7 +2469,10 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         sq_bounds,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # Persist the corpus once: five variants each probe it several times
+    # (corpus + query + centroid/bounds branches); without the cache the
+    # entry's plan re-reads the parquet ~20x.
+    emb = load_table(spark, sf_dir, "embeddings").persist()
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
     centroids = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
