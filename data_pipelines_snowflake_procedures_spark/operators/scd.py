@@ -183,3 +183,53 @@ def scd1_merge_delta(
         .whenNotMatchedInsertAll()
         .execute()
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Change-data-capture DIFF between two table snapshots: the
+    detection complement of :func:`scd1_merge` (which APPLIES changes).
+    Emits one row per changed key with ``op`` ∈ {insert, update,
+    delete} — exactly the change stream a downstream incremental
+    pipeline (or the streaming SCD1 upsert) consumes when the source
+    system has no CDC log of its own.
+
+    One full-outer join on the key; change detection is a
+    null-safe (<=>) comparison per ``compare_cols`` so NULL→value and
+    value→NULL transitions register as updates. At 100 TB both
+    snapshots are bucketed/partitioned on the key so the join is
+    co-located, and unchanged rows — the overwhelming majority — are
+    filtered before anything materializes.
+
+    Output: keys…, ``op``, and ``<col>_old`` / ``<col>_new`` for every
+    compared column (NULL on the absent side of inserts/deletes).
+    """
+    keys = list(keys)
+    o = old.select(*keys, *[F.col(c).alias(f"{c}_old") for c in compare_cols])
+    n = new.select(*keys, *[F.col(c).alias(f"{c}_new") for c in compare_cols])
+    joined = o.join(n, keys, "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+    # wrap presence via an indicator column to distinguish "row absent"
+    # from "row present with NULLs"
+    o2 = old.select(*keys, F.lit(1).alias("__in_old"))
+    n2 = new.select(*keys, F.lit(1).alias("__in_new"))
+    presence = o2.join(n2, keys, "full_outer")
+    out = joined.join(presence, keys)
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        out.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .drop("__in_old", "__in_new")
+        .select(*keys, "op", *[f"{c}_old" for c in compare_cols],
+                *[f"{c}_new" for c in compare_cols])
+    )

@@ -941,6 +941,63 @@ _SCD2_ORACLE = """
 
 
 @register(
+    "orders_snapshot_cdc_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 89 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0
+                  THEN round(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderkey % 83 <> 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           o.o_orderstatus AS o_orderstatus_old,
+           round(o.o_totalprice, 2) AS o_totalprice_old,
+           n.o_orderstatus AS o_orderstatus_new,
+           round(n.o_totalprice, 2) AS o_totalprice_new
+    FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+    doc="Change-data-capture snapshot diff (operators/scd.py::"
+    "snapshot_diff) — the DETECTION complement of the SCD merges: two "
+    "order snapshots (price bump on keys %97, keys %89 newly arrived, "
+    "keys %83 gone) diffed into the insert/update/delete change stream "
+    "a downstream incremental pipeline consumes when the source has no "
+    "CDC log. One co-locatable full-outer key join; null-safe "
+    "comparison so NULL transitions register; unchanged rows filter "
+    "out before materializing. Oracle restates the diff as FULL OUTER "
+    "+ IS DISTINCT FROM.",
+)
+def orders_snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scd import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    old = orders.filter(F.col("o_orderkey") % 89 != 0)
+    new = orders.filter(F.col("o_orderkey") % 83 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+@register(
     "scd2_merge_orders",
     _SCD2_ORACLE,
     doc="SCD Type-2 history-preserving merge (the natural extension of "

@@ -185,3 +185,32 @@ def test_scd1_upsert_stream_matches_batch_merge(spark, sf_dir, tmp_path):
         expected.select(sorted(expected.columns))
     )
     assert diff.count() == 0
+
+
+def test_snapshot_diff_classifies_and_null_transitions(spark):
+    """insert/update/delete classification, null-safe change detection
+    (NULL->value and value->NULL are updates), unchanged rows absent."""
+    from data_pipelines_snowflake_procedures_spark.operators.scd import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k BIGINT, s STRING, v DOUBLE",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged -> absent from diff
+         (2, "b", 20.0),        # NULL -> value: update
+         (3, None, 30.0),       # value -> NULL: update
+         (5, "e", 50.0)],       # new key: insert; key 4 gone: delete
+        "k BIGINT, s STRING, v DOUBLE",
+    )
+    out = {
+        r["k"]: r
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert set(out) == {2, 3, 4, 5}
+    assert out[2]["op"] == "update" and out[2]["v_old"] is None and out[2]["v_new"] == 20.0
+    assert out[3]["op"] == "update" and out[3]["s_new"] is None
+    assert out[4]["op"] == "delete" and out[4]["s_new"] is None and out[4]["s_old"] == "d"
+    assert out[5]["op"] == "insert" and out[5]["s_old"] is None
