@@ -648,6 +648,73 @@ def events_type_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sessions_streaming",
+    """
+    WITH o AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM o
+    ),
+    g AS (
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM s GROUP BY user_id, sid
+    ),
+    m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events)
+    SELECT user_id, session_start, n_events, sum_value
+    FROM g, m WHERE session_end <= mx - INTERVAL 2 HOUR
+    """,
+    doc="STATEFUL session windows under readStream, hash-checked "
+    "against the batch gaps-and-islands SQL restated WITH the exact "
+    "append-mode emission rule: a session (end = last event + 30-min "
+    "gap) emits once the final watermark (max ts − 2 h) passes its "
+    "end; later sessions stay pending by design (rule verified "
+    "empirically before writing the oracle, like the stream-stream "
+    "left outer). The r3-test-only sessions_stream surface, now "
+    "driver-sampleable.",
+)
+def events_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stream import run_to_memory, sessions_stream
+
+    return run_to_memory(sessions_stream(spark, sf_dir), output_mode="append")
+
+
+@register(
+    "events_dedup_streaming",
+    """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           value, props
+    FROM events
+    """,
+    doc="Streaming exact dedup with BOUNDED state "
+    "(dropDuplicatesWithinWatermark): the source self-union delivers "
+    "every event twice; the drained result must be exactly the events "
+    "table once — hash-checked at full value level (every column, "
+    "every row). Plain dropDuplicates would keep seen-keys forever; "
+    "the watermark variant expires them, which is the only form that "
+    "survives an unbounded stream. The r3-test-only dedup_stream "
+    "surface, now driver-sampleable.",
+)
+def events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stream import dedup_stream, run_to_memory
+
+    return run_to_memory(dedup_stream(spark, sf_dir), output_mode="append")
+
+
+@register(
     "events_incremental_rollup",
     """
     SELECT event_type,
