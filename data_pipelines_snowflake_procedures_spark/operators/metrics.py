@@ -1,0 +1,117 @@
+"""Binary-classification evaluation at corpus scale: threshold sweeps
+and ROC-AUC as plain aggregations.
+
+Why here: a training-data pipeline constantly evaluates cheap scorers
+(quality gates, language ID, dedup verdicts, toxicity filters) against
+labels before trusting them at 100 TB. Both evaluations reduce to
+shapes Spark aggregates natively — no per-row Python, no sklearn:
+
+* :func:`threshold_metrics` — ONE pass computing the confusion counts
+  for every threshold simultaneously (each threshold is a conditional
+  aggregate over the same scan).
+* :func:`roc_auc` — the Mann-Whitney rank statistic: AUC equals
+  (Σ ranks of positives − P(P+1)/2) / (P·N) with AVERAGE ranks on
+  score ties, i.e. one global rank window plus one aggregate. Exact,
+  deterministic, and tie-correct — not a trapezoid approximation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def threshold_metrics(
+    df: DataFrame,
+    score_col: str | Column,
+    label_col: str | Column,
+    thresholds: Sequence[float],
+    decimals: int = 6,
+) -> DataFrame:
+    """Precision / recall / F1 / accuracy at each threshold, one scan.
+
+    ``label_col`` must be 0/1 (or boolean); prediction is
+    ``score >= threshold``. Output one row per threshold. NULL scores
+    or labels are excluded (counted rows only)."""
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    y = (F.col(label_col) if isinstance(label_col, str) else label_col).cast("int")
+    base = df.select(s.alias("__s"), y.alias("__y")).filter(
+        F.col("__s").isNotNull() & F.col("__y").isNotNull()
+    )
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = F.col("__s") >= F.lit(float(t))
+        aggs += [
+            F.count_if(pred & (F.col("__y") == 1)).alias(f"tp_{i}"),
+            F.count_if(pred & (F.col("__y") == 0)).alias(f"fp_{i}"),
+            F.count_if(~pred & (F.col("__y") == 1)).alias(f"fn_{i}"),
+            F.count_if(~pred & (F.col("__y") == 0)).alias(f"tn_{i}"),
+        ]
+    wide = base.agg(*aggs)
+    rows = []
+    for i, t in enumerate(thresholds):
+        tp, fp = F.col(f"tp_{i}"), F.col(f"fp_{i}")
+        fn, tn = F.col(f"fn_{i}"), F.col(f"tn_{i}")
+        prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+        rec = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+        f1 = F.when(
+            prec + rec > 0, 2 * prec * rec / (prec + rec)
+        ).otherwise(F.lit(0.0))
+        acc = (tp + tn) / (tp + fp + fn + tn)
+        rows.append(
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                tp.cast("long").alias("tp"),
+                fp.cast("long").alias("fp"),
+                fn.cast("long").alias("fn"),
+                tn.cast("long").alias("tn"),
+                F.round(prec, decimals).alias("precision"),
+                F.round(rec, decimals).alias("recall"),
+                F.round(f1, decimals).alias("f1"),
+                F.round(acc, decimals).alias("accuracy"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("m")).select("m.*")
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str | Column,
+    label_col: str | Column,
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact ROC-AUC via the Mann-Whitney U statistic with average
+    ranks on ties. One global rank (two window functions over the
+    score ordering) + one aggregate; at 100 TB swap the global sort
+    for a fixed-bin score histogram (the standard approximation) —
+    same algebra over bins. Output: (n_pos, n_neg, auc)."""
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    y = (F.col(label_col) if isinstance(label_col, str) else label_col).cast("int")
+    base = df.select(s.alias("__s"), y.alias("__y")).filter(
+        F.col("__s").isNotNull() & F.col("__y").isNotNull()
+    )
+    # average rank of each tied score group = avg of its row_numbers
+    w = Window.orderBy("__s")
+    ranked = base.withColumn("__rn", F.row_number().over(w))
+    avg_rank = ranked.groupBy("__s").agg(F.avg("__rn").alias("__ar"))
+    scored = ranked.join(avg_rank, "__s")
+    return scored.agg(
+        F.count_if(F.col("__y") == 1).cast("long").alias("n_pos"),
+        F.count_if(F.col("__y") == 0).cast("long").alias("n_neg"),
+        # try_divide: a single-class input has P*N = 0 — AUC is
+        # undefined, surface NULL instead of an ANSI divide-by-zero
+        F.round(
+            F.try_divide(
+                F.sum(F.when(F.col("__y") == 1, F.col("__ar")).otherwise(0.0))
+                - F.count_if(F.col("__y") == 1)
+                * (F.count_if(F.col("__y") == 1) + 1)
+                / 2.0,
+                F.count_if(F.col("__y") == 1).cast("double")
+                * F.count_if(F.col("__y") == 0).cast("double"),
+            ),
+            decimals,
+        ).alias("auc"),
+    )

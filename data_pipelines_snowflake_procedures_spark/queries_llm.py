@@ -2698,3 +2698,111 @@ def dedup_containment_pairs_documents(
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return token_containment_pairs(docs, threshold=0.8)
+
+
+def _eval_base_sql() -> str:
+    """Shared (score, label) base for the classifier-evaluation
+    entries: the 4-gate quality score (rounded to 2, matching the
+    profile surface) scored against 'is this document English' from
+    the stopword-argmax language detector."""
+    return (
+        f"SELECT round({_quality_sql()}, 2) AS s, "
+        f"CASE WHEN {_lang_sql()} = 'en' THEN 1 ELSE 0 END AS y "
+        "FROM documents"
+    )
+
+
+def _threshold_metrics_oracle() -> str:
+    parts = []
+    for t in (0.25, 0.5, 0.75):
+        parts.append(f"""
+      SELECT {t} AS threshold,
+             CAST(count_if(s >= {t} AND y = 1) AS BIGINT) AS tp,
+             CAST(count_if(s >= {t} AND y = 0) AS BIGINT) AS fp,
+             CAST(count_if(s < {t} AND y = 1) AS BIGINT) AS fn,
+             CAST(count_if(s < {t} AND y = 0) AS BIGINT) AS tn,
+             round(CASE WHEN count_if(s >= {t}) > 0
+                   THEN count_if(s >= {t} AND y = 1)::DOUBLE / count_if(s >= {t})
+                   ELSE 0.0 END, 6) AS precision,
+             round(CASE WHEN count_if(y = 1) > 0
+                   THEN count_if(s >= {t} AND y = 1)::DOUBLE / count_if(y = 1)
+                   ELSE 0.0 END, 6) AS recall,
+             round(CASE WHEN (CASE WHEN count_if(s >= {t}) > 0
+                         THEN count_if(s >= {t} AND y = 1)::DOUBLE / count_if(s >= {t})
+                         ELSE 0.0 END)
+                      + (CASE WHEN count_if(y = 1) > 0
+                         THEN count_if(s >= {t} AND y = 1)::DOUBLE / count_if(y = 1)
+                         ELSE 0.0 END) > 0
+                   THEN 2 * (count_if(s >= {t} AND y = 1)::DOUBLE / count_if(s >= {t}))
+                          * (count_if(s >= {t} AND y = 1)::DOUBLE / count_if(y = 1))
+                        / ((count_if(s >= {t} AND y = 1)::DOUBLE / count_if(s >= {t}))
+                           + (count_if(s >= {t} AND y = 1)::DOUBLE / count_if(y = 1)))
+                   ELSE 0.0 END, 6) AS f1,
+             round((count_if(s >= {t} AND y = 1) + count_if(s < {t} AND y = 0))::DOUBLE
+                   / count(*), 6) AS accuracy
+      FROM b""")
+    body = "\n      UNION ALL\n".join(parts)
+    return f"""
+    WITH b AS ({_eval_base_sql()})
+    {body}
+    """
+
+
+@register(
+    "documents_quality_threshold_metrics",
+    _threshold_metrics_oracle(),
+    doc="Classifier-evaluation sweep at corpus scale (operators/"
+    "metrics.py::threshold_metrics): precision/recall/F1/accuracy of "
+    "the 4-gate quality score as a predictor of English-ness, at "
+    "three thresholds, computed in ONE aggregate pass (every "
+    "threshold is a conditional count over the same scan — no "
+    "per-threshold re-scan, no sklearn, no Python). The shape every "
+    "cheap pretraining filter is judged with before it gates 100 TB.",
+)
+def documents_quality_threshold_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.metrics import threshold_metrics
+    from .operators.text import detect_language, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.round(quality_score(F.col("text")), 2).alias("score"),
+        (detect_language(F.col("text")) == "en").cast("int").alias("label"),
+    )
+    return threshold_metrics(scored, "score", "label", [0.25, 0.5, 0.75])
+
+
+@register(
+    "documents_quality_auc",
+    f"""
+    WITH b AS ({_eval_base_sql()}),
+    r AS (SELECT s, y, row_number() OVER (ORDER BY s) AS rn FROM b),
+    a AS (SELECT s, avg(rn) AS ar FROM r GROUP BY s),
+    j AS (SELECT r.y, a.ar FROM r JOIN a USING (s))
+    SELECT CAST(count_if(y = 1) AS BIGINT) AS n_pos,
+           CAST(count_if(y = 0) AS BIGINT) AS n_neg,
+           round((sum(CASE WHEN y = 1 THEN ar ELSE 0 END)
+                  - count_if(y = 1) * (count_if(y = 1) + 1) / 2.0)
+                 / (count_if(y = 1)::DOUBLE * count_if(y = 0)::DOUBLE),
+                 6) AS auc
+    FROM j
+    """,
+    doc="Exact ROC-AUC via the Mann-Whitney rank statistic with "
+    "AVERAGE ranks on score ties (operators/metrics.py::roc_auc) — "
+    "tie-correct and deterministic, not a trapezoid approximation. "
+    "One global rank + one aggregate; at 100 TB the global sort swaps "
+    "for a fixed-bin score histogram with the same algebra over bins "
+    "(documented in the operator). Average ranks are integer halves, "
+    "so their sum is exact in both engines.",
+)
+def documents_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.metrics import roc_auc
+    from .operators.text import detect_language, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.round(quality_score(F.col("text")), 2).alias("score"),
+        (detect_language(F.col("text")) == "en").cast("int").alias("label"),
+    )
+    return roc_auc(scored, "score", "label")

@@ -847,3 +847,31 @@ def test_incremental_partial_merge_invariants(spark):
         for r in finalize(merge_partials([pa, empty, pb, pc], ["k"]), ["k"]).collect()
     }
     assert with_empty == {k: r["n_rows"] for k, r in full.items()}
+
+
+def test_threshold_metrics_and_auc_known_values(spark):
+    """Hand-computable case: scores separate labels imperfectly; AUC
+    and confusion counts must equal the closed-form values (ties get
+    average ranks)."""
+    from data_pipelines_snowflake_procedures_spark.operators.metrics import (
+        roc_auc,
+        threshold_metrics,
+    )
+
+    #  y=1 scores: 0.9, 0.8, 0.5 ; y=0 scores: 0.5, 0.3
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.5, 1), (0.5, 0), (0.3, 0)], ["s", "y"]
+    )
+    m = {r["threshold"]: r for r in threshold_metrics(df, "s", "y", [0.5]).collect()}
+    r5 = m[0.5]
+    assert (r5["tp"], r5["fp"], r5["fn"], r5["tn"]) == (3, 1, 0, 1)
+    assert r5["precision"] == 0.75 and r5["recall"] == 1.0
+    # pairs: (0.9,0.5)+, (0.9,0.3)+, (0.8,0.5)+, (0.8,0.3)+, (0.5,0.5)=tie 0.5, (0.5,0.3)+
+    # AUC = (4 + 0.5 + 1) / 6 = 0.916667
+    a = roc_auc(df, "s", "y").collect()[0]
+    assert (a["n_pos"], a["n_neg"]) == (3, 2)
+    assert abs(a["auc"] - round(5.5 / 6, 6)) < 1e-9
+    # degenerate: all one class -> n_neg 0; auc NULL (division), caller checks
+    one = spark.createDataFrame([(0.9, 1), (0.1, 1)], ["s", "y"])
+    row = roc_auc(one, "s", "y").collect()[0]
+    assert row["n_neg"] == 0 and row["auc"] is None
