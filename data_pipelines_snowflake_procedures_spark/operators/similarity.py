@@ -600,3 +600,139 @@ def knn_sq(
     return exact.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the FAISS-style ANN memory ladder's last
+# rung — where SQ8 stores one byte per DIMENSION, PQ stores one code
+# per SUBSPACE (dim/m dims each), compressing 64 floats to m bytes.
+# Each subspace gets its own k-means codebook; distance is asymmetric
+# (exact query vs codebook-reconstructed corpus).
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Train one k-means codebook per subspace: ``m`` independent
+    :func:`kmeans_fit` runs over the corpus's subvector slices, each
+    inheriting the full determinism contract (lowest-id seeds,
+    6-decimal mean rounding, lowest-cluster tie-break). Returns
+    ``m × k × (dim/m)`` floats — driver-metadata-sized."""
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sl = df.select(
+            id_col, F.slice(F.col(emb_col), j * sub + 1, sub).alias("__semb")
+        )
+        books.append(
+            kmeans_fit(sl, k=k, iters=iters, emb_col="__semb", id_col=id_col)
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Append ``code_0..code_{m-1}``: per subspace, the argmin-distance
+    codebook entry — m narrow literal-matrix argmins, zero shuffle
+    (the :func:`kmeans_assign_expr` machinery per slice)."""
+    sub = len(codebooks[0][0])
+    out = df
+    for j, book in enumerate(codebooks):
+        cl, _ = kmeans_assign_expr(
+            F.slice(F.col(emb_col), j * sub + 1, sub), book
+        )
+        out = out.withColumn(f"code_{j}", cl)
+    return out
+
+
+def pq_reconstruct_expr(codebooks: list[list[list[float]]]) -> Column:
+    """Decoded vector from the ``code_j`` columns: concat of each
+    subspace's selected centroid — codebooks ride as literal matrices,
+    so decode is a pure expression over m small ints."""
+    parts = []
+    for j, book in enumerate(codebooks):
+        matrix = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
+        parts.append(F.element_at(matrix, (F.col(f"code_{j}") + 1).cast("int")))
+    return F.concat(*parts)
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    rerank: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ ANN with exact re-ranking — the same two-phase shape as
+    :func:`knn_sq`, with the approximate phase scoring the exact query
+    against the PQ-RECONSTRUCTED corpus vector (asymmetric distance).
+    Recall loss occurs only when quantization error pushes a true
+    top-k neighbor past position rerank·k. At 100 TB the first pass
+    reads m bytes per vector (vs 4·dim for floats) and exact
+    embeddings are fetched only for candidates."""
+    deq = pq_reconstruct_expr(codebooks)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm(F.col(emb_col)).alias("q_nrm"),
+    )
+    c = pq_encode(corpus, codebooks, emb_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm(F.col(emb_col)).alias("c_nrm"),
+        deq.alias("c_deq"),
+    ).withColumn(
+        "c_deq_nrm",
+        F.sqrt(
+            F.aggregate(F.col("c_deq"), F.lit(0.0), lambda acc, v: acc + v * v)
+        ),
+    )
+    approx = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "q_emb",
+            "c_emb",
+            "q_nrm",
+            "c_nrm",
+            F.round(
+                F.try_divide(
+                    dot_product(F.col("q_emb"), F.col("c_deq")),
+                    F.col("q_nrm") * F.col("c_deq_nrm"),
+                ),
+                6,
+            ).alias("approx_cosine"),
+        )
+    )
+    w_a = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("neighbor_id")
+    )
+    cand = approx.withColumn("__arn", F.row_number().over(w_a)).filter(
+        F.col("__arn") <= rerank * k
+    )
+    exact = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot_product(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_nrm") * F.col("c_nrm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

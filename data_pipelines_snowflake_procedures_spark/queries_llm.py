@@ -2806,3 +2806,146 @@ def documents_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (detect_language(F.col("text")) == "en").cast("int").alias("label"),
     )
     return roc_auc(scored, "score", "label")
+
+
+def _knn_pq_oracle() -> str:
+    """Restates PQ end-to-end: per-subspace 2-iteration Lloyd codebooks
+    (same seed/rounding/tie conventions as the k-means oracle), encode,
+    reconstruct, asymmetric scoring, exact re-rank."""
+    m, sub, kk = 4, 16, 16
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_aggregate([({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+            f"FOR i IN range(1, {sub + 1})], 'sum')"
+        )
+
+    ctes = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        ctes.append(f"""s{j} AS (
+      SELECT vec_id, [x::DOUBLE FOR x IN embedding[{lo}:{hi}]] AS se
+      FROM embeddings
+    ),
+    c0_{j} AS (
+      SELECT srn - 1 AS cid, se AS c FROM (
+        SELECT se, row_number() OVER (ORDER BY vec_id) AS srn FROM s{j}
+      ) WHERE srn <= {kk}
+    ),
+    a1_{j} AS (
+      SELECT vec_id, se, cid AS cl FROM (
+        SELECT e.vec_id, e.se, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id ORDER BY {dist('e.se', 'c.c')}, c.cid
+               ) AS rn
+        FROM s{j} e CROSS JOIN c0_{j} c
+      ) WHERE rn = 1
+    ),
+    c1m_{j} AS (
+      SELECT cl AS cid, i, round(avg(se[i]), 6) AS mval
+      FROM a1_{j}, unnest(range(1, {sub + 1})) AS t(i) GROUP BY cl, i
+    ),
+    c1l_{j} AS (SELECT cid, list(mval ORDER BY i) AS c FROM c1m_{j} GROUP BY cid),
+    c1_{j} AS (
+      SELECT s.cid, coalesce(cm.c, s.c) AS c
+      FROM c0_{j} s LEFT JOIN c1l_{j} cm USING (cid)
+    ),
+    a2_{j} AS (
+      SELECT vec_id, se, cid AS cl FROM (
+        SELECT e.vec_id, e.se, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id ORDER BY {dist('e.se', 'c.c')}, c.cid
+               ) AS rn
+        FROM s{j} e CROSS JOIN c1_{j} c
+      ) WHERE rn = 1
+    ),
+    c2m_{j} AS (
+      SELECT cl AS cid, i, round(avg(se[i]), 6) AS mval
+      FROM a2_{j}, unnest(range(1, {sub + 1})) AS t(i) GROUP BY cl, i
+    ),
+    c2l_{j} AS (SELECT cid, list(mval ORDER BY i) AS c FROM c2m_{j} GROUP BY cid),
+    c2_{j} AS (
+      SELECT s.cid, coalesce(cm.c, s.c) AS c
+      FROM c1_{j} s LEFT JOIN c2l_{j} cm USING (cid)
+    ),
+    dec_{j} AS (
+      SELECT vec_id, c FROM (
+        SELECT e.vec_id, c.c,
+               row_number() OVER (
+                 PARTITION BY e.vec_id ORDER BY {dist('e.se', 'c.c')}, c.cid
+               ) AS rn
+        FROM s{j} e CROSS JOIN c2_{j} c
+      ) WHERE rn = 1
+    )""")
+    books = ",\n    ".join(ctes)
+    recon = " || ".join(f"d{j}.c" for j in range(m))
+    joins = " ".join(f"JOIN dec_{j} d{j} USING (vec_id)" for j in range(1, m))
+    return f"""
+    WITH {books},
+    deq AS (
+      SELECT d0.vec_id, {recon} AS deq FROM dec_0 d0 {joins}
+    ),
+    v AS (
+      SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS ve,
+             sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN embedding],
+                                 'sum')) AS nrm
+      FROM embeddings
+    ),
+    vd AS (
+      SELECT v.vec_id, v.ve, v.nrm, q.deq,
+             sqrt(list_aggregate([d * d FOR d IN q.deq], 'sum')) AS deq_nrm
+      FROM v JOIN deq q USING (vec_id)
+    ),
+    qs AS (SELECT vec_id, ve, nrm FROM v WHERE vec_id < 5),
+    approx AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.ve AS q_emb, c.ve AS c_emb, q.nrm AS q_nrm, c.nrm AS c_nrm,
+             round(CASE WHEN q.nrm * c.deq_nrm > 0
+                   THEN list_aggregate([q.ve[i] * c.deq[i]
+                                        FOR i IN range(1, 65)], 'sum')
+                        / (q.nrm * c.deq_nrm)
+                   ELSE NULL END, 6) AS approx_cosine
+      FROM vd c JOIN qs q ON q.vec_id <> c.vec_id
+    ),
+    cand AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id
+        ) AS arn FROM approx
+      ) WHERE arn <= 15
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id,
+             round(list_aggregate([q_emb[i] * c_emb[i] FOR i IN range(1, 65)],
+                                  'sum') / (q_nrm * c_nrm), 6) AS cosine
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM exact
+    ) WHERE rank <= 5
+    """
+
+
+@register(
+    "knn_pq_embeddings",
+    _knn_pq_oracle(),
+    doc="Product-quantized ANN (the FAISS memory ladder's last rung): "
+    "4 subspaces x 16-entry k-means codebooks compress 64 floats to 4 "
+    "codes; scoring is asymmetric (exact query vs codebook-"
+    "reconstructed corpus) with exact re-ranking of the top-15 "
+    "candidates. Codebook training reuses kmeans_fit per subvector "
+    "slice — lowest-id seeds, 6-decimal mean rounding, lowest-cluster "
+    "tie-break — so the oracle can restate ALL of it: 4 unrolled "
+    "2-iteration Lloyd runs, encode, reconstruct, both scoring "
+    "phases. At 100 TB the first pass reads m bytes per vector "
+    "(16x less than float32) and exact embeddings are fetched only "
+    "for candidates. operators/similarity.py::pq_fit/pq_encode/knn_pq.",
+)
+def knn_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import knn_pq, pq_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=4, k=16, iters=2)
+    return knn_pq(emb, emb.filter(F.col("vec_id") < 5), books, k=5, rerank=3)

@@ -875,3 +875,64 @@ def test_threshold_metrics_and_auc_known_values(spark):
     one = spark.createDataFrame([(0.9, 1), (0.1, 1)], ["s", "y"])
     row = roc_auc(one, "s", "y").collect()[0]
     assert row["n_neg"] == 0 and row["auc"] is None
+
+
+def test_pq_roundtrip_and_recall(spark, sf_dir):
+    """PQ encode emits m in-range codes; reconstruction error is
+    bounded (cosine(original, decoded) well above random); and the
+    rerank phase keeps knn_pq's top-5 close to brute force."""
+    from data_pipelines_snowflake_procedures_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_pq,
+        pq_encode,
+        pq_fit,
+        pq_reconstruct_expr,
+    )
+    from data_pipelines_snowflake_procedures_spark.operators.dedup import (
+        dot_product,
+        norm,
+    )
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=4, k=16, iters=2)
+    assert len(books) == 4 and all(len(b) == 16 for b in books)
+    enc = pq_encode(emb, books)
+    stats = enc.agg(
+        *[F.min(f"code_{j}").alias(f"lo{j}") for j in range(4)],
+        *[F.max(f"code_{j}").alias(f"hi{j}") for j in range(4)],
+    ).collect()[0]
+    assert all(stats[f"lo{j}"] >= 0 and stats[f"hi{j}"] < 16 for j in range(4))
+    deq = pq_reconstruct_expr(books)
+    fidelity = (
+        enc.select(
+            (
+                dot_product(F.col("embedding"), deq)
+                / (norm(F.col("embedding")) * norm(deq))
+            ).alias("c")
+        )
+        .agg(F.avg("c"))
+        .collect()[0][0]
+    )
+    assert fidelity > 0.5, fidelity  # decoded vectors point the right way
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(emb, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_pq(emb, queries, books, k=5, rerank=3).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    # the synthetic embeddings are near-random (weak neighborhood
+    # structure — same story as knn_recall_report), so the floor is
+    # modest; the structural guarantee is the rerank LEVER below
+    assert recall >= 0.3, recall
+    wide = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_pq(emb, queries, books, k=5, rerank=10).collect()
+    }
+    recall_wide = len(wide & truth) / len(truth)
+    assert recall_wide >= recall, (recall, recall_wide)
