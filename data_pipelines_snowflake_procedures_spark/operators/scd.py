@@ -209,27 +209,31 @@ def snapshot_diff(
     compared column (NULL on the absent side of inserts/deletes).
     """
     keys = list(keys)
-    o = old.select(*keys, *[F.col(c).alias(f"{c}_old") for c in compare_cols])
-    n = new.select(*keys, *[F.col(c).alias(f"{c}_new") for c in compare_cols])
+    # indicator columns ride in the SAME join, distinguishing "row
+    # absent" from "row present with NULL values" without a second
+    # full-outer pass over both snapshots
+    o = old.select(
+        *keys,
+        F.lit(1).alias("__in_old"),
+        *[F.col(c).alias(f"{c}_old") for c in compare_cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(1).alias("__in_new"),
+        *[F.col(c).alias(f"{c}_new") for c in compare_cols],
+    )
     joined = o.join(n, keys, "full_outer")
     changed = F.lit(False)
     for c in compare_cols:
         changed = changed | ~F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
-    # wrap presence via an indicator column to distinguish "row absent"
-    # from "row present with NULLs"
-    o2 = old.select(*keys, F.lit(1).alias("__in_old"))
-    n2 = new.select(*keys, F.lit(1).alias("__in_new"))
-    presence = o2.join(n2, keys, "full_outer")
-    out = joined.join(presence, keys)
     op = (
         F.when(F.col("__in_old").isNull(), F.lit("insert"))
         .when(F.col("__in_new").isNull(), F.lit("delete"))
         .when(changed, F.lit("update"))
     )
     return (
-        out.withColumn("op", op)
+        joined.withColumn("op", op)
         .filter(F.col("op").isNotNull())
-        .drop("__in_old", "__in_new")
         .select(*keys, "op", *[f"{c}_old" for c in compare_cols],
                 *[f"{c}_new" for c in compare_cols])
     )
