@@ -153,6 +153,13 @@ def smoke_all_queries() -> None:
             failures.append(name)
             msg = str(exc).splitlines()[0][:200] if str(exc) else type(exc).__name__
             print(f"ERROR {name}: {msg}", file=sys.stderr)
+        finally:
+            # A few operators intentionally return lazy plans over
+            # cached intermediates (e.g. the SemDeDup assignment, the
+            # jaccard token index) — release them between entries so
+            # the full-registry sweep doesn't accumulate session-
+            # lifetime blocks (ADVICE r4 #2).
+            spark.catalog.clearCache()
     total = round(time.perf_counter() - t0, 2)
     print(
         json.dumps(

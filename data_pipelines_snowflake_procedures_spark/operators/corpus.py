@@ -573,12 +573,14 @@ def bigram_logprob_score(
         ).alias("g"),
     ).select(id_col, F.col("g.prev").alias("prev"), F.col("g.cur").alias("cur"))
 
-    # Persist the two TYPE-sized count tables: without this, the lp
-    # broadcast's build recomputes the full bigram explode+shuffle a
-    # second time under the probe-side join (measured 14.8s -> 1.4s at
-    # sf0.1). Both frames are vocabulary-shaped — KB to low MB even at
-    # corpus scale — exactly the state a production pipeline would
-    # persist as its LM tables.
+    # Persist the two TYPE-sized count tables while the LM table builds:
+    # without this, the lp computation recomputes the full bigram
+    # explode+shuffle a second time under the unigram joins (measured
+    # 14.8s -> 1.4s at sf0.1). Both frames are vocabulary-shaped — KB to
+    # low MB even at corpus scale — exactly the state a production
+    # pipeline would persist as its LM tables. They are RELEASED below
+    # once the LM table is collected (ADVICE r4 #2: a returned-lazy
+    # plan over session-lifetime caches leaks blocks across runs).
     uni = (
         df.select(F.explode(toks_arr).alias("tok"))
         .groupBy("tok")
@@ -608,8 +610,20 @@ def bigram_logprob_score(
             ).cast("long").alias("lp_micro"),
         )
     )
+    # Materialize the LM table on the DRIVER (bigram-type-shaped — the
+    # same size bound the broadcast below already assumes) and re-enter
+    # it as a local relation: total cluster work is unchanged (the
+    # explode still runs once to build counts, once under the scoring
+    # join), but uni/big can be unpersisted HERE instead of leaking
+    # cached blocks for the session lifetime.
+    lp_rows = lp.collect()
+    uni.unpersist()
+    big.unpersist()
+    lp_local = df.sparkSession.createDataFrame(
+        lp_rows, "prev STRING, cur STRING, lp_micro BIGINT"
+    )
     return (
-        grams.join(F.broadcast(lp), ["prev", "cur"])
+        grams.join(F.broadcast(lp_local), ["prev", "cur"])
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_bigrams"),

@@ -672,6 +672,7 @@ def split_oversized_cells(
     id_col: str = "id",
     cluster_col: str = "cluster",
     max_depth: int = 3,
+    unpersist_input: bool = False,
 ) -> DataFrame:
     """Skew guard for cell-blocked pair search (VERDICT r2 #5): any
     cell larger than ``max_cell_size`` is re-clustered with a fresh
@@ -694,7 +695,13 @@ def split_oversized_cells(
     from .similarity import kmeans_assign_df, kmeans_fit
 
     out = assigned
-    prev_persisted: DataFrame | None = None
+    # With unpersist_input=True the caller hands over responsibility
+    # for ``assigned``'s cache: the first split round releases it once
+    # the round's own persisted union materializes (if no cell needs a
+    # split, ``assigned`` IS the returned frame and stays cached —
+    # releasing it would be wrong). Fixes the orphaned first persist in
+    # embedding_near_dup_kmeans (ADVICE r4 #2).
+    prev_persisted: DataFrame | None = assigned if unpersist_input else None
     # fresh labels start above every label k-means can issue
     next_label = (
         out.agg(F.max(F.col(cluster_col)).alias("m")).collect()[0]["m"] or 0
@@ -800,7 +807,8 @@ def embedding_near_dup_kmeans(
         # sub-splits always use a small k: the goal is halving-ish cuts
         # of one oversized cell, not re-clustering the corpus
         normed = split_oversized_cells(
-            normed, max_cell_size, k=min(k, 8), iters=iters
+            normed, max_cell_size, k=min(k, 8), iters=iters,
+            unpersist_input=True,
         )
     a = normed.select(
         F.col("id").alias("id_a"), F.col("emb").alias("emb_a"),

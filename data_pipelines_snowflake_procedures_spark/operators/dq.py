@@ -419,14 +419,21 @@ def fd_consistency_long(
     skipped_schema = (
         "pair STRING, inconsistent_keys BIGINT, result DOUBLE, status STRING"
     )
+    # Batch ALL skipped pairs into ONE local relation: a per-pair
+    # createDataFrame would add k*(N-1) LocalRelations to the union
+    # plan on a wide table with k unique determinants, partially
+    # offsetting the scan savings the pre-filter exists for
+    # (ADVICE r4 #5).
+    skipped_rows = [
+        (f"{c1}->{c2}", 0, 1.0, "passed")
+        for c1, c2 in pairs
+        if c1 in unique_cols
+    ]
     parts = []
+    if skipped_rows:
+        parts.append(df.sparkSession.createDataFrame(skipped_rows, skipped_schema))
     for c1, c2 in pairs:
         if c1 in unique_cols:
-            parts.append(
-                df.sparkSession.createDataFrame(
-                    [(f"{c1}->{c2}", 0, 1.0, "passed")], skipped_schema
-                )
-            )
             continue
         inconsistent = (
             df.filter(F.col(c1).isNotNull() & F.col(c2).isNotNull())

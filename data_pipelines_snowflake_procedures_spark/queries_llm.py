@@ -2499,7 +2499,7 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, vdf in variants
     ]
     n_truth = truth.agg(F.count("*").cast("double").alias("n_truth"))
-    return (
+    out = (
         reduce(lambda a, b: a.unionByName(b), parts)
         .crossJoin(F.broadcast(n_truth))
         .select(
@@ -2509,6 +2509,13 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+    # The report is 5 rows: materialize it eagerly so the corpus/truth
+    # caches can be RELEASED here instead of leaking for the session
+    # lifetime behind a lazy return (ADVICE r4 #2).
+    rows = out.collect()
+    emb.unpersist()
+    truth.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def _near_dup_kmeans_oracle() -> str:
@@ -2806,6 +2813,53 @@ def documents_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (detect_language(F.col("text")) == "en").cast("int").alias("label"),
     )
     return roc_auc(scored, "score", "label")
+
+
+@register(
+    "documents_quality_auc_binned",
+    f"""
+    WITH b AS ({_eval_base_sql()}),
+    bd AS (SELECT min(s) AS mn, max(s) AS mx FROM b),
+    bi AS (
+      SELECT CASE WHEN bd.mx = bd.mn THEN 0
+             ELSE least(CAST(floor((b.s - bd.mn) * 1024.0 / (bd.mx - bd.mn))
+                        AS BIGINT), 1023)
+             END AS bin, b.y
+      FROM b, bd
+    ),
+    g AS (SELECT bin, count_if(y = 1) AS p, count_if(y = 0) AS n
+          FROM bi GROUP BY bin),
+    c AS (SELECT p, n,
+                 coalesce(sum(n) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn
+          FROM g)
+    SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(n) AS BIGINT) AS n_neg,
+           round(sum(p * (cn + 0.5 * n))
+                 / (sum(p)::DOUBLE * sum(n)::DOUBLE), 6) AS auc
+    FROM c
+    """,
+    doc="ROC-AUC over a 1024-bin score histogram (operators/"
+    "metrics.py::roc_auc_binned) — the registered 100 TB path beside "
+    "the exact rank form (VERDICT r4 next-round #1): the only "
+    "full-data operation is a binned groupBy with map-side partials; "
+    "the Mann-Whitney tie algebra then runs over ≤1024 (bin, p, n) "
+    "count rows, so no task ever sorts the corpus. On this entry's "
+    "2-decimal quality scores 1024 bins give one bin per distinct "
+    "score, so the value EQUALS documents_quality_auc exactly — the "
+    "identity tests/test_llm_ops.py asserts; the oracle restates the "
+    "binned algebra itself.",
+)
+def documents_quality_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.metrics import roc_auc_binned
+    from .operators.text import detect_language, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.round(quality_score(F.col("text")), 2).alias("score"),
+        (detect_language(F.col("text")) == "en").cast("int").alias("label"),
+    )
+    return roc_auc_binned(scored, "score", "label", bins=1024)
 
 
 def _knn_pq_oracle() -> str:

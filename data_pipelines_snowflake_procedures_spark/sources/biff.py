@@ -93,6 +93,12 @@ def _cfb_stream(data: bytes, names: tuple[str, ...] = ("Workbook", "Book")) -> b
         name = entry[: cb_name - 2].decode("utf-16-le", errors="replace")
         (start,) = struct.unpack_from("<I", entry, 116)
         (size,) = struct.unpack_from("<Q", entry, 120)
+        if sector_shift == 9:
+            # MS-CFB §2.6.1: for v3 (512-byte-sector) files only the low
+            # 32 bits of stream size are reliable; writer garbage in the
+            # high dword could push a mini-stream past mini_cutoff and
+            # walk the wrong FAT (ADVICE r4 #4).
+            size &= 0xFFFFFFFF
         if obj_type == 5:  # root: its chain IS the mini stream
             root_start, root_size = start, size
         elif obj_type == 2 and name in names and target_start is None:

@@ -197,20 +197,30 @@ def run_to_memory(
     )
     saw_data = False
     idle_batches = 0
-    last_batch = None
+    last_batch = -1
     deadline = _time.time() + timeout_sec
-    while q.isActive and _time.time() < deadline:
-        lp = q.lastProgress
-        if lp is not None and lp["batchId"] != last_batch:
-            last_batch = lp["batchId"]
-            if lp["numInputRows"] > 0:
+    stop = False
+    while q.isActive and not stop and _time.time() < deadline:
+        # recentProgress, not lastProgress: batches can complete faster
+        # than the poll interval, and lastProgress only exposes the most
+        # recent one — a skipped batch would miscount the
+        # two-consecutive-idle-batches stop rule (ADVICE r4 #3).
+        # recentProgress retains the last ~100 updates, far more than
+        # can complete between 0.2 s polls.
+        for p in q.recentProgress:
+            if p["batchId"] <= last_batch:
+                continue
+            last_batch = p["batchId"]
+            if p["numInputRows"] > 0:
                 saw_data = True
                 idle_batches = 0
             elif saw_data:
                 idle_batches += 1
                 if idle_batches >= 2:
+                    stop = True
                     break
-        _time.sleep(0.2)
+        if not stop:
+            _time.sleep(0.2)
     if q.isActive:
         q.stop()
     q.awaitTermination(30)

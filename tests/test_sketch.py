@@ -106,10 +106,13 @@ def test_cms_merge_invariant_and_one_sided_error(spark, sf_dir):
 
 def test_cms_bucket_keys_single_scan_entry(spark, sf_dir):
     """VERDICT r3 wrong-list #1: the CMS registry entry must not scan
-    events a second time to enumerate its query keys. With the merged
-    sketch persisted and keys drawn from its own h=0 exemplars, the
-    optimized plan reads ONLY the cached sketch (zero parquet
-    relations); the one real scan happens inside the cache build."""
+    events a second time to enumerate its query keys. The merged
+    sketch is persisted WHILE the estimate computes (keys drawn from
+    its own h=0 exemplars — one real events scan inside the cache
+    build), then the key-cardinality-sized result materializes and the
+    sketch cache is released (ADVICE r4 #2): the returned plan is a
+    local relation with ZERO parquet relations and ZERO live cached
+    blocks."""
     from data_pipelines_snowflake_procedures_spark.operators.sketch import (
         cms_bucket_keys,
         cms_build,
@@ -122,7 +125,8 @@ def test_cms_bucket_keys_single_scan_entry(spark, sf_dir):
     est = {r["event_type"]: r["est_count"] for r in df.collect()}
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("Relation parquet") == 0, opt
-    assert "InMemoryRelation" in opt
+    # the entry releases its sketch cache before returning
+    assert "InMemoryRelation" not in opt
 
     # exemplar key recovery enumerates exactly the observed vocabulary
     ev = load_table(spark, sf_dir, "events")
