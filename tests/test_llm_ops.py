@@ -56,7 +56,9 @@ def test_jaccard_and_lsh_agree_on_identical_docs(spark):
     exact = token_jaccard_pairs(_docs(spark), threshold=0.9).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in exact} == {(1, 2)}
     assert exact[0]["jaccard"] == 1.0
-    lsh = minhash_lsh_pairs(_docs(spark), threshold=0.9).collect()
+    # n=1 pinned: this test compares against token_jaccard_pairs, whose
+    # unit is the raw token set (the operator default is now n=3)
+    lsh = minhash_lsh_pairs(_docs(spark), threshold=0.9, n=1).collect()
     # identical token sets share every band → LSH must find the pair
     assert {(r["doc_a"], r["doc_b"]) for r in lsh} == {(1, 2)}
 
@@ -803,10 +805,15 @@ def test_lsh_bucket_cap_and_stats(spark):
     rows += [(100, "completely different unique content here"),
              (101, "completely different unique content there")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    stats = {r["bucket_size"]: r["n_buckets"] for r in lsh_bucket_stats(df).collect()}
+    # n=1 pinned: the fixture's bucket arithmetic (30 identical token
+    # sets, one near-dup pair at token-jaccard 0.5) is token-set math
+    stats = {
+        r["bucket_size"]: r["n_buckets"]
+        for r in lsh_bucket_stats(df, n=1).collect()
+    }
     assert 30 in stats  # the boilerplate bucket is visible pre-flight
-    full = minhash_lsh_pairs(df, threshold=0.5)
-    capped = minhash_lsh_pairs(df, threshold=0.5, max_bucket_size=10)
+    full = minhash_lsh_pairs(df, threshold=0.5, n=1)
+    capped = minhash_lsh_pairs(df, threshold=0.5, n=1, max_bucket_size=10)
     full_pairs = {(r["doc_a"], r["doc_b"]) for r in full.collect()}
     capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
     assert (100, 101) in full_pairs and (100, 101) in capped_pairs
