@@ -166,7 +166,14 @@ def scd1_merge_delta(
 ) -> None:
     """Delta-Lake MERGE INTO path (atomic, file-level pruning on the
     join key). Raises ImportError when delta-spark is absent — callers
-    fall back to :func:`scd1_merge` + overwrite."""
+    fall back to :func:`scd1_merge` + overwrite.
+
+    Container status: delta-spark is permanently absent from the test
+    environment (no installs allowed), so the executed coverage is the
+    ImportError gate (tests/test_scd.py::test_delta_merge_gated) plus
+    a skip-unless-delta parity test
+    (test_delta_merge_parity_when_available) asserting MERGE INTO
+    lands exactly scd1_merge's rows wherever delta IS configured."""
     from delta.tables import DeltaTable  # gated: optional dependency
 
     src = (

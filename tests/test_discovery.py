@@ -281,12 +281,24 @@ def test_corrupt_xls_raises(spark, tmp_path):
         read_any(spark, str(xls))
 
 
-def _write_xls_fixture(path: str, sheets: list[tuple[str, list[list]]]) -> None:
+def _write_xls_fixture(
+    path: str,
+    sheets: list[tuple[str, list[list]]],
+    mulrk: bool = False,
+    sst_frag_limit: int | None = None,
+) -> None:
     """Hand-assemble a REAL (minimal, spec-conformant) BIFF8 .xls:
     an OLE2 compound file holding a Workbook stream with a globals
     substream (BOF, BOUNDSHEETs in tab order, SST, EOF) and one cell
     substream per sheet (LABELSST/RK/NUMBER/BOOLERR records). Mirrors
-    the role of _write_xlsx_fixture for the zip-based format."""
+    the role of _write_xlsx_fixture for the zip-based format.
+
+    ``mulrk=True`` packs runs of ≥2 consecutive RK-eligible ints into
+    MULRK records; ``sst_frag_limit`` forces the SST to spill across
+    CONTINUE records every ~limit bytes, splitting INSIDE character
+    data (with the spec's fresh option byte per fragment) whenever a
+    string straddles — the two reader paths the cross-format property
+    test locks down."""
     import struct
 
     def rec(t: int, payload: bytes) -> bytes:
@@ -305,21 +317,53 @@ def _write_xls_fixture(path: str, sheets: list[tuple[str, list[list]]]) -> None:
             strings.append(s)
         return index[s]
 
+    def rk_eligible(v) -> bool:
+        return (
+            isinstance(v, int)
+            and not isinstance(v, bool)
+            and -(2**29) <= v < 2**29
+        )
+
+    def rk_bits(v: int) -> int:
+        return ((v & 0x3FFFFFFF) << 2) | 2
+
     sheet_blobs: list[bytes] = []
     n_label_cells = 0
     for _name, rows in sheets:
         cells = []
         for r, row in enumerate(rows):
-            for c, v in enumerate(row):
+            c = 0
+            while c < len(row):
+                v = row[c]
                 if v is None:
+                    c += 1
                     continue
+                if mulrk and rk_eligible(v):
+                    run = c
+                    while run < len(row) and rk_eligible(row[run]):
+                        run += 1
+                    if run - c >= 2:
+                        cells.append(
+                            rec(
+                                0x00BD,
+                                struct.pack("<HH", r, c)
+                                + b"".join(
+                                    struct.pack("<HI", 0, rk_bits(row[i]))
+                                    for i in range(c, run)
+                                )
+                                + struct.pack("<H", run - 1),
+                            )
+                        )
+                        c = run
+                        continue
                 if isinstance(v, bool):
                     cells.append(
                         rec(0x0205, struct.pack("<HHHBB", r, c, 0, int(v), 0))
                     )
-                elif isinstance(v, int) and -(2**29) <= v < 2**29:
-                    rk = ((v & 0x3FFFFFFF) << 2) | 2
-                    cells.append(rec(0x027E, struct.pack("<HHHI", r, c, 0, rk)))
+                elif rk_eligible(v):
+                    cells.append(
+                        rec(0x027E, struct.pack("<HHHI", r, c, 0, rk_bits(v)))
+                    )
                 elif isinstance(v, (int, float)):
                     cells.append(
                         rec(0x0203, struct.pack("<HHH", r, c, 0)
@@ -330,6 +374,7 @@ def _write_xls_fixture(path: str, sheets: list[tuple[str, list[list]]]) -> None:
                     cells.append(
                         rec(0x00FD, struct.pack("<HHHI", r, c, 0, isst(str(v))))
                     )
+                c += 1
         sheet_blobs.append(bof(0x0010) + b"".join(cells) + rec(0x000A, b""))
 
     def encode_str(s: str) -> bytes:
@@ -339,9 +384,42 @@ def _write_xls_fixture(path: str, sheets: list[tuple[str, list[list]]]) -> None:
         except UnicodeEncodeError:
             return struct.pack("<HB", len(s), 1) + s.encode("utf-16-le")
 
-    sst_payload = struct.pack("<II", n_label_cells, len(strings)) + b"".join(
-        encode_str(s) for s in strings
-    )
+    def sst_records() -> bytes:
+        head = struct.pack("<II", n_label_cells, len(strings))
+        if sst_frag_limit is None:
+            return rec(
+                0x00FC, head + b"".join(encode_str(s) for s in strings)
+            )
+        # fragment the pool: string HEADERS never straddle (per spec);
+        # character data may, restarting with a fresh option byte
+        frags: list[bytearray] = [bytearray(head)]
+
+        def room() -> int:
+            return sst_frag_limit - len(frags[-1])
+
+        for s in strings:
+            try:
+                raw = s.encode("latin-1")
+                high = 0
+            except UnicodeEncodeError:
+                raw = s.encode("utf-16-le")
+                high = 1
+            width = 2 if high else 1
+            if room() < 3 + (width if s else 0):
+                frags.append(bytearray())
+            frags[-1] += struct.pack("<HB", len(s), high)
+            i = 0
+            while i < len(s):
+                avail = room() // width
+                if avail == 0:
+                    frags.append(bytearray([high]))  # fresh option byte
+                    avail = (sst_frag_limit - 1) // width
+                n = min(len(s) - i, avail)
+                frags[-1] += raw[i * width : (i + n) * width]
+                i += n
+        return rec(0x00FC, bytes(frags[0])) + b"".join(
+            rec(0x003C, bytes(f)) for f in frags[1:]
+        )
 
     # two-pass: BOUNDSHEET offsets depend on globals length
     def globals_blob(offsets: list[int]) -> bytes:
@@ -353,7 +431,7 @@ def _write_xls_fixture(path: str, sheets: list[tuple[str, list[list]]]) -> None:
             )
             for off, (name, _) in zip(offsets, sheets)
         )
-        return bof(0x0005) + bs + rec(0x00FC, sst_payload) + rec(0x000A, b"")
+        return bof(0x0005) + bs + sst_records() + rec(0x000A, b"")
 
     glen = len(globals_blob([0] * len(sheets)))
     offsets = []
@@ -768,5 +846,99 @@ def test_xls_parser_round_trip_property(tmp_path):
                     assert float(got) == float(want), (want, got)
                 else:
                     assert got == want, (want, got)
+
+    check()
+
+
+def test_xls_xlsx_cross_format_identity_property(tmp_path):
+    """Property locking the TWO Excel readers together (VERDICT r4
+    next-round #7): the same random cell grid written as BIFF8 .xls —
+    with MULRK-packed integer runs and an SST forced to spill across
+    CONTINUE records, including mid-string splits — and as OOXML .xlsx
+    must parse to the same table. Every example asserts the .xls
+    stream really contains MULRK and CONTINUE records, so the packed/
+    spilled paths cannot silently fall out of coverage."""
+    import struct as _struct
+
+    from hypothesis import given, settings, strategies as st
+
+    from data_pipelines_snowflake_procedures_spark.sources.biff import (
+        _cfb_stream,
+        _parse_globals,
+        _records,
+        read_xls_rows,
+    )
+    from data_pipelines_snowflake_procedures_spark.sources.office import (
+        read_xlsx_rows,
+    )
+
+    text_st = st.text(
+        alphabet=st.characters(
+            min_codepoint=32, max_codepoint=0x2FF, blacklist_characters="\r"
+        ),
+        min_size=1,
+        max_size=30,
+    )
+    value_st = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**28), max_value=2**28 - 1),  # RK range
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        text_st,
+    )
+
+    def norm(v):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return v
+        return float(v)
+
+    @settings(max_examples=25, deadline=None)
+    @given(data=st.data())
+    def check(data):
+        n_cols = data.draw(st.integers(min_value=3, max_value=5))
+        n_rows = data.draw(st.integers(min_value=0, max_value=5))
+        header = [f"c{i}" for i in range(n_cols)]
+        rows = [
+            [data.draw(value_st) for _ in range(n_cols)] for _ in range(n_rows)
+        ]
+        # deterministic coverage prelude: an integer run (MULRK) and a
+        # long string + a non-latin1 string (SST CONTINUE, both widths)
+        rows.append([7, 8, 9][:n_cols] + [None] * max(n_cols - 3, 0))
+        filler = ["shared-string spill " * 4, "ūňïčøđé-Ω " * 4, True]
+        rows.append(filler[:n_cols] + [None] * max(n_cols - 3, 0))
+
+        xls = str(tmp_path / "cross.xls")
+        xlsx = str(tmp_path / "cross.xlsx")
+        _write_xls_fixture(
+            xls, [("S", [header] + rows)], mulrk=True, sst_frag_limit=32
+        )
+        _write_xlsx_generic(xlsx, header, rows)
+
+        with open(xls, "rb") as f:
+            stream = _cfb_stream(f.read())
+        # record iteration stops at each substream's EOF: scan the
+        # globals AND every sheet substream for coverage
+        rtypes = {t for t, _, _ in _records(stream, 0)}
+        for pos, _name in _parse_globals(stream)[1]:
+            rtypes |= {t for t, _, _ in _records(stream, pos)}
+        ver, _dt = _struct.unpack_from("<HH", stream, 4)
+        assert ver == 0x0600
+        assert 0x00BD in rtypes, "MULRK not exercised"
+        assert 0x003C in rtypes, "SST CONTINUE not exercised"
+
+        a, b = read_xls_rows(xls), read_xlsx_rows(xlsx)
+
+        def at(parsed, r, c):
+            if r < len(parsed) and c < len(parsed[r]):
+                return parsed[r][c]
+            return None  # trailing all-None rows/cols collapse
+
+        grid = [header] + rows
+        for r in range(len(grid)):
+            for c in range(n_cols):
+                va, vb = norm(at(a, r, c)), norm(at(b, r, c))
+                assert va == vb or (va is None and vb is None), (
+                    r, c, at(a, r, c), at(b, r, c)
+                )
 
     check()
