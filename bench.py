@@ -64,6 +64,8 @@ HEADLINE = [
     "pii_mask_customer",
     "scd1_merge_orders",
     "scd2_merge_orders",
+    "orders_snapshot_cdc_diff",
+    "customer_er_clusters",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",
@@ -85,11 +87,15 @@ HEADLINE = [
     "documents_strip_markup",
     "documents_quality_quantile",
     "documents_weighted_sample",
+    "documents_quality_threshold_metrics",
+    "documents_quality_auc",
+    "documents_quality_auc_binned",
     "knn_bruteforce_embeddings",
     "embedding_near_dup_blocked",
     "embedding_near_dup_kmeans",
     "kmeans_clusters_embeddings",
     "knn_sq_embeddings",
+    "knn_pq_embeddings",
     "embedding_label_cohesion",
     "hybrid_search_documents",
     # event-time windows + pandas surface
@@ -104,6 +110,19 @@ HEADLINE = [
     "events_groupwise_zscore",
     "events_distinct_users_sketch",
     "events_robust_outlier_profile",
+    "events_incremental_rollup",
+    # Structured Streaming entries — each runs a full availableNow
+    # drain of the events table through a memory sink inside queries()
+    # (micro-batch scheduling + state store + watermark flush, stopped
+    # after two consecutive idle batches), so their wall time tracks
+    # state-store health round-over-round, not just plan shape
+    # (VERDICT r4 next-round #8). Expect 2-5 s fixed drain overhead
+    # each at small SF.
+    "events_hourly_streaming",
+    "events_sessions_streaming",
+    "events_dedup_streaming",
+    "events_stream_stream_left_outer",
+    "events_user_totals_stateful_streaming",
 ]
 
 
