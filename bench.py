@@ -96,6 +96,7 @@ HEADLINE = [
     "kmeans_clusters_embeddings",
     "knn_sq_embeddings",
     "knn_pq_embeddings",
+    "knn_ivfpq_embeddings",
     "embedding_label_cohesion",
     "hybrid_search_documents",
     # event-time windows + pandas surface

@@ -3008,3 +3008,197 @@ def knn_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     books = pq_fit(emb, m=4, k=16, iters=2)
     return knn_pq(emb, emb.filter(F.col("vec_id") < 5), books, k=5, rerank=3)
+
+
+def _knn_ivfpq_oracle() -> str:
+    """Restates IVF-PQ end-to-end: the coarse 2-iteration Lloyd
+    quantizer (shared _kmeans_ctes), per-vector residuals, 4 unrolled
+    residual-codebook Lloyd runs, encode/reconstruct (cell centroid +
+    decoded residual), the nprobe=2 cell probe, and exact re-rank."""
+    m, sub, kk, nprobe = 4, 16, 16, 2
+
+    def sdist(a: str, b: str) -> str:
+        return (
+            f"list_aggregate([({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+            f"FOR i IN range(1, {sub + 1})], 'sum')"
+        )
+
+    ctes = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        ctes.append(f"""s{j} AS (
+      SELECT vec_id, remb[{lo}:{hi}] AS se FROM res
+    ),
+    c0_{j} AS (
+      SELECT srn - 1 AS cid, se AS c FROM (
+        SELECT se, row_number() OVER (ORDER BY vec_id) AS srn FROM s{j}
+      ) WHERE srn <= {kk}
+    ),
+    a1_{j} AS (
+      SELECT vec_id, se, cid AS cl FROM (
+        SELECT e.vec_id, e.se, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id ORDER BY {sdist('e.se', 'c.c')}, c.cid
+               ) AS rn
+        FROM s{j} e CROSS JOIN c0_{j} c
+      ) WHERE rn = 1
+    ),
+    c1m_{j} AS (
+      SELECT cl AS cid, i, round(avg(se[i]), 6) AS mval
+      FROM a1_{j}, unnest(range(1, {sub + 1})) AS t(i) GROUP BY cl, i
+    ),
+    c1l_{j} AS (SELECT cid, list(mval ORDER BY i) AS c FROM c1m_{j} GROUP BY cid),
+    c1_{j} AS (
+      SELECT s.cid, coalesce(cm.c, s.c) AS c
+      FROM c0_{j} s LEFT JOIN c1l_{j} cm USING (cid)
+    ),
+    a2_{j} AS (
+      SELECT vec_id, se, cid AS cl FROM (
+        SELECT e.vec_id, e.se, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id ORDER BY {sdist('e.se', 'c.c')}, c.cid
+               ) AS rn
+        FROM s{j} e CROSS JOIN c1_{j} c
+      ) WHERE rn = 1
+    ),
+    c2m_{j} AS (
+      SELECT cl AS cid, i, round(avg(se[i]), 6) AS mval
+      FROM a2_{j}, unnest(range(1, {sub + 1})) AS t(i) GROUP BY cl, i
+    ),
+    c2l_{j} AS (SELECT cid, list(mval ORDER BY i) AS c FROM c2m_{j} GROUP BY cid),
+    c2f_{j} AS (
+      SELECT s.cid, coalesce(cm.c, s.c) AS c
+      FROM c1_{j} s LEFT JOIN c2l_{j} cm USING (cid)
+    ),
+    dec_{j} AS (
+      SELECT vec_id, c FROM (
+        SELECT e.vec_id, c.c,
+               row_number() OVER (
+                 PARTITION BY e.vec_id ORDER BY {sdist('e.se', 'c.c')}, c.cid
+               ) AS rn
+        FROM s{j} e CROSS JOIN c2f_{j} c
+      ) WHERE rn = 1
+    )""")
+    books = ",\n    ".join(ctes)
+    recon_res = " || ".join(f"d{j}.c" for j in range(m))
+    joins = " ".join(f"JOIN dec_{j} d{j} USING (vec_id)" for j in range(1, m))
+    return f"""
+    WITH {_kmeans_ctes()},
+    af AS (
+      SELECT vec_id, cell, cc FROM (
+        SELECT e.vec_id, c.cid AS cell, c.c AS cc,
+               row_number() OVER (
+                 PARTITION BY e.vec_id ORDER BY {_KM_DIST}, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    res AS (
+      SELECT e.vec_id, a.cell, a.cc,
+             [e.embedding[i]::DOUBLE - a.cc[i] FOR i IN range(1, 65)] AS remb
+      FROM embeddings e JOIN af a USING (vec_id)
+    ),
+    {books},
+    deq AS (
+      SELECT d0.vec_id, {recon_res} AS dres FROM dec_0 d0 {joins}
+    ),
+    rec AS (
+      SELECT r.vec_id, r.cell,
+             [r.cc[i] + q.dres[i] FOR i IN range(1, 65)] AS rc
+      FROM res r JOIN deq q USING (vec_id)
+    ),
+    v AS (
+      SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS ve,
+             sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN embedding],
+                                 'sum')) AS nrm
+      FROM embeddings
+    ),
+    rcn AS (
+      SELECT rec.vec_id, rec.cell, v.ve, v.nrm, rec.rc,
+             sqrt(list_aggregate([d * d FOR d IN rec.rc], 'sum')) AS rc_nrm
+      FROM rec JOIN v USING (vec_id)
+    ),
+    qs AS (SELECT vec_id, ve, nrm FROM v WHERE vec_id < 5),
+    qp AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id ORDER BY
+                   list_aggregate([(q.ve[i] - c.c[i]) * (q.ve[i] - c.c[i])
+                                   FOR i IN range(1, 65)], 'sum'), c.cid
+               ) AS rn
+        FROM qs q CROSS JOIN c2 c
+      ) WHERE rn <= {nprobe}
+    ),
+    approx AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             q.ve AS q_emb, c.ve AS c_emb, q.nrm AS q_nrm, c.nrm AS c_nrm,
+             round(CASE WHEN q.nrm * c.rc_nrm > 0
+                   THEN list_aggregate([q.ve[i] * c.rc[i]
+                                        FOR i IN range(1, 65)], 'sum')
+                        / (q.nrm * c.rc_nrm)
+                   ELSE NULL END, 6) AS approx_cosine
+      FROM rcn c
+      JOIN qp p ON c.cell = p.cell
+      JOIN qs q ON q.vec_id = p.query_id
+      WHERE c.vec_id <> p.query_id
+    ),
+    cand AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id
+        ) AS arn FROM approx
+      ) WHERE arn <= 15
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id,
+             round(list_aggregate([q_emb[i] * c_emb[i] FOR i IN range(1, 65)],
+                                  'sum') / (q_nrm * c_nrm), 6) AS cosine
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM exact
+    ) WHERE rank <= 5
+    """
+
+
+@register(
+    "knn_ivfpq_embeddings",
+    _knn_ivfpq_oracle(),
+    doc="IVF-PQ composed ANN — the production 100 TB shape (FAISS "
+    "IndexIVFPQ): a k=8 coarse k-means quantizer restricts each query "
+    "to its nprobe=2 nearest cells (the scan reads nprobe/k of the "
+    "corpus; at scale cells are the partition key, so this is "
+    "partition pruning), and within cells the corpus is PQ-coded on "
+    "RESIDUALS (x - cell centroid, which quantize tighter than raw "
+    "vectors) at 4 codes/vector; approximate scores are asymmetric "
+    "cosine against centroid+decoded-residual, and the top-15 "
+    "candidates re-rank exactly. Every stage is deterministic "
+    "(lowest-id seeds, 6-decimal rounding, lowest-cell ties), so the "
+    "oracle restates the WHOLE pipeline: coarse Lloyd, residuals, 4 "
+    "residual-codebook Lloyd runs, encode/reconstruct, probe, rerank. "
+    "operators/similarity.py::ivf_residuals/knn_ivfpq.",
+)
+def knn_ivfpq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        ivf_residuals,
+        kmeans_fit,
+        knn_ivfpq,
+        pq_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = kmeans_fit(emb, k=8, iters=2)
+    res = ivf_residuals(emb, coarse)
+    books = pq_fit(res, m=4, k=16, iters=2, emb_col="remb")
+    return knn_ivfpq(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        coarse,
+        books,
+        k=5,
+        nprobe=2,
+        rerank=3,
+    )

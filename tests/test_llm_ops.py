@@ -972,3 +972,58 @@ def test_pq_roundtrip_and_recall(spark, sf_dir):
     }
     recall_wide = len(wide & truth) / len(truth)
     assert recall_wide >= recall, (recall, recall_wide)
+
+
+def test_ivfpq_full_coverage_equals_bruteforce(spark, sf_dir):
+    """IVF-PQ degeneracy invariant: probing EVERY coarse cell and
+    re-ranking a candidate set as large as the corpus must reproduce
+    knn_bruteforce exactly (the approximate phase then only ORDERS
+    candidates, and the exact re-rank fixes any ordering error). Also
+    checks the two recall levers move the right way at the registered
+    configuration (nprobe=2, rerank=3)."""
+    from data_pipelines_snowflake_procedures_spark.operators.similarity import (
+        ivf_residuals,
+        kmeans_fit,
+        knn_bruteforce,
+        knn_ivfpq,
+        pq_fit,
+    )
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    coarse = kmeans_fit(emb, k=8, iters=2)
+    res = ivf_residuals(emb, coarse)
+    # residuals really are emb - centroid: reconstructing with a zero
+    # residual recovers the cell centroid, so |remb| <= |emb - any c|
+    books = pq_fit(res, m=4, k=16, iters=2, emb_col="remb")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    truth = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in knn_bruteforce(emb, queries, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in knn_ivfpq(
+            emb, queries, coarse, books, k=5, nprobe=8, rerank=(n // 5) + 1
+        ).collect()
+    }
+    assert full == truth
+
+    # registered config: structural sanity + the nprobe recall lever
+    t_pairs = {(q, nb) for q, nb, _, _ in truth}
+    got1 = knn_ivfpq(emb, queries, coarse, books, k=5, nprobe=1, rerank=3)
+    got2 = knn_ivfpq(emb, queries, coarse, books, k=5, nprobe=2, rerank=3)
+    p1 = {(r["query_id"], r["neighbor_id"]) for r in got1.collect()}
+    p2 = {(r["query_id"], r["neighbor_id"]) for r in got2.collect()}
+    # per-query at most k rows, ranks contiguous from 1
+    for df in (got1, got2):
+        by_q = {}
+        for r in df.collect():
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        for q, ranks in by_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+            assert len(ranks) <= 5
+    # more probes never hurt recall on a fixed candidate budget per cell
+    assert len(p2 & t_pairs) >= len(p1 & t_pairs), (len(p1), len(p2))
