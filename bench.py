@@ -124,6 +124,7 @@ HEADLINE = [
     "events_dedup_streaming",
     "events_stream_stream_left_outer",
     "events_user_totals_stateful_streaming",
+    "events_incremental_rollup_streaming",
 ]
 
 

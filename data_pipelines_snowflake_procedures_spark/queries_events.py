@@ -757,6 +757,60 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_incremental_rollup_streaming",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 4) AS sum_value,
+           round(sum(value) / count(*), 4) AS avg_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="STREAMING incremental-aggregate maintenance (streaming/"
+    "stream.py::rollup_maintain_stream): foreachBatch reduces each "
+    "micro-batch to its partial state and folds it into a persistent "
+    "keys-sized parquet state table with the associative merge, "
+    "committed by the same atomic stage-and-swap as the streaming "
+    "SCD1 upsert. The entry replays events as TWO bounded streams "
+    "(day < 15, day >= 15) folding into ONE state — the second replay "
+    "exercises the state-exists merge path — then finalizes. The "
+    "oracle is the from-scratch GROUP BY over everything: micro-batch "
+    "boundaries cannot leak into the answer because the partial/merge "
+    "algebra is exact, which is the entire operating principle of a "
+    "100 TB daily rollup that never re-reads history.",
+)
+def events_incremental_rollup_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .operators.incremental import finalize
+    from .streaming.stream import read_events_stream, rollup_maintain_stream
+
+    work = tempfile.mkdtemp(prefix="rollup_stream_")
+    state = work + "/state"
+    try:
+        day = F.dayofmonth("ts")
+        for i, pred in enumerate((day < 15, day >= 15)):
+            q = rollup_maintain_stream(
+                spark,
+                read_events_stream(spark, sf_dir).filter(pred),
+                state,
+                ["event_type"],
+                "value",
+                checkpoint_suffix=str(i),
+            )
+            q.awaitTermination(300)
+        out = finalize(spark.read.parquet(state), ["event_type"])
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "events_robust_outlier_profile",
     """
     WITH med AS (

@@ -280,6 +280,55 @@ def scd1_upsert_stream(
     )
 
 
+def rollup_maintain_stream(
+    spark: SparkSession,
+    source_stream: DataFrame,
+    state_path: str,
+    keys: list[str],
+    value_col: str,
+    checkpoint_suffix: str = "",
+) -> "object":
+    """Streaming incremental-aggregate maintenance: every micro-batch
+    is reduced to its PARTIAL state (count/sum/min/max per key,
+    :func:`~..operators.incremental.partial_agg`) and folded into the
+    persistent state table with the associative merge
+    (:func:`~..operators.incremental.merge_partials`) — the streaming
+    face of the same algebra the batch ``events_incremental_rollup``
+    entry proves against recomputation. State is keys-sized, never
+    history-sized; the fold reads only the prior state + one batch's
+    partials, so a 100 TB history is never re-aggregated.
+
+    The parquet state commits via the same atomic stage-and-swap as
+    the streaming SCD1 upsert (``commit_swap``: the state is only ever
+    fully old or fully new, crash-recoverable). ``checkpoint_suffix``
+    lets several bounded replays fold into ONE state table, each with
+    its own progress tracking. Returns the query handle."""
+    from ..operators.incremental import merge_partials, partial_agg
+    from ..sources.sink import commit_swap
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        part = partial_agg(batch_df, keys, value_col)
+        try:
+            state = spark.read.parquet(state_path)
+            merged = merge_partials([state, part], keys)
+        except Exception:
+            merged = part
+        merged.write.mode("overwrite").parquet(state_path + ".staging")
+        commit_swap(state_path + ".staging", state_path)
+
+    return (
+        source_stream.writeStream.foreachBatch(_fold)
+        .option(
+            "checkpointLocation",
+            state_path + ".checkpoint" + checkpoint_suffix,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 #: Static enrichment dim for the stream-static join: event_type →
 #: reporting category. Driver-literal by design — the pattern under
 #: test is joining a STREAM to a static/slowly-changing lookup side.

@@ -252,3 +252,35 @@ def test_snapshot_diff_classifies_and_null_transitions(spark):
     assert out[3]["op"] == "update" and out[3]["s_new"] is None
     assert out[4]["op"] == "delete" and out[4]["s_new"] is None and out[4]["s_old"] == "d"
     assert out[5]["op"] == "insert" and out[5]["s_old"] is None
+
+
+def test_rollup_maintain_stream_state_sized_and_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """Streaming incremental maintenance invariants: the persisted
+    state is KEYS-sized (one row per grouping key, never
+    history-sized), and re-running a replay against its own checkpoint
+    folds nothing twice — the exactly-once property foreachBatch's
+    checkpoint + the atomic stage-and-swap commit provide together."""
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+    from data_pipelines_snowflake_procedures_spark.streaming.stream import (
+        read_events_stream,
+        rollup_maintain_stream,
+    )
+
+    state = str(tmp_path / "state")
+    src = read_events_stream(spark, sf_dir)
+    q = rollup_maintain_stream(spark, src, state, ["event_type"], "value", "0")
+    q.awaitTermination(300)
+    st1 = sorted(map(tuple, spark.read.parquet(state).collect()))
+    n_keys = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type").distinct().count()
+    )
+    assert len(st1) == n_keys
+    # same source + same checkpoint: availableNow finds nothing new,
+    # the state must be byte-for-byte unchanged
+    q2 = rollup_maintain_stream(spark, src, state, ["event_type"], "value", "0")
+    q2.awaitTermination(300)
+    st2 = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert st1 == st2
