@@ -113,6 +113,11 @@ def token_jaccard_pairs(
     documents before pairing — the skew guard that makes this viable
     beyond toy scale (dropped tokens only *lower* Jaccard estimates;
     at the default None, Jaccard is exact).
+
+    Cache note: the token index is cached because three branches of
+    the RETURNED lazy plan read it (sizes + both self-join sides), so
+    it must outlive this call — an intentional session cache; batch
+    harnesses release it between entries (bench.py clearCache).
     """
     toks = doc_tokens(df, text_col, id_col, n).cache()
     if max_token_df is not None:
@@ -153,7 +158,8 @@ def token_containment_pairs(
     standard detector for quote/boilerplate/sub-document duplication
     (CCNet-style). Same inverted-index plan shape as
     :func:`token_jaccard_pairs` — shuffle on token, never a cross
-    join; ``max_token_df`` is the high-DF skew guard.
+    join; ``max_token_df`` is the high-DF skew guard; same
+    intentional token-index cache (see the jaccard docstring).
 
     Output ``(doc_a, doc_b, containment)`` with doc_a < doc_b.
     """

@@ -1027,3 +1027,36 @@ def test_ivfpq_full_coverage_equals_bruteforce(spark, sf_dir):
             assert len(ranks) <= 5
     # more probes never hurt recall on a fixed candidate budget per cell
     assert len(p2 & t_pairs) >= len(p1 & t_pairs), (len(p1), len(p2))
+
+
+def test_roc_auc_binned_identity_property(spark):
+    """Property: for scores quantized to 2 decimals, 1024 bins always
+    resolve distinct scores (bin width = range/1024 < the 0.01 gap),
+    so the binned statistic EQUALS the exact Mann-Whitney rank form on
+    any labeled sample — the identity the scale path is registered on,
+    under generated data instead of one fixture."""
+    from hypothesis import given, settings, strategies as st
+
+    from data_pipelines_snowflake_procedures_spark.operators.metrics import (
+        roc_auc,
+        roc_auc_binned,
+    )
+
+    pair_st = st.tuples(
+        st.integers(min_value=0, max_value=100).map(lambda i: i / 100.0),
+        st.integers(min_value=0, max_value=1),
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(rows=st.lists(pair_st, min_size=2, max_size=40))
+    def check(rows):
+        df = spark.createDataFrame(rows, "s DOUBLE, y INT")
+        e = roc_auc(df, "s", "y").collect()[0]
+        b = roc_auc_binned(df, "s", "y", bins=1024).collect()[0]
+        assert (b["n_pos"], b["n_neg"]) == (e["n_pos"], e["n_neg"])
+        if e["auc"] is None:
+            assert b["auc"] is None
+        else:
+            assert abs(b["auc"] - e["auc"]) < 1e-9, (rows, e["auc"], b["auc"])
+
+    check()
