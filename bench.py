@@ -97,6 +97,8 @@ HEADLINE = [
     "knn_sq_embeddings",
     "knn_pq_embeddings",
     "knn_ivfpq_embeddings",
+    "embeddings_covariance",
+    "embeddings_pca_project",
     "embedding_label_cohesion",
     "hybrid_search_documents",
     # event-time windows + pandas surface

@@ -1,0 +1,162 @@
+"""Distributed PCA / whitening over embedding columns — the linear-
+algebra pass an embedding pipeline runs before ANN, SemDeDup, or
+cluster balancing: center the corpus, rotate onto the principal axes,
+optionally rescale to unit variance (whitening). Decorrelated inputs
+make cosine/L2 geometry honest when raw dimensions are correlated or
+wildly unequal in scale.
+
+Spark-first split of the work, mirroring MLlib's own PCA shape without
+importing it:
+
+* **Moment accumulation is distributed**: each partition reduces its
+  Arrow batches to one (n, Σx, ΣxᵀX) triple via numpy
+  (``mapInPandas`` — a dim×dim matmul per batch is exactly the case
+  the built-in expression language cannot express efficiently; 4096
+  ``F.sum`` products would bloat codegen, a posexplode pair-join
+  would shuffle dim²·rows). The triples are dim²-sized, so the final
+  fold is metadata work.
+* **Eigendecomposition is driver-side**: the covariance matrix is
+  dim×dim (64×64 here = 32 KB) — the same "model state lives on the
+  driver as literals" contract as k-means centroids and PQ codebooks.
+* **Projection is a broadcast expression**: components ride back in as
+  a 1-row broadcast matrix; the projection is zip_with dot products —
+  zero shuffle, corpus never moves.
+
+Determinism: covariance entries and eigenvalues are deterministic;
+eigenVECTOR sign is not (v and −v span the same axis), so
+:func:`pca_fit` canonicalizes each component to make its
+largest-|coefficient| entry positive (lowest index on ties). Results
+round to 6 decimals at fit time.
+
+Oracle status: eigendecomposition is not expressible in DuckDB SQL, so
+the registry entry is rows-only by nature; value-level verification is
+the numpy cross-check in tests/test_llm_ops.py (distributed moments ==
+exact single-machine PCA on the collected corpus).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _moment_frame(df: DataFrame, emb_col: str) -> DataFrame:
+    """Partition-level (n, Σx, X^T X) partials: one output row per
+    non-empty Arrow batch, each dim²-sized regardless of row count."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    def partials(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(pdf[emb_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [int(x.shape[0])],
+                    "s": [x.sum(axis=0).tolist()],
+                    "ss": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    return df.select(emb_col).mapInPandas(
+        partials, schema="n BIGINT, s ARRAY<DOUBLE>, ss ARRAY<DOUBLE>"
+    )
+
+
+def pca_fit(
+    df: DataFrame,
+    k: int = 8,
+    emb_col: str = "embedding",
+    decimals: int = 6,
+) -> dict:
+    """Fit PCA on an embedding column. Returns driver-held model state
+    (the k-means/PQ contract): ``{"mean": [dim], "components":
+    [k][dim] (rows = components, unit norm, sign-canonical),
+    "explained_variance": [k], "explained_variance_ratio": [k]}``.
+
+    One distributed pass accumulates (n, Σx, XᵀX); covariance,
+    eigendecomposition, and canonicalization are driver-side numpy
+    over the dim×dim matrix."""
+    import numpy as np
+
+    parts = _moment_frame(df, emb_col).collect()
+    if not parts:
+        raise ValueError("pca_fit: empty input")
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    dim = s.shape[0]
+    ss = np.sum([np.asarray(p["ss"]).reshape(dim, dim) for p in parts], axis=0)
+    mean = s / n
+    # unbiased sample covariance: (Σxxᵀ − n·μμᵀ) / (n−1)
+    cov = (ss - n * np.outer(mean, mean)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending; symmetric-exact
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # k × dim
+    # sign canon: largest-|coeff| entry positive (lowest index on ties)
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ev = np.maximum(evals[order], 0.0)
+    total = float(np.sum(np.maximum(evals, 0.0))) or 1.0
+    r = decimals
+    return {
+        "n": int(n),
+        "mean": [round(float(v), r) for v in mean],
+        "components": [[round(float(v), r) for v in row] for row in comps],
+        "explained_variance": [round(float(v), r) for v in ev],
+        "explained_variance_ratio": [round(float(v) / total, r) for v in ev],
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    emb_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+    decimals: int = 6,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Append ``out_col``: the centered embedding projected onto the
+    model's components (length k), optionally whitened (each component
+    divided by √variance, flooring tiny variances at ``eps`` so a
+    degenerate axis cannot explode). The mean and component matrix
+    ride in as a broadcast 1-row table — zero shuffle, and the plan
+    stays small at any (k, dim), same rationale as kmeans_assign_df."""
+    spark = df.sparkSession
+    scale = [
+        max(float(v), eps) ** 0.5 for v in model["explained_variance"]
+    ]
+    comps = [
+        [c / s for c in row] if whiten else list(row)
+        for row, s in zip(model["components"], scale)
+    ]
+    mat = spark.createDataFrame(
+        [([float(v) for v in model["mean"]], [[float(c) for c in row] for row in comps],)],
+        "__pca_mean: array<double>, __pca_comps: array<array<double>>",
+    )
+    centered = F.zip_with(
+        F.col(emb_col), F.col("__pca_mean"), lambda x, m: x.cast("double") - m
+    )
+    proj = F.transform(
+        F.col("__pca_comps"),
+        lambda row: F.round(
+            F.aggregate(
+                F.zip_with(centered, row, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            decimals,
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(mat))
+        .withColumn(out_col, proj)
+        .drop("__pca_mean", "__pca_comps")
+    )

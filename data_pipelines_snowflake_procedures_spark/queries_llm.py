@@ -3202,3 +3202,76 @@ def knn_ivfpq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=2,
         rerank=3,
     )
+
+
+@register(
+    "embeddings_covariance",
+    """
+    WITH x AS (
+      SELECT [v::DOUBLE FOR v IN embedding] AS e FROM embeddings
+    ),
+    n AS (SELECT count(*)::DOUBLE AS c FROM x),
+    u AS (
+      SELECT i, j, e[i] AS xi, e[j] AS xj
+      FROM x, unnest(range(1, 65)) AS a(i), unnest(range(1, 65)) AS b(j)
+      WHERE i <= j
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           round((sum(xi * xj) - sum(xi) * sum(xj) / any_value(n.c))
+                 / (any_value(n.c) - 1), 6) AS cov
+    FROM u, n GROUP BY i, j
+    """,
+    doc="Sample covariance matrix of the embedding corpus (upper "
+    "triangle, 1-based dims) — the distributed-moments half of PCA "
+    "(operators/linalg.py): each partition reduces its Arrow batches "
+    "to one (n, Sum x, X^T X) triple with a numpy matmul via "
+    "mapInPandas (the documented exception case: 4096 F.sum products "
+    "would bloat codegen, a posexplode pair-join would shuffle "
+    "dim^2 x rows), and the dim^2-sized partials fold on the driver. "
+    "The oracle recomputes every entry from scratch in SQL — proving "
+    "the one-pass moment algebra (Sum xx^T - Sum x Sum x^T / n) "
+    "against the definition. At 100 TB this pass reads the corpus "
+    "once and ships 32 KB per partition.",
+)
+def embeddings_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from .operators.linalg import _moment_frame
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    parts = _moment_frame(emb, "embedding").collect()
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    dim = s.shape[0]
+    ss = np.sum([np.asarray(p["ss"]).reshape(dim, dim) for p in parts], axis=0)
+    rows = [
+        (i + 1, j + 1, round(float((ss[i, j] - s[i] * s[j] / n) / (n - 1)), 6))
+        for i in range(dim)
+        for j in range(i, dim)
+    ]
+    return spark.createDataFrame(rows, "i INT, j INT, cov DOUBLE")
+
+
+@register(
+    "embeddings_pca_project",
+    None,  # eigendecomposition is not expressible in DuckDB -> rows-only;
+    # value-level verification is the numpy cross-check in
+    # tests/test_llm_ops.py::test_pca_matches_numpy_reference
+    doc="PCA projection of the embedding corpus onto its top-8 "
+    "principal axes (operators/linalg.py::pca_fit/pca_project): "
+    "distributed moment pass (see embeddings_covariance), driver-side "
+    "64x64 eigendecomposition with sign-canonical components (largest "
+    "|coefficient| positive, so results are deterministic despite "
+    "eigenvector sign ambiguity), then a zero-shuffle broadcast-"
+    "matrix projection. Whitening (unit-variance rescale) is the "
+    "variant flag. Rows-only by nature; the numpy reference test "
+    "pins values, orthonormality, and descending explained variance.",
+)
+def embeddings_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.linalg import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, k=8)
+    return pca_project(emb, model, out_col="pca").select(
+        "vec_id", "pca"
+    ).orderBy("vec_id")

@@ -1060,3 +1060,63 @@ def test_roc_auc_binned_identity_property(spark):
             assert abs(b["auc"] - e["auc"]) < 1e-9, (rows, e["auc"], b["auc"])
 
     check()
+
+
+def test_pca_matches_numpy_reference(spark, sf_dir):
+    """Distributed PCA == exact single-machine numpy PCA on the
+    collected corpus: the moment pass loses nothing to partitioning,
+    components are orthonormal with descending explained variance, the
+    sign canon is applied, and whitened projections have ~unit
+    variance per component."""
+    import numpy as np
+
+    from data_pipelines_snowflake_procedures_spark.operators.linalg import (
+        pca_fit,
+        pca_project,
+    )
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, k=8)
+
+    x = np.asarray(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:8]
+    ref_ev = evals[order]
+    ref_comps = evecs[:, order].T
+    for i in range(8):
+        j = int(np.argmax(np.abs(ref_comps[i])))
+        if ref_comps[i, j] < 0:
+            ref_comps[i] = -ref_comps[i]
+
+    assert np.allclose(model["mean"], mean, atol=2e-6)
+    assert np.allclose(model["explained_variance"], ref_ev, atol=2e-6)
+    got = np.asarray(model["components"])
+    assert np.allclose(got, ref_comps, atol=1e-4), np.abs(got - ref_comps).max()
+    # orthonormal rows, descending variance
+    assert np.allclose(got @ got.T, np.eye(8), atol=1e-3)
+    ev = model["explained_variance"]
+    assert all(a >= b - 1e-9 for a, b in zip(ev, ev[1:]))
+    assert all(np.argmax(np.abs(r)) >= 0 and r[np.argmax(np.abs(r))] > 0 for r in got)
+
+    # projection matches numpy; whitened projections ~unit variance
+    proj = {
+        r["vec_id"]: np.asarray(r["pca"])
+        for r in pca_project(emb, model).select("vec_id", "pca").collect()
+    }
+    ids = sorted(proj)
+    ref_proj = (x - mean) @ np.asarray(model["components"]).T
+    id_to_row = {r["vec_id"]: i for i, r in enumerate(emb.select("vec_id").collect())}
+    sample = ids[:20]
+    for vid in sample:
+        assert np.allclose(proj[vid], ref_proj[id_to_row[vid]], atol=1e-4)
+    white = np.asarray(
+        [r["pca"] for r in pca_project(emb, model, whiten=True).select("pca").collect()]
+    )
+    wvar = white.var(axis=0, ddof=1)
+    assert np.allclose(wvar, 1.0, atol=0.05), wvar
