@@ -942,3 +942,31 @@ def test_xls_xlsx_cross_format_identity_property(tmp_path):
                 )
 
     check()
+
+
+def test_xls_v3_directory_size_high_dword_garbage(tmp_path):
+    """MS-CFB v3 (512-byte sectors) declares the high 4 bytes of a
+    directory entry's stream size unreliable (ADVICE r4 #4): planting
+    garbage there must not change what the reader parses — without the
+    32-bit mask the inflated size could misroute a mini-stream onto
+    the regular FAT."""
+    import struct
+
+    from data_pipelines_snowflake_procedures_spark.sources.biff import (
+        read_xls_rows,
+    )
+
+    rows = [["a", "b"], [1, "x"], [2, "y"]]
+    clean = str(tmp_path / "clean.xls")
+    _write_xls_fixture(clean, [("S", rows)])
+    data = bytearray(open(clean, "rb").read())
+    # locate the Workbook directory entry by its utf-16 name and
+    # corrupt the high dword of its 8-byte size field (entry offset
+    # 120; the struct is 128 bytes, name at offset 0)
+    name = "Workbook".encode("utf-16-le")
+    at = data.find(name)
+    assert at != -1 and at % 128 == 0  # aligned directory entry
+    struct.pack_into("<I", data, at + 124, 0xDEADBEEF)
+    dirty = str(tmp_path / "dirty.xls")
+    open(dirty, "wb").write(bytes(data))
+    assert read_xls_rows(dirty) == read_xls_rows(clean)

@@ -108,6 +108,42 @@ def test_decode_bmp_24bit():
         decode_bmp(header + bad_dib)
 
 
+def test_decode_bmp_missing_final_row_pad():
+    """Some writers omit the last scan line's 4-byte pad (ADVICE r4
+    #1): the decoder must clamp to the available bytes and produce the
+    same channel means — padding never reaches the pixel slice. A
+    block short by a FULL row is genuinely corrupt and must raise
+    (the extractor quarantines it to NULL stats)."""
+    import struct
+
+    import pytest as _pytest
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        decode_bmp,
+    )
+
+    width, height = 2, 2
+    bottom = bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"
+    top_unpadded = bytes([255, 0, 0, 255, 255, 255])  # no final pad
+    pixel_data = bottom + top_unpadded
+    data_offset = 14 + 40
+    header = b"BM" + struct.pack(
+        "<IHHI", data_offset + len(pixel_data), 0, 0, data_offset
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data),
+        2835, 2835, 0, 0,
+    )
+    out = decode_bmp(header + dib + pixel_data)
+    assert (out["width"], out["height"]) == (2, 2)
+    assert out["mean_r"] == round((255 + 0 + 0 + 255) / 4, 4)
+    assert out["mean_g"] == round((0 + 255 + 0 + 255) / 4, 4)
+    assert out["mean_b"] == round((0 + 0 + 255 + 255) / 4, 4)
+
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(header + dib + bottom)  # a whole row missing
+
+
 def test_extract_features_decodes_ppm_payloads(spark):
     """End-to-end: text rendered as valid PPM via pure Column
     expressions, decoded for REAL inside the mapInPandas batch —
