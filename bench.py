@@ -66,6 +66,7 @@ HEADLINE = [
     "scd2_merge_orders",
     "orders_snapshot_cdc_diff",
     "customer_er_clusters",
+    "trade_graph_pagerank",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",

@@ -1838,6 +1838,95 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle() -> str:
+    """Unrolls the 3 damped iterations in CTEs — the k-means oracle
+    pattern applied to link analysis. Per-iteration 9-decimal rounding
+    keeps both engines bit-aligned above accumulation-order noise."""
+    its = []
+    prev = "p0"
+    for t in (1, 2, 3):
+        its.append(f"""i{t} AS (
+      SELECT f.dst, sum(f.frac * p.pr) AS inflow
+      FROM fr f JOIN {prev} p ON p.node = f.src GROUP BY f.dst
+    ),
+    p{t} AS (
+      SELECT n.node,
+             round((1 - 0.85) / nn.c
+                   + 0.85 * coalesce(i.inflow, 0), 9) AS pr
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN i{t} i ON i.dst = n.node
+    )""")
+        prev = f"p{t}"
+    steps = ",\n    ".join(its)
+    return f"""
+    WITH pairs AS (
+      SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+             count(*)::DOUBLE AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT src, dst, w FROM pairs
+      UNION ALL
+      SELECT dst, src, w FROM pairs
+    ),
+    nodes AS (
+      SELECT node FROM (
+        SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+      )
+    ),
+    nn AS (SELECT count(*)::DOUBLE AS c FROM nodes),
+    ow AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+    fr AS (
+      SELECT e.src, e.dst, e.w / o.ow AS frac
+      FROM edges e JOIN ow o USING (src)
+    ),
+    p0 AS (SELECT node, round(1.0 / nn.c, 9) AS pr FROM nodes CROSS JOIN nn),
+    {steps}
+    SELECT node, round(pr, 6) AS pr FROM p3
+    """
+
+
+@register(
+    "trade_graph_pagerank",
+    _pagerank_oracle(),
+    doc="Weighted PageRank (3 damped iterations) over the customer-"
+    "supplier trade graph derived from lineitem JOIN orders "
+    "(operators/graph.py::pagerank) - the iterative-sparse-matrix-"
+    "vector family member beside k-means and connected components, "
+    "and the corpus-curation centrality signal (rank documents by "
+    "similarity-graph centrality) exercised here on a relational "
+    "graph. The graph is a distributed EDGE LIST: one iteration = "
+    "join ranks onto edges by source + groupBy destination (O(|E|) "
+    "shuffled bytes/iter), ranks node-sized, no driver graph object. "
+    "Deterministic via per-iteration 9-decimal rounding (the k-means "
+    "contract); the oracle unrolls all three iterations in CTEs and "
+    "hash-matches.",
+)
+def trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count("*").cast("double").alias("w"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            "w",
+        )
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    return pagerank(edges, iters=3, weight_col="w")
+
+
+
 # Extension entries (LLM text/dedup/similarity; event windows;
 # multimodal; TPC-H-shape relational widening) register themselves on
 # import; placed last so REGISTRY and helpers exist.

@@ -1120,3 +1120,38 @@ def test_pca_matches_numpy_reference(spark, sf_dir):
     )
     wvar = white.var(axis=0, ddof=1)
     assert np.allclose(wvar, 1.0, atol=0.05), wvar
+
+
+def test_pagerank_invariants(spark):
+    """Hand-checkable PageRank cases: a symmetric pair stays uniform
+    (0.5/0.5 is the fixed point), a directed cycle stays uniform, mass
+    is conserved on graphs with no dangling nodes (Σpr = 1), and a
+    star's center outranks its leaves."""
+    from data_pipelines_snowflake_procedures_spark.operators.graph import (
+        pagerank,
+    )
+
+    def run(edges, **kw):
+        df = spark.createDataFrame(edges, "src STRING, dst STRING, w DOUBLE")
+        return {
+            r["node"]: r["pr"]
+            for r in pagerank(df, weight_col="w", **kw).collect()
+        }
+
+    pair = run([("a", "b", 1.0), ("b", "a", 1.0)])
+    assert abs(pair["a"] - 0.5) < 1e-6 and abs(pair["b"] - 0.5) < 1e-6
+
+    cycle = run([("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)])
+    assert all(abs(v - 1 / 3) < 1e-6 for v in cycle.values())
+
+    star = run(
+        [("hub", x, 1.0) for x in "lmn"] + [(x, "hub", 1.0) for x in "lmn"],
+        iters=5,
+    )
+    assert all(star["hub"] > star[x] for x in "lmn")
+    assert abs(sum(star.values()) - 1.0) < 1e-5  # no dangling: conserved
+
+    # dangling sink: mass leaks by design (documented convention)
+    sink = run([("a", "b", 1.0)])
+    assert sum(sink.values()) < 1.0
+    assert sink["b"] > sink["a"]  # the sink receives, never gives
