@@ -91,6 +91,7 @@ HEADLINE = [
     "documents_quality_threshold_metrics",
     "documents_quality_auc",
     "documents_quality_auc_binned",
+    "documents_centrality_pagerank",
     "knn_bruteforce_embeddings",
     "embedding_near_dup_blocked",
     "embedding_near_dup_kmeans",

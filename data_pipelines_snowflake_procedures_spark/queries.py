@@ -1838,26 +1838,33 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle() -> str:
-    """Unrolls the 3 damped iterations in CTEs — the k-means oracle
-    pattern applied to link analysis. Per-iteration 9-decimal rounding
-    keeps both engines bit-aligned above accumulation-order noise."""
+def pagerank_steps_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Reusable CTE unroll of ``iters`` damped PageRank iterations —
+    the k-means oracle pattern applied to link analysis. Expects CTEs
+    ``nodes(node)``, ``nn(c)``, ``fr(src, dst, frac)`` and ``p0(node,
+    pr)`` in scope; emits ``i1/p1 … iN/pN`` with the operator's
+    per-iteration 9-decimal rounding, which keeps both engines
+    bit-aligned above accumulation-order noise."""
     its = []
     prev = "p0"
-    for t in (1, 2, 3):
+    for t in range(1, iters + 1):
         its.append(f"""i{t} AS (
       SELECT f.dst, sum(f.frac * p.pr) AS inflow
       FROM fr f JOIN {prev} p ON p.node = f.src GROUP BY f.dst
     ),
     p{t} AS (
       SELECT n.node,
-             round((1 - 0.85) / nn.c
-                   + 0.85 * coalesce(i.inflow, 0), 9) AS pr
+             round((1 - {damping}) / nn.c
+                   + {damping} * coalesce(i.inflow, 0), 9) AS pr
       FROM nodes n CROSS JOIN nn
       LEFT JOIN i{t} i ON i.dst = n.node
     )""")
         prev = f"p{t}"
-    steps = ",\n    ".join(its)
+    return ",\n    ".join(its)
+
+
+def _pagerank_oracle() -> str:
+    steps = pagerank_steps_sql(3)
     return f"""
     WITH pairs AS (
       SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,

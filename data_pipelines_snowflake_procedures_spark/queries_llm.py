@@ -3275,3 +3275,71 @@ def embeddings_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(emb, model, out_col="pca").select(
         "vec_id", "pca"
     ).orderBy("vec_id")
+
+
+def _doc_centrality_oracle() -> str:
+    from .queries import pagerank_steps_sql
+
+    return f"""
+    WITH {_TSETS_SQL},
+    prs AS (
+      SELECT ta.doc_id AS a, tb.doc_id AS b, {_VERIFY_JACCARD_SQL} AS w
+      FROM tsets ta JOIN tsets tb ON ta.doc_id < tb.doc_id
+      WHERE {_VERIFY_JACCARD_SQL} >= 0.5
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst, w FROM prs
+      UNION ALL
+      SELECT b AS src, a AS dst, w FROM prs
+    ),
+    nodes AS (
+      SELECT node FROM (
+        SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+      )
+    ),
+    nn AS (SELECT count(*)::DOUBLE AS c FROM nodes),
+    ow AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+    fr AS (
+      SELECT e.src, e.dst, e.w / o.ow AS frac
+      FROM edges e JOIN ow o USING (src)
+    ),
+    p0 AS (SELECT node, round(1.0 / nn.c, 9) AS pr FROM nodes CROSS JOIN nn),
+    {pagerank_steps_sql(3)}
+    SELECT CAST(node AS BIGINT) AS node, round(pr, 6) AS pr FROM p3
+    """
+
+
+@register(
+    "documents_centrality_pagerank",
+    _doc_centrality_oracle(),
+    doc="Similarity-graph centrality for corpus curation: documents "
+    "become nodes, token-Jaccard >= 0.5 pairs become weighted "
+    "symmetric edges (the inverted-index pair join — corpus never "
+    "cross-joined), and 3 damped PageRank iterations rank documents "
+    "by how central they sit in their near-dup neighborhood — the "
+    "standard signal for picking REPRESENTATIVE content (keep the "
+    "high-centrality exemplar, drop satellites) instead of dedup's "
+    "arbitrary min-id winner. Composes operators/dedup.py::"
+    "token_jaccard_pairs with operators/graph.py::pagerank; the "
+    "oracle restates the pair join AND unrolls all three iterations "
+    "(shared pagerank_steps_sql CTE generator).",
+)
+def documents_centrality_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import token_jaccard_pairs
+    from .operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = token_jaccard_pairs(docs, threshold=0.5)
+    half = pairs.select(
+        F.col("doc_a").alias("src"),
+        F.col("doc_b").alias("dst"),
+        F.col("jaccard").alias("w"),
+    )
+    edges = half.unionByName(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    return pagerank(edges, iters=3, weight_col="w").select(
+        F.col("node").cast("long").alias("node"), "pr"
+    )
