@@ -61,15 +61,27 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
     )
+    # nodes and fracs are read every iteration inside ONE final action:
+    # without the persists the whole edge-derivation lineage (often a
+    # join+groupBy upstream) re-executes ~2x per iteration. Released
+    # below once the final ranks materialize (localCheckpoint), so no
+    # session-lifetime blocks outlive the call.
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        # empty graph: empty result, same (node, pr) contract
+        return nodes.withColumn("pr", F.lit(0.0)).select("node", "pr")
     out_w = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    frac = e.join(out_w, "src").select(
-        "src", "dst", (F.col("w") / F.col("ow")).alias("frac")
+    frac = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("frac"))
+        .persist()
     )
     base = (1.0 - damping) / n
     pr = nodes.withColumn("pr", F.lit(round(1.0 / n, iter_decimals)))
@@ -91,5 +103,12 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            pr = pr.localCheckpoint(eager=False)
-    return pr.select("node", F.round("pr", decimals).alias("pr"))
+            pr = pr.localCheckpoint(eager=True)
+    # materialize the node-sized ranks (truncating lineage through the
+    # caches), then release the loop state
+    out = pr.select(
+        "node", F.round("pr", decimals).alias("pr")
+    ).localCheckpoint(eager=True)
+    nodes.unpersist()
+    frac.unpersist()
+    return out

@@ -68,6 +68,25 @@ def _moment_frame(df: DataFrame, emb_col: str) -> DataFrame:
     )
 
 
+def covariance_from_moments(parts: list) -> tuple[int, "object", "object"]:
+    """Fold collected moment partials into ``(n, mean, cov)`` — the
+    ONE place the '(Σxxᵀ − Σx·Σxᵀ/n) / max(n−1, 1)' algebra lives, so
+    :func:`pca_fit` and the covariance registry entry cannot drift.
+    Raises ValueError on empty input; a single-row corpus yields a
+    zero covariance (the max(n−1, 1) floor) rather than dividing by
+    zero."""
+    import numpy as np
+
+    if not parts:
+        raise ValueError("covariance_from_moments: empty input")
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    dim = s.shape[0]
+    ss = np.sum([np.asarray(p["ss"]).reshape(dim, dim) for p in parts], axis=0)
+    cov = (ss - np.outer(s, s) / n) / max(n - 1, 1)
+    return n, s / n, cov
+
+
 def pca_fit(
     df: DataFrame,
     k: int = 8,
@@ -85,15 +104,7 @@ def pca_fit(
     import numpy as np
 
     parts = _moment_frame(df, emb_col).collect()
-    if not parts:
-        raise ValueError("pca_fit: empty input")
-    n = sum(p["n"] for p in parts)
-    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
-    dim = s.shape[0]
-    ss = np.sum([np.asarray(p["ss"]).reshape(dim, dim) for p in parts], axis=0)
-    mean = s / n
-    # unbiased sample covariance: (Σxxᵀ − n·μμᵀ) / (n−1)
-    cov = (ss - n * np.outer(mean, mean)) / max(n - 1, 1)
+    n, mean, cov = covariance_from_moments(parts)
     evals, evecs = np.linalg.eigh(cov)  # ascending; symmetric-exact
     order = np.argsort(evals)[::-1][:k]
     comps = evecs[:, order].T  # k × dim

@@ -111,8 +111,13 @@ def decode_bmp(payload: bytes) -> dict[str, Any]:
         payload, dtype=np.uint8, count=min(want, avail), offset=data_offset
     )
     if raw.size < want:
-        if want - raw.size >= row_bytes:
-            raise ValueError("BMP pixel data truncated by more than one row")
+        # tolerate ONLY a missing final-row pad (pad = row_bytes −
+        # width·3 ≤ 3 bytes): zero fill there never reaches the pixel
+        # slice. Anything cutting into real pixel bytes is truncation —
+        # raise so the extractor quarantines it to NULL stats instead
+        # of skewing channel means with phantom black pixels.
+        if want - raw.size > row_bytes - width * 3:
+            raise ValueError("BMP pixel data truncated")
         padded = np.zeros(want, dtype=np.uint8)
         padded[: raw.size] = raw
         raw = padded

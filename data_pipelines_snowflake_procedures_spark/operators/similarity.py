@@ -351,6 +351,37 @@ def kmeans_assign_expr(
     return cluster, F.array_min(dists)
 
 
+def _matrix_df(spark, matrix: list[list[float]], col: str) -> DataFrame:
+    """A k×dim float matrix as a 1-ROW broadcastable table — the plan
+    stays tiny where a literal expression tree costs ~1 s of
+    driver-side analysis per 512 literals (measured; see
+    kmeans_assign_df)."""
+    return spark.createDataFrame(
+        [([[float(x) for x in c] for c in matrix],)],
+        f"{col}: array<array<double>>",
+    )
+
+
+def _sq_dists_to_matrix(emb: Column, matrix_col: str) -> Column:
+    """Array of squared-L2 distances from ``emb`` to every row of the
+    broadcast matrix column — THE shared assignment kernel (k-means,
+    IVF residuals, the IVF-PQ probe): (x−y)·(x−y) folds, identical
+    arithmetic everywhere so the tie-break/oracle contract cannot
+    diverge between operators."""
+    return F.transform(
+        F.col(matrix_col),
+        lambda c: F.aggregate(
+            F.zip_with(
+                emb,
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
 def kmeans_assign_df(
     df: DataFrame,
     centroids: list[list[float]],
@@ -364,23 +395,8 @@ def kmeans_assign_df(
     doubles is metadata), but the PLAN stays tiny — a 512-literal
     expression costs ~1 s of driver-side analysis per job, which
     dominates every Lloyd iteration at benchmark scale."""
-    spark = df.sparkSession
-    mat = spark.createDataFrame(
-        [([[float(x) for x in c] for c in centroids],)],
-        "__km_matrix: array<array<double>>",
-    )
-    dists = F.transform(
-        F.col("__km_matrix"),
-        lambda c: F.aggregate(
-            F.zip_with(
-                F.col(emb_col),
-                c,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
+    mat = _matrix_df(df.sparkSession, centroids, "__km_matrix")
+    dists = _sq_dists_to_matrix(F.col(emb_col), "__km_matrix")
     return (
         df.crossJoin(F.broadcast(mat))
         .withColumn(
@@ -770,23 +786,8 @@ def ivf_residuals(
     tie-break) and ``remb = emb − centroid[cell]`` as a double array —
     the input both to residual-codebook training (:func:`pq_fit` with
     ``emb_col=res_col``) and to :func:`knn_ivfpq`'s encode pass."""
-    spark = df.sparkSession
-    mat = spark.createDataFrame(
-        [([[float(x) for x in c] for c in centroids],)],
-        "__ivf_matrix: array<array<double>>",
-    )
-    dists = F.transform(
-        F.col("__ivf_matrix"),
-        lambda c: F.aggregate(
-            F.zip_with(
-                F.col(emb_col),
-                c,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
+    mat = _matrix_df(df.sparkSession, centroids, "__ivf_matrix")
+    dists = _sq_dists_to_matrix(F.col(emb_col), "__ivf_matrix")
     cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
     cent = F.element_at(F.col("__ivf_matrix"), (cell + 1).cast("int"))
     return (
@@ -812,6 +813,7 @@ def knn_ivfpq(
     rerank: int = 3,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    residuals: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN with exact re-ranking. Three phases, all
     hash-deterministic (6-decimal rounding, lowest-id tie-breaks):
@@ -833,13 +835,15 @@ def knn_ivfpq(
     position rerank·k. At 100 TB the inverted-file layout makes phase
     2 a partition-pruned scan (cells are the partition key) of m bytes
     per vector; phase 3 fetches exact embeddings for candidates only.
+
+    Pass ``residuals`` (an :func:`ivf_residuals` frame over the same
+    corpus/centroids) to reuse the assignment pass that codebook
+    training already ran — otherwise it is recomputed here.
     """
     spark = corpus.sparkSession
-    # query-side probe: rank cells per query over the coarse matrix
-    qmat = spark.createDataFrame(
-        [([[float(x) for x in c] for c in coarse],)],
-        "__ivf_matrix: array<array<double>>",
-    )
+    # query-side probe: rank cells per query over the broadcast coarse
+    # matrix (the shared assignment kernel — never a literal tree)
+    qmat = _matrix_df(spark, coarse, "__ivf_matrix")
     qd = (
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -852,19 +856,7 @@ def knn_ivfpq(
             "q_emb",
             "q_nrm",
             F.posexplode(
-                F.transform(
-                    F.col("__ivf_matrix"),
-                    lambda c: F.aggregate(
-                        F.zip_with(
-                            F.col("q_emb"),
-                            c,
-                            lambda x, y: (x.cast("double") - y)
-                            * (x.cast("double") - y),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ),
-                )
+                _sq_dists_to_matrix(F.col("q_emb"), "__ivf_matrix")
             ).alias("cell", "cdist"),
         )
     )
@@ -875,16 +867,23 @@ def knn_ivfpq(
         .select("query_id", "q_emb", "q_nrm", F.col("cell").cast("long").alias("cell"))
     )
     # corpus side: residual-encode, reconstruct cell centroid + residual
-    res = ivf_residuals(corpus, coarse, emb_col, id_col)
+    # (coarse matrix rides in as the same 1-row broadcast — a literal
+    # k_coarse×dim tree would re-create the plan-analysis cost
+    # kmeans_assign_df documents)
+    res = (
+        residuals
+        if residuals is not None
+        else ivf_residuals(corpus, coarse, emb_col, id_col)
+    )
     enc = pq_encode(res, codebooks, emb_col="remb")
     deq_res = pq_reconstruct_expr(codebooks)
-    cmat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    rmat = _matrix_df(spark, coarse, "__ivf_rmat")
     recon = F.zip_with(
-        F.element_at(cmat, (F.col("cell") + 1).cast("int")),
+        F.element_at(F.col("__ivf_rmat"), (F.col("cell") + 1).cast("int")),
         deq_res,
         lambda a, b: a + b,
     )
-    c = enc.select(
+    c = enc.crossJoin(F.broadcast(rmat)).select(
         F.col(id_col).alias("neighbor_id"),
         "cell",
         F.col(emb_col).alias("c_emb"),

@@ -802,7 +802,14 @@ def events_incremental_rollup_streaming(
                 "value",
                 checkpoint_suffix=str(i),
             )
-            q.awaitTermination(300)
+            if not q.awaitTermination(300):
+                # a timed-out drain would leave the state partially
+                # folded AND still being written by the live query —
+                # fail loudly instead of finalizing a wrong answer
+                q.stop()
+                raise TimeoutError(
+                    f"rollup replay {i} did not drain within 300s"
+                )
         out = finalize(spark.read.parquet(state), ["event_type"])
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)

@@ -3201,6 +3201,7 @@ def knn_ivfpq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         nprobe=2,
         rerank=3,
+        residuals=res,  # reuse the assignment pass codebook training ran
     )
 
 
@@ -3234,18 +3235,14 @@ def knn_ivfpq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "once and ships 32 KB per partition.",
 )
 def embeddings_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    from .operators.linalg import _moment_frame
+    from .operators.linalg import _moment_frame, covariance_from_moments
 
     emb = load_table(spark, sf_dir, "embeddings")
     parts = _moment_frame(emb, "embedding").collect()
-    n = sum(p["n"] for p in parts)
-    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
-    dim = s.shape[0]
-    ss = np.sum([np.asarray(p["ss"]).reshape(dim, dim) for p in parts], axis=0)
+    _n, _mean, cov = covariance_from_moments(parts)
+    dim = cov.shape[0]
     rows = [
-        (i + 1, j + 1, round(float((ss[i, j] - s[i] * s[j] / n) / (n - 1)), 6))
+        (i + 1, j + 1, round(float(cov[i, j]), 6))
         for i in range(dim)
         for j in range(i, dim)
     ]

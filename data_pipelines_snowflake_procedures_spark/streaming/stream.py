@@ -300,24 +300,20 @@ def rollup_maintain_stream(
 
     The parquet state commits via the same atomic stage-and-swap as
     the streaming SCD1 upsert (``commit_swap``: the state is only ever
-    fully old or fully new, crash-recoverable). ``checkpoint_suffix``
-    lets several bounded replays fold into ONE state table, each with
-    its own progress tracking. Returns the query handle."""
-    from ..operators.incremental import merge_partials, partial_agg
-    from ..sources.sink import commit_swap
-
-    def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        part = partial_agg(batch_df, keys, value_col)
-        try:
-            state = spark.read.parquet(state_path)
-            merged = merge_partials([state, part], keys)
-        except Exception:
-            merged = part
-        merged.write.mode("overwrite").parquet(state_path + ".staging")
-        commit_swap(state_path + ".staging", state_path)
-
+    fully old or fully new, crash-recoverable). foreachBatch is
+    AT-LEAST-once, so the fold must be idempotent: every applied batch
+    leaves an ``_applied_<suffix>_<batch_id>`` marker INSIDE the state
+    directory (underscore-prefixed files are invisible to parquet
+    readers, and they travel through the atomic swap with the data
+    they describe), and a redelivered batch whose marker is already
+    present is skipped — without this, a crash between the state swap
+    and the streaming checkpoint's offset commit would double-fold
+    that batch's counts on restart. ``checkpoint_suffix`` lets several
+    bounded replays fold into ONE state table, each with its own
+    progress tracking. Returns the query handle."""
+    _fold = make_rollup_fold(
+        spark, state_path, keys, value_col, checkpoint_suffix
+    )
     return (
         source_stream.writeStream.foreachBatch(_fold)
         .option(
@@ -327,6 +323,56 @@ def rollup_maintain_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def make_rollup_fold(
+    spark: SparkSession,
+    state_path: str,
+    keys: list[str],
+    value_col: str,
+    checkpoint_suffix: str = "",
+):
+    """The foreachBatch body of :func:`rollup_maintain_stream`,
+    exposed so tests can exercise the at-least-once redelivery path
+    directly (call it twice with the same batch_id)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from pyspark.errors import AnalysisException
+
+    from ..operators.incremental import merge_partials, partial_agg
+    from ..sources.sink import commit_swap
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"_applied_{checkpoint_suffix}_{batch_id}"
+        if os.path.exists(os.path.join(state_path, marker)):
+            return  # at-least-once redelivery of an already-folded batch
+        if not batch_df.take(1):
+            return
+        part = partial_agg(batch_df, keys, value_col)
+        # Only a MISSING state selects the bootstrap branch; any other
+        # failure (schema drift between runs, corrupt files) must
+        # surface, not silently reset the accumulated state to one
+        # batch's partials.
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+            state = None
+        merged = (
+            part if state is None else merge_partials([state, part], keys)
+        )
+        staging = state_path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        # carry every prior batch's marker plus this one through the swap
+        if state is not None:
+            for m in _glob.glob(os.path.join(state_path, "_applied_*")):
+                _shutil.copy(m, staging)
+        open(os.path.join(staging, marker), "w").close()
+        commit_swap(staging, state_path)
+
+    return _fold
 
 
 #: Static enrichment dim for the stream-static join: event_type →

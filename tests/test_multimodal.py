@@ -142,6 +142,10 @@ def test_decode_bmp_missing_final_row_pad():
 
     with _pytest.raises(ValueError, match="truncated"):
         decode_bmp(header + dib + bottom)  # a whole row missing
+    with _pytest.raises(ValueError, match="truncated"):
+        # one byte past the pad cuts into real pixel data -> truncation,
+        # not pad omission (zero fill would skew the channel means)
+        decode_bmp(header + dib + pixel_data[:-3])
 
 
 def test_extract_features_decodes_ppm_payloads(spark):

@@ -284,3 +284,42 @@ def test_rollup_maintain_stream_state_sized_and_exactly_once(
     q2.awaitTermination(300)
     st2 = sorted(map(tuple, spark.read.parquet(state).collect()))
     assert st1 == st2
+
+
+def test_rollup_fold_redelivery_and_schema_drift(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: redelivering the SAME batch_id
+    must fold nothing twice (the _applied marker travels through the
+    atomic swap). And a state whose schema no longer matches must
+    RAISE, not silently reset the accumulated aggregates to one
+    batch's partials (the bootstrap branch is for a missing state
+    only)."""
+    import pytest
+
+    from data_pipelines_snowflake_procedures_spark.streaming.stream import (
+        make_rollup_fold,
+    )
+
+    state = str(tmp_path / "state")
+    batch = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 2.0)], "k STRING, v DOUBLE"
+    )
+    fold = make_rollup_fold(spark, state, ["k"], "v", "0")
+    fold(batch, 0)
+    st1 = sorted(map(tuple, spark.read.parquet(state).collect()))
+    fold(batch, 0)  # redelivery of the same batch
+    st2 = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert st1 == st2, "redelivered batch was folded twice"
+    fold(batch, 1)  # a genuinely new batch DOES fold
+    st3 = {r["k"]: r["sum"] for r in spark.read.parquet(state).collect()}
+    assert st3["a"] == 8.0 and st3["b"] == 4.0
+
+    # schema drift: folding different keys into this state must raise
+    drifted = spark.createDataFrame(
+        [("a", "x", 1.0)], "k STRING, k2 STRING, v DOUBLE"
+    )
+    bad = make_rollup_fold(spark, state, ["k", "k2"], "v", "1")
+    with pytest.raises(Exception):
+        bad(drifted, 0)
+    # and the state is untouched by the failed fold
+    st4 = {r["k"]: r["sum"] for r in spark.read.parquet(state).collect()}
+    assert st4 == st3
