@@ -101,6 +101,7 @@ HEADLINE = [
     "knn_ivfpq_embeddings",
     "embeddings_covariance",
     "embeddings_pca_project",
+    "knn_recall_report_quantized",
     "embedding_label_cohesion",
     "hybrid_search_documents",
     # event-time windows + pandas surface

@@ -3340,3 +3340,85 @@ def documents_centrality_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame
     return pagerank(edges, iters=3, weight_col="w").select(
         F.col("node").cast("long").alias("node"), "pr"
     )
+
+
+@register(
+    "knn_recall_report_quantized",
+    None,  # rows-only by design: the variants' VALUES are each
+    # oracle-verified in their own entries (knn_pq_embeddings,
+    # knn_ivfpq_embeddings); this report exists to MEASURE their
+    # retrieval quality, and a composite SQL restatement of two full
+    # quantization pipelines inside the recall join would add oracle
+    # bulk without adding verification power.
+    doc="Recall@5 of the QUANTIZED ANN rungs (PQ, IVF-PQ at nprobe "
+    "1 and 2) against brute-force ground truth on the shared "
+    "10-query set — the companion to knn_recall_report, which covers "
+    "the LSH/IVF/SQ8 variants. Same honesty contract: on this "
+    "near-random synthetic corpus the compressed variants score low, "
+    "which is exactly the warning a recall report exists to give "
+    "before an ANN shortlist ships. Corpus persisted once, report "
+    "materialized eagerly, caches released (no session-lifetime "
+    "blocks).",
+)
+def knn_recall_report_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from .operators.similarity import (
+        ivf_residuals,
+        kmeans_fit,
+        knn_bruteforce,
+        knn_ivfpq,
+        knn_pq,
+        pq_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    books_raw = pq_fit(emb, m=4, k=16, iters=2)
+    coarse = kmeans_fit(emb, k=8, iters=2)
+    res = ivf_residuals(emb, coarse)
+    books_res = pq_fit(res, m=4, k=16, iters=2, emb_col="remb")
+    truth = (
+        knn_bruteforce(emb, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    variants = [
+        ("pq_rerank3", knn_pq(emb, queries, books_raw, k=5, rerank=3)),
+        (
+            "ivfpq_nprobe1",
+            knn_ivfpq(
+                emb, queries, coarse, books_res, k=5, nprobe=1, rerank=3,
+                residuals=res,
+            ),
+        ),
+        (
+            "ivfpq_nprobe2",
+            knn_ivfpq(
+                emb, queries, coarse, books_res, k=5, nprobe=2, rerank=3,
+                residuals=res,
+            ),
+        ),
+    ]
+    parts = [
+        vdf.select("query_id", "neighbor_id")
+        .join(truth, ["query_id", "neighbor_id"])
+        .agg(F.count("*").alias("n_matched"))
+        .select(F.lit(name).alias("variant"), "n_matched")
+        for name, vdf in variants
+    ]
+    n_truth = truth.agg(F.count("*").cast("double").alias("n_truth"))
+    out = (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "variant",
+            "n_matched",
+            F.round(F.col("n_matched") / F.col("n_truth"), 4).alias("recall_at_5"),
+        )
+        .orderBy("variant")
+    )
+    rows = out.collect()
+    emb.unpersist()
+    truth.unpersist()
+    return spark.createDataFrame(rows, out.schema)

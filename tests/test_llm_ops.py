@@ -1155,3 +1155,23 @@ def test_pagerank_invariants(spark):
     sink = run([("a", "b", 1.0)])
     assert sum(sink.values()) < 1.0
     assert sink["b"] > sink["a"]  # the sink receives, never gives
+
+
+def test_quantized_recall_report_invariants(spark, sf_dir):
+    """Structural invariants of the quantized recall report: recall in
+    [0,1], and probing more IVF cells never loses recall."""
+    from data_pipelines_snowflake_procedures_spark.queries import REGISTRY
+
+    rows = {
+        r["variant"]: r
+        for r in REGISTRY["knn_recall_report_quantized"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == {"pq_rerank3", "ivfpq_nprobe1", "ivfpq_nprobe2"}
+    for r in rows.values():
+        assert 0.0 <= r["recall_at_5"] <= 1.0
+    assert (
+        rows["ivfpq_nprobe2"]["recall_at_5"]
+        >= rows["ivfpq_nprobe1"]["recall_at_5"]
+    )
