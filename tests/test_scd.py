@@ -323,3 +323,54 @@ def test_rollup_fold_redelivery_and_schema_drift(spark, sf_dir, tmp_path):
     # and the state is untouched by the failed fold
     st4 = {r["k"]: r["sum"] for r in spark.read.parquet(state).collect()}
     assert st4 == st3
+
+
+def test_snapshot_diff_apply_reconstructs_new(spark):
+    """CDC closure property: applying snapshot_diff's change stream to
+    the OLD snapshot reproduces the NEW snapshot exactly, on randomized
+    snapshots with inserts, deletes, value updates, and NULL
+    transitions in both directions."""
+    import random
+
+    from data_pipelines_snowflake_procedures_spark.operators.scd import (
+        snapshot_diff,
+    )
+
+    rng = random.Random(7)
+
+    def snap(keys):
+        return [
+            (
+                k,
+                rng.choice([None, "a", "b", "c"]),
+                rng.choice([None, 1.0, 2.5, 9.0]),
+            )
+            for k in keys
+        ]
+
+    old_keys = set(range(40))
+    new_keys = (old_keys - set(rng.sample(sorted(old_keys), 8))) | set(
+        range(40, 50)
+    )
+    old_rows = snap(sorted(old_keys))
+    new_rows = snap(sorted(new_keys))
+    old = spark.createDataFrame(old_rows, "k BIGINT, s STRING, v DOUBLE")
+    new = spark.createDataFrame(new_rows, "k BIGINT, s STRING, v DOUBLE")
+
+    diff = {
+        r["k"]: r for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    # apply: start from old, drop deletes, overwrite updates, add inserts
+    state = {k: (s, v) for k, s, v in old_rows}
+    for k, r in diff.items():
+        if r["op"] == "delete":
+            del state[k]
+        else:
+            state[k] = (r["s_new"], r["v_new"])
+    want = {k: (s, v) for k, s, v in new_rows}
+    assert state == want
+    # and the diff is minimal: unchanged keys never appear
+    unchanged = {
+        k for k, s, v in old_rows if k in want and want[k] == (s, v)
+    }
+    assert not (unchanged & set(diff)), unchanged & set(diff)
