@@ -34,6 +34,7 @@ import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 AGENT_NAME = "DataDiscoveryAgent"
@@ -330,3 +331,75 @@ def discover_and_run_dq(
             "agent_name": AGENT_NAME,
             "input_file": file_path,
         }
+
+
+def read_with_quarantine(
+    spark: SparkSession, path: str, fmt: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE ingest split: ``(clean, corrupt)`` for the
+    structured-text formats (csv / ndjson), the 100 TB ingest contract
+    where malformed rows are DATA to count and route (the file-DQ
+    completeness pillar's upstream), never exceptions that kill the
+    job. ``clean`` drops the corrupt-record column; ``corrupt`` is the
+    raw offending text, one row per bad record.
+
+    Note: Spark disallows queries referencing ONLY the internal
+    corrupt-record column on raw file reads, so the split reads
+    through a cache — released by :func:`quarantine_report`, which is
+    the intended entry point for counting."""
+    ext = (fmt or os.path.splitext(path)[1].lstrip(".")).lower()
+    if ext == "csv":
+        df = (
+            spark.read.option("header", True)
+            .option("inferSchema", True)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(path)
+        )
+    elif ext in ("json", "ndjson", "jsonl"):
+        df = (
+            spark.read.option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path)
+        )
+    else:
+        raise ValueError(
+            f"quarantine split supports csv/json text formats, not {ext!r}"
+        )
+    if "_corrupt_record" not in df.columns:
+        clean = df
+        corrupt = spark.createDataFrame([], "_corrupt_record STRING")
+        return clean, corrupt
+    df = df.cache()
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    corrupt = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    # hand the cache handle to the caller for release after its actions
+    clean._quarantine_cache = df  # type: ignore[attr-defined]
+    return clean, corrupt
+
+
+def quarantine_report(
+    spark: SparkSession, path: str, fmt: str | None = None
+) -> dict[str, Any]:
+    """Count-level corrupt-record report for a structured text file:
+    ``{"n_clean", "n_corrupt", "corrupt_fraction", "samples"}`` (up to
+    5 raw offending lines). Materializes both counts, then releases
+    the split's cache — no session-lifetime blocks."""
+    clean, corrupt = read_with_quarantine(spark, path, fmt)
+    n_clean = clean.count()
+    bad_rows = [r["_corrupt_record"] for r in corrupt.limit(5).collect()]
+    n_corrupt = corrupt.count()
+    cache = getattr(clean, "_quarantine_cache", None)
+    if cache is not None:
+        cache.unpersist()
+    total = n_clean + n_corrupt
+    return {
+        "n_clean": int(n_clean),
+        "n_corrupt": int(n_corrupt),
+        "corrupt_fraction": round(n_corrupt / total, 6) if total else 0.0,
+        "samples": bad_rows,
+    }

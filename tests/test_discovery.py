@@ -970,3 +970,41 @@ def test_xls_v3_directory_size_high_dword_garbage(tmp_path):
     dirty = str(tmp_path / "dirty.xls")
     open(dirty, "wb").write(bytes(data))
     assert read_xls_rows(dirty) == read_xls_rows(clean)
+
+
+def test_quarantine_corrupt_json_and_csv(spark, tmp_path):
+    """PERMISSIVE ingest split: malformed records route to the
+    quarantine side with raw text preserved; clean rows parse
+    normally; fully-clean files yield an empty quarantine; the report
+    counts and samples without leaving cached blocks."""
+    from data_pipelines_snowflake_procedures_spark.sources.discovery import (
+        quarantine_report,
+        read_with_quarantine,
+    )
+
+    j = tmp_path / "mixed.json"
+    j.write_text(
+        '{"id": 1, "name": "a"}\n'
+        "{broken json here\n"
+        '{"id": 2, "name": "b"}\n'
+        "also not json\n"
+    )
+    clean, corrupt = read_with_quarantine(spark, str(j))
+    assert sorted(r["id"] for r in clean.collect()) == [1, 2]
+    bad = {r["_corrupt_record"] for r in corrupt.collect()}
+    assert bad == {"{broken json here", "also not json"}
+
+    rep = quarantine_report(spark, str(j))
+    assert rep["n_clean"] == 2 and rep["n_corrupt"] == 2
+    assert rep["corrupt_fraction"] == 0.5
+    assert set(rep["samples"]) == bad
+
+    c = tmp_path / "clean.csv"
+    c.write_text("id,name\n1,a\n2,b\n")
+    rep2 = quarantine_report(spark, str(c))
+    assert rep2["n_corrupt"] == 0 and rep2["n_clean"] == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quarantine split"):
+        read_with_quarantine(spark, "whatever.parquet")
