@@ -112,6 +112,7 @@ HEADLINE = [
     "events_hourly_gapfill",
     "events_retention_cohorts",
     "events_rolling_anomaly",
+    "events_hourly_ewma",
     "events_asof_click_before_error",
     "events_groupwise_zscore",
     "events_distinct_users_sketch",

@@ -1072,3 +1072,82 @@ def events_user_totals_stateful_streaming(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+@register(
+    "events_hourly_ewma",
+    """
+    WITH h AS (
+      SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             count(*)::DOUBLE AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    wv AS (
+      SELECT event_type, hour, cnt,
+             list(cnt) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW
+             ) AS vals
+      FROM h
+    )
+    SELECT event_type, hour, CAST(cnt AS BIGINT) AS n_events,
+           round(
+             list_sum([vals[i] * pow(0.7, len(vals) - i)
+                       FOR i IN range(1, len(vals) + 1)])
+             / ((1 - pow(0.7, len(vals))) / (1 - 0.7)),
+             6) AS ewma
+    FROM wv
+    """,
+    doc="Exponentially-weighted moving average of hourly event counts "
+    "per type (q=0.7, 24-lag truncated, warm-up normalized) — the "
+    "smoothing primitive monitoring baselines are built from, beside "
+    "the rolling-window anomaly entry. The truncated-window form is "
+    "deliberately chosen over the infinite recurrence: a recurrence "
+    "needs a sequential scan per key (one task per series at scale), "
+    "while the 24-lag window is an ordinary frame aggregate — "
+    "parallel across (type, hour) like every other window here, with "
+    "identical closed-form arithmetic (Σ v·q^e / Σ q^e, geometric-sum "
+    "denominator) restatable in SQL, which is why it hash-matches. "
+    "Weights below q^24 ≈ 2e-4 are dropped by construction — the "
+    "documented truncation, not a silent one.",
+)
+def events_hourly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    q = 0.7
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    vals = F.collect_list("cnt").over(w)
+    based = hourly.withColumn("vals", vals)
+    exps = F.sequence(
+        F.size("vals") - 1, F.lit(0), F.lit(-1)
+    )  # oldest element gets the largest exponent
+    num = F.aggregate(
+        F.zip_with(
+            F.col("vals"),
+            exps,
+            lambda v, e: v * F.pow(F.lit(q), e.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    den = (
+        F.lit(1.0) - F.pow(F.lit(q), F.size("vals").cast("double"))
+    ) / (1 - q)
+    return based.select(
+        "event_type",
+        "hour",
+        F.col("cnt").cast("long").alias("n_events"),
+        F.round(num / den, 6).alias("ewma"),
+    )
