@@ -3262,16 +3262,28 @@ def embeddings_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "eigenvector sign ambiguity), then a zero-shuffle broadcast-"
     "matrix projection. Whitening (unit-variance rescale) is the "
     "variant flag. Rows-only by nature; the numpy reference test "
-    "pins values, orthonormality, and descending explained variance.",
+    "pins values, orthonormality, and descending explained variance. "
+    "Returned flat as (vec_id, axis, value) via posexplode with "
+    "6-decimal rounding so the driver can canonicalize and hash rows "
+    "(array<double> cells are unhashable in its pandas factorizer).",
 )
 def embeddings_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.linalg import pca_fit, pca_project
 
     emb = load_table(spark, sf_dir, "embeddings")
     model = pca_fit(emb, k=8)
-    return pca_project(emb, model, out_col="pca").select(
-        "vec_id", "pca"
-    ).orderBy("vec_id")
+    projected = pca_project(emb, model, out_col="pca")
+    return (
+        projected.select(
+            "vec_id", F.posexplode("pca").alias("axis", "value")
+        )
+        .select(
+            "vec_id",
+            F.col("axis").cast("int").alias("axis"),
+            F.round("value", 6).alias("value"),
+        )
+        .orderBy("vec_id", "axis")
+    )
 
 
 def _doc_centrality_oracle() -> str:
