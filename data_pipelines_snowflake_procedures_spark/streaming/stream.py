@@ -338,8 +338,6 @@ def make_rollup_fold(
     import glob as _glob
     import shutil as _shutil
 
-    from pyspark.errors import AnalysisException
-
     from ..operators.incremental import merge_partials, partial_agg
     from ..sources.sink import commit_swap
 
@@ -353,12 +351,14 @@ def make_rollup_fold(
         # Only a MISSING state selects the bootstrap branch; any other
         # failure (schema drift between runs, corrupt files) must
         # surface, not silently reset the accumulated state to one
-        # batch's partials.
-        try:
+        # batch's partials. Missing is decided by the same local-fs
+        # check the marker lookup above already relies on — Spark
+        # versions phrase the missing-path AnalysisException
+        # differently (PATH_NOT_FOUND vs "Path does not exist"), so
+        # message-matching is brittle (ADVICE r5).
+        if os.path.exists(state_path):
             state = spark.read.parquet(state_path)
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" not in str(exc):
-                raise
+        else:
             state = None
         merged = (
             part if state is None else merge_partials([state, part], keys)

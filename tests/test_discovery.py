@@ -1004,6 +1004,23 @@ def test_quarantine_corrupt_json_and_csv(spark, tmp_path):
     rep2 = quarantine_report(spark, str(c))
     assert rep2["n_corrupt"] == 0 and rep2["n_clean"] == 2
 
+    # corrupt CSV: short rows and extra-token rows must route to the
+    # quarantine side, not pass as clean null-padded rows (the
+    # single-pass inferSchema read never flags them — ADVICE r5; the
+    # two-pass explicit-schema read does)
+    cc = tmp_path / "dirty.csv"
+    cc.write_text("id,name\n1,a\n2\n3,c\n4,d,extra\n")
+    rep3 = quarantine_report(spark, str(cc))
+    assert rep3["n_clean"] == 2 and rep3["n_corrupt"] == 2
+    assert set(rep3["samples"]) == {"2", "4,d,extra"}
+
+    # the split object exposes an explicit release() (no monkey-patched
+    # cache attribute that a transformation would drop — ADVICE r5)
+    split = read_with_quarantine(spark, str(cc))
+    assert split.clean.count() == 2
+    split.release()
+    split.release()  # idempotent
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="quarantine split"):
