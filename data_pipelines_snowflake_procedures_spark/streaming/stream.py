@@ -21,6 +21,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .windows import session_agg, tumbling_agg
 
+#: Spark's bundled RocksDB state store provider — the production
+#: answer for large stateful streams: state lives off-heap in a local
+#: RocksDB instance with changelog checkpointing instead of the
+#: default HDFS-backed provider's in-JVM-memory maps + full snapshot
+#: uploads. The r5 sf1 stress run measured the two state-heavy drains
+#: (sessions, dedup) at ~16× wall-time on 50× data under the default
+#: provider — state-store churn, not compute.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession) -> None:
+    """Point new streaming queries at the RocksDB state store (the
+    provider conf is read per-query at start, so this is safe to set
+    any time before ``.start()``; running queries keep the provider
+    their checkpoint was created with). Changelog checkpointing
+    uploads per-batch deltas instead of full snapshots — the setting
+    that matters at 100 TB state."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, ts_col: str = "ts"
@@ -187,6 +212,7 @@ def run_to_memory(
     (the first may be the flush itself)."""
     import time as _time
 
+    use_rocksdb_state(streaming_df.sparkSession)
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
     q = (
         streaming_df.writeStream.format("memory")
