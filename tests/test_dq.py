@@ -198,3 +198,36 @@ def test_fd_keylike_prefilter_skips_exactly_and_identically(spark):
     # the same answers with zero extra profiling action
     pre = as_map(fd_consistency_long(df, known_unique_cols={"id"}))
     assert pre == full
+
+
+def test_robust_outlier_approx_close_to_exact(spark, sf_dir):
+    """The histogram-binned (quantile_disc over integer cents) robust
+    profile must track the exact interpolating form: identical groups
+    and counts, medians/MADs within the discrete-vs-interpolated gap
+    (one central-value step — bounded here by 0.05), outlier counts
+    within 2% of the group. Same exact/binned pairing as
+    documents_quality_auc / _binned."""
+    from data_pipelines_snowflake_procedures_spark.queries import REGISTRY
+
+    exact = {
+        r["event_type"]: r
+        for r in REGISTRY["events_robust_outlier_profile"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r
+        for r in REGISTRY["events_robust_outlier_profile_approx"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(exact) == set(approx) and exact
+    for t, e in exact.items():
+        a = approx[t]
+        assert a["n_events"] == e["n_events"]
+        assert abs(a["median_value"] - e["median_value"]) <= 0.05, t
+        assert abs(a["mad"] - e["mad"]) <= 0.05, t
+        assert (
+            abs(a["n_robust_outliers"] - e["n_robust_outliers"])
+            <= max(2, 0.02 * e["n_events"])
+        ), t

@@ -640,3 +640,129 @@ def test_streaming_progress_listener_records_batches(spark, sf_dir):
         assert all(r["batch_duration_ms"] >= 0 for r in collector.records)
     finally:
         spark.streams.removeListener(collector)
+
+
+def test_decode_png_hand_built_filter0():
+    """Real stdlib PNG decode against a PNG built HERE with raw
+    struct+zlib (independent of encode_png): 2x2 RGB, filter 0 rows —
+    red,green / blue,white, same pixel values as the PPM/BMP cases."""
+    import struct
+    import zlib
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    raw = (
+        b"\x00" + bytes([255, 0, 0, 0, 255, 0])
+        + b"\x00" + bytes([0, 0, 255, 255, 255, 255])
+    )
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    out = decode_png(payload)
+    assert (out["width"], out["height"]) == (2, 2)
+    assert out["mean_r"] == round((255 + 0 + 0 + 255) / 4, 4)
+    assert out["mean_g"] == round((0 + 255 + 0 + 255) / 4, 4)
+    assert out["mean_b"] == round((0 + 0 + 255 + 255) / 4, 4)
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM....")
+    # palette / interlaced stay honest NotImplementedError gates
+    pal = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    with pytest.raises(NotImplementedError, match="color type"):
+        decode_png(
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", pal)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+    adam7 = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    with pytest.raises(NotImplementedError, match="interlace"):
+        decode_png(
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", adam7)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+    # truncated pixel data is corrupt, not silently wrong
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw[:5])) + chunk(b"IEND", b"")
+        )
+
+
+def test_png_round_trip_every_filter_and_color_type():
+    """decode_png must invert encode_png's forward filter pass for all
+    5 scanline filter types and all 4 supported color types — the
+    filter and unfilter implementations are separate code paths, so a
+    round-trip mismatch pinpoints a predictor bug. Stats checked
+    against numpy computed directly on the source array."""
+    import numpy as np
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for color, nch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        arr = rng.randint(0, 256, size=(13, 9, nch), dtype=np.uint8)
+        for filters in ([0], [1], [2], [3], [4], None):  # None = cycle all
+            out = decode_png(encode_png(arr, color=color, row_filters=filters))
+            assert (out["width"], out["height"]) == (9, 13)
+            if color in (2, 6):
+                want = [round(float(arr[:, :, c].mean()), 4) for c in range(3)]
+            else:
+                g = round(float(arr[:, :, 0].mean()), 4)
+                want = [g, g, g]
+            assert [out["mean_r"], out["mean_g"], out["mean_b"]] == want, (
+                color,
+                filters,
+            )
+
+
+def test_extract_features_decodes_png_payloads(spark):
+    """End-to-end PNG leg: documents rendered to real zlib-compressed
+    PNGs via the Arrow-batched attach path, decoded for REAL inside
+    extract_features — and because the PNG rendering shares the ppm
+    path's 8-px-wide pixel layout, the decoded stats must EQUAL the
+    ppm rendering's stats for every document."""
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    docs = _docs(spark)
+    media = attach_binary(docs, payload_format="png")
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    for p in payloads.values():
+        assert p.startswith(b"\x89PNG\r\n\x1a\n")
+
+    out = {r["doc_id"]: r for r in extract_features(media).collect()}
+    ppm_out = {
+        r["doc_id"]: r
+        for r in extract_features(
+            attach_binary(docs, payload_format="ppm")
+        ).collect()
+    }
+    for doc_id, p in payloads.items():
+        ref = decode_png(p)
+        row = out[doc_id]
+        assert row["mime"] == "image/png"
+        assert (row["width"], row["height"]) == (ref["width"], ref["height"])
+        assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (
+            ref["mean_r"], ref["mean_g"], ref["mean_b"],
+        )
+        assert row["n_bytes"] == len(p)
+        ppm_row = ppm_out[doc_id]
+        assert (row["width"], row["height"]) == (
+            ppm_row["width"], ppm_row["height"],
+        )
+        assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (
+            ppm_row["mean_r"], ppm_row["mean_g"], ppm_row["mean_b"],
+        )
