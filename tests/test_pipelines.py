@@ -282,3 +282,71 @@ def test_prepare_corpus_failure_envelope(spark):
     out = prepare_corpus(bad)
     assert out["status"] == "FAILED"
     assert "error" in out
+
+
+def test_llm_client_from_env_defaults_to_none(monkeypatch):
+    """Without LLM_API_BASE the hook is None and codegen stays on the
+    deterministic templates — no test ever requires a model."""
+    from data_pipelines_snowflake_procedures_spark.pipelines import llm_client
+
+    monkeypatch.delenv("LLM_API_BASE", raising=False)
+    assert llm_client.from_env() is None
+
+
+def test_llm_client_request_shape(monkeypatch):
+    """The client speaks the public OpenAI-compatible chat shape:
+    bearer header, model passthrough, first-choice message content —
+    verified against a stubbed urlopen, no network."""
+    import io
+    import json as _json
+
+    from data_pipelines_snowflake_procedures_spark.pipelines import llm_client
+
+    captured = {}
+
+    class _Resp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    def fake_urlopen(req, timeout=None):
+        captured["url"] = req.full_url
+        captured["auth"] = req.get_header("Authorization")
+        captured["body"] = _json.loads(req.data.decode())
+        return _Resp(
+            _json.dumps(
+                {"choices": [{"message": {"content": "SELECT 1"}}]}
+            ).encode()
+        )
+
+    monkeypatch.setattr(
+        llm_client.urllib.request, "urlopen", fake_urlopen
+    )
+    client = llm_client.make_client(
+        "http://llm.local/v1", api_key="k123", model="m1"
+    )
+    out = client("emit sql")
+    assert out == "SELECT 1"
+    assert captured["url"] == "http://llm.local/v1/chat/completions"
+    assert captured["auth"] == "Bearer k123"
+    assert captured["body"]["model"] == "m1"
+    assert captured["body"]["messages"][0]["content"] == "emit sql"
+    assert captured["body"]["temperature"] == 0.0
+    # and the callable slots straight into the X5 hook
+    env = generate_code("monthly summary", {}, llm=client)
+    assert env["status"] == "SUCCESS"
+    assert env["sql_code"] == "SELECT 1"
+
+
+@pytest.mark.skipif(
+    "LLM_API_BASE" not in __import__("os").environ,
+    reason="integration-gated: set LLM_API_BASE to run against a live endpoint",
+)
+def test_llm_client_completes_live():
+    from data_pipelines_snowflake_procedures_spark.pipelines import llm_client
+
+    client = llm_client.from_env()
+    assert client is not None
+    assert isinstance(client("Reply with the word OK."), str)
