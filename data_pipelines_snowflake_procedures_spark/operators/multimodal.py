@@ -313,10 +313,75 @@ def encode_png(
     )
 
 
+def _floor4(x: float) -> float:
+    """floor-scale to 4 decimals — cross-engine-stable (Python round()
+    is banker's, SQL round() is half-up; floor of an identical IEEE
+    double is identical everywhere)."""
+    import math
+
+    return math.floor(x * 10000.0) / 10000.0
+
+
+def encode_wav(samples: bytes, sample_rate: int = 8000) -> bytes:
+    """Minimal stdlib WAV writer (``wave`` module): unsigned 8-bit PCM
+    mono container around raw sample bytes — the audio analogue of
+    :func:`encode_png` for fixtures and the attach path."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit PCM (unsigned by WAV spec)
+        w.setframerate(sample_rate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict[str, Any]:
+    """REAL stdlib decoder for WAV audio (``wave`` module — RIFF parse
+    is in the standard library, so like PPM/BMP/PNG this modality
+    decodes end-to-end in this container): container metadata plus
+    deterministic sample statistics for unsigned 8-bit PCM. Mean and
+    RMS (amplitude centered at the 8-bit midpoint 128) accumulate as
+    exact integer sums, so the numbers are engine-reproducible —
+    the DuckDB oracle restates them from the source bytes."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_channels = w.getnchannels()
+        sample_rate = w.getframerate()
+        width = w.getsampwidth()
+        n_frames = w.getnframes()
+        frames = w.readframes(n_frames)
+    out: dict[str, Any] = {
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "n_samples": n_frames,
+        "duration_sec": (
+            __import__("math").floor(n_frames / sample_rate * 1e6) / 1e6
+            if sample_rate
+            else None
+        ),
+        "mean_amp": None,
+        "rms": None,
+    }
+    if width == 1 and frames:  # unsigned 8-bit PCM: stats are exact
+        b = np.frombuffer(frames, dtype=np.uint8).astype(np.int64)
+        n = len(b)
+        out["mean_amp"] = _floor4(int(b.sum()) / n)
+        dev = b - 128
+        out["rms"] = _floor4(float(np.sqrt(int((dev * dev).sum()) / n)))
+    return out
+
+
 #: Pluggable decoder registry: media kind → bytes -> Any. PPM/BMP/PNG
-#: are genuinely decodable with the stdlib and registered by default;
-#: real deployments register PIL/libav decoders for the remaining
-#: codec formats (JPEG, video).
+#: images and WAV audio are genuinely decodable with the stdlib and
+#: registered by default; real deployments register PIL/libav decoders
+#: for the remaining codec formats (JPEG, compressed audio, video).
 _DECODERS: dict[str, Callable[[bytes], Any]] = {
     "image/x-portable-pixmap": decode_ppm,
     "ppm": decode_ppm,
@@ -324,6 +389,8 @@ _DECODERS: dict[str, Callable[[bytes], Any]] = {
     "bmp": decode_bmp,
     "image/png": decode_png,
     "png": decode_png,
+    "audio/wav": decode_wav,
+    "wav": decode_wav,
 }
 
 
@@ -457,6 +524,98 @@ def _attach_png(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.length("payload").cast("long").alias("n_bytes"),
         ).alias("media_meta"),
     )
+
+
+def attach_audio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Audio leg of the binary-attach family: each document's utf-8
+    bytes become the unsigned 8-bit PCM samples of a VALID mono WAV
+    (:func:`encode_wav`) inside an Arrow batch. Output matches
+    MEDIA_SCHEMA with mime ``audio/wav``."""
+
+    def per_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                encode_wav((t or "").encode("utf-8"), sample_rate)
+                for t in pdf["__text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                }
+            )
+
+    rendered = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("__text"),
+    ).mapInPandas(per_batches, "doc_id BIGINT, payload BINARY, mime STRING")
+    return rendered.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+AUDIO_SCHEMA = (
+    "doc_id BIGINT, mime STRING, n_bytes BIGINT, n_channels INT, "
+    "sample_rate INT, n_samples BIGINT, duration_sec DOUBLE, "
+    "mean_amp DOUBLE, rms DOUBLE"
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Audio feature extraction over Arrow batches (``mapInPandas``):
+    container metadata + deterministic sample statistics via
+    :func:`decode_wav` for decodable payloads, NULLs otherwise. Same
+    one-crossing-per-batch shape as :func:`extract_features`."""
+
+    def per_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        nulls = {
+            "n_channels": None, "sample_rate": None, "n_samples": None,
+            "duration_sec": None, "mean_amp": None, "rms": None,
+        }
+
+        def stats(kind: str, data: bytes) -> dict[str, Any]:
+            if kind not in ("audio/wav", "wav"):
+                return nulls
+            try:
+                return decode_wav(data)
+            except Exception:
+                return nulls
+
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            mimes = [m["mime"] for m in pdf["media_meta"]]
+            rows = [stats(k, p) for k, p in zip(mimes, payloads)]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": mimes,
+                    "n_bytes": [len(p) for p in payloads],
+                    **{
+                        key: [r[key] for r in rows]
+                        for key in (
+                            "n_channels", "sample_rate", "n_samples",
+                            "duration_sec", "mean_amp", "rms",
+                        )
+                    },
+                }
+            )
+
+    return df.mapInPandas(per_batches, schema=AUDIO_SCHEMA)
 
 
 FEATURE_SCHEMA = (

@@ -253,6 +253,61 @@ def multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_audio_features_documents",
+    """
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             (strpos('123456789ABCDEF', substr(h, 2*i-1, 1)) * 16
+            + strpos('123456789ABCDEF', substr(h, 2*i, 1))) AS byte
+      FROM hx, unnest(range(1, n + 1)) AS t(i)
+    ),
+    st AS (
+      SELECT doc_id,
+             floor((sum(byte)::DOUBLE / count(*)) * 10000) / 10000
+               AS mean_amp,
+             floor(sqrt(sum((byte - 128.0) * (byte - 128.0)) / count(*))
+                   * 10000) / 10000 AS rms
+      FROM b GROUP BY doc_id
+    )
+    SELECT hx.doc_id,
+           'audio/wav' AS mime,
+           CAST(44 + hx.n AS BIGINT) AS n_bytes,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(hx.n AS BIGINT) AS n_samples,
+           floor((hx.n::DOUBLE / 8000) * 1000000) / 1000000 AS duration_sec,
+           st.mean_amp,
+           st.rms
+    FROM hx LEFT JOIN st USING (doc_id)
+    """,
+    doc="Audio modality with a REAL stdlib codec round-trip: each "
+    "document's utf-8 bytes become the unsigned 8-bit PCM samples of "
+    "a valid mono WAV (operators/multimodal.py::encode_wav, Arrow-"
+    "batched), then extract_audio_features genuinely re-parses every "
+    "container with the stdlib wave module and computes sample "
+    "statistics (mean amplitude, midpoint-centered RMS, duration). "
+    "The oracle recomputes every statistic from the SOURCE text bytes "
+    "in pure SQL (hex-pair byte extraction), so the hash match proves "
+    "the encode -> RIFF container -> decode -> integer-exact stats "
+    "pipeline end-to-end. floor-scaling makes rounding engine-"
+    "neutral. Compressed audio stays behind the decoder registry "
+    "stub, like JPEG for images.",
+)
+def multimodal_audio_features_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.multimodal import attach_audio, extract_audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_audio_features(attach_audio(docs))
+
+
+@register(
     "events_hourly_streaming",
     """
     SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,

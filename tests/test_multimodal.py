@@ -766,3 +766,74 @@ def test_extract_features_decodes_png_payloads(spark):
         assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (
             ppm_row["mean_r"], ppm_row["mean_g"], ppm_row["mean_b"],
         )
+
+
+def test_decode_wav_round_trip_and_metadata_only():
+    """Real stdlib WAV decode: 8-bit PCM round-trips with exact
+    integer stats; 16-bit containers yield metadata with NULL stats
+    (the 8-bit stats contract is what the oracle restates); non-WAV
+    bytes raise."""
+    import math
+    import io
+    import wave
+
+    import pytest as _pytest
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    data = bytes([0, 128, 255, 10, 200])
+    out = decode_wav(encode_wav(data, sample_rate=16000))
+    assert out["n_channels"] == 1 and out["sample_rate"] == 16000
+    assert out["n_samples"] == 5
+    assert out["duration_sec"] == math.floor(5 / 16000 * 1e6) / 1e6
+    assert out["mean_amp"] == math.floor(sum(data) / 5 * 10000) / 10000
+    rms = math.sqrt(sum((b - 128) ** 2 for b in data) / 5)
+    assert out["rms"] == math.floor(rms * 10000) / 10000
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(b"\x00\x01" * 8)
+    out16 = decode_wav(buf.getvalue())
+    assert out16["n_channels"] == 2 and out16["sample_rate"] == 44100
+    assert out16["n_samples"] == 4  # 16 bytes / (2 ch * 2 bytes)
+    assert out16["mean_amp"] is None and out16["rms"] is None
+
+    with _pytest.raises(Exception):
+        decode_wav(b"\x89PNG not audio")
+
+
+def test_extract_audio_features_matches_driver_decode(spark):
+    """End-to-end audio leg: attach_audio renders real WAV containers
+    inside Arrow batches; extract_audio_features must reproduce the
+    driver-side decode for every document, and non-audio payloads
+    keep NULL stats."""
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        attach_audio,
+        decode_wav,
+        extract_audio_features,
+    )
+
+    docs = _docs(spark)
+    media = attach_audio(docs)
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    for p in payloads.values():
+        assert p[:4] == b"RIFF" and p[8:12] == b"WAVE"
+    out = {r["doc_id"]: r for r in extract_audio_features(media).collect()}
+    for doc_id, p in payloads.items():
+        ref = decode_wav(p)
+        row = out[doc_id]
+        assert row["mime"] == "audio/wav" and row["n_bytes"] == len(p)
+        for k in (
+            "n_channels", "sample_rate", "n_samples",
+            "duration_sec", "mean_amp", "rms",
+        ):
+            assert row[k] == ref[k], (doc_id, k)
+    # text/plain payloads: NULL audio stats
+    plain = extract_audio_features(attach_binary(docs)).collect()
+    assert all(r["n_samples"] is None and r["rms"] is None for r in plain)
