@@ -232,24 +232,27 @@ def events_groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_features_documents",
     None,  # checksum is byte-level Python; rows-only check by design
-    doc="Multimodal plumbing with REAL decode steps: even doc_ids "
-    "render to valid binary PPM images (pure Column expressions), odd "
-    "doc_ids to valid zlib-compressed PNGs (Arrow-batched encode, "
-    "scanline filters cycling all 5 PNG filter types); Arrow-batched "
-    "mapInPandas then extracts byte features (size, rolling checksum, "
-    "leading bytes) AND genuinely decodes each payload with the "
-    "stdlib PPM/PNG parsers (width/height/per-channel means). Both "
-    "renderings share the 8-px-wide RGB pixel layout, so means agree "
-    "across formats (property-tested). JPEG/video remain behind the "
+    doc="Multimodal plumbing with REAL decode steps: doc_id mod 3 "
+    "routes each document to one of three genuine image renderings — "
+    "binary PPM (pure Column expressions), zlib-compressed PNG "
+    "(Arrow-batched encode, scanline filters cycling all 5 filter "
+    "types), or baseline JPEG (operators/jpeg.py: DCT + Annex-K "
+    "quantization + Huffman, quality 90); Arrow-batched mapInPandas "
+    "then extracts byte features (size, rolling checksum, leading "
+    "bytes) AND genuinely decodes each payload with the stdlib "
+    "parsers (width/height/per-channel means — PNG matches PPM "
+    "bit-exactly, JPEG within quantization tolerance; both "
+    "property-tested). Video/compressed-audio remain behind the "
     "registered-decoder stub. Verified by tests/test_multimodal.py.",
 )
 def multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import attach_binary, extract_features
 
     docs = load_table(spark, sf_dir, "documents")
-    ppm = attach_binary(docs.filter(F.col("doc_id") % 2 == 0), payload_format="ppm")
-    png = attach_binary(docs.filter(F.col("doc_id") % 2 == 1), payload_format="png")
-    return extract_features(ppm.unionByName(png))
+    ppm = attach_binary(docs.filter(F.col("doc_id") % 3 == 0), payload_format="ppm")
+    png = attach_binary(docs.filter(F.col("doc_id") % 3 == 1), payload_format="png")
+    jpg = attach_binary(docs.filter(F.col("doc_id") % 3 == 2), payload_format="jpeg")
+    return extract_features(ppm.unionByName(png).unionByName(jpg))
 
 
 @register(

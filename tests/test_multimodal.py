@@ -837,3 +837,99 @@ def test_extract_audio_features_matches_driver_decode(spark):
     # text/plain payloads: NULL audio stats
     plain = extract_audio_features(attach_binary(docs)).collect()
     assert all(r["n_samples"] is None and r["rms"] is None for r in plain)
+
+
+def test_jpeg_round_trip_tolerance_and_gates():
+    """Baseline JPEG codec (operators/jpeg.py): encode->decode is
+    self-contained (the decoder builds every table from the payload's
+    own DQT/DHT segments), dimensions are exact, and reconstruction
+    error is bounded by quantization — tight at q95 4:4:4, looser
+    with 4:2:0 chroma. Progressive payloads raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_pipelines_snowflake_procedures_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (
+        np.stack(
+            [128 + 100 * np.sin(xx / 9.0), 255 * yy / h, 255 * xx / w],
+            axis=2,
+        )
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    for q, sub, tol in ((95, False, 1.0), (90, True, 4.0), (50, True, 8.0)):
+        enc = encode_jpeg(img, quality=q, subsample=sub)
+        assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+        out = decode_jpeg(enc)
+        assert (out["width"], out["height"]) == (w, h)
+        err = np.abs(out["pixels"].astype(int) - img.astype(int)).mean()
+        assert err <= tol, (q, sub, err)
+        for c, key in enumerate(("mean_r", "mean_g", "mean_b")):
+            assert abs(out[key] - float(img[:, :, c].mean())) <= tol, key
+
+    # grayscale single-component frames decode too
+    g = (255 * xx / w).astype(np.uint8)
+    outg = decode_jpeg(encode_jpeg(g, quality=92))
+    assert (outg["width"], outg["height"]) == (w, h)
+    assert (
+        np.abs(outg["pixels"][:, :, 0].astype(int) - g.astype(int)).mean()
+        <= 1.0
+    )
+
+    # non-JPEG and progressive payloads fail loudly
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    enc = encode_jpeg(img, quality=90)
+    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)  # SOF0 -> SOF2
+    with _pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(prog)
+
+
+def test_jpeg_random_noise_high_quality_near_lossless():
+    """Worst-case content (uniform noise) at quality 100 must still
+    round-trip nearly losslessly — quantization steps are 1-2 there,
+    so mean abs error stays below 1 LSB."""
+    import numpy as np
+
+    from data_pipelines_snowflake_procedures_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(3)
+    noise = rng.randint(0, 256, (16, 24, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noise, quality=100))
+    err = np.abs(out["pixels"].astype(int) - noise.astype(int)).mean()
+    assert err < 1.0, err
+
+
+def test_extract_features_decodes_jpeg_payloads(spark):
+    """End-to-end JPEG leg: documents rendered to real baseline JPEGs
+    in Arrow batches, decoded for REAL inside extract_features; since
+    the JPEG rendering shares the ppm pixel layout, decoded channel
+    means must sit within quantization tolerance of the lossless ppm
+    stats."""
+    docs = _docs(spark)
+    media = attach_binary(docs, payload_format="jpeg")
+    rows = media.collect()
+    for r in rows:
+        assert bytes(r["payload"])[:2] == b"\xff\xd8"
+        assert r["media_meta"]["mime"] == "image/jpeg"
+    out = {r["doc_id"]: r for r in extract_features(media).collect()}
+    ppm_out = {
+        r["doc_id"]: r
+        for r in extract_features(
+            attach_binary(docs, payload_format="ppm")
+        ).collect()
+    }
+    for doc_id, row in out.items():
+        ref = ppm_out[doc_id]
+        assert (row["width"], row["height"]) == (ref["width"], ref["height"])
+        for key in ("mean_r", "mean_g", "mean_b"):
+            assert abs(row[key] - ref[key]) <= 6.0, (doc_id, key)
