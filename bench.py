@@ -117,7 +117,12 @@ HEADLINE = [
     "events_groupwise_zscore",
     "events_distinct_users_sketch",
     "events_robust_outlier_profile",
+    "events_robust_outlier_profile_approx",
     "events_incremental_rollup",
+    # multimodal codec legs (PPM/PNG/JPEG images, WAV audio — real
+    # stdlib decodes inside Arrow-batched mapInPandas)
+    "multimodal_features_documents",
+    "multimodal_audio_features_documents",
     # Structured Streaming entries — each runs a full availableNow
     # drain of the events table through a memory sink inside queries()
     # (micro-batch scheduling + state store + watermark flush, stopped

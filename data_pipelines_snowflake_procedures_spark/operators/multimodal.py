@@ -385,6 +385,100 @@ def decode_wav(payload: bytes) -> dict[str, Any]:
 #: images and WAV audio are genuinely decodable with the stdlib and
 #: registered by default; real deployments register PIL/libav decoders
 #: for the remaining codec formats (JPEG, compressed audio, video).
+def encode_y4m(
+    frames: "Any", fps: tuple[int, int] = (25, 1), colorspace: str = "Cmono"
+) -> bytes:
+    """Minimal YUV4MPEG2 writer: (n, h, w) uint8 luma frames → a valid
+    Y4M stream (``Cmono``; ``C444`` adds flat-gray chroma planes).
+    Y4M is the uncompressed interchange format the video toolchain
+    (ffmpeg/mjpegtools) speaks — a plain text header plus raw planes,
+    so this container can genuinely produce and parse it."""
+    import numpy as np
+
+    arr = np.asarray(frames, dtype=np.uint8)
+    n, h, w = arr.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 {colorspace}\n"
+    out = bytearray(head.encode("ascii"))
+    for i in range(n):
+        out += b"FRAME\n"
+        out += arr[i].tobytes()
+        if colorspace == "C444":
+            out += bytes([128]) * (w * h) * 2
+        elif colorspace == "C420":
+            out += bytes([128]) * ((w // 2) * (h // 2)) * 2
+    return bytes(out)
+
+
+def decode_y4m(payload: bytes) -> dict[str, Any]:
+    """REAL stdlib decoder for YUV4MPEG2 video: header parse (W/H/F/C
+    tags), per-frame plane walk (mono / 4:2:0 / 4:4:4), luma
+    statistics over all frames AND over an every-2nd-frame sample (the
+    frame-sampling primitive a training pipeline runs before feature
+    extraction). Integer-exact sums, floor-scaled — the registry
+    oracle restates both means from the source bytes."""
+    import numpy as np
+
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M payload")
+    nl = payload.index(b"\n")
+    tags = payload[:nl].decode("ascii").split()[1:]
+    w = h = None
+    fn, fd = 25, 1
+    cs = "C420"
+    for t in tags:
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            fn, fd = (int(x) for x in t[1:].split(":"))
+        elif t[0] == "C":
+            cs = t
+    if not w or not h:
+        raise ValueError("Y4M missing W/H")
+    if cs.startswith("Cmono"):
+        frame_bytes, luma = w * h, w * h
+    elif cs.startswith("C420"):
+        frame_bytes, luma = w * h + 2 * ((w // 2) * (h // 2)), w * h
+    elif cs.startswith("C444"):
+        frame_bytes, luma = 3 * w * h, w * h
+    else:
+        raise NotImplementedError(f"Y4M colorspace {cs} not supported")
+    pos = nl + 1
+    y_sum = 0
+    y_sum_sampled = 0
+    n_frames = 0
+    while pos < len(payload):
+        fe = payload.index(b"\n", pos)
+        if payload[pos:fe].split(b" ")[0] != b"FRAME":
+            raise ValueError("Y4M frame marker desync")
+        pos = fe + 1
+        if pos + frame_bytes > len(payload):
+            raise ValueError("Y4M frame data truncated")
+        yplane = np.frombuffer(payload, np.uint8, luma, pos)
+        s = int(yplane.sum(dtype=np.int64))
+        y_sum += s
+        if n_frames % 2 == 0:
+            y_sum_sampled += s
+        n_frames += 1
+        pos += frame_bytes
+    n_sampled = (n_frames + 1) // 2
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": n_frames,
+        "fps_num": fn,
+        "fps_den": fd,
+        "duration_sec": (
+            __import__("math").floor(n_frames * fd / fn * 1e6) / 1e6
+        ),
+        "mean_y": _floor4(y_sum / (n_frames * luma)) if n_frames else None,
+        "sampled_mean_y": (
+            _floor4(y_sum_sampled / (n_sampled * luma)) if n_sampled else None
+        ),
+    }
+
+
 def _decode_jpeg_stats(payload: bytes) -> dict[str, Any]:
     """JPEG stats via the baseline codec (operators/jpeg.py) — the
     full-pixel decode minus the test-only ``pixels`` array."""
@@ -407,6 +501,8 @@ _DECODERS: dict[str, Callable[[bytes], Any]] = {
     "jpg": _decode_jpeg_stats,
     "audio/wav": decode_wav,
     "wav": decode_wav,
+    "video/x-yuv4mpeg": decode_y4m,
+    "y4m": decode_y4m,
 }
 
 
@@ -593,6 +689,97 @@ def attach_audio(
             F.length("payload").cast("long").alias("n_bytes"),
         ).alias("media_meta"),
     )
+
+
+def attach_video(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fps: tuple[int, int] = (25, 1),
+) -> DataFrame:
+    """Video leg of the binary-attach family: each document's utf-8
+    bytes become a sequence of 8×8 mono luma frames in a VALID
+    YUV4MPEG2 stream (:func:`encode_y4m`, zero-padded to whole
+    frames) inside an Arrow batch. Output matches MEDIA_SCHEMA with
+    mime ``video/x-yuv4mpeg``."""
+
+    def per_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["__text"]:
+                data = (text or "").encode("utf-8")
+                nf = max(-(-len(data) // 64), 1)
+                buf = np.zeros(nf * 64, dtype=np.uint8)
+                buf[: len(data)] = np.frombuffer(data, dtype=np.uint8)
+                payloads.append(encode_y4m(buf.reshape(nf, 8, 8), fps=fps))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "video/x-yuv4mpeg",
+                }
+            )
+
+    rendered = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("__text"),
+    ).mapInPandas(per_batches, "doc_id BIGINT, payload BINARY, mime STRING")
+    return rendered.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+VIDEO_SCHEMA = (
+    "doc_id BIGINT, mime STRING, n_bytes BIGINT, width INT, height INT, "
+    "n_frames BIGINT, fps_num INT, fps_den INT, duration_sec DOUBLE, "
+    "mean_y DOUBLE, sampled_mean_y DOUBLE"
+)
+
+
+def extract_video_features(df: DataFrame) -> DataFrame:
+    """Video feature extraction over Arrow batches (``mapInPandas``):
+    container metadata + all-frame and every-2nd-frame luma means via
+    :func:`decode_y4m` for decodable payloads, NULLs otherwise."""
+
+    def per_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        keys = (
+            "width", "height", "n_frames", "fps_num", "fps_den",
+            "duration_sec", "mean_y", "sampled_mean_y",
+        )
+        nulls = {k: None for k in keys}
+
+        def stats(kind: str, data: bytes) -> dict[str, Any]:
+            if kind not in ("video/x-yuv4mpeg", "y4m"):
+                return nulls
+            try:
+                return decode_y4m(data)
+            except Exception:
+                return nulls
+
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            mimes = [m["mime"] for m in pdf["media_meta"]]
+            rows = [stats(k, p) for k, p in zip(mimes, payloads)]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": mimes,
+                    "n_bytes": [len(p) for p in payloads],
+                    **{key: [r[key] for r in rows] for key in keys},
+                }
+            )
+
+    return df.mapInPandas(per_batches, schema=VIDEO_SCHEMA)
 
 
 AUDIO_SCHEMA = (

@@ -311,6 +311,74 @@ def multimodal_audio_features_documents(
 
 
 @register(
+    "multimodal_video_features_documents",
+    """
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    nf AS (
+      SELECT doc_id, n,
+             greatest(CAST(ceil(n / 64.0) AS BIGINT), 1) AS n_frames
+      FROM hx
+    ),
+    b AS (
+      SELECT doc_id,
+             (strpos('123456789ABCDEF', substr(h, 2*i-1, 1)) * 16
+            + strpos('123456789ABCDEF', substr(h, 2*i, 1))) AS byte,
+             ((i - 1) // 64) AS frame_idx
+      FROM hx, unnest(range(1, n + 1)) AS t(i)
+    ),
+    st AS (
+      SELECT doc_id,
+             sum(byte) AS y_sum,
+             sum(CASE WHEN frame_idx % 2 = 0 THEN byte ELSE 0 END)
+               AS y_sum_sampled
+      FROM b GROUP BY doc_id
+    )
+    SELECT nf.doc_id,
+           'video/x-yuv4mpeg' AS mime,
+           CAST(36 + nf.n_frames * 70 AS BIGINT) AS n_bytes,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           nf.n_frames,
+           CAST(25 AS INTEGER) AS fps_num,
+           CAST(1 AS INTEGER) AS fps_den,
+           floor((CAST(nf.n_frames AS DOUBLE) / 25) * 1000000) / 1000000
+             AS duration_sec,
+           floor((coalesce(st.y_sum, 0)::DOUBLE
+                  / (nf.n_frames * 64)) * 10000) / 10000 AS mean_y,
+           floor((coalesce(st.y_sum_sampled, 0)::DOUBLE
+                  / (((nf.n_frames + 1) // 2) * 64)) * 10000) / 10000
+             AS sampled_mean_y
+    FROM nf LEFT JOIN st USING (doc_id)
+    """,
+    doc="Video modality with a REAL container round-trip: each "
+    "document's utf-8 bytes become the luma planes of an 8x8 mono "
+    "YUV4MPEG2 stream (operators/multimodal.py::encode_y4m, Arrow-"
+    "batched, zero-padded to whole frames), then "
+    "extract_video_features genuinely re-parses every stream "
+    "(header tags, FRAME walk) and computes all-frame plus "
+    "every-2nd-frame luma means — the frame-sampling primitive a "
+    "training pipeline runs before per-frame feature extraction. The "
+    "oracle recomputes frame count, byte size, duration, and both "
+    "means from the SOURCE text bytes in pure SQL (hex-pair byte "
+    "extraction with integer frame indexing), so the hash match "
+    "proves the encode -> Y4M container -> decode -> frame-sample "
+    "pipeline end-to-end. Compressed video codecs stay behind the "
+    "decoder registry stub.",
+)
+def multimodal_video_features_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.multimodal import attach_video, extract_video_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_video_features(attach_video(docs))
+
+
+@register(
     "events_hourly_streaming",
     """
     SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,

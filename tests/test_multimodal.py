@@ -933,3 +933,74 @@ def test_extract_features_decodes_jpeg_payloads(spark):
         assert (row["width"], row["height"]) == (ref["width"], ref["height"])
         for key in ("mean_r", "mean_g", "mean_b"):
             assert abs(row[key] - ref[key]) <= 6.0, (doc_id, key)
+
+
+def test_decode_y4m_round_trip_and_colorspaces():
+    """Real Y4M decode: mono round-trip with exact integer luma stats;
+    C444/C420 streams parse with correct plane strides (flat-gray
+    chroma never enters the luma mean); truncation and non-Y4M bytes
+    raise."""
+    import math
+
+    import numpy as np
+    import pytest as _pytest
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.RandomState(11)
+    frames = rng.randint(0, 256, (5, 4, 6), dtype=np.uint8)
+    out = decode_y4m(encode_y4m(frames, fps=(30, 1)))
+    assert (out["width"], out["height"], out["n_frames"]) == (6, 4, 5)
+    assert (out["fps_num"], out["fps_den"]) == (30, 1)
+    assert out["duration_sec"] == math.floor(5 / 30 * 1e6) / 1e6
+    total = int(frames.sum(dtype=np.int64))
+    assert out["mean_y"] == math.floor(total / (5 * 24) * 10000) / 10000
+    samp = int(frames[0::2].sum(dtype=np.int64))
+    assert out["sampled_mean_y"] == math.floor(samp / (3 * 24) * 10000) / 10000
+
+    for cs in ("C444", "C420"):
+        f2 = rng.randint(0, 256, (3, 4, 4), dtype=np.uint8)
+        o2 = decode_y4m(encode_y4m(f2, colorspace=cs))
+        assert o2["n_frames"] == 3
+        assert o2["mean_y"] == math.floor(
+            int(f2.sum(dtype=np.int64)) / (3 * 16) * 10000
+        ) / 10000
+
+    with _pytest.raises(ValueError, match="not a Y4M"):
+        decode_y4m(b"RIFF....WAVE")
+    trunc = encode_y4m(frames)[:-10]
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_y4m(trunc)
+
+
+def test_extract_video_features_matches_driver_decode(spark):
+    """End-to-end video leg: attach_video renders real Y4M streams in
+    Arrow batches; extract_video_features must reproduce the driver-
+    side decode, and non-video payloads keep NULL stats."""
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        attach_video,
+        decode_y4m,
+        extract_video_features,
+    )
+
+    docs = _docs(spark)
+    media = attach_video(docs)
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    for p in payloads.values():
+        assert p.startswith(b"YUV4MPEG2 W8 H8 F25:1")
+    out = {r["doc_id"]: r for r in extract_video_features(media).collect()}
+    for doc_id, p in payloads.items():
+        ref = decode_y4m(p)
+        row = out[doc_id]
+        assert row["mime"] == "video/x-yuv4mpeg"
+        assert row["n_bytes"] == len(p)
+        for k in (
+            "width", "height", "n_frames", "fps_num", "fps_den",
+            "duration_sec", "mean_y", "sampled_mean_y",
+        ):
+            assert row[k] == ref[k], (doc_id, k)
+    plain = extract_video_features(attach_binary(docs)).collect()
+    assert all(r["n_frames"] is None and r["mean_y"] is None for r in plain)
