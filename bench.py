@@ -123,6 +123,7 @@ HEADLINE = [
     # stdlib decodes inside Arrow-batched mapInPandas)
     "multimodal_features_documents",
     "multimodal_audio_features_documents",
+    "multimodal_video_features_documents",
     # Structured Streaming entries — each runs a full availableNow
     # drain of the events table through a memory sink inside queries()
     # (micro-batch scheduling + state store + watermark flush, stopped
