@@ -119,6 +119,7 @@ HEADLINE = [
     "events_robust_outlier_profile",
     "events_robust_outlier_profile_approx",
     "events_incremental_rollup",
+    "events_incremental_quantiles",
     # multimodal codec legs (PPM/PNG/JPEG images, WAV audio — real
     # stdlib decodes inside Arrow-batched mapInPandas)
     "multimodal_features_documents",

@@ -16,10 +16,14 @@ partial(B))) == finalize(partial(A ∪ B))`` — the same algebra Spark's
 own partial/final aggregation uses inside one query, lifted to the
 PIPELINE level where the batches arrive days apart.
 
-Non-mergeable metrics (exact distinct, exact percentiles) are exactly
-the ones this scheme cannot maintain — use the sketch operators
-(operators/sketch.py HLL / CMS) for those; that boundary is the whole
-reason sketches exist.
+Non-mergeable metrics split two ways: exact distinct goes to the
+sketch operators (operators/sketch.py HLL / CMS), while PERCENTILES
+become mergeable once values bin to an integer grid —
+:func:`partial_hist` / :func:`merge_hists` keep per-key histograms
+(O(bins) state) and :func:`quantile_from_hist` finalizes any quantile
+with DuckDB ``quantile_disc`` semantics, exactly reproducible from
+merged partials: ``quantile(merge(h(A), h(B))) == quantile(h(A ∪ B))``
+bit-for-bit, because histograms add.
 
 Reference anchor: the generated GROUP BY summaries
 (CODE_GENERATOR.sql:75-87) recomputed from scratch per run; this is
@@ -59,6 +63,69 @@ def merge_partials(partials: Sequence[DataFrame], keys: Sequence[str]) -> DataFr
         F.sum("sum").alias("sum"),
         F.min("min").alias("min"),
         F.max("max").alias("max"),
+    )
+
+
+def partial_hist(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str | Column,
+    scale: int = 100,
+) -> DataFrame:
+    """One batch → per-key integer-bin histogram state
+    ``(keys…, bin, cnt)``: values round onto a 1/scale grid (exact for
+    fixed-decimal columns; the binning resolution is the declared
+    approximation otherwise). State is O(keys × bins) — the mergeable
+    form percentiles need at 100 TB, where buffering raw values per
+    group is the thing that cannot scale."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    return (
+        df.withColumn("bin", F.round(v * scale).cast("long"))
+        .groupBy(*keys, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def merge_hists(hists: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """Fold histogram states: associative bin-wise addition — the
+    property that makes binned percentiles incrementally
+    maintainable."""
+    unioned = reduce(lambda a, b: a.unionByName(b), hists)
+    return unioned.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def quantile_from_hist(
+    hist: DataFrame,
+    keys: Sequence[str],
+    q: float,
+    scale: int = 100,
+    out: str = "quantile",
+) -> DataFrame:
+    """Finalize one quantile from histogram state with DISCRETE
+    semantics (DuckDB ``quantile_disc``: the value at rank
+    ``ceil(q·n)`` — the smallest bin whose cumulative count reaches
+    it), via a cumulative window over the ≤bins rows per key. Exactly
+    reproducible from merged partials; the oracle restates it as
+    ``quantile_disc`` over the same integer grid."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*keys)
+    # rank = ceil(q·n) in EXACT arithmetic (DuckDB's rule; verified
+    # empirically across q/n) — double multiply alone gets it wrong at
+    # exact multiples (0.95*20 = 19.000000000000004 → ceil 20), so
+    # subtract an epsilon far below any honest fractional part.
+    rank = F.ceil(F.lit(float(q)) * F.col("n") - F.lit(1e-9))
+    return (
+        hist.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(w_tot))
+        .filter(F.col("cum") >= rank)
+        .groupBy(*keys)
+        .agg((F.min("bin") / scale).alias(out))
     )
 
 

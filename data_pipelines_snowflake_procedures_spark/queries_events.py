@@ -888,6 +888,56 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_incremental_quantiles",
+    """
+    WITH ev AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           quantile_disc(v_c, 0.5) / 100.0 AS p50,
+           quantile_disc(v_c, 0.95) / 100.0 AS p95
+    FROM ev GROUP BY event_type
+    """,
+    doc="Incrementally-maintained percentiles — the metric the "
+    "partial-aggregate rollup family documents as non-mergeable, made "
+    "mergeable by binning (operators/incremental.py::partial_hist/"
+    "merge_hists/quantile_from_hist): the events table arrives as "
+    "three date-range batches, each reduced to a per-key integer-cent "
+    "HISTOGRAM state (O(keys x bins), never O(rows)); histograms add "
+    "associatively, and any quantile finalizes from the merged state "
+    "with discrete quantile_disc semantics (rank ceil(q*n)). The "
+    "oracle computes quantile_disc from scratch over everything — "
+    "proving that batch-at-a-time histogram maintenance reproduces "
+    "full recomputation bit-for-bit, which is how a 100 TB rollup "
+    "serves p50/p95 without re-reading history.",
+)
+def events_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.incremental import (
+        merge_hists,
+        partial_hist,
+        quantile_from_hist,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.dayofmonth("ts")
+    batches = [
+        ev.filter(day < 10),
+        ev.filter((day >= 10) & (day < 20)),
+        ev.filter(day >= 20),
+    ]
+    parts = [partial_hist(b, ["event_type"], "value") for b in batches]
+    merged = merge_hists(parts, ["event_type"])
+    n = merged.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n_events")
+    )
+    p50 = quantile_from_hist(merged, ["event_type"], 0.5, out="p50")
+    p95 = quantile_from_hist(merged, ["event_type"], 0.95, out="p95")
+    return n.join(p50, "event_type").join(p95, "event_type")
+
+
+@register(
     "events_incremental_rollup_streaming",
     """
     SELECT event_type,

@@ -1175,3 +1175,54 @@ def test_quantized_recall_report_invariants(spark, sf_dir):
         rows["ivfpq_nprobe2"]["recall_at_5"]
         >= rows["ivfpq_nprobe1"]["recall_at_5"]
     )
+
+
+def test_histogram_quantile_merge_invariance(spark, sf_dir):
+    """Binned percentiles are exactly mergeable: any batch split of
+    the events table must finalize to the SAME p50/p95 as a single
+    whole-table histogram — histograms add, so batch-at-a-time
+    maintenance reproduces full recomputation bit-for-bit. Also pins
+    the ceil(q*n) rank rule against Spark's exact percentile on the
+    whole data (discrete vs interpolated agree within one bin-step
+    neighborhood)."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_snowflake_procedures_spark.operators.incremental import (
+        merge_hists,
+        partial_hist,
+        quantile_from_hist,
+    )
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    whole = partial_hist(ev, ["event_type"], "value")
+
+    def qmap(hist, q):
+        return {
+            r["event_type"]: r["q"]
+            for r in quantile_from_hist(hist, ["event_type"], q, out="q").collect()
+        }
+
+    # two different splits + the unsplit histogram
+    day = F.dayofmonth("ts")
+    split_a = [ev.filter(day < 15), ev.filter(day >= 15)]
+    split_b = [ev.filter(day < 5), ev.filter((day >= 5) & (day < 25)), ev.filter(day >= 25)]
+    for q in (0.5, 0.95):
+        want = qmap(whole, q)
+        for split in (split_a, split_b):
+            merged = merge_hists(
+                [partial_hist(b, ["event_type"], "value") for b in split],
+                ["event_type"],
+            )
+            assert qmap(merged, q) == want, (q, len(split))
+    # discrete quantile sits within one distinct-value step of Spark's
+    # exact interpolated percentile
+    exact = {
+        r["event_type"]: r["p"]
+        for r in ev.groupBy("event_type")
+        .agg(F.percentile("value", F.lit(0.5)).alias("p"))
+        .collect()
+    }
+    got = qmap(whole, 0.5)
+    for t, p in exact.items():
+        assert abs(got[t] - p) <= 0.5, (t, got[t], p)
