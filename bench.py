@@ -72,6 +72,7 @@ HEADLINE = [
     "text_repetition_documents",
     "corpus_clean_documents",
     "corpus_decontaminate_documents",
+    "corpus_decontaminate_bloom",
     "corpus_pack_documents",
     "vocab_top_tokens",
     "dedup_exact_documents",

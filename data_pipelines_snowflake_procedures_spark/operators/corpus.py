@@ -228,6 +228,95 @@ def contamination_hits(
     )
 
 
+def contamination_hits_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bits_per_item: int = 10,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """:func:`contamination_hits` with a Bloom pre-filter — the 100 TB
+    form when the eval shingle set outgrows a comfortable string
+    broadcast: the distinct eval shingles fold into a
+    ``bits_per_item``-bits-per-element bitmap (vs tens of bytes per
+    raw shingle string), the train side drops non-candidate shingles
+    map-side against the broadcast bitmap, and only survivors meet the
+    exact eval set for verification. False positives cost one extra
+    exact probe each and CANNOT change the result — output is
+    bit-identical to the exact operator (same oracle), which is the
+    whole contract of a Bloom pre-filter.
+
+    Spark's own ``bloom_filter_agg`` is optimizer-internal (not a
+    user-callable routine), so the filter is built from public
+    expressions: ``k_hashes`` positions per shingle via seeded
+    xxhash64 mod m, folded DISTRIBUTEDLY into per-64-bit-word masks
+    with the ``bit_or`` aggregate (≤ m/64 rows leave the executors —
+    the sketch, never the shingles), assembled into one
+    ``array<long>`` row that broadcasts like the k-means matrices.
+    The membership test is shift-and-mask Column arithmetic — no
+    Python anywhere."""
+    from .text import shingles
+
+    spark = train.sparkSession
+    ev_sh = (
+        eval_df.select(F.explode(shingles(text_col, n)).alias("sh")).distinct()
+    ).persist()
+    n_items = max(ev_sh.count(), 1)  # sketch sizing — a driver scalar
+    m_bits = ((n_items * bits_per_item + 63) // 64) * 64
+    m_words = m_bits // 64
+
+    def positions(col: Column) -> list[Column]:
+        return [
+            F.pmod(F.xxhash64(col, F.lit(j)), F.lit(m_bits))
+            for j in range(k_hashes)
+        ]
+
+    # distributed build: only (word, mask) pairs — the sketch itself —
+    # ever leave the executors
+    masks = (
+        ev_sh.select(
+            F.explode(F.array(*positions(F.col("sh")))).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.pmod(F.col("pos"), F.lit(64)).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("mask"))
+        .collect()
+    )
+    ev_sh.unpersist()  # the exact join below recomputes the small eval side
+    words = [0] * m_words
+    for r in masks:
+        words[int(r["word"])] = int(r["mask"])
+    bloom = spark.createDataFrame([(words,)], "bf ARRAY<BIGINT>")
+    tr = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(text_col, n)).alias("sh"),
+    )
+    # membership: every seeded hash position's bit must be set —
+    # shift-and-mask arithmetic over the broadcast array<long> bitmap
+    conds = []
+    for j in range(k_hashes):
+        conds.append(
+            f"((element_at(bf, CAST(pmod(xxhash64(sh, {j}), {m_bits}) / 64 "
+            f"AS INT) + 1) >> CAST(pmod(pmod(xxhash64(sh, {j}), {m_bits}), "
+            f"64) AS INT)) & 1) = 1"
+        )
+    candidates = (
+        tr.join(F.broadcast(bloom))
+        .filter(F.expr(" AND ".join(conds)))
+        .drop("bf")
+    )
+    return (
+        candidates.join(F.broadcast(ev_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

@@ -1671,6 +1671,40 @@ def corpus_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFram
     return contamination_hits(train, ev, n=3)
 
 
+@register(
+    "corpus_decontaminate_bloom",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLE3_SQL}) AS sh FROM documents
+    ),
+    ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 25 = 0),
+    tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 25 <> 0)
+    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM tr JOIN ev USING (sh)
+    GROUP BY tr.doc_id
+    """,
+    doc="Bloom-pre-filtered decontamination (operators/corpus.py::"
+    "contamination_hits_bloom) — the form for when the eval shingle "
+    "set outgrows a comfortable string broadcast: distinct eval "
+    "shingles fold into a ~10-bits-per-shingle bitmap (built "
+    "DISTRIBUTEDLY with seeded-xxhash64 positions + the bit_or "
+    "aggregate; only per-word masks leave the executors), the 100 TB "
+    "train side drops non-candidates map-side with shift-and-mask "
+    "arithmetic against the broadcast array<long> row, and only "
+    "survivors meet the exact eval set. False positives cost one "
+    "extra exact probe and cannot change the result — the oracle is "
+    "IDENTICAL to the exact entry's, and the hash match proves the "
+    "pre-filter is lossless. No Python, no UDFs.",
+)
+def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import contamination_hits_bloom
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    return contamination_hits_bloom(train, ev, n=3)
+
+
 _PACK_CTX = 512
 
 

@@ -1226,3 +1226,47 @@ def test_histogram_quantile_merge_invariance(spark, sf_dir):
     got = qmap(whole, 0.5)
     for t, p in exact.items():
         assert abs(got[t] - p) <= 0.5, (t, got[t], p)
+
+
+def test_bloom_decontamination_lossless_and_selective(spark, sf_dir):
+    """The Bloom pre-filter must be LOSSLESS (identical hits to the
+    exact operator — false positives only add exact probes) and
+    actually SELECTIVE (a disjoint eval set prunes nearly every train
+    shingle before the exact join). Plan stays Python-free."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_snowflake_procedures_spark.operators.corpus import (
+        contamination_hits,
+        contamination_hits_bloom,
+    )
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    exact = {
+        (r["doc_id"], r["n_hits"])
+        for r in contamination_hits(train, ev, n=3).collect()
+    }
+    bloom_df = contamination_hits_bloom(train, ev, n=3)
+    got = {(r["doc_id"], r["n_hits"]) for r in bloom_df.collect()}
+    assert got == exact and exact
+
+    plan = bloom_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # no EXECUTOR Python (the 1-row bitmap frame's driver-side
+    # ApplySchemaToPythonRDD source is setup, like the k-means
+    # broadcast matrices — not a per-row hot path)
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in plan, node
+
+    # disjoint eval text: zero hits survive, and with ~10 bits/item +
+    # 3 hashes the false-positive rate is well under 5%
+    fake_ev = ev.select(
+        "doc_id", F.concat(F.lit("zz qq xx "), F.col("text")).alias("text")
+    ).select("doc_id", F.translate("text", "aeiou", "01234").alias("text"))
+    assert contamination_hits_bloom(train, fake_ev, n=12).count() == 0
