@@ -105,6 +105,7 @@ HEADLINE = [
     "knn_recall_report_quantized",
     "embedding_label_cohesion",
     "hybrid_search_documents",
+    "bm25_search_documents",
     # event-time windows + pandas surface
     "events_hourly_by_type",
     "events_props_variant",

@@ -57,6 +57,68 @@ def tfidf_weights(
     return weighted
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranking of every document against a bag of query terms —
+    the standard lexical retrieval scorer (Robertson/Spärck Jones,
+    Lucene-smoothed idf) beside the tf-idf cosine and the embedding
+    kNN: ``(doc_id, bm25)`` for documents matching ≥1 term.
+
+    score(d) = Σ_t ln((N − df_t + 0.5)/(df_t + 0.5) + 1)
+               · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Plan: one token explode filtered to the query terms (map-side —
+    the 100 TB corpus shuffles only matching (doc, term) pairs),
+    df per term and avgdl as tiny broadcast aggregates. Per-term
+    scores round to integer micro-units BEFORE the per-doc sum (the
+    bigram-LM trick), so the sum is order-independent and the oracle
+    restates it hash-exactly."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("tok"),
+        F.size(tokens(text_col)).cast("long").alias("dl"),
+    )
+    n_docs = df.count()
+    hits = toks.filter(F.col("tok").isin([t.lower() for t in query_terms]))
+    tf = hits.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("tf"), F.any_value("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    avgdl = df.select(
+        (
+            F.sum(F.size(tokens(text_col)).cast("long"))
+            / F.lit(float(n_docs))
+        ).alias("avgdl")
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = idf * (
+        (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "doc_id",
+            F.round(term_score * 1e6).cast("long").alias("micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("micro") / 1e6, 6).alias("bm25")
+    )
+
+
 def tfidf_cosine_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1839,6 +1839,60 @@ def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("spark", "merge", "window")
+
+
+@register(
+    "bm25_search_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok,
+             len({_TOKS})::BIGINT AS dl
+      FROM documents
+    ),
+    nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    ad AS (
+      SELECT sum(len({_TOKS}))::DOUBLE / any_value(nd.n) AS avgdl
+      FROM documents, nd
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf, any_value(dl) AS dl
+      FROM toks WHERE tok IN {tuple(_BM25_TERMS)}
+      GROUP BY doc_id, tok
+    ),
+    dfreq AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+    ),
+    sc AS (
+      SELECT t.doc_id,
+             CAST(round(
+               ln((nd.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / ad.avgdl))
+               * 1000000) AS BIGINT) AS micro
+      FROM tf t JOIN dfreq d USING (tok), nd, ad
+    )
+    SELECT doc_id, round(sum(micro) / 1000000.0, 6) AS bm25
+    FROM sc GROUP BY doc_id
+    """,
+    doc="BM25 lexical retrieval (operators/tfidf.py::bm25_scores): "
+    "every document scored against a fixed 3-term query with the "
+    "Lucene-smoothed Robertson idf and k1=1.2 / b=0.75 length "
+    "normalization — the standard retrieval scorer beside the tf-idf "
+    "cosine and embedding kNN. The corpus-side explode filters to "
+    "query terms map-side (only matching (doc, term) pairs shuffle); "
+    "df and avgdl ride as broadcast aggregates. Per-term scores round "
+    "to integer micro-units before the per-doc sum, so floating "
+    "addition order cannot flip the hash; the oracle restates the "
+    "identical algebra.",
+)
+def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.tfidf import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, list(_BM25_TERMS))
+
+
 @register(
     "hybrid_search_documents",
     f"""

@@ -1270,3 +1270,32 @@ def test_bloom_decontamination_lossless_and_selective(spark, sf_dir):
         "doc_id", F.concat(F.lit("zz qq xx "), F.col("text")).alias("text")
     ).select("doc_id", F.translate("text", "aeiou", "01234").alias("text"))
     assert contamination_hits_bloom(train, fake_ev, n=12).count() == 0
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25 sanity on a hand-built corpus: a doc matching the rare
+    term outranks one matching only the common term; more occurrences
+    of a term score higher; length normalization penalizes padding;
+    non-matching docs are absent."""
+    from data_pipelines_snowflake_procedures_spark.operators.tfidf import (
+        bm25_scores,
+    )
+
+    rows = [
+        (1, "rare common common"),          # rare + common
+        (2, "common common common"),        # common only
+        (3, "rare rare common"),            # rare twice
+        (4, "rare " + "pad " * 40),         # rare once, long doc
+        (5, "common filler words"),         # pad the common df
+        (6, "common other stuff"),
+        (7, "nothing matches here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(docs, ["rare", "common"]).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    assert got[3] > got[1] > got[2]          # rare×2 > rare×1 > common-only
+    assert got[1] > got[4]                   # same rare tf, shorter doc wins
+    assert all(v > 0 for v in got.values())
