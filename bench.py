@@ -106,6 +106,7 @@ HEADLINE = [
     "embedding_label_cohesion",
     "hybrid_search_documents",
     "bm25_search_documents",
+    "documents_bpe_merges",
     # event-time windows + pandas surface
     "events_hourly_by_type",
     "events_props_variant",

@@ -1839,6 +1839,71 @@ def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle(n_merges: int = 8) -> str:
+    """Restates the FULL BPE training loop (operators/bpe.py) merge by
+    merge: the vocabulary state starts as space-joined characters, each
+    iteration ranks adjacent pairs (freq DESC, pair ASC) and replays
+    the winning merge with replace() — whose left-to-right
+    non-overlapping semantics equal BPE's greedy merge on both
+    engines."""
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+      SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym,
+             count(*)::BIGINT AS wfreq
+      FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+      WHERE length(w) > 0
+      GROUP BY w
+    )"""
+    ]
+    for k in range(n_merges):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+      SELECT s[i] AS a, s[i + 1] AS b, sum(wfreq)::BIGINT AS freq
+      FROM (SELECT string_split(sym, ' ') AS s, wfreq FROM w{k}),
+           unnest(range(1, len(s))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    b{k} AS MATERIALIZED (
+      SELECT {k + 1} AS rank, a, b, freq
+      FROM p{k} ORDER BY freq DESC, a, b LIMIT 1
+    ),
+    w{k + 1} AS MATERIALIZED (
+      SELECT replace(sym, (SELECT a || ' ' || b FROM b{k}),
+                     (SELECT a || b FROM b{k})) AS sym, wfreq
+      FROM w{k}
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM b{k}" for k in range(n_merges))
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f" SELECT CAST(rank AS INT) AS rank, a, b, freq FROM ({union})"
+    )
+
+
+@register(
+    "documents_bpe_merges",
+    _bpe_oracle(8),
+    doc="Distributed BPE tokenizer training (operators/bpe.py::"
+    "bpe_train — the Sennrich 2016 algorithm every modern LLM "
+    "tokenizer descends from): one corpus pass collapses to the "
+    "vocabulary-sized (word, freq) state, then each of 8 merge "
+    "iterations is an adjacent-pair aggregate + narrow replace() "
+    "rewrite over that persisted state — never a second corpus scan. "
+    "Output is the ordered merge table (rank, a, b, freq): the "
+    "tokenizer model itself, driver-sized like k-means centroids. "
+    "The oracle replays ALL 8 iterations in chained SQL CTEs "
+    "(selection tie-break freq DESC, pair ASC; replace()'s "
+    "left-to-right non-overlap = BPE's greedy merge on both "
+    "engines), so the hash match verifies the full training loop.",
+)
+def documents_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8)
+    rows = [(i + 1, a, b, f) for i, (a, b, f) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank INT, a STRING, b STRING, freq BIGINT")
+
+
 _BM25_TERMS = ("spark", "merge", "window")
 
 

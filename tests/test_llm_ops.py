@@ -1299,3 +1299,35 @@ def test_bm25_ranking_semantics(spark):
     assert got[3] > got[1] > got[2]          # rare×2 > rare×1 > common-only
     assert got[1] > got[4]                   # same rare tf, shorter doc wins
     assert all(v > 0 for v in got.values())
+
+
+def test_bpe_train_classic_example(spark):
+    """BPE on the classic Sennrich corpus shape: 'low'×5 'lower'×2
+    'newest'×6 'widest'×3 (as repeated words in documents). The first
+    merges must follow pair frequencies: (e,s) freq 9 → (es,t) freq 9
+    → ... deterministic under the (freq DESC, pair ASC) tie-break.
+    Token counts under the trained model shrink monotonically with
+    more merges."""
+    from data_pipelines_snowflake_procedures_spark.operators.bpe import (
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame([(1, corpus)], ["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=4)
+    assert merges[0][:2] == ("e", "s") and merges[0][2] == 9
+    assert merges[1][:2] == ("es", "t") and merges[1][2] == 9
+    # after es+t: (l,o) from low(5)+lower(2)=7 beats (w,est)=6 (only
+    # newest contributes — widest is "w i d est"); then (lo,w)=7
+    assert merges[2][:2] == ("l", "o") and merges[2][2] == 7
+    assert merges[3][:2] == ("lo", "w") and merges[3][2] == 7
+
+    n0 = bpe_token_counts(docs, []).collect()[0]["n_bpe_tokens"]
+    n2 = bpe_token_counts(docs, merges[:2]).collect()[0]["n_bpe_tokens"]
+    n4 = bpe_token_counts(docs, merges).collect()[0]["n_bpe_tokens"]
+    # chars: 5*3+2*5+6*6+3*6 = 79 symbols before any merge
+    assert n0 == 79
+    assert n0 > n2 > n4
