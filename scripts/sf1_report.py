@@ -99,7 +99,17 @@ def main() -> None:
             "by state-store row churn and stay well under the 50x data "
             "multiplier). documents_quality_auc_binned already beats the "
             "exact rank form at 500k docs (3.9s vs 7.0s) - the gap is the "
-            "single-task global sort the binned form exists to remove."
+            "single-task global sort the binned form exists to remove. "
+            "r6: RocksDB state store cut the big-state drains (sessions "
+            "36.2s -> 19.6s; A/B counter-measurement: the 4-small-stores "
+            "stream-stream join prefers HDFS, 8.1s vs 15.5s - both "
+            "directions recorded, default stays RocksDB with a per-drain "
+            "opt-out). New coverage: codes-only quantized ANN (ivfpq "
+            "27.2s -> 24.1s), binned robust outlier (3.1s vs exact 6.6s), "
+            "incremental quantiles, bloom decontamination, BM25, BPE "
+            "training (4.6s at sf1 - vocabulary-sized state, sub-linear), "
+            "and the multimodal codec legs (PPM/PNG/JPEG 28.5s, WAV 3.8s, "
+            "Y4M 1.8s on 100x docs - all sub-linear)."
         ),
         "queries": rows,
     }
