@@ -81,6 +81,7 @@ HEADLINE = [
     "dedup_minhash_lsh_shingles_documents",
     "dedup_clusters_documents",
     "dedup_simhash_documents",
+    "dedup_prefix_filter_documents",
     "corpus_passage_dedup_documents",
     "corpus_lm_score_documents",
     "corpus_bigram_lm_score_documents",

@@ -143,6 +143,79 @@ def token_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT-threshold Jaccard similarity join via prefix filtering
+    (the PPJoin-family principle, Chaudhuri/Bayardo — public
+    algorithm): identical output to :func:`token_jaccard_pairs`, but
+    the candidate join touches only each document's PREFIX tokens —
+    its ``|d| − ceil(t·|d|) + 1`` globally-rarest tokens — instead of
+    its whole set. Two sets with Jaccard ≥ t must share a prefix token
+    under a common global order (with the size filter
+    ``t·|b| ≤ |a|``, overlap ≥ ceil(t·max(|a|,|b|)) follows from
+    o ≥ t(|a|+|b|)/(1+t)), so the filter has NO false negatives and
+    exact verification of the candidates restores exactness — the LSH
+    alternative trades recall; this trades nothing.
+
+    At 100 TB the candidate join's skew ceiling is the rarity
+    ordering's whole point: prefixes hold each document's LOWEST-df
+    tokens, so hot tokens never generate candidates. Verification work
+    is Σ|a| over candidate pairs, not corpus²."""
+    from pyspark.sql.window import Window
+
+    toks = doc_tokens(df, text_col, id_col, n).persist()
+    order = toks.groupBy("tok").agg(F.count("*").alias("tok_df"))
+    w_pos = Window.partitionBy("id").orderBy(F.asc("tok_df"), F.asc("tok"))
+    w_sz = Window.partitionBy("id")
+    # ceil with an epsilon guard: double t·n lands just ABOVE integers
+    # at exact multiples (0.9·10 → 9.000000000000002 → ceil 10), which
+    # would SHORTEN the prefix and break the no-false-negative proof
+    prefix = (
+        toks.join(F.broadcast(order), "tok")
+        .withColumn("pos", F.row_number().over(w_pos))
+        .withColumn("sz", F.count("*").over(w_sz))
+        .filter(
+            F.col("pos")
+            <= F.col("sz")
+            - F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-9))
+            + 1
+        )
+        .select("id", "tok")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification over full token sets, candidates only
+    ta = toks.select(F.col("id").alias("doc_a"), F.col("tok"))
+    tb = toks.select(F.col("id").alias("doc_b"), F.col("tok"))
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def token_containment_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -267,6 +267,33 @@ def dedup_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "dedup_prefix_filter_documents",
+    f"""
+    WITH {_TSETS_SQL}
+    SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b,
+           {_VERIFY_JACCARD_SQL} AS jaccard
+    FROM tsets ta JOIN tsets tb ON ta.doc_id < tb.doc_id
+    WHERE {_VERIFY_JACCARD_SQL} >= 0.5
+    """,
+    doc="EXACT-threshold Jaccard similarity join via prefix filtering "
+    "(operators/dedup.py::prefix_filter_jaccard_pairs — the "
+    "PPJoin-family principle): the candidate join touches only each "
+    "document's |d|-ceil(t*|d|)+1 globally-RAREST tokens, so hot "
+    "tokens never generate candidates and the exact verify pass is "
+    "bounded by candidate pairs, not corpus^2. Unlike the MinHash/"
+    "SimHash rungs this trades NOTHING — the prefix principle has no "
+    "false negatives, and the oracle (the full all-pairs Jaccard "
+    "definition) proves it: a hash match means the filtered plan "
+    "found every pair at threshold 0.5.",
+)
+def dedup_prefix_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return prefix_filter_jaccard_pairs(docs, threshold=0.5)
+
+
+@register(
     "dedup_clusters_documents",
     f"""
     WITH RECURSIVE {_TSETS_SQL},

@@ -1331,3 +1331,41 @@ def test_bpe_train_classic_example(spark):
     # chars: 5*3+2*5+6*6+3*6 = 79 symbols before any merge
     assert n0 == 79
     assert n0 > n2 > n4
+
+
+def test_prefix_filter_join_equals_full_join(spark, sf_dir):
+    """Prefix filtering must be LOSSLESS at every threshold: identical
+    (pair, jaccard) output to the full inverted-index join — including
+    thresholds where t*|d| lands exactly on integers (the double-ceil
+    epsilon guard's failure surface)."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_snowflake_procedures_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+        token_jaccard_pairs,
+    )
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    for t in (0.5, 0.75, 0.9):
+        want = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in token_jaccard_pairs(docs, threshold=t).collect()
+        }
+        got = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in prefix_filter_jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert got == want, t
+    # exact-multiple sizes: 10-token docs at t=0.9 (prefix length 2)
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i k"),   # jaccard 9/11 < 0.9
+        (3, "a b c d e f g h i j"),   # identical to 1 -> 1.0
+    ]
+    tiny = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in prefix_filter_jaccard_pairs(tiny, threshold=0.9).collect()
+    }
+    assert got == {(1, 3, 1.0)}
