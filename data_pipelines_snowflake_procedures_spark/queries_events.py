@@ -520,6 +520,68 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hourly_interpolated",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+             date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    keys AS (SELECT DISTINCT event_type FROM events),
+    means AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             floor(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE
+                   / count(*) / 100 * 10000) / 10000 AS v_obs
+      FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT k.event_type, s.hour, m.v_obs,
+             CAST(epoch(s.hour) / 3600 AS BIGINT) AS hn
+      FROM spine s CROSS JOIN keys k
+      LEFT JOIN means m ON m.event_type = k.event_type AND m.hour = s.hour
+    ),
+    w AS (
+      SELECT event_type, hour, v_obs, hn,
+             last_value(v_obs IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN v_obs IS NOT NULL THEN hn END IGNORE NULLS)
+               OVER wb AS ph,
+             first_value(v_obs IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v_obs IS NOT NULL THEN hn END IGNORE NULLS)
+               OVER wf AS nh
+      FROM dense
+      WINDOW wb AS (PARTITION BY event_type ORDER BY hn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY hn
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hour, v_obs,
+           CASE WHEN v_obs IS NOT NULL THEN v_obs
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  floor((pv + (nv - pv) * ((hn - ph)::DOUBLE / (nh - ph)))
+                        * 10000) / 10000
+           END AS v_filled
+    FROM w
+    """,
+    doc="Linearly-interpolated dense hourly value series per event "
+    "type (streaming/windows.py::gapfill_interpolate_hourly) — the "
+    "metric-series repair zero-fill cannot provide: observed hours "
+    "keep their mean, interior gaps take the line between nearest "
+    "observed neighbors (ignore-nulls frame windows over the "
+    "calendar-bounded spine), leading/trailing gaps stay NULL. "
+    "Integer epoch-hour arithmetic + 4-decimal rounding keeps both "
+    "engines hash-identical.",
+)
+def events_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import gapfill_interpolate_hourly
+
+    return gapfill_interpolate_hourly(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "events_retention_cohorts",
     """
     WITH activity AS (

@@ -207,3 +207,94 @@ def gapfill_hourly(
             F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+def gapfill_interpolate_hourly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Dense hourly series per key with LINEAR interpolation across
+    gaps — the metric-series repair step zero-fill cannot provide
+    (a sensor mean of 0 is a lie; the line between neighbors is the
+    standard estimate). Observed hours keep their (rounded) mean;
+    interior gaps interpolate between the nearest observed neighbors
+    via ignore-nulls frame functions; leading/trailing gaps stay NULL
+    (no neighbor to anchor the line — fabricating one is worse).
+
+    Plan: the same broadcast spine as :func:`gapfill_hourly`, then two
+    frame windows per key (backward last / forward first, both
+    ignore-nulls) over the spine-sized frame — hours × keys rows, so
+    window state is calendar-bounded regardless of fact rows.
+    Interpolation arithmetic runs on integer epoch-hours with exact
+    integer-cent means and FLOOR-scaled 4-decimal outputs (floor of an
+    identical IEEE double is identical everywhere; round() boundary
+    behavior is engine-specific), restated hash-exactly by the DuckDB
+    oracle."""
+    from pyspark.sql import Window
+
+    hours = (
+        df.agg(
+            F.date_trunc("hour", F.min(ts_col)).alias("h0"),
+            F.date_trunc("hour", F.max(ts_col)).alias("h1"),
+        )
+        .select(
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour")
+        )
+    )
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    # exact mean: integer-cent sums (the 2-decimal column's native
+    # grid) — a float avg's summation order can flip a 4th-decimal
+    # rounding boundary between engines
+    means = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        )
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.round(F.col(value_col) * 100).cast("long"))
+                    / F.count("*")
+                    / 100
+                    * 10000
+                )
+                / 10000
+            ).alias("v_obs")
+        )
+    )
+    dense = hours.crossJoin(F.broadcast(keys)).join(
+        means, ["key", "hour"], "left"
+    ).withColumn("hn", (F.unix_timestamp("hour") / 3600).cast("long"))
+    w_back = (
+        Window.partitionBy("key")
+        .orderBy("hn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("key")
+        .orderBy("hn")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v_obs").isNotNull(), F.col("hn"))
+    pv = F.last("v_obs", ignorenulls=True).over(w_back)
+    ph = F.last(obs_h, ignorenulls=True).over(w_back)
+    nv = F.first("v_obs", ignorenulls=True).over(w_fwd)
+    nh = F.first(obs_h, ignorenulls=True).over(w_fwd)
+    frac = (F.col("hn") - ph).cast("double") / (nh - ph)
+    filled = (
+        F.when(F.col("v_obs").isNotNull(), F.col("v_obs"))
+        .when(
+            pv.isNotNull() & nv.isNotNull(),
+            F.floor((pv + (nv - pv) * frac) * 10000) / 10000,
+        )
+    )
+    return dense.select(
+        F.col("key").alias(key_col),
+        "hour",
+        "v_obs",
+        filled.alias("v_filled"),
+    )
