@@ -216,6 +216,120 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def dup_span_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring span profile — the ExactSubstr idea
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better") computed distributively WITHOUT suffix arrays: a
+    token position is duplicated iff some length-``n`` token window
+    covering it occurs ≥ ``min_count`` times corpus-wide (self-repeats
+    included, as in the original). Per document this reports how much
+    of it is verbatim-duplicated text and the longest duplicated run —
+    the fine-grained signal doc-level MinHash/SimHash cannot give
+    (boilerplate headers, licence blocks, quoted chunks inside
+    otherwise-unique pages).
+
+    Plan, in shuffle order:
+
+    1. positional n-gram explode → |corpus tokens| rows (narrow);
+    2. groupBy gram with map-side partial counts (shuffle #1) —
+       duplicated grams only survive the HAVING, so the join feed is
+       duplicate-sized, not corpus-sized;
+    3. join window starts to surviving grams (shuffle on gram; AQE
+       broadcasts the survivor side when duplication is sparse);
+    4. one window pass per doc (shuffle on id) computing BOTH the
+       interval-union coverage (sum of least(n, pos − lag(pos)) — the
+       classic merged-interval sweep as a frame expression) and the
+       run key (pos − row_number), then two groupBys that reuse the
+       id partitioning (HashPartitioning(id) satisfies (id, run)).
+
+    Nothing is quadratic and no suffix structure is materialized; at
+    100 TB swap the gram string for ``xxhash64(gram)`` in steps 2–3 to
+    shuffle 8-byte keys (collision odds ~|grams|²/2⁶⁴; the registered
+    form keeps the string so the DuckDB oracle is hash-exact).
+
+    Reference: no counterpart — north-star training-data mandate
+    (SURVEY.md §2.14 family; complements exact_dedup at :45 and
+    minhash_lsh_pairs at :294).
+    """
+    from pyspark.sql.window import Window
+
+    from .text import positional_shingles
+
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        positional_shingles(text_col, n).alias("grams"),
+    )
+    grams = base.select(
+        "id", F.posexplode("grams").alias("pos0", "gram")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "gram")
+    survivors = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("gram")
+    )
+    dup = grams.join(survivors, "gram").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    cov = F.coalesce(
+        F.least(F.lit(n), F.col("pos") - F.lag("pos").over(w)), F.lit(n)
+    )
+    run = F.col("pos") - F.row_number().over(w)
+    runs = (
+        dup.select("id", "pos", cov.alias("cov"), run.alias("run"))
+        .groupBy("id", "run")
+        .agg(
+            F.count("*").alias("wins"),
+            F.sum("cov").alias("covsum"),
+            (F.max("pos") - F.min("pos") + n).cast("long").alias("span"),
+        )
+    )
+    perdoc = runs.groupBy("id").agg(
+        F.sum("wins").alias("dup_windows"),
+        F.sum("covsum").alias("dup_token_cov"),
+        F.max("span").alias("max_span_tokens"),
+    )
+    frac = F.when(
+        F.col("n_tokens") > 0,
+        F.floor(
+            F.coalesce(F.col("dup_token_cov"), F.lit(0)).cast("double")
+            / F.col("n_tokens")
+            * 10000
+        )
+        / 10000,
+    ).otherwise(F.lit(0.0))
+    return (
+        base.select(
+            "id",
+            "n_tokens",
+            F.greatest(F.size("grams").cast("long"), F.lit(0).cast("long")).alias(
+                "n_windows"
+            ),
+        )
+        .join(perdoc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "n_windows",
+            F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+            F.coalesce("dup_token_cov", F.lit(0))
+            .cast("long")
+            .alias("dup_token_cov"),
+            frac.alias("dup_frac"),
+            F.coalesce("max_span_tokens", F.lit(0))
+            .cast("long")
+            .alias("max_span_tokens"),
+        )
+    )
+
+
 def token_containment_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -145,9 +145,10 @@ def fingerprint(col: str | Column) -> Column:
     return F.md5(F.concat_ws(" ", tokens(col)))
 
 
-def shingles(col: str | Column, n: int = 3) -> Column:
-    """Distinct n-token shingles (token n-grams joined by single
-    spaces). Empty array when the document has fewer than n tokens.
+def positional_shingles(col: str | Column, n: int = 3) -> Column:
+    """ALL n-token shingles in document order (element ``i`` starts at
+    token ``i``; duplicates kept — position matters). Empty array when
+    the document has fewer than ``n`` tokens.
 
     Built by zipping ``n`` shifted slices of the token array — NOT by
     indexing a captured expression inside a transform lambda: Spark
@@ -160,12 +161,17 @@ def shingles(col: str | Column, n: int = 3) -> Column:
     zipped = F.arrays_zip(
         *[F.slice(toks, i + 1, cnt).alias(f"t{i}") for i in range(n)]
     )
-    return F.array_distinct(
-        F.transform(
-            zipped,
-            lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]),
-        )
+    return F.transform(
+        zipped,
+        lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]),
     )
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct n-token shingles (set semantics — the Jaccard/MinHash
+    unit). See :func:`positional_shingles` for the ordered form and
+    the O(L) construction note."""
+    return F.array_distinct(positional_shingles(col, n))
 
 
 def min_shingle_fingerprint(col: str | Column, n: int = 3) -> Column:

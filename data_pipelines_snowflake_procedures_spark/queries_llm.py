@@ -294,6 +294,79 @@ def dedup_prefix_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "documents_dup_span_profile",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(greatest(len(t) - 4, 0) AS BIGINT) AS n_windows, t
+      FROM base
+    ),
+    starts AS (
+      SELECT doc_id, unnest(generate_series(1, n_windows)) AS pos, t
+      FROM sized
+    ),
+    grams AS (
+      SELECT doc_id, pos, array_to_string(t[pos : pos + 4], ' ') AS gram
+      FROM starts
+    ),
+    survivors AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+    ),
+    dup AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN survivors USING (gram)
+    ),
+    swept AS (
+      SELECT doc_id, pos,
+             coalesce(least(5, pos - lag(pos)
+               OVER (PARTITION BY doc_id ORDER BY pos)), 5) AS cov,
+             pos - row_number()
+               OVER (PARTITION BY doc_id ORDER BY pos) AS run
+      FROM dup
+    ),
+    runs AS (
+      SELECT doc_id, run, count(*) AS wins, sum(cov) AS covsum,
+             CAST(max(pos) - min(pos) + 5 AS BIGINT) AS span
+      FROM swept GROUP BY doc_id, run
+    ),
+    perdoc AS (
+      SELECT doc_id, CAST(sum(wins) AS BIGINT) AS dup_windows,
+             CAST(sum(covsum) AS BIGINT) AS dup_token_cov,
+             max(span) AS max_span_tokens
+      FROM runs GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens, s.n_windows,
+           coalesce(p.dup_windows, 0) AS dup_windows,
+           coalesce(p.dup_token_cov, 0) AS dup_token_cov,
+           CASE WHEN s.n_tokens > 0 THEN
+             floor(coalesce(p.dup_token_cov, 0)::DOUBLE / s.n_tokens * 10000)
+               / 10000
+           ELSE 0.0 END AS dup_frac,
+           coalesce(p.max_span_tokens, 0) AS max_span_tokens
+    FROM sized s LEFT JOIN perdoc p USING (doc_id)
+    """,
+    doc="Exact duplicated-substring span profile (ExactSubstr, Lee et "
+    "al. 2022) without suffix arrays: a token position is duplicated "
+    "iff some 5-token window covering it occurs >=2 times corpus-wide. "
+    "Per doc: duplicated-window count, interval-union token coverage "
+    "(the merged-span sweep as sum(least(n, pos-lag(pos)))), coverage "
+    "fraction, and longest duplicated run — the fine-grained verbatim-"
+    "duplication signal doc-level MinHash cannot give. Distributed as "
+    "explode -> gram count (duplicates-only survive) -> join-back -> "
+    "one per-doc window pass; no quadratic step, no suffix structure. "
+    "Oracle restates the full pipeline hash-exactly.",
+)
+def documents_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dup_span_profile
+
+    return dup_span_profile(
+        load_table(spark, sf_dir, "documents"), n=5, min_count=2
+    )
+
+
+@register(
     "dedup_clusters_documents",
     f"""
     WITH RECURSIVE {_TSETS_SQL},

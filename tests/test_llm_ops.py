@@ -1369,3 +1369,69 @@ def test_prefix_filter_join_equals_full_join(spark, sf_dir):
         for r in prefix_filter_jaccard_pairs(tiny, threshold=0.9).collect()
     }
     assert got == {(1, 3, 1.0)}
+
+
+def test_dup_span_profile_planted_spans(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.dedup import (
+        dup_span_profile,
+    )
+
+    # Docs 1 and 2 share the 8-token prefix "a b c d e f g h" (planted
+    # boilerplate); doc 3 is unique; doc 4 repeats a 5-gram WITHIN
+    # itself (self-repeat counts, as in ExactSubstr); doc 5 is shorter
+    # than n so it has zero windows.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h unique1 tail1 tok1"),
+            (2, "a b c d e f g h other2 tail2"),
+            (3, "p q r s t u v w x y"),
+            (4, "m n o p2 q2 m n o p2 q2"),
+            (5, "only four tokens here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r for r in dup_span_profile(df, n=5).collect()
+    }
+    # shared 8-token prefix -> 4 duplicated 5-gram starts (pos 1..4),
+    # one run, coverage = 8 tokens, span = 8
+    for d, ntok in ((1, 11), (2, 10)):
+        r = rows[d]
+        assert r["n_tokens"] == ntok
+        assert r["n_windows"] == ntok - 4
+        assert r["dup_windows"] == 4
+        assert r["dup_token_cov"] == 8
+        assert r["max_span_tokens"] == 8
+        assert r["dup_frac"] == __import__("math").floor(8 / ntok * 10000) / 10000
+    assert rows[3]["dup_windows"] == 0
+    assert rows[3]["dup_frac"] == 0.0
+    assert rows[3]["max_span_tokens"] == 0
+    # doc 4: "m n o p2 q2" occurs at pos 1 and 6 (corpus count 2 via
+    # self-repeat) -> 2 duplicated starts, two runs (gap 5), coverage
+    # 5+5=10 (the whole doc), max single span 5
+    r4 = rows[4]
+    assert r4["dup_windows"] == 2
+    assert r4["dup_token_cov"] == 10
+    assert r4["dup_frac"] == 1.0
+    assert r4["max_span_tokens"] == 5
+    r5 = rows[5]
+    assert r5["n_windows"] == 0
+    assert r5["dup_windows"] == 0
+
+
+def test_dup_span_profile_overlapping_windows_union(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.dedup import (
+        dup_span_profile,
+    )
+
+    # Adjacent duplicated starts overlap: coverage must be the interval
+    # UNION (9 tokens for starts {1..5} with n=5), not 5*5=25.
+    nine = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    df = spark.createDataFrame(
+        [(1, nine), (2, nine)], ["doc_id", "text"]
+    )
+    r = {x["doc_id"]: x for x in dup_span_profile(df, n=5).collect()}[1]
+    assert r["dup_windows"] == 5
+    assert r["dup_token_cov"] == 9
+    assert r["max_span_tokens"] == 9
+    assert r["dup_frac"] == 1.0
