@@ -330,6 +330,111 @@ def dup_span_profile(
     )
 
 
+def dup_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """The APPLY half of :func:`dup_span_profile` — distributed
+    ExactSubstr deduplication (Lee et al. 2022): every duplicated
+    length-``n`` token window keeps exactly its CANONICAL occurrence
+    (first by ``(doc_id, pos)`` corpus-wide); tokens covered by any
+    non-canonical duplicated window are removed and the document is
+    reconstructed from the survivors. Policy at overlap boundaries: a
+    token covered by both a canonical and a non-canonical window is
+    removed (removal wins) — the same span-cut destructiveness the
+    suffix-array original accepts, made deterministic.
+
+    Output per document: the cleaned text (normalized-token rendering
+    — lowercased, single-spaced, matching :func:`content_key`'s
+    normalization), token counts before/after, and removed-token
+    count.
+
+    Plan: positional n-gram explode → duplicate-gram survivors (agg on
+    gram) → canonical ranking (ONE window over duplicate occurrences
+    only, partitioned by gram) → per-doc merged removal intervals (the
+    run-key trick) → interval explode to removed positions (O(removed
+    tokens), never O(doc²)) → left-anti against the token index →
+    order-preserving rebuild via sort-free ``array_sort(collect_list(
+    struct(pos, tok)))``. Shuffles: gram agg, gram window, id window,
+    anti join + rebuild on id (AQE coalesces; the id stages reuse one
+    partitioning). No suffix structure, nothing quadratic.
+
+    Reference: no counterpart — north-star training-data mandate
+    (complements dup_span_profile above).
+    """
+    from pyspark.sql.window import Window
+
+    from .text import positional_shingles
+
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+        positional_shingles(text_col, n).alias("grams"),
+    )
+    grams = base.select(
+        "id", F.posexplode("grams").alias("pos0", "gram")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "gram")
+    survivors = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gram")
+    )
+    occ = grams.join(survivors, "gram")
+    w_gram = Window.partitionBy("gram").orderBy("id", "pos")
+    removable = (
+        occ.withColumn("rn", F.row_number().over(w_gram))
+        .filter(F.col("rn") > 1)
+        .select("id", "pos")
+    )
+    w_id = Window.partitionBy("id").orderBy("pos")
+    runs = (
+        removable.withColumn(
+            "run", F.col("pos") - F.row_number().over(w_id)
+        )
+        .groupBy("id", "run")
+        .agg(F.min("pos").alias("lo"), (F.max("pos") + n - 1).alias("hi"))
+    )
+    removed = runs.select(
+        "id", F.explode(F.sequence("lo", "hi")).alias("tpos")
+    ).distinct()
+    token_index = base.select(
+        "id", F.posexplode("toks").alias("tpos0", "tok")
+    ).select("id", (F.col("tpos0") + 1).alias("tpos"), "tok")
+    kept = token_index.join(removed, ["id", "tpos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_tokens_after"),
+    )
+    return (
+        base.select("id", F.size("toks").cast("long").alias("n_tokens_before"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens_before",
+            F.coalesce("n_tokens_after", F.lit(0))
+            .cast("long")
+            .alias("n_tokens_after"),
+            (
+                F.col("n_tokens_before")
+                - F.coalesce("n_tokens_after", F.lit(0))
+            )
+            .cast("long")
+            .alias("removed_tokens"),
+        )
+    )
+
+
 def token_containment_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -367,6 +367,89 @@ def documents_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "documents_dup_span_dedup",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(greatest(len(t) - 4, 0) AS BIGINT) AS n_windows, t
+      FROM base
+    ),
+    starts AS (
+      SELECT doc_id, unnest(generate_series(1, n_windows)) AS pos, t
+      FROM sized
+    ),
+    grams AS (
+      SELECT doc_id, pos, array_to_string(t[pos : pos + 4], ' ') AS gram
+      FROM starts
+    ),
+    survivors AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+    ),
+    removable AS (
+      SELECT doc_id, pos FROM (
+        SELECT g.doc_id, g.pos,
+               row_number() OVER (PARTITION BY g.gram
+                                  ORDER BY g.doc_id, g.pos) AS rn
+        FROM grams g JOIN survivors USING (gram)
+      ) WHERE rn > 1
+    ),
+    runs AS (
+      SELECT doc_id, min(pos) AS lo, max(pos) + 4 AS hi
+      FROM (
+        SELECT doc_id, pos,
+               pos - row_number()
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS run
+        FROM removable
+      ) GROUP BY doc_id, run
+    ),
+    removed AS (
+      SELECT DISTINCT doc_id, tpos FROM (
+        SELECT doc_id, unnest(generate_series(lo, hi)) AS tpos FROM runs
+      )
+    ),
+    tokidx AS (
+      SELECT doc_id, tpos, t[tpos] AS tok FROM (
+        SELECT doc_id,
+               unnest(generate_series(1, CAST(len(t) AS BIGINT))) AS tpos, t
+        FROM sized
+      )
+    ),
+    kept AS (
+      SELECT k.doc_id, k.tpos, k.tok
+      FROM tokidx k ANTI JOIN removed r USING (doc_id, tpos)
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_tokens_after
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           s.n_tokens AS n_tokens_before,
+           coalesce(r.n_tokens_after, 0) AS n_tokens_after,
+           s.n_tokens - coalesce(r.n_tokens_after, 0) AS removed_tokens
+    FROM sized s LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="Distributed ExactSubstr dedup APPLY (operators/dedup.py::"
+    "dup_span_dedup): every duplicated 5-token window keeps exactly "
+    "its canonical (first by doc_id, pos) occurrence corpus-wide; "
+    "tokens under any non-canonical window are cut and each document "
+    "is rebuilt from the survivors (normalized-token rendering). "
+    "Canonical ranking is one window over duplicate occurrences only; "
+    "removal intervals merge via the run-key trick and explode to "
+    "O(removed tokens); rebuild is an order-preserving "
+    "array_sort(collect_list(struct)) — no suffix arrays, nothing "
+    "quadratic. Oracle replays the full pipeline hash-exactly.",
+)
+def documents_dup_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dup_span_dedup
+
+    return dup_span_dedup(load_table(spark, sf_dir, "documents"), n=5)
+
+
+@register(
     "dedup_clusters_documents",
     f"""
     WITH RECURSIVE {_TSETS_SQL},

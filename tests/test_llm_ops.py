@@ -1435,3 +1435,66 @@ def test_dup_span_profile_overlapping_windows_union(spark):
     assert r["dup_token_cov"] == 9
     assert r["max_span_tokens"] == 9
     assert r["dup_frac"] == 1.0
+
+
+def test_dup_span_dedup_keeps_canonical_occurrence(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.dedup import (
+        dup_span_dedup,
+    )
+
+    # Docs 1 and 2 share an 8-token prefix; doc 1 is canonical (lower
+    # doc_id), so doc 2 loses the whole shared span while doc 1 keeps
+    # its full text. Doc 3 is untouched.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h unique1 tail1"),
+            (2, "a b c d e f g h other2 tail2"),
+            (3, "p q r s t u v w x y"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dup_span_dedup(df, n=5).collect()}
+    assert rows[1]["clean_text"] == "a b c d e f g h unique1 tail1"
+    assert rows[1]["removed_tokens"] == 0
+    assert rows[2]["clean_text"] == "other2 tail2"
+    assert rows[2]["n_tokens_before"] == 10
+    assert rows[2]["n_tokens_after"] == 2
+    assert rows[2]["removed_tokens"] == 8
+    assert rows[3]["removed_tokens"] == 0
+
+
+def test_dup_span_dedup_self_repeat_and_gap_overlap(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.dedup import (
+        dup_span_dedup,
+    )
+
+    # Within-doc repeat: the second occurrence of "m n o p q" is cut.
+    df = spark.createDataFrame(
+        [(1, "m n o p q z1 z2 m n o p q")], ["doc_id", "text"]
+    )
+    r = dup_span_dedup(df, n=5).collect()[0]
+    assert r["clean_text"] == "m n o p q z1 z2"
+    assert r["removed_tokens"] == 5
+
+
+def test_dup_span_dedup_then_profile_is_clean(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.dedup import (
+        dup_span_dedup,
+        dup_span_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),
+            (2, "a b c d e f g h z1 z2 z3 z4"),
+            (3, "q w e r t a b c d e f g h"),
+        ],
+        ["doc_id", "text"],
+    )
+    cleaned = dup_span_dedup(df, n=5).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    prof = dup_span_profile(cleaned, n=5).collect()
+    # after keeping only canonical occurrences, no 5-gram repeats
+    # (the planted fixture cannot glue new duplicates together)
+    assert all(r["dup_windows"] == 0 for r in prof)
