@@ -140,3 +140,54 @@ def finalize(state: DataFrame, keys: Sequence[str], decimals: int = 4) -> DataFr
         F.round("min", decimals).alias("min_value"),
         F.round("max", decimals).alias("max_value"),
     )
+
+
+def join_delta(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: Sequence[str],
+) -> DataFrame:
+    """Incremental view maintenance for an INNER equi-join under
+    inserts: the delta of ``(A ∪ ΔA) ⋈ (B ∪ ΔB)`` relative to
+    ``A ⋈ B`` is exactly
+
+        ``ΔA ⋈ (B ∪ ΔB)  ∪  A ⋈ ΔB``
+
+    (the ΔA⋈ΔB cross term lands in the first leg — the standard
+    delta-rule factoring that counts every new pair once).
+
+    Why this is the production shape at 100 TB: maintaining a huge
+    join result for a small daily delta costs two delta-sided joins —
+    each has one tiny side, so Catalyst/AQE broadcasts the delta and
+    neither old relation is ever shuffled (and with the old side
+    bucket-pruned on the join key, not even fully scanned). A
+    from-scratch re-join shuffles both full inputs every run.
+
+    Append the returned rows to the maintained result; the invariant
+    ``old_result ∪ join_delta(...) == (A∪ΔA) ⋈ (B∪ΔB)`` is what the
+    registry oracle proves hash-exactly.
+    """
+    on = list(on)
+    b_new = b_old.unionByName(delta_b)
+    return delta_a.join(b_new, on, "inner").unionByName(
+        a_old.join(delta_b, on, "inner")
+    )
+
+
+def maintain_join(
+    result_old: DataFrame,
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: Sequence[str],
+) -> DataFrame:
+    """Fold one batch into a maintained inner-join result: the old
+    result plus :func:`join_delta`. Associative over successive
+    batches — folding (ΔA₁, ΔB₁) then (ΔA₂, ΔB₂) equals the
+    from-scratch join of the final relations."""
+    return result_old.unionByName(
+        join_delta(a_old, delta_a, b_old, delta_b, on)
+    )

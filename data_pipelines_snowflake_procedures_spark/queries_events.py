@@ -950,6 +950,54 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_customer_join_ivm",
+    """
+    SELECT o_orderkey, o_custkey AS custkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="Incremental view maintenance for an INNER equi-join "
+    "(operators/incremental.py::join_delta/maintain_join): orders and "
+    "customer each arrive as an initial load plus two insert batches; "
+    "each fold appends the delta rule dA JOIN (B u dB)  UNION  "
+    "A JOIN dB - two joins whose small side is the delta, so AQE "
+    "broadcasts it and the old relations are never shuffled (vs a "
+    "from-scratch re-join shuffling both full inputs every run - the "
+    "100 TB daily-maintenance difference). The oracle is the plain "
+    "join of the final relations: a hash match proves the two-fold "
+    "incremental result is bit-identical to recomputation, including "
+    "the dA x dB cross term landing exactly once.",
+)
+def orders_customer_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.incremental import maintain_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        "o_totalprice",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    a0 = orders.filter(F.col("o_orderkey") % 3 == 0)
+    da1 = orders.filter(F.col("o_orderkey") % 3 == 1)
+    da2 = orders.filter(F.col("o_orderkey") % 3 == 2)
+    b0 = cust.filter(F.col("custkey") % 5 > 1)
+    db1 = cust.filter(F.col("custkey") % 5 == 1)
+    db2 = cust.filter(F.col("custkey") % 5 == 0)
+    r0 = a0.join(b0, "custkey")
+    r1 = maintain_join(r0, a0, da1, b0, db1, ["custkey"])
+    r2 = maintain_join(
+        r1,
+        a0.unionByName(da1),
+        da2,
+        b0.unionByName(db1),
+        db2,
+        ["custkey"],
+    )
+    return r2.select("o_orderkey", "custkey", "c_name", "o_totalprice")
+
+
+@register(
     "events_incremental_quantiles",
     """
     WITH ev AS (

@@ -1498,3 +1498,30 @@ def test_dup_span_dedup_then_profile_is_clean(spark):
     # after keeping only canonical occurrences, no 5-gram repeats
     # (the planted fixture cannot glue new duplicates together)
     assert all(r["dup_windows"] == 0 for r in prof)
+
+
+def test_join_ivm_fold_equals_from_scratch(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.incremental import (
+        maintain_join,
+    )
+
+    # Arbitrary 3-way splits on both sides (including keys that only
+    # ever appear in deltas, and delta-x-delta pairs): two folds must
+    # equal the from-scratch join of the final relations.
+    a = spark.createDataFrame(
+        [(k, f"a{k}{i}") for k in range(7) for i in range(3)], ["k", "av"]
+    )
+    b = spark.createDataFrame(
+        [(k, f"b{k}{i}") for k in range(1, 9) for i in range(2)], ["k", "bv"]
+    )
+    a0, da1, da2 = (a.filter((F.col("av").substr(-1, 1)) == str(i)) for i in range(3))
+    b0, db1 = (b.filter((F.col("bv").substr(-1, 1)) == str(i)) for i in range(2))
+    db2 = b.limit(0)
+    r0 = a0.join(b0, "k")
+    r1 = maintain_join(r0, a0, da1, b0, db1, ["k"])
+    r2 = maintain_join(
+        r1, a0.unionByName(da1), da2, b0.unionByName(db1), db2, ["k"]
+    )
+    got = sorted(map(tuple, r2.collect()))
+    want = sorted(map(tuple, a.join(b, "k").collect()))
+    assert got == want and len(got) == 7 * 3 * 2 - 3 * 2  # k=0 has no b side
