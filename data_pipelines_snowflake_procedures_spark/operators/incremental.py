@@ -191,3 +191,76 @@ def maintain_join(
     return result_old.unionByName(
         join_delta(a_old, delta_a, b_old, delta_b, on)
     )
+
+
+def consolidate_bag(df: DataFrame, mult: str = "m") -> DataFrame:
+    """Canonical bag form: one row per distinct tuple with net
+    multiplicity, zero-multiplicity tuples dropped. GroupBy over all
+    non-mult columns — state-sized, and the only shuffle the signed
+    fold needs after its delta joins."""
+    cols = [c for c in df.columns if c != mult]
+    return (
+        df.groupBy(*cols)
+        .agg(F.sum(mult).cast("long").alias(mult))
+        .filter(F.col(mult) != 0)
+    )
+
+
+def join_delta_signed(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: Sequence[str],
+    mult: str = "m",
+) -> DataFrame:
+    """Counting-based IVM for an inner equi-join under INSERTS AND
+    DELETES (the classical counting algorithm, Gupta-Mumick-
+    Subrahmanian 1993): relations are bags carrying a signed
+    multiplicity column ``mult`` (+1 insert, -1 delete); the join is
+    bilinear in multiplicities (result m = mₐ·m_b), so the same
+    factoring as :func:`join_delta` applies with signs:
+
+        ``Δ(A⋈B) = ΔA ⋈ (B ∪ ΔB)  ∪  A ⋈ ΔB``
+
+    A deletion flows through as a negative term that cancels exactly
+    the pairs the deleted tuple once produced; net-zero tuples vanish
+    at :func:`consolidate_bag`. Both delta joins are delta-sided
+    (broadcast at scale), identical to the insert-only form — deletes
+    cost no more than inserts.
+    """
+    on = list(on)
+    ma, mb = f"__{mult}_a", f"__{mult}_b"
+    a_cols = [c for c in a_old.columns if c != mult]
+    b_cols = [c for c in b_old.columns if c not in on and c != mult]
+    prod = (F.col(ma) * F.col(mb)).cast("long").alias(mult)
+
+    def _join(left: DataFrame, right: DataFrame) -> DataFrame:
+        return (
+            left.withColumnRenamed(mult, ma)
+            .join(right.withColumnRenamed(mult, mb), on, "inner")
+            .select(*a_cols, *b_cols, prod)
+        )
+
+    b_new = b_old.unionByName(delta_b)
+    return _join(delta_a, b_new).unionByName(_join(a_old, delta_b))
+
+
+def maintain_join_signed(
+    result_old: DataFrame,
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: Sequence[str],
+    mult: str = "m",
+) -> DataFrame:
+    """Fold one signed batch into a maintained join result and
+    re-canonicalize. ``consolidate_bag`` is where delete terms
+    annihilate their insert counterparts."""
+    return consolidate_bag(
+        result_old.unionByName(
+            join_delta_signed(a_old, delta_a, b_old, delta_b, on, mult)
+        ),
+        mult,
+    )

@@ -998,6 +998,74 @@ def orders_customer_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_customer_join_ivm_deletes",
+    """
+    SELECT o_orderkey, o_custkey AS custkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 9 <> 0
+    """,
+    doc="Counting-based join IVM under inserts AND deletes "
+    "(operators/incremental.py::join_delta_signed/maintain_join_"
+    "signed, the Gupta-Mumick-Subrahmanian counting algorithm): "
+    "relations carry signed multiplicities (+1 insert, -1 delete); "
+    "the join is bilinear in them, so the delta rule is the same "
+    "two delta-sided broadcast joins as the insert-only form, and a "
+    "delete's negative term cancels exactly the pairs its tuple once "
+    "produced - net-zero tuples vanish at the state-sized "
+    "consolidation groupBy. Here batch 1 deletes every ninth loaded "
+    "order while inserting new orders and customers; the oracle joins "
+    "the FINAL relations from scratch - a hash match proves deletes "
+    "propagated exactly, no tombstone scans of history.",
+)
+def orders_customer_join_ivm_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.incremental import (
+        consolidate_bag,
+        maintain_join_signed,
+    )
+
+    one = F.lit(1).cast("long").alias("m")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        "o_totalprice",
+        one,
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name", one
+    )
+    neg = lambda df: df.withColumn("m", -F.col("m"))  # noqa: E731
+    a0 = orders.filter(F.col("o_orderkey") % 3 == 0)
+    da1 = orders.filter(F.col("o_orderkey") % 3 == 1).unionByName(
+        neg(a0.filter(F.col("o_orderkey") % 9 == 0))
+    )
+    da2 = orders.filter(F.col("o_orderkey") % 3 == 2)
+    b0 = cust.filter(F.col("custkey") % 5 > 0)
+    db1 = cust.filter(F.col("custkey") % 5 == 0)
+    db2 = cust.limit(0)
+    # initial result = a0 join b0 with multiplied multiplicities
+    r0 = consolidate_bag(
+        a0.withColumnRenamed("m", "__m_a")
+        .join(b0.withColumnRenamed("m", "__m_b"), "custkey")
+        .select(
+            "o_orderkey",
+            "custkey",
+            "c_name",
+            "o_totalprice",
+            (F.col("__m_a") * F.col("__m_b")).cast("long").alias("m"),
+        )
+    )
+    a1 = consolidate_bag(a0.unionByName(da1))
+    b1 = consolidate_bag(b0.unionByName(db1))
+    r1 = maintain_join_signed(r0, a0, da1, b0, db1, ["custkey"])
+    r2 = maintain_join_signed(r1, a1, da2, b1, db2, ["custkey"])
+    return r2.filter(F.col("m") == 1).select(
+        "o_orderkey", "custkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
     "events_incremental_quantiles",
     """
     WITH ev AS (

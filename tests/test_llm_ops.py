@@ -1525,3 +1525,33 @@ def test_join_ivm_fold_equals_from_scratch(spark):
     got = sorted(map(tuple, r2.collect()))
     want = sorted(map(tuple, a.join(b, "k").collect()))
     assert got == want and len(got) == 7 * 3 * 2 - 3 * 2  # k=0 has no b side
+
+
+def test_join_ivm_signed_delete_cancels_pairs(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.incremental import (
+        consolidate_bag,
+        maintain_join_signed,
+    )
+
+    # b has TWO rows for k=1, so deleting the a-side (1, "x") must
+    # cancel exactly two result pairs; k=2 row deleted then
+    # re-inserted nets back to present.
+    a0 = spark.createDataFrame(
+        [(1, "x", 1), (2, "y", 1)], ["k", "av", "m"]
+    )
+    b0 = spark.createDataFrame(
+        [(1, "p", 1), (1, "q", 1), (2, "r", 1)], ["k", "bv", "m"]
+    )
+    r0 = consolidate_bag(
+        a0.withColumnRenamed("m", "ma")
+        .join(b0.withColumnRenamed("m", "mb"), "k")
+        .select("k", "av", "bv", (F.col("ma") * F.col("mb")).cast("long").alias("m"))
+    )
+    da1 = spark.createDataFrame(
+        [(1, "x", -1), (2, "y", -1), (2, "y", 1), (3, "z", 1)],
+        ["k", "av", "m"],
+    )
+    db1 = spark.createDataFrame([(3, "s", 1)], ["k", "bv", "m"])
+    r1 = maintain_join_signed(r0, a0, da1, b0, db1, ["k"])
+    got = sorted((r["k"], r["av"], r["bv"], r["m"]) for r in r1.collect())
+    assert got == [(2, "y", "r", 1), (3, "z", "s", 1)]
