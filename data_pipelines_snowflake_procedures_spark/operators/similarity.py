@@ -934,3 +934,126 @@ def knn_ivfpq(
         F.col("__arn") <= rerank * k
     )
     return _candidates_exact_rerank(cand, corpus, queries, k, emb_col, id_col)
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = 0.7,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) of each query's top-``n_candidates`` exact-cosine results:
+    greedily pick ``k`` items maximizing
+
+        ``lam * rel(q, c)  -  (1 - lam) * max_{s in selected} sim(c, s)``
+
+    — the standard redundancy-penalized selection for diverse exemplar
+    / few-shot retrieval (a plain top-k returns near-duplicates of one
+    mode; MMR spends the budget across modes).
+
+    Distributed shape: candidate generation is :func:`knn_bruteforce`
+    (broadcast queries, corpus never shuffled); the greedy stage runs
+    on CANDIDATE-sized state only — pairwise sims are
+    |queries|·n_candidates² rows computed once and persisted, each of
+    the k-1 steps is a penalty groupBy + top-1 window over that
+    bounded state (never the corpus). Final result is k·|queries|
+    rows, localCheckpoint-ed so the loop caches release before return.
+
+    Determinism: relevance and pair sims round to 6 decimals; the
+    mixed score floor-scales at 1e-6 (floor of identical IEEE doubles
+    is engine-independent where round()'s half-up boundary is not) and
+    ties break on neighbor_id — the DuckDB oracle unrolls the same k
+    greedy steps hash-exactly.
+
+    Reference: no counterpart — north-star similarity-search mandate.
+    """
+    cands = (
+        knn_bruteforce(corpus, queries, k=n_candidates, emb_col=emb_col, id_col=id_col)
+        .select("query_id", "neighbor_id", F.col("cosine").alias("rel"), "rank")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ce = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("__e"),
+        norm(F.col(emb_col)).alias("__n"),
+    )
+    with_emb = cands.join(ce, "neighbor_id").select(
+        "query_id", "neighbor_id", "__e", "__n"
+    )
+    a, b = with_emb.alias("a"), with_emb.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.neighbor_id").alias("ca"),
+            F.col("b.neighbor_id").alias("cb"),
+            F.round(
+                dot_product(F.col("a.__e"), F.col("b.__e"))
+                / (F.col("a.__n") * F.col("b.__n")),
+                6,
+            ).alias("psim"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lam_l, pen_l = F.lit(float(lam)), F.lit(float(1.0 - lam))
+    selected = (
+        cands.filter(F.col("rank") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rel").alias("relevance"),
+            F.lit(1).alias("mmr_rank"),
+            (F.floor(lam_l * F.col("rel") * 1e6) / 1e6).alias("mmr_score"),
+        )
+    )
+    w_pick = Window.partitionBy("query_id").orderBy(
+        F.desc("__score"), F.asc("neighbor_id")
+    )
+    for t in range(2, k + 1):
+        pen = (
+            pairs.join(
+                selected.select(
+                    "query_id", F.col("neighbor_id").alias("cb")
+                ),
+                ["query_id", "cb"],
+            )
+            .groupBy("query_id", F.col("ca").alias("neighbor_id"))
+            .agg(F.max("psim").alias("__pen"))
+        )
+        remaining = cands.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        pick = (
+            remaining.join(pen, ["query_id", "neighbor_id"])
+            .withColumn(
+                "__score",
+                F.floor(
+                    (lam_l * F.col("rel") - pen_l * F.col("__pen")) * 1e6
+                )
+                / 1e6,
+            )
+            .withColumn("__rn", F.row_number().over(w_pick))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("rel").alias("relevance"),
+                F.lit(t).alias("mmr_rank"),
+                F.col("__score").alias("mmr_score"),
+            )
+        )
+        selected = selected.unionByName(pick)
+    out = selected.localCheckpoint(eager=True)
+    cands.unpersist()
+    pairs.unpersist()
+    return out

@@ -3770,3 +3770,124 @@ def knn_recall_report_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb.unpersist()
     truth.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+def _mmr_oracle(k: int = 5, n_candidates: int = 20, lam: float = 0.7) -> str:
+    """Unrolled greedy-MMR oracle: step t's penalty joins the pairwise
+    sims against the union of steps 1..t-1 — the same chain the Spark
+    loop builds, restated as k chained CTEs (the PageRank/BPE oracle
+    style)."""
+    pen = 1.0 - lam
+    dot = (
+        "list_aggregate([ea.e[i]::DOUBLE * eb.e[i]::DOUBLE "
+        "FOR i IN range(1, len(ea.e) + 1)], 'sum')"
+    )
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+             sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN embedding], 'sum')) AS qn
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding AS ce,
+             sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN embedding], 'sum')) AS cn
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_aggregate(
+                     [qe[i]::DOUBLE * ce[i]::DOUBLE FOR i IN range(1, len(qe) + 1)],
+                     'sum') / (qn * cn), 6) AS rel
+      FROM c, q WHERE query_id <> neighbor_id
+    ),
+    cands AS (
+      SELECT query_id, neighbor_id, rel, rnk FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, neighbor_id
+        ) AS rnk FROM scored
+      ) WHERE rnk <= {n_candidates}
+    ),
+    ce AS (
+      SELECT vec_id, embedding AS e,
+             sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN embedding], 'sum')) AS nn
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+             round({dot} / (ea.nn * eb.nn), 6) AS psim
+      FROM cands a
+      JOIN cands b ON a.query_id = b.query_id
+                  AND a.neighbor_id <> b.neighbor_id
+      JOIN ce ea ON ea.vec_id = a.neighbor_id
+      JOIN ce eb ON eb.vec_id = b.neighbor_id
+    ),
+    s1 AS (
+      SELECT query_id, neighbor_id, rel AS relevance, 1 AS mmr_rank,
+             floor({lam} * rel * 1e6) / 1e6 AS mmr_score
+      FROM cands WHERE rnk = 1
+    ),
+    sel1 AS (SELECT * FROM s1)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f""",
+    s{t} AS (
+      SELECT query_id, neighbor_id, relevance, {t} AS mmr_rank, mmr_score
+      FROM (
+        SELECT p.query_id, p.neighbor_id, p.rel AS relevance,
+               floor(({lam} * p.rel - {pen} * p.pen) * 1e6) / 1e6 AS mmr_score,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY floor(({lam} * p.rel - {pen} * p.pen) * 1e6) / 1e6 DESC,
+                          p.neighbor_id
+               ) AS rn
+        FROM (
+          SELECT cd.query_id, cd.neighbor_id, cd.rel, max(pr.psim) AS pen
+          FROM cands cd
+          JOIN pairs pr ON pr.query_id = cd.query_id
+                       AND pr.ca = cd.neighbor_id
+          JOIN sel{t - 1} s ON s.query_id = pr.query_id
+                           AND s.neighbor_id = pr.cb
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sel{t - 1} x
+            WHERE x.query_id = cd.query_id
+              AND x.neighbor_id = cd.neighbor_id
+          )
+          GROUP BY cd.query_id, cd.neighbor_id, cd.rel
+        ) p
+      ) WHERE rn = 1
+    ),
+    sel{t} AS (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t})"""
+        )
+    parts.append(
+        f"""
+    SELECT query_id, neighbor_id, relevance,
+           CAST(mmr_rank AS INT) AS mmr_rank, mmr_score
+    FROM sel{k}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "knn_mmr_rerank_embeddings",
+    _mmr_oracle(),
+    doc="Maximal Marginal Relevance diversity re-rank (Carbonell & "
+    "Goldstein 1998; operators/similarity.py::mmr_rerank) of each "
+    "query's exact-cosine top-20: greedily take 5 maximizing "
+    "lam*rel - (1-lam)*max-sim-to-selected (lam=0.7) - the "
+    "redundancy-penalized selection diverse exemplar retrieval needs "
+    "where plain top-k returns near-duplicates of one mode. Greedy "
+    "state is candidate-sized (pairwise sims |q|*400 rows, persisted "
+    "once); each of the 4 steps is a penalty groupBy + top-1 window, "
+    "never touching the corpus. Floor-scaled 1e-6 scores + id "
+    "tie-breaks keep both engines identical; the oracle unrolls all "
+    "5 greedy steps as chained CTEs.",
+)
+def knn_mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_candidates=20, lam=0.7
+    )

@@ -1555,3 +1555,67 @@ def test_join_ivm_signed_delete_cancels_pairs(spark):
     r1 = maintain_join_signed(r0, a0, da1, b0, db1, ["k"])
     got = sorted((r["k"], r["av"], r["bv"], r["m"]) for r in r1.collect())
     assert got == [(2, "y", "r", 1), (3, "z", "s", 1)]
+
+
+def test_mmr_rerank_prefers_diversity_over_redundant_top_k(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.similarity import (
+        knn_bruteforce,
+        mmr_rerank,
+    )
+
+    # Query [1,0]: candidates 10/11 are mutual near-duplicates at ~26
+    # deg (rel ~0.9, pair sim ~1.0), candidate 12 sits on the other
+    # side (rel 0.85, sim to the cluster ~0.53). Plain top-2 takes the
+    # duplicate pair; MMR (lam=0.5) takes one of them then 12, because
+    # the second duplicate's penalty (~1) wipes out its relevance.
+    rows = [
+        (0, [1.0, 0.0]),
+        (10, [0.9, 0.436]),
+        (11, [0.9, 0.44]),
+        (12, [0.85, -0.527]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") == 0)
+    corpus = emb.filter(F.col("vec_id") > 0)
+    topk = [
+        r["neighbor_id"]
+        for r in knn_bruteforce(corpus, q, k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert topk == [10, 11]
+    mmr = [
+        r["neighbor_id"]
+        for r in mmr_rerank(corpus, q, k=2, n_candidates=3, lam=0.5)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert mmr == [10, 12]
+
+
+def test_mmr_rerank_lambda_one_equals_top_k(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.similarity import (
+        knn_bruteforce,
+        mmr_rerank,
+    )
+
+    # lam=1 disables the penalty: MMR order must equal the plain
+    # relevance ranking.
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 2)
+    corpus = emb.filter(F.col("vec_id") >= 2)
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in knn_bruteforce(corpus, q, k=4).collect()
+    }
+    got = {
+        (r["query_id"], r["mmr_rank"]): r["neighbor_id"]
+        for r in mmr_rerank(corpus, q, k=4, n_candidates=10, lam=1.0).collect()
+    }
+    assert got == want
