@@ -108,6 +108,9 @@ HEADLINE = [
     "hybrid_search_documents",
     "bm25_search_documents",
     "documents_bpe_merges",
+    "documents_dup_span_profile",
+    "documents_dup_span_dedup",
+    "knn_mmr_rerank_embeddings",
     # event-time windows + pandas surface
     "events_hourly_by_type",
     "events_props_variant",
@@ -124,6 +127,9 @@ HEADLINE = [
     "events_robust_outlier_profile_approx",
     "events_incremental_rollup",
     "events_incremental_quantiles",
+    "events_hourly_interpolated",
+    "orders_customer_join_ivm",
+    "orders_customer_join_ivm_deletes",
     # multimodal codec legs (PPM/PNG/JPEG images, WAV audio — real
     # stdlib decodes inside Arrow-batched mapInPandas)
     "multimodal_features_documents",

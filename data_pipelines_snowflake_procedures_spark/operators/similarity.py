@@ -1052,7 +1052,11 @@ def mmr_rerank(
                 F.col("__score").alias("mmr_score"),
             )
         )
-        selected = selected.unionByName(pick)
+        # selected is <= |queries|*t rows; checkpointing it each step
+        # keeps every iteration's plan flat (without this, step t
+        # re-derives steps 1..t-1 inside BOTH the penalty join and the
+        # anti join — measured ~4x wall on the registered entry)
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
     out = selected.localCheckpoint(eager=True)
     cands.unpersist()
     pairs.unpersist()
