@@ -479,6 +479,242 @@ def decode_y4m(payload: bytes) -> dict[str, Any]:
     }
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW decompress (GIF89a spec Appendix F): LSB-first
+    bitstream, dynamic code width min+1..12 bits, clear/end control
+    codes, the deferred "code == next slot" self-reference case."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh() -> list[bytes]:
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh()
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _gif_lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW compress — the encoder mirror of
+    :func:`_gif_lzw_decode`, table reset at 4096 entries."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    nxt = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    run = b""
+    for byte in data:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        if nxt < 4096:
+            table[cand] = nxt
+            nxt += 1
+            if nxt - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            nxt = end + 1
+            width = min_code_size + 1
+        run = bytes([byte])
+    if run:
+        emit(table[run], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_pixels(payload: bytes) -> "Any":
+    """Parse a GIF87a/89a payload to an (h, w, 3) uint8 RGB array:
+    logical-screen walk, global/local color table, extension skip,
+    LZW decompress, optional Adam-style 4-pass de-interlace. First
+    image frame only (animation = later frames ignored, the
+    frame-sampling primitive lives in the y4m video path)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    try:
+        return _gif_pixels_unchecked(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated GIF payload: {exc}") from exc
+
+
+def _gif_pixels_unchecked(payload: bytes) -> "Any":
+    import struct
+
+    import numpy as np
+
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, size * 3, pos).reshape(
+            size, 3
+        )
+        pos += size * 3
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _lx, _ty, width, height, iflags = struct.unpack_from(
+            "<HHHHB", payload, pos
+        )
+        pos += 9
+        table = gct
+        if iflags & 0x80:
+            size = 2 << (iflags & 0x07)
+            table = np.frombuffer(
+                payload, np.uint8, size * 3, pos
+            ).reshape(size, 3)
+            pos += size * 3
+        if table is None:
+            raise ValueError("GIF image has no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        sub = bytearray()
+        while payload[pos]:
+            n = payload[pos]
+            sub += payload[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        idx = np.frombuffer(
+            _gif_lzw_decode(bytes(sub), min_code_size),
+            np.uint8,
+            width * height,
+        ).reshape(height, width)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            rows = []
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows.extend(range(start, height, step))
+            deinter = np.empty_like(idx)
+            deinter[rows] = idx
+            idx = deinter
+        return table[idx]
+    raise ValueError("GIF contains no image descriptor")
+
+
+def decode_gif(payload: bytes) -> dict[str, Any]:
+    """REAL stdlib GIF87a/89a decoder (first frame): LZW bitstream +
+    palette mapping + de-interlace in :func:`_gif_pixels`, reduced to
+    the same width/height/channel-mean contract as the PPM/BMP/PNG
+    decoders. struct + numpy only — GIF's codec layer is ~60 lines of
+    LZW, so no media library is needed."""
+    import numpy as np
+
+    px = _gif_pixels(payload)
+    h, w = px.shape[:2]
+    n_px = max(h * w, 1)
+    sums = px.sum(axis=(0, 1), dtype=np.int64)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "mean_r": round(int(sums[0]) / n_px, 4),
+        "mean_g": round(int(sums[1]) / n_px, 4),
+        "mean_b": round(int(sums[2]) / n_px, 4),
+    }
+
+
+def encode_gif(pixels: "Any", interlace: bool = False) -> bytes:
+    """Minimal GIF89a writer for fixtures: (h, w, 3) uint8 RGB with
+    <=256 distinct colors -> palette + LZW image data (optionally
+    interlaced). Correctness anchor for :func:`decode_gif`."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif fixtures support <=256 colors")
+    bits = max(1, (len(colors) - 1).bit_length())
+    size = 1 << bits
+    palette = np.zeros((size, 3), np.uint8)
+    palette[: len(colors)] = colors
+    idx = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        rows = []
+        for start, step in _GIF_INTERLACE_PASSES:
+            rows.extend(range(start, h, step))
+        idx = idx[rows]
+    min_code_size = max(2, bits)
+    lzw = _gif_lzw_encode(idx.tobytes(), min_code_size)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += palette.tobytes()
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out.append(min_code_size)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def _decode_jpeg_stats(payload: bytes) -> dict[str, Any]:
     """JPEG stats via the baseline codec (operators/jpeg.py) — the
     full-pixel decode minus the test-only ``pixels`` array."""
@@ -496,6 +732,8 @@ _DECODERS: dict[str, Callable[[bytes], Any]] = {
     "bmp": decode_bmp,
     "image/png": decode_png,
     "png": decode_png,
+    "image/gif": decode_gif,
+    "gif": decode_gif,
     "image/jpeg": _decode_jpeg_stats,
     "jpeg": _decode_jpeg_stats,
     "jpg": _decode_jpeg_stats,
@@ -511,7 +749,7 @@ def set_decoder(kind: str, fn: Callable[[bytes], Any]) -> None:
 
 
 def decode(kind: str, payload: bytes) -> Any:
-    """Decode one payload. PPM/BMP/PNG/baseline-JPEG images and WAV
+    """Decode one payload. PPM/BMP/PNG/GIF/baseline-JPEG images and WAV
     audio decode for real (stdlib + numpy codecs); remaining kinds
     (video, compressed audio) STUB until a decoder is registered —
     the container ships no media libraries."""
@@ -565,7 +803,7 @@ def attach_binary(
     downstream exercises every unfilter branch. Identical pixel
     content to the ppm rendering of the same document — channel means
     agree across formats by construction (property-tested)."""
-    if payload_format in ("png", "jpeg"):
+    if payload_format in ("png", "jpeg", "gif"):
         return _attach_rendered(df, text_col, id_col, payload_format)
     text_bytes = F.encode(F.col(text_col), "UTF-8")
     if payload_format == "ppm":
@@ -607,7 +845,7 @@ def _attach_rendered(
     rows — the ppm layout exactly), compressed per document inside an
     Arrow batch to a valid PNG (lossless) or baseline JPEG (lossy,
     quality 90). Output matches MEDIA_SCHEMA."""
-    mime = {"png": "image/png", "jpeg": "image/jpeg"}[fmt]
+    mime = {"png": "image/png", "jpeg": "image/jpeg", "gif": "image/gif"}[fmt]
 
     def per_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -617,11 +855,18 @@ def _attach_rendered(
 
         for pdf in batches:
             payloads = []
-            for text in pdf["__text"]:
+            for did, text in zip(pdf["doc_id"], pdf["__text"]):
                 data = (text or "").encode("utf-8")
                 h = max(-(-len(data) // 24), 1)
                 buf = np.zeros(h * 24, dtype=np.uint8)
                 buf[: len(data)] = np.frombuffer(data, dtype=np.uint8)
+                if fmt == "gif":
+                    gray = buf.reshape(h, 24)
+                    px = np.stack([gray, gray, gray], axis=-1)
+                    payloads.append(
+                        encode_gif(px, interlace=bool(int(did) % 2))
+                    )
+                    continue
                 px = buf.reshape(h, 8, 3)
                 payloads.append(
                     encode_png(px, color=2)

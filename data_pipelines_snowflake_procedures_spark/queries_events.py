@@ -232,12 +232,14 @@ def events_groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_features_documents",
     None,  # checksum is byte-level Python; rows-only check by design
-    doc="Multimodal plumbing with REAL decode steps: doc_id mod 3 "
-    "routes each document to one of three genuine image renderings — "
+    doc="Multimodal plumbing with REAL decode steps: doc_id mod 4 "
+    "routes each document to one of four genuine image renderings — "
     "binary PPM (pure Column expressions), zlib-compressed PNG "
     "(Arrow-batched encode, scanline filters cycling all 5 filter "
-    "types), or baseline JPEG (operators/jpeg.py: DCT + Annex-K "
-    "quantization + Huffman, quality 90); Arrow-batched mapInPandas "
+    "types), baseline JPEG (operators/jpeg.py: DCT + Annex-K "
+    "quantization + Huffman, quality 90), or palettized GIF89a "
+    "(LZW-compressed grayscale raster, odd doc_ids interlaced); "
+    "Arrow-batched mapInPandas "
     "then extracts byte features (size, rolling checksum, leading "
     "bytes) AND genuinely decodes each payload with the stdlib "
     "parsers (width/height/per-channel means — PNG matches PPM "
@@ -249,10 +251,13 @@ def multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     from .operators.multimodal import attach_binary, extract_features
 
     docs = load_table(spark, sf_dir, "documents")
-    ppm = attach_binary(docs.filter(F.col("doc_id") % 3 == 0), payload_format="ppm")
-    png = attach_binary(docs.filter(F.col("doc_id") % 3 == 1), payload_format="png")
-    jpg = attach_binary(docs.filter(F.col("doc_id") % 3 == 2), payload_format="jpeg")
-    return extract_features(ppm.unionByName(png).unionByName(jpg))
+    ppm = attach_binary(docs.filter(F.col("doc_id") % 4 == 0), payload_format="ppm")
+    png = attach_binary(docs.filter(F.col("doc_id") % 4 == 1), payload_format="png")
+    jpg = attach_binary(docs.filter(F.col("doc_id") % 4 == 2), payload_format="jpeg")
+    gif = attach_binary(docs.filter(F.col("doc_id") % 4 == 3), payload_format="gif")
+    return extract_features(
+        ppm.unionByName(png).unionByName(jpg).unionByName(gif)
+    )
 
 
 @register(

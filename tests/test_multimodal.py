@@ -1004,3 +1004,123 @@ def test_extract_video_features_matches_driver_decode(spark):
             assert row[k] == ref[k], (doc_id, k)
     plain = extract_video_features(attach_binary(docs)).collect()
     assert all(r["n_frames"] is None and r["mean_y"] is None for r in plain)
+
+
+def test_gif_lzw_round_trip_width_growth_and_table_reset():
+    """GIF-variant LZW: encode->decode identity on data long enough to
+    force code-width growth to 12 bits AND a table reset (>4096
+    entries), plus the min_code_size=2 small-alphabet path and the
+    deferred 'code == next slot' self-reference case."""
+    import numpy as np
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rng = np.random.RandomState(11)
+    data = bytes(rng.randint(0, 256, size=200_000, dtype=np.uint8))
+    assert _gif_lzw_decode(_gif_lzw_encode(data, 8), 8) == data
+    small = bytes(rng.randint(0, 4, size=50_000, dtype=np.uint8))
+    assert _gif_lzw_decode(_gif_lzw_encode(small, 2), 2) == small
+    # 'abababab...' triggers the code==len(table) self-reference branch
+    assert _gif_lzw_decode(_gif_lzw_encode(b"ab" * 64, 8), 8) == b"ab" * 64
+
+
+def test_gif_round_trip_pixels_interlaced_and_sequential():
+    """encode_gif -> _gif_pixels is pixel-exact for both sequential and
+    interlaced rasters (the 4-pass de-interlace is a separate code
+    path), and decode_gif's stats match numpy on the source array."""
+    import numpy as np
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        _gif_pixels,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 256, size=(13, 24), dtype=np.uint8)
+    px = np.stack([g, g, g], axis=-1)
+    for interlace in (False, True):
+        payload = encode_gif(px, interlace=interlace)
+        assert payload.startswith(b"GIF89a")
+        assert (_gif_pixels(payload) == px).all(), interlace
+        out = decode_gif(payload)
+        mean = round(float(g.mean()), 4)
+        assert (out["width"], out["height"]) == (24, 13)
+        assert (out["mean_r"], out["mean_g"], out["mean_b"]) == (mean,) * 3
+    # few-color RGB palette
+    rgb = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    for interlace in (False, True):
+        assert (_gif_pixels(encode_gif(rgb, interlace=interlace)) == rgb).all()
+    with pytest.raises(ValueError, match="256 colors"):
+        encode_gif(rng.randint(0, 256, size=(20, 20, 3), dtype=np.uint8))
+
+
+def test_decode_gif_hand_built_payload_and_corrupt_gates():
+    """decode_gif on a well-known hand-built GIF89a byte string (the
+    classic 1x1 white pixel, built independently of encode_gif) — the
+    graphic-control extension block must be skipped, LZW codes read
+    LSB-first. Corrupt payloads fail loudly."""
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        _gif_pixels,
+        decode_gif,
+    )
+
+    payload = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+        b"!\xf9\x04\x01\x00\x00\x00\x00"
+        b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;"
+    )
+    assert _gif_pixels(payload).tolist() == [[[255, 255, 255]]]
+    assert decode_gif(payload) == {
+        "width": 1, "height": 1,
+        "mean_r": 255.0, "mean_g": 255.0, "mean_b": 255.0,
+    }
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        decode_gif(payload[:20])  # truncated mid-stream
+
+
+def test_extract_features_decodes_gif_payloads(spark):
+    """End-to-end GIF leg: documents rendered to real LZW-compressed
+    GIF89a payloads (odd doc_ids interlaced) in Arrow batches, decoded
+    for REAL inside extract_features. The GIF rendering is the same
+    padded byte buffer as ppm but laid out as a 24-px-wide grayscale
+    raster, so each GIF channel mean must EQUAL the average of the ppm
+    rendering's three channel means."""
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        decode_gif,
+    )
+
+    docs = _docs(spark)
+    media = attach_binary(docs, payload_format="gif")
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    for doc_id, p in payloads.items():
+        assert p.startswith(b"GIF89a")
+    out = {r["doc_id"]: r for r in extract_features(media).collect()}
+    ppm_out = {
+        r["doc_id"]: r
+        for r in extract_features(
+            attach_binary(docs, payload_format="ppm")
+        ).collect()
+    }
+    for doc_id, p in payloads.items():
+        ref = decode_gif(p)
+        row = out[doc_id]
+        assert row["mime"] == "image/gif"
+        assert (row["width"], row["height"]) == (ref["width"], ref["height"])
+        assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (
+            ref["mean_r"], ref["mean_g"], ref["mean_b"],
+        )
+        ppm_row = ppm_out[doc_id]
+        assert row["width"] == 24 and ppm_row["width"] == 8
+        gray = round(
+            (ppm_row["mean_r"] + ppm_row["mean_g"] + ppm_row["mean_b"]) / 3, 3
+        )
+        assert round(row["mean_r"], 3) == gray
