@@ -67,6 +67,10 @@ HEADLINE = [
     "orders_snapshot_cdc_diff",
     "customer_er_clusters",
     "trade_graph_pagerank",
+    "trade_graph_labelprop",
+    "supplier_graph_triangles",
+    "supplier_graph_adamic_adar",
+    "part_basket_rules",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",

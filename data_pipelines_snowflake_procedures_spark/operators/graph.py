@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def pagerank(
@@ -112,3 +113,269 @@ def pagerank(
     nodes.unpersist()
     frac.unpersist()
     return out
+
+
+def topk_sparsify(
+    edges: DataFrame,
+    k: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """kNN-graph sparsification: keep each node's ``k`` strongest
+    incident edges (weight desc, neighbor asc — a unique, deterministic
+    order), then symmetrize and canonicalize to an undirected simple
+    edge list ``(a, b)`` with ``a < b``.
+
+    Why this exists: co-occurrence graphs densify super-linearly with
+    data volume (at 100 TB a popular-entity graph approaches complete),
+    and every downstream O(Σ deg²) algorithm — triangles, common
+    neighbors — explodes with them. Capping per-node degree at k bounds
+    wedge work at n·k² regardless of how dense the raw co-occurrence
+    gets, which is the standard similarity-graph construction (mutual /
+    union kNN graph). One window shuffle on the node id; output is
+    edge-sized."""
+    w_n = Window.partitionBy("node").orderBy(
+        F.col("w").desc(), F.col("nbr").asc()
+    )
+    sym = edges.select(
+        F.col(src_col).alias("node"),
+        F.col(dst_col).alias("nbr"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).unionByName(
+        edges.select(
+            F.col(dst_col).alias("node"),
+            F.col(src_col).alias("nbr"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+    )
+    kept = (
+        sym.filter(F.col("node") != F.col("nbr"))
+        .withColumn("rn", F.row_number().over(w_n))
+        .filter(F.col("rn") <= k)
+    )
+    return (
+        kept.select(
+            F.least("node", "nbr").alias("a"),
+            F.greatest("node", "nbr").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "a", dst_col: str = "b"
+) -> DataFrame:
+    """Exact per-node triangle counts over an undirected simple edge
+    list; returns ``(node, triangles)`` for every node in ≥1 triangle.
+
+    Scale shape — the degree-ordered node-iterator (the MapReduce
+    triangle-counting standard): orient every edge from the lower to
+    the higher endpoint under the total order (degree, node), so each
+    wedge is enumerated exactly once AT ITS LOWEST-DEGREE APEX. The
+    oriented out-degree is bounded by O(sqrt(2|E|)) amortized, which
+    turns the wedge self-join from Σ deg² (hub-quadratic) into
+    O(|E|^1.5) worst-case — hubs never fan out. Three shuffles: degree
+    groupBy, wedge self-join on the apex, close-join on the wedge
+    endpoints. No driver state; triangles stream through an explode →
+    groupBy.
+    """
+    e = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            F.when(
+                F.struct(F.col("da"), F.col("a"))
+                < F.struct(F.col("db"), F.col("b")),
+                F.struct(
+                    F.col("a").alias("lo"),
+                    F.col("b").alias("hi"),
+                    F.struct(
+                        F.col("db").alias("d"), F.col("b").alias("n")
+                    ).alias("hr"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("lo"),
+                    F.col("a").alias("hi"),
+                    F.struct(
+                        F.col("da").alias("d"), F.col("a").alias("n")
+                    ).alias("hr"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.lo", "o.hi", "o.hr")
+        .persist()
+    )
+    w1 = ranked.select(
+        F.col("lo").alias("apex"), F.col("hi").alias("x"), F.col("hr").alias("xr")
+    )
+    w2 = ranked.select(
+        F.col("lo").alias("apex"), F.col("hi").alias("y"), F.col("hr").alias("yr")
+    )
+    wedges = w1.join(w2, "apex").filter(F.col("xr") < F.col("yr"))
+    closing = ranked.select(
+        F.col("lo").alias("x"), F.col("hi").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"]).select("apex", "x", "y")
+    out = (
+        tris.select(
+            F.explode(F.array("apex", "x", "y")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    ).localCheckpoint(eager=True)
+    ranked.unpersist()
+    return out
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src_col: str = "a",
+    dst_col: str = "b",
+    max_hub_degree: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected simple edge list:
+    for every NON-adjacent pair (u, v) with ≥1 common neighbor, returns
+    ``(u, v, common_neighbors, aa_score)`` where aa = Σ_z 1/ln(deg z)
+    over common neighbors z.
+
+    Scale shape: wedges are enumerated THROUGH each common neighbor z
+    (one self-join keyed on z), so the cost is Σ deg(z)² — quadratic in
+    hub degree. ``max_hub_degree`` drops hub wedges entirely: a hub's
+    per-wedge contribution 1/ln(deg) is the score's own statement that
+    high-degree intermediaries carry ~no signal, so the cap is the
+    operator's native sparsifier (and the oracle restates it, keeping
+    the result exact BY DEFINITION of the capped score). Adjacency is
+    removed with one anti-join. Determinism: each 1/ln(deg) term is
+    floor-scaled to integer nano-units and summed as longs — exact,
+    order-independent, cross-engine."""
+    e = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    half = e.select(F.col("a").alias("z"), F.col("b").alias("nbr")).unionByName(
+        e.select(F.col("b").alias("z"), F.col("a").alias("nbr"))
+    )
+    # deg >= 2: a degree-1 node can't be a wedge apex, and ln(1) = 0
+    # would blow up the term
+    deg = half.groupBy("z").agg(F.count("*").alias("deg")).filter(F.col("deg") >= 2)
+    if max_hub_degree is not None:
+        deg = deg.filter(F.col("deg") <= max_hub_degree)
+    # nano-unit AA term per wedge apex z
+    adj = half.join(deg, "z").select(
+        "z",
+        "nbr",
+        F.floor(F.lit(1e9) / F.log(F.col("deg").cast("double")))
+        .cast("long")
+        .alias("term"),
+    )
+    a1 = adj.select("z", F.col("nbr").alias("u"), "term")
+    a2 = adj.select("z", F.col("nbr").alias("v"))
+    pairs = (
+        a1.join(a2, "z")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum("term").alias("aa_nano"),
+        )
+    )
+    non_adj = pairs.join(
+        e.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    out = non_adj.select(
+        "u",
+        "v",
+        "common_neighbors",
+        F.round(F.col("aa_nano") / 1e9, decimals).alias("aa_score"),
+    ).localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts labeled with its own id; each iteration relabels every node
+    with its neighbors' MOST FREQUENT previous-round label, ties broken
+    by smallest label — the deterministic semi-synchronous LPA variant
+    (Raghavan 2007 made order-free so a SQL oracle can replay it).
+    Isolated nodes keep their label. Returns ``(node, label)``.
+
+    Scale shape: one iteration = join labels onto the symmetrized edge
+    list by neighbor (O(|E|) shuffle), count (node, label) pairs, pick
+    the winner with a window — all integer counts, so the replay is
+    exact with no rounding contract needed. Labels are node-sized;
+    lineage is truncated per iteration via localCheckpoint."""
+    sym = (
+        edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("nbr"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("node"), F.col(src_col).alias("nbr"))
+        )
+        .filter(F.col("node") != F.col("nbr"))
+        .distinct()
+        .persist()
+    )
+    nodes = sym.select("node").distinct().persist()
+    nodes.count()
+    labels = nodes.withColumn("label", F.col("node"))
+    w_win = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(iters):
+        counts = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        winners = (
+            counts.withColumn("rn", F.row_number().over(w_win))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            nodes.join(labels, "node")
+            .join(winners, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    nodes.unpersist()
+    return labels

@@ -1,0 +1,93 @@
+"""Market-basket co-occurrence mining over DataFrame basket tables —
+frequent item pairs and association-rule strength (support / lift).
+
+Why a training-data engine carries this: co-occurrence mining is the
+relational workhorse behind corpus curation signals (tags that travel
+together, sources that co-cite, near-duplicate cluster summaries) and
+the classic retail basket analysis the reference's generated
+aggregation pipelines (CODE_GENERATOR.sql's GROUP-BY templates) point
+at but never reach.
+
+Scale shape — Apriori's antimonotonicity as a pre-shuffle prune: an
+item pair can only reach ``min_support`` if BOTH items individually do,
+so infrequent items are dropped with one vocabulary-sized semi-join
+BEFORE the quadratic per-basket pair expansion. The expansion itself is
+a self-equi-join on the basket id, so its cost is Σ |basket|² — bounded
+when baskets are bounded (orders hold ≤7 lineitems; documents hold
+bounded tag sets). For corpora with unbounded baskets, ``max_basket``
+drops oversize baskets entirely (the standard practice: a 10k-item
+basket contributes no usable rule, only k² work), and the cutoff is
+restated by the oracle so results stay exact by definition.
+
+Determinism: supports are integer counts; lift is a single double
+division rounded at the surface — no accumulation-order hazard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_pairs(
+    baskets: DataFrame,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+    min_support: int = 2,
+    max_basket: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Frequent item pairs with lift; returns ``(item_a, item_b,
+    support, support_a, support_b, lift)`` for every unordered pair
+    co-occurring in ≥ ``min_support`` baskets (items deduplicated
+    within a basket first).
+
+    ``lift = support·N / (support_a·support_b)`` over N = number of
+    baskets — >1 means the pair co-occurs more than independence
+    predicts. Item supports count ALL baskets (before any
+    ``max_basket`` drop is applied to the pair expansion), keeping the
+    marginals honest."""
+    bi = baskets.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_basket is not None:
+        sizes = bi.groupBy("bk").agg(F.count("*").alias("bsz"))
+        kept_bk = sizes.filter(F.col("bsz") <= max_basket).select("bk")
+        expanded = bi.join(kept_bk, "bk", "left_semi")
+    else:
+        expanded = bi
+    isup = bi.groupBy("item").agg(F.count("*").alias("s"))
+    freq_items = isup.filter(F.col("s") >= min_support).select("item")
+    # Apriori prune: items below min_support can't be in any frequent
+    # pair. The frequent-item list is vocabulary-sized after the prune,
+    # so it broadcasts; the expensive |basket|² expansion below runs on
+    # pruned rows only.
+    fbi = expanded.join(F.broadcast(freq_items), "item", "left_semi")
+    x = fbi.select("bk", F.col("item").alias("item_a"))
+    y = fbi.select("bk", F.col("item").alias("item_b"))
+    pairs = (
+        x.join(y, "bk")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    n_baskets = bi.select("bk").distinct().count()
+    sa = isup.select(F.col("item").alias("item_a"), F.col("s").alias("support_a"))
+    sb = isup.select(F.col("item").alias("item_b"), F.col("s").alias("support_b"))
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            "support_a",
+            "support_b",
+            F.round(
+                F.col("support") * F.lit(float(n_baskets))
+                / (F.col("support_a") * F.col("support_b")),
+                decimals,
+            ).alias("lift"),
+        )
+    )

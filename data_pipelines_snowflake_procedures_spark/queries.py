@@ -1934,6 +1934,264 @@ def trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _cosupplier_graph_sql(k: int = 10) -> str:
+    """Shared oracle CTE prefix: the top-k-sparsified co-supplier
+    graph. Suppliers are linked when they serve the same order;
+    each node keeps its k strongest edges (weight desc, neighbor asc),
+    then the kept arcs are symmetrized back to an undirected simple
+    edge list e(a, b) with a < b — restating
+    operators/graph.py::topk_sparsify exactly."""
+    return f"""
+    bi AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+    co AS (
+      SELECT x.s AS src, y.s AS dst, count(*)::DOUBLE AS w
+      FROM bi x JOIN bi y ON x.ok = y.ok AND x.s < y.s
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT src AS node, dst AS nbr, w FROM co
+      UNION ALL
+      SELECT dst AS node, src AS nbr, w FROM co
+    ),
+    kept AS (
+      SELECT node, nbr FROM (
+        SELECT node, nbr,
+               row_number() OVER (PARTITION BY node ORDER BY w DESC, nbr ASC) AS rn
+        FROM sym
+      ) t WHERE rn <= {k}
+    ),
+    e AS (
+      SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b FROM kept
+    )"""
+
+
+def _cosupplier_edges(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Spark side of :func:`_cosupplier_graph_sql`: same-order supplier
+    co-occurrence weights, top-k sparsified."""
+    from .operators.graph import topk_sparsify
+
+    bi = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    x = bi.select("ok", F.col("s").alias("src"))
+    y = bi.select("ok", F.col("s").alias("dst"))
+    co = (
+        x.join(y, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    return topk_sparsify(co, k=k)
+
+
+@register(
+    "supplier_graph_triangles",
+    f"""
+    WITH {_cosupplier_graph_sql(10)},
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tn AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y AS node FROM tri
+      UNION ALL SELECT z AS node FROM tri
+    )
+    SELECT node, count(*) AS triangles FROM tn GROUP BY node
+    """,
+    doc="Exact per-node triangle counts over the top-10-sparsified "
+    "co-supplier graph (operators/graph.py::triangle_count). The "
+    "Spark plan uses the degree-ordered node-iterator — every edge "
+    "oriented low-rank→high-rank under (degree, node), so wedge "
+    "enumeration is O(|E|^1.5) worst-case instead of hub-quadratic "
+    "Σdeg² — while the oracle enumerates the same triangle set with "
+    "the naive a<b<c 3-way self-join (orientations differ, the "
+    "triangle SET is identical — that equality is what the hash "
+    "checks). Sparsification (E90's second half) bounds degree ≤ ~2k "
+    "so the co-occurrence graph can't densify super-linearly at "
+    "100 TB; the window and oracle QUALIFY restate the same "
+    "deterministic (w desc, nbr asc) cutoff.",
+)
+def supplier_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import triangle_count
+
+    return triangle_count(_cosupplier_edges(spark, sf_dir, k=10))
+
+
+@register(
+    "supplier_graph_adamic_adar",
+    f"""
+    WITH {_cosupplier_graph_sql(10)},
+    half AS (
+      SELECT a AS z, b AS nbr FROM e
+      UNION ALL SELECT b AS z, a AS nbr FROM e
+    ),
+    dg AS (
+      SELECT z, count(*) AS deg FROM half GROUP BY z HAVING count(*) >= 2
+    ),
+    adj AS (
+      SELECT h.z, h.nbr,
+             CAST(floor(1e9 / ln(d.deg)) AS BIGINT) AS term
+      FROM half h JOIN dg d ON d.z = h.z
+    ),
+    pr AS (
+      SELECT a1.nbr AS u, a2.nbr AS v,
+             count(*) AS common_neighbors,
+             sum(a1.term) AS aa_nano
+      FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.nbr < a2.nbr
+      GROUP BY 1, 2
+    )
+    SELECT u, v, common_neighbors,
+           round(aa_nano / 1e9, 6) AS aa_score
+    FROM pr
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = pr.u AND e.b = pr.v)
+    """,
+    doc="Adamic-Adar link prediction over the sparsified co-supplier "
+    "graph (operators/graph.py::adamic_adar): for every non-adjacent "
+    "supplier pair with ≥1 common neighbor, Σ 1/ln(deg z). One wedge "
+    "self-join keyed on the common neighbor + one anti-join to drop "
+    "existing edges; each 1/ln(deg) term floor-scales to integer "
+    "nano-units so the sum is exact and order-independent (the "
+    "integer-micro-unit contract the LM/BM25 entries use) — both "
+    "engines agree hash-exactly with no float-accumulation tolerance. "
+    "Hub wedges are pre-bounded here by the top-10 sparsification; on "
+    "raw graphs the operator's max_hub_degree cap drops "
+    "quadratic-cost hubs whose terms the score itself discounts to "
+    "~0.",
+)
+def supplier_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import adamic_adar
+
+    return adamic_adar(_cosupplier_edges(spark, sf_dir, k=10)).select(
+        F.col("u"),
+        F.col("v"),
+        "common_neighbors",
+        "aa_score",
+    )
+
+
+def _labelprop_steps_sql(iters: int = 2) -> str:
+    """CTE unroll of ``iters`` synchronous label-propagation rounds —
+    the pagerank_steps_sql pattern with integer vote counts (no
+    rounding contract needed). Expects ``sym(node, nbr)``, ``nodes``
+    and ``l0(node, label)`` in scope; emits ``c1/w1/l1 … lN``."""
+    its = []
+    prev = "l0"
+    for t in range(1, iters + 1):
+        its.append(f"""c{t} AS (
+      SELECT s.node, l.label, count(*) AS cnt
+      FROM sym s JOIN {prev} l ON l.node = s.nbr
+      GROUP BY s.node, l.label
+    ),
+    w{t} AS (
+      SELECT node, label FROM c{t}
+      QUALIFY row_number() OVER (
+        PARTITION BY node ORDER BY cnt DESC, label ASC) = 1
+    ),
+    l{t} AS (
+      SELECT n.node, coalesce(w.label, p.label) AS label
+      FROM nodes n
+      JOIN {prev} p ON p.node = n.node
+      LEFT JOIN w{t} w ON w.node = n.node
+    )""")
+        prev = f"l{t}"
+    return ",\n    ".join(its)
+
+
+@register(
+    "trade_graph_labelprop",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    sym AS (
+      SELECT src AS node, dst AS nbr FROM pairs
+      UNION ALL
+      SELECT dst AS node, src AS nbr FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT node FROM sym),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    {_labelprop_steps_sql(2)}
+    SELECT node, label FROM l2
+    """,
+    doc="Community detection via synchronous label propagation (2 "
+    "rounds, operators/graph.py::label_propagation) on the customer-"
+    "supplier trade graph: every node starts as its own community and "
+    "adopts its neighbors' most frequent previous-round label, ties to "
+    "the smallest — the order-free deterministic LPA variant, so the "
+    "oracle replays both rounds in CTEs and hash-matches with NO "
+    "tolerance (votes are integers; the nondeterminism that plagues "
+    "async LPA is designed out). Per round: one O(|E|) join + one "
+    "(node,label)-sized count + one window — the same "
+    "edge-list-iteration shape as PageRank/connected components.",
+)
+def trade_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation(pairs, iters=2)
+
+
+@register(
+    "part_basket_rules",
+    """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem
+    ),
+    isup AS (SELECT item, count(*) AS s FROM bi GROUP BY item),
+    freq AS (SELECT item FROM isup WHERE s >= 2),
+    fbi AS (SELECT bk, item FROM bi WHERE item IN (SELECT item FROM freq)),
+    pr AS (
+      SELECT x.item AS item_a, y.item AS item_b, count(*) AS support
+      FROM fbi x JOIN fbi y ON x.bk = y.bk AND x.item < y.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    nb AS (SELECT count(DISTINCT bk)::DOUBLE AS n FROM bi)
+    SELECT item_a, item_b, support,
+           sa.s AS support_a, sb.s AS support_b,
+           round(support * nb.n / (sa.s * sb.s), 6) AS lift
+    FROM pr
+    JOIN isup sa ON sa.item = pr.item_a
+    JOIN isup sb ON sb.item = pr.item_b
+    CROSS JOIN nb
+    """,
+    doc="Market-basket association rules over order→part baskets "
+    "(operators/itemsets.py::frequent_pairs): unordered part pairs "
+    "co-purchased in ≥2 orders, with per-item supports and lift. The "
+    "Apriori antimonotonicity prune (a frequent pair needs both items "
+    "frequent) runs as a broadcast semi-join BEFORE the quadratic "
+    "per-basket expansion; the expansion is a self-equi-join on the "
+    "order key, Σ|basket|² bounded by TPC-H's ≤7 lineitems per order "
+    "(unbounded corpora use the operator's max_basket cutoff, which "
+    "the oracle would restate). Supports are integer counts; lift is "
+    "one rounded double division — hash-exact cross-engine.",
+)
+def part_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.itemsets import frequent_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("item")
+    )
+    return frequent_pairs(
+        li, basket_col="bk", item_col="item", min_support=2
+    )
+
+
 # Extension entries (LLM text/dedup/similarity; event windows;
 # multimodal; TPC-H-shape relational widening) register themselves on
 # import; placed last so REGISTRY and helpers exist.

@@ -1,0 +1,167 @@
+"""Tests for graph analytics (triangles, link prediction, label
+propagation, kNN sparsification) and market-basket mining — the
+hand-graph half; oracle parity runs in test_queries_oracle.py."""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+from data_pipelines_snowflake_procedures_spark.operators.graph import (
+    adamic_adar,
+    label_propagation,
+    topk_sparsify,
+    triangle_count,
+)
+from data_pipelines_snowflake_procedures_spark.operators.itemsets import (
+    frequent_pairs,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([(a, b) for a, b in pairs], ["a", "b"])
+
+
+def test_triangle_count_k4_plus_pendant(spark):
+    """K4: every node sits in C(3,2)=3 triangles; a pendant node sits
+    in none and is absent from the result. Duplicate/reversed/self
+    edges must not change counts."""
+    k4 = list(combinations([1, 2, 3, 4], 2))
+    noisy = k4 + [(b, a) for a, b in k4] + [(1, 1), (4, 5), (4, 5)]
+    out = {r["node"]: r["triangles"] for r in triangle_count(_edges(spark, noisy)).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_matches_bruteforce_random_graph(spark):
+    """Degree-ordered enumeration equals the O(n^3) definition on a
+    random graph — exercises orientation ties (equal degrees break on
+    node id) and wedge apexes of every degree."""
+    import random
+
+    rng = random.Random(42)
+    nodes = list(range(30))
+    pairs = [
+        (a, b) for a, b in combinations(nodes, 2) if rng.random() < 0.2
+    ]
+    adj = {n: set() for n in nodes}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    want: dict[int, int] = {}
+    for x, y, z in combinations(nodes, 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(_edges(spark, pairs)).collect()
+    }
+    assert got == want
+
+
+def test_adamic_adar_path_graph_and_hub_cap(spark):
+    """Path a-b-c: the only non-adjacent pair (a,c) scores 1/ln(deg b)
+    = 1/ln 2 through its single common neighbor; adjacent pairs never
+    appear; capping hubs at degree 1 removes every wedge."""
+    out = adamic_adar(_edges(spark, [(1, 2), (2, 3)])).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["u"], r["v"], r["common_neighbors"]) == (1, 3, 1)
+    assert r["aa_score"] == round(math.floor(1e9 / math.log(2)) / 1e9, 6)
+    assert adamic_adar(_edges(spark, [(1, 2), (2, 3)]), max_hub_degree=1).count() == 0
+
+
+def test_adamic_adar_sums_terms_per_common_neighbor(spark):
+    """Square 1-2-3-4-1 plus chord-free diagonals: (1,3) and (2,4) are
+    non-adjacent with TWO common neighbors each, all of degree 2 — the
+    nano-unit terms must add exactly."""
+    out = {
+        (r["u"], r["v"]): r
+        for r in adamic_adar(
+            _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+        ).collect()
+    }
+    term = math.floor(1e9 / math.log(2))
+    assert set(out) == {(1, 3), (2, 4)}
+    for r in out.values():
+        assert r["common_neighbors"] == 2
+        assert r["aa_score"] == round(2 * term / 1e9, 6)
+
+
+def _lpa_reference(pairs, iters):
+    """Driver-side replay of synchronous min-tie-break mode LPA."""
+    adj: dict = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(iters):
+        new = {}
+        for n, nbrs in adj.items():
+            votes: dict = {}
+            for m in nbrs:
+                votes[labels[m]] = votes.get(labels[m], 0) + 1
+            best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[n] = best
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_reference_simulation(spark):
+    """Two triangles bridged by one edge: after 2 synchronous rounds
+    the Spark labels equal a driver-side replay of the same
+    deterministic update rule, community structure included."""
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    for iters in (1, 2, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(_edges(spark, pairs), iters=iters, src_col="a", dst_col="b").collect()
+        }
+        assert got == _lpa_reference(pairs, iters), iters
+    # two rounds keep the two triangle communities separate
+    two = _lpa_reference(pairs, 2)
+    assert len({two[1], two[4]}) == 2
+
+
+def test_topk_sparsify_keeps_strongest_deterministically(spark):
+    """Node 1 has edges of weight 5, 5, 1 to neighbors 3, 2, 4: k=2
+    keeps the two weight-5 edges (tie broken neighbor-asc is moot at
+    k=2) and drops (1,4); the output is canonical a<b and the weaker
+    edge survives only if ITS OTHER endpoint keeps it."""
+    edges = spark.createDataFrame(
+        [(1, 3, 5.0), (1, 2, 5.0), (1, 4, 1.0)], ["src", "dst", "w"]
+    )
+    kept = {(r["a"], r["b"]) for r in topk_sparsify(edges, k=2).collect()}
+    # node 4 has only edge (1,4), so it keeps it from ITS side → union
+    # kNN graph retains it
+    assert kept == {(1, 2), (1, 3), (1, 4)}
+    kept1 = {(r["a"], r["b"]) for r in topk_sparsify(edges, k=1).collect()}
+    # node 1 keeps (1,2) (tie 5.0/5.0 → neighbor asc); nodes 2,3,4 each
+    # keep their only edge
+    assert kept1 == {(1, 2), (1, 3), (1, 4)}
+
+
+def test_frequent_pairs_supports_and_lift(spark):
+    """Hand baskets: pair (a,b) in 2 of 4 baskets, a in 3, b in 2 →
+    lift = 2·4/(3·2); items below min_support never pair; max_basket
+    drops the oversize basket from pair counts but NOT the marginals."""
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "d"),
+    ]
+    df = spark.createDataFrame(rows, ["basket_id", "item"])
+    out = {(r["item_a"], r["item_b"]): r for r in frequent_pairs(df).collect()}
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    assert (r["support"], r["support_a"], r["support_b"]) == (2, 3, 2)
+    assert r["lift"] == round(2 * 4 / (3 * 2), 6)
+    # duplicate items inside a basket dedup before counting
+    dup = spark.createDataFrame(rows + [(1, "a")], ["basket_id", "item"])
+    assert frequent_pairs(dup).collect() == frequent_pairs(df).collect()
+    # basket 1 oversize → (a,b) only co-occurs once → below min_support
+    capped = frequent_pairs(df, max_basket=1)
+    assert capped.count() == 0
