@@ -71,6 +71,8 @@ HEADLINE = [
     "supplier_graph_triangles",
     "supplier_graph_adamic_adar",
     "part_basket_rules",
+    "customer_rfm_segments",
+    "nation_revenue_gini",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",
@@ -94,6 +96,7 @@ HEADLINE = [
     "documents_strip_markup",
     "documents_quality_quantile",
     "documents_weighted_sample",
+    "documents_stratified_split",
     "documents_quality_threshold_metrics",
     "documents_quality_auc",
     "documents_quality_auc_binned",
@@ -132,6 +135,10 @@ HEADLINE = [
     "events_incremental_rollup",
     "events_incremental_quantiles",
     "events_hourly_interpolated",
+    "events_type_transitions",
+    "events_seasonal_anomaly",
+    "events_value_ab_test",
+    "events_type_hour_chisq",
     "orders_customer_join_ivm",
     "orders_customer_join_ivm_deletes",
     # multimodal codec legs (PPM/PNG/JPEG images, WAV audio — real

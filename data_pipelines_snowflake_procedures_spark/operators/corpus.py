@@ -109,6 +109,51 @@ def assign_split(
     return df.withColumn(split_col, expr)
 
 
+def stratified_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """EXACT-proportion stratified split: within each stratum, ids are
+    ranked by (md5(seed|id), id) and cut at integer-exact cumulative
+    boundaries, so every stratum lands within 1 row of its target
+    fraction — the guarantee :func:`assign_split`'s independent hash
+    buckets only give in expectation (small strata can drift badly:
+    a 20-doc language can easily go 100% train by chance).
+
+    Determinism: the rank order is a pure function of (seed, id); the
+    boundary test is ALL-INTEGER (``rn·1e6 ≤ cum_ppm·n``) — no float
+    threshold can straddle an integer differently across engines.
+    Scale shape: one window shuffle partitioned by the stratum key;
+    per-stratum sorts run in parallel (a skewed mega-stratum sorts on
+    one executor pipeline — for that case pre-shard the stratum and
+    accept per-shard exactness). Unlike assign_split, adding documents
+    RE-RANKS a stratum — exactness and append-stability are mutually
+    exclusive; choose per use."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    w_rank = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    w_n = Window.partitionBy(strata_col)
+    ranked = df.withColumn("__rn", F.row_number().over(w_rank)).withColumn(
+        "__n", F.count("*").over(w_n)
+    )
+    names = list(weights)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = (F.col("__rn") * F.lit(1000000)) <= (
+            F.lit(int(round(cum * 1000000))) * F.col("__n")
+        )
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+    return ranked.withColumn(split_col, expr).drop("__rn", "__n")
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

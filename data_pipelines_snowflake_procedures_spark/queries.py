@@ -2192,6 +2192,154 @@ def part_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "customer_rfm_segments",
+    """
+    WITH anchor AS (SELECT CAST(max(o_orderdate) AS DATE) AS d FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             CAST(max(o_orderdate) AS DATE) AS last_order,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    base AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             date_diff('day', t.last_order, a.d) AS recency_days,
+             t.frequency, t.monetary
+      FROM cust t
+      JOIN customer c ON c.c_custkey = t.o_custkey
+      CROSS JOIN anchor a
+    )
+    SELECT c_custkey, c_nationkey, recency_days, frequency, monetary,
+           ntile(4) OVER (PARTITION BY c_nationkey
+                          ORDER BY recency_days ASC, c_custkey ASC) AS r_q,
+           ntile(4) OVER (PARTITION BY c_nationkey
+                          ORDER BY frequency DESC, c_custkey ASC) AS f_q,
+           ntile(4) OVER (PARTITION BY c_nationkey
+                          ORDER BY monetary DESC, c_custkey ASC) AS m_q
+    FROM base
+    """,
+    doc="RFM customer segmentation: per-customer recency (days from "
+    "the corpus-pinned anchor = max order date), frequency, monetary, "
+    "then quartile scores via ntile(4) PARTITIONED BY NATION — the "
+    "within-market segmentation marketers actually use, and the thing "
+    "that keeps the quartile sort distributed (a global ntile is a "
+    "single-partition total sort; partitioned windows shuffle once on "
+    "nation and sort each market in parallel). Ties broken by custkey "
+    "so ntile's positional buckets are deterministic cross-engine; "
+    "1 = best (most recent / most orders / highest spend).",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    anchor = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("anchor_d")
+    )
+    base = (
+        per_cust.join(cust, per_cust["o_custkey"] == cust["c_custkey"])
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.datediff("anchor_d", "last_order").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    by_nation = Window.partitionBy("c_nationkey")
+    return base.select(
+        "c_custkey",
+        "c_nationkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(by_nation.orderBy(F.col("recency_days").asc(), F.col("c_custkey").asc()))
+        .alias("r_q"),
+        F.ntile(4)
+        .over(by_nation.orderBy(F.col("frequency").desc(), F.col("c_custkey").asc()))
+        .alias("f_q"),
+        F.ntile(4)
+        .over(by_nation.orderBy(F.col("monetary").desc(), F.col("c_custkey").asc()))
+        .alias("m_q"),
+    )
+
+
+@register(
+    "nation_revenue_gini",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT c.c_nationkey, rev.x,
+             row_number() OVER (
+               PARTITION BY c.c_nationkey
+               ORDER BY rev.x ASC, rev.o_custkey ASC
+             ) AS rn
+      FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey
+    )
+    SELECT c_nationkey,
+           count(*)::BIGINT AS n_customers,
+           round(CAST(sum(x) AS DOUBLE) / 100, 2) AS total_revenue,
+           round((2 * CAST(sum(rn * x) AS DOUBLE)
+                  - (count(*) + 1) * CAST(sum(x) AS DOUBLE))
+                 / (count(*) * CAST(sum(x) AS DOUBLE)), 6) AS gini
+    FROM ranked GROUP BY c_nationkey
+    """,
+    doc="Revenue concentration per nation as a Gini coefficient over "
+    "customer lifetime revenue: rank customers within their nation by "
+    "revenue (custkey tiebreak), Gini = (2·Σ rank·x − (n+1)·Σx)/(n·Σx) "
+    "— the discrete Lorenz form. The 2-decimal prices convert to EXACT "
+    "centi-unit longs BEFORE any summation (per-customer revenue, "
+    "Σx, Σ rank·x are all integer arithmetic; rank·x accumulates in "
+    "decimal(38,0) so a mega-nation can't overflow int64), so both "
+    "engines reach identical doubles in the two final divisions. The "
+    "rank window partitions by nation — sorts stay distributed, no "
+    "global total order (the scale trap a whole-corpus Gini would "
+    "hit; that case bins revenue into a fixed histogram instead).",
+)
+def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    ranked = rev.join(cust, rev["o_custkey"] == cust["c_custkey"]).select(
+        "c_nationkey",
+        "x",
+        F.row_number()
+        .over(
+            Window.partitionBy("c_nationkey").orderBy(
+                F.col("x").asc(), F.col("o_custkey").asc()
+            )
+        )
+        .alias("rn"),
+    )
+    n = F.count("*")
+    sx = F.sum("x")
+    sxi = F.sum(F.col("rn").cast("decimal(38,0)") * F.col("x"))
+    return ranked.groupBy("c_nationkey").agg(
+        n.alias("n_customers"),
+        F.round(sx.cast("double") / 100, 2).alias("total_revenue"),
+        F.round(
+            (F.lit(2) * sxi.cast("double") - (n + F.lit(1)) * sx.cast("double"))
+            / (n * sx.cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
 # Extension entries (LLM text/dedup/similarity; event windows;
 # multimodal; TPC-H-shape relational widening) register themselves on
 # import; placed last so REGISTRY and helpers exist.

@@ -1617,3 +1617,311 @@ def events_hourly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("long").alias("n_events"),
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+@register(
+    "events_type_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+             ) AS nxt
+      FROM events
+    ),
+    trans AS (
+      SELECT cur, nxt, count(*) AS cnt
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    tot AS (SELECT cur, sum(cnt)::BIGINT AS row_total FROM trans GROUP BY cur)
+    SELECT t.cur, t.nxt, t.cnt,
+           round(t.cnt / CAST(o.row_total AS DOUBLE), 6) AS p
+    FROM trans t JOIN tot o ON o.cur = t.cur
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lead() within (user, ts, event_id) order pairs each "
+    "event with its successor, then (cur→nxt) counts normalize to "
+    "row-stochastic probabilities. The event_id tiebreak makes "
+    "same-timestamp ordering deterministic cross-engine. One window "
+    "shuffle on user_id (sequences stay co-located), one "
+    "type²-cardinality aggregate; counts are integers and p is a "
+    "single rounded division — hash-exact. The behavioral-sequence "
+    "summary (what follows what) that sessionization/funnels don't "
+    "give.",
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(F.count("*").alias("cnt"))
+    tot = trans.groupBy("cur").agg(F.sum("cnt").alias("row_total"))
+    return trans.join(F.broadcast(tot), "cur").select(
+        "cur",
+        "nxt",
+        "cnt",
+        F.round(F.col("cnt") / F.col("row_total").cast("double"), 6).alias("p"),
+    )
+
+
+@register(
+    "events_seasonal_anomaly",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS h,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    keyed AS (
+      SELECT event_type, h, cnt,
+             date_part('dow', h) + 1 AS dow,
+             date_part('hour', h) AS hod
+      FROM hourly
+    ),
+    seas AS (
+      SELECT event_type, dow, hod,
+             count(*)::BIGINT AS n,
+             sum(cnt)::BIGINT AS s,
+             sum(cnt * cnt)::BIGINT AS ss
+      FROM keyed GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT k.event_type, k.h, k.cnt, v.n,
+             (CAST(v.s AS DOUBLE) - k.cnt) / (v.n - 1) AS loo_mean,
+             (CAST(v.ss AS DOUBLE) - CAST(k.cnt AS DOUBLE) * k.cnt
+              - (v.n - 1) * ((CAST(v.s AS DOUBLE) - k.cnt) / (v.n - 1))
+                          * ((CAST(v.s AS DOUBLE) - k.cnt) / (v.n - 1)))
+             / (v.n - 2) AS loo_var
+      FROM keyed k
+      JOIN seas v
+        ON v.event_type = k.event_type AND v.dow = k.dow AND v.hod = k.hod
+      WHERE v.n >= 4
+    )
+    SELECT event_type, h AS hour, cnt AS n_events,
+           round(loo_mean, 4) AS seasonal_mean,
+           round((cnt - loo_mean) / sqrt(loo_var), 4) AS z
+    FROM scored
+    WHERE loo_var > 0
+      AND abs((cnt - loo_mean) / sqrt(loo_var)) >= 3
+    """,
+    doc="Seasonality-adjusted volume anomalies: hourly event counts "
+    "z-scored against their (event_type, day-of-week, hour-of-day) "
+    "seasonal stratum — a Monday-9am spike is judged against OTHER "
+    "Monday 9ams, not the rolling window events_rolling_anomaly uses "
+    "(which flags every rush hour). The score is LEAVE-ONE-OUT: the "
+    "candidate hour is excluded from its stratum's mean/variance, "
+    "because an in-sample z is bounded at (n-1)/sqrt(n) (1.79 for the "
+    "n=5 strata a 30-day corpus yields) and can NEVER flag — the "
+    "classic self-masking bug in small-stratum outlier tests. "
+    "LOO moments derive algebraically from the same integer Σcnt/Σcnt² "
+    "partials (exact in doubles, order-independent; no streaming "
+    "stddev), so both engines compute bit-identical z. Two aggregates "
+    "(hours-sized, then type×168-sized) + one broadcast join; strata "
+    "need n≥4; |z| ≥ 3 flags.",
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        ).agg(F.count("*").alias("cnt"))
+    )
+    keyed = hourly.select(
+        "event_type",
+        "h",
+        "cnt",
+        F.dayofweek("h").cast("long").alias("dow"),
+        F.hour("h").cast("long").alias("hod"),
+    )
+    seas = keyed.groupBy("event_type", "dow", "hod").agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    j = keyed.join(F.broadcast(seas), ["event_type", "dow", "hod"]).filter(
+        F.col("n") >= 4
+    )
+    s_d = F.col("s").cast("double")
+    ss_d = F.col("ss").cast("double")
+    loo_mean = (s_d - F.col("cnt")) / (F.col("n") - 1)
+    loo_var = (
+        ss_d
+        - F.col("cnt").cast("double") * F.col("cnt")
+        - (F.col("n") - 1) * loo_mean * loo_mean
+    ) / (F.col("n") - 2)
+    z = (F.col("cnt") - loo_mean) / F.sqrt(loo_var)
+    return (
+        j.filter((loo_var > 0) & (F.abs(z) >= 3))
+        .select(
+            "event_type",
+            F.col("h").alias("hour"),
+            F.col("cnt").alias("n_events"),
+            F.round(loo_mean, 4).alias("seasonal_mean"),
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+@register(
+    "events_value_ab_test",
+    """
+    WITH g AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS s,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT))::BIGINT AS ss
+      FROM events
+      WHERE event_type IN ('click', 'view')
+      GROUP BY event_type
+    ),
+    a AS (SELECT n, s, ss FROM g WHERE event_type = 'click'),
+    b AS (SELECT n, s, ss FROM g WHERE event_type = 'view'),
+    m AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             CAST(a.s AS DOUBLE) / a.n / 100 AS mean_a,
+             CAST(b.s AS DOUBLE) / b.n / 100 AS mean_b,
+             (CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) * a.s / a.n)
+               / (a.n - 1) / 10000 AS var_a,
+             (CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) * b.s / b.n)
+               / (b.n - 1) / 10000 AS var_b
+      FROM a CROSS JOIN b
+    )
+    SELECT n_a, n_b,
+           round(mean_a, 4) AS mean_a,
+           round(mean_b, 4) AS mean_b,
+           round((mean_a - mean_b)
+                 / sqrt(var_a / n_a + var_b / n_b), 4) AS t_stat,
+           round(
+             (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+             / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 2
+           ) AS welch_df
+    FROM m
+    """,
+    doc="Welch two-sample t-test on event value, click vs view — the "
+    "unequal-variance A/B comparison (t statistic + Welch-"
+    "Satterthwaite degrees of freedom). The 2-decimal values convert "
+    "to EXACT centi-unit integers before aggregation, so n/Σ/Σ² are "
+    "order-independent and both engines derive bit-identical moments "
+    "— the same integer-partials contract as the seasonal-anomaly "
+    "and LM entries (a naive sum(value)/stddev would differ in the "
+    "last float bits by accumulation order). One partial-aggregating "
+    "scan, two single-row sides, O(1) output.",
+)
+def events_value_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents).alias("s"),
+            F.sum(cents * cents).alias("ss"),
+        )
+    )
+    a = g.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("ss").alias("ss_a")
+    )
+    b = g.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("ss").alias("ss_b")
+    )
+    m = a.crossJoin(b)
+    mean_a = F.col("s_a").cast("double") / F.col("n_a") / 100
+    mean_b = F.col("s_b").cast("double") / F.col("n_b") / 100
+    var_a = (
+        (F.col("ss_a").cast("double") - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a"))
+        / (F.col("n_a") - 1) / 10000
+    )
+    var_b = (
+        (F.col("ss_b").cast("double") - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b"))
+        / (F.col("n_b") - 1) / 10000
+    )
+    se2_a = var_a / F.col("n_a")
+    se2_b = var_b / F.col("n_b")
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 4).alias("mean_a"),
+        F.round(mean_b, 4).alias("mean_b"),
+        F.round((mean_a - mean_b) / F.sqrt(se2_a + se2_b), 4).alias("t_stat"),
+        F.round(
+            (se2_a + se2_b) * (se2_a + se2_b)
+            / (se2_a * se2_a / (F.col("n_a") - 1) + se2_b * se2_b / (F.col("n_b") - 1)),
+            2,
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "events_type_hour_chisq",
+    """
+    WITH cells AS (
+      SELECT event_type, date_part('hour', CAST(ts AS TIMESTAMP)) AS hod,
+             count(*)::BIGINT AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+    ct AS (SELECT hod, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+    g AS (SELECT sum(o)::BIGINT AS n FROM cells),
+    terms AS (
+      SELECT CAST(floor(
+               (cells.o - CAST(rt.r AS DOUBLE) * ct.c / g.n)
+               * (cells.o - CAST(rt.r AS DOUBLE) * ct.c / g.n)
+               / (CAST(rt.r AS DOUBLE) * ct.c / g.n) * 1000000
+             ) AS BIGINT) AS term
+      FROM cells
+      JOIN rt ON rt.event_type = cells.event_type
+      JOIN ct ON ct.hod = cells.hod
+      CROSS JOIN g
+    )
+    SELECT round(sum(term) / 1e6, 4) AS chi2,
+           (SELECT (count(*) - 1) FROM rt)
+             * (SELECT (count(*) - 1) FROM ct) AS dof,
+           (SELECT count(*) FROM terms)::BIGINT AS n_cells
+    FROM terms
+    """,
+    doc="Chi-square independence test between event type and hour-of-"
+    "day: observed (type, hour) counts vs the independence expectation "
+    "r·c/n, Σ(o−e)²/e. Counts are exact integers; each cell's term "
+    "floor-scales to integer micro-units before the sum, so the "
+    "statistic is order-independent and hash-exact cross-engine (a "
+    "plain SUM of doubles would vary in the last bits with partition "
+    "order). One count aggregate over ≤ type×24 cells, marginals are "
+    "tiny broadcast joins; O(1) output with the (r-1)(c-1) dof.",
+)
+def events_type_hour_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    ).agg(F.count("*").alias("o"))
+    cells = cells.persist()
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("hod").agg(F.sum("o").alias("c"))
+    g = cells.agg(F.sum("o").alias("n"))
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    term = F.floor((F.col("o") - e) * (F.col("o") - e) / e * 1000000).cast("long")
+    terms = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hod")
+        .crossJoin(F.broadcast(g))
+        .select(term.alias("term"))
+    )
+    n_rows = rt.count()
+    n_cols = ct.count()
+    out = terms.agg(
+        F.round(F.sum("term") / F.lit(1e6), 4).alias("chi2"),
+        F.lit((n_rows - 1) * (n_cols - 1)).cast("long").alias("dof"),
+        F.count("*").alias("n_cells"),
+    )
+    out = out.localCheckpoint(eager=True)
+    cells.unpersist()
+    return out

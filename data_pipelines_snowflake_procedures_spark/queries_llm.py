@@ -1220,6 +1220,44 @@ def corpus_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_split(docs)
 
 
+@register(
+    "documents_stratified_split",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('split|' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC
+             ) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rn * 1000000 <= 800000 * n THEN 'train'
+                WHEN rn * 1000000 <= 900000 * n THEN 'val'
+                ELSE 'test'
+           END AS split
+    FROM ranked
+    """,
+    doc="EXACT-proportion stratified 80/10/10 split by language "
+    "(operators/corpus.py::stratified_split): within each stratum ids "
+    "rank by (md5(seed|id), id) and cut at integer-exact cumulative "
+    "boundaries — every language lands within 1 row of its target "
+    "fraction, where assign_split's independent hash buckets only hit "
+    "proportions in expectation (a 20-doc language can go 100% train "
+    "by chance). Boundary test is all-integer (rn·1e6 ≤ ppm·n), so no "
+    "float threshold can straddle an integer differently across "
+    "engines — hash-exact. One window shuffle on the stratum key; "
+    "per-stratum sorts parallelize.",
+)
+def documents_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import stratified_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_split(docs)
+
+
 _CHUNK_TOKENS = 32
 _CHUNK_OVERLAP = 8
 
