@@ -73,6 +73,7 @@ HEADLINE = [
     "part_basket_rules",
     "customer_rfm_segments",
     "nation_revenue_gini",
+    "supplier_graph_bfs_hops",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",
@@ -139,6 +140,9 @@ HEADLINE = [
     "events_seasonal_anomaly",
     "events_value_ab_test",
     "events_type_hour_chisq",
+    "events_value_trend_ols",
+    "events_user_accounting",
+    "events_hourly_stl",
     "orders_customer_join_ivm",
     "orders_customer_join_ivm_deletes",
     # multimodal codec legs (PPM/PNG/JPEG images, WAV audio — real

@@ -2340,6 +2340,115 @@ def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bfs_steps_sql(iters: int = 3) -> str:
+    """CTE unroll of ``iters`` BFS relaxation rounds (the
+    pagerank/labelprop oracle pattern with integer distances). Expects
+    ``symg(node, nbr)`` and ``d0(node, hops)`` in scope; emits
+    ``r1/d1 … dN``."""
+    its = []
+    prev = "d0"
+    for t in range(1, iters + 1):
+        its.append(f"""r{t} AS (
+      SELECT s.node, p.hops + 1 AS hops
+      FROM symg s JOIN {prev} p ON p.node = s.nbr
+      UNION ALL
+      SELECT node, hops FROM {prev}
+    ),
+    d{t} AS (SELECT node, min(hops)::BIGINT AS hops FROM r{t} GROUP BY node)""")
+        prev = f"d{t}"
+    return ",\n    ".join(its)
+
+
+@register(
+    "supplier_graph_bfs_hops",
+    f"""
+    WITH {_cosupplier_graph_sql(10)},
+    symg AS (
+      SELECT a AS node, b AS nbr FROM e
+      UNION ALL SELECT b AS node, a AS nbr FROM e
+    ),
+    d0 AS (
+      SELECT DISTINCT s_suppkey AS node, 0::BIGINT AS hops
+      FROM supplier WHERE s_nationkey = 0
+    ),
+    {_bfs_steps_sql(3)}
+    SELECT node, hops FROM d3
+    """,
+    doc="Hop distance (≤3) from the nation-0 supplier seed set over "
+    "the sparsified co-supplier graph (operators/graph.py::bfs_hops) — "
+    "the k-hop-neighborhood audit primitive ('everything within N "
+    "degrees of a flagged entity'). One O(|E|) frontier join + integer "
+    "min-groupBy per round, localCheckpoint truncating lineage — the "
+    "4th member of the edge-list iteration family (PageRank, LPA, "
+    "connected components). Distances are exact integers; the oracle "
+    "unrolls all 3 relaxations and hash-matches with no tolerance. "
+    "Note seeds outside the graph still report hops=0 (the operator's "
+    "contract: distance to the seed SET, graph membership not "
+    "required).",
+)
+def supplier_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import bfs_hops
+
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return bfs_hops(
+        _cosupplier_edges(spark, sf_dir, k=10), seeds, iters=3,
+        src_col="a", dst_col="b",
+    )
+
+
+@register(
+    "orders_benford_test",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+    ),
+    obs AS (SELECT digit, count(*)::BIGINT AS observed FROM digits GROUP BY digit),
+    tot AS (SELECT sum(observed)::BIGINT AS n FROM obs)
+    SELECT o.digit, o.observed,
+           round(t.n * log10(1.0 + 1.0 / o.digit), 4) AS expected_n,
+           round((o.observed - t.n * log10(1.0 + 1.0 / o.digit))
+                 * (o.observed - t.n * log10(1.0 + 1.0 / o.digit))
+                 / (t.n * log10(1.0 + 1.0 / o.digit)), 6) AS chi2_term
+    FROM obs o CROSS JOIN tot t
+    """,
+    doc="Benford first-digit conformance test on order prices — the "
+    "forensic-accounting DQ check (fabricated amounts rarely follow "
+    "the log-uniform leading-digit law). The first significant digit "
+    "comes from the STRING form of the exact centi-unit integer, not "
+    "floor(x/10^floor(log10 x)) — the float-log route misclassifies "
+    "exact powers of ten when log10 lands a hair under an integer. "
+    "Observed counts are integers; each digit's (o−e)²/e is an "
+    "independent double expression (no cross-term sum, so no "
+    "accumulation-order hazard). One aggregate, 9 output rows.",
+)
+def orders_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    digits = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").alias("observed"))
+    tot = obs.agg(F.sum("observed").alias("n"))
+    e = F.col("n") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "observed",
+        F.round(e, 4).alias("expected_n"),
+        F.round((F.col("observed") - e) * (F.col("observed") - e) / e, 6).alias(
+            "chi2_term"
+        ),
+    )
+
+
 # Extension entries (LLM text/dedup/similarity; event windows;
 # multimodal; TPC-H-shape relational widening) register themselves on
 # import; placed last so REGISTRY and helpers exist.

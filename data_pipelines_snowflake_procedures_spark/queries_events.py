@@ -1925,3 +1925,410 @@ def events_type_hour_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     cells.unpersist()
     return out
+
+
+@register(
+    "events_value_trend_ols",
+    """
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR,
+                                          CAST(ts AS TIMESTAMP))) / 3600)
+                  AS BIGINT) AS x,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * x)::HUGEINT AS sxx, sum(x * y)::HUGEINT AS sxy,
+             sum(y * y)::HUGEINT AS syy
+      FROM hourly
+    )
+    SELECT n AS n_hours,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+             AS slope_cents_per_hour,
+           round((CAST(sy AS DOUBLE)
+                  - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * sx) / n, 4) AS intercept_cents,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                 6) AS r2
+    FROM s
+    """,
+    doc="Closed-form OLS trend of hourly revenue (value) over time: "
+    "slope/intercept/R² from the five sufficient statistics n, Σx, Σy, "
+    "Σxy, Σx², Σy² — x is the integer epoch-hour, y the hourly sum in "
+    "EXACT centi-units, so every accumulated quantity is integer "
+    "arithmetic (order-independent) and the three final divisions are "
+    "bit-identical cross-engine. The map-side-combining one-pass "
+    "sufficient-statistics shape is THE distributed regression "
+    "pattern: no matrix library, no second scan, O(1) driver state — "
+    "a 100 TB fit costs one aggregate.",
+)
+def events_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    hourly = ev.groupBy(
+        F.floor(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600
+        ).cast("long").alias("x")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    s = hourly.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * F.col("sx")
+    var_y = n * syy - F.col("sy").cast("double") * sy
+    slope = cov_n / var_x
+    return s.select(
+        F.col("n").alias("n_hours"),
+        F.round(slope, 6).alias("slope_cents_per_hour"),
+        F.round((F.col("sy").cast("double") - slope * F.col("sx")) / n, 4).alias(
+            "intercept_cents"
+        ),
+        F.round(cov_n * cov_n / (var_x * var_y), 6).alias("r2"),
+    )
+
+
+@register(
+    "events_user_accounting",
+    """
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    firstd AS (SELECT user_id, min(d) AS f FROM daily GROUP BY user_id),
+    per_day AS (SELECT d, count(*)::BIGINT AS active_users FROM daily GROUP BY d),
+    new_day AS (SELECT f AS d, count(*)::BIGINT AS new_users FROM firstd GROUP BY f)
+    SELECT strftime(p.d, '%Y-%m-%d') AS day, p.active_users,
+           coalesce(n.new_users, 0) AS new_users,
+           p.active_users - coalesce(n.new_users, 0) AS returning_users,
+           sum(coalesce(n.new_users, 0)) OVER (
+             ORDER BY p.d ASC ROWS UNBOUNDED PRECEDING
+           )::BIGINT AS cumulative_users
+    FROM per_day p LEFT JOIN new_day n ON n.d = p.d
+    """,
+    doc="Growth accounting: per day, active / new / returning users "
+    "and the cumulative unique-user count. The classic 'running "
+    "COUNT(DISTINCT)' trap is solved the distributed way: a user's "
+    "FIRST-SEEN day is a plain min-groupBy, daily new-user counts "
+    "aggregate from it, and the cumulative curve is a running sum over "
+    "the DAY-level frame — so no state ever exceeds the user "
+    "dimension, and the only ordered window runs over calendar days "
+    "(hundreds of rows by construction, never data-sized). All counts "
+    "integer — hash-exact.",
+)
+def events_user_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    daily = ev.distinct()
+    firstd = daily.groupBy("user_id").agg(F.min("d").alias("f"))
+    per_day = daily.groupBy("d").agg(F.count("*").alias("active_users"))
+    new_day = firstd.groupBy(F.col("f").alias("d")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy(F.col("d").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = per_day.join(F.broadcast(new_day), "d", "left").select(
+        "d",
+        "active_users",
+        F.coalesce("new_users", F.lit(0)).alias("new_users"),
+    )
+    return joined.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+@register(
+    "events_hourly_stl",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS h,
+             count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, h, cnt,
+             sum(cnt) OVER w / CAST(count(*) OVER w AS DOUBLE) AS trend,
+             count(*) OVER w AS wn
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h ASC
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    det AS (
+      SELECT event_type, h, cnt, trend,
+             CAST(floor((cnt - trend) * 1000000) AS BIGINT) AS d_micro,
+             date_part('dow', h) + 1 AS dow,
+             date_part('hour', h) AS hod
+      FROM tr WHERE wn = 25
+    ),
+    seas AS (
+      SELECT event_type, dow, hod,
+             sum(d_micro)::BIGINT AS sd, count(*)::BIGINT AS n
+      FROM det GROUP BY 1, 2, 3
+    )
+    SELECT d.event_type, d.h AS hour, d.cnt AS n_events,
+           round(d.trend, 4) AS trend,
+           round(CAST(s.sd AS DOUBLE) / s.n / 1000000, 4) AS seasonal,
+           round((d.cnt - d.trend)
+                 - CAST(s.sd AS DOUBLE) / s.n / 1000000, 4) AS residual
+    FROM det d
+    JOIN seas s
+      ON s.event_type = d.event_type AND s.dow = d.dow AND s.hod = d.hod
+    """,
+    doc="STL-style decomposition of hourly event volume into trend + "
+    "seasonal + residual: trend is a centered 25-hour moving average "
+    "(FULL windows only — edge hours are excluded rather than averaged "
+    "over shorter frames, the standard centered-MA convention), the "
+    "seasonal component is the per-(type, dow, hour-of-day) mean of "
+    "the detrended series, and the residual is what's left. The MA is "
+    "Σcnt/|frame| from integer sums (exact); detrended values "
+    "floor-scale to integer micro-units before the seasonal mean so "
+    "its sum is order-independent — the micro-unit contract again. "
+    "Two frame windows partitioned by type + one stratum aggregate, "
+    "all shuffles keyed on event_type.",
+)
+def events_hourly_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("h").asc())
+        .rowsBetween(-12, 12)
+    )
+    tr = hourly.select(
+        "event_type",
+        "h",
+        "cnt",
+        (F.sum("cnt").over(w) / F.count("*").over(w).cast("double")).alias("trend"),
+        F.count("*").over(w).alias("wn"),
+    ).filter(F.col("wn") == 25)
+    det = tr.select(
+        "event_type",
+        "h",
+        "cnt",
+        "trend",
+        F.floor((F.col("cnt") - F.col("trend")) * 1000000).cast("long").alias("d_micro"),
+        F.dayofweek("h").cast("long").alias("dow"),
+        F.hour("h").cast("long").alias("hod"),
+    )
+    seas = det.groupBy("event_type", "dow", "hod").agg(
+        F.sum("d_micro").alias("sd"), F.count("*").alias("n")
+    )
+    seasonal = F.col("sd").cast("double") / F.col("n") / 1000000
+    return det.join(F.broadcast(seas), ["event_type", "dow", "hod"]).select(
+        "event_type",
+        F.col("h").alias("hour"),
+        F.col("cnt").alias("n_events"),
+        F.round("trend", 4).alias("trend"),
+        F.round(seasonal, 4).alias("seasonal"),
+        F.round((F.col("cnt") - F.col("trend")) - seasonal, 4).alias("residual"),
+    )
+
+
+@register(
+    "events_weekly_churn",
+    """
+    WITH weekly AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w
+      FROM events
+    ),
+    firstw AS (SELECT user_id, min(w) AS f FROM weekly GROUP BY user_id),
+    active AS (SELECT w, count(*)::BIGINT AS active_users FROM weekly GROUP BY w),
+    retained AS (
+      SELECT cur.w, count(*)::BIGINT AS retained_users
+      FROM weekly cur JOIN weekly prev
+        ON prev.user_id = cur.user_id AND prev.w = cur.w - 7
+      GROUP BY cur.w
+    ),
+    newu AS (SELECT f AS w, count(*)::BIGINT AS new_users FROM firstw GROUP BY f)
+    SELECT strftime(a.w, '%Y-%m-%d') AS week_start,
+           a.active_users,
+           coalesce(n.new_users, 0) AS new_users,
+           coalesce(r.retained_users, 0) AS retained_users,
+           a.active_users - coalesce(n.new_users, 0)
+             - coalesce(r.retained_users, 0) AS resurrected_users,
+           coalesce(p.active_users - coalesce(r.retained_users, 0), 0)
+             AS churned_from_prev
+    FROM active a
+    LEFT JOIN newu n ON n.w = a.w
+    LEFT JOIN retained r ON r.w = a.w
+    LEFT JOIN active p ON p.w = a.w - 7
+    """,
+    doc="Weekly growth-accounting state machine: per calendar week, "
+    "active / new (first-ever week) / retained (also active last "
+    "week) / resurrected (active, not last week, not new) / churned "
+    "(active last week, gone this week). Everything derives from the "
+    "distinct (user, week) set: min-groupBy for first-seen, one "
+    "self-join shifted by 7 days for retention — state never exceeds "
+    "the user dimension, no window ever orders data-sized rows, and "
+    "all outputs are exact integer counts (hash-exact). The weekly "
+    "complement of events_retention_cohorts' cohort matrix and "
+    "events_user_accounting's daily curve.",
+)
+def events_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("w")
+    )
+    weekly = ev.distinct()
+    firstw = weekly.groupBy("user_id").agg(F.min("w").alias("f"))
+    active = weekly.groupBy("w").agg(F.count("*").alias("active_users"))
+    prev = weekly.select("user_id", F.date_add("w", 7).alias("w"))
+    retained = (
+        weekly.join(prev, ["user_id", "w"])
+        .groupBy("w")
+        .agg(F.count("*").alias("retained_users"))
+    )
+    newu = firstw.groupBy(F.col("f").alias("w")).agg(
+        F.count("*").alias("new_users")
+    )
+    prev_active = active.select(
+        F.date_add("w", 7).alias("w"), F.col("active_users").alias("prev_active")
+    )
+    return (
+        active.join(F.broadcast(newu), "w", "left")
+        .join(F.broadcast(retained), "w", "left")
+        .join(F.broadcast(prev_active), "w", "left")
+        .select(
+            F.date_format("w", "yyyy-MM-dd").alias("week_start"),
+            "active_users",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+            F.coalesce("retained_users", F.lit(0)).alias("retained_users"),
+            (
+                F.col("active_users")
+                - F.coalesce("new_users", F.lit(0))
+                - F.coalesce("retained_users", F.lit(0))
+            ).alias("resurrected_users"),
+            F.coalesce(
+                F.col("prev_active") - F.coalesce("retained_users", F.lit(0)),
+                F.lit(0),
+            ).alias("churned_from_prev"),
+        )
+    )
+
+
+@register(
+    "events_conversion_latency",
+    """
+    WITH fv AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS v_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS p_ts
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= fv.v_ts
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT CAST(floor(epoch(fp.p_ts)) - floor(epoch(fv.v_ts)) AS BIGINT)
+               AS lat_s
+      FROM fv JOIN fp ON fp.user_id = fv.user_id
+    ),
+    hist AS (SELECT lat_s, count(*)::BIGINT AS cnt FROM lat GROUP BY lat_s),
+    cum AS (
+      SELECT lat_s, cnt,
+             sum(cnt) OVER (ORDER BY lat_s ASC ROWS UNBOUNDED PRECEDING) AS c,
+             sum(cnt) OVER () AS n
+      FROM hist
+    ),
+    med AS (SELECT min(lat_s) AS median_latency_s FROM cum WHERE c * 2 >= n),
+    p90 AS (SELECT min(lat_s) AS p90_latency_s FROM cum WHERE c * 10 >= n * 9)
+    SELECT (SELECT count(*) FROM fv)::BIGINT AS n_view_users,
+           (SELECT count(*) FROM fp)::BIGINT AS n_converted,
+           round((SELECT count(*) FROM fp)
+                 / CAST((SELECT count(*) FROM fv) AS DOUBLE), 6)
+             AS conversion_rate,
+           (SELECT median_latency_s FROM med) AS median_latency_s,
+           (SELECT p90_latency_s FROM p90) AS p90_latency_s
+    """,
+    doc="View→purchase conversion: share of viewing users who later "
+    "purchase, with median and p90 latency in integer seconds. First "
+    "view and first subsequent purchase are min-groupBys (state = "
+    "user dimension); the latency quantiles use the cumulative-"
+    "histogram DISCRETE rank rule (smallest value with k·cum ≥ q·k·n) "
+    "over latency-valued bins — the E72/E78 pattern, so no data-sized "
+    "ordered window and no engine-specific quantile semantics: the "
+    "oracle restates the identical integer rule. Epoch seconds floor "
+    "identically in both engines.",
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(fv), "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat = fv.join(fp, "user_id").select(
+        (
+            F.floor(F.unix_timestamp("p_ts")) - F.floor(F.unix_timestamp("v_ts"))
+        ).cast("long").alias("lat_s")
+    )
+    hist = lat.groupBy("lat_s").agg(F.count("*").alias("cnt"))
+    w_cum = Window.orderBy(F.col("lat_s").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "lat_s",
+        F.sum("cnt").over(w_cum).alias("c"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    med = cum.filter(F.col("c") * 2 >= F.col("n")).agg(
+        F.min("lat_s").alias("median_latency_s")
+    )
+    p90 = cum.filter(F.col("c") * 10 >= F.col("n") * 9).agg(
+        F.min("lat_s").alias("p90_latency_s")
+    )
+    counts = fv.agg(F.count("*").alias("n_view_users")).crossJoin(
+        fp.agg(F.count("*").alias("n_converted"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(p90))
+        .select(
+            "n_view_users",
+            "n_converted",
+            F.round(
+                F.col("n_converted") / F.col("n_view_users").cast("double"), 6
+            ).alias("conversion_rate"),
+            "median_latency_s",
+            "p90_latency_s",
+        )
+    )

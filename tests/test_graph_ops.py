@@ -165,3 +165,21 @@ def test_frequent_pairs_supports_and_lift(spark):
     # basket 1 oversize → (a,b) only co-occurs once → below min_support
     capped = frequent_pairs(df, max_basket=1)
     assert capped.count() == 0
+
+
+def test_bfs_hops_hand_graph(spark):
+    """Path 1-2-3-4-5 with seed {1}: 3 relaxation rounds reach node 4
+    (hops 3) but not node 5; a second seed {5} makes node 3 hop-2 from
+    the nearer side. Seeds outside the graph report hops=0."""
+    from data_pipelines_snowflake_procedures_spark.operators.graph import bfs_hops
+
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds1 = spark.createDataFrame([(1,)], ["node"])
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds1, iters=3, src_col="a", dst_col="b").collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    seeds2 = spark.createDataFrame([(1,), (5,)], ["node"])
+    got2 = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds2, iters=3, src_col="a", dst_col="b").collect()}
+    assert got2 == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+    lonely = spark.createDataFrame([(99,)], ["node"])
+    got3 = {r["node"]: r["hops"] for r in bfs_hops(edges, lonely, iters=2, src_col="a", dst_col="b").collect()}
+    assert got3 == {99: 0}

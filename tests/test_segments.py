@@ -190,3 +190,56 @@ def test_gini_matches_numpy_and_bounds(spark, sf_dir):
         assert r["n_customers"] == n
         assert abs(r["gini"] - gini) < 1e-6, nk
         assert 0.0 <= r["gini"] < 1.0
+
+
+def test_ols_trend_matches_numpy_polyfit(spark, sf_dir):
+    import numpy as np
+
+    ev = _pq(sf_dir, "events")
+    hourly = (
+        ev.assign(
+            x=(
+                ev.ts.dt.floor("h").astype("datetime64[s]").astype("int64")
+                // 3600
+            ),
+            cents=np.round(ev.value * 100).astype("int64"),
+        )
+        .groupby("x")["cents"].sum()
+    )
+    x = hourly.index.to_numpy().astype(float)
+    y = hourly.to_numpy().astype(float)
+    slope, intercept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    row = REGISTRY["events_value_trend_ols"].spark_fn(spark, sf_dir).collect()[0]
+    assert row["n_hours"] == len(x)
+    assert abs(row["slope_cents_per_hour"] - slope) < 1e-3
+    assert abs(row["intercept_cents"] - intercept) < 1.0
+    assert abs(row["r2"] - r * r) < 1e-6
+
+
+def test_user_accounting_invariants(spark, sf_dir):
+    rows = REGISTRY["events_user_accounting"].spark_fn(spark, sf_dir).collect()
+    rows.sort(key=lambda r: r["day"])
+    ev = _pq(sf_dir, "events")
+    assert rows[-1]["cumulative_users"] == ev.user_id.nunique()
+    assert rows[0]["new_users"] == rows[0]["active_users"]  # day 1: all new
+    assert rows[0]["returning_users"] == 0
+    running = 0
+    for r in rows:
+        assert r["active_users"] == r["new_users"] + r["returning_users"]
+        running += r["new_users"]
+        assert r["cumulative_users"] == running
+
+
+def test_stl_reconstruction_and_seasonal_centering(spark, sf_dir):
+    rows = REGISTRY["events_hourly_stl"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    by_stratum: dict = {}
+    for r in rows:
+        # decomposition reconstructs the observation (up to rounding)
+        assert abs((r["trend"] + r["seasonal"] + r["residual"]) - r["n_events"]) < 3e-4
+        key = (r["event_type"], r["hour"].weekday(), r["hour"].hour)
+        by_stratum.setdefault(key, []).append(r["residual"])
+    # residuals average ~0 within every stratum (seasonal absorbed it)
+    for key, res in by_stratum.items():
+        assert abs(sum(res) / len(res)) < 2e-3, key
