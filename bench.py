@@ -74,6 +74,7 @@ HEADLINE = [
     "customer_rfm_segments",
     "nation_revenue_gini",
     "supplier_graph_bfs_hops",
+    "orders_benford_test",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",
@@ -119,6 +120,7 @@ HEADLINE = [
     "documents_dup_span_profile",
     "documents_dup_span_dedup",
     "knn_mmr_rerank_embeddings",
+    "embedding_similarity_calibration",
     # event-time windows + pandas surface
     "events_hourly_by_type",
     "events_props_variant",
@@ -143,6 +145,8 @@ HEADLINE = [
     "events_value_trend_ols",
     "events_user_accounting",
     "events_hourly_stl",
+    "events_weekly_churn",
+    "events_conversion_latency",
     "orders_customer_join_ivm",
     "orders_customer_join_ivm_deletes",
     # multimodal codec legs (PPM/PNG/JPEG images, WAV audio — real

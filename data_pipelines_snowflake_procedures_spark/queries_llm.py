@@ -3929,3 +3929,104 @@ def knn_mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         emb, emb.filter(F.col("vec_id") < 5), k=5, n_candidates=20, lam=0.7
     )
+
+
+@register(
+    "embedding_similarity_calibration",
+    """
+    WITH h AS (
+      SELECT vec_id, embedding,
+             md5('pair|' || CAST(vec_id AS VARCHAR)) AS hh
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT vec_id, embedding,
+             ('0x' || substr(hh, 1, 4))::BIGINT % 64 AS b,
+             row_number() OVER (
+               PARTITION BY ('0x' || substr(hh, 1, 4))::BIGINT % 64
+               ORDER BY hh ASC, vec_id ASC
+             ) AS rn
+      FROM h
+    ),
+    pairs AS (
+      SELECT l.vec_id AS id_a, l.embedding AS ea,
+             r.vec_id AS id_b, r.embedding AS eb
+      FROM ranked l
+      JOIN ranked r ON r.b = l.b AND r.rn = l.rn + 1
+      WHERE l.rn % 2 = 1
+    ),
+    scored AS (
+      SELECT round(
+               list_aggregate(
+                 [ea[i]::DOUBLE * eb[i]::DOUBLE FOR i IN range(1, len(ea) + 1)],
+                 'sum')
+               / (sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN ea], 'sum'))
+                  * sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN eb], 'sum'))),
+               6) AS cosine
+      FROM pairs
+    )
+    SELECT least(CAST(floor((cosine + 1.0) * 10) AS BIGINT), 19) AS bin,
+           round(least(CAST(floor((cosine + 1.0) * 10) AS BIGINT), 19) / 10.0
+                 - 1.0, 1) AS bin_lo,
+           count(*)::BIGINT AS n_pairs
+    FROM scored
+    GROUP BY 1, 2
+    """,
+    doc="Background-similarity calibration: the cosine distribution of "
+    "a DETERMINISTIC pseudo-random perfect matching over the corpus, "
+    "binned into 20 buckets of [-1, 1] — the null distribution you "
+    "read a near-dup threshold (0.99) or an ANN recall target against. "
+    "Pair sampling never enumerates O(n²): ids hash into 64 buckets "
+    "(md5), rank within bucket by hash, and consecutive ranks pair — "
+    "O(n) pairs, one partitioned window, no global sort (the bucket "
+    "count scales with data so per-bucket sorts stay bounded). Cosine "
+    "rounds to 6 decimals BEFORE binning so bin edges are "
+    "deterministic cross-engine.",
+)
+def embedding_similarity_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.dedup import dot_product, norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    h = F.md5(F.concat(F.lit("pair|"), F.col("vec_id").cast("string")))
+    bucket = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 64
+    )
+    ranked = emb.select(
+        "vec_id",
+        "embedding",
+        bucket.alias("b"),
+        F.row_number()
+        .over(Window.partitionBy(bucket).orderBy(h.asc(), F.col("vec_id").asc()))
+        .alias("rn"),
+    )
+    left = ranked.filter(F.col("rn") % 2 == 1).select(
+        F.col("b"),
+        (F.col("rn") + 1).alias("rn"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+    )
+    right = ranked.select(
+        "b", "rn", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    scored = left.join(right, ["b", "rn"]).select(
+        F.round(
+            dot_product(F.col("ea"), F.col("eb"))
+            / (norm(F.col("ea")) * norm(F.col("eb"))),
+            6,
+        ).alias("cosine")
+    )
+    bin_col = F.least(
+        F.floor((F.col("cosine") + 1.0) * 10).cast("long"), F.lit(19).cast("long")
+    )
+    return (
+        scored.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "bin",
+            F.round(F.col("bin") / 10.0 - 1.0, 1).alias("bin_lo"),
+            "n_pairs",
+        )
+    )

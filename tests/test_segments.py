@@ -243,3 +243,83 @@ def test_stl_reconstruction_and_seasonal_centering(spark, sf_dir):
     # residuals average ~0 within every stratum (seasonal absorbed it)
     for key, res in by_stratum.items():
         assert abs(sum(res) / len(res)) < 2e-3, key
+
+
+def test_benford_digits_complete_and_consistent(spark, sf_dir):
+    import numpy as np
+
+    rows = REGISTRY["orders_benford_test"].spark_fn(spark, sf_dir).collect()
+    got = {r["digit"]: r for r in rows}
+    assert set(got) == set(range(1, 10))
+    orders = _pq(sf_dir, "orders")
+    n = len(orders)
+    assert sum(r["observed"] for r in rows) == n
+    # expected proportions are the Benford law and sum to n
+    assert abs(sum(r["expected_n"] for r in rows) - n) < 0.01
+    for d, r in got.items():
+        assert abs(r["expected_n"] - n * math.log10(1 + 1 / d)) < 0.01
+        assert r["chi2_term"] >= 0
+    # cross-check observed counts against pandas
+    cents = np.round(orders.o_totalprice * 100).astype("int64").astype(str)
+    want = cents.str[0].astype(int).value_counts().to_dict()
+    assert {d: r["observed"] for d, r in got.items()} == want
+
+
+def test_weekly_churn_conservation(spark, sf_dir):
+    rows = REGISTRY["events_weekly_churn"].spark_fn(spark, sf_dir).collect()
+    rows.sort(key=lambda r: r["week_start"])
+    assert rows
+    first = rows[0]
+    assert first["new_users"] == first["active_users"]
+    assert first["retained_users"] == 0 and first["churned_from_prev"] == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert (
+            cur["active_users"]
+            == cur["new_users"] + cur["retained_users"] + cur["resurrected_users"]
+        )
+        assert cur["churned_from_prev"] == prev["active_users"] - cur["retained_users"]
+        assert cur["resurrected_users"] >= 0
+
+
+def test_conversion_latency_matches_pandas(spark, sf_dir):
+    import numpy as np
+
+    ev = _pq(sf_dir, "events")
+    fv = ev[ev.event_type == "view"].groupby("user_id")["ts"].min()
+    p = ev[ev.event_type == "purchase"].merge(
+        fv.rename("v_ts"), left_on="user_id", right_index=True
+    )
+    fp = p[p.ts >= p.v_ts].groupby("user_id")["ts"].min()
+    lat = (
+        fp.dt.floor("s").astype("datetime64[s]").astype("int64")
+        - fv.loc[fp.index].dt.floor("s").astype("datetime64[s]").astype("int64")
+    ).to_numpy()
+    lat.sort()
+    n = len(lat)
+    med = lat[math.ceil(n / 2) - 1]
+    p90 = lat[math.ceil(0.9 * n) - 1]
+    row = REGISTRY["events_conversion_latency"].spark_fn(spark, sf_dir).collect()[0]
+    assert row["n_view_users"] == len(fv)
+    assert row["n_converted"] == n
+    assert row["conversion_rate"] == round(n / len(fv), 6)
+    assert row["median_latency_s"] == med
+    assert row["p90_latency_s"] == p90
+
+
+def test_similarity_calibration_pair_budget_and_bins(spark, sf_dir):
+    import hashlib
+
+    import pandas as pd
+
+    rows = REGISTRY["embedding_similarity_calibration"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    assert all(0 <= r["bin"] <= 19 for r in rows)
+    assert all(r["bin_lo"] == round(r["bin"] / 10 - 1.0, 1) for r in rows)
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")["vec_id"]
+    sizes: dict[int, int] = {}
+    for vid in emb:
+        h = hashlib.md5(f"pair|{vid}".encode()).hexdigest()
+        b = int(h[:4], 16) % 64
+        sizes[b] = sizes.get(b, 0) + 1
+    want_pairs = sum(s // 2 for s in sizes.values())
+    assert sum(r["n_pairs"] for r in rows) == want_pairs
