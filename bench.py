@@ -121,6 +121,8 @@ HEADLINE = [
     "documents_dup_span_dedup",
     "knn_mmr_rerank_embeddings",
     "embedding_similarity_calibration",
+    "documents_bigram_pmi",
+    "documents_top_terms",
     # event-time windows + pandas surface
     "events_hourly_by_type",
     "events_props_variant",

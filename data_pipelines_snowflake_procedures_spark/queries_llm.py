@@ -4030,3 +4030,170 @@ def embedding_similarity_calibration(spark: SparkSession, sf_dir: str) -> DataFr
             "n_pairs",
         )
     )
+
+
+@register(
+    "documents_bigram_pmi",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    uni AS (
+      SELECT u AS token, count(*)::BIGINT AS c
+      FROM toks, unnest(t) AS s(u) GROUP BY u
+    ),
+    tot AS (SELECT sum(c)::BIGINT AS t_occ FROM uni),
+    big AS (
+      SELECT bg AS bigram, count(*)::BIGINT AS c_ab
+      FROM toks,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS s(bg)
+      WHERE len(t) >= 2
+      GROUP BY bg
+    ),
+    btot AS (SELECT sum(c_ab)::BIGINT AS b_occ FROM big)
+    SELECT b.bigram, b.c_ab,
+           ua.c AS c_a, ub.c AS c_b,
+           round(ln(CAST(b.c_ab AS DOUBLE) * tot.t_occ * tot.t_occ
+                    / (btot.b_occ * CAST(ua.c AS DOUBLE) * ub.c)), 6) AS pmi
+    FROM big b
+    JOIN uni ua ON ua.token = split_part(b.bigram, ' ', 1)
+    JOIN uni ub ON ub.token = split_part(b.bigram, ' ', 2)
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE b.c_ab >= 5
+    """,
+    doc="Bigram collocations by pointwise mutual information: PMI = "
+    "ln(p(ab) / (p(a)·p(b))) computed as ONE log of a ratio of exact "
+    "integer counts (c_ab·T² / (B·c_a·c_b)) — no summed floats "
+    "anywhere, so the score is bit-identical cross-engine. Unigram "
+    "and bigram counts are vocabulary-sized aggregates with map-side "
+    "combine; marginals join back broadcast. Collocation mining is "
+    "the classic corpus-linguistics signal (multi-word expressions, "
+    "tokenizer-merge candidates — the statistical cousin of the BPE "
+    "trainer's pair counts). Min count 5 filters noise pairs whose "
+    "PMI is an artifact of tiny denominators.",
+)
+def documents_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        tokens("text").alias("t")
+    )
+    uni = (
+        docs.select(F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("t_occ"))
+    bigrams = (
+        docs.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.size("t") - 1),
+                    F.slice(F.col("t"), 2, F.size("t") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    btot_df = (
+        docs.filter(F.size("t") >= 2)
+        .select((F.size("t") - 1).alias("nb"))
+        .agg(F.sum("nb").alias("b_occ"))
+    )
+    ua = uni.select(F.col("token").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("token").alias("tok_b"), F.col("c").alias("c_b"))
+    j = (
+        bigrams.withColumn("tok_a", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("tok_b", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot_df))
+    )
+    return j.select(
+        "bigram",
+        "c_ab",
+        "c_a",
+        "c_b",
+        F.round(
+            F.log(
+                F.col("c_ab").cast("double") * F.col("t_occ") * F.col("t_occ")
+                / (F.col("b_occ") * F.col("c_a").cast("double") * F.col("c_b"))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+
+
+@register(
+    "documents_top_terms",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    n_docs AS (SELECT count(*)::BIGINT AS n FROM documents),
+    tf AS (
+      SELECT doc_id, u AS token, count(*)::BIGINT AS tf
+      FROM toks, unnest(t) AS s(u) GROUP BY doc_id, u
+    ),
+    df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token)
+    SELECT doc_id, token, tf, df,
+           round(tf * (ln((nn + 1.0) / (df + 1.0)) + 1.0), 6) AS score,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+      SELECT f.doc_id, f.token, f.tf, d.df, n.n AS nn,
+             row_number() OVER (
+               PARTITION BY f.doc_id
+               ORDER BY round(f.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0),
+                              6) DESC,
+                        f.token ASC
+             ) AS rnk
+      FROM tf f JOIN df d ON d.token = f.token CROSS JOIN n_docs n
+    ) ranked
+    WHERE rnk <= 3
+    """,
+    doc="Per-document keyword extraction: top-3 terms by smoothed "
+    "TF-IDF (tf · (ln((N+1)/(df+1)) + 1), the sklearn-style smooth "
+    "idf BM25's Lucene idf is a sibling of). tf/df/N are exact "
+    "integers; each score is one multiply of one log — deterministic, "
+    "and the (score desc, token asc) window order is total, so rank "
+    "is engine-independent. Document-frequency joins back broadcast "
+    "(vocabulary-sized); the only data-sized shuffle keys on doc_id "
+    "for the per-doc window. The per-document summary surface next "
+    "to the corpus-level vocab_top_tokens.",
+)
+def documents_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    score = F.col("tf") * (
+        F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    )
+    # rank on the ROUNDED score (the knn_bruteforce contract): a 1-ulp
+    # libm divergence between engines must not flip near-equal ranks
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(score, 6).desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(score, 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -193,3 +193,54 @@ def test_quantized_ann_shuffles_are_codes_only(spark, sf_dir):
                     )
                 checked += 1
         assert checked >= 4, f"{name}: expected window/exchange nodes, got {checked}"
+
+
+def test_graph_entries_native_no_cartesian(spark, sf_dir):
+    """The graph analytics plans must stay JVM-native (no Python
+    evaluation nodes) and never degrade to a cartesian product — the
+    wedge/frontier joins are all equi-joins by construction."""
+    for name in (
+        "supplier_graph_triangles",
+        "supplier_graph_adamic_adar",
+        "trade_graph_labelprop",
+        "supplier_graph_bfs_hops",
+    ):
+        plan = _plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_basket_rules_broadcasts_apriori_prune(spark, sf_dir):
+    """The frequent-item semi-join and the marginal joins must
+    broadcast (vocabulary-sized sides); the basket self-join is an
+    equi-join on the basket key."""
+    plan = _plan(spark, "part_basket_rules", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_stats_entries_single_pass_aggregates(spark, sf_dir):
+    """OLS and the Welch test are one-scan sufficient-statistics
+    aggregates: partial aggregation must appear (map-side combine) and
+    no Python nodes may creep in."""
+    for name in ("events_value_trend_ols", "events_value_ab_test"):
+        plan = _plan(spark, name, sf_dir)
+        assert "HashAggregate" in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_similarity_calibration_no_global_sort_or_cartesian(spark, sf_dir):
+    """The pair construction must stay bucket-partitioned: no
+    cartesian product (O(n²) pairing) and no partition-less window —
+    every Window node carries the bucket in its partition spec."""
+    plan = _plan(spark, "embedding_similarity_calibration", sf_dir)
+    assert "CartesianProduct" not in plan
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        # a partition-less window's spec STARTS with an ordering term
+        # (e.g. "x ASC NULLS FIRST, ..."); a partitioned one leads with
+        # the bucket column
+        first = spec.split(",")[0]
+        assert " ASC" not in first and " DESC" not in first, spec
