@@ -75,6 +75,7 @@ HEADLINE = [
     "nation_revenue_gini",
     "supplier_graph_bfs_hops",
     "orders_benford_test",
+    "part_abc_classification",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",
@@ -149,6 +150,7 @@ HEADLINE = [
     "events_hourly_stl",
     "events_weekly_churn",
     "events_conversion_latency",
+    "events_lead_lag_correlation",
     "orders_customer_join_ivm",
     "orders_customer_join_ivm_deletes",
     # multimodal codec legs (PPM/PNG/JPEG images, WAV audio — real

@@ -2449,6 +2449,81 @@ def orders_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "part_abc_classification",
+    """
+    WITH rev AS (
+      SELECT l.l_partkey AS partkey, p.p_brand,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT
+               AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT p_brand, partkey, cents,
+             sum(cents) OVER (
+               PARTITION BY p_brand
+               ORDER BY cents DESC, partkey ASC
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum,
+             sum(cents) OVER (PARTITION BY p_brand) AS tot
+      FROM rev
+    )
+    SELECT p_brand, partkey,
+           round(cents / 100.0, 2) AS revenue,
+           CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+                WHEN cum * 10 <= tot * 9 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+    doc="ABC inventory classification per brand: parts ranked by "
+    "lineitem revenue within their brand, class A while the running "
+    "share stays ≤70%, B to 90%, C after — the Pareto workhorse of "
+    "supply-chain analytics. Revenue accumulates as EXACT centi-unit "
+    "longs and the class boundaries are ALL-INTEGER comparisons "
+    "(cum·10 ≤ tot·7), so no float share can straddle a boundary "
+    "differently across engines. The running-share window PARTITIONS "
+    "by brand (the same keep-the-sort-distributed move as RFM/Gini); "
+    "tie-break on partkey makes the cumulative order total.",
+)
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("l_partkey").alias("partkey"), "p_brand")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    w_cum = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("cents").desc(), F.col("partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("p_brand")
+    ranked = rev.select(
+        "p_brand",
+        "partkey",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_tot).alias("tot"),
+    )
+    return ranked.select(
+        "p_brand",
+        "partkey",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.when(F.col("cum") * 10 <= F.col("tot") * 7, "A")
+        .when(F.col("cum") * 10 <= F.col("tot") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
 # Extension entries (LLM text/dedup/similarity; event windows;
 # multimodal; TPC-H-shape relational widening) register themselves on
 # import; placed last so REGISTRY and helpers exist.

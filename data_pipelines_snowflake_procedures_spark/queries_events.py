@@ -2332,3 +2332,95 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_latency_s",
         )
     )
+
+
+@register(
+    "events_lead_lag_correlation",
+    """
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR,
+                                          CAST(ts AS TIMESTAMP))) / 3600)
+                  AS BIGINT) AS x,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+               AS a,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS b
+      FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(-3, 4)) AS lag),
+    paired AS (
+      SELECT l.lag, h1.a, h2.b
+      FROM lags l
+      JOIN hourly h1 ON TRUE
+      JOIN hourly h2 ON h2.x = h1.x + l.lag
+    ),
+    s AS (
+      SELECT lag, count(*)::BIGINT AS n,
+             sum(a)::BIGINT AS sa, sum(b)::BIGINT AS sb,
+             sum(a * b)::HUGEINT AS sab,
+             sum(a * a)::HUGEINT AS saa, sum(b * b)::HUGEINT AS sbb
+      FROM paired GROUP BY lag
+    )
+    SELECT lag, n,
+           round((n * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb)
+                 / sqrt((n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa)
+                        * (n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb)),
+                 6) AS r
+    FROM s
+    """,
+    doc="Lead-lag cross-correlation between hourly click and purchase "
+    "volumes at lags −3..+3 hours — does click volume LEAD purchase "
+    "volume, and by how much? (The causality-screening companion to "
+    "the per-user conversion-latency entry.) Each lag's Pearson r "
+    "derives from integer sufficient statistics (counts and their "
+    "cross-products, HUGEINT/decimal accumulated), so the seven "
+    "correlations are bit-identical cross-engine. The lag shift is an "
+    "equi-join on integer epoch-hour (h2.x = h1.x + lag) — never a "
+    "data-sized ordered window; hourly series are time-dimension-"
+    "sized, so the whole computation is tiny after the first "
+    "aggregate at any corpus scale.",
+)
+def events_lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.floor(
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600
+            ).cast("long").alias("x")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("a"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("b"),
+        )
+    )
+    lags = spark.range(-3, 4).select(F.col("id").alias("lag"))
+    h1 = hourly.select("x", "a")
+    h2 = hourly.select(F.col("x").alias("x2"), "b")
+    paired = (
+        F.broadcast(lags)
+        .crossJoin(h1)
+        .join(h2, F.col("x2") == F.col("x") + F.col("lag"))
+    )
+    s = paired.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")).alias("sab"),
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("a")).alias("saa"),
+        F.sum(F.col("b").cast("decimal(38,0)") * F.col("b")).alias("sbb"),
+    )
+    n = F.col("n")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb")
+    sab = F.col("sab").cast("double")
+    saa = F.col("saa").cast("double")
+    sbb = F.col("sbb").cast("double")
+    r = (n * sab - sa * sb) / F.sqrt(
+        (n * saa - sa * F.col("sa")) * (n * sbb - F.col("sb").cast("double") * sb)
+    )
+    return s.select("lag", "n", F.round(r, 6).alias("r"))

@@ -323,3 +323,55 @@ def test_similarity_calibration_pair_budget_and_bins(spark, sf_dir):
         sizes[b] = sizes.get(b, 0) + 1
     want_pairs = sum(s // 2 for s in sizes.values())
     assert sum(r["n_pairs"] for r in rows) == want_pairs
+
+
+def test_lead_lag_correlation_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = _pq(sf_dir, "events")
+    ev = ev[ev.event_type.isin(["click", "purchase"])]
+    hours = (
+        ev.ts.dt.floor("h").astype("datetime64[s]").astype("int64") // 3600
+    )
+    tab = pd.crosstab(hours, ev.event_type)
+    rows = REGISTRY["events_lead_lag_correlation"].spark_fn(spark, sf_dir).collect()
+    got = {r["lag"]: r for r in rows}
+    assert set(got) == set(range(-3, 4))
+    for lag, r in got.items():
+        a, b = [], []
+        for x, arow in tab.iterrows():
+            if x + lag in tab.index:
+                a.append(arow["click"])
+                b.append(tab.loc[x + lag, "purchase"])
+        want = np.corrcoef(np.array(a, float), np.array(b, float))[0, 1]
+        assert r["n"] == len(a)
+        assert abs(r["r"] - want) < 1e-6, lag
+
+
+def test_abc_classification_pareto_invariants(spark, sf_dir):
+    rows = REGISTRY["part_abc_classification"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    by_brand: dict = {}
+    for r in rows:
+        by_brand.setdefault(r["p_brand"], []).append(r)
+    for brand, parts in by_brand.items():
+        parts.sort(key=lambda r: (-r["revenue"], r["partkey"]))
+        total = sum(r["revenue"] for r in parts)
+        cum = 0.0
+        seen_b = seen_c = False
+        for r in parts:
+            cum += r["revenue"]
+            share = cum / total
+            if r["abc_class"] == "A":
+                assert not seen_b and not seen_c
+                assert share <= 0.7 + 1e-9, (brand, share)
+            elif r["abc_class"] == "B":
+                seen_b = True
+                assert not seen_c
+                assert share <= 0.9 + 1e-9
+            else:
+                seen_c = True
+        # classes are contiguous prefixes of the revenue ranking and the
+        # top part of every brand is class A
+        assert parts[0]["abc_class"] == "A", brand
