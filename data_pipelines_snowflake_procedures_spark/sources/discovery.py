@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import os
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 from typing import Any
 
@@ -443,3 +443,51 @@ def quarantine_report(
         "corrupt_fraction": round(n_corrupt / total, 6) if total else 0.0,
         "samples": bad_rows,
     }
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    colspecs: Sequence[tuple[str, int, int, str]],
+) -> DataFrame:
+    """Fixed-width text reader (the mainframe/COBOL export format the
+    reference's file-discovery surface never reached): each spec is
+    ``(name, start_1based, length, spark_type)``; fields are sliced
+    with ``substring``, trimmed, empty→NULL, and cast — all native
+    Column expressions over a distributed ``spark.read.text`` scan, so
+    a 100 TB fixed-width dump parses with whole-stage codegen and no
+    Python. Rows shorter than a field's window yield NULL for that
+    field (substring past end is empty), never an error — quarantine
+    by ``WHERE col IS NULL`` if strictness is needed."""
+    raw = spark.read.text(path)
+    cols = [
+        F.nullif(F.trim(F.substring(F.col("value"), start, length)), F.lit(""))
+        .cast(dtype)
+        .alias(name)
+        for name, start, length, dtype in colspecs
+    ]
+    return raw.select(*cols)
+
+
+def write_fixed_width(
+    df: DataFrame,
+    path: str,
+    widths: Sequence[tuple[str, int]],
+    mode: str = "overwrite",
+) -> None:
+    """Fixed-width writer: each column renders via ``rpad`` to its
+    width (left-aligned, the common convention; values longer than the
+    window are truncated explicitly rather than corrupting downstream
+    offsets) and concatenates into one text column — a distributed
+    ``text`` write, the round-trip partner of :func:`read_fixed_width`."""
+    rendered = F.concat(
+        *[
+            F.rpad(
+                F.substring(F.coalesce(F.col(c).cast("string"), F.lit("")), 1, w),
+                w,
+                " ",
+            )
+            for c, w in widths
+        ]
+    ).alias("value")
+    df.select(rendered).write.mode(mode).text(path)

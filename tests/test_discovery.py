@@ -1025,3 +1025,45 @@ def test_quarantine_corrupt_json_and_csv(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="quarantine split"):
         read_with_quarantine(spark, "whatever.parquet")
+
+
+def test_fixed_width_round_trip_and_edges(spark, tmp_path):
+    """Fixed-width writer -> reader round trip; short rows NULL-pad,
+    overlong values truncate at their window (offsets never corrupt),
+    empty fields read as NULL, numerics cast."""
+    from data_pipelines_snowflake_procedures_spark.sources.discovery import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 12.5), (2, "a-very-long-name", 7.25), (3, None, None)],
+        ["id", "name", "score"],
+    )
+    out = str(tmp_path / "fw")
+    write_fixed_width(df, out, [("id", 4), ("name", 8), ("score", 8)])
+    back = read_fixed_width(
+        spark,
+        out,
+        [
+            ("id", 1, 4, "long"),
+            ("name", 5, 8, "string"),
+            ("score", 13, 8, "double"),
+        ],
+    )
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["name"] == "alpha" and rows[1]["score"] == 12.5
+    # overlong name truncated to its 8-char window
+    assert rows[2]["name"] == "a-very-l" and rows[2]["score"] == 7.25
+    assert rows[3]["name"] is None and rows[3]["score"] is None
+    # short physical row: fields past the end read as NULL
+    (tmp_path / "short.txt").write_text("   7\n")
+    short = read_fixed_width(
+        spark,
+        str(tmp_path / "short.txt"),
+        [("id", 1, 4, "long"), ("name", 5, 8, "string")],
+    ).collect()
+    assert short[0]["id"] == 7 and short[0]["name"] is None
+    # the parse is pure Column expressions — no Python on executors
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
