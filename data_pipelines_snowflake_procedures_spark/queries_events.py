@@ -2424,3 +2424,103 @@ def events_lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * saa - sa * F.col("sa")) * (n * sbb - F.col("sb").cast("double") * sb)
     )
     return s.select("lag", "n", F.round(r, 6).alias("r"))
+
+
+@register(
+    "events_changepoint_detection",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS h,
+             count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, h, cnt,
+             row_number() OVER w AS k,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY h ASC
+                            ROWS UNBOUNDED PRECEDING) AS s,
+             sum(cnt) OVER (PARTITION BY event_type) AS tot,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h ASC)
+    ),
+    scored AS (
+      SELECT event_type, h, k, n,
+             CAST(s AS DOUBLE) / k AS before_mean,
+             (CAST(tot AS DOUBLE) - s) / (n - k) AS after_mean,
+             round(abs(CAST(s AS DOUBLE) / k
+                       - (CAST(tot AS DOUBLE) - s) / (n - k))
+                   * sqrt(CAST(k AS DOUBLE) * (n - k) / n), 6) AS score
+      FROM cum WHERE k < n
+    )
+    SELECT event_type,
+           h AS change_hour,
+           round(before_mean, 4) AS before_mean,
+           round(after_mean, 4) AS after_mean,
+           score
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY score DESC, h ASC) AS rnk
+      FROM scored
+    ) WHERE rnk = 1
+    """,
+    doc="Single change-point detection per event type — the scoring "
+    "pass of binary segmentation: for every candidate split k of the "
+    "hourly series, the scaled mean shift |mean(1..k) − mean(k+1..n)| "
+    "· √(k(n−k)/n) (the two-sample CUSUM statistic), argmax per type. "
+    "Running sums come from integer counts (exact), the scan is two "
+    "frame windows over the TIME-dimension series (hours, never raw "
+    "rows) partitioned by type, and the argmax ranks on the ROUNDED "
+    "score with the hour as tiebreak — fully deterministic "
+    "cross-engine. The offline complement of the streaming EWMA / "
+    "rolling-anomaly monitors: where did the level actually shift?",
+)
+def events_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("cnt"))
+    w_ord = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("event_type")
+    cum = hourly.select(
+        "event_type",
+        "h",
+        F.row_number().over(w_ord).alias("k"),
+        F.sum("cnt").over(w_cum).alias("s"),
+        F.sum("cnt").over(w_all).alias("tot"),
+        F.count("*").over(w_all).alias("n"),
+    ).filter(F.col("k") < F.col("n"))
+    before = F.col("s").cast("double") / F.col("k")
+    after = (F.col("tot").cast("double") - F.col("s")) / (F.col("n") - F.col("k"))
+    score = F.round(
+        F.abs(before - after)
+        * F.sqrt(
+            F.col("k").cast("double") * (F.col("n") - F.col("k")) / F.col("n")
+        ),
+        6,
+    )
+    scored = cum.select(
+        "event_type",
+        "h",
+        before.alias("before_mean"),
+        after.alias("after_mean"),
+        score.alias("score"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.col("score").desc(), F.col("h").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("change_hour"),
+            F.round("before_mean", 4).alias("before_mean"),
+            F.round("after_mean", 4).alias("after_mean"),
+            "score",
+        )
+    )
