@@ -151,6 +151,7 @@ HEADLINE = [
     "events_weekly_churn",
     "events_conversion_latency",
     "events_lead_lag_correlation",
+    "events_changepoint_detection",
     "orders_customer_join_ivm",
     "orders_customer_join_ivm_deletes",
     # multimodal codec legs (PPM/PNG/JPEG images, WAV audio — real

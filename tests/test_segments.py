@@ -375,3 +375,34 @@ def test_abc_classification_pareto_invariants(spark, sf_dir):
         # classes are contiguous prefixes of the revenue ranking and the
         # top part of every brand is class A
         assert parts[0]["abc_class"] == "A", brand
+
+
+def test_changepoint_finds_planted_level_shift(spark):
+    """40 hours at ~3 events/hour then 40 hours at ~12: the argmax
+    split must land exactly at the shift boundary and the before/after
+    means must match the construction."""
+    import data_pipelines_snowflake_procedures_spark.queries_events as qe
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for hour in range(80):
+        level = 3 if hour < 40 else 12
+        t0 = base + dt.timedelta(hours=hour)
+        for i in range(level):
+            rows.append(
+                (len(rows), t0 + dt.timedelta(seconds=i), 1, "click", 1.0, "{}")
+            )
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        res = qe.events_changepoint_detection(spark, d).collect()
+    assert len(res) == 1
+    r = res[0]
+    assert r["change_hour"] == base + dt.timedelta(hours=39)
+    assert r["before_mean"] == 3.0
+    assert r["after_mean"] == 12.0
