@@ -76,6 +76,8 @@ HEADLINE = [
     "supplier_graph_bfs_hops",
     "orders_benford_test",
     "part_abc_classification",
+    "order_fulfillment_latency",
+    "customer_ltv_cohorts",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",
@@ -124,6 +126,7 @@ HEADLINE = [
     "embedding_similarity_calibration",
     "documents_bigram_pmi",
     "documents_top_terms",
+    "embeddings_split_drift",
     # event-time windows + pandas surface
     "events_hourly_by_type",
     "events_props_variant",

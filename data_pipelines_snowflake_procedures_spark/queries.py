@@ -2524,6 +2524,130 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "order_fulfillment_latency",
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    hist AS (
+      SELECT o_orderpriority, d, count(*)::BIGINT AS cnt
+      FROM lat GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT o_orderpriority, d, cnt,
+             sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY d ASC
+                            ROWS UNBOUNDED PRECEDING) AS c,
+             sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+      FROM hist
+    )
+    SELECT o_orderpriority,
+           max(n)::BIGINT AS n_lineitems,
+           min(CASE WHEN c * 2 >= n THEN d END) AS median_days,
+           min(CASE WHEN c * 10 >= n * 9 THEN d END) AS p90_days
+    FROM cum GROUP BY o_orderpriority
+    """,
+    doc="Order-to-ship fulfillment latency per priority class: median "
+    "and p90 days between order date and lineitem ship date. "
+    "Latencies are integer days, quantiles use the cumulative-"
+    "histogram DISCRETE rank rule over per-priority day histograms "
+    "(≤ distinct-days rows per group enter the window, never "
+    "lineitem-sized data) — the operational SLA readout next to the "
+    "TPC-H shipping-mode queries. Conditional-min finalization keeps "
+    "the whole thing one aggregate after the histogram.",
+)
+def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("long").alias("d"),
+    )
+    hist = lat.groupBy("o_orderpriority", "d").agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("d").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("o_orderpriority")
+    cum = hist.select(
+        "o_orderpriority",
+        "d",
+        F.sum("cnt").over(w_cum).alias("c"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    return cum.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_lineitems"),
+        F.min(
+            F.when(F.col("c") * 2 >= F.col("n"), F.col("d"))
+        ).alias("median_days"),
+        F.min(
+            F.when(F.col("c") * 10 >= F.col("n") * 9, F.col("d"))
+        ).alias("p90_days"),
+    )
+
+
+@register(
+    "customer_ltv_cohorts",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(date_part('year', o_orderdate) * 12
+                 + date_part('month', o_orderdate))::BIGINT AS cohort_m
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT f.cohort_m,
+           (date_part('year', o.o_orderdate) * 12
+            + date_part('month', o.o_orderdate))::BIGINT - f.cohort_m
+             AS age_months,
+           count(*)::BIGINT AS n_orders,
+           count(DISTINCT o.o_custkey)::BIGINT AS n_customers,
+           round(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS revenue
+    FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Cohort LTV matrix: revenue by (first-order month, months "
+    "since first order) — the revenue-weighted companion of "
+    "events_retention_cohorts. Cohort and age are INTEGER month "
+    "indexes (year·12+month: no date-interval semantics to disagree "
+    "on), revenue accumulates in exact centi-units, and the whole "
+    "matrix is one first-order min-groupBy (customer-sized state) + "
+    "one broadcastable join + one cohort×age aggregate.",
+)
+def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    month_idx = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    ).cast("long")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(month_idx).alias("cohort_m")
+    )
+    return (
+        orders.join(F.broadcast(firsts), "o_custkey")
+        .groupBy(
+            "cohort_m", (month_idx - F.col("cohort_m")).alias("age_months")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0,
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
 # Extension entries (LLM text/dedup/similarity; event windows;
 # multimodal; TPC-H-shape relational widening) register themselves on
 # import; placed last so REGISTRY and helpers exist.

@@ -4197,3 +4197,86 @@ def documents_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+@register(
+    "embeddings_split_drift",
+    """
+    WITH tagged AS (
+      SELECT CASE WHEN ('0x' || substr(md5('split|' || CAST(vec_id AS VARCHAR)),
+                        1, 15))::BIGINT % 1000000 < 800000
+                  THEN 'train' ELSE 'holdout' END AS split,
+             embedding
+      FROM embeddings
+    ),
+    axes AS (
+      SELECT split, i AS axis,
+             CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS v_micro
+      FROM tagged, unnest(generate_series(1, len(embedding))) AS s(i)
+    ),
+    agg AS (
+      SELECT split, axis, count(*)::BIGINT AS n, sum(v_micro)::BIGINT AS s
+      FROM axes GROUP BY 1, 2
+    )
+    SELECT t.axis,
+           round(CAST(t.s AS DOUBLE) / t.n / 1000000, 6) AS mean_train,
+           round(CAST(h.s AS DOUBLE) / h.n / 1000000, 6) AS mean_holdout,
+           round(CAST(t.s AS DOUBLE) / t.n / 1000000
+                 - CAST(h.s AS DOUBLE) / h.n / 1000000, 6) AS drift
+    FROM agg t JOIN agg h ON h.axis = t.axis
+    WHERE t.split = 'train' AND h.split = 'holdout'
+    """,
+    doc="Train/holdout distribution drift per embedding axis: the "
+    "deterministic 80/20 md5 split (assign_split's bucket rule), then "
+    "each split's per-axis mean from MICRO-UNIT floored component "
+    "sums — float components never sum directly (accumulation order "
+    "would break cross-engine hashes); integer partials make the 64 "
+    "axis means exact and order-free. The embedding-space "
+    "health check before training: a drifted axis means the split "
+    "isn't exchangeable (or the corpus has a covariate shift worth "
+    "knowing about). One posexplode aggregate, 2×dim-sized state, "
+    "axis-keyed self-join.",
+)
+def embeddings_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("vec_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    tagged = emb.select(
+        F.when(bucket < 800000, "train").otherwise("holdout").alias("split"),
+        "embedding",
+    )
+    axes = tagged.select(
+        "split",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "split",
+        (F.col("pos") + 1).cast("long").alias("axis"),
+        F.floor(F.col("v").cast("double") * 1000000).cast("long").alias("v_micro"),
+    )
+    agg = axes.groupBy("split", "axis").agg(
+        F.count("*").alias("n"), F.sum("v_micro").alias("s")
+    )
+    t = agg.filter(F.col("split") == "train").select(
+        "axis",
+        (F.col("s").cast("double") / F.col("n") / 1000000).alias("m_t"),
+    )
+    h = agg.filter(F.col("split") == "holdout").select(
+        F.col("axis").alias("axis_h"),
+        (F.col("s").cast("double") / F.col("n") / 1000000).alias("m_h"),
+    )
+    return t.join(h, F.col("axis") == F.col("axis_h")).select(
+        "axis",
+        F.round("m_t", 6).alias("mean_train"),
+        F.round("m_h", 6).alias("mean_holdout"),
+        F.round(F.col("m_t") - F.col("m_h"), 6).alias("drift"),
+    )

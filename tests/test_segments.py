@@ -406,3 +406,67 @@ def test_changepoint_finds_planted_level_shift(spark):
     assert r["change_hour"] == base + dt.timedelta(hours=39)
     assert r["before_mean"] == 3.0
     assert r["after_mean"] == 12.0
+
+
+def test_fulfillment_latency_quantiles_match_pandas(spark, sf_dir):
+    import numpy as np
+
+    orders = _pq(sf_dir, "orders")[["o_orderkey", "o_orderdate", "o_orderpriority"]]
+    li = _pq(sf_dir, "lineitem")[["l_orderkey", "l_shipdate"]]
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    d = (
+        j.l_shipdate.dt.floor("D").astype("datetime64[s]").astype("int64")
+        - j.o_orderdate.dt.floor("D").astype("datetime64[s]").astype("int64")
+    ) // 86400
+    rows = REGISTRY["order_fulfillment_latency"].spark_fn(spark, sf_dir).collect()
+    got = {r["o_orderpriority"]: r for r in rows}
+    for prio, grp in d.groupby(j.o_orderpriority):
+        lat = np.sort(grp.to_numpy())
+        n = len(lat)
+        r = got[prio]
+        assert r["n_lineitems"] == n
+        assert r["median_days"] == lat[math.ceil(n / 2) - 1]
+        assert r["p90_days"] == lat[math.ceil(0.9 * n) - 1]
+
+
+def test_ltv_cohorts_reconcile_to_total_revenue(spark, sf_dir):
+    import numpy as np
+
+    rows = REGISTRY["customer_ltv_cohorts"].spark_fn(spark, sf_dir).collect()
+    orders = _pq(sf_dir, "orders")
+    total_cents = int(np.round(orders.o_totalprice * 100).astype("int64").sum())
+    assert round(sum(r["revenue"] for r in rows), 2) == round(total_cents / 100, 2)
+    assert sum(r["n_orders"] for r in rows) == len(orders)
+    assert all(r["age_months"] >= 0 for r in rows)
+    # age 0 cell of every cohort contains that cohort's first orders:
+    # every cohort present at age 0
+    cohorts = {r["cohort_m"] for r in rows}
+    at_zero = {r["cohort_m"] for r in rows if r["age_months"] == 0}
+    assert cohorts == at_zero
+
+
+def test_split_drift_matches_numpy(spark, sf_dir):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    def split_of(vid):
+        h = hashlib.md5(f"split|{vid}".encode()).hexdigest()
+        return "train" if int(h[:15], 16) % 1000000 < 800000 else "holdout"
+
+    emb["split"] = emb.vec_id.map(split_of)
+    mat = np.stack(emb.embedding.to_numpy())
+    micro = np.floor(mat.astype("float64") * 1e6).astype("int64")
+    rows = REGISTRY["embeddings_split_drift"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == mat.shape[1]
+    tr = micro[(emb.split == "train").to_numpy()]
+    ho = micro[(emb.split == "holdout").to_numpy()]
+    for r in rows:
+        i = r["axis"] - 1
+        mt = tr[:, i].sum() / len(tr) / 1e6
+        mh = ho[:, i].sum() / len(ho) / 1e6
+        assert r["mean_train"] == round(mt, 6)
+        assert r["mean_holdout"] == round(mh, 6)
+        assert r["drift"] == round(mt - mh, 6)
