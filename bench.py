@@ -143,6 +143,7 @@ HEADLINE = [
     "events_robust_outlier_profile_approx",
     "events_incremental_rollup",
     "events_incremental_quantiles",
+    "events_incremental_rollup_deletes",
     "events_hourly_interpolated",
     "events_type_transitions",
     "events_seasonal_anomaly",

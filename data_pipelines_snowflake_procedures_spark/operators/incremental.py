@@ -264,3 +264,78 @@ def maintain_join_signed(
         ),
         mult,
     )
+
+
+def partial_agg_signed(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str | Column,
+    sign_col: str = "sign",
+) -> DataFrame:
+    """One signed batch (rows carry ``sign`` = +1 insert / −1 delete) →
+    signed partial state ``(keys…, n, sum)``.
+
+    Only the DISTRIBUTIVE metrics (count, sum — and avg derived from
+    them) survive deletes in O(keys) state: subtracting a deleted
+    row's contribution is just signed addition. min/max do NOT — the
+    deletion of the current minimum cannot be undone from (min) state
+    alone (the classic distributive/algebraic/holistic split). Under
+    deletes, min/max/percentiles all route through the signed
+    HISTOGRAM state (:func:`partial_hist_signed`), where a delete
+    decrements its value's bin and every order statistic remains
+    recoverable."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    s = F.col(sign_col).cast("long")
+    return df.groupBy(*keys).agg(
+        F.sum(s).alias("n"),
+        F.sum(s.cast("double") * v).alias("sum"),
+    )
+
+
+def merge_partials_signed(
+    partials: Sequence[DataFrame], keys: Sequence[str]
+) -> DataFrame:
+    """Fold signed states (associative sum per key) and CONSOLIDATE:
+    keys whose net count reaches zero leave the state entirely, so
+    state size tracks the LIVE key set, not insert history."""
+    unioned = reduce(lambda a, b: a.unionByName(b), partials)
+    return (
+        unioned.groupBy(*keys)
+        .agg(F.sum("n").alias("n"), F.sum("sum").alias("sum"))
+        .filter(F.col("n") != 0)
+    )
+
+
+def partial_hist_signed(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str | Column,
+    sign_col: str = "sign",
+    scale: int = 100,
+) -> DataFrame:
+    """Signed histogram state: a delete decrements its value's bin.
+    After merging (:func:`merge_hists_signed`), every order statistic
+    — min, max, any quantile via :func:`quantile_from_hist` — is
+    exactly recoverable, which is how HOLISTIC metrics survive deletes
+    without re-reading history. Contract: deletes must not exceed
+    prior inserts per (key, bin); a negative merged bin means the
+    caller deleted rows that were never inserted."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    s = F.col(sign_col).cast("long")
+    return (
+        df.withColumn("bin", F.round(v * scale).cast("long"))
+        .groupBy(*keys, "bin")
+        .agg(F.sum(s).alias("cnt"))
+    )
+
+
+def merge_hists_signed(
+    hists: Sequence[DataFrame], keys: Sequence[str]
+) -> DataFrame:
+    """Fold signed histograms bin-wise and drop emptied bins."""
+    unioned = reduce(lambda a, b: a.unionByName(b), hists)
+    return (
+        unioned.groupBy(*keys, "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )

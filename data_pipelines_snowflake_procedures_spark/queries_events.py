@@ -2524,3 +2524,99 @@ def events_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
+
+
+@register(
+    "events_incremental_rollup_deletes",
+    """
+    WITH final AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events
+      WHERE NOT (event_id % 3 <> 0 AND event_id % 7 = 0)
+    ),
+    hist AS (
+      SELECT event_type, v_c AS bin, count(*)::BIGINT AS cnt
+      FROM final GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, min(bin) AS med_bin
+      FROM (
+        SELECT event_type, bin,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bin ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM hist
+      ) WHERE cum >= ceil(0.5 * n - 1e-9)
+      GROUP BY event_type
+    )
+    SELECT f.event_type,
+           count(*)::BIGINT AS n_events,
+           round(sum(f.v_c) / 100.0, 2) AS sum_value,
+           round(sum(f.v_c) / CAST(count(*) AS DOUBLE) / 100.0, 4) AS avg_value,
+           round(any_value(m.med_bin) / 100.0, 2) AS median_value
+    FROM final f JOIN med m ON m.event_type = f.event_type
+    GROUP BY f.event_type
+    """,
+    doc="Delete-aware incremental rollup — the aggregate-side "
+    "completion of the IVM family (E86/E87 cover joins): batch 1 "
+    "inserts two-thirds of events, batch 2 inserts the rest AND "
+    "RETRACTS a slice of batch 1 (sign = −1 rows). Distributive "
+    "metrics (n, sum, avg) fold through signed partials "
+    "(operators/incremental.py::partial_agg_signed — deletes are just "
+    "signed addition, consolidation drops net-zero keys); the HOLISTIC "
+    "median folds through the SIGNED integer-cent histogram "
+    "(partial_hist_signed — a delete decrements its value's bin, after "
+    "which any order statistic is exactly recoverable). The oracle "
+    "computes the same metrics FROM SCRATCH over the final relation — "
+    "the hash match IS the fold-equals-recompute theorem, deletes "
+    "included. State is O(keys + keys·bins); history is never "
+    "re-read.",
+)
+def events_incremental_rollup_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.incremental import (
+        merge_hists_signed,
+        merge_partials_signed,
+        partial_agg_signed,
+        partial_hist_signed,
+        quantile_from_hist,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    batch1 = ev.filter(F.col("event_id") % 3 != 0).withColumn("sign", F.lit(1))
+    batch2_ins = ev.filter(F.col("event_id") % 3 == 0).withColumn(
+        "sign", F.lit(1)
+    )
+    batch2_del = (
+        ev.filter((F.col("event_id") % 3 != 0) & (F.col("event_id") % 7 == 0))
+        .withColumn("sign", F.lit(-1))
+    )
+    batch2 = batch2_ins.unionByName(batch2_del)
+    keys = ["event_type"]
+    state = merge_partials_signed(
+        [
+            partial_agg_signed(batch1, keys, "v_c"),
+            partial_agg_signed(batch2, keys, "v_c"),
+        ],
+        keys,
+    )
+    hist = merge_hists_signed(
+        [
+            partial_hist_signed(batch1, keys, "v_c", scale=1),
+            partial_hist_signed(batch2, keys, "v_c", scale=1),
+        ],
+        keys,
+    )
+    med = quantile_from_hist(hist, keys, 0.5, scale=1, out="med_bin")
+    return state.join(med, keys).select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round(F.col("sum") / 100.0, 2).alias("sum_value"),
+        F.round(F.col("sum") / F.col("n").cast("double") / 100.0, 4).alias(
+            "avg_value"
+        ),
+        F.round(F.col("med_bin") / 100.0, 2).alias("median_value"),
+    )

@@ -1619,3 +1619,68 @@ def test_mmr_rerank_lambda_one_equals_top_k(spark):
         for r in mmr_rerank(corpus, q, k=4, n_candidates=10, lam=1.0).collect()
     }
     assert got == want
+
+
+def test_signed_rollup_fold_equals_recompute_random_batches(spark):
+    """Signed partial-agg + signed histogram: fold over an arbitrary
+    insert/delete batch sequence equals a from-scratch aggregate of
+    the surviving multiset — distributive (n, sum) AND holistic
+    (median via the signed histogram) metrics, with net-zero keys and
+    emptied bins consolidated away."""
+    import random
+
+    from data_pipelines_snowflake_procedures_spark.operators.incremental import (
+        merge_hists_signed,
+        merge_partials_signed,
+        partial_agg_signed,
+        partial_hist_signed,
+        quantile_from_hist,
+    )
+
+    rng = random.Random(9)
+    live: list[tuple[str, int]] = []
+    batches = []
+    for _ in range(3):
+        batch = []
+        for _i in range(40):  # inserts
+            row = (rng.choice("abc"), rng.randint(1, 50))
+            live.append(row)
+            batch.append((*row, 1))
+        rng.shuffle(live)
+        for _i in range(min(15, len(live) // 2)):  # deletes of live rows
+            row = live.pop()
+            batch.append((*row, -1))
+        batches.append(
+            spark.createDataFrame(batch, ["k", "v", "sign"])
+        )
+    # every 'c' row deleted in the last batch → key may vanish entirely
+    gone = [r for r in live if r[0] == "c"]
+    live = [r for r in live if r[0] != "c"]
+    if gone:
+        batches.append(
+            spark.createDataFrame(
+                [(k, v, -1) for k, v in gone], ["k", "v", "sign"]
+            )
+        )
+    state = merge_partials_signed(
+        [partial_agg_signed(b, ["k"], "v") for b in batches], ["k"]
+    )
+    hist = merge_hists_signed(
+        [partial_hist_signed(b, ["k"], "v", scale=1) for b in batches], ["k"]
+    )
+    med = quantile_from_hist(hist, ["k"], 0.5, scale=1, out="med")
+    got = {
+        r["k"]: (r["n"], r["sum"], r["med"])
+        for r in state.join(med, ["k"]).collect()
+    }
+    # from-scratch truth over the surviving multiset
+    want = {}
+    for k in set(r[0] for r in live):
+        vals = sorted(v for kk, v in live if kk == k)
+        want[k] = (
+            len(vals),
+            float(sum(vals)),
+            float(vals[-(-len(vals) // 2) - 1]),  # ceil(n/2) rank, 1-based
+        )
+    assert got == want
+    assert "c" not in got  # consolidated out, not present with n=0
