@@ -61,6 +61,7 @@ HEADLINE = [
     "profile_customer",
     "dq_table_scores_orders",
     "referential_integrity_orders",
+    "customer_fd_discovery",
     "pii_mask_customer",
     "scd1_merge_orders",
     "scd2_merge_orders",

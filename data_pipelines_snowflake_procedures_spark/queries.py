@@ -2652,3 +2652,102 @@ def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal; TPC-H-shape relational widening) register themselves on
 # import; placed last so REGISTRY and helpers exist.
 from . import queries_events, queries_llm, queries_tpch  # noqa: E402,F401  (registration side effect)
+
+
+_FD_COLS = (
+    "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+)
+
+
+def _fd_key_sql(*cols: str) -> str:
+    """NULL-safe composite key both engines derive identically —
+    identical strings → identical distinct counts, collisions and all."""
+    parts = [f"coalesce(CAST({c} AS VARCHAR), chr(1))" for c in cols]
+    return " || '|' || ".join(parts)
+
+
+def _fd_discovery_oracle() -> str:
+    singles = ",\n             ".join(
+        f"count(DISTINCT {_fd_key_sql(c)}) AS nd_{i}"
+        for i, c in enumerate(_FD_COLS)
+    )
+    pairs = ",\n             ".join(
+        f"count(DISTINCT {_fd_key_sql(a, b)}) AS np_{i}_{j}"
+        for i, a in enumerate(_FD_COLS)
+        for j, b in enumerate(_FD_COLS)
+        if i != j
+    )
+    rows = ",\n      ".join(
+        f"('{a}', '{b}', nd_{i}, np_{i}_{j})"
+        for i, a in enumerate(_FD_COLS)
+        for j, b in enumerate(_FD_COLS)
+        if i != j
+    )
+    return f"""
+    WITH s AS (
+      SELECT {singles},
+             {pairs}
+      FROM customer
+    )
+    SELECT det_col, dep_col,
+           CAST(n_det AS BIGINT) AS n_det,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_pairs - n_det AS BIGINT) AS violations,
+           CAST(n_pairs = n_det AS INT) AS fd_holds
+    FROM s, (VALUES
+      {rows}
+    ) AS v(det_col, dep_col, n_det, n_pairs)
+    """
+
+
+@register(
+    "customer_fd_discovery",
+    _fd_discovery_oracle(),
+    doc="Functional-dependency DISCOVERY across every ordered column "
+    "pair of customer (5×4 candidates): A→B holds iff "
+    "|distinct(A,B)| = |distinct A|, violations = the difference — "
+    "the profiling pass that FINDS the FDs dq_fd_consistency_part "
+    "then monitors. All 25 distinct-counts run in ONE aggregate scan "
+    "(Catalyst Expand — fine at audit scale; at 100 TB swap "
+    "approx_count_distinct per pair, same algebra, documented "
+    "tolerance). Composite keys are NULL-safe string derivations "
+    "computed IDENTICALLY in both engines, so distinct counts match "
+    "exactly, collisions included. c_custkey→* all hold (it's the "
+    "key) — the expected discovery a correct implementation must "
+    "make.",
+)
+def customer_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+
+    def key(*cols: str):
+        return F.concat_ws(
+            "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in cols]
+        )
+
+    aggs = []
+    for i, c in enumerate(_FD_COLS):
+        aggs.append(F.countDistinct(key(c)).alias(f"nd_{i}"))
+    for i, a in enumerate(_FD_COLS):
+        for j, b in enumerate(_FD_COLS):
+            if i != j:
+                aggs.append(F.countDistinct(key(a, b)).alias(f"np_{i}_{j}"))
+    wide = cust.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(a).alias("det_col"),
+            F.lit(b).alias("dep_col"),
+            F.col(f"nd_{i}").alias("n_det"),
+            F.col(f"np_{i}_{j}").alias("n_pairs"),
+        )
+        for i, a in enumerate(_FD_COLS)
+        for j, b in enumerate(_FD_COLS)
+        if i != j
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("r")).select(
+        F.col("r.det_col").alias("det_col"),
+        F.col("r.dep_col").alias("dep_col"),
+        F.col("r.n_det").alias("n_det"),
+        F.col("r.n_pairs").alias("n_pairs"),
+        (F.col("r.n_pairs") - F.col("r.n_det")).alias("violations"),
+        (F.col("r.n_pairs") == F.col("r.n_det")).cast("int").alias("fd_holds"),
+    )
