@@ -157,6 +157,8 @@ HEADLINE = [
     "events_conversion_latency",
     "events_lead_lag_correlation",
     "events_changepoint_detection",
+    "events_completeness_report",
+    "events_mix_drift_days",
     "orders_customer_join_ivm",
     "orders_customer_join_ivm_deletes",
     # multimodal codec legs (PPM/PNG/JPEG images, WAV audio — real

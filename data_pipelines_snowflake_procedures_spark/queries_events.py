@@ -2620,3 +2620,125 @@ def events_incremental_rollup_deletes(spark: SparkSession, sf_dir: str) -> DataF
         ),
         F.round(F.col("med_bin") / 100.0, 2).alias("median_value"),
     )
+
+
+@register(
+    "events_completeness_report",
+    """
+    WITH observed AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             count(DISTINCT date_part('hour', CAST(ts AS TIMESTAMP)))::BIGINT
+               AS hours_observed,
+             count(*)::BIGINT AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS d_min, max(CAST(ts AS DATE)) AS d_max
+      FROM events
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           hours_observed, n_events,
+           CASE WHEN d = (SELECT d_min FROM bounds)
+                  OR d = (SELECT d_max FROM bounds)
+                THEN NULL
+                ELSE round(hours_observed / 24.0, 4) END AS completeness,
+           CAST(hours_observed < 24
+                AND d <> (SELECT d_min FROM bounds)
+                AND d <> (SELECT d_max FROM bounds) AS INT) AS gap_flag
+    FROM observed
+    """,
+    doc="Data-freshness / completeness report: per (event type, day), "
+    "how many of the 24 expected hours actually carried events — the "
+    "pipeline-monitoring readout that catches a silent upstream "
+    "outage (gap_flag marks interior days with missing hours; the "
+    "corpus's first/last days are partial BY CONSTRUCTION and report "
+    "NULL completeness rather than a false alarm). One aggregate with "
+    "a per-group distinct over ≤24 hour values; boundary days come "
+    "from a broadcast 1-row min/max. All counts integer — hash-exact.",
+)
+def events_completeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    observed = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.countDistinct(F.hour("ts")).alias("hours_observed"),
+        F.count("*").alias("n_events"),
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d_min"),
+        F.max(F.to_date("ts")).alias("d_max"),
+    )
+    j = observed.crossJoin(F.broadcast(bounds))
+    interior = (F.col("d") != F.col("d_min")) & (F.col("d") != F.col("d_max"))
+    return j.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "hours_observed",
+        "n_events",
+        F.when(interior, F.round(F.col("hours_observed") / 24.0, 4)).alias(
+            "completeness"
+        ),
+        ((F.col("hours_observed") < 24) & interior).cast("int").alias("gap_flag"),
+    )
+
+
+@register(
+    "events_mix_drift_days",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type, count(*)::BIGINT AS o
+      FROM events GROUP BY 1, 2
+    ),
+    gmix AS (SELECT event_type, sum(o)::BIGINT AS g FROM daily GROUP BY 1),
+    gt AS (SELECT sum(g)::BIGINT AS n FROM gmix),
+    dt AS (SELECT d, sum(o)::BIGINT AS nd FROM daily GROUP BY d),
+    terms AS (
+      SELECT daily.d,
+             CAST(floor(
+               (daily.o - CAST(dt.nd AS DOUBLE) * gmix.g / gt.n)
+               * (daily.o - CAST(dt.nd AS DOUBLE) * gmix.g / gt.n)
+               / (CAST(dt.nd AS DOUBLE) * gmix.g / gt.n) * 1000000
+             ) AS BIGINT) AS term
+      FROM daily
+      JOIN gmix ON gmix.event_type = daily.event_type
+      JOIN dt ON dt.d = daily.d
+      CROSS JOIN gt
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           round(sum(term) / 1e6, 4) AS chi2,
+           CAST(sum(term) >= 9488000 AS INT) AS drift_flag
+    FROM terms GROUP BY d
+    """,
+    doc="Event-mix drift monitor: each day's event-type distribution "
+    "chi-squared against the corpus-global mix (expected cell = "
+    "day_total × global_share). A day whose mix shifts — error spike, "
+    "missing purchase feed — flags when χ² exceeds 9.488, the 95th "
+    "percentile of χ²(4 dof) for the 5 event types. Per-cell terms "
+    "floor-scale to integer micro-units before the per-day sum "
+    "(order-independent; the flag threshold compares INTEGERS so no "
+    "boundary ambiguity). The categorical companion of "
+    "orders_price_drift_psi's numeric PSI; day×type-sized state "
+    "throughout.",
+)
+def events_mix_drift_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    daily = ev.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
+        F.count("*").alias("o")
+    )
+    glob = daily.groupBy("event_type").agg(F.sum("o").alias("g"))
+    gt = glob.agg(F.sum("g").alias("n"))
+    dt = daily.groupBy("d").agg(F.sum("o").alias("nd"))
+    e = F.col("nd").cast("double") * F.col("g") / F.col("n")
+    term = F.floor((F.col("o") - e) * (F.col("o") - e) / e * 1000000).cast("long")
+    terms = (
+        daily.join(F.broadcast(glob), "event_type")
+        .join(F.broadcast(dt), "d")
+        .crossJoin(F.broadcast(gt))
+        .select("d", term.alias("term"))
+    )
+    return terms.groupBy("d").agg(
+        F.round(F.sum("term") / F.lit(1e6), 4).alias("chi2"),
+        (F.sum("term") >= 9488000).cast("int").alias("drift_flag"),
+    ).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"), "chi2", "drift_flag"
+    )

@@ -288,3 +288,28 @@ def compact_parquet(
     out.write.mode("overwrite").parquet(staging)
     commit_swap(staging, path)
     return n_files
+
+
+def schema_diff(spark, before, after):
+    """Schema-level drift report between two frames (the DDL-side
+    companion of the CDC row diff): one row per column that was
+    ADDED, REMOVED, or TYPE_CHANGED, with both type renderings.
+    Nested types compare by their full simpleString (a struct field
+    change IS a type change — positional element identity is exactly
+    what parquet readers care about). Pure metadata — no data is
+    read, so the check is free to run before every ingest and gate
+    mergeSchema reads (read_with_schema_evolution) on an explicit
+    allow-list of expected changes."""
+    a = {f.name: f.dataType.simpleString() for f in before.schema.fields}
+    b = {f.name: f.dataType.simpleString() for f in after.schema.fields}
+    rows = []
+    for name in sorted(set(a) | set(b)):
+        if name not in b:
+            rows.append((name, "REMOVED", a[name], None))
+        elif name not in a:
+            rows.append((name, "ADDED", None, b[name]))
+        elif a[name] != b[name]:
+            rows.append((name, "TYPE_CHANGED", a[name], b[name]))
+    return spark.createDataFrame(
+        rows, "column STRING, status STRING, type_before STRING, type_after STRING"
+    )

@@ -470,3 +470,24 @@ def test_split_drift_matches_numpy(spark, sf_dir):
         assert r["mean_train"] == round(mt, 6)
         assert r["mean_holdout"] == round(mh, 6)
         assert r["drift"] == round(mt - mh, 6)
+
+
+def test_completeness_report_boundary_days_null(spark, sf_dir):
+    rows = REGISTRY["events_completeness_report"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    days = sorted({r["day"] for r in rows})
+    for r in rows:
+        if r["day"] in (days[0], days[-1]):
+            assert r["completeness"] is None and r["gap_flag"] == 0
+        else:
+            assert r["completeness"] == round(r["hours_observed"] / 24, 4)
+            assert r["gap_flag"] == int(r["hours_observed"] < 24)
+        assert 1 <= r["hours_observed"] <= 24
+
+
+def test_mix_drift_flag_consistent(spark, sf_dir):
+    rows = REGISTRY["events_mix_drift_days"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["chi2"] >= 0
+        assert r["drift_flag"] == int(r["chi2"] >= 9.488)

@@ -298,3 +298,28 @@ def test_commit_swap_crash_with_incomplete_staging_restores_old(spark, tmp_path)
     os.rename(p, p + ".old")
     assert recover_swap(p, staging) == "old"
     assert spark.read.parquet(p).count() == 100
+
+
+def test_schema_diff_reports_add_remove_type_change(spark):
+    from data_pipelines_snowflake_procedures_spark.sources.sink import schema_diff
+
+    before = spark.createDataFrame(
+        [(1, "a", 1.0, (1,))],
+        "id BIGINT, name STRING, score DOUBLE, meta STRUCT<k: BIGINT>",
+    )
+    after = spark.createDataFrame(
+        [(1, 2, "x", (1, "s"))],
+        "id BIGINT, score BIGINT, extra STRING, meta STRUCT<k: BIGINT, v: STRING>",
+    )
+    out = {r["column"]: r for r in schema_diff(spark, before, after).collect()}
+    assert set(out) == {"name", "score", "extra", "meta"}
+    assert out["name"]["status"] == "REMOVED" and out["name"]["type_after"] is None
+    assert out["extra"]["status"] == "ADDED" and out["extra"]["type_before"] is None
+    assert out["score"]["status"] == "TYPE_CHANGED"
+    assert (out["score"]["type_before"], out["score"]["type_after"]) == (
+        "double", "bigint",
+    )
+    # nested struct field addition is a TYPE change, not silent equality
+    assert out["meta"]["status"] == "TYPE_CHANGED"
+    # identical schemas diff to nothing
+    assert schema_diff(spark, before, before).count() == 0
