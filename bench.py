@@ -106,6 +106,7 @@ HEADLINE = [
     "documents_quality_threshold_metrics",
     "documents_quality_auc",
     "documents_quality_auc_binned",
+    "documents_lm_gains_table",
     "documents_centrality_pagerank",
     "knn_bruteforce_embeddings",
     "embedding_near_dup_blocked",

@@ -4280,3 +4280,117 @@ def embeddings_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("m_h", 6).alias("mean_holdout"),
         F.round(F.col("m_t") - F.col("m_h"), 6).alias("drift"),
     )
+
+
+@register(
+    "documents_lm_gains_table",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_CLEAN_TOKS}) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total_n FROM vocab),
+    lp AS (
+      SELECT tok, round(ln(CAST(n AS DOUBLE) / total_n), 6) AS tok_logprob
+      FROM vocab, tot
+    ),
+    scored AS (
+      SELECT t.doc_id, round(avg(tok_logprob), 6) AS s
+      FROM toks t JOIN lp USING (tok) GROUP BY t.doc_id
+    ),
+    labeled AS (
+      SELECT s.doc_id, s.s,
+             CAST({_lang_sql()} = 'en' AS INT) AS y
+      FROM scored s JOIN documents USING (doc_id)
+    ),
+    ranked AS (
+      SELECT s, y,
+             row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rn,
+             count(*) OVER () AS n
+      FROM labeled
+    ),
+    deciles AS (
+      SELECT ((rn * 10 - 1) // n) + 1 AS decile, y FROM ranked
+    ),
+    agg AS (
+      SELECT decile, count(*)::BIGINT AS n_docs, sum(y)::BIGINT AS n_pos
+      FROM deciles GROUP BY decile
+    ),
+    totp AS (SELECT sum(n_pos)::BIGINT AS tp, sum(n_docs)::BIGINT AS td FROM agg)
+    SELECT a.decile, a.n_docs, a.n_pos,
+           round(a.n_pos / CAST(t.tp AS DOUBLE), 6) AS capture_rate,
+           round(sum(a.n_pos) OVER (ORDER BY a.decile ASC
+                                    ROWS UNBOUNDED PRECEDING)
+                 / CAST(t.tp AS DOUBLE), 6) AS cum_capture,
+           round((a.n_pos / CAST(a.n_docs AS DOUBLE))
+                 / (t.tp / CAST(t.td AS DOUBLE)), 6) AS lift
+    FROM agg a CROSS JOIN totp t
+    """,
+    doc="Gains / lift table for the unigram-LM quality score against "
+    "the English-detection label: documents ranked best-score-first, "
+    "cut into exact deciles by the ALL-INTEGER rule "
+    "decile = ((rn·10 − 1) div n) + 1, then per-decile capture rate, "
+    "cumulative capture, and lift — the model-eval readout that "
+    "complements the AUC entries (WHERE the signal lives, not just "
+    "how much). Ranks order by the 6-decimal ROUNDED score with "
+    "doc_id tiebreak (total order, cross-engine stable); the global "
+    "rank swaps for the binned-histogram decile at 100 TB exactly as "
+    "documents_quality_auc_binned does for AUC (same algebra over "
+    "bins, documented).",
+)
+def documents_lm_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.corpus import unigram_logprob_score
+    from .operators.text import detect_language
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_logprob_score(docs).select(
+        "doc_id", F.col("avg_logprob").alias("s")
+    )
+    labeled = scored.join(
+        docs.select(
+            "doc_id",
+            (detect_language(F.col("text")) == "en").cast("int").alias("y"),
+        ),
+        "doc_id",
+    )
+    w_rank = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+    w_all = Window.partitionBy()
+    ranked = labeled.select(
+        "y",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    deciles = ranked.select(
+        (((F.col("rn") * 10 - 1) / F.col("n")).cast("long") + 1).alias("decile"),
+        "y",
+    )
+    agg = deciles.groupBy("decile").agg(
+        F.count("*").alias("n_docs"), F.sum("y").alias("n_pos")
+    )
+    totp = agg.agg(
+        F.sum("n_pos").alias("tp"), F.sum("n_docs").alias("td")
+    )
+    w_cum = Window.orderBy(F.col("decile").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        agg.crossJoin(F.broadcast(totp))
+        .select(
+            "decile",
+            "n_docs",
+            "n_pos",
+            F.round(F.col("n_pos") / F.col("tp").cast("double"), 6).alias(
+                "capture_rate"
+            ),
+            F.round(
+                F.sum("n_pos").over(w_cum) / F.col("tp").cast("double"), 6
+            ).alias("cum_capture"),
+            F.round(
+                (F.col("n_pos") / F.col("n_docs").cast("double"))
+                / (F.col("tp") / F.col("td").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )

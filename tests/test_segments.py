@@ -491,3 +491,22 @@ def test_mix_drift_flag_consistent(spark, sf_dir):
     for r in rows:
         assert r["chi2"] >= 0
         assert r["drift_flag"] == int(r["chi2"] >= 9.488)
+
+
+def test_gains_table_invariants(spark, sf_dir):
+    rows = REGISTRY["documents_lm_gains_table"].spark_fn(spark, sf_dir).collect()
+    rows.sort(key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # exact deciles: sizes differ by at most 1
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # capture rates sum to 1 and cum_capture is their running total
+    assert abs(sum(r["capture_rate"] for r in rows) - 1.0) < 1e-4
+    run = 0.0
+    for r in rows:
+        run += r["n_pos"]
+    assert rows[-1]["cum_capture"] == 1.0
+    # lift averages to ~1 weighted by decile size
+    total = sum(sizes)
+    wavg = sum(r["lift"] * r["n_docs"] for r in rows) / total
+    assert abs(wavg - 1.0) < 0.01
