@@ -332,10 +332,14 @@ def label_propagation(
     Isolated nodes keep their label. Returns ``(node, label)``.
 
     Scale shape: one iteration = join labels onto the symmetrized edge
-    list by neighbor (O(|E|) shuffle), count (node, label) pairs, pick
-    the winner with a window — all integer counts, so the replay is
-    exact with no rounding contract needed. Labels are node-sized;
-    lineage is truncated per iteration via localCheckpoint."""
+    list by neighbor (O(|E|) shuffle), count (node, label) pairs, then
+    pick the winner as ``min_by(label, (-cnt, label))`` — an ARGMAX
+    AGGREGATE with map-side partial combine, not a per-node sort
+    window (a hot node's label votes collapse before the shuffle,
+    where row_number would drag every vote to one task and sort it).
+    All integer counts, so the replay is exact with no rounding
+    contract needed. Labels are node-sized; lineage is truncated per
+    iteration via localCheckpoint."""
     sym = (
         edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("nbr"))
         .unionByName(
@@ -348,9 +352,6 @@ def label_propagation(
     nodes = sym.select("node").distinct().persist()
     nodes.count()
     labels = nodes.withColumn("label", F.col("node"))
-    w_win = Window.partitionBy("node").orderBy(
-        F.col("cnt").desc(), F.col("label").asc()
-    )
     for _ in range(iters):
         counts = (
             sym.join(
@@ -362,10 +363,13 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.count("*").alias("cnt"))
         )
-        winners = (
-            counts.withColumn("rn", F.row_number().over(w_win))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("label").alias("new_label"))
+        # argmax by (cnt desc, label asc) == argmin by (-cnt, label):
+        # min_by over a struct keeps the winner selection a partially
+        # aggregated groupBy instead of a per-node sort window
+        winners = counts.groupBy("node").agg(
+            F.min_by(
+                "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+            ).alias("new_label")
         )
         labels = (
             nodes.join(labels, "node")
