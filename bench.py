@@ -79,6 +79,7 @@ HEADLINE = [
     "part_abc_classification",
     "order_fulfillment_latency",
     "customer_ltv_cohorts",
+    "orders_backlog_curve",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",
@@ -160,6 +161,7 @@ HEADLINE = [
     "events_changepoint_detection",
     "events_completeness_report",
     "events_mix_drift_days",
+    "events_hourly_forecast",
     "orders_customer_join_ivm",
     "orders_customer_join_ivm_deletes",
     # multimodal codec legs (PPM/PNG/JPEG images, WAV audio — real

@@ -2648,6 +2648,81 @@ def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_backlog_curve",
+    """
+    WITH ship AS (
+      SELECT l_orderkey AS ok, CAST(max(l_shipdate) AS DATE) AS done_d
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    deltas AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, 1 AS delta FROM orders
+      UNION ALL
+      SELECT s.done_d AS d, -1 AS delta
+      FROM orders o JOIN ship s ON s.ok = o.o_orderkey
+    ),
+    daily AS (SELECT d, sum(delta)::BIGINT AS net FROM deltas GROUP BY d),
+    curve AS (
+      SELECT d, net,
+             sum(net) OVER (ORDER BY d ASC ROWS UNBOUNDED PRECEDING) AS backlog
+      FROM daily
+    ),
+    months AS (
+      SELECT strftime(d, '%Y-%m') AS month, d, backlog,
+             row_number() OVER (PARTITION BY strftime(d, '%Y-%m')
+                                ORDER BY d DESC) AS rn
+      FROM curve
+    )
+    SELECT month, strftime(d, '%Y-%m-%d') AS month_end,
+           CAST(backlog AS BIGINT) AS open_orders
+    FROM months WHERE rn = 1
+    """,
+    doc="Open-order backlog curve (month-end snapshots): each order "
+    "contributes +1 on its order date and −1 on the day its LAST "
+    "lineitem ships; the running sum of daily nets IS the number of "
+    "in-flight orders — the event-delta formulation that computes a "
+    "point-in-time inventory for EVERY day in one pass (the naive "
+    "form re-counts 'placed ≤ t AND not shipped by t' per snapshot, "
+    "O(days·orders)). The cumulative window runs over the DATE "
+    "dimension (thousands of rows, never order-sized); deltas are "
+    "integers — hash-exact. Orders with no lineitems stay open "
+    "forever, which is exactly what an ops dashboard should show.",
+)
+def orders_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ship = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("done_d")
+    )
+    opens = orders.select(
+        F.col("o_orderdate").cast("date").alias("d"), F.lit(1).alias("delta")
+    )
+    closes = orders.join(ship, orders["o_orderkey"] == ship["ok"]).select(
+        F.col("done_d").alias("d"), F.lit(-1).alias("delta")
+    )
+    daily = opens.unionByName(closes).groupBy("d").agg(
+        F.sum("delta").alias("net")
+    )
+    w_cum = Window.orderBy(F.col("d").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = daily.select(
+        "d", F.sum("net").over(w_cum).alias("backlog")
+    )
+    month = F.date_format("d", "yyyy-MM")
+    w_last = Window.partitionBy(month).orderBy(F.col("d").desc())
+    return (
+        curve.withColumn("month", month)
+        .withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select(
+            "month",
+            F.date_format("d", "yyyy-MM-dd").alias("month_end"),
+            F.col("backlog").cast("long").alias("open_orders"),
+        )
+    )
+
+
 # Extension entries (LLM text/dedup/similarity; event windows;
 # multimodal; TPC-H-shape relational widening) register themselves on
 # import; placed last so REGISTRY and helpers exist.

@@ -2742,3 +2742,89 @@ def events_mix_drift_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.date_format("d", "yyyy-MM-dd").alias("day"), "chi2", "drift_flag"
     )
+
+
+@register(
+    "events_hourly_forecast",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS h,
+             count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    horizon AS (
+      SELECT CAST(max(CAST(ts AS DATE)) + 1 AS TIMESTAMP) AS day0 FROM events
+    ),
+    target AS (
+      SELECT date_part('dow', day0) + 1 AS dow, day0 FROM horizon
+    ),
+    seas AS (
+      SELECT event_type,
+             date_part('dow', h) + 1 AS dow,
+             date_part('hour', h) AS hod,
+             count(*)::BIGINT AS n,
+             sum(cnt)::BIGINT AS s,
+             sum(cnt * cnt)::BIGINT AS ss
+      FROM hourly GROUP BY 1, 2, 3
+    )
+    SELECT s.event_type,
+           strftime(t.day0 + to_hours(CAST(s.hod AS BIGINT)),
+                    '%Y-%m-%d %H:00') AS forecast_hour,
+           round(CAST(s.s AS DOUBLE) / s.n, 4) AS forecast,
+           round(CAST(s.s AS DOUBLE) / s.n
+                 - 1.96 * sqrt((CAST(s.ss AS DOUBLE)
+                                - CAST(s.s AS DOUBLE) * s.s / s.n)
+                               / (s.n - 1)), 4) AS lo_95,
+           round(CAST(s.s AS DOUBLE) / s.n
+                 + 1.96 * sqrt((CAST(s.ss AS DOUBLE)
+                                - CAST(s.s AS DOUBLE) * s.s / s.n)
+                               / (s.n - 1)), 4) AS hi_95,
+           s.n AS n_support
+    FROM seas s JOIN target t ON t.dow = s.dow
+    WHERE s.n >= 2
+    """,
+    doc="Seasonal-naive hourly forecast with 95% intervals for the "
+    "day AFTER the corpus ends: each (type, hour-of-day) of the "
+    "target weekday forecasts its historical same-(dow,hod) stratum "
+    "mean, intervals from the stratum's own variance — the honest "
+    "baseline every fancier forecaster must beat, and the "
+    "capacity-planning readout (tomorrow's expected load ± band). "
+    "Mean/variance from integer Σ/Σ² partials (order-free, "
+    "bit-identical); strata need n≥2 for a variance. One "
+    "type×168-sized aggregate joined to a 1-row horizon.",
+)
+def events_hourly_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("cnt"))
+    horizon = ev.agg(
+        F.date_add(F.max(F.to_date("ts")), 1).cast("timestamp").alias("day0")
+    ).select("day0", F.dayofweek("day0").cast("long").alias("dow"))
+    seas = hourly.groupBy(
+        "event_type",
+        F.dayofweek("h").cast("long").alias("dow"),
+        F.hour("h").cast("long").alias("hod"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    ).filter(F.col("n") >= 2)
+    j = seas.join(F.broadcast(horizon), "dow")
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return j.select(
+        "event_type",
+        F.date_format(
+            F.col("day0") + F.make_interval(hours=F.col("hod").cast("int")),
+            "yyyy-MM-dd HH:00",
+        ).alias("forecast_hour"),
+        F.round(mean, 4).alias("forecast"),
+        F.round(mean - 1.96 * sd, 4).alias("lo_95"),
+        F.round(mean + 1.96 * sd, 4).alias("hi_95"),
+        F.col("n").alias("n_support"),
+    )

@@ -510,3 +510,41 @@ def test_gains_table_invariants(spark, sf_dir):
     total = sum(sizes)
     wavg = sum(r["lift"] * r["n_docs"] for r in rows) / total
     assert abs(wavg - 1.0) < 0.01
+
+
+def test_forecast_intervals_and_support(spark, sf_dir):
+    rows = REGISTRY["events_hourly_forecast"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    days = {r["forecast_hour"][:10] for r in rows}
+    assert len(days) == 1  # one target day
+    ev = _pq(sf_dir, "events")
+    last = ev.ts.max().date()
+    assert days == {str(last + dt.timedelta(days=1))}
+    for r in rows:
+        assert r["lo_95"] <= r["forecast"] <= r["hi_95"]
+        assert r["n_support"] >= 2
+
+
+def test_backlog_curve_monotonic_bookkeeping(spark, sf_dir):
+    rows = REGISTRY["orders_backlog_curve"].spark_fn(spark, sf_dir).collect()
+    rows.sort(key=lambda r: r["month"])
+    assert rows
+    orders = _pq(sf_dir, "orders")
+    li = _pq(sf_dir, "lineitem")
+    # final backlog == orders that never fully ship by the last date
+    done = li.groupby("l_orderkey")["l_shipdate"].max()
+    placed = set(orders.o_orderkey)
+    shipped = set(done.index) & placed
+    # last month-end backlog equals orders placed minus orders whose
+    # last shipdate <= that date
+    last_end = rows[-1]["month_end"]
+    import pandas as pd
+
+    cutoff = pd.Timestamp(last_end)
+    n_open = len(placed) - sum(
+        1 for ok in shipped if done[ok].floor("D") <= cutoff
+    )
+    # also orders placed after cutoff shouldn't count; none exist by
+    # construction (cutoff is the global max activity date)
+    assert rows[-1]["open_orders"] == n_open
+    assert all(r["open_orders"] >= 0 for r in rows)
