@@ -80,6 +80,7 @@ HEADLINE = [
     "order_fulfillment_latency",
     "customer_ltv_cohorts",
     "orders_backlog_curve",
+    "supplier_scorecard",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",
