@@ -81,6 +81,7 @@ HEADLINE = [
     "customer_ltv_cohorts",
     "orders_backlog_curve",
     "supplier_scorecard",
+    "brand_return_rate_outliers",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",
@@ -163,6 +164,7 @@ HEADLINE = [
     "events_completeness_report",
     "events_mix_drift_days",
     "events_hourly_forecast",
+    "events_top_journeys",
     "orders_customer_join_ivm",
     "orders_customer_join_ivm_deletes",
     # multimodal codec legs (PPM/PNG/JPEG images, WAV audio — real

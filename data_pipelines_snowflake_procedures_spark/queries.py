@@ -2904,3 +2904,63 @@ def customer_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r.n_pairs") - F.col("r.n_det")).alias("violations"),
         (F.col("r.n_pairs") == F.col("r.n_det")).cast("int").alias("fd_holds"),
     )
+
+
+@register(
+    "brand_return_rate_outliers",
+    """
+    WITH br AS (
+      SELECT p.p_brand,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+               AS r
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand
+    ),
+    g AS (SELECT sum(n)::BIGINT AS gn, sum(r)::BIGINT AS gr FROM br)
+    SELECT b.p_brand, b.n AS n_lineitems,
+           round(b.r / CAST(b.n AS DOUBLE), 6) AS return_rate,
+           round(g.gr / CAST(g.gn AS DOUBLE), 6) AS corpus_rate,
+           round((b.r / CAST(b.n AS DOUBLE) - g.gr / CAST(g.gn AS DOUBLE))
+                 / sqrt((g.gr / CAST(g.gn AS DOUBLE))
+                        * (1 - g.gr / CAST(g.gn AS DOUBLE)) / b.n), 4) AS z,
+           CAST(abs((b.r / CAST(b.n AS DOUBLE) - g.gr / CAST(g.gn AS DOUBLE))
+                    / sqrt((g.gr / CAST(g.gn AS DOUBLE))
+                           * (1 - g.gr / CAST(g.gn AS DOUBLE)) / b.n)) >= 2
+                AS INT) AS outlier_flag
+    FROM br b CROSS JOIN g
+    """,
+    doc="Brand return-rate outliers: each brand's share of 'R' "
+    "lineitems one-proportion z-tested against the corpus rate "
+    "(binomial null: p̂ vs p₀ with σ = √(p₀(1−p₀)/n)), |z| ≥ 2 flags "
+    "— the quality-escalation readout (which brands come back "
+    "significantly more often than the business as a whole). All "
+    "inputs are integer counts; every emitted value is a single "
+    "arithmetic expression over them — hash-exact. One fact aggregate "
+    "to brand-sized state + one broadcast 1-row corpus total.",
+)
+def brand_return_rate_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    br = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("r"),
+        )
+    )
+    g = br.agg(F.sum("n").alias("gn"), F.sum("r").alias("gr"))
+    p_hat = F.col("r") / F.col("n").cast("double")
+    p0 = F.col("gr") / F.col("gn").cast("double")
+    z = (p_hat - p0) / F.sqrt(p0 * (1 - p0) / F.col("n"))
+    return br.crossJoin(F.broadcast(g)).select(
+        "p_brand",
+        F.col("n").alias("n_lineitems"),
+        F.round(p_hat, 6).alias("return_rate"),
+        F.round(p0, 6).alias("corpus_rate"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) >= 2).cast("int").alias("outlier_flag"),
+    )

@@ -2828,3 +2828,69 @@ def events_hourly_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean + 1.96 * sd, 4).alias("hi_95"),
         F.col("n").alias("n_support"),
     )
+
+
+@register(
+    "events_top_journeys",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS a,
+             lead(event_type, 1) OVER w AS b,
+             lead(event_type, 2) OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+    ),
+    tri AS (
+      SELECT a || '>' || b || '>' || c AS journey, count(*)::BIGINT AS cnt
+      FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(cnt)::BIGINT AS n FROM tri)
+    SELECT journey, cnt,
+           round(cnt / CAST(t.n AS DOUBLE), 6) AS share,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+      SELECT journey, cnt,
+             row_number() OVER (ORDER BY cnt DESC, journey ASC) AS rnk
+      FROM tri
+    ) r CROSS JOIN tot t
+    WHERE rnk <= 20
+    """,
+    doc="Top user journeys: the 20 most frequent 3-step event-type "
+    "sequences (two leads per user over the deterministic (ts, "
+    "event_id) order) with their share of all trigram instances — "
+    "the higher-order sequence-mining companion of the first-order "
+    "Markov transition matrix. One window shuffle on user_id; the "
+    "trigram aggregate is type³-bounded (≤125 rows for 5 types) so "
+    "the final rank sorts a tiny aggregated set; integer counts and "
+    "one rounded division — hash-exact.",
+)
+def events_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    tri = seq.groupBy(
+        F.concat_ws(">", "a", "b", "c").alias("journey")
+    ).agg(F.count("*").alias("cnt"))
+    tot = tri.agg(F.sum("cnt").alias("n"))
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("journey").asc())
+    return (
+        tri.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 20)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "journey",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n").cast("double"), 6).alias("share"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -548,3 +548,34 @@ def test_backlog_curve_monotonic_bookkeeping(spark, sf_dir):
     # construction (cutoff is the global max activity date)
     assert rows[-1]["open_orders"] == n_open
     assert all(r["open_orders"] >= 0 for r in rows)
+
+
+def test_top_journeys_shares_and_rank_order(spark, sf_dir):
+    rows = REGISTRY["events_top_journeys"].spark_fn(spark, sf_dir).collect()
+    rows.sort(key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= 20
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert all(0 < r["share"] < 1 for r in rows)
+    assert all(r["journey"].count(">") == 2 for r in rows)
+
+
+def test_brand_return_rate_z_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    li = _pq(sf_dir, "lineitem")[["l_partkey", "l_returnflag"]]
+    part = _pq(sf_dir, "part")[["p_partkey", "p_brand"]]
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    j["is_r"] = (j.l_returnflag == "R").astype(int)
+    g = j.groupby("p_brand")["is_r"].agg(["count", "sum"])
+    p0 = g["sum"].sum() / g["count"].sum()
+    rows = REGISTRY["brand_return_rate_outliers"].spark_fn(spark, sf_dir).collect()
+    got = {r["p_brand"]: r for r in rows}
+    assert set(got) == set(g.index)
+    for brand, (n, r) in g.iterrows():
+        want_z = (r / n - p0) / np.sqrt(p0 * (1 - p0) / n)
+        row = got[brand]
+        assert row["n_lineitems"] == n
+        assert abs(row["z"] - want_z) < 1e-3, brand
+        assert row["outlier_flag"] == int(abs(row["z"]) >= 2)
