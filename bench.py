@@ -82,6 +82,8 @@ HEADLINE = [
     "orders_backlog_curve",
     "supplier_scorecard",
     "brand_return_rate_outliers",
+    "part_pareto_frontier",
+    "part_copurchase_kcore",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",

@@ -430,3 +430,52 @@ def bfs_hops(
         )
     sym.unpersist()
     return dist
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src_col: str = "a",
+    dst_col: str = "b",
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected simple edge list:
+    ``rounds`` synchronous iterations of "drop every node whose degree
+    in the surviving subgraph is < k", returning ``(node, deg)`` for
+    the survivors with their degree in the LAST computed subgraph (the
+    degree that passed the final filter).
+
+    The k-core is the classic cohesion filter (Seidman 1983) —
+    community cores for curation, spam-farm detection over similarity
+    graphs. A run-to-convergence peel is data-dependent and therefore
+    not oracle-unrollable; a FIXED round count is deterministic on any
+    engine (same contract as bfs_hops/pagerank) and each round only
+    tightens toward the true core (the fixpoint is reached exactly
+    when a round removes nothing).
+
+    Scale shape: one round = degree groupBy (O(|E|) shuffle) + two
+    semi-joins to drop edges touching peeled nodes. The alive set
+    shrinks monotonically, so per-round cost falls; lineage is cut
+    per round with an eager localCheckpoint (the iterative-operator
+    contract PageRank/LPA/BFS use). No driver state beyond loop
+    control.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("nbr"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("node"), F.col(src_col).alias("nbr"))
+        )
+        .filter(F.col("node") != F.col("nbr"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
+    for _ in range(rounds):
+        alive = deg.filter(F.col("deg") >= k).select("node")
+        sym = (
+            sym.join(alive, "node", "leftsemi")
+            .join(alive.select(F.col("node").alias("nbr")), "nbr", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+        deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
+    return deg.filter(F.col("deg") >= k)

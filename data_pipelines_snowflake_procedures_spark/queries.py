@@ -2964,3 +2964,112 @@ def brand_return_rate_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) >= 2).cast("int").alias("outlier_flag"),
     )
+
+
+@register(
+    "part_pareto_frontier",
+    """
+    SELECT p.p_partkey, round(p.p_retailprice, 2) AS price,
+           p.p_size AS size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+    doc="2-D Pareto frontier (skyline) over parts: every part not "
+    "dominated on (cheaper price, larger size) by any other part "
+    "(operators/skyline.py::pareto_frontier_2d). The oracle states "
+    "the DEFINITION — an O(n²) NOT EXISTS anti-join — while the "
+    "Spark plan is the sorted-scan equivalence run as a segmented "
+    "scan: groupBy(x).max(y) collapses to one candidate per distinct "
+    "price, a bucket-partitioned window takes the within-bucket "
+    "strict-prefix max, and the B per-bucket maxima fold driver-side "
+    "into an exclusive-prefix-max CASE carry — no single-partition "
+    "global window, no all-pairs join, comparisons only (bit-exact "
+    "across engines). Survivor heights broadcast back as a semi-join. "
+    "No reference counterpart (north-star preference-query "
+    "extension).",
+)
+def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skyline import pareto_frontier_2d
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return pareto_frontier_2d(part, "p_retailprice", "p_size").select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("price"),
+        F.col("p_size").alias("size"),
+    )
+
+
+def _kcore_steps_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling rounds (oracle mirror of
+    operators/graph.py::kcore): s0/d0 = symmetrized edges + degrees,
+    each round filters to >= k survivors and recomputes degrees."""
+    parts = [
+        """s0 AS (
+      SELECT a AS node, b AS nbr FROM e
+      UNION ALL SELECT b AS node, a AS nbr FROM e
+    ),
+    d0 AS (SELECT node, count(*) AS deg FROM s0 GROUP BY node)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""a{r - 1} AS (SELECT node FROM d{r - 1} WHERE deg >= {k}),
+    s{r} AS (
+      SELECT s.node, s.nbr FROM s{r - 1} s
+      WHERE s.node IN (SELECT node FROM a{r - 1})
+        AND s.nbr IN (SELECT node FROM a{r - 1})
+    ),
+    d{r} AS (SELECT node, count(*) AS deg FROM s{r} GROUP BY node)"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "part_copurchase_kcore",
+    f"""
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem
+    ),
+    e AS (
+      SELECT x.s AS a, y.s AS b
+      FROM bi x JOIN bi y ON x.ok = y.ok AND x.s < y.s
+      GROUP BY 1, 2
+    ),
+    {_kcore_steps_sql(70, 3)}
+    SELECT node, deg FROM d3 WHERE deg >= 70
+    """,
+    doc="70-core of the part co-purchase graph (parts sharing >= 1 "
+    "order; operators/graph.py::kcore): 3 fixed synchronous peeling "
+    "rounds of 'drop nodes with degree < 70 in the surviving "
+    "subgraph', emitting survivors with their final-subgraph degree "
+    "— the cohesion filter that isolates the densely co-bought "
+    "assortment core (and, on similarity graphs, spam farms). Fixed "
+    "round count keeps the computation oracle-unrollable "
+    "(run-to-convergence is data-dependent); each round is one "
+    "O(|E|) degree groupBy + two semi-joins on the shrinking alive "
+    "set, lineage cut per round with eager localCheckpoints — the "
+    "same iterative edge-list contract as PageRank/LPA/BFS. Integer "
+    "degrees, comparisons only — hash-exact.",
+)
+def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import kcore
+
+    bi = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        bi.select("ok", F.col("s").alias("a"))
+        .join(bi.select("ok", F.col("s").alias("b")), "ok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return kcore(edges, k=70, rounds=3)

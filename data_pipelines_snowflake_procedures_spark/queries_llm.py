@@ -3379,9 +3379,12 @@ def _knn_pq_oracle() -> str:
 def knn_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import knn_pq, pq_fit
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    books = pq_fit(emb, m=4, k=16, iters=2)
-    return knn_pq(emb, emb.filter(F.col("vec_id") < 5), books, k=5, rerank=3)
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    books = pq_fit(emb, m=4, k=16, iters=2)  # 4 sub-fits x 2 Lloyd actions
+    out = knn_pq(emb, emb.filter(F.col("vec_id") < 5), books, k=5, rerank=3)
+    rows = out.collect()  # k·|queries| rows — materialize, then release
+    emb.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def _knn_ivfpq_oracle() -> str:
@@ -3563,11 +3566,13 @@ def knn_ivfpq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_fit,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").persist()
     coarse = kmeans_fit(emb, k=8, iters=2)
-    res = ivf_residuals(emb, coarse)
+    # residuals feed 4 subspace fits (x2 Lloyd actions each) plus the
+    # final scan — persist so the assign+subtract join runs once
+    res = ivf_residuals(emb, coarse).persist()
     books = pq_fit(res, m=4, k=16, iters=2, emb_col="remb")
-    return knn_ivfpq(
+    out = knn_ivfpq(
         emb,
         emb.filter(F.col("vec_id") < 5),
         coarse,
@@ -3577,6 +3582,10 @@ def knn_ivfpq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=3,
         residuals=res,  # reuse the assignment pass codebook training ran
     )
+    rows = out.collect()  # k·|queries| rows — materialize, then release
+    emb.unpersist()
+    res.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @register(
@@ -3762,7 +3771,9 @@ def knn_recall_report_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
     books_raw = pq_fit(emb, m=4, k=16, iters=2)
     coarse = kmeans_fit(emb, k=8, iters=2)
-    res = ivf_residuals(emb, coarse)
+    # residuals feed 4 subspace k-means fits and BOTH ivfpq variants —
+    # without a persist the assign+subtract join re-runs per action
+    res = ivf_residuals(emb, coarse).persist()
     books_res = pq_fit(res, m=4, k=16, iters=2, emb_col="remb")
     truth = (
         knn_bruteforce(emb, queries, k=5)
@@ -3807,6 +3818,7 @@ def knn_recall_report_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     emb.unpersist()
     truth.unpersist()
+    res.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 

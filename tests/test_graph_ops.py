@@ -183,3 +183,40 @@ def test_bfs_hops_hand_graph(spark):
     lonely = spark.createDataFrame([(99,)], ["node"])
     got3 = {r["node"]: r["hops"] for r in bfs_hops(edges, lonely, iters=2, src_col="a", dst_col="b").collect()}
     assert got3 == {99: 0}
+
+
+def test_kcore_peels_tail_and_keeps_clique(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.graph import kcore
+
+    # K4 clique (deg 3 inside) + a tail 4-5-6 hanging off node 1.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        ["a", "b"],
+    )
+    # 3-core: the tail peels (6 first, then 5), K4 survives with the
+    # tail edge gone -> all four at degree 3.
+    got = {r["node"]: r["deg"] for r in kcore(edges, k=3, rounds=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # 4-core is empty (max degree in any surviving subgraph is 3)
+    assert kcore(edges, k=4, rounds=3).count() == 0
+
+
+def test_kcore_round_cap_is_a_prefix_of_convergence(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.graph import kcore
+
+    # chain 1-2-3-4-5: 2-core peeling needs several rounds to empty;
+    # each extra round only shrinks the survivor set.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["a", "b"]
+    )
+    sizes = [kcore(edges, k=2, rounds=r).count() for r in range(0, 4)]
+    assert sizes == sorted(sizes, reverse=True)
+    assert sizes[-1] == 0  # chain has no 2-core
+
+
+def test_kcore_whole_graph_survives_when_k_small(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["a", "b"])
+    got = {r["node"]: r["deg"] for r in kcore(edges, k=2, rounds=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
