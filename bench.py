@@ -84,6 +84,7 @@ HEADLINE = [
     "brand_return_rate_outliers",
     "part_pareto_frontier",
     "part_copurchase_kcore",
+    "orders_replica_reconcile",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",
