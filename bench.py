@@ -85,6 +85,7 @@ HEADLINE = [
     "part_pareto_frontier",
     "part_copurchase_kcore",
     "orders_replica_reconcile",
+    "events_join_size_advisor",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",

@@ -2894,3 +2894,47 @@ def events_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+@register(
+    "events_join_size_advisor",
+    """
+    WITH c AS (
+      SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY user_id
+    )
+    SELECT sum(c)::BIGINT AS n_rows,
+           count(*)::BIGINT AS n_keys,
+           sum(c * c)::BIGINT AS selfjoin_rows,
+           max(c)::BIGINT AS max_key_rows,
+           round(max(c) * count(*) / CAST(sum(c) AS DOUBLE), 4) AS skew_ratio,
+           CAST(ceil(max(c) * count(*) / CAST(sum(c) AS DOUBLE)) AS BIGINT)
+             AS recommended_salt
+    FROM c
+    """,
+    doc="Join pre-flight advisor for the user_id key: per-key counts "
+    "fold to the statistics a planner needs BEFORE shuffling 100 TB — "
+    "Σc² is the EXACT self-join output size (the AMS F2 moment; also "
+    "the upper bound on any equi-join's skewed-key contribution), "
+    "max(c)/avg(c) is the straggler ratio (how much longer the "
+    "hottest reducer runs than the average), and its ceiling is the "
+    "salt factor that levels it (operators/skew.py::salt_column). "
+    "One groupBy to key-sized state + one 5-value fold; integer "
+    "sums and one rounded ratio — hash-exact. The decision rule at "
+    "scale: skew_ratio near 1 → plain shuffle; >> 1 → salt by "
+    "recommended_salt or let AQE skew-join split.",
+)
+def events_join_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+    )
+    ratio = F.max("c") * F.count("*") / F.sum("c").cast("double")
+    return c.agg(
+        F.sum("c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).alias("selfjoin_rows"),
+        F.max("c").alias("max_key_rows"),
+        F.round(ratio, 4).alias("skew_ratio"),
+        F.ceil(ratio).cast("long").alias("recommended_salt"),
+    )
