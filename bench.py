@@ -86,6 +86,7 @@ HEADLINE = [
     "part_copurchase_kcore",
     "orders_replica_reconcile",
     "events_join_size_advisor",
+    "orders_bootstrap_mean_ci",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",

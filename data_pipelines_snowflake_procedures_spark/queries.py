@@ -3178,3 +3178,79 @@ def orders_replica_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "cents", "od"],
         n_buckets=64,
     )
+
+
+def _bootstrap_oracle(b: int = 200) -> str:
+    from .operators.bootstrap import poisson_case_sql
+
+    blocks = b // 8
+    u16 = (
+        "('0x' || substr(md5(CAST(k AS VARCHAR) || '|boot|' || "
+        "CAST(j AS VARCHAR)), 4 * s + 1, 4))::BIGINT"
+    )
+    lo_rn = -(-b * 25 // 1000)  # ceil(0.025 b)
+    hi_rn = -(-b * 975 // 1000)
+    return f"""
+    WITH src AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g AS (SELECT j, s FROM range({blocks}) t1(j), range(8) t2(s)),
+    w AS (
+      SELECT 8 * j + s AS r, cents, {poisson_case_sql(u16)} AS w
+      FROM src, g
+    ),
+    m AS (
+      SELECT r, sum(w * cents)::BIGINT AS swx, sum(w)::BIGINT AS sw
+      FROM w GROUP BY r
+    ),
+    means AS (
+      SELECT r, swx / CAST(sw AS DOUBLE) AS mean FROM m WHERE sw > 0
+    ),
+    ranked AS (
+      SELECT mean, row_number() OVER (ORDER BY mean, r) AS rn FROM means
+    )
+    SELECT (SELECT count(*) FROM src)::BIGINT AS n_rows,
+           CAST({b} AS BIGINT) AS b,
+           (SELECT round(sum(cents) / CAST(count(*) AS DOUBLE) / 100, 4)
+            FROM src) AS mean_price,
+           (SELECT round(mean / 100, 4) FROM ranked WHERE rn = {lo_rn})
+             AS ci_lo,
+           (SELECT round(mean / 100, 4) FROM ranked WHERE rn = {hi_rn})
+             AS ci_hi
+    """
+
+
+@register(
+    "orders_bootstrap_mean_ci",
+    _bootstrap_oracle(200),
+    doc="Percentile-bootstrap 95% CI for the mean order price via the "
+    "POISSON bootstrap (operators/bootstrap.py) — the resampling "
+    "method that works at 100 TB: instead of B index-resampled "
+    "passes, every row carries B=200 deterministic Poisson(1) "
+    "weights (md5-derived 16-bit uniforms through an integer-"
+    "threshold inverse CDF, ~1 md5 per 8 replicates) and all "
+    "replicates accumulate in ONE pass. posexplode + groupBy looks "
+    "like a B× blow-up, but map-side partial aggregation collapses "
+    "each partition to <= B rows before the exchange — the shuffle "
+    "carries B x partitions rows and the percentile rule runs over "
+    "B driver-side rows (integer rank rule, replicate-id tiebreak). "
+    "Prices pre-scaled to integer cents so weighted partial sums are "
+    "exact — hash-exact against an oracle that restates the full "
+    "draw-weight-fold chain.",
+)
+def orders_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bootstrap import bootstrap_mean_ci
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    n, mean, lo, hi = bootstrap_mean_ci(
+        src, "o_orderkey", "cents", b=200, alpha=0.05
+    )
+    return spark.createDataFrame(
+        [(n, 200, round(mean / 100, 4), round(lo / 100, 4), round(hi / 100, 4))],
+        "n_rows BIGINT, b BIGINT, mean_price DOUBLE, ci_lo DOUBLE, ci_hi DOUBLE",
+    )

@@ -1,0 +1,68 @@
+"""operators/bootstrap.py: deterministic Poisson bootstrap — draw
+distribution, determinism, CI sanity."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_pipelines_snowflake_procedures_spark.operators.bootstrap import (
+    bootstrap_mean_ci,
+    poisson1_cdf16,
+    poisson_weights,
+)
+
+
+def test_cdf16_thresholds_match_poisson1():
+    t = poisson1_cdf16()
+    cum, term = 0.0, math.exp(-1.0)
+    for k, got in enumerate(t):
+        cum += term
+        assert got == int(cum * 65536)
+        term /= k + 1
+    assert t[0] == 24109  # floor(e^-1 * 2^16)
+    assert t[-1] == 65535
+
+
+def test_weights_distribution_is_poisson1(spark):
+    df = spark.range(2000).select(F.col("id"))
+    w = df.select(
+        F.explode(poisson_weights(F.col("id"), 40)).alias("w")
+    )
+    stats = w.agg(
+        F.avg("w").alias("m"), F.var_pop("w").alias("v"), F.max("w").alias("mx")
+    ).first()
+    # Poisson(1): mean 1, variance 1
+    assert abs(stats["m"] - 1.0) < 0.02
+    assert abs(stats["v"] - 1.0) < 0.05
+    assert stats["mx"] <= 8
+    share0 = w.filter("w = 0").count() / w.count()
+    assert abs(share0 - math.exp(-1)) < 0.01
+
+
+def test_bootstrap_deterministic_and_sane(spark):
+    rows = [(i, 100 + (i * 37) % 50) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k LONG, x LONG")
+    a = bootstrap_mean_ci(df, "k", "x", b=80)
+    bb = bootstrap_mean_ci(df, "k", "x", b=80)
+    assert a == bb  # md5 draws: bit-identical across runs
+    n, mean, lo, hi = a
+    assert n == 3000
+    assert lo < mean < hi
+    true_mean = sum(x for _, x in rows) / len(rows)
+    assert lo < true_mean < hi
+    # interval is tight for n=3000 of bounded values
+    assert (hi - lo) < 3.0
+
+
+def test_ci_narrows_with_n(spark):
+    small = spark.createDataFrame(
+        [(i, (i * 13) % 100) for i in range(300)], "k LONG, x LONG"
+    )
+    big = spark.createDataFrame(
+        [(i, (i * 13) % 100) for i in range(6000)], "k LONG, x LONG"
+    )
+    _, _, lo_s, hi_s = bootstrap_mean_ci(small, "k", "x", b=80)
+    _, _, lo_b, hi_b = bootstrap_mean_ci(big, "k", "x", b=80)
+    assert (hi_b - lo_b) < (hi_s - lo_s)
