@@ -87,6 +87,7 @@ HEADLINE = [
     "orders_replica_reconcile",
     "events_join_size_advisor",
     "orders_bootstrap_mean_ci",
+    "events_signup_purchase_survival",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",

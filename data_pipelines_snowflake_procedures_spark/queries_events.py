@@ -2938,3 +2938,125 @@ def events_join_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 4).alias("skew_ratio"),
         F.ceil(ratio).cast("long").alias("recommended_salt"),
     )
+
+
+@register(
+    "events_signup_purchase_survival",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    tm AS (SELECT max(us) AS tmax FROM e),
+    s AS (
+      SELECT user_id, min(us) AS t0 FROM e
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT s.user_id, s.t0,
+             min(CASE WHEN e.event_type = 'purchase' AND e.us >= s.t0
+                      THEN e.us END) AS pt
+      FROM s LEFT JOIN e ON e.user_id = s.user_id
+      GROUP BY s.user_id, s.t0
+    ),
+    dur AS (
+      SELECT CAST((coalesce(pt, tmax) - t0) // 3600000000 AS BIGINT)
+               AS t_hours,
+             CAST(pt IS NOT NULL AS INT) AS ev
+      FROM p CROSS JOIN tm
+    ),
+    alld AS (SELECT t_hours, count(*)::BIGINT AS cnt FROM dur GROUP BY t_hours),
+    risk AS (
+      SELECT t_hours,
+             sum(cnt) OVER (
+               ORDER BY t_hours DESC ROWS UNBOUNDED PRECEDING
+             )::BIGINT AS n_risk
+      FROM alld
+    ),
+    deaths AS (
+      SELECT t_hours, count(*)::BIGINT AS d_events
+      FROM dur WHERE ev = 1 GROUP BY t_hours
+    ),
+    km AS (
+      SELECT d.t_hours, r.n_risk, d.d_events,
+             product(1 - d.d_events / CAST(r.n_risk AS DOUBLE)) OVER (
+               ORDER BY d.t_hours ASC ROWS UNBOUNDED PRECEDING
+             ) AS surv
+      FROM deaths d JOIN risk r ON r.t_hours = d.t_hours
+    )
+    SELECT t_hours, n_risk, d_events, round(surv, 6) AS survival FROM km
+    """,
+    doc="Kaplan-Meier survival curve for signup → first purchase with "
+    "right-censoring at corpus end — the time-to-conversion readout "
+    "(median time-to-convert, conversion plateau) that naive "
+    "'average days to purchase over converters only' gets WRONG by "
+    "dropping censored users. Integer-hour durations from "
+    "microsecond arithmetic; risk sets via a DESCENDING cumulative "
+    "count over the duration-sized rollup (<= hours-in-corpus rows, "
+    "never user-sized — the only ordered window). The survival "
+    "product folds sequentially over <= that many (1 - d/n) doubles "
+    "— driver-side in Spark, product() window in the oracle; both "
+    "are the same ascending left-fold of IEEE multiplies, so 6-"
+    "decimal rounding is hash-exact. Censoring convention: users "
+    "with no post-signup purchase exit at corpus-max timestamp.",
+)
+def events_signup_purchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    tm = e.agg(F.max("us").alias("tmax"))
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t0"))
+    )
+    p = (
+        s.join(e, "user_id", "left")
+        .groupBy("user_id", "t0")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") >= F.col("t0")),
+                    F.col("us"),
+                )
+            ).alias("pt")
+        )
+    )
+    dur = p.crossJoin(F.broadcast(tm)).select(
+        (
+            (F.coalesce("pt", "tmax") - F.col("t0"))
+            / F.lit(3600000000)
+        )
+        .cast("long")
+        .alias("t_hours"),
+        F.col("pt").isNotNull().cast("int").alias("ev"),
+    )
+    alld = dur.groupBy("t_hours").agg(F.count("*").alias("cnt"))
+    w_desc = Window.orderBy(F.desc("t_hours")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = alld.select(
+        "t_hours", F.sum("cnt").over(w_desc).alias("n_risk")
+    )
+    deaths = (
+        dur.filter(F.col("ev") == 1)
+        .groupBy("t_hours")
+        .agg(F.count("*").alias("d_events"))
+    )
+    km = (
+        deaths.join(risk, "t_hours")
+        .orderBy("t_hours")
+        .collect()  # <= hours-in-corpus rows — driver metadata size
+    )
+    out, surv = [], 1.0
+    for r in km:
+        surv *= 1.0 - r["d_events"] / r["n_risk"]
+        out.append(
+            (r["t_hours"], r["n_risk"], r["d_events"], round(surv, 6))
+        )
+    return spark.createDataFrame(
+        out, "t_hours BIGINT, n_risk BIGINT, d_events BIGINT, survival DOUBLE"
+    )
