@@ -88,6 +88,7 @@ HEADLINE = [
     "events_join_size_advisor",
     "orders_bootstrap_mean_ci",
     "events_signup_purchase_survival",
+    "orders_bootstrap_ci_by_priority",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",

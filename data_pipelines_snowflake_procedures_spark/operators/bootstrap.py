@@ -141,3 +141,59 @@ def poisson_case_sql(u16_sql: str, max_k: int = 8) -> str:
         for k, t in enumerate(poisson1_cdf16(max_k))
     ]
     return "CASE " + " ".join(parts) + f" ELSE {max_k} END"
+
+
+def bootstrap_group_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    b: int = 200,
+    alpha: float = 0.05,
+    seed: str = "boot",
+) -> "list[tuple]":
+    """Per-group percentile-bootstrap mean CIs in one pass: the
+    :func:`bootstrap_mean_ci` algebra with the group key carried
+    through the replicate aggregation, so state is groups × B (map-
+    side combined the same way). Returns
+    ``[(group, n_rows, mean, ci_lo, ci_hi)]`` sorted by group,
+    unrounded. The percentile rule runs per group over its B means —
+    groups × B driver-side rows (metadata-sized for dimension-like
+    group columns; for high-cardinality groups, window the rank rule
+    instead of collecting)."""
+    w = F.col("__w")
+    per = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(value_col).alias("__x"),
+            F.posexplode(poisson_weights(F.col(key_col), b, seed)).alias(
+                "__r", "__w"
+            ),
+        )
+        .groupBy("__g", "__r")
+        .agg(F.sum(w * F.col("__x")).alias("__swx"), F.sum(w).alias("__sw"))
+        .collect()
+    )
+    by_group: dict = {}
+    for p in per:
+        if p["__sw"]:
+            by_group.setdefault(p["__g"], []).append(
+                (p["__swx"] / p["__sw"], p["__r"])
+            )
+    totals = {
+        t["__g"]: t
+        for t in df.groupBy(F.col(group_col).alias("__g"))
+        .agg(F.count("*").alias("n"), F.sum(value_col).alias("s"))
+        .collect()
+    }
+    out = []
+    for g in sorted(by_group):
+        means = sorted(by_group[g])
+        lo_rn = max(math.ceil((alpha / 2) * b), 1)
+        hi_rn = min(math.ceil((1 - alpha / 2) * b), len(means))
+        t = totals[g]
+        out.append(
+            (g, int(t["n"]), t["s"] / t["n"],
+             means[lo_rn - 1][0], means[hi_rn - 1][0])
+        )
+    return out

@@ -3254,3 +3254,87 @@ def orders_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, 200, round(mean / 100, 4), round(lo / 100, 4), round(hi / 100, 4))],
         "n_rows BIGINT, b BIGINT, mean_price DOUBLE, ci_lo DOUBLE, ci_hi DOUBLE",
     )
+
+
+def _group_bootstrap_oracle(b: int = 200) -> str:
+    from .operators.bootstrap import poisson_case_sql
+
+    u16 = (
+        "('0x' || substr(md5(CAST(k AS VARCHAR) || '|boot|' || "
+        "CAST(j AS VARCHAR)), 4 * s + 1, 4))::BIGINT"
+    )
+    lo_rn = -(-b * 25 // 1000)
+    hi_rn = -(-b * 975 // 1000)
+    return f"""
+    WITH src AS (
+      SELECT o_orderpriority AS g, o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    gg AS (SELECT j, s FROM range({b // 8}) t1(j), range(8) t2(s)),
+    w AS (
+      SELECT g, 8 * j + s AS r, cents, {poisson_case_sql(u16)} AS w
+      FROM src, gg
+    ),
+    m AS (
+      SELECT g, r, sum(w * cents)::BIGINT AS swx, sum(w)::BIGINT AS sw
+      FROM w GROUP BY g, r
+    ),
+    means AS (
+      SELECT g, r, swx / CAST(sw AS DOUBLE) AS mean FROM m WHERE sw > 0
+    ),
+    ranked AS (
+      SELECT g, mean,
+             row_number() OVER (PARTITION BY g ORDER BY mean, r) AS rn,
+             count(*) OVER (PARTITION BY g) AS nb
+      FROM means
+    ),
+    tot AS (
+      SELECT g, count(*)::BIGINT AS n_rows,
+             round(sum(cents) / CAST(count(*) AS DOUBLE) / 100, 4)
+               AS mean_price
+      FROM src GROUP BY g
+    )
+    SELECT t.g AS o_orderpriority, t.n_rows, t.mean_price,
+           lo.m AS ci_lo, hi.m AS ci_hi
+    FROM tot t
+    JOIN (SELECT g, round(mean / 100, 4) AS m FROM ranked
+          WHERE rn = {lo_rn}) lo ON lo.g = t.g
+    JOIN (SELECT g, round(mean / 100, 4) AS m FROM ranked
+          WHERE rn = least({hi_rn}, nb)) hi ON hi.g = t.g
+    """
+
+
+@register(
+    "orders_bootstrap_ci_by_priority",
+    _group_bootstrap_oracle(200),
+    doc="Per-priority bootstrap mean-price CIs — the groupwise form "
+    "of orders_bootstrap_mean_ci (operators/bootstrap.py::"
+    "bootstrap_group_mean_ci): identical one-pass Poisson-weight "
+    "algebra with the group key carried through the replicate "
+    "aggregation, so distributed state is groups x B (map-side "
+    "combined) and the per-group percentile rule runs over B "
+    "driver-side means per group. The readout a naive per-group "
+    "t-interval can't give without normality assumptions: which "
+    "priority tiers' mean prices are distinguishable. Same "
+    "integer-cents exactness and integer rank rule — hash-exact.",
+)
+def orders_bootstrap_ci_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bootstrap import bootstrap_group_mean_ci
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    rows = [
+        (g, n, round(mean / 100, 4), round(lo / 100, 4), round(hi / 100, 4))
+        for g, n, mean, lo, hi in bootstrap_group_mean_ci(
+            src, "o_orderpriority", "o_orderkey", "cents", b=200
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "o_orderpriority STRING, n_rows BIGINT, mean_price DOUBLE, "
+        "ci_lo DOUBLE, ci_hi DOUBLE",
+    )

@@ -66,3 +66,33 @@ def test_ci_narrows_with_n(spark):
     _, _, lo_s, hi_s = bootstrap_mean_ci(small, "k", "x", b=80)
     _, _, lo_b, hi_b = bootstrap_mean_ci(big, "k", "x", b=80)
     assert (hi_b - lo_b) < (hi_s - lo_s)
+
+
+def test_group_bootstrap_matches_global_on_single_group(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.bootstrap import (
+        bootstrap_group_mean_ci,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, 100 + (i * 37) % 50) for i in range(1500)],
+        "g STRING, k LONG, x LONG",
+    )
+    [(g, n, mean, lo, hi)] = bootstrap_group_mean_ci(df, "g", "k", "x", b=80)
+    gn, gmean, glo, ghi = bootstrap_mean_ci(df, "k", "x", b=80)
+    assert (g, n) == ("a", 1500)
+    # same keys, same seed -> identical draws -> identical interval
+    assert (mean, lo, hi) == (gmean, glo, ghi)
+
+
+def test_group_bootstrap_separates_shifted_groups(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.bootstrap import (
+        bootstrap_group_mean_ci,
+    )
+
+    rows = [("lo", i, (i * 13) % 100) for i in range(2000)] + [
+        ("hi", 10_000 + i, 500 + (i * 13) % 100) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, k LONG, x LONG")
+    out = {g: (lo, hi) for g, _, _, lo, hi in
+           bootstrap_group_mean_ci(df, "g", "k", "x", b=80)}
+    assert out["lo"][1] < out["hi"][0]  # disjoint intervals
