@@ -89,6 +89,7 @@ HEADLINE = [
     "orders_bootstrap_mean_ci",
     "events_signup_purchase_survival",
     "orders_bootstrap_ci_by_priority",
+    "events_value_mannwhitney",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",

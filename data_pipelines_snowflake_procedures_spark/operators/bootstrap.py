@@ -13,21 +13,30 @@ bootstrap as described in e.g. Chamandy et al., "Estimating
 uncertainty for massive data streams" (Google, 2012).
 
 Determinism contract: weights derive from md5, not an RNG. One md5
-per (row, 8-replicate block) yields eight 16-bit uniforms (4 hex
-digits each); each uniform maps to a Poisson(1) draw through the
-integer-threshold inverse CDF in :func:`poisson1_cdf16` (CDF values
-pre-scaled by 2^16 and floored, so the comparison is integer-exact
+per (row, 8-replicate block); the digest's two 15-hex-digit halves
+parse to two 60-bit integers, each yielding four 15-bit uniforms by
+shift-and-mask; each uniform maps to a Poisson(1) draw through the
+integer-threshold inverse CDF in :func:`poisson1_cdf15` (CDF values
+pre-scaled by 2^15 and floored, so the comparison is integer-exact
 and restatable in any SQL engine). Weighted sums stay on integer
 inputs (callers pass integer-unit measures, e.g. cents) — partial
 sums are exact, hash-exact cross-engine.
 
-Scale shape: the weight array is a narrow expression (no UDF, no
-shuffle); ``posexplode`` + ``groupBy(replicate)`` LOOKS like a B×
+Why this exact derivation: the naive "one conv per 4 hex digits"
+costs b string-parses per row, and referencing that expression from
+an 8-arm CASE duplicates it per arm — measured 60 s at sf0.1.
+Two convs + eight integer shift/masks per digest keep the whole hot
+path in cheap codegen arithmetic (measured ~6× faster end-to-end).
+
+Scale shape: digests explode first (⌈b/8⌉ rows per input row), the
+per-digest slots are PLAIN projected expressions, and the Poisson
+CASE evaluates against the MATERIALIZED 15-bit column after the
+second explode — so nothing expensive is ever inside a lambda or
+duplicated across CASE arms. groupBy(replicate) looks like a B×
 blow-up but map-side partial aggregation collapses each partition to
-≤B rows before the exchange, so the shuffle carries B × partitions
-rows — B-sized state, corpus never moves. The final percentile rule
-runs over B rows on the driver (the k-means/PQ "model state is
-driver metadata" contract).
+≤B rows before the exchange — the shuffle carries B × partitions
+rows, and the final percentile rule runs over B rows on the driver
+(the k-means/PQ "model state is driver metadata" contract).
 """
 
 from __future__ import annotations
@@ -38,54 +47,91 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def poisson1_cdf16(max_k: int = 8) -> list[int]:
-    """Poisson(1) CDF thresholds scaled to 16-bit integers:
-    ``T[k] = floor(P(X <= k) * 2^16)``. A 16-bit uniform ``u`` maps to
+def poisson1_cdf15(max_k: int = 8) -> list[int]:
+    """Poisson(1) CDF thresholds scaled to 15-bit integers:
+    ``T[k] = floor(P(X <= k) * 2^15)``. A 15-bit uniform ``u`` maps to
     the smallest k with ``u < T[k]`` (``max_k`` if none) — the
     integer-exact inverse-CDF both engines evaluate identically."""
     cum, term = 0.0, math.exp(-1.0)
     out = []
     for k in range(max_k):
         cum += term
-        out.append(int(cum * 65536))
+        out.append(int(cum * 32768))
         term /= k + 1
     return out
 
 
-def _poisson_weight(u16: Column, thresholds: list[int]) -> Column:
+def _poisson_weight(u15: Column, thresholds: list[int]) -> Column:
+    """Inverse-CDF CASE over a 15-bit uniform. Call this on a
+    MATERIALIZED column only: each WHEN arm re-references the input
+    expression, so a compound ``u15`` would be re-evaluated per arm
+    (the measured 3× regression this module's derivation avoids)."""
     w: Column = F.lit(len(thresholds))
     for k in reversed(range(len(thresholds))):
-        w = F.when(u16 < F.lit(thresholds[k]), F.lit(k)).otherwise(w)
+        w = F.when(u15 < F.lit(thresholds[k]), F.lit(k)).otherwise(w)
     return w
 
 
-def poisson_weights(key: Column, b: int, seed: str = "boot") -> Column:
-    """Array of ``b`` deterministic Poisson(1) weights for a row key:
-    block j's md5(key|seed|j) supplies eight 16-bit uniforms (hex
-    digits 4j+1..4j+4 of the digest), each inverse-CDF-mapped. Narrow
-    expression — stays in codegen, ⌈b/8⌉ md5 calls per row."""
-    thresholds = poisson1_cdf16()
-    blocks = (b + 7) // 8
-    ks = key.cast("string")
-    arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(blocks - 1)),
-            lambda j: F.transform(
-                F.sequence(F.lit(0), F.lit(7)),
-                lambda s: _poisson_weight(
-                    F.conv(
-                        F.md5(
-                            F.concat(ks, F.lit(f"|{seed}|"), j.cast("string"))
-                        ).substr(s * F.lit(4) + 1, F.lit(4)),
-                        16,
-                        10,
-                    ).cast("long"),
-                    thresholds,
-                ),
-            ),
-        )
+def _digest_halves(key: Column, j: "Column | int", seed: str) -> tuple[Column, Column]:
+    """The two 60-bit integers of block j's md5 digest."""
+    jj = j if isinstance(j, Column) else F.lit(j)
+    h = F.md5(F.concat(key.cast("string"), F.lit(f"|{seed}|"), jj.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+        F.conv(F.substring(h, 16, 15), 16, 10).cast("long"),
     )
-    return F.slice(arr, 1, b)
+
+
+def _slot_u15(u1: Column, u2: Column, s: int) -> Column:
+    """15-bit uniform for slot s (0-7) of a digest's two halves."""
+    src = u1 if s < 4 else u2
+    return F.shiftright(src, 15 * (s % 4)).bitwiseAND(F.lit(32767))
+
+
+def poisson_weights(key: Column, b: int, seed: str = "boot") -> Column:
+    """Array of ``b`` deterministic Poisson(1) weights for a row key —
+    the readable array-form SPEC of the draw scheme (asserted
+    draw-identical to the hot-path :func:`poisson_draws` in tests).
+    Narrow expression; prefer :func:`poisson_draws` on data-sized
+    inputs (lambda-interpreted md5 makes this form slower)."""
+    thresholds = poisson1_cdf15()
+    blocks = (b + 7) // 8
+    cols = []
+    for j in range(blocks):
+        u1, u2 = _digest_halves(key, j, seed)
+        for s in range(8):
+            cols.append(_poisson_weight(_slot_u15(u1, u2, s), thresholds))
+    return F.slice(F.array(*cols), 1, b)
+
+
+def poisson_draws(df: DataFrame, key_col: str, b: int, seed: str = "boot") -> DataFrame:
+    """Exploded hot-path form of :func:`poisson_weights`: appends
+    ``(__r, __w)`` — one row per (input row, replicate). The ⌈b/8⌉
+    digests explode first; the two convs and eight shift/mask slots
+    are plain projections; the inverse-CDF CASE runs on the
+    materialized 15-bit column after the second explode. Everything
+    past the digest transform is whole-stage-codegen arithmetic."""
+    thresholds = poisson1_cdf15()
+    blocks = (b + 7) // 8
+    ks = F.col(key_col).cast("string")
+    digests = F.transform(
+        F.sequence(F.lit(0), F.lit(blocks - 1)),
+        lambda j: F.md5(F.concat(ks, F.lit(f"|{seed}|"), j.cast("string"))),
+    )
+    d1 = df.select("*", F.posexplode(digests).alias("__j", "__h"))
+    u1 = F.conv(F.substring(F.col("__h"), 1, 15), 16, 10).cast("long")
+    u2 = F.conv(F.substring(F.col("__h"), 16, 15), 16, 10).cast("long")
+    d1 = d1.withColumns({"__u1": u1, "__u2": u2})
+    slots = F.array(
+        *[_slot_u15(F.col("__u1"), F.col("__u2"), s) for s in range(8)]
+    )
+    d2 = d1.select("*", F.posexplode(slots).alias("__s", "__u"))
+    return (
+        d2.withColumn("__w", _poisson_weight(F.col("__u"), thresholds))
+        .withColumn("__r", F.col("__j") * 8 + F.col("__s"))
+        .filter(F.col("__r") < b)
+        .drop("__j", "__h", "__s", "__u", "__u1", "__u2")
+    )
 
 
 def bootstrap_mean_ci(
@@ -103,11 +149,11 @@ def bootstrap_mean_ci(
     rank rule rn = ceil(q·b) — deterministic on any engine."""
     w = F.col("__w")
     per = (
-        df.select(
-            F.col(value_col).alias("__x"),
-            F.posexplode(poisson_weights(F.col(key_col), b, seed)).alias(
-                "__r", "__w"
-            ),
+        poisson_draws(
+            df.select(F.col(key_col), F.col(value_col).alias("__x")),
+            key_col,
+            b,
+            seed,
         )
         .groupBy("__r")
         .agg(
@@ -132,13 +178,13 @@ def bootstrap_mean_ci(
     )
 
 
-def poisson_case_sql(u16_sql: str, max_k: int = 8) -> str:
-    """The SQL restatement of :func:`_poisson_weight` over a 16-bit
+def poisson_case_sql(u15_sql: str, max_k: int = 8) -> str:
+    """The SQL restatement of :func:`_poisson_weight` over a 15-bit
     uniform expression — single source for oracle queries so the
     thresholds cannot drift from the Spark side."""
     parts = [
-        f"WHEN {u16_sql} < {t} THEN {k}"
-        for k, t in enumerate(poisson1_cdf16(max_k))
+        f"WHEN {u15_sql} < {t} THEN {k}"
+        for k, t in enumerate(poisson1_cdf15(max_k))
     ]
     return "CASE " + " ".join(parts) + f" ELSE {max_k} END"
 
@@ -163,12 +209,15 @@ def bootstrap_group_mean_ci(
     instead of collecting)."""
     w = F.col("__w")
     per = (
-        df.select(
-            F.col(group_col).alias("__g"),
-            F.col(value_col).alias("__x"),
-            F.posexplode(poisson_weights(F.col(key_col), b, seed)).alias(
-                "__r", "__w"
+        poisson_draws(
+            df.select(
+                F.col(key_col),
+                F.col(group_col).alias("__g"),
+                F.col(value_col).alias("__x"),
             ),
+            key_col,
+            b,
+            seed,
         )
         .groupBy("__g", "__r")
         .agg(F.sum(w * F.col("__x")).alias("__swx"), F.sum(w).alias("__sw"))

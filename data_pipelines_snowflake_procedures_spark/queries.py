@@ -3184,9 +3184,9 @@ def _bootstrap_oracle(b: int = 200) -> str:
     from .operators.bootstrap import poisson_case_sql
 
     blocks = b // 8
-    u16 = (
-        "('0x' || substr(md5(CAST(k AS VARCHAR) || '|boot|' || "
-        "CAST(j AS VARCHAR)), 4 * s + 1, 4))::BIGINT"
+    u15 = (
+        "((CASE WHEN s < 4 THEN u1 >> (15 * s) "
+        "ELSE u2 >> (15 * (s - 4)) END) & 32767)"
     )
     lo_rn = -(-b * 25 // 1000)  # ceil(0.025 b)
     hi_rn = -(-b * 975 // 1000)
@@ -3196,10 +3196,17 @@ def _bootstrap_oracle(b: int = 200) -> str:
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders
     ),
-    g AS (SELECT j, s FROM range({blocks}) t1(j), range(8) t2(s)),
+    dg AS (
+      SELECT k, cents, j,
+             ('0x' || substr(md5(CAST(k AS VARCHAR) || '|boot|' ||
+                                 CAST(j AS VARCHAR)), 1, 15))::BIGINT AS u1,
+             ('0x' || substr(md5(CAST(k AS VARCHAR) || '|boot|' ||
+                                 CAST(j AS VARCHAR)), 16, 15))::BIGINT AS u2
+      FROM src, range({blocks}) t1(j)
+    ),
     w AS (
-      SELECT 8 * j + s AS r, cents, {poisson_case_sql(u16)} AS w
-      FROM src, g
+      SELECT 8 * j + s AS r, cents, {poisson_case_sql(u15)} AS w
+      FROM dg, range(8) t2(s)
     ),
     m AS (
       SELECT r, sum(w * cents)::BIGINT AS swx, sum(w)::BIGINT AS sw
@@ -3250,18 +3257,25 @@ def orders_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, mean, lo, hi = bootstrap_mean_ci(
         src, "o_orderkey", "cents", b=200, alpha=0.05
     )
+    # final rounding via F.round (HALF_UP, matches SQL round) — Python's
+    # round() is banker's and diverges on exact .5 ties
     return spark.createDataFrame(
-        [(n, 200, round(mean / 100, 4), round(lo / 100, 4), round(hi / 100, 4))],
+        [(n, 200, mean / 100, lo / 100, hi / 100)],
         "n_rows BIGINT, b BIGINT, mean_price DOUBLE, ci_lo DOUBLE, ci_hi DOUBLE",
+    ).select(
+        "n_rows", "b",
+        F.round("mean_price", 4).alias("mean_price"),
+        F.round("ci_lo", 4).alias("ci_lo"),
+        F.round("ci_hi", 4).alias("ci_hi"),
     )
 
 
 def _group_bootstrap_oracle(b: int = 200) -> str:
     from .operators.bootstrap import poisson_case_sql
 
-    u16 = (
-        "('0x' || substr(md5(CAST(k AS VARCHAR) || '|boot|' || "
-        "CAST(j AS VARCHAR)), 4 * s + 1, 4))::BIGINT"
+    u15 = (
+        "((CASE WHEN s < 4 THEN u1 >> (15 * s) "
+        "ELSE u2 >> (15 * (s - 4)) END) & 32767)"
     )
     lo_rn = -(-b * 25 // 1000)
     hi_rn = -(-b * 975 // 1000)
@@ -3271,10 +3285,17 @@ def _group_bootstrap_oracle(b: int = 200) -> str:
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders
     ),
-    gg AS (SELECT j, s FROM range({b // 8}) t1(j), range(8) t2(s)),
+    dg AS (
+      SELECT g, cents, j,
+             ('0x' || substr(md5(CAST(k AS VARCHAR) || '|boot|' ||
+                                 CAST(j AS VARCHAR)), 1, 15))::BIGINT AS u1,
+             ('0x' || substr(md5(CAST(k AS VARCHAR) || '|boot|' ||
+                                 CAST(j AS VARCHAR)), 16, 15))::BIGINT AS u2
+      FROM src, range({b // 8}) t1(j)
+    ),
     w AS (
-      SELECT g, 8 * j + s AS r, cents, {poisson_case_sql(u16)} AS w
-      FROM src, gg
+      SELECT g, 8 * j + s AS r, cents, {poisson_case_sql(u15)} AS w
+      FROM dg, range(8) t2(s)
     ),
     m AS (
       SELECT g, r, sum(w * cents)::BIGINT AS swx, sum(w)::BIGINT AS sw
@@ -3328,13 +3349,20 @@ def orders_bootstrap_ci_by_priority(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     rows = [
-        (g, n, round(mean / 100, 4), round(lo / 100, 4), round(hi / 100, 4))
+        (g, n, mean / 100, lo / 100, hi / 100)
         for g, n, mean, lo, hi in bootstrap_group_mean_ci(
             src, "o_orderpriority", "o_orderkey", "cents", b=200
         )
     ]
+    # F.round (HALF_UP) for emission — Python round() is banker's and
+    # diverged from the oracle on a .5 tie at sf0.001
     return spark.createDataFrame(
         rows,
         "o_orderpriority STRING, n_rows BIGINT, mean_price DOUBLE, "
         "ci_lo DOUBLE, ci_hi DOUBLE",
+    ).select(
+        "o_orderpriority", "n_rows",
+        F.round("mean_price", 4).alias("mean_price"),
+        F.round("ci_lo", 4).alias("ci_lo"),
+        F.round("ci_hi", 4).alias("ci_hi"),
     )

@@ -3379,12 +3379,15 @@ def _knn_pq_oracle() -> str:
 def knn_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import knn_pq, pq_fit
 
+    # persist spans the 4 subspace fits (x2 Lloyd actions each); the
+    # returned plan stays LAZY so its shape remains inspectable
+    # (tests/test_plans.py codes-only guard) — the final scan after
+    # unpersist re-reads parquet once, same as the pre-persist form
     emb = load_table(spark, sf_dir, "embeddings").persist()
-    books = pq_fit(emb, m=4, k=16, iters=2)  # 4 sub-fits x 2 Lloyd actions
+    books = pq_fit(emb, m=4, k=16, iters=2)
     out = knn_pq(emb, emb.filter(F.col("vec_id") < 5), books, k=5, rerank=3)
-    rows = out.collect()  # k·|queries| rows — materialize, then release
     emb.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return out
 
 
 def _knn_ivfpq_oracle() -> str:
@@ -3566,10 +3569,12 @@ def knn_ivfpq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_fit,
     )
 
+    # persists span the coarse fit + 4 residual subspace fits; the
+    # returned plan stays LAZY so its shape remains inspectable
+    # (tests/test_plans.py codes-only guard) — the final scan after
+    # unpersist recomputes the residual join once, same as before
     emb = load_table(spark, sf_dir, "embeddings").persist()
     coarse = kmeans_fit(emb, k=8, iters=2)
-    # residuals feed 4 subspace fits (x2 Lloyd actions each) plus the
-    # final scan — persist so the assign+subtract join runs once
     res = ivf_residuals(emb, coarse).persist()
     books = pq_fit(res, m=4, k=16, iters=2, emb_col="remb")
     out = knn_ivfpq(
@@ -3582,10 +3587,9 @@ def knn_ivfpq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=3,
         residuals=res,  # reuse the assignment pass codebook training ran
     )
-    rows = out.collect()  # k·|queries| rows — materialize, then release
     emb.unpersist()
     res.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return out
 
 
 @register(

@@ -9,20 +9,20 @@ from pyspark.sql import functions as F
 
 from data_pipelines_snowflake_procedures_spark.operators.bootstrap import (
     bootstrap_mean_ci,
-    poisson1_cdf16,
+    poisson1_cdf15,
     poisson_weights,
 )
 
 
-def test_cdf16_thresholds_match_poisson1():
-    t = poisson1_cdf16()
+def test_cdf15_thresholds_match_poisson1():
+    t = poisson1_cdf15()
     cum, term = 0.0, math.exp(-1.0)
     for k, got in enumerate(t):
         cum += term
-        assert got == int(cum * 65536)
+        assert got == int(cum * 32768)
         term /= k + 1
-    assert t[0] == 24109  # floor(e^-1 * 2^16)
-    assert t[-1] == 65535
+    assert t[0] == int(math.exp(-1) * 32768)  # ~12055
+    assert t[-1] == 32767
 
 
 def test_weights_distribution_is_poisson1(spark):
@@ -96,3 +96,18 @@ def test_group_bootstrap_separates_shifted_groups(spark):
     out = {g: (lo, hi) for g, _, _, lo, hi in
            bootstrap_group_mean_ci(df, "g", "k", "x", b=80)}
     assert out["lo"][1] < out["hi"][0]  # disjoint intervals
+
+
+def test_poisson_draws_identical_to_array_form(spark):
+    from data_pipelines_snowflake_procedures_spark.operators.bootstrap import (
+        poisson_draws,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "k LONG")
+    arr = df.select(
+        "k", F.posexplode(poisson_weights(F.col("k"), 20)).alias("r", "w")
+    )
+    ex = poisson_draws(df, "k", 20).select("k", F.col("__r").alias("r"), F.col("__w").alias("w"))
+    a = {(x["k"], x["r"]): x["w"] for x in arr.collect()}
+    b = {(x["k"], x["r"]): x["w"] for x in ex.collect()}
+    assert a == b

@@ -86,3 +86,26 @@ def test_unpruned_scan_warning(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")  # 16 columns, no filter
     rep = plan_report(li)
     assert any("unpruned" in w for w in rep["warnings"])
+
+
+def test_new_round6_entries_plan_budgets(spark, sf_dir):
+    """The round-6 additions hold their stated shuffle/join budgets."""
+    # pareto: groupBy(x) + bucket window + broadcast semi-join back —
+    # no sort-merge, no cartesian
+    df = REGISTRY["part_pareto_frontier"].spark_fn(spark, sf_dir)
+    rep = assert_plan(df, forbid=("SortMergeJoin", "CartesianProduct"))
+    assert rep["row_python"] == 0
+
+    # join-size advisor: one groupBy + one global fold
+    df = REGISTRY["events_join_size_advisor"].spark_fn(spark, sf_dir)
+    rep = assert_plan(df, max_shuffles=2, forbid=("SortMergeJoin",))
+
+    # Mann-Whitney: rollup groupBy + rollup window + global fold
+    df = REGISTRY["events_value_mannwhitney"].spark_fn(spark, sf_dir)
+    rep = assert_plan(df, max_shuffles=4, forbid=("SortMergeJoin",))
+    assert rep["row_python"] == 0
+
+    # replica reconcile: two digest groupBys + one 64-row join
+    df = REGISTRY["orders_replica_reconcile"].spark_fn(spark, sf_dir)
+    rep = assert_plan(df, forbid=("CartesianProduct",))
+    assert rep["row_python"] == 0

@@ -579,3 +579,37 @@ def test_brand_return_rate_z_matches_numpy(spark, sf_dir):
         assert row["n_lineitems"] == n
         assert abs(row["z"] - want_z) < 1e-3, brand
         assert row["outlier_flag"] == int(abs(row["z"]) >= 2)
+
+
+def test_mannwhitney_matches_reference_formula(spark, sf_dir):
+    import math
+
+    rows = REGISTRY["events_value_mannwhitney"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # reference computation straight from the definition, pandas-side
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_type", "value"]]
+    a = sorted(ev[ev.event_type == "purchase"].value.tolist())
+    b = sorted(ev[ev.event_type == "view"].value.tolist())
+    na, nb = len(a), len(b)
+    assert (r["na"], r["nb"]) == (na, nb)
+    # U_A by direct pair counting on the smaller structure: for each a
+    # value, #b strictly below + half of equals
+    import bisect
+
+    u2 = 0
+    for x in a:
+        lo = bisect.bisect_left(b, x)
+        hi = bisect.bisect_right(b, x)
+        u2 += 2 * lo + (hi - lo)
+    assert r["u2"] == u2
+    n = na + nb
+    from collections import Counter
+
+    t = Counter(a + b)
+    ties = sum(c * c * c - c for c in t.values())
+    var = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u2 / 2.0 - na * nb / 2.0) / math.sqrt(var)
+    assert abs(r["z"] - round(z, 4)) < 1e-9
