@@ -90,6 +90,7 @@ HEADLINE = [
     "events_signup_purchase_survival",
     "orders_bootstrap_ci_by_priority",
     "events_value_mannwhitney",
+    "embeddings_covariance_incremental",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",

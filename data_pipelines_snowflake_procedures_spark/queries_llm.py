@@ -3633,6 +3633,62 @@ def embeddings_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(dim)
         for j in range(i, dim)
     ]
+    # Python round here, NOT F.round: near-zero covariances round to
+    # -0.0, whose sign Python and SQL round preserve but F.round
+    # strips — and the driver's canonical sort is sign-sensitive.
+    # (Bootstrap-style .5 ties don't arise from these doubles.)
+    return spark.createDataFrame(rows, "i INT, j INT, cov DOUBLE")
+
+
+@register(
+    "embeddings_covariance_incremental",
+    """    WITH x AS (
+      SELECT [v::DOUBLE FOR v IN embedding] AS e FROM embeddings
+    ),
+    n AS (SELECT count(*)::DOUBLE AS c FROM x),
+    u AS (
+      SELECT i, j, e[i] AS xi, e[j] AS xj
+      FROM x, unnest(range(1, 65)) AS a(i), unnest(range(1, 65)) AS b(j)
+      WHERE i <= j
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           round((sum(xi * xj) - sum(xi) * sum(xj) / any_value(n.c))
+                 / (any_value(n.c) - 1), 6) AS cov
+    FROM u, n GROUP BY i, j
+    """,
+    doc="Covariance maintained INCREMENTALLY: the corpus is split "
+    "into a base and a delta batch (by vec_id parity), each reduced "
+    "to its own (n, Sum x, X^T X) moment partials, and the fold "
+    "merges the two partial sets — proving the moment "
+    "representation is the IVM state for second-order model fits: "
+    "when 100 TB grows by a batch, only the BATCH is scanned and "
+    "its dim^2-sized partials add to the stored ones (the same "
+    "additive-state contract as the signed-partial rollup IVM "
+    "entries). Oracle: the full-corpus covariance definition — "
+    "merged-partial output must equal from-scratch output exactly "
+    "(same 6-decimal rounding).",
+)
+def embeddings_covariance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.linalg import _moment_frame, covariance_from_moments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+    parts = (
+        _moment_frame(base, "embedding").collect()
+        + _moment_frame(delta, "embedding").collect()
+    )
+    _n, _mean, cov = covariance_from_moments(parts)
+    dim = cov.shape[0]
+    rows = [
+        (i + 1, j + 1, round(float(cov[i, j]), 6))
+        for i in range(dim)
+        for j in range(i, dim)
+    ]
+    # Python round here, NOT F.round: near-zero covariances round to
+    # -0.0, whose sign Python and SQL round preserve but F.round
+    # strips — and the driver's canonical sort is sign-sensitive.
+    # (Bootstrap-style .5 ties don't arise from these doubles.)
     return spark.createDataFrame(rows, "i INT, j INT, cov DOUBLE")
 
 
