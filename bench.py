@@ -91,6 +91,7 @@ HEADLINE = [
     "orders_bootstrap_ci_by_priority",
     "events_value_mannwhitney",
     "embeddings_covariance_incremental",
+    "brand_return_fdr",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",

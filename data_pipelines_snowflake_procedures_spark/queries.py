@@ -3366,3 +3366,116 @@ def orders_bootstrap_ci_by_priority(spark: SparkSession, sf_dir: str) -> DataFra
         F.round("ci_lo", 4).alias("ci_lo"),
         F.round("ci_hi", 4).alias("ci_hi"),
     )
+
+
+def _bh_thresholds(m: int = 25, q: float = 0.10) -> list[float]:
+    """|z| cutoffs for Benjamini-Hochberg at rank k: the two-sided
+    p-value p = 2(1-Φ(|z|)) satisfies p <= k·q/m exactly when
+    |z| >= Φ⁻¹(1 - k·q/(2m)). Computing the inverse CDF ONCE on the
+    driver (stdlib NormalDist) and shipping full-precision literals to
+    BOTH engines removes every transcendental from the distributed
+    plan — the comparison is plain double arithmetic, hash-exact."""
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    return [nd.inv_cdf(1 - (k * q / m) / 2) for k in range(1, m + 1)]
+
+
+def _brand_fdr_oracle() -> str:
+    th_case = " ".join(
+        f"WHEN {k + 1} THEN {t!r}" for k, t in enumerate(_bh_thresholds())
+    )
+    return f"""
+    WITH br AS (
+      SELECT p.p_brand, count(*)::BIGINT AS n,
+             sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS r
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand
+    ),
+    g AS (SELECT sum(n)::BIGINT AS gn, sum(r)::BIGINT AS gr FROM br),
+    z AS (
+      SELECT p_brand, n,
+             round((b.r / CAST(b.n AS DOUBLE) - g.gr / CAST(g.gn AS DOUBLE))
+                   / sqrt((g.gr / CAST(g.gn AS DOUBLE))
+                          * (1 - g.gr / CAST(g.gn AS DOUBLE)) / b.n), 4) AS z
+      FROM br b CROSS JOIN g
+    ),
+    rk AS (
+      SELECT p_brand, n, z,
+             row_number() OVER (ORDER BY abs(z) DESC, p_brand ASC)
+               AS bh_rank
+      FROM z
+    ),
+    cond AS (
+      SELECT *, CAST(abs(z) >= (CASE bh_rank {th_case} END) AS INT) AS pass_k
+      FROM rk
+    ),
+    kmax AS (SELECT coalesce(max(CASE WHEN pass_k = 1 THEN bh_rank END), 0)
+               AS k FROM cond)
+    SELECT p_brand, n, z, bh_rank,
+           CAST(bh_rank <= kmax.k AS INT) AS bh_significant
+    FROM cond CROSS JOIN kmax
+    """
+
+
+@register(
+    "brand_return_fdr",
+    _brand_fdr_oracle(),
+    doc="Benjamini-Hochberg FDR control (q=0.10) over the 25 brand "
+    "return-rate z-tests — the multiple-testing correction "
+    "brand_return_rate_outliers needs before anyone acts on it: "
+    "screening 25 brands at |z|>=2 expects ~1 false alarm by chance; "
+    "BH bounds the expected FALSE-DISCOVERY share of the flagged set "
+    "instead. The rank-k p-value comparison p_(k) <= k*q/m is "
+    "restated in |z| space against inverse-normal cutoffs computed "
+    "ONCE driver-side (stdlib NormalDist) and embedded as full-"
+    "precision literals in both engines — no erf/exp anywhere in the "
+    "distributed plan, so the comparison is exact double arithmetic "
+    "on a z that both engines derive from identical integer-count "
+    "expressions. Ranks order by the ROUNDED z (the rank-window "
+    "contract) over the brand-sized rollup; the step-up cutoff is "
+    "max(rank passing) via one tiny window. Hash-exact.",
+)
+def brand_return_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    br = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("r"),
+        )
+    )
+    g = br.agg(F.sum("n").alias("gn"), F.sum("r").alias("gr"))
+    p_hat = F.col("r") / F.col("n").cast("double")
+    p0 = F.col("gr") / F.col("gn").cast("double")
+    z = F.round((p_hat - p0) / F.sqrt(p0 * (1 - p0) / F.col("n")), 4)
+    zs = br.crossJoin(F.broadcast(g)).select(
+        "p_brand", "n", z.alias("z")
+    )
+    w_rank = Window.orderBy(F.desc(F.abs(F.col("z"))), F.asc("p_brand"))
+    th = F.lit(None).cast("double")
+    for k, t in enumerate(_bh_thresholds()):
+        th = F.when(F.col("bh_rank") == k + 1, F.lit(t)).otherwise(th)
+    ranked = zs.withColumn("bh_rank", F.row_number().over(w_rank)).withColumn(
+        "__pass", (F.abs(F.col("z")) >= th).cast("int")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ranked.withColumn(
+        "__k",
+        F.coalesce(
+            F.max(F.when(F.col("__pass") == 1, F.col("bh_rank"))).over(w_all),
+            F.lit(0),
+        ),
+    ).select(
+        "p_brand",
+        "n",
+        "z",
+        "bh_rank",
+        (F.col("bh_rank") <= F.col("__k")).cast("int").alias("bh_significant"),
+    )
