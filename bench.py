@@ -92,6 +92,7 @@ HEADLINE = [
     "events_value_mannwhitney",
     "embeddings_covariance_incremental",
     "brand_return_fdr",
+    "events_hourly_conformal_forecast",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",
