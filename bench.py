@@ -93,6 +93,7 @@ HEADLINE = [
     "embeddings_covariance_incremental",
     "brand_return_fdr",
     "events_hourly_conformal_forecast",
+    "events_cuped_ab_adjustment",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",
