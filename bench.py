@@ -94,6 +94,7 @@ HEADLINE = [
     "brand_return_fdr",
     "events_hourly_conformal_forecast",
     "events_cuped_ab_adjustment",
+    "multimodal_exif_documents",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",

@@ -3397,3 +3397,82 @@ def events_cuped_ab_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(vy > 0, cxy * cxy / (vx * vy)).otherwise(F.lit(0.0)), 6
         ).alias("var_reduction"),
     )
+
+
+@register(
+    "multimodal_exif_documents",
+    """
+    SELECT doc_id,
+           'Cam-' || CAST(('0x' || substr(md5('mk|' ||
+               CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS VARCHAR)
+             AS make,
+           CAST(1 + ('0x' || substr(md5('or|' ||
+               CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS BIGINT)
+             AS orientation,
+           CAST(100 * (1 + ('0x' || substr(md5('iso|' ||
+               CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32) AS BIGINT)
+             AS iso
+    FROM documents
+    """,
+    doc="EXIF metadata extraction over a JPEG corpus "
+    "(operators/exif.py): per document, an APP1 segment (TIFF IFD0 "
+    "+ Exif sub-IFD, built by the independent fixture WRITER from "
+    "md5-planted camera fields) is spliced into a real baseline "
+    "JPEG, and the Spark side recovers make/orientation/ISO by "
+    "parsing the bytes back — marker walk, endian-aware IFD decode, "
+    "inline-vs-offset values. The oracle computes the PLANTED "
+    "values directly from the same md5 rules, so a hash match "
+    "proves the full write→embed→parse loop, not parser-vs-itself. "
+    "Arrow-batched mapInPandas (one Python crossing per batch — the "
+    "multimodal contract); typed-metadata extraction is the "
+    "curation primitive behind orientation normalization and "
+    "camera-source dedup. Corrupt/absent APP1 yields NULLs, never "
+    "an executor death.",
+)
+def multimodal_exif_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F401
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def per_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from .operators.exif import build_exif_app1, extract_exif, insert_app1
+        from .operators.jpeg import encode_jpeg
+
+        base = encode_jpeg(np.full((2, 2, 3), 128, dtype=np.uint8))
+
+        def h(seed: str, doc_id: int) -> int:
+            return int(
+                hashlib.md5(f"{seed}|{doc_id}".encode()).hexdigest()[:15], 16
+            )
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                fields = {
+                    "make": f"Cam-{h('mk', d) % 5}",
+                    "orientation": 1 + h("or", d) % 8,
+                    "iso": 100 * (1 + h("iso", d) % 32),
+                }
+                payload = insert_app1(base, build_exif_app1(fields))
+                got = extract_exif(payload)  # parse the BYTES back
+                rows.append(
+                    (d, got.get("make"), got.get("orientation"), got.get("iso"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "make", "orientation", "iso"]
+            )
+
+    return docs.mapInPandas(
+        per_batches,
+        schema="doc_id BIGINT, make STRING, orientation BIGINT, iso BIGINT",
+    )
