@@ -1212,3 +1212,67 @@ def frame_sample_plan(
     the decode of sampled frames happens later in ``extract_features``-
     style batches, so the expensive Python step runs on 1/N of rows."""
     return df.filter((F.col(id_col) % every_n) == 0)
+
+
+def image_vdhash(pixels: "Any") -> tuple[int, int]:
+    """Vertical difference-hash of an H×W×3 image at its native
+    width (the perceptual-hash primitive behind image near-dup
+    detection, dHash family): rows split into 9 blocks by the integer
+    rule ``block(r) = r*9 // H``; per (block, column) the CHANNEL-SUM
+    total is compared against the next block via integer
+    cross-multiplication (``S_b·n_{b+1} > S_{b+1}·n_b`` — no
+    division, so any engine reproduces the bits exactly; empty blocks
+    have n=0 and lose every comparison). 8 block-pairs × first 8
+    columns = 64 bits, returned as two 32-bit ints (hi bits 32-63,
+    lo 0-31) to stay inside signed ranges everywhere.
+
+    Robustness intuition: bits encode the LUMINANCE GRADIENT between
+    vertical neighbourhoods, so small byte-level perturbations flip
+    few bits and Hamming distance ranks near-duplicates — the same
+    banding machinery as SimHash then finds pairs without an
+    all-pairs join."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.int64)
+    h, w = px.shape[0], px.shape[1]
+    gray = px.sum(axis=2)  # per-pixel channel total (int)
+    blocks = (np.arange(h) * 9) // h
+    s = np.zeros((9, w), dtype=np.int64)
+    np.add.at(s, blocks, gray)
+    n = np.bincount(blocks, minlength=9).astype(np.int64)
+    hi = lo = 0
+    for b in range(8):
+        for c in range(min(w, 8)):
+            k = b * 8 + c
+            bit = 1 if s[b, c] * n[b + 1] > s[b + 1, c] * n[b] else 0
+            if k < 32:
+                lo |= bit << k
+            else:
+                hi |= bit << (k - 32)
+    return hi, lo
+
+
+def ppm_pixels(payload: bytes) -> "Any":
+    """H×W×3 uint8 array from a binary P6 PPM (the pixel-granting
+    sibling of :func:`decode_ppm`, which returns stats only)."""
+    import numpy as np
+
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4 and i < len(payload):
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    if tokens[0] != b"P6":
+        raise ValueError("ppm_pixels: binary P6 only")
+    w, h = int(tokens[1]), int(tokens[2])
+    data = payload[i + 1 : i + 1 + w * h * 3]
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)

@@ -3476,3 +3476,101 @@ def multimodal_exif_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_batches,
         schema="doc_id BIGINT, make STRING, orientation BIGINT, iso BIGINT",
     )
+
+
+@register(
+    "image_dhash_documents",
+    """
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n,
+             greatest(CAST(ceil(octet_length(encode(text)) / 24.0)
+                           AS BIGINT), 1) AS hh
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, hh, r.r, c.c,
+             (CASE WHEN 24 * r.r + 3 * c.c + 1 <= n THEN
+                strpos('123456789ABCDEF', substr(h, 2*(24*r.r + 3*c.c) + 1, 1)) * 16
+              + strpos('123456789ABCDEF', substr(h, 2*(24*r.r + 3*c.c) + 2, 1))
+              ELSE 0 END
+            + CASE WHEN 24 * r.r + 3 * c.c + 2 <= n THEN
+                strpos('123456789ABCDEF', substr(h, 2*(24*r.r + 3*c.c + 1) + 1, 1)) * 16
+              + strpos('123456789ABCDEF', substr(h, 2*(24*r.r + 3*c.c + 1) + 2, 1))
+              ELSE 0 END
+            + CASE WHEN 24 * r.r + 3 * c.c + 3 <= n THEN
+                strpos('123456789ABCDEF', substr(h, 2*(24*r.r + 3*c.c + 2) + 1, 1)) * 16
+              + strpos('123456789ABCDEF', substr(h, 2*(24*r.r + 3*c.c + 2) + 2, 1))
+              ELSE 0 END) AS gray
+      FROM hx, unnest(range(0, hh)) AS r(r), unnest(range(0, 8)) AS c(c)
+    ),
+    bs AS (
+      SELECT doc_id, (r * 9) // hh AS b, c,
+             sum(gray)::BIGINT AS s, count(*)::BIGINT AS nb
+      FROM px GROUP BY 1, 2, 3
+    ),
+    dense AS (
+      SELECT hx.doc_id, g1.b, g2.c,
+             coalesce(bs.s, 0)::BIGINT AS s, coalesce(bs.nb, 0)::BIGINT AS nb
+      FROM hx
+      CROSS JOIN unnest(range(0, 9)) AS g1(b)
+      CROSS JOIN unnest(range(0, 8)) AS g2(c)
+      LEFT JOIN bs ON bs.doc_id = hx.doc_id AND bs.b = g1.b AND bs.c = g2.c
+    ),
+    bits AS (
+      SELECT x.doc_id, x.b * 8 + x.c AS k,
+             CASE WHEN x.s * y.nb > y.s * x.nb THEN 1 ELSE 0 END AS bit
+      FROM dense x JOIN dense y
+        ON y.doc_id = x.doc_id AND y.b = x.b + 1 AND y.c = x.c
+      WHERE x.b < 8
+    )
+    SELECT doc_id,
+           sum(CASE WHEN k >= 32 THEN bit::BIGINT << (k - 32) ELSE 0 END)::BIGINT
+             AS dhash_hi,
+           sum(CASE WHEN k < 32 THEN bit::BIGINT << k ELSE 0 END)::BIGINT
+             AS dhash_lo
+    FROM bits GROUP BY doc_id
+    """,
+    doc="Perceptual image hash (vertical dHash) over the rendered "
+    "corpus: each document's bytes become a real 8-px-wide PPM "
+    "(attach_binary), the Spark side DECODES the image and hashes "
+    "the luminance gradient between 9 row-blocks "
+    "(operators/multimodal.py::image_vdhash — integer cross-"
+    "multiplied block comparisons, no division, 64 bits as two "
+    "32-bit halves), and the oracle recomputes every bit from the "
+    "SOURCE text bytes in pure SQL (hex-pair extraction, the audio-"
+    "entry pattern) — so the hash match proves render → decode → "
+    "block-sum → bit algebra end-to-end. dHash is the image-dedup "
+    "primitive: near-duplicate images differ in few bits, and the "
+    "SimHash Hamming-banding machinery (dedup.py) finds pairs "
+    "without an all-pairs join. Arrow-batched mapInPandas decode; "
+    "one narrow pass, no shuffle beyond the final nothing.",
+)
+def image_dhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F401
+
+    from .operators.multimodal import attach_binary
+
+    media = attach_binary(
+        load_table(spark, sf_dir, "documents"), payload_format="ppm"
+    ).select("doc_id", "payload")
+
+    def per_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .operators.multimodal import image_vdhash, ppm_pixels
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                hi, lo = image_vdhash(ppm_pixels(bytes(payload)))
+                rows.append((int(doc_id), hi, lo))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash_hi", "dhash_lo"])
+
+    return media.mapInPandas(
+        per_batches, schema="doc_id BIGINT, dhash_hi BIGINT, dhash_lo BIGINT"
+    )

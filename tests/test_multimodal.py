@@ -1124,3 +1124,58 @@ def test_extract_features_decodes_gif_payloads(spark):
             (ppm_row["mean_r"] + ppm_row["mean_g"] + ppm_row["mean_b"]) / 3, 3
         )
         assert round(row["mean_r"], 3) == gray
+
+
+def test_image_vdhash_perturbation_locality():
+    """dHash contract: a small pixel perturbation flips few bits; a
+    different image flips many."""
+    import numpy as np
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        image_vdhash,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (40, 8, 3)).astype(np.uint8)
+    near = img.copy()
+    near[5, 3] = (int(near[5, 3, 0]) + 9) % 256  # one pixel nudged
+    other = rng.randint(0, 256, (40, 8, 3)).astype(np.uint8)
+
+    def bits(t):
+        return (t[0] << 32) | t[1]
+
+    def ham(a, b):
+        return bin(bits(a) ^ bits(b)).count("1")
+
+    h0, hn, ho = image_vdhash(img), image_vdhash(near), image_vdhash(other)
+    assert ham(h0, hn) <= 4
+    assert ham(h0, ho) >= 12
+    assert image_vdhash(img) == h0  # deterministic
+
+
+def test_image_vdhash_short_image_empty_blocks():
+    import numpy as np
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        image_vdhash,
+    )
+
+    # 2 rows < 9 blocks: empty blocks lose every comparison (bit 0),
+    # and the call must not divide by the zero counts
+    img = np.full((2, 8, 3), 200, dtype=np.uint8)
+    hi, lo = image_vdhash(img)
+    assert hi >= 0 and lo >= 0
+
+
+def test_ppm_pixels_round_trip():
+    import numpy as np
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        ppm_pixels,
+    )
+
+    raw = bytes(range(48))
+    payload = b"P6\n8 2\n255\n" + raw
+    px = ppm_pixels(payload)
+    assert px.shape == (2, 8, 3)
+    assert bytes(px.tobytes()) == raw
