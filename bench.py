@@ -96,6 +96,7 @@ HEADLINE = [
     "events_cuped_ab_adjustment",
     "multimodal_exif_documents",
     "image_dhash_documents",
+    "multimodal_sniff_documents",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",

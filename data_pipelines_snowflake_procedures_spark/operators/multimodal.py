@@ -1276,3 +1276,29 @@ def ppm_pixels(payload: bytes) -> "Any":
     w, h = int(tokens[1]), int(tokens[2])
     data = payload[i + 1 : i + 1 + w * h * 3]
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def sniff_media_type(payload: bytes) -> str:
+    """Magic-byte media-type detection — the ingest-side classifier a
+    mixed binary corpus needs BEFORE any decode dispatch (file
+    extensions lie; bytes do not). Pure prefix checks over the
+    container's supported formats; 'unknown' for everything else
+    (never raises — same defensive contract as the decoders)."""
+    p = payload
+    if p[:2] == b"\xff\xd8":
+        return "image/jpeg"
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image/png"
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
+    if p[:2] == b"BM":
+        return "image/bmp"
+    if p[:2] in (b"P6", b"P3") and (len(p) > 2 and p[2:3].isspace()):
+        return "image/ppm"
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        return "audio/wav"
+    if p[:9] == b"YUV4MPEG2":
+        return "video/y4m"
+    if p[:4] in (b"II*\x00", b"MM\x00*"):
+        return "image/tiff"
+    return "application/octet-stream"

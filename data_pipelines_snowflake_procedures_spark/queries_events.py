@@ -3574,3 +3574,63 @@ def image_dhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         per_batches, schema="doc_id BIGINT, dhash_hi BIGINT, dhash_lo BIGINT"
     )
+
+
+@register(
+    "multimodal_sniff_documents",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'image/ppm'
+             WHEN 1 THEN 'image/png'
+             WHEN 2 THEN 'image/jpeg'
+             ELSE 'image/gif'
+           END AS sniffed
+    FROM documents
+    """,
+    doc="Magic-byte media-type sniffing over a MIXED binary corpus "
+    "(operators/multimodal.py::sniff_media_type): documents render "
+    "into four real container formats by doc_id stripe (the "
+    "multimodal_features fixture), the payload's declared kind is "
+    "DROPPED, and the Spark side recovers the type from bytes alone "
+    "— the ingest-dispatch step a real crawl needs because "
+    "extensions lie. The oracle states the planted stripe mapping, "
+    "so a hash match proves every render produced a payload whose "
+    "magic bytes identify it correctly. Narrow mapInPandas pass "
+    "(Arrow-batched); prefix checks only — no decode.",
+)
+def multimodal_sniff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F401
+
+    from .operators.multimodal import attach_binary
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = None
+    for i, fmt in enumerate(("ppm", "png", "jpeg", "gif")):
+        part = attach_binary(
+            docs.filter(F.col("doc_id") % 4 == i), payload_format=fmt
+        ).select("doc_id", "payload")
+        media = part if media is None else media.unionByName(part)
+
+    def per_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .operators.multimodal import sniff_media_type
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "sniffed": [
+                        sniff_media_type(bytes(p)) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(
+        per_batches, schema="doc_id BIGINT, sniffed STRING"
+    )

@@ -1179,3 +1179,39 @@ def test_ppm_pixels_round_trip():
     px = ppm_pixels(payload)
     assert px.shape == (2, 8, 3)
     assert bytes(px.tobytes()) == raw
+
+
+def test_sniff_media_type_all_formats_and_unknown():
+    import numpy as np
+
+    from data_pipelines_snowflake_procedures_spark.operators.exif import (
+        build_exif_app1,
+        insert_app1,
+    )
+    from data_pipelines_snowflake_procedures_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        encode_gif,
+        encode_png,
+        encode_wav,
+        encode_y4m,
+        sniff_media_type,
+    )
+
+    img = np.full((2, 2, 3), 100, dtype=np.uint8)
+    assert sniff_media_type(encode_jpeg(img)) == "image/jpeg"
+    # EXIF-bearing JPEG still sniffs as JPEG
+    assert (
+        sniff_media_type(insert_app1(encode_jpeg(img), build_exif_app1({"orientation": 1})))
+        == "image/jpeg"
+    )
+    assert sniff_media_type(encode_png(img)) == "image/png"
+    assert sniff_media_type(encode_gif(img)) == "image/gif"
+    assert sniff_media_type(b"P6\n2 2\n255\n" + b"\x00" * 12) == "image/ppm"
+    assert sniff_media_type(encode_wav(b"\x00\x01\x02")) == "audio/wav"
+    assert sniff_media_type(encode_y4m(img[:, :, 0][None])) == "video/y4m"
+    assert sniff_media_type(b"II*\x00rest") == "image/tiff"
+    assert sniff_media_type(b"BMxxxx") == "image/bmp"
+    assert sniff_media_type(b"\x00nonsense") == "application/octet-stream"
+    assert sniff_media_type(b"") == "application/octet-stream"
