@@ -97,6 +97,7 @@ HEADLINE = [
     "multimodal_exif_documents",
     "image_dhash_documents",
     "multimodal_sniff_documents",
+    "image_neardup_pairs_documents",
     # LLM training-data operators (full-table, scale with SF)
     "text_profile_documents",
     "text_repetition_documents",

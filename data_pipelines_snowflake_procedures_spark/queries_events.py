@@ -3478,10 +3478,11 @@ def multimodal_exif_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "image_dhash_documents",
-    """
-    WITH hx AS (
+def _dhash_cte_sql() -> str:
+    """CTE chain computing per-doc (doc_id, dhash_hi, dhash_lo) from
+    document bytes in pure SQL — shared by the per-doc hash oracle
+    and the near-dup pair oracle so the bit algebra cannot drift."""
+    return """    WITH hx AS (
       SELECT doc_id, hex(encode(text)) AS h,
              octet_length(encode(text)) AS n,
              greatest(CAST(ceil(octet_length(encode(text)) / 24.0)
@@ -3523,13 +3524,22 @@ def multimodal_exif_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dense x JOIN dense y
         ON y.doc_id = x.doc_id AND y.b = x.b + 1 AND y.c = x.c
       WHERE x.b < 8
-    )
-    SELECT doc_id,
-           sum(CASE WHEN k >= 32 THEN bit::BIGINT << (k - 32) ELSE 0 END)::BIGINT
-             AS dhash_hi,
-           sum(CASE WHEN k < 32 THEN bit::BIGINT << k ELSE 0 END)::BIGINT
-             AS dhash_lo
-    FROM bits GROUP BY doc_id
+    ),
+    dh AS (
+      SELECT doc_id,
+             sum(CASE WHEN k >= 32 THEN bit::BIGINT << (k - 32) ELSE 0 END)::BIGINT
+               AS dhash_hi,
+             sum(CASE WHEN k < 32 THEN bit::BIGINT << k ELSE 0 END)::BIGINT
+               AS dhash_lo
+      FROM bits GROUP BY doc_id
+    )"""
+
+
+@register(
+    "image_dhash_documents",
+    f"""
+    {_dhash_cte_sql()}
+    SELECT doc_id, dhash_hi, dhash_lo FROM dh
     """,
     doc="Perceptual image hash (vertical dHash) over the rendered "
     "corpus: each document's bytes become a real 8-px-wide PPM "
@@ -3546,7 +3556,9 @@ def multimodal_exif_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "without an all-pairs join. Arrow-batched mapInPandas decode; "
     "one narrow pass, no shuffle beyond the final nothing.",
 )
-def image_dhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (doc_id, dhash_hi, dhash_lo): render → decode → hash,
+    shared by the hash entry and the near-dup pair entry."""
     from collections.abc import Iterator
 
     import pandas as pd  # noqa: F401
@@ -3574,6 +3586,10 @@ def image_dhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         per_batches, schema="doc_id BIGINT, dhash_hi BIGINT, dhash_lo BIGINT"
     )
+
+
+def image_dhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dhash_df(spark, sf_dir)
 
 
 @register(
@@ -3634,3 +3650,86 @@ def multimodal_sniff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         per_batches, schema="doc_id BIGINT, sniffed STRING"
     )
+
+
+@register(
+    "image_neardup_pairs_documents",
+    f"""
+    {_dhash_cte_sql()},
+    bands AS (
+      SELECT doc_id, dhash_hi, dhash_lo, b.b,
+             CASE b.b
+               WHEN 0 THEN dhash_lo & 65535
+               WHEN 1 THEN (dhash_lo >> 16) & 65535
+               WHEN 2 THEN dhash_hi & 65535
+               ELSE (dhash_hi >> 16) & 65535
+             END AS bv
+      FROM dh CROSS JOIN unnest(range(0, 4)) AS b(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.dhash_hi AS ha, x.dhash_lo AS la,
+             y.dhash_hi AS hb, y.dhash_lo AS lb
+      FROM bands x JOIN bands y
+        ON y.b = x.b AND y.bv = x.bv AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6
+    """,
+    doc="Image near-duplicate pairs via dHash banding — the end-use "
+    "of the perceptual hash: the 64-bit dHash splits into four "
+    "16-bit bands, candidate pairs share at least one band exactly "
+    "(pigeonhole: any pair within Hamming 6 of 64 bits must agree "
+    "on >= 1 of 4 bands... within Hamming 3 it is guaranteed; 6 is "
+    "the verify threshold, so banding is a high-recall blocking "
+    "heuristic, NOT all-pairs), and only candidates pay the "
+    "bit_count(xor) verification — the SimHash machinery applied to "
+    "pixels. The corpus's planted near-dup texts render to near-dup "
+    "images, so the pair set is non-trivially non-empty. Oracle "
+    "restates hash + banding + Hamming from source bytes. One "
+    "band-key shuffle; candidate set bounded by bucket sizes.",
+)
+def image_neardup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dh = _dhash_df(spark, sf_dir)
+    bands = dh.select(
+        "doc_id",
+        "dhash_hi",
+        "dhash_lo",
+        F.posexplode(
+            F.array(
+                F.col("dhash_lo").bitwiseAND(F.lit(65535)),
+                F.shiftright("dhash_lo", 16).bitwiseAND(F.lit(65535)),
+                F.col("dhash_hi").bitwiseAND(F.lit(65535)),
+                F.shiftright("dhash_hi", 16).bitwiseAND(F.lit(65535)),
+            )
+        ).alias("b", "bv"),
+    )
+    x = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("dhash_hi").alias("ha"),
+        F.col("dhash_lo").alias("la"),
+        "b",
+        "bv",
+    )
+    y = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("dhash_hi").alias("hb"),
+        F.col("dhash_lo").alias("lb"),
+        "b",
+        "bv",
+    )
+    cand = (
+        x.join(y, ["b", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "la", "hb", "lb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
+        F.col("la").bitwiseXOR(F.col("lb"))
+    )
+    return cand.select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= 6)
