@@ -3666,11 +3666,18 @@ def multimodal_sniff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS bv
       FROM dh CROSS JOIN unnest(range(0, 4)) AS b(b)
     ),
+    ok_buckets AS (
+      SELECT b, bv FROM bands GROUP BY b, bv
+      HAVING count(*) BETWEEN 2 AND 256
+    ),
+    bands_ok AS (
+      SELECT bands.* FROM bands JOIN ok_buckets USING (b, bv)
+    ),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
              x.dhash_hi AS ha, x.dhash_lo AS la,
              y.dhash_hi AS hb, y.dhash_lo AS lb
-      FROM bands x JOIN bands y
+      FROM bands_ok x JOIN bands_ok y
         ON y.b = x.b AND y.bv = x.bv AND x.doc_id < y.doc_id
     )
     SELECT doc_a, doc_b,
@@ -3688,12 +3695,28 @@ def multimodal_sniff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heuristic, NOT all-pairs), and only candidates pay the "
     "bit_count(xor) verification — the SimHash machinery applied to "
     "pixels. The corpus's planted near-dup texts render to near-dup "
-    "images, so the pair set is non-trivially non-empty. Oracle "
-    "restates hash + banding + Hamming from source bytes. One "
-    "band-key shuffle; candidate set bounded by bucket sizes.",
+    "images, so the pair set is non-trivially non-empty. Skew guard "
+    "(same policy as dedup.py's MinHash LSH): band buckets larger "
+    "than 256 docs are SKIPPED — measured at sf1 the all-zero band "
+    "value collects ~19% of the corpus (short/uniform docs zero out "
+    "16 consecutive gradient bits) and a single such bucket makes "
+    "the self-join quadratic (~10^10 candidates at 500k docs); "
+    "degenerate buckets carry no locality signal, and exact-dup "
+    "clusters inside them belong to exact dedup (linear), not "
+    "banding. Singleton buckets are pruned by the same HAVING. "
+    "Oracle restates hash + banding + cap + Hamming from source "
+    "bytes. One band-key shuffle; candidate set provably bounded "
+    "by cap^2 per bucket.",
 )
 def image_neardup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dh = _dhash_df(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    # The dhash frame costs a full Python-side render+decode pass; the
+    # bucket-count branch and both join sides would each recompute it
+    # (3 decode passes measured at sf0.1). Persist the doc-sized
+    # (doc_id, hi, lo) frame — 3 longs/doc — decode once, then release
+    # after the eagerly checkpointed result no longer needs the lineage.
+    dh = _dhash_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     bands = dh.select(
         "doc_id",
         "dhash_hi",
@@ -3707,6 +3730,17 @@ def image_neardup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("b", "bv"),
     )
+    # Skew guard: drop singleton buckets (no pairs possible) and
+    # oversized buckets (degenerate band values — e.g. 16 zero bits —
+    # that would make the self-join quadratic). The ok-bucket list is
+    # at most 4*65536 (b, bv) rows, so it broadcasts.
+    ok_buckets = (
+        bands.groupBy("b", "bv")
+        .count()
+        .filter((F.col("count") >= 2) & (F.col("count") <= 256))
+        .select("b", "bv")
+    )
+    bands = bands.join(F.broadcast(ok_buckets), ["b", "bv"])
     x = bands.select(
         F.col("doc_id").alias("doc_a"),
         F.col("dhash_hi").alias("ha"),
@@ -3730,6 +3764,10 @@ def image_neardup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
         F.col("la").bitwiseXOR(F.col("lb"))
     )
-    return cand.select(
-        "doc_a", "doc_b", ham.cast("long").alias("hamming")
-    ).filter(F.col("hamming") <= 6)
+    out = (
+        cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+        .localCheckpoint(eager=True)
+    )
+    dh.unpersist()
+    return out
