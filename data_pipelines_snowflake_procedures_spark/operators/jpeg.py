@@ -1,4 +1,4 @@
-"""Baseline JPEG codec (ITU T.81 / JFIF) in stdlib + numpy.
+"""Baseline + progressive JPEG codec (ITU T.81 / JFIF) in stdlib + numpy.
 
 Closes the last honest multimodal-decode gap (VERDICT r5 missing-list
 #1 named JPEG/PNG; PNG landed first): a real baseline sequential DCT
@@ -8,11 +8,21 @@ YCbCr→RGB — plus a matching encoder for fixtures (4:4:4 or 4:2:0,
 Annex-K quantization tables scaled by quality, standard Huffman
 tables). Everything derives from the public spec; no imaging library.
 
+Progressive DCT (SOF2, T.81 Annex G) is fully decoded: multi-scan
+coefficient accumulation, spectral selection (Ss..Se bands,
+non-interleaved AC scans over the component's own block grid),
+successive approximation (DC point transform + bit refinement, AC
+first/refinement scans with correction bits), and EOBn end-of-band
+runs. The encoder can emit a libjpeg-style 10-scan progressive script
+(``progressive=True``) so tests pin that progressive and baseline
+encodings of the same pixels decode to IDENTICAL bytes — the quantized
+coefficients are the same, so reconstruction must be too.
+
 The decoder reads ALL tables from the payload (as the spec requires),
 so encode→decode round-trips are self-contained and lossy only through
 quantization — tests pin dimension exactness and bounded channel-mean
-error. Progressive (SOF2), arithmetic coding, and 12-bit precision
-raise ``NotImplementedError``.
+error. Arithmetic coding, hierarchical/lossless frames, and 12-bit
+precision raise ``NotImplementedError``.
 
 Scale note: like the PNG path, this is the per-payload kernel behind
 Arrow-batched ``mapInPandas`` feature extraction
@@ -256,17 +266,24 @@ class _BitReader:
 
 
 def decode_jpeg(payload: bytes) -> dict[str, Any]:
-    """Decode a baseline JFIF payload to width/height/channel means —
-    the same stats contract as decode_ppm/decode_bmp/decode_png, plus
-    ``pixels`` (H×W×3 uint8) for tests. Tables come from the payload's
-    own DQT/DHT segments; progressive/arithmetic/12-bit raise."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JFIF payload to
+    width/height/channel means — the same stats contract as
+    decode_ppm/decode_bmp/decode_png, plus ``pixels`` (H×W×3 uint8)
+    for tests. Tables come from the payload's own DQT/DHT segments.
+
+    Works in the coefficient domain: every scan (baseline's single
+    interleaved scan, or progressive spectral-selection / successive-
+    approximation scans per T.81 Annex G) accumulates into per-
+    component zigzag coefficient grids; dequantize + IDCT happen once
+    at EOI. Arithmetic/hierarchical/12-bit raise."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     restart_interval = 0
-    frame = None
+    frame: dict | None = None
+    coefs: dict[int, np.ndarray] | None = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -274,6 +291,8 @@ def decode_jpeg(payload: bytes) -> dict[str, Any]:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if marker == 0xD9:  # EOI
+            break
         (seglen,) = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
@@ -298,7 +317,7 @@ def decode_jpeg(payload: bytes) -> dict[str, Any]:
                 vals = list(seg[o : o + nvals])
                 o += nvals
                 htables[(tc, th)] = _canonical_codes(bits, vals)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -308,101 +327,276 @@ def decode_jpeg(payload: bytes) -> dict[str, Any]:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"non-baseline JPEG frame (marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append({"id": cs, "dc": tt >> 4, "ac": tt & 0xF})
-            pos += seglen
-            return _decode_scan(
-                payload, pos, frame, scan, qtables, htables, restart_interval
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            if frame["progressive"]:
+                if (ss == 0) != (se == 0):
+                    raise ValueError(
+                        "progressive scan may not mix DC and AC (Ss=0 requires Se=0)"
+                    )
+                if ss > 0 and ns != 1:
+                    raise ValueError("progressive AC scans must be non-interleaved")
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            pos = _decode_scan_coefs(
+                payload, pos + seglen, frame, scan, ss, se, ah, al,
+                htables, restart_interval, coefs,
             )
-        elif marker == 0xD9:  # EOI before SOS
-            break
+            continue
         pos += seglen
-    raise ValueError("JPEG has no scan data")
+    if frame is None or coefs is None:
+        raise ValueError("JPEG has no scan data")
+    return _reconstruct(frame, coefs, qtables)
 
 
-def _decode_scan(
+def _alloc_coefs(frame: dict) -> dict[int, np.ndarray]:
+    """Per-component zigzag coefficient grids, MCU-padded: shape
+    (mcus_y·v, mcus_x·h, 64), int32. Index 0..63 is ZIGZAG order —
+    every scan type addresses coefficients by zigzag index k."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return {
+        c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        for c in comps
+    }
+
+
+def _block_first(
+    reader: _BitReader,
+    coef: np.ndarray,
+    comp: dict,
+    preds: dict[int, int],
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """First-pass decode of one block's Ss..Se band (T.81 F.2.2 for
+    baseline ss=0,se=63,al=0; G.1.2.1/G.1.2.2 for progressive DC/AC
+    first scans). Returns the updated end-of-band run count."""
+    if ss == 0:
+        ssss = reader.decode_symbol(comp["dc_t"])
+        diff = _extend(reader.read_bits(ssss), ssss)
+        preds[comp["id"]] += diff
+        coef[0] = preds[comp["id"]] << al
+        k = 1
+    else:
+        k = ss
+    if se >= k:
+        if eobrun > 0:
+            return eobrun - 1
+        while k <= se:
+            rs = reader.decode_symbol(comp["ac_t"])
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1  # EOBn: this block + (eobrun) more
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow")
+            coef[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+    return eobrun
+
+
+def _block_refine(
+    reader: _BitReader,
+    coef: np.ndarray,
+    comp: dict,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Successive-approximation refinement of one block (T.81 G.1.2.3):
+    DC scans read one raw bit; AC scans interleave new ±2^Al
+    coefficients with correction bits for already-nonzero ones."""
+    p1 = 1 << al
+    m1 = -p1
+    if ss == 0:
+        if reader.read_bit():
+            coef[0] |= p1
+        return eobrun
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(comp["ac_t"])
+            r, s = rs >> 4, rs & 0xF
+            sval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r  # includes this block; decrement below
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            else:
+                sval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    if reader.read_bit() and (int(coef[k]) & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if sval and k <= se:
+                coef[k] = sval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # refine the rest of the band, then consume the run
+            if coef[k] != 0:
+                if reader.read_bit() and (int(coef[k]) & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_coefs(
     data: bytes,
     pos: int,
-    frame: dict | None,
+    frame: dict,
     scan: list[dict],
-    qtables: dict[int, np.ndarray],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
     htables: dict,
     restart_interval: int,
+    coefs: dict[int, np.ndarray],
+) -> int:
+    """Decode one entropy-coded scan into the coefficient grids.
+    Interleaved scans (ns>1) walk the MCU grid; single-component scans
+    are non-interleaved and walk the component's EFFECTIVE block grid
+    (ceil(w·h_i/(8·hmax)) × ceil(h·v_i/(8·vmax)), T.81 A.2.2) — NOT
+    the MCU-padded grid. Returns the offset of the next marker."""
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    scomps = []
+    for s in scan:
+        c = by_id[s["id"]]
+        if ah == 0 and ss == 0:
+            c["dc_t"] = htables[(0, s["dc"])]
+        if se > 0:
+            c["ac_t"] = htables[(1, s["ac"])]
+        scomps.append(c)
+    reader = _BitReader(data, pos)
+    preds: dict[int, int] = {c["id"]: 0 for c in scomps}
+    eobrun = 0
+    refine = ah != 0
+
+    def decode_block(blk: np.ndarray, c: dict, eob: int) -> int:
+        if refine:
+            return _block_refine(reader, blk, c, ss, se, al, eob)
+        return _block_first(reader, blk, c, preds, ss, se, al, eob)
+
+    unit = 0
+
+    def maybe_restart() -> None:
+        nonlocal eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.align_restart()
+            for cid in preds:
+                preds[cid] = 0
+            eobrun = 0
+
+    if len(scomps) > 1:  # interleaved: unit = MCU
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart()
+                unit += 1
+                for c in scomps:
+                    arr = coefs[c["id"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            eobrun = decode_block(
+                                arr[my * c["v"] + by, mx * c["h"] + bx], c, eobrun
+                            )
+    else:  # non-interleaved: unit = one block of the effective grid
+        c = scomps[0]
+        bw = -(-(frame["w"] * c["h"]) // (8 * hmax))
+        bh = -(-(frame["h"] * c["v"]) // (8 * vmax))
+        arr = coefs[c["id"]]
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                unit += 1
+                eobrun = decode_block(arr[by, bx], c, eobrun)
+    # locate the next marker after this scan's entropy bytes (pad bits
+    # and stuffed FF00s may remain; RSTn cannot follow the last unit)
+    p = reader.pos
+    if reader.marker is not None:
+        p -= 2  # re-expose a marker the reader already consumed
+    while p + 1 < len(data):
+        if (
+            data[p] == 0xFF
+            and data[p + 1] != 0x00
+            and not (0xD0 <= data[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    return len(data)
+
+
+def _reconstruct(
+    frame: dict, coefs: dict[int, np.ndarray], qtables: dict[int, np.ndarray]
 ) -> dict[str, Any]:
-    if frame is None:
-        raise ValueError("SOS before SOF")
+    """Dequantize + IDCT the accumulated coefficient grids, upsample
+    chroma, and convert to RGB stats. Kept block-at-a-time with the
+    exact same float expression the baseline decoder always used
+    (``_C.T @ dq @ _C``) so decoded bytes stay bit-identical across
+    the progressive rework (byte-level oracles pin them)."""
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    by_id = {c["id"]: c for c in comps}
-    for s in scan:
-        c = by_id[s["id"]]
-        c["dc_t"] = htables[(0, s["dc"])]
-        c["ac_t"] = htables[(1, s["ac"])]
-        c["plane"] = np.zeros(
-            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
-        )
-        c["pred"] = 0
-    reader = _BitReader(data, pos)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align_restart()
-                for c in comps:
-                    c["pred"] = 0
-            mcu_count += 1
-            for c in comps:
-                q = qtables[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coef = np.zeros(64, dtype=np.int64)
-                        ssss = reader.decode_symbol(c["dc_t"])
-                        diff = _extend(reader.read_bits(ssss), ssss)
-                        c["pred"] += diff
-                        coef[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_symbol(c["ac_t"])
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            coef[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[_ZZ_FLAT] = coef[
-                            np.arange(64)
-                        ]  # coef is already zigzag-ordered
-                        dq = block.reshape(8, 8) * q
-                        px = _C.T @ dq @ _C + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = px
-    # upsample to full resolution and convert
     planes = []
     for c in comps:
-        p = c["plane"]
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        planes.append(p[:h, :w])
+        arr = coefs[c["id"]]
+        bh_, bw_ = arr.shape[:2]
+        q = qtables[c["tq"]]
+        plane = np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64)
+        for by in range(bh_):
+            for bx in range(bw_):
+                block = np.zeros(64, dtype=np.float64)
+                block[_ZZ_FLAT] = arr[by, bx]
+                dq = block.reshape(8, 8) * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ dq @ _C + 128.0
+                )
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes.append(plane[:h, :w])
     if len(planes) == 1:
         y = np.clip(planes[0], 0, 255)
         rgb = np.stack([y, y, y], axis=2)
@@ -482,13 +676,119 @@ def _scale_q(q: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(t, 1, 255)
 
 
+#: libjpeg's standard progressive scan script (jcparam.c shape, public
+#: knowledge): (component indices, Ss, Se, Ah, Al). DC first at Al=1
+#: interleaved, AC spectral bands at Al 2/1, then successive-
+#: approximation refinements down to Al=0. Chained per coefficient:
+#: every band's Al steps 2→1→0 (AC luma) / 1→0 (DC + AC chroma).
+_PROGRESSIVE_SCRIPT_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([2], 1, 63, 0, 1),
+    ([1], 1, 63, 0, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([2], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+_PROGRESSIVE_SCRIPT_GRAY = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([0], 6, 63, 0, 2),
+    ([0], 0, 0, 1, 0),
+    ([0], 1, 63, 2, 1),
+    ([0], 1, 63, 1, 0),
+]
+
+
+def _emit_ac_first_block(
+    writer: _BitWriter, zz: np.ndarray, ss: int, se: int, al: int, act: dict
+) -> None:
+    """Progressive AC first scan for one block (T.81 G.1.2.2 with the
+    AC point transform |v|>>Al). End-of-band runs are flushed per
+    block as plain EOB0 — spec-legal (EOBn with n=1), marginally less
+    compressed, and expressible with the standard Annex-K tables
+    (which lack the EOBn symbols 0x10..0xE0)."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = act[0xF0]  # ZRL
+            writer.write(code, ln)
+            r -= 16
+        tv = t if v > 0 else -t
+        s2, raw2 = _magnitude(tv)
+        code, ln = act[(r << 4) | s2]
+        writer.write(code, ln)
+        writer.write(raw2, s2)
+        r = 0
+    if r:
+        code, ln = act[0x00]  # EOB
+        writer.write(code, ln)
+
+
+def _emit_ac_refine_block(
+    writer: _BitWriter, zz: np.ndarray, ss: int, se: int, al: int, act: dict
+) -> None:
+    """Progressive AC refinement for one block (T.81 G.1.2.3 / the
+    public libjpeg encode_mcu_AC_refine structure): newly-visible
+    coefficients (|v|>>Al == 1) emit (run,1)+sign; already-nonzero
+    ones contribute buffered correction bits, flushed after the next
+    symbol; trailing state folds into a per-block EOB0."""
+    absv = [abs(int(zz[k])) >> al for k in range(se + 1)]
+    eobpos = ss - 1  # last newly-visible coefficient in the band
+    for k in range(ss, se + 1):
+        if absv[k] == 1:
+            eobpos = k
+    r = 0
+    pend: list[int] = []  # correction bits awaiting the next symbol
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eobpos:
+            code, ln = act[0xF0]  # ZRL only before further new coefs
+            writer.write(code, ln)
+            r -= 16
+            for b in pend:
+                writer.write(b, 1)
+            pend = []
+        if t > 1:  # visible in an earlier pass: one correction bit
+            pend.append(t & 1)
+            continue
+        code, ln = act[(r << 4) | 1]
+        writer.write(code, ln)
+        writer.write(1 if int(zz[k]) > 0 else 0, 1)
+        for b in pend:
+            writer.write(b, 1)
+        pend = []
+        r = 0
+    if r or pend:
+        code, ln = act[0x00]
+        writer.write(code, ln)
+        for b in pend:
+            writer.write(b, 1)
+
+
 def encode_jpeg(
-    pixels: "Any", quality: int = 90, subsample: bool = False
+    pixels: "Any",
+    quality: int = 90,
+    subsample: bool = False,
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline JFIF encoder: (h, w, 3) uint8 RGB (or (h, w) gray,
-    encoded as single-component) → JPEG bytes. ``subsample=True``
-    writes 4:2:0 chroma; default 4:4:4. Standard Annex-K tables scaled
-    by ``quality``."""
+    """JFIF encoder: (h, w, 3) uint8 RGB (or (h, w) gray, encoded as
+    single-component) → JPEG bytes. ``subsample=True`` writes 4:2:0
+    chroma; default 4:4:4. Standard Annex-K tables scaled by
+    ``quality``. ``progressive=True`` emits SOF2 with the libjpeg
+    standard scan script — identical quantized coefficients, so a
+    decode must reproduce the baseline decode exactly."""
     arr = np.asarray(pixels, dtype=np.float64)
     gray = arr.ndim == 2
     if gray:
@@ -541,49 +841,21 @@ def encode_jpeg(
     ac_enc = [_encode_table(s) for s in ac_specs]
     tsel = [0] + [1] * (len(ycc) - 1) if not gray else [0]
 
-    writer = _BitWriter()
-    preds = [0] * len(ycc)
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci, (plane, (sh, sv)) in enumerate(zip(planes, samp)):
-                q = qts[qsel[ci]]
-                dct_t = dc_enc[tsel[ci]]
-                act_t = ac_enc[tsel[ci]]
-                for by in range(sv):
-                    for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
-                        blk = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                        coef = _C @ blk @ _C.T
-                        qc = np.round(coef / q).astype(np.int64)
-                        zz = qc.reshape(-1)[_ZZ_FLAT]
-                        diff = int(zz[0]) - preds[ci]
-                        preds[ci] = int(zz[0])
-                        ssss, raw = _magnitude(diff)
-                        code, ln = dct_t[ssss]
-                        writer.write(code, ln)
-                        if ssss:
-                            writer.write(raw, ssss)
-                        run = 0
-                        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-                        for k in range(1, 64):
-                            v = int(zz[k])
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                code, ln = act_t[0xF0]  # ZRL
-                                writer.write(code, ln)
-                                run -= 16
-                            s2, raw2 = _magnitude(v)
-                            code, ln = act_t[(run << 4) | s2]
-                            writer.write(code, ln)
-                            writer.write(raw2, s2)
-                            run = 0
-                        if last_nz < 63:
-                            code, ln = act_t[0x00]  # EOB
-                            writer.write(code, ln)
-    writer.flush()
+    # quantized zigzag coefficient grids, padded MCU extent — computed
+    # with the exact per-block expression the single-pass encoder used
+    # so baseline output stays byte-identical
+    grids: list[np.ndarray] = []
+    for ci, (plane, (sh, sv)) in enumerate(zip(planes, samp)):
+        q = qts[qsel[ci]]
+        bh_, bw_ = mcus_y * sv, mcus_x * sh
+        grid = np.zeros((bh_, bw_, 64), dtype=np.int64)
+        for gy in range(bh_):
+            for gx in range(bw_):
+                blk = plane[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8] - 128.0
+                coef = _C @ blk @ _C.T
+                qc = np.round(coef / q).astype(np.int64)
+                grid[gy, gx] = qc.reshape(-1)[_ZZ_FLAT]
+        grids.append(grid)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -598,18 +870,110 @@ def encode_jpeg(
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(ycc)])
     for ci in range(len(ycc)):
         sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     for tc, specs in ((0, dc_specs), (1, ac_specs)):
         for th, spec in enumerate(specs):
             out += seg(
                 0xC4,
                 bytes([(tc << 4) | th]) + bytes(spec[0]) + bytes(spec[1]),
             )
-    sos = bytes([len(ycc)])
-    for ci in range(len(ycc)):
-        sos += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += writer.out
-    out += b"\xff\xd9"  # EOI
+
+    if not progressive:
+        writer = _BitWriter()
+        preds = [0] * len(ycc)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (sh, sv) in enumerate(samp):
+                    dct_t = dc_enc[tsel[ci]]
+                    act_t = ac_enc[tsel[ci]]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            zz = grids[ci][my * sv + by, mx * sh + bx]
+                            diff = int(zz[0]) - preds[ci]
+                            preds[ci] = int(zz[0])
+                            ssss, raw = _magnitude(diff)
+                            code, ln = dct_t[ssss]
+                            writer.write(code, ln)
+                            if ssss:
+                                writer.write(raw, ssss)
+                            run = 0
+                            last_nz = (
+                                int(np.max(np.nonzero(zz)[0]))
+                                if np.any(zz[1:])
+                                else 0
+                            )
+                            for k in range(1, 64):
+                                v = int(zz[k])
+                                if v == 0:
+                                    run += 1
+                                    continue
+                                while run > 15:
+                                    code, ln = act_t[0xF0]  # ZRL
+                                    writer.write(code, ln)
+                                    run -= 16
+                                s2, raw2 = _magnitude(v)
+                                code, ln = act_t[(run << 4) | s2]
+                                writer.write(code, ln)
+                                writer.write(raw2, s2)
+                                run = 0
+                            if last_nz < 63:
+                                code, ln = act_t[0x00]  # EOB
+                                writer.write(code, ln)
+        writer.flush()
+        sos = bytes([len(ycc)])
+        for ci in range(len(ycc)):
+            sos += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, sos)
+        out += writer.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # progressive: one SOS + entropy segment per script scan
+    script = _PROGRESSIVE_SCRIPT_GRAY if gray else _PROGRESSIVE_SCRIPT_COLOR
+    for comp_ids, ss, se, ah, al in script:
+        writer = _BitWriter()
+        if ss == 0:  # DC scan: interleaved over the MCU grid
+            preds = [0] * len(comp_ids)
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for si, ci in enumerate(comp_ids):
+                        sh, sv = samp[ci]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                dc = int(
+                                    grids[ci][my * sv + by, mx * sh + bx, 0]
+                                )
+                                if ah == 0:  # first pass: coded diffs of dc>>Al
+                                    dcs = dc >> al  # arithmetic shift (G.1.2.1)
+                                    diff = dcs - preds[si]
+                                    preds[si] = dcs
+                                    ssss, raw = _magnitude(diff)
+                                    code, ln = dc_enc[tsel[ci]][ssss]
+                                    writer.write(code, ln)
+                                    if ssss:
+                                        writer.write(raw, ssss)
+                                else:  # refinement: one raw bit per block
+                                    writer.write((dc >> al) & 1, 1)
+        else:  # AC scan: non-interleaved over the effective block grid
+            ci = comp_ids[0]
+            sh, sv = samp[ci]
+            bw_eff = -(-(w * sh) // (8 * hmax))
+            bh_eff = -(-(h * sv) // (8 * vmax))
+            act = ac_enc[tsel[ci]]
+            for by in range(bh_eff):
+                for bx in range(bw_eff):
+                    zz = grids[ci][by, bx]
+                    if ah == 0:
+                        _emit_ac_first_block(writer, zz, ss, se, al, act)
+                    else:
+                        _emit_ac_refine_block(writer, zz, ss, se, al, act)
+        writer.flush()
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        out += writer.out
+    out += b"\xff\xd9"
     return bytes(out)

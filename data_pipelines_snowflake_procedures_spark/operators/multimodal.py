@@ -8,8 +8,8 @@ Arrow batch crosses the JVM↔Python boundary once.
 
 The container has no imaging/audio libraries, but the formats whose
 codec layers live in the stdlib decode for REAL: PPM/BMP (raw), PNG
-(zlib + scanline unfilter), baseline JPEG (operators/jpeg.py — full
-marker/Huffman/IDCT pipeline), and WAV audio (RIFF). Remaining codec
+(zlib + scanline unfilter), baseline + progressive JPEG
+(operators/jpeg.py — full marker/Huffman/IDCT pipeline, SOF0/SOF2), and WAV audio (RIFF). Remaining codec
 formats (video, compressed audio) are clearly-marked
 ``NotImplementedError`` stubs behind ``set_decoder``; everything
 around them — schema, partition-preserving batch iteration, UDF
@@ -159,7 +159,7 @@ def decode_png(payload: bytes) -> dict[str, Any]:
     unfilter (all 5 public filter types — None/Sub/Up/Average/Paeth),
     per-channel pixel means. zlib + struct + numpy only — PNG's codec
     layer IS zlib, so the stdlib decodes it whole (VERDICT r5
-    missing-list #1; baseline JPEG followed via operators/jpeg.py's
+    missing-list #1; JPEG followed via operators/jpeg.py's
     own Huffman/IDCT pipeline). Up-filtered rows
     vectorize; Sub/Average/Paeth carry a left-neighbor dependency, so
     those rows run a per-byte loop — fixture-sized here; register a
@@ -716,7 +716,8 @@ def encode_gif(pixels: "Any", interlace: bool = False) -> bytes:
 
 
 def _decode_jpeg_stats(payload: bytes) -> dict[str, Any]:
-    """JPEG stats via the baseline codec (operators/jpeg.py) — the
+    """JPEG stats via the codec in operators/jpeg.py (baseline +
+    progressive frames) — the
     full-pixel decode minus the test-only ``pixels`` array."""
     from .jpeg import decode_jpeg
 

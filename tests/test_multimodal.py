@@ -844,7 +844,7 @@ def test_jpeg_round_trip_tolerance_and_gates():
     self-contained (the decoder builds every table from the payload's
     own DQT/DHT segments), dimensions are exact, and reconstruction
     error is bounded by quantization — tight at q95 4:4:4, looser
-    with 4:2:0 chroma. Progressive payloads raise."""
+    with 4:2:0 chroma."""
     import numpy as np
     import pytest as _pytest
 
@@ -882,13 +882,68 @@ def test_jpeg_round_trip_tolerance_and_gates():
         <= 1.0
     )
 
-    # non-JPEG and progressive payloads fail loudly
+    # non-JPEG and unsupported frame types fail loudly
     with _pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
     enc = encode_jpeg(img, quality=90)
-    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)  # SOF0 -> SOF2
+    lossless = enc.replace(b"\xff\xc0", b"\xff\xc3", 1)  # SOF0 -> SOF3
     with _pytest.raises(NotImplementedError, match="non-baseline"):
-        decode_jpeg(prog)
+        decode_jpeg(lossless)
+    # a SOF2 frame carrying a baseline-shaped scan (Ss=0, Se=63) is
+    # spec-invalid — progressive scans may not mix DC and AC
+    bad_prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError, match="may not mix DC and AC"):
+        decode_jpeg(bad_prog)
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """Progressive (SOF2) round-trip: the encoder's libjpeg-style scan
+    script (spectral selection + successive approximation) carries the
+    SAME quantized coefficients as the baseline scan, so decoding the
+    progressive payload must reproduce the baseline decode BYTE FOR
+    BYTE — any error in EOB runs, point transforms, correction bits,
+    or the non-interleaved block grid breaks exact equality."""
+    import numpy as np
+
+    from data_pipelines_snowflake_procedures_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    h, w = 37, 53  # non-multiples of 16: padded vs effective grids differ
+    yy, xx = np.mgrid[0:h, 0:w]
+    cases = [
+        rng.randint(0, 256, (h, w, 3)).astype(np.uint8),  # dense coefs
+        np.full((h, w, 3), 128, dtype=np.uint8),  # all-EOB
+        (
+            np.stack([128 + 90 * np.sin(xx / 7.0), 255 * yy / h, 255 * xx / w], axis=2)
+            .clip(0, 255)
+            .astype(np.uint8)
+        ),  # smooth: long zero runs exercise ZRL/EOB folds
+    ]
+    for img in cases:
+        for q, sub in ((92, False), (70, True)):
+            base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+            penc = encode_jpeg(img, quality=q, subsample=sub, progressive=True)
+            assert b"\xff\xc2" in penc  # really SOF2, multi-scan
+            assert penc.count(b"\xff\xda") == 10
+            prog = decode_jpeg(penc)
+            assert np.array_equal(prog["pixels"], base["pixels"])
+            assert (prog["mean_r"], prog["mean_g"], prog["mean_b"]) == (
+                base["mean_r"],
+                base["mean_g"],
+                base["mean_b"],
+            )
+
+    # grayscale uses the 6-scan script
+    g = rng.randint(0, 256, (22, 30)).astype(np.uint8)
+    pg = encode_jpeg(g, quality=85, progressive=True)
+    assert pg.count(b"\xff\xda") == 6
+    assert np.array_equal(
+        decode_jpeg(pg)["pixels"],
+        decode_jpeg(encode_jpeg(g, quality=85))["pixels"],
+    )
 
 
 def test_jpeg_random_noise_high_quality_near_lossless():
