@@ -188,6 +188,7 @@ HEADLINE = [
     "multimodal_features_documents",
     "multimodal_audio_features_documents",
     "multimodal_video_features_documents",
+    "multimodal_mjpeg_video_documents",
     # Structured Streaming entries — each runs a full availableNow
     # drain of the events table through a memory sink inside queries()
     # (micro-batch scheduling + state store + watermark flush, stopped

@@ -8,9 +8,11 @@ Arrow batch crosses the JVM↔Python boundary once.
 
 The container has no imaging/audio libraries, but the formats whose
 codec layers live in the stdlib decode for REAL: PPM/BMP (raw), PNG
-(zlib + scanline unfilter), baseline + progressive JPEG
-(operators/jpeg.py — full marker/Huffman/IDCT pipeline, SOF0/SOF2), and WAV audio (RIFF). Remaining codec
-formats (video, compressed audio) are clearly-marked
+(zlib + scanline unfilter), GIF89a (LZW), baseline + progressive JPEG
+(operators/jpeg.py — full marker/Huffman/IDCT pipeline, SOF0/SOF2),
+WAV audio (RIFF), Y4M uncompressed video, and AVI/MJPEG compressed
+video (RIFF walk + per-frame JPEG decode). Remaining codec formats
+(inter-frame video, compressed audio) are clearly-marked
 ``NotImplementedError`` stubs behind ``set_decoder``; everything
 around them — schema, partition-preserving batch iteration, UDF
 signatures, deterministic byte-level features — is real and tested.
@@ -479,6 +481,145 @@ def decode_y4m(payload: bytes) -> dict[str, Any]:
     }
 
 
+def encode_avi_mjpeg(
+    frames: "Any", fps: tuple[int, int] = (25, 1), quality: int = 100
+) -> bytes:
+    """Motion-JPEG AVI writer (Microsoft RIFF-AVI spec + ITU T.81):
+    (n, h, w, 3) uint8 RGB frames → a valid 'RIFF…AVI ' container —
+    hdrl LIST (avih main header + strl/strh 'vids'/'MJPG' stream
+    header + strf BITMAPINFOHEADER), movi LIST of '00dc' chunks each
+    holding one :func:`~.jpeg.encode_jpeg` frame, and an idx1 index.
+    This is COMPRESSED video the container genuinely produces: the
+    codec layer is the repo's own JPEG encoder, no imaging library."""
+    import struct as _struct
+
+    import numpy as np
+
+    from .jpeg import encode_jpeg
+
+    arr = np.asarray(frames, dtype=np.uint8)
+    n, h, w = arr.shape[:3]
+    payloads = [encode_jpeg(arr[i], quality=quality) for i in range(n)]
+
+    def chunk(ckid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return ckid + _struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    usec_per_frame = (1_000_000 * fps[1]) // fps[0]
+    max_bytes = max((len(p) for p in payloads), default=0)
+    avih = _struct.pack(
+        "<14I",
+        usec_per_frame, max_bytes * fps[0] // max(fps[1], 1), 0,
+        0x10,  # AVIF_HASINDEX
+        n, 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + _struct.pack(
+            "<10I4H",
+            0, 0, 0, fps[1], fps[0], 0, n, max_bytes, 0xFFFFFFFF, 0,
+            0, 0, w, h,
+        )
+    )
+    strf = _struct.pack(
+        "<I2i2H4s5i", 40, w, h, 1, 24, b"MJPG", 3 * w * h, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"movi"
+    idx = bytearray()
+    for p in payloads:
+        # idx1 offsets are relative to the start of the 'movi' fourcc
+        idx += b"00dc" + _struct.pack(
+            "<3I", 0x10, len(movi_body), len(p)  # AVIIF_KEYFRAME
+        )
+        movi_body += chunk(b"00dc", p)
+    movi = chunk(b"LIST", movi_body)
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + _struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_mjpeg(payload: bytes) -> dict[str, Any]:
+    """REAL decoder for Motion-JPEG AVI: RIFF chunk walk (avih for
+    dimensions, strh 'vids' for the dwRate/dwScale frame rate, movi
+    LIST for the '00dc'/'00db' frame chunks), each frame decoded with
+    the repo's own baseline+progressive JPEG codec, then the same
+    frame-sampling statistics contract as :func:`decode_y4m`:
+    integer-exact BT.601 luma sums over all frames AND an
+    every-2nd-frame sample. Per-pixel luma is rounded to int before
+    summing so flat-gray planted-truth fixtures (where quality-100
+    JPEG round-trips exactly) stay integer-exact for the SQL oracle."""
+    import struct as _struct
+
+    import numpy as np
+
+    from .jpeg import decode_jpeg
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    w = h = None
+    fps_num, fps_den = 25, 1
+    frames: list[bytes] = []
+
+    def walk(data: bytes, pos: int, end: int) -> None:
+        nonlocal w, h, fps_num, fps_den
+        while pos + 8 <= end:
+            ckid = data[pos : pos + 4]
+            (size,) = _struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            if ckid == b"LIST":
+                walk(data, body_start + 4, body_start + size)
+            elif ckid == b"avih":
+                vals = _struct.unpack_from("<14I", data, body_start)
+                w, h = vals[8], vals[9]
+            elif ckid == b"strh":
+                if data[body_start : body_start + 4] == b"vids":
+                    sc, rt = _struct.unpack_from("<2I", data, body_start + 20)
+                    if rt:
+                        fps_num, fps_den = rt, max(sc, 1)
+            elif ckid[2:4] in (b"dc", b"db") and ckid[:2].isdigit():
+                frames.append(data[body_start : body_start + size])
+            pos = body_start + size + (size % 2)
+
+    walk(payload, 12, len(payload))
+    if w is None or h is None:
+        raise ValueError("AVI missing avih header")
+    y_sum = 0
+    y_sum_sampled = 0
+    for i, fr in enumerate(frames):
+        px = decode_jpeg(fr)["pixels"].astype(np.float64)
+        luma = np.round(
+            0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        ).astype(np.int64)
+        s = int(luma.sum())
+        y_sum += s
+        if i % 2 == 0:
+            y_sum_sampled += s
+    n_frames = len(frames)
+    n_px = w * h
+    n_sampled = (n_frames + 1) // 2
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": n_frames,
+        "fps_num": int(fps_num),
+        "fps_den": int(fps_den),
+        "duration_sec": (
+            __import__("math").floor(n_frames * fps_den / fps_num * 1e6) / 1e6
+        ),
+        "mean_y": _floor4(y_sum / (n_frames * n_px)) if n_frames else None,
+        "sampled_mean_y": (
+            _floor4(y_sum_sampled / (n_sampled * n_px)) if n_sampled else None
+        ),
+    }
+
+
 def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
     """GIF-variant LZW decompress (GIF89a spec Appendix F): LSB-first
     bitstream, dynamic code width min+1..12 bits, clear/end control
@@ -742,6 +883,8 @@ _DECODERS: dict[str, Callable[[bytes], Any]] = {
     "wav": decode_wav,
     "video/x-yuv4mpeg": decode_y4m,
     "y4m": decode_y4m,
+    "video/x-msvideo": decode_avi_mjpeg,
+    "avi": decode_avi_mjpeg,
 }
 
 
@@ -1005,10 +1148,14 @@ def extract_video_features(df: DataFrame) -> DataFrame:
         nulls = {k: None for k in keys}
 
         def stats(kind: str, data: bytes) -> dict[str, Any]:
-            if kind not in ("video/x-yuv4mpeg", "y4m"):
+            if kind in ("video/x-yuv4mpeg", "y4m"):
+                dec = decode_y4m
+            elif kind in ("video/x-msvideo", "avi"):
+                dec = decode_avi_mjpeg
+            else:
                 return nulls
             try:
-                return decode_y4m(data)
+                return dec(data)
             except Exception:
                 return nulls
 
@@ -1298,6 +1445,8 @@ def sniff_media_type(payload: bytes) -> str:
         return "image/ppm"
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         return "audio/wav"
+    if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+        return "video/x-msvideo"
     if p[:9] == b"YUV4MPEG2":
         return "video/y4m"
     if p[:4] in (b"II*\x00", b"MM\x00*"):

@@ -384,6 +384,119 @@ def multimodal_video_features_documents(
 
 
 @register(
+    "multimodal_mjpeg_video_documents",
+    """
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             least(octet_length(encode(text)), 48) AS m
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, h, m,
+             CASE WHEN m = 0 THEN 1 ELSE m END AS n_frames
+      FROM hx
+    ),
+    b AS (
+      SELECT doc_id,
+             (strpos('123456789ABCDEF', substr(h, 2*i-1, 1)) * 16
+            + strpos('123456789ABCDEF', substr(h, 2*i, 1))) AS byte,
+             i - 1 AS frame_idx
+      FROM fr, unnest(range(1, m + 1)) AS t(i)
+    ),
+    st AS (
+      SELECT doc_id,
+             sum(byte * 64)::BIGINT AS y_sum,
+             sum(CASE WHEN frame_idx % 2 = 0 THEN byte * 64 ELSE 0 END)
+               ::BIGINT AS y_sum_sampled
+      FROM b GROUP BY doc_id
+    )
+    SELECT fr.doc_id,
+           'video/x-msvideo' AS mime,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(fr.n_frames AS BIGINT) AS n_frames,
+           CAST(25 AS INTEGER) AS fps_num,
+           CAST(1 AS INTEGER) AS fps_den,
+           floor((CAST(fr.n_frames AS DOUBLE) / 25) * 1000000) / 1000000
+             AS duration_sec,
+           floor((coalesce(st.y_sum, 0)::DOUBLE
+                  / (fr.n_frames * 64)) * 10000) / 10000 AS mean_y,
+           floor((coalesce(st.y_sum_sampled, 0)::DOUBLE
+                  / (((fr.n_frames + 1) // 2) * 64)) * 10000) / 10000
+             AS sampled_mean_y
+    FROM fr LEFT JOIN st USING (doc_id)
+    """,
+    doc="COMPRESSED video with a full codec round-trip: each "
+    "document's first <=48 utf-8 bytes become flat-gray 8x8 frames "
+    "encoded by the repo's own JPEG encoder at quality 100 inside a "
+    "real RIFF-AVI/MJPG container "
+    "(operators/multimodal.py::encode_avi_mjpeg), then "
+    "decode_avi_mjpeg re-parses the container AND Huffman-decodes + "
+    "IDCTs every frame back to pixels (operators/jpeg.py). Flat "
+    "frames at quality 100 round-trip EXACTLY (q0=1, DC-only "
+    "blocks), so the SQL oracle can restate frame luma means from "
+    "the SOURCE bytes — the hash match proves the whole encode -> "
+    "AVI -> JPEG-decode -> frame-sample pipeline, not parser-vs-"
+    "itself. Arrow-batched mapInPandas, one Python crossing per "
+    "batch; the per-payload codec kernel is the same one "
+    "extract_video_features dispatches for 'video/x-msvideo'.",
+)
+def multimodal_mjpeg_video_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F401
+
+    # the per-doc JPEG encode+decode is CPU-bound (~25 ms/doc); a small
+    # parquet file arrives as ONE scan partition, which would serialize
+    # the whole fixture — spread rows across cores first (500 tiny rows,
+    # negligible shuffle vs the codec work it parallelizes)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def per_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from .operators.multimodal import decode_avi_mjpeg, encode_avi_mjpeg
+
+        cols = (
+            "width", "height", "n_frames", "fps_num", "fps_den",
+            "duration_sec", "mean_y", "sampled_mean_y",
+        )
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")[:48] or b"\x00"
+                frames = np.stack(
+                    [np.full((8, 8, 3), v, dtype=np.uint8) for v in data]
+                )
+                avi = encode_avi_mjpeg(frames, fps=(25, 1), quality=100)
+                st = decode_avi_mjpeg(avi)
+                rows.append(
+                    (int(doc_id), "video/x-msvideo") + tuple(st[c] for c in cols)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "mime", *cols]
+            )
+
+    return docs.mapInPandas(
+        per_batches,
+        schema=(
+            "doc_id BIGINT, mime STRING, width INT, height INT, "
+            "n_frames BIGINT, fps_num INT, fps_den INT, "
+            "duration_sec DOUBLE, mean_y DOUBLE, sampled_mean_y DOUBLE"
+        ),
+    )
+
+
+@register(
     "events_hourly_streaming",
     """
     SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,

@@ -1061,6 +1061,94 @@ def test_extract_video_features_matches_driver_decode(spark):
     assert all(r["n_frames"] is None and r["mean_y"] is None for r in plain)
 
 
+def test_avi_mjpeg_round_trip_and_gates():
+    """RIFF-AVI/MJPG codec: flat-gray frames at quality 100 round-trip
+    EXACTLY (q0=1 makes DC-only blocks lossless — the planted-truth
+    basis of the multimodal_mjpeg_video_documents oracle); arbitrary
+    content decodes with bounded error; container metadata (fps from
+    strh dwRate/dwScale, dims from avih) parses back; non-AVI RIFF
+    payloads fail loudly."""
+    import math
+
+    import numpy as np
+    import pytest as _pytest
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        sniff_media_type,
+    )
+
+    vals = [0, 1, 17, 127, 128, 200, 254, 255]
+    frames = np.stack([np.full((8, 8, 3), v, dtype=np.uint8) for v in vals])
+    avi = encode_avi_mjpeg(frames, fps=(25, 1), quality=100)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    assert sniff_media_type(avi) == "video/x-msvideo"
+    out = decode_avi_mjpeg(avi)
+    assert (out["width"], out["height"], out["n_frames"]) == (8, 8, 8)
+    assert (out["fps_num"], out["fps_den"]) == (25, 1)
+    assert out["duration_sec"] == math.floor(8 / 25 * 1e6) / 1e6
+    # flat frames at q100 are exact: means equal the planted bytes
+    assert out["mean_y"] == math.floor(sum(vals) / 8 * 10000) / 10000
+    assert (
+        out["sampled_mean_y"]
+        == math.floor(sum(vals[::2]) / 4 * 10000) / 10000
+    )
+
+    # arbitrary content: lossy but bounded (quality 90, smooth ramp)
+    yy, xx = np.mgrid[0:16, 0:24]
+    ramp = np.stack([255 * xx / 24, 255 * yy / 16, np.full((16, 24), 60)], 2)
+    fr2 = np.stack([ramp, ramp[::-1]]).astype(np.uint8)
+    o2 = decode_avi_mjpeg(encode_avi_mjpeg(fr2, fps=(30, 1), quality=90))
+    assert (o2["width"], o2["height"], o2["n_frames"]) == (24, 16, 2)
+    assert o2["fps_num"] == 30
+    true_luma = (
+        0.299 * fr2[..., 0] + 0.587 * fr2[..., 1] + 0.114 * fr2[..., 2]
+    ).mean()
+    assert abs(o2["mean_y"] - true_luma) < 2.0
+
+    with _pytest.raises(ValueError, match="not an AVI"):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_extract_video_features_routes_avi(spark):
+    """extract_video_features dispatches 'video/x-msvideo' payloads to
+    the MJPEG decoder inside the Arrow batch — same one-crossing
+    contract as the Y4M leg."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        extract_video_features,
+    )
+
+    payloads = []
+    for seed in range(3):
+        rng = np.random.RandomState(seed)
+        vals = rng.randint(0, 256, 5)
+        frames = np.stack(
+            [np.full((8, 8, 3), v, dtype=np.uint8) for v in vals]
+        )
+        payloads.append(encode_avi_mjpeg(frames, quality=100))
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "doc_id LONG, payload BINARY"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("video/x-msvideo").alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+    rows = {r["doc_id"]: r for r in extract_video_features(df).collect()}
+    for i, p in enumerate(payloads):
+        ref = decode_avi_mjpeg(p)
+        for k in ("width", "height", "n_frames", "mean_y", "sampled_mean_y"):
+            assert rows[i][k] == ref[k], (i, k)
+
+
 def test_gif_lzw_round_trip_width_growth_and_table_reset():
     """GIF-variant LZW: encode->decode identity on data long enough to
     force code-width growth to 12 bits AND a table reset (>4096
