@@ -187,6 +187,7 @@ HEADLINE = [
     # stdlib decodes inside Arrow-batched mapInPandas)
     "multimodal_features_documents",
     "multimodal_audio_features_documents",
+    "multimodal_adpcm_audio_documents",
     "multimodal_video_features_documents",
     "multimodal_mjpeg_video_documents",
     # Structured Streaming entries — each runs a full availableNow

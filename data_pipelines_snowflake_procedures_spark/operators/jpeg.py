@@ -34,6 +34,7 @@ block batch).
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 from typing import Any
 
 import numpy as np
@@ -187,6 +188,17 @@ def _canonical_codes(bits: list[int], values: list[int]) -> dict[tuple[int, int]
     return out
 
 
+@lru_cache(maxsize=64)
+def _canonical_codes_cached(
+    bits: bytes, values: bytes
+) -> dict[tuple[int, int], int]:
+    """Memoized table build keyed on the raw DHT payload — media
+    corpora reuse the same 4 standard tables across millions of
+    frames, and rebuilding them dominated small-frame decode
+    (never mutated by callers, so sharing is safe)."""
+    return _canonical_codes(list(bits), list(values))
+
+
 def _extend(value: int, ssss: int) -> int:
     """DC/AC magnitude-category decode (T.81 F.2.2.1 EXTEND)."""
     if ssss == 0:
@@ -314,9 +326,11 @@ def decode_jpeg(payload: bytes) -> dict[str, Any]:
                 bits = list(seg[o : o + 16])
                 o += 16
                 nvals = sum(bits)
-                vals = list(seg[o : o + nvals])
+                vals = seg[o : o + nvals]
                 o += nvals
-                htables[(tc, th)] = _canonical_codes(bits, vals)
+                htables[(tc, th)] = _canonical_codes_cached(
+                    bytes(bits), bytes(vals)
+                )
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
@@ -652,13 +666,21 @@ class _BitWriter:
             self.nbits = 0
 
 
-def _encode_table(spec: tuple[list[int], list[int]]) -> dict[int, tuple[int, int]]:
-    """symbol -> (code, length) from a Huffman spec (inverse of the
-    decoder's canonical map)."""
+@lru_cache(maxsize=16)
+def _encode_table_cached(
+    bits: bytes, values: bytes
+) -> dict[int, tuple[int, int]]:
     inv = {}
-    for (length, code), sym in _canonical_codes(*spec).items():
+    for (length, code), sym in _canonical_codes_cached(bits, values).items():
         inv[sym] = (code, length)
     return inv
+
+
+def _encode_table(spec: tuple[list[int], list[int]]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) from a Huffman spec (inverse of the
+    decoder's canonical map). Memoized — the encoder only ever uses
+    the 4 Annex-K specs."""
+    return _encode_table_cached(bytes(spec[0]), bytes(spec[1]))
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -829,11 +851,12 @@ def encode_jpeg(
             plane = padded.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
         th = mcus_y * sv * 8
         tw = mcus_x * sh * 8
-        plane = np.pad(
-            plane,
-            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
-            mode="edge",
-        )
+        if plane.shape != (th, tw):
+            plane = np.pad(
+                plane,
+                ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+                mode="edge",
+            )
         planes.append(plane)
     dc_specs = [_DC_LUMA_SPEC] + ([_DC_CHROMA_SPEC] if not gray else [])
     ac_specs = [_AC_LUMA_SPEC] + ([_AC_CHROMA_SPEC] if not gray else [])

@@ -350,12 +350,21 @@ def decode_wav(payload: bytes) -> dict[str, Any]:
     deterministic sample statistics for unsigned 8-bit PCM. Mean and
     RMS (amplitude centered at the 8-bit midpoint 128) accumulate as
     exact integer sums, so the numbers are engine-reproducible —
-    the DuckDB oracle restates them from the source bytes."""
+    the DuckDB oracle restates them from the source bytes.
+
+    COMPRESSED audio (IMA/DVI ADPCM, format tag 0x11 — the one the
+    ``wave`` module rejects) dispatches to
+    :func:`decode_wav_ima_adpcm`, which runs the real bit-unpacking
+    state machine."""
     import io
     import wave
 
     import numpy as np
 
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        tag = _wav_format_tag(payload)
+        if tag == 0x11:
+            return decode_wav_ima_adpcm(payload)
     with wave.open(io.BytesIO(payload), "rb") as w:
         n_channels = w.getnchannels()
         sample_rate = w.getframerate()
@@ -381,6 +390,183 @@ def decode_wav(payload: bytes) -> dict[str, Any]:
         dev = b - 128
         out["rms"] = _floor4(float(np.sqrt(int((dev * dev).sum()) / n)))
     return out
+
+
+#: IMA/DVI ADPCM tables (public IMA spec / RFC-described; also in the
+#: multimedia wiki literature). 89-entry quantizer step ladder and the
+#: 16-nibble index adaptation.
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _wav_format_tag(payload: bytes) -> int | None:
+    """wFormatTag from the fmt chunk of a RIFF/WAVE payload (chunk
+    walk; the stdlib ``wave`` module hides non-PCM tags behind an
+    error, so dispatch needs its own 8-byte-header scan)."""
+    import struct as _struct
+
+    pos = 12
+    while pos + 8 <= len(payload):
+        ckid = payload[pos : pos + 4]
+        (size,) = _struct.unpack_from("<I", payload, pos + 4)
+        if ckid == b"fmt ":
+            return _struct.unpack_from("<H", payload, pos + 8)[0]
+        pos += 8 + size + (size % 2)
+    return None
+
+
+def _ima_adpcm_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM decoder step: (predictor, index) -> updated pair.
+    Integer-exact per the public spec — both encoder and decoder run
+    this same rule, which is what keeps the codec in sync."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    predictor = predictor - diff if nibble & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nibble]))
+    return predictor, index
+
+
+def encode_wav_ima_adpcm(
+    samples: "Any", sample_rate: int = 8000, block_align: int = 12
+) -> bytes:
+    """IMA/DVI ADPCM WAV writer (format tag 0x11, mono): int16 samples
+    → 4-bit nibbles in standard blocks (int16 first-sample header +
+    step index + reserved byte, then 2 samples/byte). Emits the fmt
+    chunk with samplesPerBlock and the fact chunk compressed formats
+    require. A CONSTANT signal encodes losslessly (the block header
+    carries the first sample verbatim; diff 0 at step index 0 yields
+    nibble 0 whose delta is 7>>3 == 0) — the planted-truth basis of
+    the audio oracle, mirroring the flat-frame JPEG trick."""
+    import struct as _struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    data = bytearray()
+    n_total = 0
+    for b0 in range(0, len(arr), spb):
+        blk = arr[b0 : b0 + spb]
+        pred = int(blk[0])
+        index = 0
+        data += _struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in blk[1:]:
+            s = int(s)
+            step = _IMA_STEP_TABLE[index]
+            diff = s - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, index = _ima_adpcm_step(pred, index, nib)
+            nibbles.append(nib)
+        nibbles += [0] * ((block_align - 4) * 2 - len(nibbles))  # pad block
+        for i in range(0, len(nibbles), 2):
+            data.append(nibbles[i] | (nibbles[i + 1] << 4))
+        n_total += spb
+    avg_bps = (sample_rate * block_align + spb - 1) // spb
+    fmt = _struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, avg_bps, block_align, 4, 2, spb
+    )
+    fact = _struct.pack("<I", len(arr))
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + _struct.pack("<I", len(fact)) + fact
+        + b"data" + _struct.pack("<I", len(data)) + bytes(data)
+    )
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def decode_wav_ima_adpcm(payload: bytes) -> dict[str, Any]:
+    """REAL decoder for IMA/DVI ADPCM WAV (format tag 0x11, mono): fmt
+    chunk parse, per-block header + 4-bit nibble state machine
+    (quantizer step ladder + index adaptation), then the same
+    statistics contract as :func:`decode_wav` — integer-exact sums
+    over the decoded int16 samples (mean_amp is the plain mean;
+    rms is around 0, the int16 midline). The per-sample loop is
+    sequential by construction (each step depends on the previous
+    predictor) — fixture-scale here; register a native decoder via
+    :func:`set_decoder` for production audio."""
+    import struct as _struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    data = None
+    n_total = None
+    while pos + 8 <= len(payload):
+        ckid = payload[pos : pos + 4]
+        (size,) = _struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if ckid == b"fmt ":
+            fmt = _struct.unpack_from("<HHIIHH", body, 0)
+        elif ckid == b"fact":
+            (n_total,) = _struct.unpack_from("<I", body, 0)
+        elif ckid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, n_channels, sample_rate, _, block_align, _ = fmt
+    if tag != 0x11:
+        raise ValueError(f"not IMA ADPCM (format tag {tag})")
+    if n_channels != 1:
+        raise NotImplementedError("only mono IMA ADPCM")
+    spb = (block_align - 4) * 2 + 1
+    samples: list[int] = []
+    for b0 in range(0, len(data) - block_align + 1, block_align):
+        pred, index, _ = _struct.unpack_from("<hBB", data, b0)
+        samples.append(pred)
+        for byte in data[b0 + 4 : b0 + block_align]:
+            for nib in (byte & 0xF, byte >> 4):
+                pred, index = _ima_adpcm_step(pred, index, nib)
+                samples.append(pred)
+    if n_total is not None:
+        samples = samples[:n_total]
+    n = len(samples)
+    s1 = sum(samples)
+    s2 = sum(s * s for s in samples)
+    return {
+        "n_channels": 1,
+        "sample_rate": int(sample_rate),
+        "n_samples": n,
+        "duration_sec": (
+            __import__("math").floor(n / sample_rate * 1e6) / 1e6
+            if sample_rate
+            else None
+        ),
+        "mean_amp": _floor4(s1 / n) if n else None,
+        "rms": (
+            _floor4(float(__import__("math").sqrt(s2 / n))) if n else None
+        ),
+        "samples_per_block": spb,
+    }
 
 
 #: Pluggable decoder registry: media kind → bytes -> Any. PPM/BMP/PNG

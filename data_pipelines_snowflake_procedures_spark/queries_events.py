@@ -303,8 +303,8 @@ def multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     "in pure SQL (hex-pair byte extraction), so the hash match proves "
     "the encode -> RIFF container -> decode -> integer-exact stats "
     "pipeline end-to-end. floor-scaling makes rounding engine-"
-    "neutral. Compressed audio stays behind the decoder registry "
-    "stub, like JPEG for images.",
+    "neutral. Compressed audio runs for real through the IMA ADPCM "
+    "leg (multimodal_adpcm_audio_documents).",
 )
 def multimodal_audio_features_documents(
     spark: SparkSession, sf_dir: str
@@ -313,6 +313,116 @@ def multimodal_audio_features_documents(
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_audio_features(attach_audio(docs))
+
+
+@register(
+    "multimodal_adpcm_audio_documents",
+    """
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             least(octet_length(encode(text)), 24) AS m
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, h, m,
+             CASE WHEN m = 0 THEN 1 ELSE m END AS nb
+      FROM hx
+    ),
+    b AS (
+      SELECT doc_id,
+             ((strpos('123456789ABCDEF', substr(h, 2*i-1, 1)) * 16
+             + strpos('123456789ABCDEF', substr(h, 2*i, 1))) - 128) * 256
+               AS s
+      FROM fr, unnest(range(1, m + 1)) AS t(i)
+    ),
+    st AS (
+      SELECT doc_id,
+             sum(s * 17)::BIGINT AS s1,
+             sum(s * s * 17)::BIGINT AS s2
+      FROM b GROUP BY doc_id
+    )
+    SELECT fr.doc_id,
+           'audio/wav' AS mime,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(fr.nb * 17 AS BIGINT) AS n_samples,
+           floor((CAST(fr.nb * 17 AS DOUBLE) / 8000) * 1000000) / 1000000
+             AS duration_sec,
+           floor((coalesce(st.s1, 0)::DOUBLE
+                  / (fr.nb * 17)) * 10000) / 10000 AS mean_amp,
+           floor(sqrt(coalesce(st.s2, 0)::DOUBLE
+                      / (fr.nb * 17)) * 10000) / 10000 AS rms
+    FROM fr LEFT JOIN st USING (doc_id)
+    """,
+    doc="COMPRESSED audio with a full codec round-trip: each "
+    "document's first <=24 utf-8 bytes become int16 levels "
+    "(byte-128)*256 held constant for one 17-sample IMA ADPCM block "
+    "each (operators/multimodal.py::encode_wav_ima_adpcm, format "
+    "tag 0x11 with fact-chunk sample count), then "
+    "decode_wav_ima_adpcm runs the REAL 4-bit quantizer state "
+    "machine (step ladder + index adaptation) back to samples. "
+    "Constant blocks are lossless by construction (block header "
+    "carries the first sample; nibble 0 at step index 0 has delta "
+    "7>>3 == 0), so the SQL oracle restates the decoded mean/RMS "
+    "from the SOURCE bytes — the hash match proves fmt/fact/data "
+    "chunk walk + nibble decode + stats end-to-end, not "
+    "parser-vs-itself. Arrow-batched mapInPandas; the same kernel "
+    "backs decode_wav's tag-0x11 dispatch for arbitrary ADPCM.",
+)
+def multimodal_adpcm_audio_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F401
+
+    # per-doc cost is a pure-Python nibble loop (~0.5 ms/doc); spread
+    # the single scan partition across cores like the MJPEG leg
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def per_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from .operators.multimodal import (
+            decode_wav_ima_adpcm,
+            encode_wav_ima_adpcm,
+        )
+
+        cols = (
+            "n_channels", "sample_rate", "n_samples",
+            "duration_sec", "mean_amp", "rms",
+        )
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")[:24] or bytes([128])
+                levels = np.repeat(
+                    np.frombuffer(data, np.uint8).astype(np.int64) - 128, 17
+                ) * 256
+                wav = encode_wav_ima_adpcm(
+                    levels, sample_rate=8000, block_align=12
+                )
+                st = decode_wav_ima_adpcm(wav)
+                rows.append(
+                    (int(doc_id), "audio/wav") + tuple(st[c] for c in cols)
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "mime", *cols])
+
+    return docs.mapInPandas(
+        per_batches,
+        schema=(
+            "doc_id BIGINT, mime STRING, n_channels INT, "
+            "sample_rate INT, n_samples BIGINT, duration_sec DOUBLE, "
+            "mean_amp DOUBLE, rms DOUBLE"
+        ),
+    )
 
 
 @register(
@@ -388,7 +498,7 @@ def multimodal_video_features_documents(
     """
     WITH hx AS (
       SELECT doc_id, hex(encode(text)) AS h,
-             least(octet_length(encode(text)), 48) AS m
+             least(octet_length(encode(text)), 12) AS m
       FROM documents
     ),
     fr AS (
@@ -427,7 +537,7 @@ def multimodal_video_features_documents(
     FROM fr LEFT JOIN st USING (doc_id)
     """,
     doc="COMPRESSED video with a full codec round-trip: each "
-    "document's first <=48 utf-8 bytes become flat-gray 8x8 frames "
+    "document's first <=12 utf-8 bytes become flat-gray 8x8 frames "
     "encoded by the repo's own JPEG encoder at quality 100 inside a "
     "real RIFF-AVI/MJPG container "
     "(operators/multimodal.py::encode_avi_mjpeg), then "
@@ -473,7 +583,7 @@ def multimodal_mjpeg_video_documents(
                 continue
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                data = (text or "").encode("utf-8")[:48] or b"\x00"
+                data = (text or "").encode("utf-8")[:12] or b"\x00"
                 frames = np.stack(
                     [np.full((8, 8, 3), v, dtype=np.uint8) for v in data]
                 )

@@ -1149,6 +1149,84 @@ def test_extract_video_features_routes_avi(spark):
             assert rows[i][k] == ref[k], (i, k)
 
 
+def test_ima_adpcm_round_trip_constant_exact_and_lossy_bounded():
+    """IMA/DVI ADPCM (WAVE tag 0x11): constant signals round-trip
+    EXACTLY (block header carries the first sample; nibble 0 at step
+    index 0 has delta 7>>3 == 0 — the planted-truth basis of the
+    multimodal_adpcm_audio_documents oracle); a sine wave survives
+    with <2% RMS error; decode_wav dispatches tag 0x11 instead of
+    failing like the stdlib wave module; the fact chunk trims block
+    padding to the true sample count."""
+    import math
+
+    import numpy as np
+    import pytest as _pytest
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        decode_wav,
+        decode_wav_ima_adpcm,
+        encode_wav_ima_adpcm,
+        sniff_media_type,
+    )
+
+    for v in (-32768, -256, 0, 4352, 32512):
+        wav = encode_wav_ima_adpcm(np.full(51, v), block_align=12)
+        out = decode_wav_ima_adpcm(wav)
+        assert out["n_samples"] == 51 and out["samples_per_block"] == 17
+        assert out["mean_amp"] == math.floor(v * 10000) / 10000
+        assert out["rms"] == math.floor(abs(v) * 10000) / 10000
+
+    # stdlib wave can't read tag 0x11; decode_wav must dispatch
+    assert sniff_media_type(wav) == "audio/wav"
+    via_dispatch = decode_wav(wav)
+    assert via_dispatch["mean_amp"] == out["mean_amp"]
+    assert via_dispatch["n_samples"] == 51
+
+    # lossy content: 440 Hz sine at 8 kHz, RMS within 2%
+    t = np.arange(4000)
+    sig = (12000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int64)
+    dec = decode_wav_ima_adpcm(encode_wav_ima_adpcm(sig, block_align=256))
+    true_rms = math.sqrt(float((sig * sig).mean()))
+    assert abs(dec["rms"] - true_rms) / true_rms < 0.02
+
+    # fact chunk trims the padded final block
+    d4 = decode_wav_ima_adpcm(encode_wav_ima_adpcm(np.full(20, 1000)))
+    assert d4["n_samples"] == 20
+
+    with _pytest.raises(ValueError, match="not a WAV"):
+        decode_wav_ima_adpcm(b"RIFF\x04\x00\x00\x00AVI ")
+
+
+def test_ima_adpcm_reference_step_vector():
+    """Pin the quantizer state machine against a hand-computed vector.
+    Encoding [0, 10, 10] from (predictor 0, index 0, step 7):
+    sample 10 -> diff 10 quantizes to nibble 6 (10 >= 7 sets bit 2,
+    remainder 3 >= 7>>1 sets bit 1; delta replays as 0+3+7 = 10),
+    predictor 10, index 0+6 = 6 (step 13). Next sample 10 -> diff 0
+    quantizes to nibble 0 whose delta is 13>>3 = 1, predictor 11,
+    index 6-1 = 5. The encoder must emit exactly nibbles [6, 0] and
+    the decoder update must replay the same state."""
+    import struct
+
+    import numpy as np
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        _ima_adpcm_step,
+        encode_wav_ima_adpcm,
+    )
+
+    assert _ima_adpcm_step(0, 0, 6) == (10, 6)
+    assert _ima_adpcm_step(10, 6, 0) == (11, 5)
+
+    wav = encode_wav_ima_adpcm(np.array([0, 10, 10]), block_align=12)
+    dpos = wav.index(b"data") + 8
+    pred, idx, _rsv = struct.unpack_from("<hBB", wav, dpos)
+    assert (pred, idx) == (0, 0)
+    first_nibble_byte = wav[dpos + 4]
+    assert first_nibble_byte & 0xF == 6
+    assert first_nibble_byte >> 4 == 0
+
+
 def test_gif_lzw_round_trip_width_growth_and_table_reset():
     """GIF-variant LZW: encode->decode identity on data long enough to
     force code-width growth to 12 bits AND a table reset (>4096
