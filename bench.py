@@ -186,6 +186,7 @@ HEADLINE = [
     # multimodal codec legs (PPM/PNG/JPEG images, WAV audio — real
     # stdlib decodes inside Arrow-batched mapInPandas)
     "multimodal_features_documents",
+    "multimodal_tiff_documents",
     "multimodal_audio_features_documents",
     "multimodal_adpcm_audio_documents",
     "multimodal_video_features_documents",

@@ -10,9 +10,10 @@ The container has no imaging/audio libraries, but the formats whose
 codec layers live in the stdlib decode for REAL: PPM/BMP (raw), PNG
 (zlib + scanline unfilter), GIF89a (LZW), baseline + progressive JPEG
 (operators/jpeg.py — full marker/Huffman/IDCT pipeline, SOF0/SOF2),
-WAV audio (RIFF), Y4M uncompressed video, and AVI/MJPEG compressed
-video (RIFF walk + per-frame JPEG decode). Remaining codec formats
-(inter-frame video, compressed audio) are clearly-marked
+TIFF 6.0 (operators/tiff.py — both endians, strips, PackBits),
+WAV audio (PCM + IMA-ADPCM), Y4M uncompressed video, and AVI/MJPEG
+compressed video (RIFF walk + per-frame JPEG decode). Remaining codec
+formats (inter-frame video, perceptual audio codecs) are clearly-marked
 ``NotImplementedError`` stubs behind ``set_decoder``; everything
 around them — schema, partition-preserving batch iteration, UDF
 signatures, deterministic byte-level features — is real and tested.
@@ -1053,6 +1054,17 @@ def _decode_jpeg_stats(payload: bytes) -> dict[str, Any]:
     return out
 
 
+def _decode_tiff_stats(payload: bytes) -> dict[str, Any]:
+    """TIFF stats via operators/tiff.py (baseline 6.0: both endians,
+    strips, PackBits) — full-pixel decode minus the test-only
+    ``pixels`` array."""
+    from .tiff import decode_tiff
+
+    out = decode_tiff(payload)
+    out.pop("pixels", None)
+    return out
+
+
 _DECODERS: dict[str, Callable[[bytes], Any]] = {
     "image/x-portable-pixmap": decode_ppm,
     "ppm": decode_ppm,
@@ -1065,6 +1077,9 @@ _DECODERS: dict[str, Callable[[bytes], Any]] = {
     "image/jpeg": _decode_jpeg_stats,
     "jpeg": _decode_jpeg_stats,
     "jpg": _decode_jpeg_stats,
+    "image/tiff": _decode_tiff_stats,
+    "tiff": _decode_tiff_stats,
+    "tif": _decode_tiff_stats,
     "audio/wav": decode_wav,
     "wav": decode_wav,
     "video/x-yuv4mpeg": decode_y4m,

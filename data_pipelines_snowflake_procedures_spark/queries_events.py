@@ -426,6 +426,108 @@ def multimodal_adpcm_audio_documents(
 
 
 @register(
+    "multimodal_tiff_documents",
+    """
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    dim AS (
+      SELECT doc_id, h, n,
+             greatest(CAST(ceil(n / 8.0) AS BIGINT), 1) AS height
+      FROM hx
+    ),
+    b AS (
+      SELECT doc_id,
+             (strpos('123456789ABCDEF', substr(h, 2*i-1, 1)) * 16
+            + strpos('123456789ABCDEF', substr(h, 2*i, 1))) AS byte
+      FROM dim, unnest(range(1, n + 1)) AS t(i)
+    ),
+    st AS (
+      SELECT doc_id, sum(byte)::BIGINT AS s FROM b GROUP BY doc_id
+    )
+    SELECT dim.doc_id,
+           'image/tiff' AS mime,
+           CAST(8 AS INTEGER) AS width,
+           CAST(dim.height AS INTEGER) AS height,
+           floor((coalesce(st.s, 0)::DOUBLE
+                  / (dim.height * 8)) * 10000) / 10000 AS mean_gray
+    FROM dim LEFT JOIN st USING (doc_id)
+    """,
+    doc="TIFF 6.0 image modality (operators/tiff.py): each document's "
+    "utf-8 bytes render as an 8-wide grayscale raster (zero-padded "
+    "final row), written as a REAL multi-strip baseline TIFF — byte "
+    "order alternates II/MM by doc_id parity and compression "
+    "alternates none/PackBits by doc_id//2 parity, so all four "
+    "wire-format variants are exercised in one entry — then "
+    "decode_tiff walks the IFD, reassembles strips, PackBits-"
+    "inflates, and the gray mean is floor-scaled from the DECODED "
+    "pixels. TIFF is lossless, so the oracle restates width/height/"
+    "mean from the SOURCE bytes: a hash match proves IFD walk + "
+    "strip layout + PackBits + pixel math end-to-end for every "
+    "variant. Closes the sniff->decode gap (sniff_media_type has "
+    "always recognized II*/MM* magic).",
+)
+def multimodal_tiff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F401
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def per_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        from .operators.tiff import decode_tiff, encode_tiff
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                data = (text or "").encode("utf-8")
+                height = max(-(-len(data) // 8), 1)
+                buf = np.zeros(height * 8, dtype=np.uint8)
+                buf[: len(data)] = np.frombuffer(data, dtype=np.uint8)
+                payload = encode_tiff(
+                    buf.reshape(height, 8),
+                    compression="packbits" if (d // 2) % 2 else "none",
+                    endian=">" if d % 2 else "<",
+                )
+                px = decode_tiff(payload)["pixels"]
+                mean_gray = (
+                    math.floor(
+                        int(px[:, :, 0].sum(dtype=np.int64))
+                        / (height * 8)
+                        * 10000
+                    )
+                    / 10000
+                )
+                rows.append((d, "image/tiff", 8, height, mean_gray))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime", "width", "height", "mean_gray"],
+            )
+
+    return docs.mapInPandas(
+        per_batches,
+        schema=(
+            "doc_id BIGINT, mime STRING, width INT, height INT, "
+            "mean_gray DOUBLE"
+        ),
+    )
+
+
+@register(
     "multimodal_video_features_documents",
     """
     WITH hx AS (

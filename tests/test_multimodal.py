@@ -1227,6 +1227,68 @@ def test_ima_adpcm_reference_step_vector():
     assert first_nibble_byte >> 4 == 0
 
 
+def test_tiff_round_trip_endians_compressions_and_gates():
+    """Baseline TIFF codec (operators/tiff.py): lossless pixel round-
+    trips for gray and RGB across both byte orders and none/PackBits
+    compression with multi-strip layout; PackBits survives a
+    worst-case alternating-run payload; WhiteIsZero inverts;
+    unsupported baseline extensions raise loudly; the decoder
+    registry dispatches image/tiff."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        _DECODERS,
+        sniff_media_type,
+    )
+    from data_pipelines_snowflake_procedures_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+        packbits_decode,
+        packbits_encode,
+    )
+
+    rng = np.random.RandomState(7)
+    for endian in ("<", ">"):
+        for comp in ("none", "packbits"):
+            g = rng.randint(0, 256, (13, 9)).astype(np.uint8)
+            enc = encode_tiff(g, compression=comp, endian=endian)
+            assert sniff_media_type(enc) == "image/tiff"
+            out = decode_tiff(enc)
+            assert (out["width"], out["height"]) == (9, 13)
+            assert np.array_equal(out["pixels"][:, :, 0], g)
+            c = rng.randint(0, 256, (10, 17, 3)).astype(np.uint8)
+            o2 = decode_tiff(
+                encode_tiff(c, compression=comp, endian=endian, rows_per_strip=3)
+            )
+            assert np.array_equal(o2["pixels"], c), (endian, comp)
+
+    # PackBits: alternating singles and long runs, 128-boundary cases
+    awkward = (b"\x00\x01" * 70) + (b"\x07" * 300) + bytes(range(129))
+    assert packbits_decode(packbits_encode(awkward), len(awkward)) == awkward
+
+    # WhiteIsZero (photometric 0) inverts on decode
+    g0 = np.full((4, 4), 10, dtype=np.uint8)
+    enc0 = bytearray(encode_tiff(g0))
+    # photometric tag value lives in the IFD; flip 1 -> 0
+    idx = enc0.index((262).to_bytes(2, "little"))
+    assert enc0[idx + 8] == 1
+    enc0[idx + 8] = 0
+    assert decode_tiff(bytes(enc0))["pixels"][0, 0, 0] == 245
+
+    with _pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"II+\x00\x00\x00\x00\x00")
+    lzw = bytearray(encode_tiff(g0))
+    i2 = lzw.index((259).to_bytes(2, "little"))
+    lzw[i2 + 8] = 5  # Compression = LZW
+    with _pytest.raises(NotImplementedError, match="compression"):
+        decode_tiff(bytes(lzw))
+
+    # registry dispatch strips the pixels array
+    st = _DECODERS["image/tiff"](encode_tiff(g0, compression="packbits"))
+    assert st["width"] == 4 and "pixels" not in st and st["mean_r"] == 10.0
+
+
 def test_gif_lzw_round_trip_width_growth_and_table_reset():
     """GIF-variant LZW: encode->decode identity on data long enough to
     force code-width growth to 12 bits AND a table reset (>4096
