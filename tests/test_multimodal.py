@@ -1289,6 +1289,66 @@ def test_tiff_round_trip_endians_compressions_and_gates():
     assert st["width"] == 4 and "pixels" not in st and st["mean_r"] == 10.0
 
 
+def test_decoder_registry_corrupt_payload_fuzz():
+    """Executor-safety contract for every registered decoder: on
+    truncated or byte-flipped payloads a decoder may raise (the
+    extract_* wrappers convert that to NULL stats) but must never
+    hang, recurse unboundedly, or kill the process. 40 deterministic
+    mutations per format across all registered kinds."""
+    import numpy as np
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        _DECODERS,
+        encode_avi_mjpeg,
+        encode_gif,
+        encode_png,
+        encode_wav,
+        encode_wav_ima_adpcm,
+        encode_y4m,
+    )
+    from data_pipelines_snowflake_procedures_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from data_pipelines_snowflake_procedures_spark.operators.tiff import (
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, (12, 10, 3)).astype(np.uint8)
+    gray = img[:, :, 0]
+    frames = np.stack([np.full((8, 8, 3), v, dtype=np.uint8) for v in (3, 200)])
+    fixtures = {
+        "image/png": encode_png(img),
+        "image/gif": encode_gif(img),
+        "image/jpeg": encode_jpeg(img, quality=80),
+        "image/tiff": encode_tiff(gray, compression="packbits"),
+        "audio/wav": encode_wav(bytes(gray.reshape(-1))),
+        "video/x-yuv4mpeg": encode_y4m(gray[None]),
+        "video/x-msvideo": encode_avi_mjpeg(frames, quality=100),
+    }
+    adpcm = encode_wav_ima_adpcm(np.full(34, 900), block_align=12)
+    fixtures["audio/wav+adpcm"] = adpcm
+
+    for kind, payload in fixtures.items():
+        dec = _DECODERS[kind.split("+")[0]]
+        for trial in range(40):
+            buf = bytearray(payload)
+            if trial % 2 == 0:  # truncate at a deterministic point
+                cut = 2 + (trial * 37) % max(len(buf) - 2, 1)
+                buf = buf[:cut]
+            else:  # flip a few bytes
+                for _ in range(3):
+                    pos = int(rng.randint(0, len(buf)))
+                    buf[pos] = int(rng.randint(0, 256))
+            try:
+                out = dec(bytes(buf))
+                # decoding may still succeed (mutation hit padding or
+                # a lossy region) — then the contract is a dict result
+                assert isinstance(out, dict)
+            except Exception:
+                pass  # raising is fine; hanging/crashing is not
+
+
 def test_gif_lzw_round_trip_width_growth_and_table_reset():
     """GIF-variant LZW: encode->decode identity on data long enough to
     force code-width growth to 12 bits AND a table reset (>4096
