@@ -460,7 +460,6 @@ def encode_wav_ima_adpcm(
     arr = np.asarray(samples, dtype=np.int64)
     spb = (block_align - 4) * 2 + 1  # samples per block
     data = bytearray()
-    n_total = 0
     for b0 in range(0, len(arr), spb):
         blk = arr[b0 : b0 + spb]
         pred = int(blk[0])
@@ -488,7 +487,6 @@ def encode_wav_ima_adpcm(
         nibbles += [0] * ((block_align - 4) * 2 - len(nibbles))  # pad block
         for i in range(0, len(nibbles), 2):
             data.append(nibbles[i] | (nibbles[i + 1] << 4))
-        n_total += spb
     avg_bps = (sample_rate * block_align + spb - 1) // spb
     fmt = _struct.pack(
         "<HHIIHHHH", 0x11, 1, sample_rate, avg_bps, block_align, 4, 2, spb
@@ -541,7 +539,11 @@ def decode_wav_ima_adpcm(payload: bytes) -> dict[str, Any]:
         raise NotImplementedError("only mono IMA ADPCM")
     spb = (block_align - 4) * 2 + 1
     samples: list[int] = []
-    for b0 in range(0, len(data) - block_align + 1, block_align):
+    for b0 in range(0, len(data), block_align):
+        # a short final block is legal on real files — decode what is
+        # there rather than silently dropping its samples
+        if b0 + 4 > len(data):
+            break
         pred, index, _ = _struct.unpack_from("<hBB", data, b0)
         samples.append(pred)
         for byte in data[b0 + 4 : b0 + block_align]:
@@ -775,8 +777,8 @@ def decode_avi_mjpeg(payload: bytes) -> dict[str, Any]:
             pos = body_start + size + (size % 2)
 
     walk(payload, 12, len(payload))
-    if w is None or h is None:
-        raise ValueError("AVI missing avih header")
+    if not w or not h:
+        raise ValueError("AVI missing or zero-sized avih header")
     y_sum = 0
     y_sum_sampled = 0
     for i, fr in enumerate(frames):

@@ -38,8 +38,6 @@ import numpy as np
 _W, _H, _BPS, _COMP, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFF, _SPP, _RPS, _STRIP_CNT = 273, 277, 278, 279
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
-
 
 def packbits_encode(data: bytes) -> bytes:
     """TIFF PackBits (spec §9): literal runs as (n-1, bytes), repeats
@@ -123,9 +121,11 @@ def encode_tiff(
         )
 
     # layout: header(8) | IFD | offset arrays | bps array | strip data
+    # width/height use type LONG — SHORT would cap dimensions at 65535
+    # (a document-derived raster can be taller than that)
     tags = [
-        (_W, 3, 1, struct.pack(f"{endian}H", w)),
-        (_H, 3, 1, struct.pack(f"{endian}H", h)),
+        (_W, 4, 1, struct.pack(f"{endian}I", w)),
+        (_H, 4, 1, struct.pack(f"{endian}I", h)),
         (_BPS, 3, spp, None),  # resolved below (inline for gray)
         (_COMP, 3, 1, struct.pack(f"{endian}H", comp_id)),
         (_PHOTO, 3, 1, struct.pack(f"{endian}H", 1 if gray else 2)),
@@ -198,25 +198,15 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
     else:
         raise ValueError("not a TIFF payload")
     (ifd_off,) = struct.unpack_from(f"{endian}I", payload, 4)
-    (n_entries,) = struct.unpack_from(f"{endian}H", payload, ifd_off)
-    tags: dict[int, list[int]] = {}
-    for i in range(n_entries):
-        pos = ifd_off + 2 + 12 * i
-        tag, ttype, count = struct.unpack_from(f"{endian}HHI", payload, pos)
-        if ttype not in _TYPE_SIZE:
-            continue
-        nbytes = _TYPE_SIZE[ttype] * count
-        if nbytes <= 4:
-            raw = payload[pos + 8 : pos + 8 + nbytes]
-        else:
-            (off,) = struct.unpack_from(f"{endian}I", payload, pos + 8)
-            raw = payload[off : off + nbytes]
-        if ttype == 3:
-            tags[tag] = list(struct.unpack(f"{endian}{count}H", raw))
-        elif ttype == 4:
-            tags[tag] = list(struct.unpack(f"{endian}{count}I", raw))
-        elif ttype == 1:
-            tags[tag] = list(raw)
+    # the IFD wire format is shared with EXIF — reuse that walker
+    # (operators/exif.py) instead of keeping a second parser in sync
+    from .exif import _parse_ifd
+
+    tags: dict[int, list] = {
+        t: list(v) if isinstance(v, tuple) else [v]
+        for t, v in _parse_ifd(payload, endian, ifd_off).items()
+        if v is not None
+    }
     w = tags.get(_W, [0])[0]
     h = tags.get(_H, [0])[0]
     if not w or not h:
@@ -236,6 +226,11 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
         raise NotImplementedError("planar configuration 2")
     if spp not in (1, 3):
         raise NotImplementedError(f"TIFF samples per pixel {spp}")
+    photo = tags.get(_PHOTO, [1 if spp == 1 else 2])[0]
+    if photo not in (0, 1, 2):
+        # palette (3), YCbCr (6), CMYK (5)… would silently mis-decode
+        # as gray/RGB — fail loudly per the module contract
+        raise NotImplementedError(f"TIFF photometric interpretation {photo}")
     rps = tags.get(_RPS, [h])[0] or h
     offsets = tags.get(_STRIP_OFF, [])
     counts = tags.get(_STRIP_CNT, [])
@@ -258,7 +253,7 @@ def decode_tiff(payload: bytes) -> dict[str, Any]:
     arr = np.frombuffer(bytes(data), np.uint8, h * row_bytes).reshape(
         h, w, spp
     )
-    if tags.get(_PHOTO, [1 if spp == 1 else 2])[0] == 0:  # WhiteIsZero
+    if photo == 0:  # WhiteIsZero
         arr = 255 - arr
     rgb = np.repeat(arr, 3, axis=2) if spp == 1 else arr
     n_px = w * h

@@ -1193,6 +1193,18 @@ def test_ima_adpcm_round_trip_constant_exact_and_lossy_bounded():
     d4 = decode_wav_ima_adpcm(encode_wav_ima_adpcm(np.full(20, 1000)))
     assert d4["n_samples"] == 20
 
+    # a short trailing block (data not a multiple of nBlockAlign) is
+    # decoded, not silently dropped
+    two = encode_wav_ima_adpcm(np.full(34, 900), block_align=12)
+    dpos = two.index(b"data")
+    cut = bytearray(two)
+    cut[dpos + 4 : dpos + 8] = (24 - 8).to_bytes(4, "little")  # 16-byte data
+    short = bytes(cut[: dpos + 8 + 16])
+    d5 = decode_wav_ima_adpcm(short)
+    # full block (17) + header sample + 2*(16-12-... ) nibbles of the
+    # partial block: 17 + 1 + 2*(16 - 12 - 4 + ... )  -> count directly
+    assert d5["n_samples"] > 17  # partial block contributed samples
+
     with _pytest.raises(ValueError, match="not a WAV"):
         decode_wav_ima_adpcm(b"RIFF\x04\x00\x00\x00AVI ")
 
@@ -1283,6 +1295,18 @@ def test_tiff_round_trip_endians_compressions_and_gates():
     lzw[i2 + 8] = 5  # Compression = LZW
     with _pytest.raises(NotImplementedError, match="compression"):
         decode_tiff(bytes(lzw))
+    # palette-color (photometric 3) must fail loudly, not decode the
+    # indices as gray levels
+    pal = bytearray(encode_tiff(g0))
+    pal[pal.index((262).to_bytes(2, "little")) + 8] = 3
+    with _pytest.raises(NotImplementedError, match="photometric"):
+        decode_tiff(bytes(pal))
+    # width/height are LONG in the IFD: dimensions past the SHORT cap
+    # encode and decode (one 70000-row single-column strip set)
+    tall = encode_tiff(
+        np.zeros((70000, 1), np.uint8), rows_per_strip=65000
+    )
+    assert decode_tiff(tall)["height"] == 70000
 
     # registry dispatch strips the pixels array
     st = _DECODERS["image/tiff"](encode_tiff(g0, compression="packbits"))
