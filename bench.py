@@ -183,6 +183,7 @@ HEADLINE = [
     "events_top_journeys",
     "orders_customer_join_ivm",
     "orders_customer_join_ivm_deletes",
+    "orders_rollup_rewrite",
     # multimodal codec legs (PPM/PNG/JPEG images, WAV audio — real
     # stdlib decodes inside Arrow-batched mapInPandas)
     "multimodal_features_documents",

@@ -3479,3 +3479,63 @@ def brand_return_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bh_rank",
         (F.col("bh_rank") <= F.col("__k")).cast("int").alias("bh_significant"),
     )
+
+
+@register(
+    "orders_rollup_rewrite",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price,
+           round(sum(o_totalprice) / count(*), 2) AS avg_price,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    """,
+    doc="Materialized-rollup query rewriting (plans/mv.py — the "
+    "aggregate-subsumption MV match every warehouse optimizer ships): "
+    "a (priority, status) rollup of orders is materialized once in "
+    "partial_agg state shape, then a priority-level aggregate with a "
+    "status equality filter is answered by RE-AGGREGATING THE ROLLUP "
+    "— the fact table is never scanned (the entry raises if the "
+    "rewriter declines). The oracle is the from-scratch GROUP BY over "
+    "orders, so the hash match proves the subsumption rewrite returns "
+    "bit-identical answers to recomputation: count via sum(n), sum "
+    "via sum(sum), avg derived at finalize time from merged sum/n, "
+    "min/max via re-min/re-max. At 100 TB the rewrite reads "
+    "|priority x status| state rows instead of the fact table; "
+    "filters are restricted to materialized key columns (the classic "
+    "containment condition), and non-derivable measures fall back to "
+    "the fact scan (tests pin both refusal paths).",
+)
+def orders_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.incremental import partial_agg
+    from .plans.mv import AggQuery, RollupView, answer
+
+    orders = load_table(spark, sf_dir, "orders")
+    view = RollupView(
+        name="orders_by_priority_status",
+        table="orders",
+        keys=("o_orderpriority", "o_orderstatus"),
+        value_col="o_totalprice",
+        state=partial_agg(
+            orders, ["o_orderpriority", "o_orderstatus"], "o_totalprice"
+        ),
+    )
+    q = AggQuery(
+        table="orders",
+        group_by=("o_orderpriority",),
+        value_col="o_totalprice",
+        measures=(
+            ("count", "n_orders"),
+            ("sum", "sum_price"),
+            ("avg", "avg_price"),
+            ("min", "min_price"),
+            ("max", "max_price"),
+        ),
+        eq_filters=(("o_orderstatus", "F"),),
+    )
+    out, used_view = answer(q, [view], orders)
+    if not used_view:  # the rewrite IS the operator under test
+        raise AssertionError("rollup rewrite unexpectedly declined")
+    return out

@@ -1,0 +1,105 @@
+"""Materialized-rollup rewrite (plans/mv.py): subsumption matching,
+refusal paths, and rewrite-equals-recompute parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipelines_snowflake_procedures_spark.operators.incremental import (
+    partial_agg,
+)
+from data_pipelines_snowflake_procedures_spark.plans.mv import (
+    AggQuery,
+    RollupView,
+    answer,
+    try_rewrite,
+)
+
+
+@pytest.fixture(scope="module")
+def fact(spark):
+    rows = [
+        ("a", "x", 10.0), ("a", "x", 20.0), ("a", "y", 5.0),
+        ("b", "x", 100.0), ("b", "y", 1.0), ("b", "y", 2.0),
+        ("c", "x", 7.0),
+    ]
+    return spark.createDataFrame(rows, "k1 STRING, k2 STRING, v DOUBLE")
+
+
+@pytest.fixture(scope="module")
+def view(fact):
+    return RollupView(
+        name="t_by_k1_k2",
+        table="t",
+        keys=("k1", "k2"),
+        value_col="v",
+        state=partial_agg(fact, ["k1", "k2"], "v"),
+    )
+
+
+def _q(**over):
+    base = dict(
+        table="t",
+        group_by=("k1",),
+        value_col="v",
+        measures=(
+            ("count", "n"), ("sum", "s"), ("avg", "a"),
+            ("min", "lo"), ("max", "hi"),
+        ),
+    )
+    base.update(over)
+    return AggQuery(**base)
+
+
+def test_rewrite_matches_recompute(fact, view):
+    """The rewrite over the rollup equals the from-scratch aggregate,
+    for the plain case, a key-subset grouping, and a key filter."""
+    for q in (
+        _q(),
+        _q(group_by=("k1", "k2")),
+        _q(eq_filters=(("k2", "x"),)),
+        _q(group_by=(), eq_filters=(("k1", "b"),)),  # global aggregate
+    ):
+        rewritten = try_rewrite(q, [view])
+        assert rewritten is not None, q
+        direct, used = answer(q, [], fact)
+        assert not used
+        key = [r for r in q.group_by]
+        got = sorted(rewritten.collect(), key=lambda r: tuple(r[k] for k in key))
+        exp = sorted(direct.collect(), key=lambda r: tuple(r[k] for k in key))
+        assert [r.asDict() for r in got] == [r.asDict() for r in exp], q
+
+
+def test_refusal_paths(fact, view):
+    """No rewrite when: unknown table, grouping key not materialized,
+    filter on a non-key column, different measure column, or a
+    non-derivable measure — and answer() falls back to the fact."""
+    cases = [
+        _q(table="other"),
+        _q(group_by=("k3",)),
+        _q(eq_filters=(("v", 10.0),)),
+        _q(value_col="w"),
+        _q(measures=(("count_distinct", "d"),)),
+    ]
+    for q in cases:
+        assert try_rewrite(q, [view]) is None, q
+    # fallback still answers the valid-but-unmatched query
+    q = _q(eq_filters=(("v", 10.0),))
+    out, used = answer(q, [view], fact)
+    assert not used
+    rows = {r["k1"]: r["n"] for r in out.collect()}
+    assert rows == {"a": 1}
+
+
+def test_rewrite_never_scans_fact(fact, view):
+    """The rewritten plan reads only the rollup state: collapsing the
+    state to a single marker row changes the answer, proving the fact
+    table is not consulted."""
+    fake_state = view.state.withColumn("sum", F.lit(0.0))
+    poisoned = RollupView(
+        name=view.name, table=view.table, keys=view.keys,
+        value_col=view.value_col, state=fake_state,
+    )
+    out = try_rewrite(_q(measures=(("sum", "s"),)), [poisoned])
+    assert all(r["s"] == 0.0 for r in out.collect())
