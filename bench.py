@@ -160,6 +160,7 @@ HEADLINE = [
     "events_asof_click_before_error",
     "events_groupwise_zscore",
     "events_distinct_users_sketch",
+    "events_kmv_user_overlap",
     "events_robust_outlier_profile",
     "events_robust_outlier_profile_approx",
     "events_incremental_rollup",

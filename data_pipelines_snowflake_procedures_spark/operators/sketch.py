@@ -202,3 +202,97 @@ def cms_point_estimate(
         .groupBy(*group_cols, value_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+#: 16^15 == 2^60: the hash space of the 15-hex-digit md5 prefix. Exactly
+#: representable as a double, so (k-1)·M stays exact in IEEE arithmetic
+#: and the DuckDB oracle reproduces estimates bit-for-bit.
+_KMV_SPACE = 16 ** 15
+
+
+def kmv_sketch(
+    df: DataFrame, set_col: str, value_col: str, k: int = 256
+) -> DataFrame:
+    """Bottom-k (KMV) sketch per set: the k smallest DISTINCT md5
+    hashes of ``value_col`` within each ``set_col`` group — O(k) state
+    per set no matter the cardinality, mergeable by re-taking the k
+    smallest of a union. Deterministic md5 hashing (the repo-wide
+    cross-engine idiom) means a DuckDB oracle can restate the sketch
+    and every estimate derived from it EXACTLY — unlike HLL, whose
+    register encoding is engine-specific (rows-only there).
+
+    Returns (set_col, h, rk) rows with rk ≤ k, h ascending per set."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv|"), F.col(value_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashes = df.select(F.col(set_col), h.alias("h")).distinct()
+    w = Window.partitionBy(set_col).orderBy("h")
+    return hashes.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
+def kmv_overlap(sketches: DataFrame, set_col: str, k: int = 256) -> DataFrame:
+    """All set pairs (a < b): union / Jaccard / intersection estimates
+    from the bottom-k sketches alone. Algebra (Beyer et al., public):
+    take the k smallest of K(A) ∪ K(B); if fewer than k distinct
+    hashes exist the union is EXACT, else D̂ = (k-1)·M / h_k. Any hash
+    among those k that lies in A must already be in K(A) (it is below
+    A's own kth smallest), so Jaccard = |bottom-k ∩ K(A) ∩ K(B)| / k
+    needs only sketch state; intersection = Jaccard · D̂. One shuffle
+    on (pair, h); per-pair state is 2k rows."""
+    s = sketches.select(F.col(set_col).alias("s"), "h")
+    names = s.select("s").distinct()
+    pairs = (
+        names.select(F.col("s").alias("type_a"))
+        .crossJoin(names.select(F.col("s").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    rows_a = pairs.join(s, F.col("s") == F.col("type_a")).select(
+        "type_a", "type_b", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib")
+    )
+    rows_b = pairs.join(s, F.col("s") == F.col("type_b")).select(
+        "type_a", "type_b", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib")
+    )
+    merged = (
+        rows_a.unionByName(rows_b)
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("type_a", "type_b").orderBy("h")
+    kept = merged.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+    agg = kept.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("hk"),
+        F.sum((F.col("ia") * F.col("ib"))).alias("j_cnt"),
+    )
+    est_union = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        F.floor(
+            F.lit(float((k - 1) * _KMV_SPACE)) / F.col("hk").cast("double")
+        ).cast("double")
+    )
+    return agg.select(
+        "type_a",
+        "type_b",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        est_union.cast("long").alias("est_union"),
+        (
+            F.floor(F.col("j_cnt").cast("double") / F.col("n_kept") * 10000)
+            / 10000
+        ).alias("est_jaccard"),
+        F.floor(
+            F.col("j_cnt").cast("double") / F.col("n_kept") * est_union
+        ).cast("long").alias("est_intersection"),
+    )

@@ -1133,6 +1133,133 @@ def events_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_kmv_user_overlap",
+    """
+    WITH du AS (SELECT DISTINCT event_type AS s, user_id FROM events),
+    hx AS (
+      SELECT DISTINCT s,
+             ('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)),
+                             1, 15))::BIGINT AS h
+      FROM du
+    ),
+    sk AS (
+      SELECT s, h FROM (
+        SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rk
+        FROM hx
+      ) WHERE rk <= 256
+    ),
+    names AS (SELECT DISTINCT s FROM sk),
+    pairs AS (
+      SELECT a.s AS type_a, b.s AS type_b
+      FROM names a, names b WHERE a.s < b.s
+    ),
+    mrg AS (
+      SELECT p.type_a, p.type_b, k.h,
+             max(CASE WHEN k.s = p.type_a THEN 1 ELSE 0 END) AS ia,
+             max(CASE WHEN k.s = p.type_b THEN 1 ELSE 0 END) AS ib
+      FROM pairs p JOIN sk k ON k.s IN (p.type_a, p.type_b)
+      GROUP BY 1, 2, 3
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY type_a, type_b ORDER BY h) AS rk
+        FROM mrg
+      ) WHERE rk <= 256
+    ),
+    ag AS (
+      SELECT type_a, type_b, count(*) AS n_kept, max(h) AS hk,
+             sum(ia * ib) AS j_cnt
+      FROM kept GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT type_a, type_b, n_kept, j_cnt,
+             CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+                  ELSE floor(CAST(255 AS DOUBLE)
+                             * CAST(1152921504606846976 AS DOUBLE)
+                             / CAST(hk AS DOUBLE)) END AS eu
+      FROM ag
+    ),
+    cnts AS (SELECT s, count(*) AS c FROM du GROUP BY s),
+    inter AS (
+      SELECT a.s AS type_a, b.s AS type_b, count(*) AS xi
+      FROM du a JOIN du b ON a.user_id = b.user_id AND a.s < b.s
+      GROUP BY 1, 2
+    )
+    SELECT e.type_a, e.type_b,
+           CAST(e.n_kept AS BIGINT) AS n_kept,
+           CAST(e.eu AS BIGINT) AS est_union,
+           floor(CAST(e.j_cnt AS DOUBLE) / e.n_kept * 10000) / 10000
+             AS est_jaccard,
+           CAST(floor(CAST(e.j_cnt AS DOUBLE) / e.n_kept * e.eu) AS BIGINT)
+             AS est_intersection,
+           CAST(ca.c + cb.c - coalesce(i.xi, 0) AS BIGINT) AS exact_union,
+           CAST(coalesce(i.xi, 0) AS BIGINT) AS exact_intersection
+    FROM est e
+    JOIN cnts ca ON ca.s = e.type_a
+    JOIN cnts cb ON cb.s = e.type_b
+    LEFT JOIN inter i ON i.type_a = e.type_a AND i.type_b = e.type_b
+    """,
+    doc="Bottom-k (KMV) set-overlap sketches "
+    "(operators/sketch.py::kmv_sketch/kmv_overlap): per event type the "
+    "k=256 smallest distinct md5 hashes of user_id, then for every "
+    "type pair the union / Jaccard / intersection ESTIMATES computed "
+    "from sketch state alone — O(k) rows per set instead of a "
+    "distinct-user shuffle, mergeable by re-taking the bottom k. "
+    "Unlike HLL (engine-specific registers, rows-only), the "
+    "deterministic md5 hash space lets the DuckDB oracle restate the "
+    "whole sketch AND the estimator algebra hash-exactly: (k-1)·2^60 "
+    "is an exact double, so D-hat = (k-1)·M/h_k reproduces "
+    "bit-for-bit. Exact union/intersection ride along as calibration "
+    "columns (at 100 TB they drop out; the sketches persist per "
+    "slice). Set-intersection cardinality is the one set operation "
+    "HLL cannot deliver — this is the theta-sketch role in the "
+    "sketch family.",
+)
+def events_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import kmv_overlap, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    est = kmv_overlap(kmv_sketch(ev, "event_type", "user_id", k=256),
+                      "event_type", k=256)
+    du = ev.distinct()
+    cnts = du.groupBy(F.col("event_type").alias("s")).agg(
+        F.count("*").alias("c")
+    )
+    a, b = du.alias("a"), du.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("xi"))
+    )
+    return (
+        est.join(cnts.withColumnRenamed("s", "type_a").withColumnRenamed("c", "ca"), "type_a")
+        .join(cnts.withColumnRenamed("s", "type_b").withColumnRenamed("c", "cb"), "type_b")
+        .join(inter, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "n_kept",
+            "est_union",
+            "est_jaccard",
+            "est_intersection",
+            (F.col("ca") + F.col("cb") - F.coalesce(F.col("xi"), F.lit(0)))
+            .cast("long")
+            .alias("exact_union"),
+            F.coalesce(F.col("xi"), F.lit(0)).cast("long")
+            .alias("exact_intersection"),
+        )
+    )
+
+
+@register(
     "events_type_counts_cms",
     """
     SELECT event_type, CAST(count(*) AS BIGINT) AS est_count

@@ -137,3 +137,52 @@ def test_cms_bucket_keys_single_scan_entry(spark, sf_dir):
     want = {r["event_type"] for r in ev.select("event_type").distinct().collect()}
     assert got == want
     assert set(est) == want
+
+
+def test_kmv_overlap_accuracy_and_merge_invariance(spark):
+    """KMV bottom-k sketches: (1) union/intersection estimates land
+    within KMV's ~1/sqrt(k) error band on sets with known overlap;
+    (2) the sketch of a union equals re-taking the bottom k of the
+    two sketches' union (mergeability — the property that lets
+    per-day sketches answer range queries); (3) sub-k sets estimate
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_snowflake_procedures_spark.operators.sketch import (
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    # A = 0..3999, B = 2000..5999 -> |A|=|B|=4000, inter=2000, union=6000
+    rows = [("A", i) for i in range(4000)] + [("B", i) for i in range(2000, 6000)]
+    df = spark.createDataFrame(rows, "s STRING, v LONG")
+    sk = kmv_sketch(df, "s", "v", k=256)
+    out = kmv_overlap(sk, "s", k=256).collect()[0]
+    assert abs(out["est_union"] - 6000) / 6000 < 0.20
+    assert abs(out["est_intersection"] - 2000) / 2000 < 0.35
+    assert 0 < out["est_jaccard"] < 1
+
+    # mergeability: bottom-k of (sketch(A) ∪ sketch(B)) == sketch(A ∪ B)
+    union_direct = kmv_sketch(
+        df.select(F.lit("U").alias("s"), "v"), "s", "v", k=256
+    )
+    from pyspark.sql import Window
+
+    merged = (
+        sk.select("h")
+        .distinct()
+        .withColumn("rk", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rk") <= 256)
+    )
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in union_direct.collect()
+    )
+
+    # sub-k sets are exact
+    small = spark.createDataFrame(
+        [("X", i) for i in range(40)] + [("Y", i) for i in range(20, 60)],
+        "s STRING, v LONG",
+    )
+    o2 = kmv_overlap(kmv_sketch(small, "s", "v", k=256), "s", k=256).collect()[0]
+    assert o2["est_union"] == 60 and o2["est_intersection"] == 20
+    assert o2["est_jaccard"] == 3333 / 10000
