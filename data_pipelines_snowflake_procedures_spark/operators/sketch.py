@@ -211,7 +211,7 @@ _KMV_SPACE = 16 ** 15
 
 
 def kmv_sketch(
-    df: DataFrame, set_col: str, value_col: str, k: int = 256
+    df: DataFrame, set_col, value_col: str, k: int = 256
 ) -> DataFrame:
     """Bottom-k (KMV) sketch per set: the k smallest DISTINCT md5
     hashes of ``value_col`` within each ``set_col`` group — O(k) state
@@ -221,9 +221,12 @@ def kmv_sketch(
     and every estimate derived from it EXACTLY — unlike HLL, whose
     register encoding is engine-specific (rows-only there).
 
-    Returns (set_col, h, rk) rows with rk ≤ k, h ascending per set."""
+    ``set_col`` may be one column name or a sequence (composite key —
+    the shape a sketch-backed rollup view materializes).
+    Returns (set_col…, h, rk) rows with rk ≤ k, h ascending per set."""
     from pyspark.sql import Window
 
+    keys = [set_col] if isinstance(set_col, str) else list(set_col)
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("kmv|"), F.col(value_col).cast("string"))),
@@ -233,8 +236,8 @@ def kmv_sketch(
         16,
         10,
     ).cast("long")
-    hashes = df.select(F.col(set_col), h.alias("h")).distinct()
-    w = Window.partitionBy(set_col).orderBy("h")
+    hashes = df.select(*[F.col(c) for c in keys], h.alias("h")).distinct()
+    w = Window.partitionBy(*keys).orderBy("h")
     return hashes.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= k
     )

@@ -138,3 +138,62 @@ def answer(
                 F.round(getattr(F, fn)(v), q.decimals).alias(alias)
             )
     return df.groupBy(*q.group_by).agg(*exprs), False
+
+
+@dataclass(frozen=True)
+class KmvDistinctView:
+    """A sketch-backed rollup for approximate COUNT(DISTINCT …): the
+    bottom-k md5 hashes of ``value_col`` per key combination
+    (operators/sketch.py::kmv_sketch output — (keys…, h, rk) rows).
+    This is the Druid/warehouse pattern of materializing a mergeable
+    distinct sketch inside the rollup: exact distincts do NOT roll up
+    (they need the raw value set), but bottom-k state re-merges under
+    any key-subset regrouping by re-taking the k smallest."""
+
+    name: str
+    table: str
+    keys: tuple[str, ...]
+    value_col: str
+    k: int
+    state: DataFrame
+
+
+def try_rewrite_distinct(
+    q: AggQuery, views: list[KmvDistinctView]
+) -> DataFrame | None:
+    """Rewrite a single-measure ``("distinct_approx", alias)`` query
+    against a KMV view: union the matching groups' sketch rows,
+    re-take the bottom k per output group, and apply the KMV
+    estimator ((k-1)·2^60 / h_k, exact below k). Returns None unless
+    the view subsumes the query (same containment conditions as
+    :func:`try_rewrite`)."""
+    from pyspark.sql import Window
+
+    if len(q.measures) != 1 or q.measures[0][0] != "distinct_approx":
+        return None
+    alias = q.measures[0][1]
+    for v in views:
+        if q.table != v.table or q.value_col != v.value_col:
+            continue
+        if not set(q.group_by) <= set(v.keys):
+            continue
+        if not {c for c, _ in q.eq_filters} <= set(v.keys):
+            continue
+        df = v.state
+        for col, val in q.eq_filters:
+            df = df.filter(F.col(col) == F.lit(val))
+        merged = df.select(*q.group_by, "h").distinct()
+        w = Window.partitionBy(*q.group_by).orderBy("h")
+        kept = merged.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= v.k
+        )
+        space = float((v.k - 1) * (16 ** 15))  # exact double (≤ 9 mantissa bits)
+        return kept.groupBy(*q.group_by).agg(
+            F.when(
+                F.count("*") < v.k, F.count("*").cast("double")
+            )
+            .otherwise(F.floor(F.lit(space) / F.max("h").cast("double")))
+            .cast("long")
+            .alias(alias)
+        )
+    return None

@@ -3539,3 +3539,92 @@ def orders_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not used_view:  # the rewrite IS the operator under test
         raise AssertionError("rollup rewrite unexpectedly declined")
     return out
+
+
+@register(
+    "orders_distinct_rewrite",
+    """
+    WITH du AS (
+      SELECT DISTINCT o_orderpriority AS p, o_orderstatus AS s,
+             o_custkey AS v
+      FROM orders
+    ),
+    hx AS (
+      SELECT DISTINCT p, s,
+             ('0x' || substr(md5('kmv|' || CAST(v AS VARCHAR)),
+                             1, 15))::BIGINT AS h
+      FROM du
+    ),
+    sk AS (
+      SELECT p, s, h FROM (
+        SELECT p, s, h,
+               row_number() OVER (PARTITION BY p, s ORDER BY h) AS rk
+        FROM hx
+      ) WHERE rk <= 128
+    ),
+    mrg AS (SELECT DISTINCT p, h FROM sk),
+    kept AS (
+      SELECT p, h FROM (
+        SELECT p, h, row_number() OVER (PARTITION BY p ORDER BY h) AS rk
+        FROM mrg
+      ) WHERE rk <= 128
+    ),
+    ag AS (SELECT p, count(*) AS n, max(h) AS hk FROM kept GROUP BY p),
+    ex AS (
+      SELECT o_orderpriority AS p,
+             count(DISTINCT o_custkey) AS xd
+      FROM orders GROUP BY 1
+    )
+    SELECT ag.p AS o_orderpriority,
+           CAST(CASE WHEN ag.n < 128 THEN CAST(ag.n AS DOUBLE)
+                ELSE floor(CAST(127 AS DOUBLE)
+                           * CAST(1152921504606846976 AS DOUBLE)
+                           / CAST(ag.hk AS DOUBLE)) END AS BIGINT)
+             AS approx_distinct_customers,
+           CAST(ex.xd AS BIGINT) AS exact_distinct_customers
+    FROM ag JOIN ex ON ex.p = ag.p
+    """,
+    doc="Sketch-backed MV rewrite for COUNT DISTINCT "
+    "(plans/mv.py::KmvDistinctView/try_rewrite_distinct — the "
+    "Druid/warehouse pattern of materializing a mergeable distinct "
+    "sketch inside a rollup, because exact distincts do NOT roll up): "
+    "a (priority, status)-keyed KMV bottom-128 view of o_custkey is "
+    "materialized once; a priority-level approximate-distinct query "
+    "re-merges the per-status sketches by re-taking the bottom k and "
+    "applies the (k-1)*2^60/h_k estimator — the orders table is never "
+    "rescanned for the approximate column (the entry raises if the "
+    "rewriter declines). The deterministic md5 hash space makes the "
+    "merge AND estimator DuckDB-restatable hash-exactly; the exact "
+    "countDistinct rides along as the calibration column. Sub-k "
+    "groups take the exact-count path (sf0.001 exercises it; sf0.01 "
+    "exercises the estimator path).",
+)
+def orders_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import kmv_sketch
+    from .plans.mv import AggQuery, KmvDistinctView, try_rewrite_distinct
+
+    orders = load_table(spark, sf_dir, "orders")
+    view = KmvDistinctView(
+        name="orders_custkey_kmv",
+        table="orders",
+        keys=("o_orderpriority", "o_orderstatus"),
+        value_col="o_custkey",
+        k=128,
+        state=kmv_sketch(
+            orders, ["o_orderpriority", "o_orderstatus"], "o_custkey", k=128
+        ),
+    )
+    q = AggQuery(
+        table="orders",
+        group_by=("o_orderpriority",),
+        value_col="o_custkey",
+        measures=(("distinct_approx", "approx_distinct_customers"),),
+    )
+    est = try_rewrite_distinct(q, [view])
+    if est is None:
+        raise AssertionError("distinct rewrite unexpectedly declined")
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("long")
+        .alias("exact_distinct_customers")
+    )
+    return est.join(exact, "o_orderpriority")

@@ -131,3 +131,42 @@ def test_rewrite_over_incrementally_maintained_state(spark, fact):
     assert sorted(
         (r.asDict() for r in got.collect()), key=lambda d: d["k1"]
     ) == sorted((r.asDict() for r in exp.collect()), key=lambda d: d["k1"])
+
+
+def test_distinct_rewrite_paths(spark, fact):
+    """Sketch-backed distinct rewrite: sub-k groups are exact; the
+    estimator engages above k; containment refusals mirror the
+    rollup matcher; non-distinct measures are declined."""
+    from data_pipelines_snowflake_procedures_spark.operators.sketch import (
+        kmv_sketch,
+    )
+    from data_pipelines_snowflake_procedures_spark.plans.mv import (
+        KmvDistinctView,
+        try_rewrite_distinct,
+    )
+
+    rows = [("a", "x", i) for i in range(300)] + [
+        ("a", "y", i) for i in range(250, 550)
+    ] + [("b", "x", i) for i in range(5)]
+    df = spark.createDataFrame(rows, "k1 STRING, k2 STRING, v LONG")
+    view = KmvDistinctView(
+        name="d", table="t", keys=("k1", "k2"), value_col="v", k=128,
+        state=kmv_sketch(df, ["k1", "k2"], "v", k=128),
+    )
+    q = AggQuery(
+        table="t", group_by=("k1",), value_col="v",
+        measures=(("distinct_approx", "d"),),
+    )
+    out = {r["k1"]: r["d"] for r in try_rewrite_distinct(q, [view]).collect()}
+    assert out["b"] == 5  # sub-k: exact
+    assert abs(out["a"] - 550) / 550 < 0.30  # estimator within band
+
+    # refusals: measure mix, unknown key, non-key filter, wrong column
+    for bad in (
+        AggQuery("t", ("k1",), "v", (("count", "c"),)),
+        AggQuery("t", ("k3",), "v", (("distinct_approx", "d"),)),
+        AggQuery("t", ("k1",), "v", (("distinct_approx", "d"),),
+                 eq_filters=(("v", 1),)),
+        AggQuery("t", ("k1",), "w", (("distinct_approx", "d"),)),
+    ):
+        assert try_rewrite_distinct(bad, [view]) is None, bad
