@@ -161,6 +161,7 @@ HEADLINE = [
     "events_groupwise_zscore",
     "events_distinct_users_sketch",
     "events_kmv_user_overlap",
+    "events_kmv_incremental",
     "events_robust_outlier_profile",
     "events_robust_outlier_profile_approx",
     "events_incremental_rollup",

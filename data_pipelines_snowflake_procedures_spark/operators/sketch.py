@@ -299,3 +299,38 @@ def kmv_overlap(sketches: DataFrame, set_col: str, k: int = 256) -> DataFrame:
             F.col("j_cnt").cast("double") / F.col("n_kept") * est_union
         ).cast("long").alias("est_intersection"),
     )
+
+
+def kmv_merge(sketches: DataFrame, keys, k: int = 256) -> DataFrame:
+    """Merge KMV sketches that share a key: bottom-k of the union of
+    their hash sets. Because bottom-k-of-union is associative,
+    commutative, and idempotent, folding per-slice sketches in ANY
+    order reproduces the sketch of the full data EXACTLY — the
+    property that makes KMV state safe to maintain incrementally
+    (per-day partials rolled into a running view) and to re-merge
+    under key-subset regrouping. Input is one or more unioned
+    ``kmv_sketch`` outputs (keys…, h[, rk]); rk is recomputed."""
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    merged = sketches.select(*keys, "h").distinct()
+    w = Window.partitionBy(*keys).orderBy("h")
+    return merged.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
+def kmv_estimate(sketch: DataFrame, keys, k: int = 256) -> DataFrame:
+    """Distinct-count estimate per key from KMV state alone:
+    exact count when the group holds fewer than k hashes (the sketch
+    IS the distinct hash set), else (k-1)·M / h_k floored to a long.
+    M = 2^60 and (k-1)·M are exact doubles, so a DuckDB oracle
+    reproduces every estimate bit-for-bit."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    space = float((k - 1) * _KMV_SPACE)
+    return sketch.groupBy(*keys).agg(
+        F.when(F.count("*") < k, F.count("*").cast("double"))
+        .otherwise(F.floor(F.lit(space) / F.max("h").cast("double")))
+        .cast("long")
+        .alias("est_distinct")
+    )

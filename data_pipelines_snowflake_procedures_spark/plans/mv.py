@@ -167,7 +167,7 @@ def try_rewrite_distinct(
     estimator ((k-1)·2^60 / h_k, exact below k). Returns None unless
     the view subsumes the query (same containment conditions as
     :func:`try_rewrite`)."""
-    from pyspark.sql import Window
+    from ..operators.sketch import kmv_estimate, kmv_merge
 
     if len(q.measures) != 1 or q.measures[0][0] != "distinct_approx":
         return None
@@ -182,18 +182,8 @@ def try_rewrite_distinct(
         df = v.state
         for col, val in q.eq_filters:
             df = df.filter(F.col(col) == F.lit(val))
-        merged = df.select(*q.group_by, "h").distinct()
-        w = Window.partitionBy(*q.group_by).orderBy("h")
-        kept = merged.withColumn("rk", F.row_number().over(w)).filter(
-            F.col("rk") <= v.k
-        )
-        space = float((v.k - 1) * (16 ** 15))  # exact double (≤ 9 mantissa bits)
-        return kept.groupBy(*q.group_by).agg(
-            F.when(
-                F.count("*") < v.k, F.count("*").cast("double")
-            )
-            .otherwise(F.floor(F.lit(space) / F.max("h").cast("double")))
-            .cast("long")
-            .alias(alias)
+        kept = kmv_merge(df, list(q.group_by), k=v.k)
+        return kmv_estimate(kept, list(q.group_by), k=v.k).withColumnRenamed(
+            "est_distinct", alias
         )
     return None

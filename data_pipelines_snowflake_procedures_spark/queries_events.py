@@ -4223,3 +4223,75 @@ def image_neardup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     dh.unpersist()
     return out
+
+
+@register(
+    "events_kmv_incremental",
+    """
+    WITH du AS (SELECT DISTINCT event_type AS s, user_id FROM events),
+    hx AS (
+      SELECT DISTINCT s,
+             ('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)),
+                             1, 15))::BIGINT AS h
+      FROM du
+    ),
+    sk AS (
+      SELECT s, h FROM (
+        SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rk
+        FROM hx
+      ) WHERE rk <= 256
+    ),
+    ag AS (SELECT s, count(*) AS n, max(h) AS hk FROM sk GROUP BY s),
+    ex AS (SELECT event_type AS s, count(DISTINCT user_id) AS xd
+           FROM events GROUP BY 1)
+    SELECT ag.s AS event_type,
+           CAST(CASE WHEN ag.n < 256 THEN CAST(ag.n AS DOUBLE)
+                ELSE floor(CAST(255 AS DOUBLE)
+                           * CAST(1152921504606846976 AS DOUBLE)
+                           / CAST(ag.hk AS DOUBLE)) END AS BIGINT)
+             AS est_distinct_users,
+           CAST(ex.xd AS BIGINT) AS exact_distinct_users
+    FROM ag JOIN ex ON ex.s = ag.s
+    ORDER BY 1
+    """,
+    doc="Incremental KMV maintenance proven cross-engine "
+    "(operators/sketch.py::kmv_merge/kmv_estimate): the events table "
+    "is split into 4 disjoint day-of-month slices, a bottom-256 "
+    "sketch of user_id per event_type is built on EACH slice "
+    "independently, and the slices are folded left one merge at a "
+    "time — the incremental-view-maintenance motion for distinct "
+    "counts, where each day's partial rolls into a running sketch "
+    "without touching prior days' raw rows. The oracle computes the "
+    "sketch DIRECTLY over the whole table: a hash match is a "
+    "cross-engine proof that bottom-k-of-union folding reproduces the "
+    "recomputed sketch exactly (associative + commutative + "
+    "idempotent), the property HLL shares but cannot exhibit "
+    "hash-exactly because its register encoding is engine-specific. "
+    "Exact countDistinct rides along as the calibration column.",
+)
+def events_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import kmv_estimate, kmv_merge, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.pmod(F.dayofmonth("ts"), F.lit(4)).alias("slice")
+    )
+    state = None
+    for i in range(4):
+        part = kmv_sketch(
+            ev.filter(F.col("slice") == i), "event_type", "user_id", k=256
+        ).select("event_type", "h")
+        state = part if state is None else kmv_merge(
+            state.unionByName(part), "event_type", k=256
+        ).select("event_type", "h")
+    est = kmv_estimate(
+        kmv_merge(state, "event_type", k=256), "event_type", k=256
+    ).withColumnRenamed("est_distinct", "est_distinct_users")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("long")
+            .alias("exact_distinct_users")
+        )
+    )
+    return est.join(exact, "event_type").orderBy("event_type")

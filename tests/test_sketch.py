@@ -186,3 +186,42 @@ def test_kmv_overlap_accuracy_and_merge_invariance(spark):
     o2 = kmv_overlap(kmv_sketch(small, "s", "v", k=256), "s", k=256).collect()[0]
     assert o2["est_union"] == 60 and o2["est_intersection"] == 20
     assert o2["est_jaccard"] == 3333 / 10000
+
+
+def test_kmv_merge_fold_equals_recompute(spark):
+    """Bottom-k-of-union folding is associative/commutative/idempotent:
+    any merge order of per-slice sketches equals the direct sketch."""
+    from data_pipelines_snowflake_procedures_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    rows = [("g", i % 7, i * 37 % 501) for i in range(900)]
+    df = spark.createDataFrame(rows, "k STRING, slice LONG, v LONG")
+    direct = kmv_sketch(df, "k", "v", k=64)
+    parts = [
+        kmv_sketch(df.filter(F.col("slice") == s), "k", "v", k=64).select(
+            "k", "h"
+        )
+        for s in range(7)
+    ]
+
+    def fold(order):
+        st = parts[order[0]]
+        for i in order[1:]:
+            st = kmv_merge(st.unionByName(parts[i]), "k", k=64).select(
+                "k", "h"
+            )
+        return kmv_merge(st, "k", k=64)
+
+    want = sorted((r["h"], r["rk"]) for r in direct.collect())
+    for order in ([0, 1, 2, 3, 4, 5, 6], [6, 2, 0, 5, 1, 3, 4]):
+        got = sorted((r["h"], r["rk"]) for r in fold(order).collect())
+        assert got == want
+    # idempotent: re-merging the final state is a no-op
+    refolded = kmv_merge(fold([0, 1, 2, 3, 4, 5, 6]), "k", k=64)
+    assert sorted((r["h"], r["rk"]) for r in refolded.collect()) == want
+    # estimator path: 501 distinct values > k engages the (k-1)M/h_k arm
+    est = kmv_estimate(direct, "k", k=64).collect()[0]["est_distinct"]
+    assert abs(est - 501) / 501 < 0.35
