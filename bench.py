@@ -162,6 +162,7 @@ HEADLINE = [
     "events_distinct_users_sketch",
     "events_kmv_user_overlap",
     "events_kmv_incremental",
+    "events_heavy_hitter_users",
     "events_robust_outlier_profile",
     "events_robust_outlier_profile_approx",
     "events_incremental_rollup",

@@ -334,3 +334,88 @@ def kmv_estimate(sketch: DataFrame, keys, k: int = 256) -> DataFrame:
         .cast("long")
         .alias("est_distinct")
     )
+
+
+def mg_summaries(df: DataFrame, value_col: str, counters: int) -> DataFrame:
+    """Per-partition Misra-Gries (weighted "Frequent") summaries over
+    ``value_col``: one Arrow-batched pass keeping at most ``counters``
+    keys per partition. Emits the surviving (v, NULL) keys plus one
+    (NULL, n_p) row carrying the partition's row count, so the caller
+    recovers the exact total N without a second scan. MG guarantee:
+    any value whose true count in a partition exceeds
+    n_p/(counters+1) survives that partition's summary; by pigeonhole
+    any value with GLOBAL count > N/(counters+1) survives in at least
+    one partition — the union of summaries is a superset of every
+    global heavy hitter. State is O(counters) per partition; the full
+    value cardinality is never shuffled."""
+    import pandas as pd
+
+    vtype = dict(df.dtypes)[value_col]
+    schema = f"v {vtype}, pn long"
+
+    def gen(batches):
+        state: dict = {}
+        n = 0
+        for pdf in batches:
+            vc = pdf[value_col].dropna().value_counts()
+            n += int(vc.sum())
+            for v, c in vc.items():
+                c = int(c)
+                while c > 0:
+                    if v in state:
+                        state[v] += c
+                        c = 0
+                    elif len(state) < counters:
+                        state[v] = c
+                        c = 0
+                    else:
+                        d = min(min(state.values()), c)
+                        state = {
+                            k2: c2 - d
+                            for k2, c2 in state.items()
+                            if c2 > d
+                        }
+                        c -= d
+        yield pd.DataFrame(
+            {"v": list(state) + [None], "pn": [None] * len(state) + [n]}
+        )
+
+    return df.select(value_col).mapInPandas(gen, schema=schema)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    num: int,
+    den: int,
+    counters: int | None = None,
+) -> DataFrame:
+    """Exact heavy hitters — all values with count > N·num/den — in two
+    scans and no full-cardinality shuffle: (1) per-partition
+    Misra-Gries candidate generation (:func:`mg_summaries`; candidate
+    superset guaranteed when counters+1 ≥ den/num), (2) an exact
+    count of the ≤ partitions·counters candidates via a broadcast
+    semi-join, thresholded with integer cross-multiplication
+    (cnt·den > N·num — no float ratio, hash-exact vs any engine).
+    Returns (value_col, cnt, total) ordered by cnt desc, value."""
+    if counters is None:
+        counters = -(-den // num)  # ceil ≥ den/num ⇒ counters+1 > den/num
+    summ = mg_summaries(df, value_col, counters)
+    total = summ.where(F.col("v").isNull()).agg(
+        F.sum("pn").cast("long").alias("total")
+    )
+    cand = (
+        summ.where(F.col("v").isNotNull())
+        .select(F.col("v").alias(value_col))
+        .distinct()
+    )
+    exact = (
+        df.join(F.broadcast(cand), value_col)
+        .groupBy(value_col)
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * den > F.col("total") * num)
+        .orderBy(F.desc("cnt"), value_col)
+    )

@@ -4295,3 +4295,37 @@ def events_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.join(exact, "event_type").orderBy("event_type")
+
+
+@register(
+    "events_heavy_hitter_users",
+    """
+    WITH n AS (SELECT count(user_id) AS total FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST((SELECT total FROM n) AS BIGINT) AS total
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) * 1000 > (SELECT total FROM n) * 8
+    ORDER BY cnt DESC, user_id
+    """,
+    doc="Exact heavy hitters (> 0.8% of all events) without a "
+    "full-cardinality shuffle (operators/sketch.py::heavy_hitters): "
+    "per-partition Misra-Gries summaries (125 counters, Arrow-batched "
+    "mapInPandas) generate a candidate superset — the pigeonhole "
+    "guarantee that any value with global count > N/(counters+1) "
+    "survives some partition's summary — then ONE broadcast semi-join "
+    "counts just those <= partitions*counters candidates exactly and "
+    "thresholds with integer cross-multiplication (cnt*1000 > N*8; no "
+    "float ratio). The oracle is the naive full GROUP BY + HAVING: a "
+    "hash match proves the two-scan sketch path loses nothing. At "
+    "100 TB the full user-id cardinality never shuffles; only the "
+    "MG survivors (O(partitions*counters) rows) leave their "
+    "partitions. Partition row-counts piggyback on the summary rows, "
+    "so N costs no third scan.",
+)
+def events_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", num=8, den=1000)

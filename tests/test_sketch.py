@@ -225,3 +225,38 @@ def test_kmv_merge_fold_equals_recompute(spark):
     # estimator path: 501 distinct values > k engages the (k-1)M/h_k arm
     est = kmv_estimate(direct, "k", k=64).collect()[0]["est_distinct"]
     assert abs(est - 501) / 501 < 0.35
+
+
+def test_heavy_hitters_matches_naive_groupby(spark):
+    """Two-scan MG path == naive GROUP BY + HAVING on a skewed stream,
+    regardless of partitioning; summaries respect the counter cap."""
+    from data_pipelines_snowflake_procedures_spark.operators.sketch import (
+        heavy_hitters,
+        mg_summaries,
+    )
+
+    # Zipf-ish: value v appears ~3000/v times; plus a long uniform tail
+    rows = [(v,) for v in range(1, 40) for _ in range(3000 // v)]
+    rows += [(1000 + i % 500,) for i in range(3000)]
+    df = spark.createDataFrame(rows, "v LONG").repartition(7)
+
+    got = [
+        (r["v"], r["cnt"]) for r in heavy_hitters(df, "v", 1, 20).collect()
+    ]
+    n = len(rows)
+    from collections import Counter
+
+    cnt = Counter(v for (v,) in rows)
+    want = sorted(
+        ((v, c) for v, c in cnt.items() if c * 20 > n),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == want and got  # non-empty: the skew produced hitters
+
+    summ = mg_summaries(df, "v", counters=20).collect()
+    per_part = Counter()
+    for r in summ:
+        if r["v"] is not None:
+            per_part["k"] += 1
+    assert per_part["k"] <= 7 * 20
+    assert sum(r["pn"] for r in summ if r["v"] is None) == n
