@@ -4329,3 +4329,47 @@ def events_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return heavy_hitters(ev, "user_id", num=8, den=1000)
+
+
+@register(
+    "events_bitmap_segments",
+    """
+    WITH du AS (SELECT DISTINCT event_type AS s, user_id AS u FROM events),
+    cnts AS (SELECT s, count(*) AS c FROM du GROUP BY s),
+    pairs AS (
+      SELECT a.s AS type_a, a.c AS ca, b.s AS type_b, b.c AS cb
+      FROM cnts a, cnts b WHERE a.s < b.s
+    ),
+    inter AS (
+      SELECT a.s AS type_a, b.s AS type_b, count(*) AS xi
+      FROM du a JOIN du b ON a.u = b.u AND a.s < b.s
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(coalesce(i.xi, 0) AS BIGINT) AS inter_users,
+           CAST(p.ca + p.cb - coalesce(i.xi, 0) AS BIGINT) AS union_users,
+           CAST(p.ca - coalesce(i.xi, 0) AS BIGINT) AS only_a_users
+    FROM pairs p LEFT JOIN inter i
+      ON i.type_a = p.type_a AND i.type_b = p.type_b
+    ORDER BY 1, 2
+    """,
+    doc="Bitmap-index segment algebra (operators/bitmap.py — the "
+    "Druid/ClickHouse groupBitmap pattern): each event type's user "
+    "set is materialized as canonical chunked bitmaps (chunk = "
+    "user_id >> 13, one bit per member, trailing zeros trimmed), and "
+    "every pairwise |A∩B| / |A∪B| / |A\\\\B| is computed from bitmap "
+    "state alone — a chunk-aligned join with bytewise AND + popcount "
+    "per row, never a row-level join on the raw membership table. "
+    "Per-chunk cardinalities carried at build time make |A| a sum of "
+    "longs. The oracle is the naive exact distinct self-join: a hash "
+    "match proves the bitmap algebra is exact, not approximate. At "
+    "100 TB the bitmap state is what persists: member rows convert "
+    "to O(universe/8) bytes once, and segment algebra shuffles "
+    "pairs*chunks bitmap rows only.",
+)
+def events_bitmap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bitmap import bitmap_build, bitmap_pair_counts
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    bm = bitmap_build(ev, "event_type", "user_id", chunk_bits=13)
+    return bitmap_pair_counts(bm, "event_type")
