@@ -164,6 +164,7 @@ HEADLINE = [
     "events_kmv_incremental",
     "events_heavy_hitter_users",
     "events_bitmap_segments",
+    "events_m4_downsample",
     "events_robust_outlier_profile",
     "events_robust_outlier_profile_approx",
     "events_incremental_rollup",

@@ -4373,3 +4373,92 @@ def events_bitmap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     bm = bitmap_build(ev, "event_type", "user_id", chunk_bits=13)
     return bitmap_pair_counts(bm, "event_type")
+
+
+@register(
+    "events_m4_downsample",
+    """
+    WITH pts AS (
+      SELECT event_type AS s, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+      FROM events
+    ),
+    spans AS (
+      SELECT s, min(t) AS t0, max(t) - min(t) + 1 AS span
+      FROM pts GROUP BY s
+    ),
+    bk AS (
+      SELECT p.s, ((p.t - sp.t0) * 200) // sp.span AS b, p.t, p.value
+      FROM pts p JOIN spans sp ON sp.s = p.s
+    ),
+    rk AS (
+      SELECT s, b, t, value,
+        row_number() OVER (PARTITION BY s, b ORDER BY t ASC,  value ASC)  AS rf,
+        row_number() OVER (PARTITION BY s, b ORDER BY t DESC, value DESC) AS rl,
+        row_number() OVER (PARTITION BY s, b ORDER BY value ASC,  t ASC)  AS rn,
+        row_number() OVER (PARTITION BY s, b ORDER BY value DESC, t DESC) AS rx
+      FROM bk
+    )
+    SELECT s AS event_type, CAST(b AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_points,
+           min(CASE WHEN rf = 1 THEN t END) AS ts_first,
+           min(CASE WHEN rf = 1 THEN value END) AS v_first,
+           min(CASE WHEN rl = 1 THEN t END) AS ts_last,
+           min(CASE WHEN rl = 1 THEN value END) AS v_last,
+           min(CASE WHEN rn = 1 THEN t END) AS ts_min,
+           min(CASE WHEN rn = 1 THEN value END) AS v_min,
+           min(CASE WHEN rx = 1 THEN t END) AS ts_max,
+           min(CASE WHEN rx = 1 THEN value END) AS v_max
+    FROM rk GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="M4 time-series downsampling (Jugel et al., VLDB 2014 — the "
+    "published width-based reduction that is pixel-perfect for line "
+    "charts): each event type's value series is divided into 200 "
+    "equal-time buckets and reduced to the four extreme points per "
+    "bucket — first/last (time extremes) and min/max (value "
+    "extremes) — so a renderer draws the identical polyline from "
+    "~800 points instead of millions. One partial-aggregable "
+    "groupBy with lexicographic struct min/max aggregates (value "
+    "ties broken by timestamp, a pinned policy both engines "
+    "restate); the oracle re-derives the same selection with "
+    "row_number windows. Time buckets come from integer epoch math "
+    "(div, not float), so bucket edges are hash-exact cross-engine. "
+    "At 100 TB this is a map-side-combine aggregation — state is "
+    "O(series x 200 buckets x 4 points) regardless of row count.",
+)
+def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("s"),
+        F.col("ts").cast("long").alias("t"),
+        "value",
+    )
+    spans = ev.groupBy("s").agg(
+        F.min("t").alias("t0"),
+        (F.max("t") - F.min("t") + 1).alias("span"),
+    )
+    bk = ev.join(F.broadcast(spans), "s").select(
+        "s",
+        F.expr("(t - t0) * 200 div span").alias("b"),
+        "t",
+        "value",
+    )
+    agg = bk.groupBy("s", "b").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.min(F.struct("t", "value")).alias("first"),
+        F.max(F.struct("t", "value")).alias("last"),
+        F.min(F.struct("value", "t")).alias("lo"),
+        F.max(F.struct("value", "t")).alias("hi"),
+    )
+    return agg.select(
+        F.col("s").alias("event_type"),
+        F.col("b").cast("long").alias("bucket"),
+        "n_points",
+        F.col("first.t").alias("ts_first"),
+        F.col("first.value").alias("v_first"),
+        F.col("last.t").alias("ts_last"),
+        F.col("last.value").alias("v_last"),
+        F.col("lo.t").alias("ts_min"),
+        F.col("lo.value").alias("v_min"),
+        F.col("hi.t").alias("ts_max"),
+        F.col("hi.value").alias("v_max"),
+    ).orderBy("event_type", "bucket")
