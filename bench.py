@@ -165,6 +165,9 @@ HEADLINE = [
     "events_heavy_hitter_users",
     "events_bitmap_segments",
     "events_m4_downsample",
+    "events_dau_wau_mau_bitmap",
+    "events_attribution_models",
+    "events_time_weighted_avg",
     "events_robust_outlier_profile",
     "events_robust_outlier_profile_approx",
     "events_incremental_rollup",

@@ -4462,3 +4462,295 @@ def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hi.t").alias("ts_max"),
         F.col("hi.value").alias("v_max"),
     ).orderBy("event_type", "bucket")
+
+
+@register(
+    "events_dau_wau_mau_bitmap",
+    """
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+    ),
+    uv AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events
+    ),
+    dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM uv GROUP BY d),
+    wau AS (
+      SELECT days.d, count(DISTINCT uv.user_id) AS wau
+      FROM days JOIN uv
+        ON uv.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      GROUP BY days.d
+    ),
+    mau AS (
+      SELECT days.d, count(DISTINCT uv.user_id) AS mau
+      FROM days JOIN uv
+        ON uv.d BETWEEN days.d - INTERVAL 27 DAY AND days.d
+      GROUP BY days.d
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST(mau.mau AS BIGINT) AS mau,
+           CAST((dau.dau * 10000) // mau.mau AS BIGINT) AS stickiness_bp
+    FROM dau JOIN wau ON wau.d = dau.d JOIN mau ON mau.d = dau.d
+    ORDER BY 1
+    """,
+    doc="Rolling distinct-user actives (DAU / trailing-7-day WAU / "
+    "trailing-28-day MAU + DAU/MAU stickiness) computed from per-day "
+    "bitmap indexes (operators/bitmap.py) — the ClickHouse retention "
+    "pattern: user membership converts to one chunked bitmap per day "
+    "ONCE, then every trailing window is an OR-fold of at most 7 or "
+    "28 bitmap rows per chunk and a popcount, instead of a distinct "
+    "re-count over the raw window rows. The day dimension (30 rows) "
+    "broadcasts into a range join against bitmap rows, never against "
+    "events. The oracle recomputes every window with naive "
+    "count(DISTINCT) re-scans: a hash match proves the fold algebra "
+    "exact. Stickiness is integer basis points (dau*10000 div mau) — "
+    "no float ratio. At 100 TB the per-day bitmaps are what you'd "
+    "persist; each new day appends one bitmap row per chunk and "
+    "windows never re-touch raw history.",
+)
+def events_dau_wau_mau_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bitmap import bitmap_build, bitmap_merge
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    bm = bitmap_build(ev, "d", "user_id", chunk_bits=13).localCheckpoint(
+        eager=False
+    )
+    days = bm.select("d").distinct()
+    dau = bm.groupBy("d").agg(F.sum("card").cast("long").alias("dau"))
+
+    def trailing(window_days: int, alias: str) -> DataFrame:
+        tgt = days.select(F.col("d").alias("td"))
+        joined = F.broadcast(tgt).join(
+            bm,
+            (F.col("d") <= F.col("td"))
+            & (F.col("d") >= F.date_sub(F.col("td"), window_days - 1)),
+        )
+        folded = bitmap_merge(
+            joined.select(F.col("td").alias("wd"), "chunk", "bm", "card"),
+            "wd",
+        )
+        return folded.groupBy("wd").agg(
+            F.sum("card").cast("long").alias(alias)
+        )
+
+    wau = trailing(7, "wau")
+    mau = trailing(28, "mau")
+    out = (
+        dau.join(wau, dau["d"] == wau["wd"])
+        .join(mau, dau["d"] == mau["wd"])
+        .select(
+            F.date_format(dau["d"], "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.expr("(dau * 10000) div mau").cast("long").alias(
+                "stickiness_bp"
+            ),
+        )
+        .orderBy("day")
+    )
+    return out
+
+
+@register(
+    "events_attribution_models",
+    """
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pt,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts AS tt, event_type AS touch_type, event_id
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+      SELECT p.pid, p.cents, t.touch_type, t.tt, t.event_id
+      FROM p JOIN t ON t.user_id = p.user_id
+        AND t.tt <= p.pt AND t.tt >= p.pt - INTERVAL 7 DAY
+    ),
+    rk AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY pid
+          ORDER BY tt DESC, touch_type DESC, event_id DESC) AS rl,
+        row_number() OVER (PARTITION BY pid
+          ORDER BY tt ASC, touch_type ASC, event_id ASC) AS rf,
+        count(*) OVER (PARTITION BY pid) AS n
+      FROM j
+    )
+    SELECT touch_type,
+           CAST(sum(CASE WHEN rl = 1 THEN cents * 10000 ELSE 0 END)
+                AS BIGINT) AS last_touch_microcents,
+           CAST(sum(CASE WHEN rf = 1 THEN cents * 10000 ELSE 0 END)
+                AS BIGINT) AS first_touch_microcents,
+           CAST(sum((cents * 10000) // n) AS BIGINT) AS linear_microcents,
+           CAST(count(DISTINCT CASE WHEN rl = 1 THEN pid END) AS BIGINT)
+             AS purchases_last_touched
+    FROM rk GROUP BY touch_type ORDER BY touch_type
+    """,
+    doc="Multi-touch revenue attribution (first-touch / last-touch / "
+    "linear) over user journeys: each purchase's value is attributed "
+    "to the view/click touches by the same user in the trailing 7 "
+    "days. All money moves in integer micro-cents (round(value*100) "
+    "cents, then *10000; the linear split is cents*10000 div "
+    "n_touches, floored — a pinned policy), so every model's total is "
+    "an order-independent long sum that hashes identically in any "
+    "engine — no float accumulation. Touch ties are broken "
+    "lexicographically (ts, type, event_id), restated by the "
+    "oracle's row_number ordering. The join is user-keyed with a "
+    "bounded time range — at 100 TB it hash-partitions on user_id "
+    "and each purchase sees only its own user's trailing window, the "
+    "same co-partitioned shape as the as-of join.",
+)
+def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pt"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("tt"),
+        F.col("event_type").alias("touch_type"),
+        "event_id",
+    )
+    j = p.join(
+        t,
+        (p["user_id"] == t["user_id"])
+        & (t["tt"] <= p["pt"])
+        & (t["tt"] >= p["pt"] - F.expr("INTERVAL 7 DAY")),
+    ).select("pid", "cents", "touch_type", "tt", "event_id")
+    wp = Window.partitionBy("pid")
+    rk = j.select(
+        "pid",
+        "cents",
+        "touch_type",
+        F.row_number()
+        .over(wp.orderBy(F.desc("tt"), F.desc("touch_type"), F.desc("event_id")))
+        .alias("rl"),
+        F.row_number()
+        .over(wp.orderBy(F.asc("tt"), F.asc("touch_type"), F.asc("event_id")))
+        .alias("rf"),
+        F.count("*").over(wp).alias("n"),
+    )
+    micro = F.col("cents") * 10000
+    return (
+        rk.groupBy("touch_type")
+        .agg(
+            F.sum(F.when(F.col("rl") == 1, micro).otherwise(0))
+            .cast("long")
+            .alias("last_touch_microcents"),
+            F.sum(F.when(F.col("rf") == 1, micro).otherwise(0))
+            .cast("long")
+            .alias("first_touch_microcents"),
+            F.sum(F.expr("(cents * 10000) div n"))
+            .cast("long")
+            .alias("linear_microcents"),
+            F.countDistinct(F.when(F.col("rl") == 1, F.col("pid")))
+            .cast("long")
+            .alias("purchases_last_touched"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+@register(
+    "events_time_weighted_avg",
+    """
+    WITH pts AS (
+      SELECT event_type AS s,
+             strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d')
+               AS day,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             event_id
+      FROM events
+    ),
+    seg AS (
+      SELECT s, day, t, c,
+             lead(t) OVER (PARTITION BY s, day ORDER BY t, event_id)
+               AS nt,
+             lead(c) OVER (PARTITION BY s, day ORDER BY t, event_id)
+               AS nc
+      FROM pts
+    ),
+    ag AS (
+      SELECT s, day,
+             count(*) AS n_points,
+             max(t) - min(t) AS span_seconds,
+             sum(CASE WHEN nt IS NULL THEN 0
+                      ELSE (c + nc) * (nt - t) END) AS area2
+      FROM seg GROUP BY s, day
+    )
+    SELECT s AS event_type, day,
+           CAST(n_points AS BIGINT) AS n_points,
+           CAST(span_seconds AS BIGINT) AS span_seconds,
+           CAST((area2 * 100) // (2 * span_seconds) AS BIGINT)
+             AS twa_cents_x100
+    FROM ag WHERE span_seconds > 0
+    ORDER BY 1, 2
+    """,
+    doc="Time-weighted average for irregularly sampled series (the "
+    "TimescaleDB time_weight('Linear') semantics): per (event_type, "
+    "day), the trapezoidal integral of value over time divided by "
+    "the observed span. All arithmetic is integer — values become "
+    "cents, timestamps whole epoch seconds, each trapezoid "
+    "contributes (c_i + c_{i+1})*(t_{i+1}-t_i) cent-seconds (the 2x "
+    "area), and the final average is an integer division to "
+    "hundredths of a cent — so the segment sum is an "
+    "order-independent long addition that hashes identically in any "
+    "engine; no float accumulation anywhere. Consecutive-point "
+    "pairing is a lead() window ordered by (t, event_id), a pinned "
+    "total order both engines restate. Single-point days (span 0) "
+    "are excluded by definition. Scale shape: one window + one "
+    "partial-aggregable groupBy, partitioned by (type, day) — "
+    "embarrassingly parallel at any SF.",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pts = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("s"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.col("ts").cast("long").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        "event_id",
+    )
+    w = Window.partitionBy("s", "day").orderBy("t", "event_id")
+    seg = pts.select(
+        "s",
+        "day",
+        "t",
+        "c",
+        F.lead("t").over(w).alias("nt"),
+        F.lead("c").over(w).alias("nc"),
+    )
+    ag = seg.groupBy("s", "day").agg(
+        F.count("*").cast("long").alias("n_points"),
+        (F.max("t") - F.min("t")).cast("long").alias("span_seconds"),
+        F.sum(
+            F.when(F.col("nt").isNull(), F.lit(0)).otherwise(
+                (F.col("c") + F.col("nc")) * (F.col("nt") - F.col("t"))
+            )
+        ).alias("area2"),
+    )
+    return (
+        ag.filter(F.col("span_seconds") > 0)
+        .select(
+            F.col("s").alias("event_type"),
+            "day",
+            "n_points",
+            "span_seconds",
+            F.expr("(area2 * 100) div (2 * span_seconds)")
+            .cast("long")
+            .alias("twa_cents_x100"),
+        )
+        .orderBy("event_type", "day")
+    )
