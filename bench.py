@@ -127,6 +127,7 @@ HEADLINE = [
     "documents_quality_auc_binned",
     "documents_lm_gains_table",
     "documents_centrality_pagerank",
+    "documents_textrank_chunks",
     "knn_bruteforce_embeddings",
     "embedding_near_dup_blocked",
     "embedding_near_dup_kmeans",
@@ -168,6 +169,8 @@ HEADLINE = [
     "events_dau_wau_mau_bitmap",
     "events_attribution_models",
     "events_time_weighted_avg",
+    "events_window_funnel_24h",
+    "events_new_vs_returning",
     "events_robust_outlier_profile",
     "events_robust_outlier_profile_approx",
     "events_incremental_rollup",

@@ -479,3 +479,85 @@ def kcore(
         )
         deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
     return deg.filter(F.col("deg") >= k)
+
+
+def grouped_pagerank(
+    edges: DataFrame,
+    group_col: str,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    nodes: DataFrame | None = None,
+    decimals: int = 6,
+    iter_decimals: int = 9,
+) -> DataFrame:
+    """Per-group PageRank: many independent graphs (one per
+    ``group_col`` value — e.g. one sentence-similarity graph per
+    document for TextRank) ranked in a single distributed pass.
+    Identical algebra and determinism contract to :func:`pagerank`,
+    but N, the uniform init, and the teleport term are PER GROUP, and
+    every join/aggregate carries the group key — so the whole forest
+    shuffles together, partitioned by (group, node), with no
+    per-group driver loop. ``nodes`` may be passed explicitly
+    (columns ``group_col, node``) to keep isolated vertices that have
+    no edges (TextRank chunks sharing no tokens still hold teleport
+    mass); defaults to edge endpoints. Returns (group, node, pr)."""
+    g = group_col
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.col(g), F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        w.alias("w"),
+    )
+    if nodes is None:
+        nodes = (
+            e.select(g, F.col("src").alias("node"))
+            .unionByName(e.select(g, F.col("dst").alias("node")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(g, "node").distinct()
+    nodes = nodes.persist()
+    nn = nodes.groupBy(g).agg(F.count("*").cast("double").alias("c"))
+    out_w = e.groupBy(g, "src").agg(F.sum("w").alias("ow"))
+    frac = (
+        e.join(out_w, [g, "src"])
+        .select(g, "src", "dst", (F.col("w") / F.col("ow")).alias("frac"))
+        .persist()
+    )
+    pr = nodes.join(nn, g).select(
+        g, "node", F.round(F.lit(1.0) / F.col("c"), iter_decimals).alias("pr")
+    )
+    for _ in range(iters):
+        inflow = (
+            frac.join(
+                pr.select(g, F.col("node").alias("src"), "pr"), [g, "src"]
+            )
+            .groupBy(g, "dst")
+            .agg(F.sum(F.col("frac") * F.col("pr")).alias("inflow"))
+        )
+        pr = (
+            nodes.join(nn, g)
+            .join(
+                inflow.select(g, F.col("dst").alias("node"), "inflow"),
+                [g, "node"],
+                "left",
+            )
+            .select(
+                g,
+                "node",
+                F.round(
+                    (F.lit(1.0) - F.lit(damping)) / F.col("c")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                    iter_decimals,
+                ).alias("pr"),
+            )
+        )
+    out = pr.select(
+        g, "node", F.round("pr", decimals).alias("pr")
+    ).localCheckpoint(eager=True)
+    nodes.unpersist()
+    frac.unpersist()
+    return out

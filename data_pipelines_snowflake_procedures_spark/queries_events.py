@@ -4754,3 +4754,187 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "events_window_funnel_24h",
+    """
+    WITH u1 AS (
+      SELECT user_id, min(ts) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    u2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN u1 ON e.user_id = u1.user_id
+      WHERE e.event_type = 'click' AND e.ts > u1.t1
+        AND e.ts <= u1.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    u3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e
+      JOIN u2 ON e.user_id = u2.user_id
+      JOIN u1 ON e.user_id = u1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+        AND e.ts <= u1.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT u1.user_id,
+             CASE WHEN u3.user_id IS NOT NULL THEN 3
+                  WHEN u2.user_id IS NOT NULL THEN 2
+                  ELSE 1 END AS depth
+      FROM u1
+      LEFT JOIN u2 ON u2.user_id = u1.user_id
+      LEFT JOIN u3 ON u3.user_id = u1.user_id
+    ),
+    md AS (SELECT depth, count(*) AS n_max FROM d GROUP BY depth),
+    lv AS (SELECT 1 AS depth UNION ALL SELECT 2 UNION ALL SELECT 3)
+    SELECT CAST(lv.depth AS BIGINT) AS depth,
+           CAST(coalesce(md.n_max, 0) AS BIGINT) AS n_users_max_depth,
+           CAST((SELECT count(*) FROM d WHERE d.depth >= lv.depth)
+                AS BIGINT) AS n_users_reached,
+           CAST(((SELECT count(*) FROM d WHERE d.depth >= lv.depth)
+                 * 10000) // (SELECT count(*) FROM u1) AS BIGINT)
+             AS reach_bp
+    FROM lv LEFT JOIN md ON md.depth = lv.depth
+    ORDER BY 1
+    """,
+    doc="Time-constrained window funnel (the ClickHouse windowFunnel "
+    "semantics, pinned to the first-anchor chain): a user's funnel "
+    "window opens at their FIRST view (t1); step 2 is the first "
+    "click in (t1, t1+24h]; step 3 the first purchase after that "
+    "click but still inside the 24h window. Three window-min passes "
+    "over ONE user_id exchange (each conditional min references the "
+    "previous pass's column, so Spark reuses the same hash "
+    "partitioning — no second shuffle), then a 3-row depth rollup "
+    "with integer basis-point reach (div, no float). The oracle "
+    "restates the chain as nested join-aggregates. Unlike "
+    "events_funnel_view_click_purchase (unbounded time), the 24h "
+    "deadline makes depth non-monotone in data volume — the "
+    "semantics a growth team actually asks for.",
+)
+def events_window_funnel_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    withT1 = ev.withColumn("t1", t1).filter(F.col("t1").isNotNull())
+    deadline = F.col("t1") + F.expr("INTERVAL 24 HOUR")
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= deadline),
+            F.col("ts"),
+        )
+    ).over(w)
+    withT2 = withT1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= deadline),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        withT2.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(F.max("t2").alias("t2"), F.max("t3").alias("t3"))
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("depth")
+        )
+    )
+    md = per_user.groupBy("depth").agg(F.count("*").alias("n_max"))
+    lv = spark.range(1, 4).select(F.col("id").cast("int").alias("depth"))
+    wd = Window.orderBy(F.desc("depth")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = (
+        lv.join(md, "depth", "left")
+        .withColumn("n_max", F.coalesce(F.col("n_max"), F.lit(0)))
+        .withColumn("n_reached", F.sum("n_max").over(wd))
+    )
+    total = joined.agg(F.sum("n_max").alias("n1"))
+    return (
+        joined.crossJoin(F.broadcast(total))
+        .select(
+            F.col("depth").cast("long").alias("depth"),
+            F.col("n_max").cast("long").alias("n_users_max_depth"),
+            F.col("n_reached").cast("long").alias("n_users_reached"),
+            F.expr("(n_reached * 10000) div n1")
+            .cast("long")
+            .alias("reach_bp"),
+        )
+        .orderBy("depth")
+    )
+
+
+@register(
+    "events_new_vs_returning",
+    """
+    WITH fs AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS d0
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT act.d,
+             count(*) AS active_users,
+             count(*) FILTER (fs.d0 = act.d) AS new_users
+      FROM act JOIN fs ON fs.user_id = act.user_id
+      GROUP BY act.d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(active_users AS BIGINT) AS active_users,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(active_users - new_users AS BIGINT) AS returning_users,
+           CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT)
+             AS cumulative_users
+    FROM daily ORDER BY 1
+    """,
+    doc="Daily new-vs-returning split with running cumulative "
+    "acquisition: a user's first-seen day (one groupBy) classifies "
+    "each active (day, user) pair; cumulative users is a running sum "
+    "of the new column — the canonical growth-accounting readout. "
+    "Two user-keyed aggregations plus a 30-row window; the first-seen "
+    "frame is user-cardinality-sized and broadcastable at any SF.",
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    fs = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    act = ev.distinct()
+    daily = (
+        act.join(fs, "user_id")
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("active_users"),
+            F.sum(
+                F.when(F.col("d0") == F.col("d"), 1).otherwise(0)
+            ).alias("new_users"),
+        )
+    )
+    w = Window.orderBy("d")
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("active_users").cast("long"),
+        F.col("new_users").cast("long"),
+        (F.col("active_users") - F.col("new_users"))
+        .cast("long")
+        .alias("returning_users"),
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    ).orderBy("day")

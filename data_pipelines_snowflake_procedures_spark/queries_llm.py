@@ -4466,3 +4466,131 @@ def documents_lm_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+def _textrank_oracle() -> str:
+    # per-group unroll of queries.pagerank_steps_sql's algebra, with
+    # every CTE carrying the doc_id group key (grouped_pagerank's
+    # contract)
+    its = []
+    prev = "p0"
+    for t in (1, 2, 3):
+        its.append(f"""i{t} AS (
+      SELECT f.doc_id, f.dst, sum(f.frac * p.pr) AS inflow
+      FROM fr f JOIN {prev} p ON p.doc_id = f.doc_id AND p.node = f.src
+      GROUP BY 1, 2
+    ),
+    p{t} AS (
+      SELECT n.doc_id, n.node,
+             round(0.15 / nn.c + 0.85 * coalesce(i.inflow, 0), 9) AS pr
+      FROM nodes n
+      JOIN nn ON nn.doc_id = n.doc_id
+      LEFT JOIN i{t} i ON i.doc_id = n.doc_id AND i.dst = n.node
+    )""")
+        prev = f"p{t}"
+    steps = ",\n    ".join(its)
+    return f"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(range(1, len(arr) + 1)) - 1 AS pos,
+             unnest(arr) AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS arr
+            FROM documents)
+    ),
+    ch AS (
+      SELECT DISTINCT doc_id, pos // 10 AS chunk, tok
+      FROM tk WHERE tok <> ''
+    ),
+    ed AS (
+      SELECT a.doc_id, a.chunk AS src, b.chunk AS dst,
+             count(*)::DOUBLE AS w
+      FROM ch a JOIN ch b
+        ON a.doc_id = b.doc_id AND a.tok = b.tok AND a.chunk <> b.chunk
+      GROUP BY 1, 2, 3
+    ),
+    nodes AS (SELECT DISTINCT doc_id, chunk AS node FROM ch),
+    nn AS (SELECT doc_id, count(*)::DOUBLE AS c FROM nodes GROUP BY 1),
+    ow AS (SELECT doc_id, src, sum(w) AS ow FROM ed GROUP BY 1, 2),
+    fr AS (
+      SELECT e.doc_id, e.src, e.dst, e.w / o.ow AS frac
+      FROM ed e JOIN ow o ON o.doc_id = e.doc_id AND o.src = e.src
+    ),
+    p0 AS (
+      SELECT n.doc_id, n.node, round(1.0 / nn.c, 9) AS pr
+      FROM nodes n JOIN nn ON nn.doc_id = n.doc_id
+    ),
+    {steps},
+    fin AS (
+      SELECT doc_id, node AS chunk, round(pr, 6) AS pr,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY round(pr, 6) DESC, node ASC) AS rank_in_doc
+      FROM p3
+    )
+    SELECT doc_id, CAST(chunk AS BIGINT) AS chunk,
+           CAST(rank_in_doc AS BIGINT) AS rank_in_doc, pr
+    FROM fin WHERE rank_in_doc <= 2
+    ORDER BY doc_id, rank_in_doc
+    """
+
+
+@register(
+    "documents_textrank_chunks",
+    _textrank_oracle(),
+    doc="TextRank extractive selection (Mihalcea & Tarau 2004) over "
+    "every document at once: fixed 10-token chunks stand in for "
+    "sentences (the corpus has no punctuation), chunk pairs inside a "
+    "doc are linked with weight = shared-distinct-token count, and "
+    "operators/graph.py::grouped_pagerank runs 3 damped iterations "
+    "on ALL documents' graphs in one distributed pass — per-doc N "
+    "and teleport, (doc, node)-keyed joins, no per-document driver "
+    "loop, isolated chunks kept via the explicit nodes frame. The "
+    "top-2 chunks per doc (rank windows ordered by the ROUNDED "
+    "score, the repo-wide tie contract) are the extractive summary "
+    "selection used for corpus curation. Oracle unrolls the grouped "
+    "iterations in CTEs — hash-exact, the pagerank contract at "
+    "per-document granularity.",
+)
+def documents_textrank_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.graph import grouped_pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    ch = tk.select(
+        "doc_id", F.expr("pos div 10").alias("chunk"), "tok"
+    ).distinct()
+    a, b = ch.alias("a"), ch.alias("b")
+    ed = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.chunk") != F.col("b.chunk")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.chunk").alias("src"),
+            F.col("b.chunk").alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    nodes = ch.select("doc_id", F.col("chunk").alias("node")).distinct()
+    pr = grouped_pagerank(
+        ed, "doc_id", iters=3, weight_col="w", nodes=nodes
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("pr"), F.asc("node"))
+    return (
+        pr.withColumn("rank_in_doc", F.row_number().over(w))
+        .filter(F.col("rank_in_doc") <= 2)
+        .select(
+            "doc_id",
+            F.col("node").cast("long").alias("chunk"),
+            F.col("rank_in_doc").cast("long").alias("rank_in_doc"),
+            "pr",
+        )
+        .orderBy("doc_id", "rank_in_doc")
+    )

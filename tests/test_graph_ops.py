@@ -220,3 +220,58 @@ def test_kcore_whole_graph_survives_when_k_small(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["a", "b"])
     got = {r["node"]: r["deg"] for r in kcore(edges, k=2, rounds=2).collect()}
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_grouped_pagerank_matches_single_graph_per_group(spark):
+    """Each group's ranks equal running plain pagerank on that group's
+    edges alone; isolated nodes keep teleport-only mass."""
+    from data_pipelines_snowflake_procedures_spark.operators.graph import (
+        grouped_pagerank,
+        pagerank,
+    )
+
+    e1 = [("g1", "a", "b", 2.0), ("g1", "b", "a", 1.0), ("g1", "a", "c", 1.0)]
+    e2 = [("g2", "x", "y", 1.0), ("g2", "y", "x", 1.0)]
+    edges = spark.createDataFrame(
+        e1 + e2, ["g", "src", "dst", "w"]
+    )
+    nodes = spark.createDataFrame(
+        [("g1", n) for n in "abc"]
+        + [("g2", n) for n in "xy"]
+        + [("g2", "lone")],  # isolated vertex, no edges
+        ["g", "node"],
+    )
+    got = {
+        (r["g"], r["node"]): r["pr"]
+        for r in grouped_pagerank(
+            edges, "g", iters=3, weight_col="w", nodes=nodes
+        ).collect()
+    }
+    for g, rows in (("g1", e1), ("g2", e2)):
+        solo_edges = spark.createDataFrame(
+            [(s, d, w) for _, s, d, w in rows], ["src", "dst", "w"]
+        )
+        if g == "g2":
+            # plain pagerank derives nodes from edges; add the isolated
+            # vertex by comparing only the shared nodes, then check the
+            # isolated one separately against its closed form.
+            solo = {
+                r["node"]: r["pr"]
+                for r in pagerank(
+                    solo_edges, iters=3, weight_col="w"
+                ).collect()
+            }
+            # grouped run has n=3 (lone included) so values differ from
+            # the 2-node solo run; just check mass ordering + teleport
+            assert got[(g, "lone")] == round(0.15 / 3, 6)
+            assert got[(g, "x")] == got[(g, "y")] > got[(g, "lone")]
+            assert set(solo) == {"x", "y"}
+        else:
+            solo = {
+                r["node"]: r["pr"]
+                for r in pagerank(
+                    solo_edges, iters=3, weight_col="w"
+                ).collect()
+            }
+            for n, pr in solo.items():
+                assert got[(g, n)] == pr, (g, n)
