@@ -4560,9 +4560,14 @@ def documents_textrank_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     ).filter(F.col("tok") != "")
-    ch = tk.select(
-        "doc_id", F.expr("pos div 10").alias("chunk"), "tok"
-    ).distinct()
+    # ch feeds the a-side, b-side, and nodes frames — persist so the
+    # tokenize+explode+distinct runs once, not three times (released
+    # after grouped_pagerank's eager checkpoint materializes).
+    ch = (
+        tk.select("doc_id", F.expr("pos div 10").alias("chunk"), "tok")
+        .distinct()
+        .persist()
+    )
     a, b = ch.alias("a"), ch.alias("b")
     ed = (
         a.join(
@@ -4582,6 +4587,7 @@ def documents_textrank_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = grouped_pagerank(
         ed, "doc_id", iters=3, weight_col="w", nodes=nodes
     )
+    ch.unpersist()
     w = Window.partitionBy("doc_id").orderBy(F.desc("pr"), F.asc("node"))
     return (
         pr.withColumn("rank_in_doc", F.row_number().over(w))
