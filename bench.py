@@ -165,6 +165,7 @@ HEADLINE = [
     "events_kmv_incremental",
     "events_heavy_hitter_users",
     "events_bitmap_segments",
+    "events_bitmap_erasure",
     "events_m4_downsample",
     "events_dau_wau_mau_bitmap",
     "events_attribution_models",

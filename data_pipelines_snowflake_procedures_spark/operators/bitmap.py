@@ -181,3 +181,66 @@ def bitmap_pair_counts(bitmaps: DataFrame, key_col: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def bitmap_erase(
+    bitmaps: DataFrame,
+    erase: DataFrame,
+    value_col: str,
+    key_cols,
+    chunk_bits: int = 13,
+) -> DataFrame:
+    """Right-to-be-forgotten propagation through bitmap state: clear
+    the bits of every id in ``erase`` (one column, ``value_col``)
+    from ALL segments' bitmaps, touching only the chunks the erased
+    ids fall in. The erase set converts to per-chunk clear masks
+    (broadcast — erasure requests are small), bitmap rows AND-NOT
+    the mask for their chunk, re-trim to canonical form, recount, and
+    rows that empty out disappear — so the erased state is
+    byte-identical to a rebuild from the filtered raw table (the
+    property a deletion audit checks), without re-scanning raw data.
+    Sketches (KMV/HLL) cannot do this — bottom-k state is not
+    deletion-tolerant, which is exactly why the bitmap index is the
+    erasable representation."""
+    import numpy as np
+    import pandas as pd
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    mask_rows = bitmap_build(
+        erase.select(F.lit(1).alias("_all"), F.col(value_col)),
+        "_all",
+        value_col,
+        chunk_bits=chunk_bits,
+    ).select("chunk", F.col("bm").alias("clear"))
+
+    joined = bitmaps.join(F.broadcast(mask_rows), "chunk", "left")
+    schema = ", ".join(
+        f"{k} {t}" for k, t in bitmaps.dtypes if k in keys
+    ) + ", chunk long, bm binary, card long"
+
+    def apply_clear(batches):
+        for pdf in batches:
+            out = {k: [] for k in keys}
+            chunks, bms, cards = [], [], []
+            for _, row in pdf.iterrows():
+                arr = np.frombuffer(row["bm"], dtype=np.uint8).copy()
+                cl = row["clear"]
+                if cl is not None:
+                    c = np.frombuffer(cl, dtype=np.uint8)
+                    n = min(len(arr), len(c))
+                    arr[:n] &= ~c[:n]
+                nz = np.nonzero(arr)[0]
+                if len(nz) == 0:
+                    continue  # chunk emptied out — row disappears
+                arr = arr[: int(nz[-1]) + 1]
+                for k in keys:
+                    out[k].append(row[k])
+                chunks.append(row["chunk"])
+                bms.append(arr.tobytes())
+                cards.append(int(np.unpackbits(arr).sum()))
+            out["chunk"] = chunks
+            out["bm"] = bms
+            out["card"] = cards
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(apply_clear, schema=schema)

@@ -4938,3 +4938,62 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("returning_users"),
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     ).orderBy("day")
+
+
+@register(
+    "events_bitmap_erasure",
+    """
+    WITH kept AS (
+      SELECT event_type, user_id FROM events WHERE user_id % 7 <> 3
+    ),
+    du AS (SELECT DISTINCT event_type AS s, user_id AS u FROM kept),
+    cnts AS (SELECT s, count(*) AS c FROM du GROUP BY s),
+    pairs AS (
+      SELECT a.s AS type_a, a.c AS ca, b.s AS type_b, b.c AS cb
+      FROM cnts a, cnts b WHERE a.s < b.s
+    ),
+    inter AS (
+      SELECT a.s AS type_a, b.s AS type_b, count(*) AS xi
+      FROM du a JOIN du b ON a.u = b.u AND a.s < b.s
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(coalesce(i.xi, 0) AS BIGINT) AS inter_users,
+           CAST(p.ca + p.cb - coalesce(i.xi, 0) AS BIGINT) AS union_users,
+           CAST(p.ca - coalesce(i.xi, 0) AS BIGINT) AS only_a_users
+    FROM pairs p LEFT JOIN inter i
+      ON i.type_a = p.type_a AND i.type_b = p.type_b
+    ORDER BY 1, 2
+    """,
+    doc="Right-to-be-forgotten propagation through derived index "
+    "state (operators/bitmap.py::bitmap_erase — the governance "
+    "counterpart of the reference's PII pipeline, Data_Security.sql's "
+    "mask-and-publish flow, applied to MATERIALIZED state): the "
+    "segment bitmaps are built once from raw events, then an erasure "
+    "request (every user_id ≡ 3 mod 7) is applied to the INDEX "
+    "directly — per-chunk clear masks broadcast onto bitmap rows, "
+    "AND-NOT, re-trim, recount, empty chunks vanish — with no raw "
+    "re-scan. The oracle computes segment pair algebra on the raw "
+    "table WITH the erased users filtered out: a hash match is the "
+    "deletion audit — erased state ≡ rebuild-from-filtered, exactly. "
+    "KMV/HLL sketch states are NOT deletion-tolerant (bottom-k can't "
+    "un-see a hash); the bitmap index is the erasable representation, "
+    "which is why a governance-grade rollup keeps bitmaps, not "
+    "sketches, for member-level state.",
+)
+def events_bitmap_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bitmap import (
+        bitmap_build,
+        bitmap_erase,
+        bitmap_pair_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    bm = bitmap_build(ev, "event_type", "user_id", chunk_bits=13)
+    erase = (
+        ev.select("user_id")
+        .filter(F.col("user_id") % 7 == 3)
+        .distinct()
+    )
+    erased = bitmap_erase(bm, erase, "user_id", "event_type", chunk_bits=13)
+    return bitmap_pair_counts(erased, "event_type")

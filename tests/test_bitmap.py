@@ -84,3 +84,35 @@ def test_pair_counts_exact(spark):
     assert got == want
     # the zero-intersection pair (c shares nothing with b) is present
     assert got[("b", "c")][0] == 0
+
+
+def test_erase_equals_rebuild_from_filtered(spark):
+    """The deletion audit: erased bitmap state is byte-identical to a
+    rebuild from the filtered rows; erasing non-members is a no-op;
+    fully-erased chunks disappear."""
+    from data_pipelines_snowflake_procedures_spark.operators.bitmap import (
+        bitmap_erase,
+    )
+
+    df = spark.createDataFrame(ROWS, "k STRING, v LONG")
+    bm = bitmap_build(df, "k", "v", chunk_bits=13)
+    erase = spark.createDataFrame([(70000,), (1,), (9001,)], "v LONG")
+    erased = bitmap_erase(bm, erase, "v", "k", chunk_bits=13)
+
+    rebuilt = bitmap_build(
+        df.filter(~F.col("v").isin(70000, 1, 9001)), "k", "v", chunk_bits=13
+    )
+    key = lambda r: (r["k"], r["chunk"])  # noqa: E731
+    got = {key(r): (bytes(r["bm"]), r["card"]) for r in erased.collect()}
+    want = {key(r): (bytes(r["bm"]), r["card"]) for r in rebuilt.collect()}
+    assert got == want
+    # c held only 70000 -> its whole chunk row vanished
+    assert not any(k == "c" for k, _ in got)
+
+    # erasing ids nobody holds changes nothing
+    noop = bitmap_erase(
+        bm, spark.createDataFrame([(999999,)], "v LONG"), "v", "k"
+    )
+    base = {key(r): (bytes(r["bm"]), r["card"]) for r in bm.collect()}
+    got2 = {key(r): (bytes(r["bm"]), r["card"]) for r in noop.collect()}
+    assert got2 == base
