@@ -142,6 +142,7 @@ HEADLINE = [
     "hybrid_search_documents",
     "bm25_search_documents",
     "documents_bpe_merges",
+    "documents_bpe_token_budget",
     "documents_dup_span_profile",
     "documents_dup_span_dedup",
     "knn_mmr_rerank_embeddings",

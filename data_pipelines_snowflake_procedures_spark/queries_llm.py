@@ -4600,3 +4600,69 @@ def documents_textrank_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rank_in_doc")
     )
+
+
+def _bpe_budget_oracle(n_merges: int = 8) -> str:
+    """Training CTEs from :func:`_bpe_oracle`, then the ENCODE side:
+    every document's words replay the learned merges in rank order
+    (same replace() semantics), and the per-doc token count is the
+    summed symbol count — restating operators/bpe.py::
+    bpe_token_counts end-to-end, model training included."""
+    train = _bpe_oracle(n_merges)
+    ctes = train[len("WITH ") : train.index(" SELECT CAST(rank")]
+    ctes = ctes.rstrip()
+    apply_ctes = [
+        f"""enc0 AS (
+      SELECT doc_id,
+             trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym
+      FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+      WHERE length(w) > 0
+    )"""
+    ]
+    prev = "enc0"
+    for k in range(n_merges):
+        apply_ctes.append(f"""enc{k + 1} AS (
+      SELECT doc_id,
+             replace(sym, (SELECT a || ' ' || b FROM b{k}),
+                     (SELECT a || b FROM b{k})) AS sym
+      FROM {prev}
+    )""")
+        prev = f"enc{k + 1}"
+    return (
+        "WITH "
+        + ctes
+        + ",\n    "
+        + ",\n    ".join(apply_ctes)
+        + f""",
+    cnt AS (
+      SELECT doc_id, sum(len(string_split(sym, ' ')))::BIGINT AS n
+      FROM {prev} GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+    )
+
+
+@register(
+    "documents_bpe_token_budget",
+    _bpe_budget_oracle(8),
+    doc="BPE token budget under a freshly trained model "
+    "(operators/bpe.py::bpe_train + bpe_token_counts): the 8-merge "
+    "tokenizer is learned from the corpus, then every document is "
+    "ENCODED with it — each merge replayed in rank order as a "
+    "narrow string rewrite, zero-shuffle, model broadcast as "
+    "literals — and priced by its token count, the budget metric a "
+    "training-mix pipeline allocates against. The oracle chains the "
+    "full training CTEs AND the encode replay, so the hash match "
+    "verifies train + apply end-to-end: the count a data-pricing "
+    "job would bill is bit-identical cross-engine.",
+)
+def documents_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import bpe_token_counts, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8)
+    return bpe_token_counts(docs, merges).orderBy("doc_id")
