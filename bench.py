@@ -63,6 +63,8 @@ HEADLINE = [
     "referential_integrity_orders",
     "customer_fd_discovery",
     "pii_mask_customer",
+    "customer_k_anonymity",
+    "part_fifo_return_lag",
     "scd1_merge_orders",
     "scd2_merge_orders",
     "orders_snapshot_cdc_diff",

@@ -247,3 +247,44 @@ def pii_masking_report(
         "before_sample": before_md,
         "after_sample": after_md,
     }
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_sets: "dict[str, list]", k: int = 5
+) -> DataFrame:
+    """Re-identification risk audit (Sweeney's k-anonymity): for each
+    candidate generalization level — a named list of quasi-identifier
+    expressions — group the table into equivalence classes and report
+    how exposed it is: class count, smallest class, classes below k,
+    rows inside them, and the at-risk share in integer basis points.
+    The privacy-governance counterpart of the PII masking pipeline
+    (reference Data_Security.sql masks VALUES; this measures whether
+    the remaining quasi-identifiers still single people out). One
+    partial-aggregable groupBy per level, unioned — each level is an
+    independent map-side-combine aggregation at any SF."""
+    out = None
+    for name, exprs in quasi_sets.items():
+        classes = df.groupBy(*exprs).agg(F.count("*").alias("n"))
+        lvl = classes.agg(
+            F.lit(name).alias("level"),
+            F.count("*").cast("long").alias("n_classes"),
+            F.min("n").cast("long").alias("min_class_size"),
+            F.sum(F.when(F.col("n") < k, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_classes"),
+            F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.sum("n").cast("long").alias("rows_total"),
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out.select(
+        "level",
+        "n_classes",
+        "min_class_size",
+        "n_violating_classes",
+        "rows_at_risk",
+        F.expr("(rows_at_risk * 10000) div rows_total")
+        .cast("long")
+        .alias("at_risk_bp"),
+    ).orderBy("level")

@@ -3628,3 +3628,90 @@ def orders_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("exact_distinct_customers")
     )
     return est.join(exact, "o_orderpriority")
+
+
+@register(
+    "customer_k_anonymity",
+    """
+    WITH cents AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    lvls AS (
+      SELECT 'L0_nation_segment_bal100' AS level, c_nationkey AS q1,
+             c_mktsegment AS q2, floor(cents / 10000.0) AS q3
+      FROM cents
+      UNION ALL
+      SELECT 'L1_nation_segment_bal1000', c_nationkey, c_mktsegment,
+             floor(cents / 100000.0)
+      FROM cents
+      UNION ALL
+      SELECT 'L2_segment_bal1000', NULL, c_mktsegment,
+             floor(cents / 100000.0)
+      FROM cents
+    ),
+    cls AS (
+      SELECT level, q1, q2, q3, count(*) AS n
+      FROM lvls GROUP BY 1, 2, 3, 4
+    ),
+    ag AS (
+      SELECT level,
+             count(*) AS n_classes,
+             min(n) AS min_class_size,
+             sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)
+               AS n_violating_classes,
+             sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS rows_at_risk,
+             sum(n) AS rows_total
+      FROM cls GROUP BY level
+    )
+    SELECT level,
+           CAST(n_classes AS BIGINT) AS n_classes,
+           CAST(min_class_size AS BIGINT) AS min_class_size,
+           CAST(n_violating_classes AS BIGINT) AS n_violating_classes,
+           CAST(rows_at_risk AS BIGINT) AS rows_at_risk,
+           CAST((rows_at_risk * 10000) // rows_total AS BIGINT)
+             AS at_risk_bp
+    FROM ag ORDER BY level
+    """,
+    doc="k-anonymity re-identification audit (Sweeney 2002) over the "
+    "customer table (operators/security.py::k_anonymity_report) — "
+    "the governance counterpart of the reference's PII masking "
+    "(Data_Security.sql:13-18 masks VALUES; this measures whether "
+    "the remaining quasi-identifiers — nation, market segment, "
+    "binned balance — still single customers out). Three "
+    "generalization levels are audited at once (balance binned to "
+    "$100 vs $1000, then nation dropped), each reporting class "
+    "count, smallest class, k<5 violators, and the at-risk row "
+    "share in integer basis points. Balance binning goes through "
+    "exact integer cents then floor(cents/bin) — floor-toward "
+    "-infinity in both engines, so negative balances bin "
+    "identically. Each level is one partial-aggregable groupBy; "
+    "the union is 3 rows.",
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.security import k_anonymity_report
+
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    return k_anonymity_report(
+        c,
+        {
+            "L0_nation_segment_bal100": [
+                F.col("c_nationkey"),
+                F.col("c_mktsegment"),
+                F.floor(F.col("cents") / 10000.0).alias("q3"),
+            ],
+            "L1_nation_segment_bal1000": [
+                F.col("c_nationkey"),
+                F.col("c_mktsegment"),
+                F.floor(F.col("cents") / 100000.0).alias("q3"),
+            ],
+            "L2_segment_bal1000": [
+                F.col("c_mktsegment"),
+                F.floor(F.col("cents") / 100000.0).alias("q3"),
+            ],
+        },
+        k=5,
+    )
