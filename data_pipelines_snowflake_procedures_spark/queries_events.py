@@ -4857,14 +4857,17 @@ def events_window_funnel_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = Window.orderBy(F.desc("depth")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     joined = (
         lv.join(md, "depth", "left")
         .withColumn("n_max", F.coalesce(F.col("n_max"), F.lit(0)))
         .withColumn("n_reached", F.sum("n_max").over(wd))
+        .withColumn("n1", F.sum("n_max").over(wtot))
     )
-    total = joined.agg(F.sum("n_max").alias("n1"))
     return (
-        joined.crossJoin(F.broadcast(total))
+        joined
         .select(
             F.col("depth").cast("long").alias("depth"),
             F.col("n_max").cast("long").alias("n_users_max_depth"),

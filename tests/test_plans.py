@@ -244,3 +244,45 @@ def test_similarity_calibration_no_global_sort_or_cartesian(spark, sf_dir):
         # the bucket column
         first = spec.split(",")[0]
         assert " ASC" not in first and " DESC" not in first, spec
+
+
+def test_m4_downsample_partial_agg_no_window(spark, sf_dir):
+    plan = _plan(spark, "events_m4_downsample", sf_dir)
+    # M4 must plan as a partial-aggregable groupBy (map-side combine),
+    # not a per-bucket window sort; the struct min/max carry the points
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower()
+    # the 1-row span frame broadcasts onto the fact scan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_candidate_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, "events_heavy_hitter_users", sf_dir)
+    # the exact verify counts ONLY candidates, joined by broadcast —
+    # the full user cardinality must never reach a shuffle-side join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_window_funnel_single_user_exchange(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, "events_window_funnel_24h", sf_dir)
+    # all three conditional window-mins stack over ONE hashpartitioning
+    # on user_id — no re-exchange between funnel steps (the replaced
+    # crossJoin(total) used to duplicate the whole per-user subtree)
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert len(re.findall(r"Scan parquet", plan)) <= 2
+    # 3 funnel windows + reach/total rollup windows over the 3-row frame
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmv_incremental_bottom_k_plans_as_group_limit(spark, sf_dir):
+    plan = _plan(spark, "events_kmv_incremental", sf_dir)
+    # every bottom-k (rk <= k) window must plan as WindowGroupLimit —
+    # the partial top-k filter BEFORE the exchange, which is what keeps
+    # merge state at O(k) rows per key instead of a full sort
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
