@@ -164,6 +164,7 @@ HEADLINE = [
     "events_asof_click_before_error",
     "events_groupwise_zscore",
     "events_distinct_users_sketch",
+    "events_hll_portable",
     "events_kmv_user_overlap",
     "events_kmv_incremental",
     "events_heavy_hitter_users",

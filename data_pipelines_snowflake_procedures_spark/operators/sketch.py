@@ -419,3 +419,72 @@ def heavy_hitters(
         .filter(F.col("cnt") * den > F.col("total") * num)
         .orderBy(F.desc("cnt"), value_col)
     )
+
+
+#: raw-estimator constant for p=8 (m=256), computed ONCE in Python and
+#: inlined verbatim into both the Spark literal and the SQL oracle so
+#: the two engines divide by identical doubles: alpha_256 * m^2 * 2^61.
+HLL_P = 8
+_HLL_M = 1 << HLL_P
+_HLL_W = 60 - HLL_P  # suffix bits of the 60-bit md5 prefix
+HLL_EST_C = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * 2.0**61
+
+
+def hll_portable(df: DataFrame, set_col: str, value_col: str) -> DataFrame:
+    """Portable HyperLogLog (Flajolet et al. 2007) whose REGISTER
+    STATE and raw estimator are hash-exact cross-engine — the
+    property Spark's built-in ``hll_sketch_agg`` cannot offer (its
+    register encoding is engine-specific, which is why those entries
+    are rows-only). Everything here is integer/string algebra on the
+    repo's md5 hash idiom: bucket = top ``p`` bits of the 60-bit
+    hash, rho = leading zeros of the 52-bit suffix + 1 via
+    ``length(bin(suffix))`` (both engines print minimal binary),
+    registers = max rho per bucket, and the harmonic sum is EXACT —
+    each register contributes the integer ``2^(61-rho)``, summed in
+    decimal(38), with absent registers at ``2^61`` — so the only
+    float op is one final division by a shared literal constant.
+    Raw estimator only (no linear-counting/bias branch — that needs
+    ln(), whose libm rounding is not portable); the zero-register
+    count is emitted so a consumer CAN apply corrections.
+    Returns (set_col, present_registers, zero_registers, raw_est)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll|"), F.col(value_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    prepped = df.select(F.col(set_col).alias("s"), h.alias("h")).select(
+        "s",
+        F.expr(f"h div {1 << _HLL_W}").alias("bucket"),
+        (F.col("h") % F.lit(1 << _HLL_W)).alias("suffix"),
+    )
+    rho = F.when(F.col("suffix") == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W + 1) - F.length(F.bin(F.col("suffix")))
+    )
+    regs = (
+        prepped.select("s", "bucket", rho.alias("rho"))
+        .groupBy("s", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    agg = regs.groupBy("s").agg(
+        F.count("*").cast("long").alias("present_registers"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), 61 - m_j)")
+            .cast("decimal(38,0)")
+        ).alias("s_present"),
+    )
+    zero = (F.lit(_HLL_M) - F.col("present_registers")).cast("long")
+    s_total = F.col("s_present") + zero.cast("decimal(38,0)") * F.lit(
+        1 << 61
+    ).cast("decimal(38,0)")
+    return agg.select(
+        F.col("s").alias(set_col),
+        "present_registers",
+        zero.alias("zero_registers"),
+        F.floor(F.lit(HLL_EST_C) / s_total.cast("double"))
+        .cast("long")
+        .alias("raw_est"),
+    )

@@ -5000,3 +5000,80 @@ def events_bitmap_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     erased = bitmap_erase(bm, erase, "user_id", "event_type", chunk_bits=13)
     return bitmap_pair_counts(erased, "event_type")
+
+
+def _hll_portable_oracle() -> str:
+    from .operators.sketch import HLL_EST_C
+
+    return f"""
+    WITH du AS (SELECT DISTINCT event_type AS s, user_id AS u FROM events),
+    hx AS (
+      SELECT s, ('0x' || substr(md5('hll|' || CAST(u AS VARCHAR)),
+                                1, 15))::BIGINT AS h
+      FROM du
+    ),
+    reg AS (
+      SELECT s, h // 4503599627370496 AS bucket,
+             h % 4503599627370496 AS suffix
+      FROM hx
+    ),
+    rho AS (
+      SELECT s, bucket,
+             max(CASE WHEN suffix = 0 THEN 53
+                  ELSE 53 - length(bin(suffix)) END) AS m_j
+      FROM reg GROUP BY 1, 2
+    ),
+    ag AS (
+      SELECT s, count(*) AS present,
+             sum((1::BIGINT << (61 - m_j))) AS s_present
+      FROM rho GROUP BY s
+    ),
+    fin AS (
+      SELECT s, present, 256 - present AS zero_registers,
+             CAST(s_present AS DECIMAL(38, 0))
+               + CAST(256 - present AS DECIMAL(38, 0))
+                 * CAST(2305843009213693952 AS DECIMAL(38, 0)) AS st
+      FROM ag
+    ),
+    ex AS (SELECT event_type AS s, count(DISTINCT user_id) AS xd
+           FROM events GROUP BY 1)
+    SELECT f.s AS event_type,
+           CAST(f.present AS BIGINT) AS present_registers,
+           CAST(f.zero_registers AS BIGINT) AS zero_registers,
+           CAST(floor({HLL_EST_C!r} / CAST(f.st AS DOUBLE)) AS BIGINT)
+             AS raw_est,
+           CAST(ex.xd AS BIGINT) AS exact_distinct
+    FROM fin f JOIN ex ON ex.s = f.s
+    ORDER BY 1
+    """
+
+
+@register(
+    "events_hll_portable",
+    _hll_portable_oracle(),
+    doc="Portable HyperLogLog with hash-exact cross-engine register "
+    "state (operators/sketch.py::hll_portable) — closing the caveat "
+    "that made the built-in HLL entries rows-only: Spark's "
+    "hll_sketch_agg register encoding is engine-specific, but THIS "
+    "sketch is pure integer/string algebra on the repo's md5 idiom "
+    "(bucket = top 8 hash bits; rho via length(bin(suffix)), minimal "
+    "binary in both engines; harmonic sum as EXACT integers — "
+    "2^(61-rho) per register in decimal(38), absent registers at "
+    "2^61), so the DuckDB oracle reproduces registers AND the raw "
+    "Flajolet estimator bit-for-bit; the single float op is one "
+    "division by a constant inlined verbatim on both sides. Raw "
+    "estimator only (the linear-counting branch needs ln(), whose "
+    "libm rounding is not portable); zero-register counts are "
+    "emitted so consumers can correct. Exact countDistinct rides "
+    "along as calibration. O(m)=256 registers per set at any SF.",
+)
+def events_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import hll_portable
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    du = ev.distinct()
+    est = hll_portable(du, "event_type", "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").orderBy("event_type")

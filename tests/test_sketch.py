@@ -260,3 +260,30 @@ def test_heavy_hitters_matches_naive_groupby(spark):
             per_part["k"] += 1
     assert per_part["k"] <= 7 * 20
     assert sum(r["pn"] for r in summ if r["v"] is None) == n
+
+
+def test_hll_portable_accuracy_and_determinism(spark):
+    """Raw estimator lands inside the HLL error band for a mid-size
+    cardinality, underestimates small sets (documented: no
+    linear-counting branch), and is partition-invariant."""
+    from data_pipelines_snowflake_procedures_spark.operators.sketch import (
+        hll_portable,
+    )
+
+    rows = [("big", i) for i in range(5000)] + [("small", i) for i in range(20)]
+    df = spark.createDataFrame(rows, "k STRING, v LONG")
+    got = {
+        r["k"]: (r["raw_est"], r["zero_registers"])
+        for r in hll_portable(df, "k", "v").collect()
+    }
+    est, zeros = got["big"]
+    assert abs(est - 5000) / 5000 < 0.15  # ~1.04/sqrt(256) = 6.5% band
+    assert zeros == 0 or zeros < 5
+    # small set: many empty registers reported for downstream correction
+    assert got["small"][1] > 200
+    # partition-invariance: registers are max-folds
+    re7 = {
+        r["k"]: (r["raw_est"], r["zero_registers"])
+        for r in hll_portable(df.repartition(7), "k", "v").collect()
+    }
+    assert re7 == got
