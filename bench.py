@@ -222,6 +222,7 @@ HEADLINE = [
     "events_stream_stream_left_outer",
     "events_user_totals_stateful_streaming",
     "events_incremental_rollup_streaming",
+    "events_dau_bitmap_streaming",
 ]
 
 

@@ -5077,3 +5077,70 @@ def events_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("exact_distinct")
     )
     return est.join(exact, "event_type").orderBy("event_type")
+
+
+@register(
+    "events_dau_bitmap_streaming",
+    """
+    SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d')
+             AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    doc="STREAMING incremental bitmap-index maintenance (streaming/"
+    "stream.py::bitmap_maintain_stream): each micro-batch's (day, "
+    "user) members become bitmap chunks and OR-fold into a "
+    "persistent per-day index through the same idempotent "
+    "stage-and-swap commit as the rollup fold (shared "
+    "make_state_fold; at-least-once redelivery skips by marker). "
+    "The entry replays events as TWO bounded streams split by USER "
+    "PARITY — so the same (day, chunk) rows receive contributions "
+    "from both replays and the state-exists OR-merge path truly "
+    "executes — then reads DAU straight off the folded index. The "
+    "oracle is the naive per-day count(DISTINCT): because OR-folding "
+    "is associative/commutative/idempotent, micro-batch boundaries "
+    "cannot leak into the answer — the streaming state IS the batch "
+    "bitmap, byte-for-byte, which is what lets one index serve both "
+    "the nightly build and the live tail at 100 TB.",
+)
+def events_dau_bitmap_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .streaming.stream import bitmap_maintain_stream, read_events_stream
+
+    work = tempfile.mkdtemp(prefix="bitmap_stream_")
+    state = work + "/state"
+    try:
+        for i, pred in enumerate(
+            (F.col("user_id") % 2 == 0, F.col("user_id") % 2 == 1)
+        ):
+            src = (
+                read_events_stream(spark, sf_dir)
+                .filter(pred)
+                .select(F.to_date("ts").alias("d"), "user_id")
+            )
+            q = bitmap_maintain_stream(
+                spark, src, state, ["d"], "user_id",
+                checkpoint_suffix=str(i),
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    f"bitmap replay {i} did not drain within 300s"
+                )
+        bm = spark.read.parquet(state)
+        out = (
+            bm.groupBy("d")
+            .agg(F.sum("card").cast("long").alias("dau"))
+            .select(
+                F.date_format("d", "yyyy-MM-dd").alias("day"), "dau"
+            )
+            .orderBy("day")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -379,45 +379,17 @@ def make_rollup_fold(
 ):
     """The foreachBatch body of :func:`rollup_maintain_stream`,
     exposed so tests can exercise the at-least-once redelivery path
-    directly (call it twice with the same batch_id)."""
-    import glob as _glob
-    import shutil as _shutil
-
+    directly (call it twice with the same batch_id). The commit
+    protocol (markers, stage-and-swap, bootstrap-only-when-missing —
+    ADVICE r5) lives in :func:`make_state_fold`, shared with the
+    streaming bitmap index."""
     from ..operators.incremental import merge_partials, partial_agg
-    from ..sources.sink import commit_swap
 
-    def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        marker = f"_applied_{checkpoint_suffix}_{batch_id}"
-        if os.path.exists(os.path.join(state_path, marker)):
-            return  # at-least-once redelivery of an already-folded batch
-        if not batch_df.take(1):
-            return
+    def step(batch_df: DataFrame, state: "DataFrame | None") -> DataFrame:
         part = partial_agg(batch_df, keys, value_col)
-        # Only a MISSING state selects the bootstrap branch; any other
-        # failure (schema drift between runs, corrupt files) must
-        # surface, not silently reset the accumulated state to one
-        # batch's partials. Missing is decided by the same local-fs
-        # check the marker lookup above already relies on — Spark
-        # versions phrase the missing-path AnalysisException
-        # differently (PATH_NOT_FOUND vs "Path does not exist"), so
-        # message-matching is brittle (ADVICE r5).
-        if os.path.exists(state_path):
-            state = spark.read.parquet(state_path)
-        else:
-            state = None
-        merged = (
-            part if state is None else merge_partials([state, part], keys)
-        )
-        staging = state_path + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        # carry every prior batch's marker plus this one through the swap
-        if state is not None:
-            for m in _glob.glob(os.path.join(state_path, "_applied_*")):
-                _shutil.copy(m, staging)
-        open(os.path.join(staging, marker), "w").close()
-        commit_swap(staging, state_path)
+        return part if state is None else merge_partials([state, part], keys)
 
-    return _fold
+    return make_state_fold(spark, state_path, checkpoint_suffix, step)
 
 
 #: Static enrichment dim for the stream-static join: event_type →
@@ -455,3 +427,83 @@ def enriched_hourly_stream(
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
     enriched = ev.join(F.broadcast(category_dim(spark)), "event_type")
     return tumbling_agg(enriched, keys=("category",))
+
+
+def make_state_fold(
+    spark: SparkSession,
+    state_path: str,
+    checkpoint_suffix: str,
+    step,
+):
+    """Generic idempotent foreachBatch fold: ``step(batch_df,
+    state_or_None) -> merged state DF``, committed with the
+    stage-and-swap + ``_applied`` marker protocol documented on
+    :func:`make_rollup_fold` (at-least-once redelivery skips, crash
+    between swap and offset commit cannot double-fold). Factored out
+    so every incrementally-maintained state representation — partial
+    aggregates, bitmap indexes — shares one audited commit path."""
+    import glob as _glob
+    import shutil as _shutil
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"_applied_{checkpoint_suffix}_{batch_id}"
+        if os.path.exists(os.path.join(state_path, marker)):
+            return
+        if not batch_df.take(1):
+            return
+        if os.path.exists(state_path):
+            state = spark.read.parquet(state_path)
+        else:
+            state = None
+        merged = step(batch_df, state)
+        staging = state_path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if state is not None:
+            for m in _glob.glob(os.path.join(state_path, "_applied_*")):
+                _shutil.copy(m, staging)
+        open(os.path.join(staging, marker), "w").close()
+        from ..sources.sink import commit_swap
+
+        commit_swap(staging, state_path)
+
+    return _fold
+
+
+def bitmap_maintain_stream(
+    spark: SparkSession,
+    source_stream: DataFrame,
+    state_path: str,
+    key_cols: list[str],
+    value_col: str,
+    chunk_bits: int = 13,
+    checkpoint_suffix: str = "",
+) -> "object":
+    """Streaming incremental bitmap-index maintenance: each
+    micro-batch's member rows become per-key bitmap chunks
+    (:func:`~..operators.bitmap.bitmap_build`) and OR-fold into the
+    persistent index (:func:`~..operators.bitmap.bitmap_merge`) —
+    the streaming face of the batch `events_dau_wau_mau_bitmap`
+    state, sharing :func:`make_state_fold`'s idempotent
+    stage-and-swap commit. State is O(keys × chunks) bitmap rows,
+    never history-sized; because OR-folding is associative/
+    commutative/idempotent, batch boundaries cannot leak into the
+    final index (the oracle proves it byte-equivalently via exact
+    distinct counts)."""
+    from ..operators.bitmap import bitmap_build, bitmap_merge
+
+    def step(batch_df: DataFrame, state: DataFrame | None) -> DataFrame:
+        part = bitmap_build(batch_df, key_cols, value_col, chunk_bits)
+        if state is None:
+            return part
+        return bitmap_merge(state.unionByName(part), key_cols)
+
+    _fold = make_state_fold(spark, state_path, checkpoint_suffix, step)
+    return (
+        source_stream.writeStream.foreachBatch(_fold)
+        .option(
+            "checkpointLocation",
+            state_path + ".checkpoint" + checkpoint_suffix,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
