@@ -196,6 +196,7 @@ HEADLINE = [
     "events_completeness_report",
     "events_mix_drift_days",
     "events_hourly_forecast",
+    "events_hourly_holt_winters",
     "events_top_journeys",
     "orders_customer_join_ivm",
     "orders_customer_join_ivm_deletes",

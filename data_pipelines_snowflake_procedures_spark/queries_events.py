@@ -5144,3 +5144,109 @@ def events_dau_bitmap_streaming(
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "events_hourly_holt_winters",
+    """
+    WITH RECURSIVE bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    keys AS (SELECT DISTINCT event_type AS s FROM events),
+    cnts AS (
+      SELECT event_type AS s, date_trunc('hour', ts) AS hour,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT k.s,
+             CAST(epoch(sp.hour) - (SELECT epoch(h0) FROM bounds)
+                  AS BIGINT) // 3600 AS t,
+             coalesce(c.n, 0)::BIGINT AS y
+      FROM spine sp CROSS JOIN keys k
+      LEFT JOIN cnts c ON c.s = k.s AND c.hour = sp.hour
+    ),
+    hh AS (SELECT max(t) AS tmax FROM dense),
+    init AS (
+      SELECT s,
+             sum(CASE WHEN t < 24 THEN y END)::BIGINT AS s1,
+             sum(CASE WHEN t >= 24 THEN y END)::BIGINT AS s2,
+             list(y ORDER BY t) FILTER (WHERE t < 24) AS y0
+      FROM dense WHERE t < 48 GROUP BY s
+      HAVING count(*) = 48
+    ),
+    st0 AS (
+      SELECT s, s1 / 24.0 AS lvl, (s2 - s1) / 576.0 AS tr,
+             list_transform(y0, x -> x - s1 / 24.0) AS seas
+      FROM init
+    ),
+    hw AS (
+      SELECT s, 23 AS t, lvl, tr, seas FROM st0
+      UNION ALL
+      SELECT hw.s, hw.t + 1,
+        0.3 * (d.y - hw.seas[1]) + 0.7 * (hw.lvl + hw.tr),
+        0.05 * ((0.3 * (d.y - hw.seas[1]) + 0.7 * (hw.lvl + hw.tr))
+                - hw.lvl) + 0.95 * hw.tr,
+        list_append(hw.seas[2:24],
+          0.2 * (d.y - (0.3 * (d.y - hw.seas[1])
+                        + 0.7 * (hw.lvl + hw.tr)))
+          + 0.8 * hw.seas[1])
+      FROM hw JOIN dense d ON d.s = hw.s AND d.t = hw.t + 1
+    ),
+    fin AS (
+      SELECT s, lvl, tr, seas FROM hw
+      WHERE t = (SELECT tmax FROM hh)
+    ),
+    fc AS (
+      SELECT f.s, u.h,
+             f.lvl + u.h * f.tr + f.seas[((u.h - 1) % 24) + 1] AS v
+      FROM fin f, (SELECT unnest(range(1, 25)) AS h) u
+    )
+    SELECT s AS event_type, CAST(h AS BIGINT) AS h,
+           CASE WHEN round(v, 6) = 0 THEN 0.0
+                ELSE round(v, 6) END AS forecast
+    FROM fc ORDER BY 1, 2
+    """,
+    doc="Additive Holt-Winters triple exponential smoothing "
+    "(operators/holtwinters.py) over the gap-filled hourly series, "
+    "24-hour season, 24-hour forecast horizon — the classic seasonal "
+    "forecaster beside the registry's seasonal-naive and conformal "
+    "entries. Cross-engine contract: exact-integer initialization "
+    "(level/trend from the first two seasons' integer sums), then a "
+    "pure-double recursion with an IDENTICAL expression tree per "
+    "step in both engines — no per-step rounding (half-up vs "
+    "banker's is the trap), rounding once at emission with -0.0 "
+    "normalized. The oracle replays the full ~700-step recursion "
+    "per series in a DuckDB RECURSIVE CTE carrying the 24-element "
+    "seasonal vector as a list column — a hash match means every "
+    "one of the ~3500 double operations agreed bitwise. Scale "
+    "shape: sequential in time, embarrassingly parallel across "
+    "series (applyInPandas per series, season-sized state) — the "
+    "millions-of-SKUs forecasting shape.",
+)
+def events_hourly_holt_winters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.holtwinters import holt_winters_forecast
+    from .streaming.windows import gapfill_hourly
+
+    dense = gapfill_hourly(load_table(spark, sf_dir, "events")).select(
+        "event_type",
+        F.col("hour").cast("long").alias("hsec"),
+        F.col("n_events").cast("long").alias("y"),
+    )
+    dense = dense.select(
+        "event_type",
+        F.expr("(hsec - min(hsec) OVER ()) div 3600").alias("t"),
+        "y",
+    )
+    out = holt_winters_forecast(
+        dense, "event_type", "t", "y", season=24, horizon=24
+    )
+    return out.orderBy("event_type", "h")

@@ -613,3 +613,32 @@ def test_mannwhitney_matches_reference_formula(spark, sf_dir):
     var = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
     z = (u2 / 2.0 - na * nb / 2.0) / math.sqrt(var)
     assert abs(r["z"] - round(z, 4)) < 1e-9
+
+
+def test_holt_winters_learns_a_periodic_series(spark):
+    """A noiseless period-24 series: after a full pass the seasonal
+    state reproduces the pattern, so forecasts equal the next cycle
+    almost exactly; a trending series forecasts its slope."""
+    from data_pipelines_snowflake_procedures_spark.operators.holtwinters import (
+        holt_winters_forecast,
+    )
+
+    pattern = [10, 12, 15, 20, 30, 45, 60, 70, 75, 70, 60, 50,
+               45, 40, 38, 36, 40, 50, 65, 80, 70, 40, 20, 12]
+    rows = [("p", t, pattern[t % 24]) for t in range(24 * 10)]
+    rows += [("trend", t, 100 + 3 * t) for t in range(24 * 10)]
+    df = spark.createDataFrame(rows, "s STRING, t LONG, y LONG")
+    got = {
+        (r["s"], r["h"]): r["forecast"]
+        for r in holt_winters_forecast(df, "s", "t", "y").collect()
+    }
+    for h in range(1, 25):
+        want = pattern[(240 + h - 1) % 24]
+        assert abs(got[("p", h)] - want) < 1.5, (h, got[("p", h)], want)
+        wt = 100 + 3 * (240 + h - 1)
+        assert abs(got[("trend", h)] - wt) / wt < 0.05
+    # too-short series are skipped, not garbage
+    short = spark.createDataFrame(
+        [("x", t, 5) for t in range(30)], "s STRING, t LONG, y LONG"
+    )
+    assert holt_winters_forecast(short, "s", "t", "y").count() == 0
