@@ -140,6 +140,7 @@ HEADLINE = [
     "embeddings_covariance",
     "embeddings_pca_project",
     "knn_recall_report_quantized",
+    "knn_recall_report_pca",
     "embedding_label_cohesion",
     "hybrid_search_documents",
     "bm25_search_documents",
@@ -176,6 +177,7 @@ HEADLINE = [
     "events_time_weighted_avg",
     "events_window_funnel_24h",
     "events_new_vs_returning",
+    "events_trace_sample_users",
     "events_robust_outlier_profile",
     "events_robust_outlier_profile_approx",
     "events_incremental_rollup",

@@ -5250,3 +5250,82 @@ def events_hourly_holt_winters(
         dense, "event_type", "t", "y", season=24, horizon=24
     )
     return out.orderBy("event_type", "h")
+
+
+@register(
+    "events_trace_sample_users",
+    """
+    WITH tagged AS (
+      SELECT event_type, user_id,
+             ('0x' || substr(md5('trace|' || CAST(user_id AS VARCHAR)),
+                             1, 15))::BIGINT % 100 < 10 AS sampled
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE sampled) AS BIGINT)
+             AS sampled_events,
+           CAST(count(DISTINCT user_id) FILTER (WHERE sampled) AS BIGINT)
+             AS sampled_users,
+           CAST(count(*) AS BIGINT) AS total_events,
+           CAST((count(*) FILTER (WHERE sampled)) * 10000 // count(*)
+                AS BIGINT) AS sample_rate_bp
+    FROM tagged GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Consistent user-level trace sampling — the debugging/replay "
+    "workflow where a sampled user must bring ALL their events "
+    "(per-event sampling destroys session reconstruction): "
+    "membership is a pure function of md5(user_id), so the same 10% "
+    "of users is selected in every table, every partition, every "
+    "day, with no coordination, no broadcast state, and no shuffle "
+    "— the predicate evaluates at the scan. The per-type sampled "
+    "rate in basis points shows the event-level rate tracking the "
+    "user-level 10% only as closely as per-user activity skew "
+    "allows — exactly the property an engineer sizing a debug "
+    "corpus needs to see. Hash-exact oracle (md5 idiom).",
+)
+def events_trace_sample_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sampled = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("trace|"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        < 10
+    )
+    return (
+        ev.withColumn("sampled", sampled)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("sampled"), 1).otherwise(0))
+            .cast("long")
+            .alias("sampled_events"),
+            F.countDistinct(
+                F.when(F.col("sampled"), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("sampled_users"),
+            F.count("*").cast("long").alias("total_events"),
+        )
+        .select(
+            "event_type",
+            "sampled_events",
+            "sampled_users",
+            "total_events",
+            F.expr("(sampled_events * 10000) div total_events")
+            .cast("long")
+            .alias("sample_rate_bp"),
+        )
+        .orderBy("event_type")
+    )

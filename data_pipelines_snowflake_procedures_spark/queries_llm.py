@@ -4666,3 +4666,116 @@ def documents_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=8)
     return bpe_token_counts(docs, merges).orderBy("doc_id")
+
+
+@register(
+    "knn_recall_report_pca",
+    None,
+    doc="Recall of PCA-accelerated ANN vs full-dimension brute-force "
+    "truth — the dimensionality-reduction rung of the ANN ladder "
+    "(SQ/PQ compress VALUES, PCA compresses AXES): embeddings are "
+    "projected onto the top 8 (and, sliced from the same fit, top "
+    "4) principal components, candidates come from cosine top-20 in "
+    "the REDUCED space (8/64ths of the scan bytes), and the final "
+    "top-5 is an exact re-rank of candidates only — the same "
+    "candidates-join-back shape the quantized family uses. "
+    "Rows-only by design (eigendecomposition is not "
+    "SQL-expressible; pca_fit/pca_project values are pinned by "
+    "their own entries and a numpy reference test); recall@5 "
+    "numbers quantify the axes-vs-values tradeoff next to "
+    "knn_recall_report_quantized's.",
+)
+def knn_recall_report_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from .operators.linalg import pca_fit, pca_project
+    from .operators.similarity import dot_product, knn_bruteforce, norm
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    truth = (
+        knn_bruteforce(emb, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    model8 = pca_fit(emb, k=8)
+    model4 = {
+        "mean": model8["mean"],
+        "components": model8["components"][:4],
+        "explained_variance": model8["explained_variance"][:4],
+    }
+
+    ce = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_nrm"),
+    )
+    qe = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_nrm"),
+    )
+
+    def pca_variant(model, name, n_cand=20):
+        proj = pca_project(emb, model, out_col="pca").select(
+            "vec_id", "pca"
+        ).persist()
+        pq = proj.filter(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 110)
+        )
+        cand = knn_bruteforce(proj, pq, k=n_cand, emb_col="pca").select(
+            "query_id", "neighbor_id"
+        )
+        rer = (
+            cand.join(ce, "neighbor_id")
+            .join(F.broadcast(qe), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    dot_product(F.col("q_emb"), F.col("c_emb"))
+                    / (F.col("q_nrm") * F.col("c_nrm")),
+                    6,
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        top = rer.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= 5
+        )
+        out = (
+            top.select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"])
+            .agg(F.count("*").alias("n_matched"))
+            .select(F.lit(name).alias("variant"), "n_matched")
+        )
+        rows = out.collect()
+        proj.unpersist()
+        return spark.createDataFrame(rows, out.schema)
+
+    parts = [
+        pca_variant(model8, "pca8_cand20"),
+        pca_variant(model8, "pca8_cand50", n_cand=50),
+        pca_variant(model4, "pca4_cand20"),
+    ]
+    n_truth = truth.agg(F.count("*").cast("double").alias("n_truth"))
+    out = (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "variant",
+            "n_matched",
+            F.round(F.col("n_matched") / F.col("n_truth"), 4).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("variant")
+    )
+    rows = out.collect()
+    emb.unpersist()
+    truth.unpersist()
+    return spark.createDataFrame(rows, out.schema)
