@@ -204,6 +204,7 @@ HEADLINE = [
     "orders_customer_join_ivm_deletes",
     "orders_rollup_rewrite",
     "orders_distinct_rewrite",
+    "orders_distinct_rewrite_bitmap",
     # multimodal codec legs (PPM/PNG/JPEG images, WAV audio — real
     # stdlib decodes inside Arrow-batched mapInPandas)
     "multimodal_features_documents",

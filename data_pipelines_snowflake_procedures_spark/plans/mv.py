@@ -187,3 +187,55 @@ def try_rewrite_distinct(
             "est_distinct", alias
         )
     return None
+
+
+@dataclass(frozen=True)
+class BitmapDistinctView:
+    """An EXACT distinct-count rollup: chunked bitmaps of
+    ``value_col`` per key combination (operators/bitmap.py). The
+    exact counterpart of :class:`KmvDistinctView` — bitmap state
+    OR-folds under any key-subset regrouping with NO estimation
+    error, at the cost of O(universe/8) bytes per key combo instead
+    of O(k) rows. A warehouse keeps both: bitmaps where member-level
+    exactness (or erasure) is required, KMV where cardinality alone
+    is enough."""
+
+    name: str
+    table: str
+    keys: tuple[str, ...]
+    value_col: str
+    chunk_bits: int
+    state: DataFrame
+
+
+def try_rewrite_distinct_exact(
+    q: AggQuery, views: "list[BitmapDistinctView]"
+) -> DataFrame | None:
+    """Rewrite a single-measure ``("distinct_exact", alias)`` query
+    against a bitmap view: filter the matching view's chunk rows,
+    OR-fold under the query's (coarser) grouping, and sum the
+    per-chunk popcounts — the fact table is never rescanned and the
+    answer is exact. Same containment conditions as
+    :func:`try_rewrite`."""
+    from ..operators.bitmap import bitmap_merge
+
+    if len(q.measures) != 1 or q.measures[0][0] != "distinct_exact":
+        return None
+    alias = q.measures[0][1]
+    for v in views:
+        if q.table != v.table or q.value_col != v.value_col:
+            continue
+        if not set(q.group_by) <= set(v.keys):
+            continue
+        if not {c for c, _ in q.eq_filters} <= set(v.keys):
+            continue
+        df = v.state
+        for col, val in q.eq_filters:
+            df = df.filter(F.col(col) == F.lit(val))
+        folded = bitmap_merge(
+            df.select(*q.group_by, "chunk", "bm", "card"), list(q.group_by)
+        )
+        return folded.groupBy(*q.group_by).agg(
+            F.sum("card").cast("long").alias(alias)
+        )
+    return None

@@ -3715,3 +3715,59 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         k=5,
     )
+
+
+@register(
+    "orders_distinct_rewrite_bitmap",
+    """
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT)
+             AS exact_distinct_customers
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    doc="EXACT COUNT(DISTINCT) answered from materialized bitmap "
+    "state (plans/mv.py::BitmapDistinctView/try_rewrite_distinct_"
+    "exact — the exact counterpart of the KMV sketch rewrite E153): "
+    "a (priority, status)-keyed chunked-bitmap view of o_custkey is "
+    "built once; the priority-level query OR-folds the per-status "
+    "bitmap rows under the coarser grouping and sums popcounts — "
+    "the fact table is never rescanned AND the answer carries no "
+    "estimation error, which is why a warehouse keeps bitmap state "
+    "where member-level exactness (or RTBF erasure, E164) is "
+    "required. The entry raises if the rewriter declines; the "
+    "oracle is the naive count(DISTINCT) over the raw table.",
+)
+def orders_distinct_rewrite_bitmap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.bitmap import bitmap_build
+    from .plans.mv import (
+        AggQuery,
+        BitmapDistinctView,
+        try_rewrite_distinct_exact,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    view = BitmapDistinctView(
+        name="orders_custkey_bitmap",
+        table="orders",
+        keys=("o_orderpriority", "o_orderstatus"),
+        value_col="o_custkey",
+        chunk_bits=13,
+        state=bitmap_build(
+            orders,
+            ["o_orderpriority", "o_orderstatus"],
+            "o_custkey",
+            chunk_bits=13,
+        ),
+    )
+    q = AggQuery(
+        table="orders",
+        group_by=("o_orderpriority",),
+        value_col="o_custkey",
+        measures=(("distinct_exact", "exact_distinct_customers"),),
+    )
+    out = try_rewrite_distinct_exact(q, [view])
+    if out is None:
+        raise AssertionError("bitmap distinct rewrite unexpectedly declined")
+    return out.orderBy("o_orderpriority")

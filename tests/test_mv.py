@@ -170,3 +170,37 @@ def test_distinct_rewrite_paths(spark, fact):
         AggQuery("t", ("k1",), "w", (("distinct_approx", "d"),)),
     ):
         assert try_rewrite_distinct(bad, [view]) is None, bad
+
+
+def test_bitmap_distinct_rewrite_refusals(spark):
+    """Exact-bitmap rewrite mirrors the containment matcher and
+    declines measure-mix / unknown-key / non-key-filter queries."""
+    from data_pipelines_snowflake_procedures_spark.operators.bitmap import (
+        bitmap_build,
+    )
+    from data_pipelines_snowflake_procedures_spark.plans.mv import (
+        BitmapDistinctView,
+        try_rewrite_distinct_exact,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x", i % 40) for i in range(200)]
+        + [("b", "y", i % 7) for i in range(50)],
+        "k1 STRING, k2 STRING, v LONG",
+    )
+    view = BitmapDistinctView(
+        name="d", table="t", keys=("k1", "k2"), value_col="v",
+        chunk_bits=13, state=bitmap_build(df, ["k1", "k2"], "v"),
+    )
+    q = AggQuery("t", ("k1",), "v", (("distinct_exact", "d"),))
+    got = {r["k1"]: r["d"] for r in
+           try_rewrite_distinct_exact(q, [view]).collect()}
+    assert got == {"a": 40, "b": 7}  # exact, no estimator band
+    for bad in (
+        AggQuery("t", ("k1",), "v", (("count", "c"),)),
+        AggQuery("t", ("k3",), "v", (("distinct_exact", "d"),)),
+        AggQuery("t", ("k1",), "v", (("distinct_exact", "d"),),
+                 eq_filters=(("v", 1),)),
+        AggQuery("t", ("k1",), "w", (("distinct_exact", "d"),)),
+    ):
+        assert try_rewrite_distinct_exact(bad, [view]) is None, bad
