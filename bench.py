@@ -227,6 +227,7 @@ HEADLINE = [
     "events_user_totals_stateful_streaming",
     "events_incremental_rollup_streaming",
     "events_dau_bitmap_streaming",
+    "events_heavy_hitters_streaming",
 ]
 
 

@@ -351,7 +351,7 @@ def mg_summaries(df: DataFrame, value_col: str, counters: int) -> DataFrame:
     import pandas as pd
 
     vtype = dict(df.dtypes)[value_col]
-    schema = f"v {vtype}, pn long"
+    schema = f"v {vtype}, cnt long, pn long"
 
     def gen(batches):
         state: dict = {}
@@ -377,7 +377,11 @@ def mg_summaries(df: DataFrame, value_col: str, counters: int) -> DataFrame:
                         }
                         c -= d
         yield pd.DataFrame(
-            {"v": list(state) + [None], "pn": [None] * len(state) + [n]}
+            {
+                "v": list(state) + [None],
+                "cnt": list(state.values()) + [None],
+                "pn": [None] * len(state) + [n],
+            }
         )
 
     return df.select(value_col).mapInPandas(gen, schema=schema)
@@ -487,4 +491,53 @@ def hll_portable(df: DataFrame, set_col: str, value_col: str) -> DataFrame:
         F.floor(F.lit(HLL_EST_C) / s_total.cast("double"))
         .cast("long")
         .alias("raw_est"),
+    )
+
+
+def mg_merge(summaries: DataFrame, counters: int) -> DataFrame:
+    """Merge Misra-Gries summaries (Agarwal et al. 2012, mergeable
+    summaries): sum residual counters per value, then subtract the
+    (counters+1)-th largest merged count from every survivor and
+    drop non-positives — the compaction that restores the size bound
+    while preserving the deviation guarantee (each summary's error
+    ≤ n_i/(counters+1) adds up, so any value with TOTAL count >
+    N/(counters+1) still survives the merged summary). Input/output
+    rows use the :func:`mg_summaries` schema — (v, cnt, pn) with the
+    per-source row-count rows carried through by summing into ONE
+    total row — so merged summaries re-merge associatively, which is
+    what lets per-day MG states fold into weekly/monthly ones
+    without touching raw data."""
+    from pyspark.sql import Window
+
+    vals = summaries.where(F.col("v").isNotNull())
+    totals = summaries.where(F.col("v").isNull()).agg(
+        F.sum("pn").alias("pn")
+    )
+    merged = vals.groupBy("v").agg(F.sum("cnt").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("v"))
+    ranked = merged.withColumn("rk", F.row_number().over(w))
+    # the compaction threshold: the (counters+1)-th largest count, 0
+    # when the merged summary already fits
+    thresh = ranked.where(F.col("rk") == counters + 1).select(
+        F.col("cnt").alias("d")
+    )
+    kept = (
+        ranked.crossJoin(
+            F.broadcast(
+                thresh.unionByName(
+                    ranked.sparkSession.createDataFrame([(0,)], "d long")
+                ).agg(F.max("d").alias("d"))
+            )
+        )
+        .where(F.col("cnt") - F.col("d") > 0)
+        .select("v", (F.col("cnt") - F.col("d")).alias("cnt"))
+    )
+    return kept.select(
+        "v", "cnt", F.lit(None).cast("long").alias("pn")
+    ).unionByName(
+        totals.select(
+            F.lit(None).cast(dict(kept.dtypes)["v"]).alias("v"),
+            F.lit(None).cast("long").alias("cnt"),
+            F.col("pn"),
+        )
     )

@@ -5329,3 +5329,95 @@ def events_trace_sample_users(
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_heavy_hitters_streaming",
+    """
+    WITH n AS (SELECT count(user_id) AS total FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST((SELECT total FROM n) AS BIGINT) AS total
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) * 1000 > (SELECT total FROM n) * 8
+    ORDER BY cnt DESC, user_id
+    """,
+    doc="STREAMING heavy hitters via mergeable Misra-Gries summaries "
+    "(Agarwal et al. 2012; operators/sketch.py::mg_merge): each "
+    "micro-batch reduces to its MG summary (125 counters) and folds "
+    "into persistent state through the shared idempotent "
+    "stage-and-swap commit (make_state_fold) — merge = sum residual "
+    "counters, subtract the (k+1)-th largest, drop non-positives, "
+    "which preserves the N/(k+1) deviation guarantee across ANY "
+    "fold tree, so per-day MG states can roll into weekly ones "
+    "without raw re-scans. After the drains, the candidate set "
+    "(≤ 125 rows) is exactly verified against the raw table with "
+    "integer cross-multiplication — identical output contract and "
+    "oracle as the batch events_heavy_hitter_users, proving the "
+    "streaming path loses nothing. State is O(counters) rows at "
+    "any SF.",
+)
+def events_heavy_hitters_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .operators.sketch import mg_merge, mg_summaries
+    from .session import load_table as _lt
+    from .streaming.stream import make_state_fold, read_events_stream
+
+    counters = 125
+    work = tempfile.mkdtemp(prefix="mg_stream_")
+    state_path = work + "/state"
+    try:
+        def step(batch_df, state):
+            part = mg_summaries(
+                batch_df.select("user_id"), "user_id", counters
+            )
+            if state is None:
+                return mg_merge(part, counters)
+            return mg_merge(state.unionByName(part), counters)
+
+        day = F.dayofmonth("ts")
+        for i, pred in enumerate((day < 15, day >= 15)):
+            src = read_events_stream(spark, sf_dir).filter(pred)
+            q = (
+                src.writeStream.foreachBatch(
+                    make_state_fold(spark, state_path, str(i), step)
+                )
+                .option(
+                    "checkpointLocation",
+                    state_path + ".checkpoint" + str(i),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(f"MG replay {i} did not drain")
+        summ = spark.read.parquet(state_path)
+        total = summ.where(F.col("v").isNull()).agg(
+            F.sum("pn").cast("long").alias("total")
+        )
+        cand = (
+            summ.where(F.col("v").isNotNull())
+            .select(F.col("v").alias("user_id"))
+            .distinct()
+        )
+        ev = _lt(spark, sf_dir, "events").select("user_id")
+        exact = (
+            ev.join(F.broadcast(cand), "user_id")
+            .groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        out = (
+            exact.crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") * 1000 > F.col("total") * 8)
+            .orderBy(F.desc("cnt"), "user_id")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -287,3 +287,35 @@ def test_hll_portable_accuracy_and_determinism(spark):
         for r in hll_portable(df.repartition(7), "k", "v").collect()
     }
     assert re7 == got
+
+
+def test_mg_merge_preserves_heavy_hitter_guarantee(spark):
+    """Merged-then-compacted summaries still contain every true heavy
+    hitter; merging is associative enough to re-merge merged states."""
+    from data_pipelines_snowflake_procedures_spark.operators.sketch import (
+        mg_merge,
+        mg_summaries,
+    )
+
+    rows = [(v,) for v in range(1, 30) for _ in range(2000 // v)]
+    rows += [(5000 + i % 800,) for i in range(4000)]
+    df = spark.createDataFrame(rows, "v LONG").repartition(5)
+    k = 20
+    half1 = mg_summaries(df.filter(F.col("v") % 2 == 0), "v", k)
+    half2 = mg_summaries(df.filter(F.col("v") % 2 == 1), "v", k)
+    merged = mg_merge(half1.unionByName(half2), k)
+    remerged = mg_merge(merged, k)  # re-merge of a merged state
+
+    n = len(rows)
+    from collections import Counter
+
+    cnt = Counter(v for (v,) in rows)
+    hh = {v for v, c in cnt.items() if c * (k + 1) > n}
+    for state in (merged, remerged):
+        cand = {r["v"] for r in state.collect() if r["v"] is not None}
+        assert hh <= cand, hh - cand
+        assert len(cand) <= k
+        tot = sum(
+            r["pn"] for r in state.collect() if r["v"] is None
+        )
+        assert tot == n
