@@ -204,3 +204,42 @@ def test_bitmap_distinct_rewrite_refusals(spark):
         AggQuery("t", ("k1",), "w", (("distinct_exact", "d"),)),
     ):
         assert try_rewrite_distinct_exact(bad, [view]) is None, bad
+
+
+def test_distinct_rewrites_never_touch_the_fact_table(spark):
+    """Poisoned-state proof for BOTH distinct rewrites: hand the
+    rewriter a state that disagrees with the fact table and observe
+    the poisoned answer — if the fact table were consulted the
+    numbers would be correct, which would FAIL this test."""
+    from data_pipelines_snowflake_procedures_spark.operators.bitmap import (
+        bitmap_build,
+    )
+    from data_pipelines_snowflake_procedures_spark.operators.sketch import (
+        kmv_sketch,
+    )
+    from data_pipelines_snowflake_procedures_spark.plans.mv import (
+        BitmapDistinctView,
+        KmvDistinctView,
+        try_rewrite_distinct,
+        try_rewrite_distinct_exact,
+    )
+
+    # the "fact table" the views pretend to summarize has 40 distincts
+    # per key; the poisoned state was built from only 3 of them
+    poisoned_src = spark.createDataFrame(
+        [("a", "x", v) for v in (1, 2, 3)], "k1 STRING, k2 STRING, v LONG"
+    )
+    bview = BitmapDistinctView(
+        name="b", table="t", keys=("k1", "k2"), value_col="v",
+        chunk_bits=13, state=bitmap_build(poisoned_src, ["k1", "k2"], "v"),
+    )
+    kview = KmvDistinctView(
+        name="k", table="t", keys=("k1", "k2"), value_col="v", k=128,
+        state=kmv_sketch(poisoned_src, ["k1", "k2"], "v", k=128),
+    )
+    qb = AggQuery("t", ("k1",), "v", (("distinct_exact", "d"),))
+    qk = AggQuery("t", ("k1",), "v", (("distinct_approx", "d"),))
+    got_b = try_rewrite_distinct_exact(qb, [bview]).collect()
+    got_k = try_rewrite_distinct(qk, [kview]).collect()
+    assert [(r["k1"], r["d"]) for r in got_b] == [("a", 3)]
+    assert [(r["k1"], r["d"]) for r in got_k] == [("a", 3)]  # sub-k exact

@@ -286,3 +286,23 @@ def test_kmv_incremental_bottom_k_plans_as_group_limit(spark, sf_dir):
     # merge state at O(k) rows per key instead of a full sort
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_bitmap_joins_are_chunk_keyed_never_member_keyed(spark, sf_dir):
+    """Segment algebra may shuffle-join BITMAP rows (chunk-aligned
+    merge join is the at-scale design), but no join anywhere may key
+    on the raw member id — that would mean member rows got re-joined
+    after the one-time bitmap build. Erase masks must broadcast."""
+    import re
+
+    for name in ("events_bitmap_segments", "events_bitmap_erasure"):
+        plan = _plan(spark, name, sf_dir)
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if re.match(r"\(\d+\) SortMergeJoin", ln):
+                keys = lines[i + 1] if i + 1 < len(lines) else ""
+                assert ("chunk" in keys) or ("type_a" in keys), (
+                    name, ln, keys,
+                )  # bitmap-chunk or pair-rollup keys only
+                assert "user_id" not in keys, (name, ln, keys)
+        assert "BroadcastHashJoin" in plan, name
