@@ -174,6 +174,8 @@ HEADLINE = [
     "events_m4_downsample",
     "events_dau_wau_mau_bitmap",
     "events_attribution_models",
+    "events_attribution_time_decay",
+    "events_wallet_balance_scan",
     "events_time_weighted_avg",
     "events_window_funnel_24h",
     "events_new_vs_returning",

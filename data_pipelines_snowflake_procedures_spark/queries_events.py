@@ -5421,3 +5421,152 @@ def events_heavy_hitters_streaming(
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "events_wallet_balance_scan",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT user_id,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE -CAST(round(value * 100) AS BIGINT) END AS d,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    sc AS (
+      SELECT user_id, n, 0 AS rn,
+             0::BIGINT AS bal, 0::BIGINT AS peak, 0::BIGINT AS clamped
+      FROM (SELECT DISTINCT user_id, n FROM ev)
+      UNION ALL
+      SELECT sc.user_id, sc.n, sc.rn + 1,
+             greatest(0, sc.bal + e.d),
+             greatest(sc.peak, greatest(0, sc.bal + e.d)),
+             sc.clamped + CASE WHEN sc.bal + e.d < 0 THEN 1 ELSE 0 END
+      FROM sc JOIN ev e
+        ON e.user_id = sc.user_id AND e.rn = sc.rn + 1
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(bal AS BIGINT) AS final_balance,
+           CAST(peak AS BIGINT) AS peak_balance,
+           CAST(clamped AS BIGINT) AS n_clamped
+    FROM sc WHERE rn = n
+    ORDER BY user_id
+    """,
+    doc="Capped running balance — the NON-associative scan class no "
+    "window frame can express (operators/seqscan.py): per user, "
+    "purchases/signups top a prepaid wallet up by value-cents, "
+    "other events consume, and the balance floors at zero, so "
+    "``bal' = max(0, bal + delta)`` depends on the full ordered "
+    "history (prepaid credit, never-negative inventory, token "
+    "buckets). Sequential per key, parallel across keys "
+    "(applyInPandas, O(1) state), ALL-INTEGER arithmetic — the "
+    "oracle replays the recursion per user in a RECURSIVE CTE and "
+    "hash-matches exactly, the integer sibling of the Holt-Winters "
+    "bitwise replay. Ordering ties pinned by (ts, event_id).",
+)
+def events_wallet_balance_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.seqscan import capped_running_balance
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type").isin("purchase", "signup"),
+            F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(-F.round(F.col("value") * 100).cast("long"))
+        .alias("d"),
+    )
+    return capped_running_balance(
+        ev, "user_id", ["ts", "event_id"], "d"
+    ).orderBy("user_id")
+
+
+@register(
+    "events_attribution_time_decay",
+    """
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pt,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts AS tt, event_type AS touch_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+      SELECT p.pid, p.cents, t.touch_type,
+             (64 >> least(date_diff('day', CAST(t.tt AS DATE),
+                                    CAST(p.pt AS DATE)), 6))::BIGINT AS w
+      FROM p JOIN t ON t.user_id = p.user_id
+        AND t.tt <= p.pt AND t.tt >= p.pt - INTERVAL 7 DAY
+    ),
+    sw AS (
+      SELECT pid, sum(w) AS sum_w FROM j GROUP BY pid
+    )
+    SELECT j.touch_type,
+           CAST(sum((j.cents * 10000 * j.w) // sw.sum_w) AS BIGINT)
+             AS decay_microcents,
+           CAST(count(*) AS BIGINT) AS n_touches
+    FROM j JOIN sw ON sw.pid = j.pid
+    GROUP BY j.touch_type ORDER BY j.touch_type
+    """,
+    doc="Time-decay multi-touch attribution with EXACT integer "
+    "halving weights: a touch aged a days gets weight 64 >> "
+    "min(a, 6) — a one-day half-life expressed as a bit shift, so "
+    "weights, weight sums, and each touch's floored share "
+    "(cents·10⁴·w div Σw) are all integer arithmetic with zero "
+    "float accumulation (the decayed sibling of "
+    "events_attribution_models' first/last/linear trio; same "
+    "trailing-7-day user-keyed join shape). Day age uses calendar "
+    "DATE difference capped at 6 — a pinned policy both engines "
+    "restate identically.",
+)
+def events_attribution_time_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pt"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("tt"),
+        F.col("event_type").alias("touch_type"),
+    )
+    j = p.join(
+        t,
+        (p["user_id"] == t["user_id"])
+        & (t["tt"] <= p["pt"])
+        & (t["tt"] >= p["pt"] - F.expr("INTERVAL 7 DAY")),
+    ).select(
+        "pid",
+        "cents",
+        "touch_type",
+        F.expr(
+            "CAST(shiftright(64, least(datediff(CAST(pt AS DATE), "
+            "CAST(tt AS DATE)), 6)) AS BIGINT)"
+        ).alias("w"),
+    )
+    sw = j.groupBy("pid").agg(F.sum("w").alias("sum_w"))
+    return (
+        j.join(sw, "pid")
+        .groupBy("touch_type")
+        .agg(
+            F.sum(F.expr("(cents * 10000 * w) div sum_w"))
+            .cast("long")
+            .alias("decay_microcents"),
+            F.count("*").cast("long").alias("n_touches"),
+        )
+        .orderBy("touch_type")
+    )
