@@ -5437,14 +5437,15 @@ def events_heavy_hitters_streaming(
       FROM events
     ),
     sc AS (
-      SELECT user_id, n, 0 AS rn,
-             0::BIGINT AS bal, 0::BIGINT AS peak, 0::BIGINT AS clamped
+      SELECT user_id, n, 0 AS rn, 0::BIGINT AS bal, 0::BIGINT AS peak,
+             0::BIGINT AS floored, 0::BIGINT AS capped
       FROM (SELECT DISTINCT user_id, n FROM ev)
       UNION ALL
       SELECT sc.user_id, sc.n, sc.rn + 1,
-             greatest(0, sc.bal + e.d),
-             greatest(sc.peak, greatest(0, sc.bal + e.d)),
-             sc.clamped + CASE WHEN sc.bal + e.d < 0 THEN 1 ELSE 0 END
+             least(50000, greatest(0, sc.bal + e.d)),
+             greatest(sc.peak, least(50000, greatest(0, sc.bal + e.d))),
+             sc.floored + CASE WHEN sc.bal + e.d < 0 THEN 1 ELSE 0 END,
+             sc.capped + CASE WHEN sc.bal + e.d > 50000 THEN 1 ELSE 0 END
       FROM sc JOIN ev e
         ON e.user_id = sc.user_id AND e.rn = sc.rn + 1
     )
@@ -5452,21 +5453,24 @@ def events_heavy_hitters_streaming(
            CAST(n AS BIGINT) AS n_events,
            CAST(bal AS BIGINT) AS final_balance,
            CAST(peak AS BIGINT) AS peak_balance,
-           CAST(clamped AS BIGINT) AS n_clamped
+           CAST(floored AS BIGINT) AS n_floored,
+           CAST(capped AS BIGINT) AS n_capped
     FROM sc WHERE rn = n
     ORDER BY user_id
     """,
-    doc="Capped running balance — the NON-associative scan class no "
-    "window frame can express (operators/seqscan.py): per user, "
-    "purchases/signups top a prepaid wallet up by value-cents, "
-    "other events consume, and the balance floors at zero, so "
-    "``bal' = max(0, bal + delta)`` depends on the full ordered "
-    "history (prepaid credit, never-negative inventory, token "
-    "buckets). Sequential per key, parallel across keys "
-    "(applyInPandas, O(1) state), ALL-INTEGER arithmetic — the "
-    "oracle replays the recursion per user in a RECURSIVE CTE and "
-    "hash-matches exactly, the integer sibling of the Holt-Winters "
-    "bitwise replay. Ordering ties pinned by (ts, event_id).",
+    doc="Two-sided capped running balance — the non-associative scan "
+    "class no SQL window aggregate expresses (operators/seqscan.py; "
+    "a floor-ONLY clamp still has the Skorokhod-reflection window "
+    "form, but min(cap, max(0, bal+d)) composes as a monotone clamp "
+    "map, not a sum): per user, purchases/signups top a prepaid "
+    "wallet up by value-cents to a $500 hard cap, other events "
+    "consume, never below zero — prepaid credit with a top-up "
+    "ceiling, finite-capacity bins, token buckets. Sequential per "
+    "key, parallel across keys (applyInPandas, O(1) state), "
+    "ALL-INTEGER arithmetic — the oracle replays the recursion per "
+    "user in a RECURSIVE CTE and hash-matches exactly, the integer "
+    "sibling of the Holt-Winters bitwise replay. Ordering ties "
+    "pinned by (ts, event_id).",
 )
 def events_wallet_balance_scan(
     spark: SparkSession, sf_dir: str
