@@ -55,8 +55,9 @@ def bitmap_build(
     )
 
     out_schema = ", ".join(
-        f"{k} {t}" for k, t in prepped.dtypes if k in keys
-    ) + ", chunk long, bm binary, card long"
+        [f"{k} {t}" for k, t in prepped.dtypes if k in keys]
+        + ["chunk long", "bm binary", "card long"]
+    )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         offs = np.unique(pdf["off"].to_numpy(dtype=np.int64))
@@ -84,8 +85,9 @@ def bitmap_merge(bitmaps: DataFrame, key_cols) -> DataFrame:
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     schema = ", ".join(
-        f"{k} {t}" for k, t in bitmaps.dtypes if k in keys
-    ) + ", chunk long, bm binary, card long"
+        [f"{k} {t}" for k, t in bitmaps.dtypes if k in keys]
+        + ["chunk long", "bm binary", "card long"]
+    )
 
     def orfold(pdf: pd.DataFrame) -> pd.DataFrame:
         bufs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["bm"]]
@@ -215,8 +217,9 @@ def bitmap_erase(
 
     joined = bitmaps.join(F.broadcast(mask_rows), "chunk", "left")
     schema = ", ".join(
-        f"{k} {t}" for k, t in bitmaps.dtypes if k in keys
-    ) + ", chunk long, bm binary, card long"
+        [f"{k} {t}" for k, t in bitmaps.dtypes if k in keys]
+        + ["chunk long", "bm binary", "card long"]
+    )
 
     def apply_clear(batches):
         for pdf in batches:

@@ -53,66 +53,26 @@ def pagerank(
     well-defined convention and the one a SQL oracle can restate
     without a global dangling-mass redistribution pass. Ranks start
     uniform at 1/N and update as ``(1-d)/N + d·Σ_in pr(u)·w(u,v)/
-    out_w(u)``, rounded to ``iter_decimals`` per iteration."""
-    w = (
-        F.col(weight_col).cast("double")
-        if weight_col
-        else F.lit(1.0)
+    out_w(u)``, rounded to ``iter_decimals`` per iteration.
+
+    Implementation: the single-graph case IS :func:`grouped_pagerank`
+    with one constant group (review: two parallel copies of the
+    rank-update algebra risked silent divergence), so both paths
+    share one audited iteration body and determinism contract."""
+    tagged = edges.withColumn("__g", F.lit(1))
+    out = grouped_pagerank(
+        tagged,
+        "__g",
+        iters=iters,
+        damping=damping,
+        src_col=src_col,
+        dst_col=dst_col,
+        weight_col=weight_col,
+        decimals=decimals,
+        iter_decimals=iter_decimals,
+        checkpoint_every=checkpoint_every,
     )
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
-    )
-    # nodes and fracs are read every iteration inside ONE final action:
-    # without the persists the whole edge-derivation lineage (often a
-    # join+groupBy upstream) re-executes ~2x per iteration. Released
-    # below once the final ranks materialize (localCheckpoint), so no
-    # session-lifetime blocks outlive the call.
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
-    n = nodes.count()
-    if n == 0:
-        nodes.unpersist()
-        # empty graph: empty result, same (node, pr) contract
-        return nodes.withColumn("pr", F.lit(0.0)).select("node", "pr")
-    out_w = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    frac = (
-        e.join(out_w, "src")
-        .select("src", "dst", (F.col("w") / F.col("ow")).alias("frac"))
-        .persist()
-    )
-    base = (1.0 - damping) / n
-    pr = nodes.withColumn("pr", F.lit(round(1.0 / n, iter_decimals)))
-    for i in range(iters):
-        inflow = (
-            frac.join(pr, frac["src"] == pr["node"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("frac") * F.col("pr")).alias("inflow"))
-        )
-        pr = (
-            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
-            .select(
-                "node",
-                F.round(
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)),
-                    iter_decimals,
-                ).alias("pr"),
-            )
-        )
-        if (i + 1) % checkpoint_every == 0:
-            pr = pr.localCheckpoint(eager=True)
-    # materialize the node-sized ranks (truncating lineage through the
-    # caches), then release the loop state
-    out = pr.select(
-        "node", F.round("pr", decimals).alias("pr")
-    ).localCheckpoint(eager=True)
-    nodes.unpersist()
-    frac.unpersist()
-    return out
+    return out.drop("__g")
 
 
 def topk_sparsify(
@@ -492,6 +452,7 @@ def grouped_pagerank(
     nodes: DataFrame | None = None,
     decimals: int = 6,
     iter_decimals: int = 9,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Per-group PageRank: many independent graphs (one per
     ``group_col`` value — e.g. one sentence-similarity graph per
@@ -529,7 +490,7 @@ def grouped_pagerank(
     pr = nodes.join(nn, g).select(
         g, "node", F.round(F.lit(1.0) / F.col("c"), iter_decimals).alias("pr")
     )
-    for _ in range(iters):
+    for i in range(iters):
         inflow = (
             frac.join(
                 pr.select(g, F.col("node").alias("src"), "pr"), [g, "src"]
@@ -555,6 +516,8 @@ def grouped_pagerank(
                 ).alias("pr"),
             )
         )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            pr = pr.localCheckpoint(eager=True)
     out = pr.select(
         g, "node", F.round("pr", decimals).alias("pr")
     ).localCheckpoint(eager=True)

@@ -67,9 +67,15 @@ def holt_winters_forecast(
             seas = seas[1:] + [s_new]
             lvl, tr = lvl_new, tr_new
         rows = []
+        import math
+
         for h in range(1, horizon + 1):
             f = lvl + h * tr + seas[(h - 1) % season]
-            f = round(f, 6)
+            # HALF-AWAY-FROM-ZERO at 6 decimals, matching SQL round():
+            # Python's built-in round is banker's and would diverge on
+            # an exact midpoint (review finding)
+            sign = -1.0 if f < 0 else 1.0
+            f = sign * math.floor(abs(f) * 1e6 + 0.5) / 1e6
             if f == 0:
                 f = 0.0  # never emit -0.0 (string-sorted comparators)
             rows.append((pdf[series_col].iloc[0], h, f))

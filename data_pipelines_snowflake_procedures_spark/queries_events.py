@@ -1603,29 +1603,27 @@ def events_incremental_rollup_streaming(
     import tempfile
 
     from .operators.incremental import finalize
-    from .streaming.stream import read_events_stream, rollup_maintain_stream
+    from .streaming.stream import read_events_stream
+
+    from .streaming.stream import drain_bounded_replays, make_rollup_fold
 
     work = tempfile.mkdtemp(prefix="rollup_stream_")
     state = work + "/state"
     try:
         day = F.dayofmonth("ts")
-        for i, pred in enumerate((day < 15, day >= 15)):
-            q = rollup_maintain_stream(
-                spark,
-                read_events_stream(spark, sf_dir).filter(pred),
-                state,
-                ["event_type"],
-                "value",
-                checkpoint_suffix=str(i),
-            )
-            if not q.awaitTermination(300):
-                # a timed-out drain would leave the state partially
-                # folded AND still being written by the live query —
-                # fail loudly instead of finalizing a wrong answer
-                q.stop()
-                raise TimeoutError(
-                    f"rollup replay {i} did not drain within 300s"
+        drain_bounded_replays(
+            state,
+            [
+                (
+                    read_events_stream(spark, sf_dir).filter(pred),
+                    make_rollup_fold(
+                        spark, state, ["event_type"], "value", str(i)
+                    ),
+                    str(i),
                 )
+                for i, pred in enumerate((day < 15, day >= 15))
+            ],
+        )
         out = finalize(spark.read.parquet(state), ["event_type"])
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
@@ -5071,8 +5069,9 @@ def events_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sketch import hll_portable
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    du = ev.distinct()
-    est = hll_portable(du, "event_type", "user_id")
+    # no pre-distinct: the register max-fold is duplicate-insensitive,
+    # so feeding raw rows avoids a full-cardinality shuffle (review)
+    est = hll_portable(ev, "event_type", "user_id")
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("exact_distinct")
     )
@@ -5109,28 +5108,35 @@ def events_dau_bitmap_streaming(
     import shutil
     import tempfile
 
-    from .streaming.stream import bitmap_maintain_stream, read_events_stream
+    from .streaming.stream import read_events_stream
+
+    from .operators.bitmap import bitmap_build, bitmap_merge
+    from .streaming.stream import drain_bounded_replays, make_state_fold
+
+    def step(batch_df, state_df):
+        part = bitmap_build(batch_df, ["d"], "user_id", 13)
+        if state_df is None:
+            return part
+        return bitmap_merge(state_df.unionByName(part), ["d"])
 
     work = tempfile.mkdtemp(prefix="bitmap_stream_")
     state = work + "/state"
     try:
-        for i, pred in enumerate(
-            (F.col("user_id") % 2 == 0, F.col("user_id") % 2 == 1)
-        ):
-            src = (
-                read_events_stream(spark, sf_dir)
-                .filter(pred)
-                .select(F.to_date("ts").alias("d"), "user_id")
-            )
-            q = bitmap_maintain_stream(
-                spark, src, state, ["d"], "user_id",
-                checkpoint_suffix=str(i),
-            )
-            if not q.awaitTermination(300):
-                q.stop()
-                raise TimeoutError(
-                    f"bitmap replay {i} did not drain within 300s"
+        drain_bounded_replays(
+            state,
+            [
+                (
+                    read_events_stream(spark, sf_dir)
+                    .filter(pred)
+                    .select(F.to_date("ts").alias("d"), "user_id"),
+                    make_state_fold(spark, state, str(i), step),
+                    str(i),
                 )
+                for i, pred in enumerate(
+                    (F.col("user_id") % 2 == 0, F.col("user_id") % 2 == 1)
+                )
+            ],
+        )
         bm = spark.read.parquet(state)
         out = (
             bm.groupBy("d")
@@ -5366,7 +5372,11 @@ def events_heavy_hitters_streaming(
 
     from .operators.sketch import mg_merge, mg_summaries
     from .session import load_table as _lt
-    from .streaming.stream import make_state_fold, read_events_stream
+    from .streaming.stream import (
+        drain_bounded_replays,
+        make_state_fold,
+        read_events_stream,
+    )
 
     counters = 125
     work = tempfile.mkdtemp(prefix="mg_stream_")
@@ -5381,22 +5391,17 @@ def events_heavy_hitters_streaming(
             return mg_merge(state.unionByName(part), counters)
 
         day = F.dayofmonth("ts")
-        for i, pred in enumerate((day < 15, day >= 15)):
-            src = read_events_stream(spark, sf_dir).filter(pred)
-            q = (
-                src.writeStream.foreachBatch(
-                    make_state_fold(spark, state_path, str(i), step)
+        drain_bounded_replays(
+            state_path,
+            [
+                (
+                    read_events_stream(spark, sf_dir).filter(pred),
+                    make_state_fold(spark, state_path, str(i), step),
+                    str(i),
                 )
-                .option(
-                    "checkpointLocation",
-                    state_path + ".checkpoint" + str(i),
-                )
-                .trigger(availableNow=True)
-                .start()
-            )
-            if not q.awaitTermination(300):
-                q.stop()
-                raise TimeoutError(f"MG replay {i} did not drain")
+                for i, pred in enumerate((day < 15, day >= 15))
+            ],
+        )
         summ = spark.read.parquet(state_path)
         total = summ.where(F.col("v").isNull()).agg(
             F.sum("pn").cast("long").alias("total")

@@ -507,3 +507,33 @@ def bitmap_maintain_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def drain_bounded_replays(
+    state_path: str,
+    replays,
+    timeout_s: int = 300,
+) -> None:
+    """Run bounded availableNow replays one after another, each
+    folding into the same persistent state — the harness every
+    incremental-state registry entry shares (review: previously three
+    copy-pasted ~25-line drain loops). ``replays`` is an iterable of
+    ``(source_stream, fold_fn, checkpoint_suffix)``. A replay that
+    fails to drain within ``timeout_s`` is stopped and raises — a
+    timed-out drain would leave the state partially folded AND still
+    being written, so failing loudly beats finalizing a wrong
+    answer."""
+    for src, fold, suffix in replays:
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option(
+                "checkpointLocation", state_path + ".checkpoint" + suffix
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"bounded replay {suffix} did not drain within {timeout_s}s"
+            )

@@ -243,3 +243,39 @@ def test_distinct_rewrites_never_touch_the_fact_table(spark):
     got_k = try_rewrite_distinct(qk, [kview]).collect()
     assert [(r["k1"], r["d"]) for r in got_b] == [("a", 3)]
     assert [(r["k1"], r["d"]) for r in got_k] == [("a", 3)]  # sub-k exact
+
+
+def test_distinct_rewrites_support_global_grouping(spark):
+    """group_by=() — the ungrouped/global distinct — must work in both
+    rewrites (review: the bitmap schema string was malformed for an
+    empty key list)."""
+    from data_pipelines_snowflake_procedures_spark.operators.bitmap import (
+        bitmap_build,
+    )
+    from data_pipelines_snowflake_procedures_spark.operators.sketch import (
+        kmv_sketch,
+    )
+    from data_pipelines_snowflake_procedures_spark.plans.mv import (
+        BitmapDistinctView,
+        KmvDistinctView,
+        try_rewrite_distinct,
+        try_rewrite_distinct_exact,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x", v % 33) for v in range(100)]
+        + [("b", "y", 100 + v % 12) for v in range(30)],
+        "k1 STRING, k2 STRING, v LONG",
+    )
+    bview = BitmapDistinctView(
+        name="b", table="t", keys=("k1", "k2"), value_col="v",
+        chunk_bits=13, state=bitmap_build(df, ["k1", "k2"], "v"),
+    )
+    kview = KmvDistinctView(
+        name="k", table="t", keys=("k1", "k2"), value_col="v", k=128,
+        state=kmv_sketch(df, ["k1", "k2"], "v", k=128),
+    )
+    qb = AggQuery("t", (), "v", (("distinct_exact", "d"),))
+    qk = AggQuery("t", (), "v", (("distinct_approx", "d"),))
+    assert try_rewrite_distinct_exact(qb, [bview]).collect()[0]["d"] == 45
+    assert try_rewrite_distinct(qk, [kview]).collect()[0]["d"] == 45
