@@ -31,8 +31,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["pricing_summary"].spark_fn(spark, "/root/testdata/sf0.001")
 
 
-def _sampled_keys() -> tuple[set[str], set[str]]:
-    """Keys the driver has already hash-checked: (latest round, any round)."""
+def _sampled_keys() -> tuple[set[str], set[str], set[str]]:
+    """Driver evidence sets: (latest round, any round, latest-result-failed).
+
+    ``failed`` holds keys whose MOST RECENT driver sample was red — a
+    hash/row/schema mismatch or a hard error (``no_oracle`` rows-only
+    checks don't count).  A fix shipped this round must be re-checked the
+    very next round, so these sort ahead of everything else; otherwise a
+    failed entry (e.g. r6's ``events_hourly_stl``) sorts into the
+    freshly-sampled band and waits ~5 rounds for its green row.
+    """
     here = os.path.dirname(os.path.abspath(__file__))
     rounds = sorted(
         f for f in os.listdir(here)
@@ -40,27 +48,45 @@ def _sampled_keys() -> tuple[set[str], set[str]]:
     )
     latest: set[str] = set()
     ever: set[str] = set()
+    last_result: dict[str, bool] = {}
     for i, fname in enumerate(rounds):
         try:
             with open(os.path.join(here, fname)) as fh:
-                keys = set(json.load(fh).keys())
+                data = json.load(fh)
         except (OSError, ValueError):
             continue
-        ever |= keys
+        ever |= set(data)
         if i == len(rounds) - 1:
-            latest = keys
-    return latest, ever
+            latest = set(data)
+        for key, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            if err == "no_oracle":
+                # rows-only by design: green iff the Spark side returned rows
+                last_result[key] = row.get("spark_rows") is not None
+                continue
+            last_result[key] = bool(
+                row.get("hash_match")
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and not err
+            )
+    failed = {k for k, ok in last_result.items() if not ok}
+    return latest, ever, failed
 
 
 def _ordered_names() -> list[str]:
-    latest, ever = _sampled_keys()
+    latest, ever, failed = _sampled_keys()
 
     def priority(name: str) -> int:
+        if name in failed:
+            return 0  # latest driver sample was red: re-check the fix first
         if name not in ever:
-            return 0  # never driver-sampled: front of the line
+            return 1  # never driver-sampled
         if name not in latest:
-            return 1  # stale driver evidence (earlier round only)
-        return 2      # freshly sampled last round
+            return 2  # stale driver evidence (earlier round only)
+        return 3      # freshly sampled last round, green
 
     names = list(REGISTRY)
     return sorted(names, key=lambda n: (priority(n), names.index(n)))

@@ -2541,9 +2541,16 @@ def events_user_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.event_type, d.h AS hour, d.cnt AS n_events,
            round(d.trend, 4) AS trend,
-           round(CAST(s.sd AS DOUBLE) / s.n / 1000000, 4) AS seasonal,
-           round((d.cnt - d.trend)
-                 - CAST(s.sd AS DOUBLE) / s.n / 1000000, 4) AS residual
+           CASE WHEN round(CAST(s.sd AS DOUBLE) / s.n / 1000000, 4) = 0
+                THEN 0.0
+                ELSE round(CAST(s.sd AS DOUBLE) / s.n / 1000000, 4)
+           END AS seasonal,
+           CASE WHEN round((d.cnt - d.trend)
+                           - CAST(s.sd AS DOUBLE) / s.n / 1000000, 4) = 0
+                THEN 0.0
+                ELSE round((d.cnt - d.trend)
+                           - CAST(s.sd AS DOUBLE) / s.n / 1000000, 4)
+           END AS residual
     FROM det d
     JOIN seas s
       ON s.event_type = d.event_type AND s.dow = d.dow AND s.hod = d.hod
@@ -2592,6 +2599,10 @@ def events_hourly_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d_micro").alias("sd"), F.count("*").alias("n")
     )
     seasonal = F.col("sd").cast("double") / F.col("n") / 1000000
+    # F.round strips the sign of -0.0 (tiny negative seasonal means round
+    # to zero); the oracle's CASE..THEN 0.0 matches that normalization —
+    # DuckDB's round() would otherwise keep the sign bit and the driver's
+    # value hash distinguishes -0.0 from 0.0 (the r6 hash-FAIL).
     return det.join(F.broadcast(seas), ["event_type", "dow", "hod"]).select(
         "event_type",
         F.col("h").alias("hour"),

@@ -14,9 +14,12 @@ def _canon_cell(v: Any) -> Any:
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return None
     if isinstance(v, float):
-        # Queries round explicitly; this only normalizes representation
-        # (e.g. -0.0) and float32→float64 artifacts.
-        return round(v, 9)
+        # Queries round explicitly; this only normalizes float32→float64
+        # artifacts. repr() preserves the sign of zero: Python's
+        # `-0.0 == 0.0` made the r6 `events_hourly_stl` driver failure
+        # invisible locally (the driver's value hash is sign-sensitive),
+        # so float cells compare by a representation that keeps the sign.
+        return repr(round(v, 9))
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
