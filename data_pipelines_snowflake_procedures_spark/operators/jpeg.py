@@ -188,15 +188,42 @@ def _canonical_codes(bits: list[int], values: list[int]) -> dict[tuple[int, int]
     return out
 
 
+class _HuffTable(dict):
+    """(length, code) -> symbol map that also carries a 16-bit prefix
+    LUT (the standard libjpeg fast-decode structure): entry ``c`` of
+    ``lut_len``/``lut_sym`` holds the code length / symbol of the
+    unique canonical code that prefixes the 16-bit window ``c``, or
+    length 0 for an invalid prefix. Turns per-symbol decode from a
+    bit-at-a-time tree walk (up to 16 Python-level reads) into one
+    window peek + two byte-string indexes. Codes are prefix-free
+    (T.81 C.2), so the ``2^(16-L)`` windows per code never overlap.
+    Stored as ``bytes`` because bytes indexing returns a plain int
+    with the lowest interpreter overhead."""
+
+    lut_sym: bytes
+    lut_len: bytes
+
+    def __init__(self, codes: dict[tuple[int, int], int]) -> None:
+        super().__init__(codes)
+        sym = np.zeros(65536, np.uint8)
+        ln = np.zeros(65536, np.uint8)
+        for (length, code), s in codes.items():
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            sym[base : base + span] = s
+            ln[base : base + span] = length
+        self.lut_sym = sym.tobytes()
+        self.lut_len = ln.tobytes()
+
+
 @lru_cache(maxsize=64)
-def _canonical_codes_cached(
-    bits: bytes, values: bytes
-) -> dict[tuple[int, int], int]:
+def _canonical_codes_cached(bits: bytes, values: bytes) -> "_HuffTable":
     """Memoized table build keyed on the raw DHT payload — media
     corpora reuse the same 4 standard tables across millions of
-    frames, and rebuilding them dominated small-frame decode
-    (never mutated by callers, so sharing is safe)."""
-    return _canonical_codes(list(bits), list(values))
+    frames, and rebuilding them (and their prefix LUTs) dominated
+    small-frame decode (never mutated by callers, so sharing is
+    safe)."""
+    return _HuffTable(_canonical_codes(list(bits), list(values)))
 
 
 def _extend(value: int, ssss: int) -> int:
@@ -215,60 +242,109 @@ def _extend(value: int, ssss: int) -> int:
 
 class _BitReader:
     """Entropy-segment bit reader with FF00 unstuffing and RSTn
-    awareness (T.81 F.2.2.5)."""
+    awareness (T.81 F.2.2.5).
+
+    Extracts one entropy segment EAGERLY on construction: scan to the
+    next real marker and unstuff ``FF 00 -> FF`` in a single
+    ``bytes.replace``; any 16-bit peek then reads a 24-bit window
+    straight off the unstuffed bytes (2 pad bytes keep every in-range
+    offset valid). With the :class:`_HuffTable` prefix LUT this
+    replaces the bit-at-a-time Huffman walk (~3 Python calls PER BIT)
+    with ~8 flat ops per SYMBOL — and segment setup is just slice +
+    replace, so corpora of millions of tiny frames (8x8 MJPEG) pay no
+    per-frame array build. ``pos``/``marker`` keep the lazy reader's
+    external semantics: after construction, ``pos`` is the offset
+    just past the terminating marker (or ``len(data)``) and
+    ``marker`` is that marker byte, which is what
+    ``_decode_scan_coefs``'s next-marker scan expects."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
-        self.pos = pos
-        self.bit = 0
-        self.cur = 0
         self.marker: int | None = None
+        self._load_segment(pos)
 
-    def _next_byte(self) -> int:
+    def _load_segment(self, pos: int) -> None:
+        """Unstuff ``data[pos:]`` up to the next real marker into a
+        random-access bit buffer."""
+        data = self.data
+        n = len(data)
+        self.marker = None
+        scan = pos
+        end = n
+        self.pos = n
         while True:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG entropy data truncated")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b != 0xFF:
-                return b
-            nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
-            if nxt == 0x00:  # stuffed FF
-                self.pos += 1
-                return 0xFF
-            # a real marker terminates the entropy segment
+            j = data.find(0xFF, scan)
+            if j < 0:
+                break
+            if j + 1 >= n:  # lone trailing FF: implicit EOI (D9)
+                self.marker = 0xD9
+                end = j
+                break
+            nxt = data[j + 1]
+            if nxt == 0x00:  # stuffed FF belongs to the segment
+                scan = j + 2
+                continue
             self.marker = nxt
-            self.pos += 1
-            return -1
+            end = j
+            self.pos = j + 2
+            break
+        seg = data[pos:end].replace(b"\xff\x00", b"\xff")
+        # 2 pad bytes let any in-range bit offset read a full 24-bit
+        # window straight off the bytes: no per-segment numpy setup,
+        # which matters when a corpus is millions of TINY frames
+        # (8x8 MJPEG: ~10 symbols/frame, setup would dominate)
+        self._buf = seg + b"\x00\x00"
+        self._nbits = 8 * len(seg)
+        self._i = 0
 
     def read_bit(self) -> int:
-        if self.bit == 0:
-            nb = self._next_byte()
-            if nb < 0:
-                raise ValueError("hit marker inside entropy decode")
-            self.cur = nb
-            self.bit = 8
-        self.bit -= 1
-        return (self.cur >> self.bit) & 1
+        i = self._i
+        if i >= self._nbits:
+            raise ValueError("JPEG entropy data truncated")
+        self._i = i + 1
+        return (self._buf[i >> 3] >> (7 - (i & 7))) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        i = self._i
+        if i + n > self._nbits:
+            raise ValueError("JPEG entropy data truncated")
+        self._i = i + n
+        b = i >> 3
+        buf = self._buf
+        w = (buf[b] << 16) | (buf[b + 1] << 8) | buf[b + 2]
+        return (w >> (24 - (i & 7) - n)) & ((1 << n) - 1)
 
     def align_restart(self) -> None:
         """Consume padding + an RSTn marker between restart intervals."""
-        self.bit = 0
-        while self.pos + 1 < len(self.data):
-            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
-                self.pos += 2
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self._load_segment(self.pos)
+            return
+        # corrupt stream: fall back to a raw scan for the next RSTn
+        p = self.pos
+        while p + 1 < len(self.data):
+            if self.data[p] == 0xFF and 0xD0 <= self.data[p + 1] <= 0xD7:
+                self._load_segment(p + 2)
                 return
-            self.pos += 1
+            p += 1
         raise ValueError("expected restart marker")
 
     def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
+        i = self._i
+        if isinstance(table, _HuffTable):
+            if i >= self._nbits:
+                raise ValueError("JPEG entropy data truncated")
+            buf = self._buf
+            b = i >> 3
+            w = (buf[b] << 16) | (buf[b + 1] << 8) | buf[b + 2]
+            code16 = (w >> (8 - (i & 7))) & 0xFFFF
+            length = table.lut_len[code16]
+            if length == 0 or i + length > self._nbits:
+                raise ValueError("invalid Huffman code in JPEG stream")
+            self._i = i + length
+            return table.lut_sym[code16]
+        code = 0  # plain-dict fallback: canonical bit-walk
         for length in range(1, 17):
             code = (code << 1) | self.read_bit()
             sym = table.get((length, code))
@@ -437,6 +513,103 @@ def _block_first(
     return eobrun
 
 
+def _block_baseline_fast(
+    reader: _BitReader,
+    coef: np.ndarray,
+    comp: dict,
+    preds: dict[int, int],
+    eobrun: int,
+) -> int:
+    """:func:`_block_first` specialized to the baseline sequential
+    band (ss=0, se=63, al=0) with the reader state and both prefix
+    LUTs held in locals — identical decode logic and error behavior,
+    but ~4 Python-level calls per coefficient become straight-line
+    integer ops. This is the MJPEG hot loop: per-frame cost is
+    dominated by exactly this band shape."""
+    buf = reader._buf
+    nbits = reader._nbits
+    i = reader._i
+    dc_t = comp["dc_t"]
+    ac_t = comp["ac_t"]
+    dc_len, dc_sym = dc_t.lut_len, dc_t.lut_sym
+    ac_len, ac_sym = ac_t.lut_len, ac_t.lut_sym
+    try:
+        # DC: magnitude category + receive/extend (T.81 F.2.2.1)
+        if i >= nbits:
+            raise ValueError("JPEG entropy data truncated")
+        b = i >> 3
+        w = (
+            ((buf[b] << 16) | (buf[b + 1] << 8) | buf[b + 2])
+            >> (8 - (i & 7))
+        ) & 0xFFFF
+        length = dc_len[w]
+        if length == 0 or i + length > nbits:
+            raise ValueError("invalid Huffman code in JPEG stream")
+        i += length
+        ssss = dc_sym[w]
+        diff = 0
+        if ssss:
+            if i + ssss > nbits:
+                raise ValueError("JPEG entropy data truncated")
+            b = i >> 3
+            w = (buf[b] << 16) | (buf[b + 1] << 8) | buf[b + 2]
+            diff = (w >> (24 - (i & 7) - ssss)) & ((1 << ssss) - 1)
+            i += ssss
+            if diff < (1 << (ssss - 1)):
+                diff += 1 - (1 << ssss)
+        cid = comp["id"]
+        pred = preds[cid] + diff
+        preds[cid] = pred
+        coef[0] = pred
+        if eobrun > 0:
+            return eobrun - 1
+        k = 1
+        while k <= 63:  # AC run-length/magnitude loop (T.81 F.2.2.2)
+            if i >= nbits:
+                raise ValueError("JPEG entropy data truncated")
+            b = i >> 3
+            w = (
+                ((buf[b] << 16) | (buf[b + 1] << 8) | buf[b + 2])
+                >> (8 - (i & 7))
+            ) & 0xFFFF
+            length = ac_len[w]
+            if length == 0 or i + length > nbits:
+                raise ValueError("invalid Huffman code in JPEG stream")
+            i += length
+            rs = ac_sym[w]
+            s = rs & 0xF
+            if s == 0:
+                if rs == 0xF0:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                r = rs >> 4
+                eobrun = (1 << r) - 1
+                if r:
+                    if i + r > nbits:
+                        raise ValueError("JPEG entropy data truncated")
+                    b = i >> 3
+                    w = (buf[b] << 16) | (buf[b + 1] << 8) | buf[b + 2]
+                    eobrun += (w >> (24 - (i & 7) - r)) & ((1 << r) - 1)
+                    i += r
+                break
+            k += rs >> 4
+            if k > 63:
+                raise ValueError("AC index overflow")
+            if i + s > nbits:
+                raise ValueError("JPEG entropy data truncated")
+            b = i >> 3
+            w = (buf[b] << 16) | (buf[b + 1] << 8) | buf[b + 2]
+            v = (w >> (24 - (i & 7) - s)) & ((1 << s) - 1)
+            i += s
+            if v < (1 << (s - 1)):
+                v += 1 - (1 << s)
+            coef[k] = v
+            k += 1
+        return eobrun
+    finally:
+        reader._i = i
+
+
 def _block_refine(
     reader: _BitReader,
     coef: np.ndarray,
@@ -529,7 +702,21 @@ def _decode_scan_coefs(
     eobrun = 0
     refine = ah != 0
 
+    fast = (
+        not refine
+        and ss == 0
+        and se == 63
+        and al == 0
+        and all(
+            isinstance(c.get("dc_t"), _HuffTable)
+            and isinstance(c.get("ac_t"), _HuffTable)
+            for c in scomps
+        )
+    )
+
     def decode_block(blk: np.ndarray, c: dict, eob: int) -> int:
+        if fast:  # baseline sequential band: fused LUT loop
+            return _block_baseline_fast(reader, blk, c, preds, eob)
         if refine:
             return _block_refine(reader, blk, c, ss, se, al, eob)
         return _block_first(reader, blk, c, preds, ss, se, al, eob)
@@ -804,13 +991,21 @@ def encode_jpeg(
     quality: int = 90,
     subsample: bool = False,
     progressive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """JFIF encoder: (h, w, 3) uint8 RGB (or (h, w) gray, encoded as
     single-component) → JPEG bytes. ``subsample=True`` writes 4:2:0
     chroma; default 4:4:4. Standard Annex-K tables scaled by
     ``quality``. ``progressive=True`` emits SOF2 with the libjpeg
     standard scan script — identical quantized coefficients, so a
-    decode must reproduce the baseline decode exactly."""
+    decode must reproduce the baseline decode exactly.
+    ``restart_interval=N`` writes a DRI segment and an RSTn marker
+    every N MCUs (baseline only — common in MJPEG streams, where
+    restarts bound error propagation per frame slice); coefficients
+    are unchanged, so restarted and plain encodings of the same
+    pixels must decode identically."""
+    if restart_interval and progressive:
+        raise NotImplementedError("restart markers with progressive scans")
     arr = np.asarray(pixels, dtype=np.float64)
     gray = arr.ndim == 2
     if gray:
@@ -901,11 +1096,24 @@ def encode_jpeg(
                 bytes([(tc << 4) | th]) + bytes(spec[0]) + bytes(spec[1]),
             )
 
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
     if not progressive:
         writer = _BitWriter()
         preds = [0] * len(ycc)
+        mcu_n = 0
+        rst_n = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                    # T.81 E.1.4: pad to byte, emit RSTn (n cycles
+                    # 0..7), reset every DC predictor
+                    writer.flush()
+                    writer.out += bytes([0xFF, 0xD0 + (rst_n % 8)])
+                    rst_n += 1
+                    preds = [0] * len(ycc)
+                mcu_n += 1
                 for ci, (sh, sv) in enumerate(samp):
                     dct_t = dc_enc[tsel[ci]]
                     act_t = ac_enc[tsel[ci]]

@@ -964,6 +964,57 @@ def test_jpeg_random_noise_high_quality_near_lossless():
     assert err < 1.0, err
 
 
+def test_jpeg_restart_markers_and_fast_path_parity():
+    """Two invariants of the entropy layer. (1) Restart markers: a
+    DRI/RSTn encoding carries the same quantized coefficients as the
+    plain encoding, so both payloads must decode to IDENTICAL pixels
+    — exercises predictor resets, pad-bit flushes, and the reader's
+    segment-reload path (T.81 E.1.4). (2) The fused baseline LUT
+    decoder (``_block_baseline_fast``) must agree pixel-for-pixel
+    with the generic bit-walk decoder, forced by handing the reader
+    plain-dict tables (the documented fallback)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_pipelines_snowflake_procedures_spark.operators import jpeg as J
+
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, (41, 57, 3)).astype(np.uint8)
+    for sub in (False, True):
+        plain = J.encode_jpeg(img, quality=77, subsample=sub)
+        assert b"\xff\xdd" not in plain
+        for ri in (1, 3, 7):
+            rst = J.encode_jpeg(
+                img, quality=77, subsample=sub, restart_interval=ri
+            )
+            assert b"\xff\xdd" in rst  # DRI present
+            assert any(bytes([0xFF, 0xD0 + i]) in rst for i in range(8))
+            assert np.array_equal(
+                J.decode_jpeg(rst)["pixels"], J.decode_jpeg(plain)["pixels"]
+            )
+    with _pytest.raises(NotImplementedError, match="restart"):
+        J.encode_jpeg(img, progressive=True, restart_interval=2)
+
+    payloads = [
+        J.encode_jpeg(img, quality=77),
+        J.encode_jpeg(img, quality=77, subsample=True, restart_interval=2),
+        J.encode_jpeg(img, quality=77, progressive=True),
+    ]
+    fast = [J.decode_jpeg(p) for p in payloads]
+    orig = J._canonical_codes_cached
+    try:
+        # plain dicts lack the prefix LUT -> every scan takes the
+        # generic  _block_first/_block_refine bit-walk
+        J._canonical_codes_cached = lambda b, v: dict(
+            J._canonical_codes(list(b), list(v))
+        )
+        slow = [J.decode_jpeg(p) for p in payloads]
+    finally:
+        J._canonical_codes_cached = orig
+    for f, s in zip(fast, slow):
+        assert np.array_equal(f["pixels"], s["pixels"])
+
+
 def test_extract_features_decodes_jpeg_payloads(spark):
     """End-to-end JPEG leg: documents rendered to real baseline JPEGs
     in Arrow batches, decoded for REAL inside extract_features; since
