@@ -1684,3 +1684,39 @@ def test_signed_rollup_fold_equals_recompute_random_batches(spark):
         )
     assert got == want
     assert "c" not in got  # consolidated out, not present with n=0
+
+
+def test_fit_cache_is_sf_keyed_and_memoizes(spark):
+    """The driver-side model-fit memo (queries_llm._FIT_CACHE) must (1)
+    key on sf_dir so warming one corpus never leaks another corpus's
+    codebook into an entry, (2) return the exact cold-fit value, and
+    (3) actually memoize — the evaluation entries' speedup depends on
+    the second training never running."""
+    from data_pipelines_snowflake_procedures_spark import queries_llm as QL
+    from data_pipelines_snowflake_procedures_spark.operators.similarity import (
+        kmeans_fit,
+    )
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    sf_a, sf_b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    saved = dict(QL._FIT_CACHE)
+    QL._FIT_CACHE.clear()
+    try:
+        emb_a = load_table(spark, sf_a, "embeddings")
+        emb_b = load_table(spark, sf_b, "embeddings")
+        cold_b = kmeans_fit(emb_b, k=8, iters=2)
+        ca = QL._cached_fit(
+            sf_a, "coarse_k8", lambda: kmeans_fit(emb_a, k=8, iters=2)
+        )
+        cb = QL._cached_fit(
+            sf_b, "coarse_k8", lambda: kmeans_fit(emb_b, k=8, iters=2)
+        )
+        assert cb == cold_b  # warming sf_a did not leak into sf_b
+        assert ca != cb  # different corpora yield different centroids
+        sentinel = object()
+        assert (
+            QL._cached_fit(sf_b, "coarse_k8", lambda: sentinel) == cold_b
+        )  # memo hit: the thunk is not re-evaluated
+    finally:
+        QL._FIT_CACHE.clear()
+        QL._FIT_CACHE.update(saved)
