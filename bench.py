@@ -67,6 +67,7 @@ HEADLINE = [
     "part_fifo_return_lag",
     "scd1_merge_orders",
     "scd2_merge_orders",
+    "scd2_as_of_orders",
     "orders_snapshot_cdc_diff",
     "customer_er_clusters",
     "trade_graph_pagerank",

@@ -156,6 +156,27 @@ def scd2_merge(
     )
 
 
+def scd2_as_of(
+    dim: DataFrame,
+    ts,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+) -> DataFrame:
+    """Point-in-time reconstruction of an SCD2 dimension: the version
+    of each key that was valid at ``ts`` (``from <= ts < to``; an
+    open-ended current row matches any ``ts >= from``). A pure scan
+    predicate — no shuffle, no window — because the SCD2 merge
+    invariant (validity intervals per key are disjoint) guarantees at
+    most one matching version per key. At 100 TB, partition the
+    dimension on ``is_current`` and date-bucket ``from_col`` so an
+    as-of read prunes to the slice that could possibly match; keys
+    whose first version postdates ``ts`` are correctly absent."""
+    t = F.lit(ts).cast("timestamp") if isinstance(ts, str) else ts
+    return dim.filter(
+        (F.col(from_col) <= t) & (F.col(to_col).isNull() | (F.col(to_col) > t))
+    )
+
+
 def scd1_merge_delta(
     spark,
     target_table: str,

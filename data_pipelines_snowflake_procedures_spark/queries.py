@@ -1008,6 +1008,10 @@ def orders_snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exercised. One source window + one key-join of current rows.",
 )
 def scd2_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scd2_merged_orders(spark, sf_dir)
+
+
+def _scd2_merged_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.scd import scd2_merge
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1045,6 +1049,52 @@ def scd2_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         effective_col="created_at",
     )
     return merged.withColumn("amount", F.round("amount", 2))
+
+
+_SCD2_AS_OF_TS = ("1996-06-15 00:00:00", "1999-12-01 00:00:00")
+
+_SCD2_AS_OF_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT CAST('{ts}' AS TIMESTAMP) AS as_of, k, status, amount,
+           effective_from
+    FROM ({{dim}}) dim
+    WHERE effective_from <= TIMESTAMP '{ts}'
+      AND (effective_to IS NULL OR effective_to > TIMESTAMP '{ts}')
+    """
+    for ts in _SCD2_AS_OF_TS
+).format(dim=_SCD2_ORACLE)
+
+
+@register(
+    "scd2_as_of_orders",
+    _SCD2_AS_OF_ORACLE,
+    doc="Point-in-time (time-travel) read over the SCD2 dimension "
+    "(operators/scd.py::scd2_as_of): reconstruct the snapshot valid "
+    "at T via the pure scan predicate from <= T < to — no shuffle, "
+    "no window, because SCD2 validity intervals are disjoint per "
+    "key. Two as-of dates straddle the merge's change time, so "
+    "%7-keys appear once with their pre-change amount (1996) and "
+    "once with the post-change one (1999-12) — the property time "
+    "travel exists to provide. At 100 TB the dimension partitions "
+    "on is_current + date-bucketed effective_from and the as-of "
+    "read prunes to the candidate slice. Oracle restates both "
+    "snapshots over the full merged-dimension CTE.",
+)
+def scd2_as_of_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scd import scd2_as_of
+
+    dim = _scd2_merged_orders(spark, sf_dir)
+    outs = [
+        scd2_as_of(dim, ts).select(
+            F.lit(ts).cast("timestamp").alias("as_of"),
+            "k",
+            "status",
+            "amount",
+            "effective_from",
+        )
+        for ts in _SCD2_AS_OF_TS
+    ]
+    return outs[0].unionByName(outs[1])
 
 
 @register(

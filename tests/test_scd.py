@@ -381,3 +381,48 @@ def test_snapshot_diff_apply_reconstructs_new(spark):
         k for k, s, v in old_rows if k in want and want[k] == (s, v)
     }
     assert not (unchanged & set(diff)), unchanged & set(diff)
+
+
+def test_scd2_as_of_returns_one_valid_version_per_key(spark):
+    """Time-travel invariants over a hand-built two-version history:
+    at most one version per key at any as-of; a key's pre-change value
+    at T1 and post-change value at T2; keys born after T absent."""
+    from data_pipelines_snowflake_procedures_spark.operators.scd import scd2_as_of
+
+    rows = [
+        # key 1: v1 1990..1995, v2 1995..open
+        (1, "a", 10.0, "1990-01-01 00:00:00", "1995-01-01 00:00:00", False),
+        (1, "a", 20.0, "1995-01-01 00:00:00", None, True),
+        # key 2: single open-ended version from 1993
+        (2, "b", 7.0, "1993-06-01 00:00:00", None, True),
+        # key 3: born 1998 — absent before that
+        (3, "c", 5.0, "1998-01-01 00:00:00", None, True),
+    ]
+    dim = spark.createDataFrame(
+        [
+            (k, s, v, f, t, c)
+            for k, s, v, f, t, c in rows
+        ],
+        "k BIGINT, status STRING, amount DOUBLE, effective_from STRING, "
+        "effective_to STRING, is_current BOOLEAN",
+    ).selectExpr(
+        "k", "status", "amount",
+        "CAST(effective_from AS TIMESTAMP) AS effective_from",
+        "CAST(effective_to AS TIMESTAMP) AS effective_to",
+        "is_current",
+    )
+
+    def snap(ts):
+        return {
+            r["k"]: r["amount"] for r in scd2_as_of(dim, ts).collect()
+        }
+
+    assert snap("1994-01-01 00:00:00") == {1: 10.0, 2: 7.0}
+    # boundary: from <= ts < to — at the changeover instant v2 wins
+    assert snap("1995-01-01 00:00:00") == {1: 20.0, 2: 7.0}
+    assert snap("1999-01-01 00:00:00") == {1: 20.0, 2: 7.0, 3: 5.0}
+    assert snap("1989-01-01 00:00:00") == {}
+    # never two versions of one key: counts equal distinct keys
+    for ts in ("1994-01-01 00:00:00", "1999-01-01 00:00:00"):
+        got = scd2_as_of(dim, ts)
+        assert got.count() == got.select("k").distinct().count()
