@@ -501,6 +501,54 @@ def encode_wav_ima_adpcm(
     return b"RIFF" + _struct.pack("<I", len(body)) + body
 
 
+def audio_energy_fingerprint(
+    payload: bytes, window: int = 8, n_bits: int = 32
+) -> dict[str, Any]:
+    """Robust audio fingerprint in the Haitsma-Kalker (2002) family,
+    made INTEGER-EXACT so a SQL oracle can restate it from source
+    bytes: parse the WAV container (real stdlib ``wave`` walk),
+    window the unsigned-8-bit PCM samples (midpoint-centered), take
+    each window's energy as an exact integer sum of squares, and emit
+    the sign bits of successive energy deltas — bit ``w`` set iff
+    ``E[w+1] > E[w]`` (strict integer compare, no floats anywhere) —
+    folded into one 64-bit word over the first ``n_bits`` deltas.
+    Equal fingerprints are dedup candidates: the delta-sign profile
+    survives level scaling and is cheap to bucket-join on, the same
+    role dHash plays for images. A short (or empty) clip with fewer
+    than two windows fingerprints as 0. The trailing partial window
+    zero-pads at the midpoint, which equals summing only the present
+    samples — exactly what the per-position oracle computes."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 1 or w.getnchannels() != 1:
+            raise NotImplementedError(
+                "audio fingerprint supports mono 8-bit PCM only"
+            )
+        frames = w.readframes(w.getnframes())
+    s = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
+    n_windows = -(-len(s) // window) if len(s) else 0
+    if n_windows:
+        pad = n_windows * window - len(s)
+        if pad:
+            s = np.concatenate([s, np.zeros(pad, np.int64)])
+        e = (s.reshape(n_windows, window) ** 2).sum(axis=1)
+    else:
+        e = np.zeros(0, np.int64)
+    fp = 0
+    for w_i in range(min(n_bits, n_windows - 1) if n_windows else 0):
+        if e[w_i + 1] > e[w_i]:
+            fp |= 1 << w_i
+    return {
+        "n_windows": int(n_windows),
+        "fingerprint": int(fp),
+        "energy_total": int(e.sum()) if n_windows else 0,
+    }
+
+
 def decode_wav_ima_adpcm(payload: bytes) -> dict[str, Any]:
     """REAL decoder for IMA/DVI ADPCM WAV (format tag 0x11, mono): fmt
     chunk parse, per-block header + 4-bit nibble state machine

@@ -316,6 +316,114 @@ def multimodal_audio_features_documents(
 
 
 @register(
+    "audio_fingerprint_documents",
+    """
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             (i - 1) // 8 AS win,
+             ((strpos('123456789ABCDEF', substr(h, 2*i-1, 1)) * 16
+             + strpos('123456789ABCDEF', substr(h, 2*i, 1))) - 128) AS s
+      FROM hx, unnest(range(1, n + 1)) AS t(i)
+    ),
+    e AS (
+      SELECT doc_id, win, sum(s * s)::BIGINT AS e
+      FROM b GROUP BY doc_id, win
+    ),
+    d AS (
+      SELECT doc_id, win, e,
+             lead(e) OVER (PARTITION BY doc_id ORDER BY win) AS ne
+      FROM e
+    ),
+    fp AS (
+      SELECT doc_id,
+             count(*)::BIGINT AS n_windows,
+             coalesce(sum(CASE WHEN win < 32 AND ne > e
+                               THEN (1::BIGINT << win) ELSE 0 END),
+                      0)::BIGINT AS fingerprint,
+             sum(e)::BIGINT AS energy_total
+      FROM d GROUP BY doc_id
+    ),
+    full_fp AS (
+      SELECT hx.doc_id,
+             coalesce(fp.n_windows, 0) AS n_windows,
+             coalesce(fp.fingerprint, 0) AS fingerprint,
+             coalesce(fp.energy_total, 0) AS energy_total
+      FROM hx LEFT JOIN fp USING (doc_id)
+    )
+    SELECT doc_id, n_windows, fingerprint, energy_total,
+           count(*) OVER (PARTITION BY fingerprint)::BIGINT AS fp_count
+    FROM full_fp
+    """,
+    doc="Audio dedup fingerprinting (Haitsma-Kalker 2002 family, "
+    "operators/multimodal.py::audio_energy_fingerprint): each "
+    "document's WAV rendering (attach_audio — a real RIFF container) "
+    "is re-parsed with the stdlib wave module, its 8-sample windows "
+    "reduced to exact-integer centered energies, and the sign bits "
+    "of successive energy deltas folded into a 64-bit fingerprint — "
+    "the audio counterpart of image dHash, with fp equality as the "
+    "dedup-candidate bucket (fp_count surfaces group sizes via one "
+    "shuffle on the fingerprint). All-integer arithmetic end to end, "
+    "so the oracle restates windows/deltas/bits from the SOURCE "
+    "bytes and the hash match proves encode -> container -> decode "
+    "-> fingerprint exactly. At 100 TB: the kernel is an "
+    "Arrow-batched narrow map; the only shuffle carries (doc_id, "
+    "fingerprint) pairs.",
+)
+def audio_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import Window
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def per_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .operators.multimodal import audio_energy_fingerprint, encode_wav
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                wav = encode_wav((text or "").encode("utf-8"), 8000)
+                st = audio_energy_fingerprint(wav)
+                rows.append(
+                    (
+                        int(doc_id),
+                        st["n_windows"],
+                        st["fingerprint"],
+                        st["energy_total"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_windows", "fingerprint", "energy_total"],
+            )
+
+    fps = docs.mapInPandas(
+        per_batches,
+        "doc_id BIGINT, n_windows BIGINT, fingerprint BIGINT, "
+        "energy_total BIGINT",
+    )
+    return fps.withColumn(
+        "fp_count",
+        F.count("*").over(Window.partitionBy("fingerprint")).cast("long"),
+    )
+
+
+@register(
     "multimodal_adpcm_audio_documents",
     """
     WITH hx AS (

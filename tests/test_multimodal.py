@@ -1633,3 +1633,55 @@ def test_sniff_media_type_all_formats_and_unknown():
     assert sniff_media_type(b"BMxxxx") == "image/bmp"
     assert sniff_media_type(b"\x00nonsense") == "application/octet-stream"
     assert sniff_media_type(b"") == "application/octet-stream"
+
+
+def test_audio_energy_fingerprint_matches_hand_computation():
+    """Integer contract of the audio fingerprint: windowed centered
+    energies, strict-greater delta sign bits, zero-padded partial
+    tail, fp==0 below two windows, invariance under amplitude
+    doubling (energy scales 4x, delta signs unchanged), and the
+    mono-8-bit gate."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        audio_energy_fingerprint,
+        encode_wav,
+    )
+
+    # 20 samples -> windows of 8: [8 quiet, 8 loud, 4 mid + 4 pad]
+    quiet = [128 + 1] * 8          # E0 = 8
+    loud = [128 + 10] * 8          # E1 = 800
+    mid = [128 + 5] * 4            # E2 = 100 (pad contributes 0)
+    samples = bytes(quiet + loud + mid)
+    st = audio_energy_fingerprint(encode_wav(samples))
+    assert st["n_windows"] == 3
+    assert st["energy_total"] == 8 + 800 + 100
+    # bit0: E1 > E0 -> 1; bit1: E2 > E1 -> 0
+    assert st["fingerprint"] == 0b01
+
+    # amplitude doubling preserves every delta sign
+    doubled = bytes(128 + min(2 * (s - 128), 127) for s in samples)
+    assert audio_energy_fingerprint(encode_wav(doubled))["fingerprint"] == 0b01
+
+    # identical payloads fingerprint identically (the dedup bucket key)
+    assert audio_energy_fingerprint(encode_wav(samples)) == st
+
+    # fewer than two windows -> fp 0
+    assert audio_energy_fingerprint(encode_wav(bytes([200] * 5)))[
+        "fingerprint"
+    ] == 0
+    assert audio_energy_fingerprint(encode_wav(b""))["n_windows"] == 0
+
+    # 16-bit PCM is out of contract
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.zeros(16, np.int16).tobytes())
+    with _pytest.raises(NotImplementedError, match="8-bit"):
+        audio_energy_fingerprint(buf.getvalue())
