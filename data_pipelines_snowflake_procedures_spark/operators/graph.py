@@ -487,7 +487,12 @@ def grouped_pagerank(
         .select(g, "src", "dst", (F.col("w") / F.col("ow")).alias("frac"))
         .persist()
     )
-    pr = nodes.join(nn, g).select(
+    # (group, node, group-size) feeds the init AND every iteration's
+    # teleport term — materialize it once instead of re-running the
+    # nodes⋈counts shuffle per iteration (values identical; one fewer
+    # shuffle per pass over the whole forest)
+    base = nodes.join(nn, g).select(g, "node", "c").persist()
+    pr = base.select(
         g, "node", F.round(F.lit(1.0) / F.col("c"), iter_decimals).alias("pr")
     )
     for i in range(iters):
@@ -499,7 +504,7 @@ def grouped_pagerank(
             .agg(F.sum(F.col("frac") * F.col("pr")).alias("inflow"))
         )
         pr = (
-            nodes.join(nn, g)
+            base
             .join(
                 inflow.select(g, F.col("dst").alias("node"), "inflow"),
                 [g, "node"],
@@ -523,4 +528,5 @@ def grouped_pagerank(
     ).localCheckpoint(eager=True)
     nodes.unpersist()
     frac.unpersist()
+    base.unpersist()
     return out
