@@ -215,6 +215,7 @@ HEADLINE = [
     "multimodal_audio_features_documents",
     "multimodal_adpcm_audio_documents",
     "audio_fingerprint_documents",
+    "audio_neardup_pairs_documents",
     "multimodal_video_features_documents",
     "multimodal_mjpeg_video_documents",
     # Structured Streaming entries — each runs a full availableNow

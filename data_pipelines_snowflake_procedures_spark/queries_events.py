@@ -315,10 +315,11 @@ def multimodal_audio_features_documents(
     return extract_audio_features(attach_audio(docs))
 
 
-@register(
-    "audio_fingerprint_documents",
-    """
-    WITH hx AS (
+# Shared audio-fingerprint CTE chain (windows -> exact integer
+# energies -> delta sign bits), reused by the fingerprint table and
+# the banded near-dup pairs oracle — the dhash/_dhash_cte_sql pattern.
+_AUDIO_FP_CTE = """
+    hx AS (
       SELECT doc_id, hex(encode(text)) AS h,
              octet_length(encode(text)) AS n
       FROM documents
@@ -354,7 +355,13 @@ def multimodal_audio_features_documents(
              coalesce(fp.fingerprint, 0) AS fingerprint,
              coalesce(fp.energy_total, 0) AS energy_total
       FROM hx LEFT JOIN fp USING (doc_id)
-    )
+    )"""
+
+
+@register(
+    "audio_fingerprint_documents",
+    f"""
+    WITH {_AUDIO_FP_CTE}
     SELECT doc_id, n_windows, fingerprint, energy_total,
            count(*) OVER (PARTITION BY fingerprint)::BIGINT AS fp_count
     FROM full_fp
@@ -375,11 +382,22 @@ def multimodal_audio_features_documents(
     "fingerprint) pairs.",
 )
 def audio_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    fps = _audio_fp_df(spark, sf_dir)
+    return fps.withColumn(
+        "fp_count",
+        F.count("*").over(Window.partitionBy("fingerprint")).cast("long"),
+    )
+
+
+def _audio_fp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_windows, fingerprint, energy_total) via the real
+    WAV render + re-parse kernel — shared by the fingerprint table
+    and the banded near-dup pairs entry."""
     from collections.abc import Iterator
 
     import pandas as pd  # noqa: F401
-
-    from pyspark.sql import Window
 
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -412,15 +430,105 @@ def audio_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "n_windows", "fingerprint", "energy_total"],
             )
 
-    fps = docs.mapInPandas(
+    return docs.mapInPandas(
         per_batches,
         "doc_id BIGINT, n_windows BIGINT, fingerprint BIGINT, "
         "energy_total BIGINT",
     )
-    return fps.withColumn(
-        "fp_count",
-        F.count("*").over(Window.partitionBy("fingerprint")).cast("long"),
+
+
+@register(
+    "audio_neardup_pairs_documents",
+    f"""
+    WITH {_AUDIO_FP_CTE},
+    bands AS (
+      SELECT doc_id, fingerprint AS fpv, b.b,
+             (fingerprint >> (16 * b.b)) & 65535 AS bv
+      FROM full_fp CROSS JOIN unnest(range(0, 2)) AS b(b)
+    ),
+    ok_buckets AS (
+      SELECT b, bv FROM bands GROUP BY b, bv
+      HAVING count(*) BETWEEN 2 AND 256
+    ),
+    bands_ok AS (
+      SELECT bands.* FROM bands JOIN ok_buckets USING (b, bv)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.fpv AS fa, y.fpv AS fb
+      FROM bands_ok x JOIN bands_ok y
+        ON y.b = x.b AND y.bv = x.bv AND x.doc_id < y.doc_id
     )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fa, fb)) <= 4
+    """,
+    doc="Audio near-duplicate pairs via fingerprint banding — the "
+    "dedup end-use of audio_energy_fingerprint, and the audio "
+    "counterpart of image_neardup_pairs_documents: the 32-bit "
+    "energy-delta fingerprint splits into two 16-BIT bands (65536 "
+    "values per band — 8-bit bands would saturate any bucket cap at "
+    "corpus scale, every bucket collecting n/256 docs), candidate "
+    "pairs share at least one band exactly (high-recall blocking, "
+    "never all-pairs; guaranteed complete only at Hamming <= 1 with "
+    "two bands — like the image entry's banding, a recall heuristic "
+    "whose verify threshold is looser than its guarantee), and only "
+    "candidates pay the bit_count(xor) <= 4 Hamming verification. "
+    "Same skew guard as the image entry: buckets over 256 docs "
+    "(e.g. the zero band every short clip shares) carry no locality "
+    "signal and would go quadratic, so they are skipped; singletons "
+    "prune via the same HAVING. Oracle restates fingerprint + "
+    "banding + cap + Hamming from source bytes. One band-key "
+    "shuffle; candidates provably bounded by cap^2 per bucket.",
+)
+def audio_neardup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    # the fingerprint frame costs a render+decode pass; three
+    # consumers below (bucket counts + both join sides) — decode once
+    fps = _audio_fp_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = fps.select(
+        "doc_id",
+        "fingerprint",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("fingerprint", 16 * i).bitwiseAND(
+                        F.lit(65535)
+                    )
+                    for i in range(2)
+                ]
+            )
+        ).alias("b", "bv"),
+    )
+    ok_buckets = (
+        bands.groupBy("b", "bv")
+        .count()
+        .filter((F.col("count") >= 2) & (F.col("count") <= 256))
+        .select("b", "bv")
+    )
+    bands = bands.join(F.broadcast(ok_buckets), ["b", "bv"])
+    x = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("fingerprint").alias("fa"), "b", "bv"
+    )
+    y = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("fingerprint").alias("fb"), "b", "bv"
+    )
+    cand = (
+        x.join(y, ["b", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fa", "fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    out = (
+        cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 4)
+        .localCheckpoint(eager=True)
+    )
+    fps.unpersist()
+    return out
 
 
 @register(
