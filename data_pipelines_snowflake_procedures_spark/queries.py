@@ -1081,20 +1081,24 @@ _SCD2_AS_OF_ORACLE = "\nUNION ALL\n".join(
     "snapshots over the full merged-dimension CTE.",
 )
 def scd2_as_of_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.scd import scd2_as_of
-
     dim = _scd2_merged_orders(spark, sf_dir)
-    outs = [
-        scd2_as_of(dim, ts).select(
-            F.lit(ts).cast("timestamp").alias("as_of"),
-            "k",
-            "status",
-            "amount",
-            "effective_from",
+    # both snapshots in ONE pass over the merged dimension: the as-of
+    # timestamps ride in as a 2-row broadcast, the validity predicate
+    # (operators/scd.py::scd2_as_of's contract, from <= t < to) filters
+    # the crossed frame — a union of per-ts scd2_as_of() calls would
+    # compute the merge once per timestamp
+    ts_df = spark.createDataFrame(
+        [(t,) for t in _SCD2_AS_OF_TS], "as_of_s STRING"
+    ).select(F.col("as_of_s").cast("timestamp").alias("as_of"))
+    t = F.col("as_of")
+    return (
+        dim.crossJoin(F.broadcast(ts_df))
+        .filter(
+            (F.col("effective_from") <= t)
+            & (F.col("effective_to").isNull() | (F.col("effective_to") > t))
         )
-        for ts in _SCD2_AS_OF_TS
-    ]
-    return outs[0].unionByName(outs[1])
+        .select("as_of", "k", "status", "amount", "effective_from")
+    )
 
 
 @register(
