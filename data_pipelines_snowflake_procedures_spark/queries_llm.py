@@ -4613,12 +4613,17 @@ def documents_textrank_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     a, b = ch.alias("a"), ch.alias("b")
-    ed = (
+    # shared-token counts are symmetric (w(x,y) == w(y,x)), so join and
+    # aggregate only the src<dst half of the pair space and mirror the
+    # aggregated edges — halves the join output and the groupBy shuffle,
+    # the widest stage of the whole entry. Values identical to the
+    # oracle's full `chunk <> chunk` edge relation.
+    ed_half = (
         a.join(
             b,
             (F.col("a.doc_id") == F.col("b.doc_id"))
             & (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.chunk") != F.col("b.chunk")),
+            & (F.col("a.chunk") < F.col("b.chunk")),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_id"),
@@ -4626,6 +4631,14 @@ def documents_textrank_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.chunk").alias("dst"),
         )
         .agg(F.count("*").cast("double").alias("w"))
+    )
+    ed = ed_half.unionByName(
+        ed_half.select(
+            "doc_id",
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "w",
+        )
     )
     nodes = ch.select("doc_id", F.col("chunk").alias("node")).distinct()
     pr = grouped_pagerank(
