@@ -208,6 +208,9 @@ HEADLINE = [
     "orders_rollup_rewrite",
     "orders_distinct_rewrite",
     "orders_distinct_rewrite_bitmap",
+    # storage layout: Morton clustering + block-skipping report
+    "orders_zorder_layout",
+    "orders_zorder_skipping",
     # multimodal codec legs (PPM/PNG/JPEG images, WAV audio — real
     # stdlib decodes inside Arrow-batched mapInPandas)
     "multimodal_features_documents",

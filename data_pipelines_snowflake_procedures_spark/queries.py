@@ -2858,7 +2858,7 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Extension entries (LLM text/dedup/similarity; event windows;
 # multimodal; TPC-H-shape relational widening) register themselves on
 # import; placed last so REGISTRY and helpers exist.
-from . import queries_events, queries_llm, queries_tpch  # noqa: E402,F401  (registration side effect)
+from . import queries_events, queries_layout, queries_llm, queries_tpch  # noqa: E402,F401  (registration side effect)
 
 
 _FD_COLS = (
