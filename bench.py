@@ -64,6 +64,8 @@ HEADLINE = [
     "customer_fd_discovery",
     "pii_mask_customer",
     "customer_k_anonymity",
+    "customer_l_diversity",
+    "events_dp_type_counts",
     "part_fifo_return_lag",
     "scd1_merge_orders",
     "scd2_merge_orders",

@@ -288,3 +288,64 @@ def k_anonymity_report(
         .cast("long")
         .alias("at_risk_bp"),
     ).orderBy("level")
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_sets: "dict[str, list]",
+    sensitive_col: str,
+    ell: int = 2,
+) -> DataFrame:
+    """Attribute-disclosure audit (Machanavajjhala et al. 2007,
+    distinct l-diversity): k-anonymity keeps equivalence classes
+    LARGE, but a large class whose members all share one sensitive
+    value still leaks it (the homogeneity attack). For each
+    generalization level this groups the table by its
+    quasi-identifiers and reports, per level: class count, classes
+    whose sensitive attribute takes fewer than ``ell`` distinct
+    values, rows inside them, their share in integer basis points,
+    and the worst single-value dominance across classes (max class
+    share of one sensitive value, basis points — the recursive
+    (c,l)-diversity signal). All-integer outputs.
+
+    Plan shape: one (QI..., sensitive) groupBy then an O(classes)
+    re-aggregate per level — both partial-aggregable; nothing beyond
+    the class dimension is ever held. Complements
+    :func:`k_anonymity_report` (same quasi_sets contract)."""
+    out = None
+    for name, exprs in quasi_sets.items():
+        cells = df.groupBy(*exprs, F.col(sensitive_col).alias("__s")).agg(
+            F.count("*").alias("n")
+        )
+        qi_cols = [c for c in cells.columns if c not in ("__s", "n")]
+        classes = cells.groupBy(*qi_cols).agg(
+            F.sum("n").alias("size"),
+            F.count("*").alias("n_distinct_sensitive"),
+            F.max("n").alias("top_value_n"),
+        )
+        lvl = classes.agg(
+            F.lit(name).alias("level"),
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum(
+                F.when(F.col("n_distinct_sensitive") < ell, 1).otherwise(0)
+            ).cast("long").alias("n_low_diversity_classes"),
+            F.sum(
+                F.when(F.col("n_distinct_sensitive") < ell, F.col("size"))
+                .otherwise(0)
+            ).cast("long").alias("rows_exposed"),
+            F.sum("size").cast("long").alias("rows_total"),
+            F.max(
+                F.expr("(top_value_n * 10000) div size")
+            ).cast("long").alias("max_value_share_bp"),
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out.select(
+        "level",
+        "n_classes",
+        "n_low_diversity_classes",
+        "rows_exposed",
+        F.expr("(rows_exposed * 10000) div rows_total")
+        .cast("long")
+        .alias("exposed_bp"),
+        "max_value_share_bp",
+    ).orderBy("level")

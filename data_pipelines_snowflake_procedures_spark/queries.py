@@ -3772,6 +3772,88 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_l_diversity",
+    """
+    WITH base AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS in_debt
+      FROM customer
+    ),
+    lvls AS (
+      SELECT 'L0_nation_segment' AS level, c_nationkey AS q1,
+             c_mktsegment AS q2, in_debt
+      FROM base
+      UNION ALL
+      SELECT 'L1_segment', NULL, c_mktsegment, in_debt
+      FROM base
+    ),
+    cells AS (
+      SELECT level, q1, q2, in_debt, count(*) AS n
+      FROM lvls GROUP BY 1, 2, 3, 4
+    ),
+    cls AS (
+      SELECT level, q1, q2,
+             sum(n) AS size,
+             count(*) AS n_distinct_sensitive,
+             max(n) AS top_value_n
+      FROM cells GROUP BY 1, 2, 3
+    ),
+    ag AS (
+      SELECT level,
+             count(*) AS n_classes,
+             sum(CASE WHEN n_distinct_sensitive < 2 THEN 1 ELSE 0 END)
+               AS n_low_diversity_classes,
+             sum(CASE WHEN n_distinct_sensitive < 2 THEN size ELSE 0 END)
+               AS rows_exposed,
+             sum(size) AS rows_total,
+             max((top_value_n * 10000) // size) AS max_value_share_bp
+      FROM cls GROUP BY level
+    )
+    SELECT level,
+           CAST(n_classes AS BIGINT) AS n_classes,
+           CAST(n_low_diversity_classes AS BIGINT) AS n_low_diversity_classes,
+           CAST(rows_exposed AS BIGINT) AS rows_exposed,
+           CAST((rows_exposed * 10000) // rows_total AS BIGINT) AS exposed_bp,
+           CAST(max_value_share_bp AS BIGINT) AS max_value_share_bp
+    FROM ag ORDER BY level
+    """,
+    doc="Distinct l-diversity audit (Machanavajjhala et al. 2007) — "
+    "the attribute-disclosure complement of customer_k_anonymity "
+    "(coarser levels: the balance-binned classes are near-singleton, "
+    "where l-diversity is vacuously violated and says nothing): a "
+    "class can satisfy k>=5 yet "
+    "leak its members' sensitive value (here the in-debt flag, "
+    "acctbal < 0) when every member shares it — the homogeneity "
+    "attack k-anonymity cannot see. Reports classes with fewer than "
+    "l=2 distinct sensitive values, the rows they expose (integer "
+    "basis points), and the worst single-value dominance across "
+    "classes. Two partial-aggregable groupBys per level ((QI, "
+    "sensitive) cells, then O(classes)); every output is exact "
+    "integer arithmetic. operators/security.py::l_diversity_report.",
+)
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.security import l_diversity_report
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, 1).otherwise(0).alias("in_debt"),
+    )
+    return l_diversity_report(
+        c,
+        {
+            "L0_nation_segment": [
+                F.col("c_nationkey"),
+                F.col("c_mktsegment"),
+            ],
+            "L1_segment": [F.col("c_mktsegment")],
+        },
+        sensitive_col="in_debt",
+        ell=2,
+    )
+
+
+@register(
     "orders_distinct_rewrite_bitmap",
     """
     SELECT o_orderpriority,

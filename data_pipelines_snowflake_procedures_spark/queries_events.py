@@ -5806,3 +5806,82 @@ def events_attribution_time_decay(
         )
         .orderBy("touch_type")
     )
+
+
+@register(
+    "events_dp_type_counts",
+    """
+    WITH c AS (
+      SELECT event_type, count(*)::BIGINT AS exact_n FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT event_type, exact_n,
+             (('0x' || substr(md5('dplap1|' || event_type), 1, 15))::BIGINT
+              % 1073741824) | 1073741824 AS r1,
+             (('0x' || substr(md5('dplap2|' || event_type), 1, 15))::BIGINT
+              % 1073741824) | 1073741824 AS r2
+      FROM c
+    ),
+    n AS (
+      SELECT event_type, exact_n,
+             (bit_count((r1 & (-r1)) - 1)
+              - bit_count((r2 & (-r2)) - 1))::BIGINT AS noise
+      FROM r
+    )
+    SELECT event_type, exact_n, noise,
+           (exact_n + noise)::BIGINT AS dp_n,
+           0.693147 AS epsilon
+    FROM n
+    """,
+    doc="Differentially-private count release via the geometric "
+    "mechanism (Ghosh-Roughgarden-Sundararajan 2009): each event_type "
+    "count is published as exact_n + Z where Z = G1 - G2, the "
+    "difference of two iid Geometric(1/2) draws — the two-sided "
+    "geometric (discrete Laplace) with alpha = 1/2, i.e. epsilon = "
+    "ln 2 event-level DP per cell (cells are disjoint, so parallel "
+    "composition keeps the whole release at ln 2). The draws are "
+    "PURE INTEGER arithmetic end to end: a 30-bit uniform comes from "
+    "the md5(seed|cell) idiom the corpus splitter uses, and a "
+    "Geometric(1/2) variate is its trailing-zero count, extracted as "
+    "bit_count((r & -r) - 1) with a 2^30 sentinel bit capping the "
+    "tail — no ln(), no float inverse-CDF, so DuckDB and the JVM "
+    "agree bit-for-bit (a float Laplace would diverge in the last "
+    "ulp). The md5 seed stands in for a production secret: swap the "
+    "seed literal for a per-release secret and the mechanism is the "
+    "deployment one; exact_n and noise are emitted HERE so the "
+    "oracle can verify the mechanism — a production release emits "
+    "dp_n only. Entity-level DP additionally requires bounding each "
+    "user's contribution (cap events/user) before the count; the "
+    "mechanism and plan are unchanged. One O(types) groupBy, noise "
+    "is a scalar projection on the aggregate — at 100 TB the DP "
+    "layer costs nothing beyond the count itself.",
+)
+def events_dp_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    c = ev.groupBy("event_type").agg(F.count("*").alias("exact_n"))
+
+    def _uniform(seed: str):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}|"), F.col("event_type"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        # sentinel bit 2^30 bounds the trailing-zero count at 30 in
+        # both engines (r = 0 would otherwise make r & -r undefined-ish)
+        return (h % F.lit(1073741824)).bitwiseOR(F.lit(1073741824))
+
+    def _geom(r):
+        return F.bit_count(r.bitwiseAND(-r) - F.lit(1))
+
+    noise = (
+        _geom(_uniform("dplap1")) - _geom(_uniform("dplap2"))
+    ).cast("long")
+    return c.select(
+        "event_type",
+        "exact_n",
+        noise.alias("noise"),
+        (F.col("exact_n") + noise).cast("long").alias("dp_n"),
+        F.lit(0.693147).alias("epsilon"),
+    )

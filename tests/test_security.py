@@ -125,3 +125,42 @@ def test_scrub_text_expr(spark):
     assert out[2] == "nums <PHONE> <PHONE> end"
     assert out[3] == "clean text with no pii at all"
     assert out[4] == ""
+
+
+def test_l_diversity_report_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipelines_snowflake_procedures_spark.operators.security import (
+        l_diversity_report,
+    )
+
+    # class A: both sensitive values (diverse); class B: homogeneous
+    # (3 rows, all s=0 -> exposed); class C: singleton (exposed)
+    df = spark.createDataFrame(
+        [
+            ("A", 0), ("A", 1), ("A", 0),
+            ("B", 0), ("B", 0), ("B", 0),
+            ("C", 1),
+        ],
+        ["qi", "s"],
+    )
+    row = l_diversity_report(
+        df, {"L": [F.col("qi")]}, sensitive_col="s", ell=2
+    ).first()
+    assert row.n_classes == 3
+    assert row.n_low_diversity_classes == 2
+    assert row.rows_exposed == 4
+    assert row.exposed_bp == 4 * 10000 // 7
+    # worst dominance: class B is 100% one value
+    assert row.max_value_share_bp == 10000
+
+
+def test_l_diversity_entry_invariants(spark, sf_dir):
+    from data_pipelines_snowflake_procedures_spark.queries import REGISTRY
+
+    rows = REGISTRY["customer_l_diversity"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert 0 <= r.n_low_diversity_classes <= r.n_classes
+        assert 0 <= r.exposed_bp <= 10000
+        assert 0 < r.max_value_share_bp <= 10000
