@@ -160,6 +160,7 @@ HEADLINE = [
     "events_hourly_by_type",
     "events_props_variant",
     "events_sessions_user",
+    "events_peak_concurrency",
     "events_funnel_view_click_purchase",
     "events_hourly_gapfill",
     "events_retention_cohorts",
@@ -194,6 +195,7 @@ HEADLINE = [
     "events_value_ab_test",
     "events_type_hour_chisq",
     "events_value_trend_ols",
+    "events_theilsen_trend",
     "events_user_accounting",
     "events_hourly_stl",
     "events_weekly_churn",

@@ -5885,3 +5885,180 @@ def events_dp_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("exact_n") + noise).cast("long").alias("dp_n"),
         F.lit(0.693147).alias("epsilon"),
     )
+
+
+@register(
+    "events_theilsen_trend",
+    """
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR,
+                                          CAST(ts AS TIMESTAMP))) / 3600)
+                  AS BIGINT) AS x,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT ((h2.y - h1.y) * 1000000) // (h2.x - h1.x) AS slope_micro
+      FROM hourly h1 JOIN hourly h2 ON h2.x > h1.x
+    )
+    SELECT (SELECT count(*)::BIGINT FROM hourly) AS n_hours,
+           count(*)::BIGINT AS n_pairs,
+           round(quantile_cont(CAST(slope_micro AS DOUBLE), 0.5) / 1e6, 4)
+             + 0.0 AS slope_cents_per_hour
+    FROM pairs
+    """,
+    doc="Theil-Sen robust trend of hourly revenue — the median of all "
+    "pairwise slopes (Sen 1968), the estimator that shrugs off the "
+    "outlier hours that drag events_value_trend_ols' least-squares "
+    "slope (29.3% breakdown point vs 0%): same hourly centi-unit "
+    "series as the OLS entry, every (h1 < h2) pair's slope scaled to "
+    "integer micro-units with cross-engine-identical truncating "
+    "division (DuckDB // and Spark div both truncate toward zero), "
+    "exact interpolated median. The pair space is "
+    "O(calendar-hours^2) — bounded by the TIME RANGE, not the data "
+    "volume (like the hour spine in the forecast entries), so 100 TB "
+    "of events costs the same ~260k-pair median after the one hourly "
+    "aggregate; the pair join is a broadcast range join on the tiny "
+    "hourly frame. No window over data-sized rows anywhere.",
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    hourly = ev.groupBy(
+        F.floor(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600
+        ).cast("long").alias("x")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    hourly = hourly.persist()
+    n_hours = hourly.count()  # 1-value driver aggregate; also materializes
+    h1 = hourly.select(F.col("x").alias("x1"), F.col("y").alias("y1"))
+    h2 = hourly.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = F.broadcast(h1).join(h2, F.col("x2") > F.col("x1")).select(
+        F.expr("((y2 - y1) * 1000000) div (x2 - x1)").alias("slope_micro")
+    )
+    out = pairs.agg(
+        F.lit(n_hours).cast("long").alias("n_hours"),
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.expr("percentile(CAST(slope_micro AS DOUBLE), 0.5)") / F.lit(1e6),
+            4,
+        ).alias("slope_cents_per_hour"),
+    )
+    out = out.localCheckpoint(eager=True)
+    hourly.unpersist()
+    return out
+
+
+@register(
+    "events_peak_concurrency",
+    """
+    WITH o AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+                    OR epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)))
+    ),
+    s AS (
+      SELECT user_id,
+             sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING
+             ) AS sid, t
+      FROM o
+    ),
+    sess AS (SELECT min(t) AS t0, max(t) AS t1 FROM s GROUP BY user_id, sid),
+    deltas AS (
+      SELECT t0 AS t, 1 AS d FROM sess
+      UNION ALL
+      SELECT t1 AS t, -1 AS d FROM sess
+    ),
+    curve AS (
+      SELECT t, d,
+             sum(d) OVER (ORDER BY t ASC, d DESC
+                          ROWS UNBOUNDED PRECEDING) AS conc
+      FROM deltas
+    )
+    SELECT (SELECT count(*)::BIGINT FROM sess) AS n_sessions,
+           max(conc)::BIGINT AS peak_concurrent,
+           strftime(make_timestamp(min(t) FILTER (
+             WHERE conc = (SELECT max(conc) FROM curve))),
+             '%Y-%m-%d %H:%M:%S') AS peak_at
+    FROM curve
+    """,
+    doc="Peak session concurrency — the interval sweep-line every "
+    "capacity planner runs: user sessions (the 30-minute-gap "
+    "definition shared with events_sessions_user) become +1/-1 "
+    "boundary deltas, the running sum over (time, starts-first) "
+    "order is the live-session curve, and the report is its maximum "
+    "and the first instant attaining it. The Spark scan is TWO-LEVEL "
+    "so no window ever orders data-sized rows globally: per-minute-"
+    "bucket running sums (windows partitioned by bucket) plus an "
+    "exclusive prefix of bucket totals (one calendar-sized window) — "
+    "algebraically identical to the oracle's single global scan, the "
+    "standard distributed prefix-sum decomposition. Determinism: "
+    "ties order starts before ends (touching sessions count as "
+    "concurrent); the peak is only ever attained at a +1-run's end, "
+    "so max and argmin-time are engine-independent; everything is "
+    "integer microseconds.",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    o = ev.select(
+        "user_id",
+        "t",
+        F.when(
+            F.lag("t").over(w).isNull()
+            | ((F.col("t") - F.lag("t").over(w)) > F.lit(1800000000)),
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    s = o.select(
+        "user_id",
+        "t",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    )
+    sess = sess.persist()
+    n_sessions = sess.count()
+    deltas = sess.select(F.col("t0").alias("t"), F.lit(1).alias("d")).unionByName(
+        sess.select(F.col("t1").alias("t"), F.lit(-1).alias("d"))
+    ).withColumn("bkt", F.expr("t div 60000000"))
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("t").asc(), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = deltas.withColumn("run_in", F.sum("d").over(w_in))
+    totals = deltas.groupBy("bkt").agg(F.sum("d").alias("tot"))
+    w_off = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "bkt", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off")
+    )
+    curve = local.join(F.broadcast(offsets), "bkt").select(
+        "t", (F.col("off") + F.col("run_in")).alias("conc")
+    )
+    best = curve.agg(
+        F.max(F.struct(F.col("conc"), (-F.col("t")).alias("neg_t"))).alias("b")
+    ).select(
+        F.lit(n_sessions).cast("long").alias("n_sessions"),
+        F.col("b.conc").cast("long").alias("peak_concurrent"),
+        F.date_format(
+            F.timestamp_micros(-F.col("b.neg_t")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("peak_at"),
+    )
+    best = best.localCheckpoint(eager=True)
+    sess.unpersist()
+    return best
