@@ -134,6 +134,91 @@ def poisson_draws(df: DataFrame, key_col: str, b: int, seed: str = "boot") -> Da
     )
 
 
+def grouped_replicate_partials(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    b: int = 200,
+    seed: str = "boot",
+) -> "tuple[list, list]":
+    """The SUFFICIENT STATISTICS both CI forms derive from, collected:
+    per-(group, replicate) integer weight partials ``(g, r, swx, sw)``
+    and per-group exact totals ``(g, n, s)``. The Poisson draws are a
+    pure function of (key, seed) — independent of any grouping — so
+    ONE grouped pass serves the per-group CIs directly and the global
+    CI by exact integer re-aggregation (summing the group partials per
+    replicate is bit-identical to a global groupBy(__r)). Collected
+    state is groups × B rows — driver metadata for dimension-like
+    groups."""
+    w = F.col("__w")
+    per = [
+        (p["__g"], p["__r"], p["__swx"], p["__sw"])
+        for p in poisson_draws(
+            df.select(
+                F.col(key_col),
+                F.col(group_col).alias("__g"),
+                F.col(value_col).alias("__x"),
+            ),
+            key_col,
+            b,
+            seed,
+        )
+        .groupBy("__g", "__r")
+        .agg(F.sum(w * F.col("__x")).alias("__swx"), F.sum(w).alias("__sw"))
+        .collect()
+    ]
+    totals = [
+        (t["__g"], int(t["n"]), t["s"])
+        for t in df.groupBy(F.col(group_col).alias("__g"))
+        .agg(F.count("*").alias("n"), F.sum(value_col).alias("s"))
+        .collect()
+    ]
+    return per, totals
+
+
+def _rank_rule(b: int, alpha: float, n_means: int) -> "tuple[int, int]":
+    lo_rn = max(math.ceil((alpha / 2) * b), 1)
+    hi_rn = min(math.ceil((1 - alpha / 2) * b), n_means)
+    return lo_rn, hi_rn
+
+
+def global_ci_from_partials(
+    per: list, totals: list, b: int = 200, alpha: float = 0.05
+) -> "tuple[int, float, float, float]":
+    """:func:`bootstrap_mean_ci`'s result from grouped partials: sum
+    the integer partials across groups per replicate (exact — long
+    addition commutes with the distributed SUM), then the same
+    ordered-means rank rule."""
+    agg: dict = {}
+    for _g, r, swx, sw in per:
+        a = agg.get(r)
+        agg[r] = (swx, sw) if a is None else (a[0] + swx, a[1] + sw)
+    means = sorted((swx / sw, r) for r, (swx, sw) in agg.items() if sw)
+    lo_rn, hi_rn = _rank_rule(b, alpha, len(means))
+    n = sum(t[1] for t in totals)
+    s = sum(t[2] for t in totals)
+    return (n, s / n, means[lo_rn - 1][0], means[hi_rn - 1][0])
+
+
+def group_cis_from_partials(
+    per: list, totals: list, b: int = 200, alpha: float = 0.05
+) -> "list[tuple]":
+    """:func:`bootstrap_group_mean_ci`'s result from grouped partials."""
+    by_group: dict = {}
+    for g, r, swx, sw in per:
+        if sw:
+            by_group.setdefault(g, []).append((swx / sw, r))
+    tot = {t[0]: t for t in totals}
+    out = []
+    for g in sorted(by_group):
+        means = sorted(by_group[g])
+        lo_rn, hi_rn = _rank_rule(b, alpha, len(means))
+        _, n, s = tot[g]
+        out.append((g, n, s / n, means[lo_rn - 1][0], means[hi_rn - 1][0]))
+    return out
+
+
 def bootstrap_mean_ci(
     df: DataFrame,
     key_col: str,
@@ -147,35 +232,10 @@ def bootstrap_mean_ci(
     callers round for emission). Replicate means are ordered with the
     replicate id as tiebreak and the bounds picked by the integer
     rank rule rn = ceil(q·b) — deterministic on any engine."""
-    w = F.col("__w")
-    per = (
-        poisson_draws(
-            df.select(F.col(key_col), F.col(value_col).alias("__x")),
-            key_col,
-            b,
-            seed,
-        )
-        .groupBy("__r")
-        .agg(
-            F.sum(w * F.col("__x")).alias("__swx"),
-            F.sum(w).alias("__sw"),
-        )
-        .collect()
+    per, totals = grouped_replicate_partials(
+        df.withColumn("__one", F.lit(1)), "__one", key_col, value_col, b, seed
     )
-    means = sorted(
-        (p["__swx"] / p["__sw"], p["__r"]) for p in per if p["__sw"]
-    )
-    lo_rn = max(math.ceil((alpha / 2) * b), 1)
-    hi_rn = min(math.ceil((1 - alpha / 2) * b), len(means))
-    totals = df.agg(
-        F.count("*").alias("n"), F.sum(value_col).alias("s")
-    ).first()
-    return (
-        int(totals["n"]),
-        totals["s"] / totals["n"],
-        means[lo_rn - 1][0],
-        means[hi_rn - 1][0],
-    )
+    return global_ci_from_partials(per, totals, b, alpha)
 
 
 def poisson_case_sql(u15_sql: str, max_k: int = 8) -> str:
@@ -207,42 +267,7 @@ def bootstrap_group_mean_ci(
     groups × B driver-side rows (metadata-sized for dimension-like
     group columns; for high-cardinality groups, window the rank rule
     instead of collecting)."""
-    w = F.col("__w")
-    per = (
-        poisson_draws(
-            df.select(
-                F.col(key_col),
-                F.col(group_col).alias("__g"),
-                F.col(value_col).alias("__x"),
-            ),
-            key_col,
-            b,
-            seed,
-        )
-        .groupBy("__g", "__r")
-        .agg(F.sum(w * F.col("__x")).alias("__swx"), F.sum(w).alias("__sw"))
-        .collect()
+    per, totals = grouped_replicate_partials(
+        df, group_col, key_col, value_col, b, seed
     )
-    by_group: dict = {}
-    for p in per:
-        if p["__sw"]:
-            by_group.setdefault(p["__g"], []).append(
-                (p["__swx"] / p["__sw"], p["__r"])
-            )
-    totals = {
-        t["__g"]: t
-        for t in df.groupBy(F.col(group_col).alias("__g"))
-        .agg(F.count("*").alias("n"), F.sum(value_col).alias("s"))
-        .collect()
-    }
-    out = []
-    for g in sorted(by_group):
-        means = sorted(by_group[g])
-        lo_rn = max(math.ceil((alpha / 2) * b), 1)
-        hi_rn = min(math.ceil((1 - alpha / 2) * b), len(means))
-        t = totals[g]
-        out.append(
-            (g, int(t["n"]), t["s"] / t["n"],
-             means[lo_rn - 1][0], means[hi_rn - 1][0])
-        )
-    return out
+    return group_cis_from_partials(per, totals, b, alpha)
