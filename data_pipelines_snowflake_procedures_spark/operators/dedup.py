@@ -477,6 +477,38 @@ def token_containment_pairs(
     )
 
 
+#: MinHash permutation family: h_i(s) = (a_i * h(s) + b_i) mod P over a
+#: single 30-bit base hash h(s) = md5(s) mod 2^30 — the standard
+#: affine-universal construction (same family as datasketch's MinHash).
+#: P is the largest prime below 2^30 so a_i * h fits comfortably in a
+#: 64-bit long (< 2^60). ONE md5 per shingle replaces num_perm md5s:
+#: the md5-per-permutation form kept every digest inside an
+#: F.transform lambda, where Spark interprets (no codegen) — measured
+#: 24x more hash work and the dominant cost of the LSH entries.
+_MINHASH_P = 1073741789
+
+
+def minhash_perm_consts(num_perm: int) -> "list[tuple[int, int]]":
+    """Deterministic (a_i, b_i) for the affine permutations, derived
+    from md5 of the permutation index — the SINGLE SOURCE both the
+    Spark operator and the SQL oracle generators read, so the two
+    engines cannot drift."""
+    import hashlib
+
+    out = []
+    for i in range(num_perm):
+        a = (
+            int(hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()[:15], 16)
+            % (_MINHASH_P - 1)
+            + 1
+        )
+        b = int(
+            hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()[:15], 16
+        ) % _MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -484,30 +516,41 @@ def minhash_signatures(
     num_perm: int = 24,
     n: int = 1,
 ) -> DataFrame:
-    """MinHash signatures: permutation i's hash of shingle s is
-    ``md5(i || '|' || s)`` and the signature entry is the minimum over
-    the document's shingle set — the lexicographic-min-of-md5 form of
-    MinHash (any universal hash family works; md5 keeps it portable).
-    Output: (id, sig_0..sig_{num_perm-1}) — one narrow projection."""
+    """MinHash signatures: the document's shingle set hashes once
+    through md5 to a 30-bit base value, and permutation i is the
+    affine map ``(a_i * h + b_i) mod P`` (:func:`minhash_perm_consts`)
+    whose min over the set is signature entry i.
+
+    Output: (id, sig_0..sig_{num_perm-1}) BIGINT columns.
+
+    Plan shape: explode the distinct shingles to rows, compute the ONE
+    md5 + num_perm affine maps as PLAIN PROJECTIONS (whole-stage
+    codegen), then one groupBy(id) whose num_perm MIN aggregates
+    combine map-side — so the shuffle carries one num_perm-wide row
+    per (partition, doc). The previous form evaluated md5 inside
+    F.transform lambdas (interpreted per element per permutation —
+    num_perm md5s per shingle); this form does 24x less hash work and
+    keeps the hot path in codegen. Documents with an empty shingle set
+    produce no signature row (they cannot match anything anyway, and
+    the SQL oracles' GROUP BY restatement drops them identically)."""
     unit = tokens(text_col) if n == 1 else shingles(text_col, n)
     unit = F.array_distinct(unit)
-
-    def seeded_hash(seed: int):
-        # single-arg lambda via closure: a two-arg lambda would bind
-        # the second parameter to the ARRAY INDEX in Spark's HOF
-        # protocol, silently replacing the permutation seed
-        return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
-
-    # Bind the shingle array ONCE before the per-permutation transforms:
-    # Spark does no CSE inside lambda bodies, so referencing the raw
-    # expression would re-tokenize + re-distinct the text num_perm times
-    # per row (measured as GC-thrashing allocation churn at 500k docs).
-    base = df.select(F.col(id_col).alias("id"), unit.alias("__unit"))
-    sigs = [
-        F.array_min(F.transform(F.col("__unit"), seeded_hash(i))).alias(f"sig_{i}")
-        for i in range(num_perm)
+    rows = df.select(
+        F.col(id_col).alias("id"), F.explode(unit).alias("__sh")
+    ).select(
+        "id",
+        (
+            F.conv(F.substring(F.md5("__sh"), 1, 15), 16, 10).cast("long")
+            % F.lit(1073741824)
+        ).alias("__h"),
+    )
+    aggs = [
+        F.min(
+            (F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(_MINHASH_P)
+        ).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_perm_consts(num_perm))
     ]
-    return base.select("id", *sigs)
+    return rows.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(

@@ -740,17 +740,32 @@ def documents_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_sig_sql(unit: str) -> str:
+    """Oracle-side restatement of operators/dedup.py::minhash_signatures'
+    affine permutation family, generated from the SAME
+    minhash_perm_consts table so the two engines cannot drift: a CTE
+    body computing the 30-bit base hash once per (doc, unit) plus the
+    num_perm affine-min aggregates."""
+    from .operators.dedup import _MINHASH_P, minhash_perm_consts
+
+    base = f"(('0x' || substr(md5({unit}), 1, 15))::BIGINT % 1073741824)"
+    aggs = ",\n        ".join(
+        f"min(({a} * h + {b}) % {_MINHASH_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_perm_consts(_NUM_PERM))
+    )
+    return base, aggs
+
+
 def _minhash_lsh_shingles_oracle() -> str:
     """Full-corpus, 3-shingle variant: the configuration that actually
     scales (see minhash_lsh_pairs' docstring / the sf1 probe)."""
-    sig_aggs = ",\n        ".join(
-        f"min(md5('{i}|' || sh)) AS sig_{i}" for i in range(_NUM_PERM)
-    )
+    base_h, sig_aggs = _minhash_sig_sql("sh")
     band_selects = "\n      UNION ALL\n      ".join(
         "SELECT doc_id, {b} AS band, md5({expr}) AS key FROM sigs".format(
             b=b,
             expr=" || '|' || ".join(
-                f"sig_{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+                f"CAST(sig_{b * _ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(_ROWS_PER_BAND)
             ),
         )
         for b in range(_BANDS)
@@ -764,10 +779,11 @@ def _minhash_lsh_shingles_oracle() -> str:
     WITH sh AS (
       SELECT doc_id, unnest({_SHINGLE3_SQL}) AS sh FROM documents
     ),
+    hsh AS (SELECT doc_id, {base_h} AS h FROM sh),
     sigs AS (
       SELECT doc_id,
         {sig_aggs}
-      FROM sh GROUP BY doc_id
+      FROM hsh GROUP BY doc_id
     ),
     bands AS (
       {band_selects}
@@ -810,14 +826,13 @@ def dedup_minhash_lsh_shingles_documents(
 
 
 def _minhash_lsh_oracle() -> str:
-    sig_aggs = ",\n        ".join(
-        f"min(md5('{i}|' || tok)) AS sig_{i}" for i in range(_NUM_PERM)
-    )
+    base_h, sig_aggs = _minhash_sig_sql("tok")
     band_selects = "\n      UNION ALL\n      ".join(
         "SELECT doc_id, {b} AS band, md5({expr}) AS key FROM sigs".format(
             b=b,
             expr=" || '|' || ".join(
-                f"sig_{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+                f"CAST(sig_{b * _ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(_ROWS_PER_BAND)
             ),
         )
         for b in range(_BANDS)
@@ -827,10 +842,11 @@ def _minhash_lsh_oracle() -> str:
       SELECT doc_id, unnest({_TOKSET}) AS tok
       FROM documents WHERE {_PAIR_SUBSET}
     ),
+    hsh AS (SELECT doc_id, {base_h} AS h FROM tok),
     sigs AS (
       SELECT doc_id,
         {sig_aggs}
-      FROM tok GROUP BY doc_id
+      FROM hsh GROUP BY doc_id
     ),
     bands AS (
       {band_selects}
@@ -873,9 +889,7 @@ def dedup_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_estimate_oracle() -> str:
-    sig_aggs = ",\n        ".join(
-        f"min(md5('{i}|' || tok)) AS sig_{i}" for i in range(_NUM_PERM)
-    )
+    base_h, sig_aggs = _minhash_sig_sql("tok")
     matches = " + ".join(
         f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)"
         for i in range(_NUM_PERM)
@@ -885,10 +899,11 @@ def _minhash_estimate_oracle() -> str:
       SELECT doc_id, unnest({_TOKSET}) AS tok
       FROM documents WHERE doc_id < 120
     ),
+    hsh AS (SELECT doc_id, {base_h} AS h FROM tok),
     sigs AS (
       SELECT doc_id,
         {sig_aggs}
-      FROM tok GROUP BY doc_id
+      FROM hsh GROUP BY doc_id
     ),
     {_TSETS_SQL.replace("doc_id < 200", "doc_id < 120")}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -908,7 +923,7 @@ def _minhash_estimate_oracle() -> str:
     doc="MinHash similarity ESTIMATION: estimated Jaccard = matching "
     "signature components / 24, reported next to the exact value for "
     "high-agreement pairs (≥20/24). This is the sketch math LSH "
-    "banding approximates — at 100 TB only signatures (24 strings/doc) "
+    "banding approximates — at 100 TB only signatures (24 longs/doc) "
     "are pairwise-compared, never the token sets.",
 )
 def minhash_estimate_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
