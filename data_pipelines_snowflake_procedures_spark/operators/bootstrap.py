@@ -114,11 +114,15 @@ def poisson_draws(df: DataFrame, key_col: str, b: int, seed: str = "boot") -> Da
     thresholds = poisson1_cdf15()
     blocks = (b + 7) // 8
     ks = F.col(key_col).cast("string")
-    digests = F.transform(
-        F.sequence(F.lit(0), F.lit(blocks - 1)),
-        lambda j: F.md5(F.concat(ks, F.lit(f"|{seed}|"), j.cast("string"))),
+    # explode the block index FIRST, then compute the digest as a plain
+    # projection on the exploded row: md5 inside the transform lambda
+    # was interpreted per element (the repo's measured md5-in-lambda
+    # trap); as a projection it runs in whole-stage codegen
+    d1 = df.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("__j")
+    ).withColumn(
+        "__h", F.md5(F.concat(ks, F.lit(f"|{seed}|"), F.col("__j").cast("string")))
     )
-    d1 = df.select("*", F.posexplode(digests).alias("__j", "__h"))
     u1 = F.conv(F.substring(F.col("__h"), 1, 15), 16, 10).cast("long")
     u2 = F.conv(F.substring(F.col("__h"), 16, 15), 16, 10).cast("long")
     d1 = d1.withColumns({"__u1": u1, "__u2": u2})
