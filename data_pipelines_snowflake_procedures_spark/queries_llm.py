@@ -4647,6 +4647,11 @@ def documents_textrank_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("double").alias("w"))
     )
+    # grouped_pagerank scans its edge frame twice (out-weight aggregate
+    # + fraction join); persist the aggregated half-edges so the
+    # token self-join runs once, not twice — under bench-wide memory
+    # pressure the recomputation dominated the entry
+    ed_half = ed_half.persist()
     ed = ed_half.unionByName(
         ed_half.select(
             "doc_id",
@@ -4660,6 +4665,7 @@ def documents_textrank_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ed, "doc_id", iters=3, weight_col="w", nodes=nodes
     )
     ch.unpersist()
+    ed_half.unpersist()
     w = Window.partitionBy("doc_id").orderBy(F.desc("pr"), F.asc("node"))
     return (
         pr.withColumn("rank_in_doc", F.row_number().over(w))
