@@ -201,6 +201,7 @@ HEADLINE = [
     "events_weekly_churn",
     "events_conversion_latency",
     "events_lead_lag_correlation",
+    "events_hourly_acf",
     "events_changepoint_detection",
     "events_completeness_report",
     "events_mix_drift_days",

@@ -6062,3 +6062,85 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = best.localCheckpoint(eager=True)
     sess.unpersist()
     return best
+
+
+@register(
+    "events_hourly_acf",
+    """
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR,
+                                          CAST(ts AS TIMESTAMP))) / 3600)
+                  AS BIGINT) AS x,
+             count(*)::BIGINT AS y
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, 25)) AS lag),
+    paired AS (
+      SELECT l.lag, h1.y AS a, h2.y AS b
+      FROM lags l
+      JOIN hourly h1 ON TRUE
+      JOIN hourly h2 ON h2.x = h1.x + l.lag
+    ),
+    s AS (
+      SELECT lag, count(*)::BIGINT AS n,
+             sum(a)::BIGINT AS sa, sum(b)::BIGINT AS sb,
+             sum(a * b)::HUGEINT AS sab,
+             sum(a * a)::HUGEINT AS saa, sum(b * b)::HUGEINT AS sbb
+      FROM paired GROUP BY lag
+    )
+    SELECT lag, n,
+           round((n * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb)
+                 / sqrt((n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa)
+                        * (n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb)),
+                 6) AS acf
+    FROM s ORDER BY lag
+    """,
+    doc="Autocorrelation function of hourly event volume at lags "
+    "1..24 — the seasonality detector that motivates the 24h-period "
+    "Holt-Winters/STL entries (a daily cycle shows as the acf peak "
+    "at lag 24): the lead-lag Pearson machinery applied to the "
+    "series against itself, each lag's correlation from integer "
+    "sufficient statistics (counts and HUGEINT/decimal "
+    "cross-products, bit-identical cross-engine). Lag shifts are "
+    "equi-joins on integer epoch-hour — no ordered window; the "
+    "hourly frame is time-dimension-sized, so the whole ACF costs "
+    "one count aggregate at any corpus scale.",
+)
+def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    hourly = ev.groupBy(
+        F.floor(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600
+        ).cast("long").alias("x")
+    ).agg(F.count("*").alias("y"))
+    lags = spark.range(1, 25).select(F.col("id").alias("lag"))
+    h1 = hourly.select("x", F.col("y").alias("a"))
+    h2 = hourly.select(F.col("x").alias("x2"), F.col("y").alias("b"))
+    paired = (
+        F.broadcast(lags)
+        .crossJoin(h1)
+        .join(h2, F.col("x2") == F.col("x") + F.col("lag"))
+    )
+    s = paired.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")).alias("sab"),
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("a")).alias("saa"),
+        F.sum(F.col("b").cast("decimal(38,0)") * F.col("b")).alias("sbb"),
+    )
+    n = F.col("n")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb")
+    sab = F.col("sab").cast("double")
+    saa = F.col("saa").cast("double")
+    sbb = F.col("sbb").cast("double")
+    return s.select(
+        "lag",
+        "n",
+        F.round(
+            (n * sab - sa * sb)
+            / F.sqrt((n * saa - sa * F.col("sa")) * (n * sbb - sb.cast("double") * sb)),
+            6,
+        ).alias("acf"),
+    ).orderBy("lag")

@@ -77,3 +77,27 @@ def test_peak_concurrency_touching_sessions_count_as_concurrent(
     assert r.n_sessions == 2
     assert r.peak_concurrent == 2
     assert r.peak_at == "2024-01-01 00:10:00"
+
+
+def test_acf_detects_exact_periodicity(spark, monkeypatch):
+    # a strictly period-3 hourly series: acf at lag 3 must be exactly 1
+    import data_pipelines_snowflake_procedures_spark.queries_events as qe
+
+    rows = []
+    for h in range(90):
+        # volume pattern 1, 2, 6 repeating; distinct user ids so
+        # count(*) per hour reproduces the pattern exactly
+        n = [1, 2, 6][h % 3]
+        for u in range(n):
+            rows.append((u, dt.datetime(2024, 1, 1, 0, 0, 0)
+                         + dt.timedelta(hours=h)))
+    ev = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP")
+    monkeypatch.setattr(qe, "load_table", lambda s, d, t: ev)
+    from data_pipelines_snowflake_procedures_spark.queries import REGISTRY
+
+    acf = {
+        r.lag: r.acf
+        for r in REGISTRY["events_hourly_acf"].spark_fn(spark, "x").collect()
+    }
+    assert acf[3] == 1.0 and acf[6] == 1.0
+    assert acf[1] < 0  # within-period lags anti-correlate for this pattern
