@@ -467,10 +467,16 @@ def grouped_pagerank(
     mass); defaults to edge endpoints. Returns (group, node, pr)."""
     g = group_col
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    # persist the normalized edge list: it feeds the default nodes
+    # frame (two scans), the out-weight aggregate, and the fraction
+    # join — unpersisted, the caller's whole edge-construction plan
+    # (often a join+groupBy) would execute up to four times (the
+    # textrank in-bench lesson: recomputation also inflates every
+    # LATER query via memory pressure)
     e = edges.select(
         F.col(g), F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
         w.alias("w"),
-    )
+    ).persist()
     if nodes is None:
         nodes = (
             e.select(g, F.col("src").alias("node"))
@@ -529,4 +535,5 @@ def grouped_pagerank(
     nodes.unpersist()
     frac.unpersist()
     base.unpersist()
+    e.unpersist()
     return out

@@ -1979,12 +1979,19 @@ def trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w",
         )
     )
+    # persist: the mirror union references pairs twice, so the
+    # lineitem-orders join+aggregate would otherwise execute twice
+    # (pagerank's result is an eager checkpoint, so the release below
+    # is safe)
+    pairs = pairs.persist()
     edges = pairs.unionByName(
         pairs.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     )
-    return pagerank(edges, iters=3, weight_col="w")
+    out = pagerank(edges, iters=3, weight_col="w")
+    pairs.unpersist()
+    return out
 
 
 
@@ -2196,8 +2203,11 @@ def trade_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
+        .persist()  # label_propagation symmetrizes = two scans of pairs
     )
-    return label_propagation(pairs, iters=2)
+    out = label_propagation(pairs, iters=2)
+    pairs.unpersist()
+    return out
 
 
 @register(

@@ -3833,7 +3833,9 @@ def documents_centrality_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame
     from .operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    pairs = token_jaccard_pairs(docs, threshold=0.5)
+    # persist: the mirror union + pagerank's internal consumers would
+    # otherwise re-run the inverted-index jaccard join per scan
+    pairs = token_jaccard_pairs(docs, threshold=0.5).persist()
     half = pairs.select(
         F.col("doc_a").alias("src"),
         F.col("doc_b").alias("dst"),
@@ -3844,9 +3846,11 @@ def documents_centrality_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     )
-    return pagerank(edges, iters=3, weight_col="w").select(
+    out = pagerank(edges, iters=3, weight_col="w").select(
         F.col("node").cast("long").alias("node"), "pr"
     )
+    pairs.unpersist()
+    return out
 
 
 @register(
