@@ -98,6 +98,10 @@ def topk_sparsify(
     w_n = Window.partitionBy("node").orderBy(
         F.col("w").desc(), F.col("nbr").asc()
     )
+    # persist the caller's edge frame: the symmetrizing union scans it
+    # twice, and unpersisted that re-runs the (often join+aggregate)
+    # co-occurrence build — the scan-twice audit rule
+    edges = edges.persist()
     sym = edges.select(
         F.col(src_col).alias("node"),
         F.col(dst_col).alias("nbr"),
@@ -114,13 +118,16 @@ def topk_sparsify(
         .withColumn("rn", F.row_number().over(w_n))
         .filter(F.col("rn") <= k)
     )
-    return (
+    out = (
         kept.select(
             F.least("node", "nbr").alias("a"),
             F.greatest("node", "nbr").alias("b"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    edges.unpersist()
+    return out
 
 
 def triangle_count(
