@@ -188,25 +188,29 @@ _BOX = (96, 159, 64, 127)
 def orders_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo_x, hi_x, lo_y, hi_y = _BOX
     q = _quantized_orders(spark, sf_dir)
-    laid = (
-        q.select(F.lit("natural").alias("layout"), F.col("qk").alias("blk"), "qx", "qy")
-        .unionByName(
-            q.select(
-                F.lit("date_sorted").alias("layout"),
-                F.col("qy").alias("blk"),
-                "qx",
-                "qy",
+    # one scan, three (layout, blk) rows per order via explode — a
+    # 3-way union of selects over q would execute the scan + quantize
+    # three times (the scan-twice audit rule); the exploded struct
+    # array is the single-pass form of the same relation
+    laid = q.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("natural").alias("layout"), F.col("qk").alias("blk")
+                ),
+                F.struct(
+                    F.lit("date_sorted").alias("layout"),
+                    F.col("qy").alias("blk"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.shiftright("zkey", 8).cast("long").alias("blk"),
+                ),
             )
-        )
-        .unionByName(
-            q.select(
-                F.lit("zorder").alias("layout"),
-                F.shiftright("zkey", 8).cast("long").alias("blk"),
-                "qx",
-                "qy",
-            )
-        )
-    )
+        ).alias("lb"),
+        "qx",
+        "qy",
+    ).select(F.col("lb.layout").alias("layout"), F.col("lb.blk").alias("blk"), "qx", "qy")
     in_box = (
         F.col("qx").between(lo_x, hi_x) & F.col("qy").between(lo_y, hi_y)
     ).cast("long")
