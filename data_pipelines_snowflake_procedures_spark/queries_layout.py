@@ -179,9 +179,9 @@ _BOX = (96, 159, 64, 127)
     "exact-integer row per layout: blocks_read / rows_read collapse "
     "from ~all-blocks (natural), through one-dimension-pruned "
     "(date_sorted reads every date-matching block regardless of "
-    "price), to both-dimensions-pruned (zorder). Plan: one scan, one "
-    "3×-stack union, one O(3·blocks) groupBy — no window, no second "
-    "pass; the layouts differ only in which integer becomes the "
+    "price), to both-dimensions-pruned (zorder). Plan: ONE scan "
+    "exploding 3 (layout, block) rows per order, one O(3·blocks) "
+    "groupBy — no window, no second pass; the layouts differ only in which integer becomes the "
     "block id, exactly how a real table rewrite differs only in sort "
     "key. Oracle restates all three layouts from the same CTE.",
 )
