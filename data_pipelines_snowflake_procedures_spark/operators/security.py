@@ -312,6 +312,8 @@ def l_diversity_report(
     re-aggregate per level — both partial-aggregable; nothing beyond
     the class dimension is ever held. Complements
     :func:`k_anonymity_report` (same quasi_sets contract)."""
+    if not quasi_sets:
+        raise ValueError("quasi_sets must be non-empty")
     out = None
     for name, exprs in quasi_sets.items():
         cells = df.groupBy(*exprs, F.col(sensitive_col).alias("__s")).agg(

@@ -6113,6 +6113,9 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600
         ).cast("long").alias("x")
     ).agg(F.count("*").alias("y"))
+    # hourly feeds BOTH join sides: persist so the events scan +
+    # groupBy runs once, not twice (same contract as theilsen above).
+    hourly = hourly.persist()
     lags = spark.range(1, 25).select(F.col("id").alias("lag"))
     h1 = hourly.select("x", F.col("y").alias("a"))
     h2 = hourly.select(F.col("x").alias("x2"), F.col("y").alias("b"))
@@ -6135,7 +6138,7 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sab = F.col("sab").cast("double")
     saa = F.col("saa").cast("double")
     sbb = F.col("sbb").cast("double")
-    return s.select(
+    out = s.select(
         "lag",
         "n",
         F.round(
@@ -6144,3 +6147,6 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf"),
     ).orderBy("lag")
+    out = out.localCheckpoint(eager=True)
+    hourly.unpersist()
+    return out

@@ -19,6 +19,10 @@ def _canon_cell(v: Any) -> Any:
         # `-0.0 == 0.0` made the r6 `events_hourly_stl` driver failure
         # invisible locally (the driver's value hash is sign-sensitive),
         # so float cells compare by a representation that keeps the sign.
+        # Intentionally strict: a DOUBLE 1.0 on one engine vs BIGINT 1 on
+        # the other does NOT compare equal here — the driver's value hash
+        # is type-sensitive the same way, and entries are required to cast
+        # both engines to the same type anyway.
         return repr(round(v, 9))
     if hasattr(v, "isoformat"):
         return v.isoformat()
