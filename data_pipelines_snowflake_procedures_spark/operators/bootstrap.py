@@ -12,31 +12,45 @@ surface; north-star extension). Public method: Poisson/online
 bootstrap as described in e.g. Chamandy et al., "Estimating
 uncertainty for massive data streams" (Google, 2012).
 
-Determinism contract: weights derive from md5, not an RNG. One md5
-per (row, 8-replicate block); the digest's two 15-hex-digit halves
-parse to two 60-bit integers, each yielding four 15-bit uniforms by
-shift-and-mask; each uniform maps to a Poisson(1) draw through the
-integer-threshold inverse CDF in :func:`poisson1_cdf15` (CDF values
-pre-scaled by 2^15 and floored, so the comparison is integer-exact
-and restatable in any SQL engine). Weighted sums stay on integer
-inputs (callers pass integer-unit measures, e.g. cents) — partial
-sums are exact, hash-exact cross-engine.
+Determinism contract: weights derive from md5, not an RNG. ONE md5
+per row: the digest's two 15-hex-digit halves reduce mod 2^30 to the
+row's base pair (h0a, h0b), and replicate r's 15-bit uniform is
+``((a_r*h0a + c_r*h0b + d_r) mod P) & 32767`` with per-replicate
+constants from :func:`boot_perm_consts` (md5-derived — the single
+source both the Spark operator and the SQL oracles read) and P the
+largest prime below 2^30, so every product stays well inside a
+signed 64-bit long on both engines. Each uniform maps to a
+Poisson(1) draw through the integer-threshold inverse CDF in
+:func:`poisson1_cdf15` (CDF values pre-scaled by 2^15 and floored,
+so the comparison is integer-exact and restatable in any SQL
+engine). Weighted sums stay on integer inputs (callers pass
+integer-unit measures, e.g. cents) — partial sums are exact,
+hash-exact cross-engine.
 
-Why this exact derivation: the naive "one conv per 4 hex digits"
-costs b string-parses per row, and referencing that expression from
-an 8-arm CASE duplicates it per arm — measured 60 s at sf0.1.
-Two convs + eight integer shift/masks per digest keep the whole hot
-path in cheap codegen arithmetic (measured ~6× faster end-to-end).
+Why this exact derivation: md5 is the hot term, so the scheme calls
+it once per row, not once per 8 replicates. The round-7 form (one
+digest per 8-replicate block: ⌈B/8⌉ md5+2×conv string-parses per
+row) spent ~25 digests/row at B=200 — the measured 8.0 s at sf0.1
+was almost entirely hash work. The affine-universal expansion is the
+same construction that took MinHash from 24 interpreted md5s to one
+(operators/dedup.py): per replicate, (h0a, h0b) -> u15 is a
+pairwise-independent family, which is the standard large-scale
+substitute for fresh hashes per replicate (the Poisson bootstrap
+itself already tolerates O(√n) replicate-size noise far larger than
+any family-vs-iid effect on the CI quantiles). An 8-arm CASE still
+never sees a compound input: the uniform is MATERIALIZED as a column
+before the inverse-CDF CASE (the measured CASE-arm-duplication
+trap).
 
-Scale shape: digests explode first (⌈b/8⌉ rows per input row), the
-per-digest slots are PLAIN projected expressions, and the Poisson
-CASE evaluates against the MATERIALIZED 15-bit column after the
-second explode — so nothing expensive is ever inside a lambda or
-duplicated across CASE arms. groupBy(replicate) looks like a B×
-blow-up but map-side partial aggregation collapses each partition to
-≤B rows before the exchange — the shuffle carries B × partitions
-rows, and the final percentile rule runs over B rows on the driver
-(the k-means/PQ "model state is driver metadata" contract).
+Scale shape: the per-replicate constants explode from one
+CONSTANT-FOLDED literal array (b rows per input row, no join), the
+base pair and the uniform are PLAIN projected expressions, and
+everything past the single md5 is whole-stage-codegen integer
+arithmetic. groupBy(replicate) looks like a B× blow-up but map-side
+partial aggregation collapses each partition to ≤B rows before the
+exchange — the shuffle carries B × partitions rows, and the final
+percentile rule runs over B rows on the driver (the k-means/PQ
+"model state is driver metadata" contract).
 """
 
 from __future__ import annotations
@@ -72,20 +86,58 @@ def _poisson_weight(u15: Column, thresholds: list[int]) -> Column:
     return w
 
 
-def _digest_halves(key: Column, j: "Column | int", seed: str) -> tuple[Column, Column]:
-    """The two 60-bit integers of block j's md5 digest."""
-    jj = j if isinstance(j, Column) else F.lit(j)
-    h = F.md5(F.concat(key.cast("string"), F.lit(f"|{seed}|"), jj.cast("string")))
+#: Largest prime below 2^30 — same affine-universal family modulus as
+#: the MinHash permutations (operators/dedup.py::_MINHASH_P). With
+#: 30-bit bases and sub-P constants, a_r*h0a + c_r*h0b + d_r < 2^62:
+#: comfortably inside a signed 64-bit long on Spark AND DuckDB.
+_BOOT_P = 1073741789
+_BOOT_M30 = 1073741824  # 2^30: base-pair reduction modulus
+
+
+def boot_perm_consts(b: int, seed: str = "boot") -> "list[tuple[int, int, int]]":
+    """Deterministic per-replicate affine constants ``(a_r, c_r, d_r)``
+    derived from md5 of the replicate index — the SINGLE SOURCE both
+    the Spark operator and the SQL oracle generators read, so the two
+    engines cannot drift (the MinHash ``minhash_perm_consts``
+    contract)."""
+    import hashlib
+
+    out = []
+    for r in range(b):
+        a = (
+            int(hashlib.md5(f"boot-a-{seed}-{r}".encode()).hexdigest()[:15], 16)
+            % (_BOOT_P - 1)
+            + 1
+        )
+        c = (
+            int(hashlib.md5(f"boot-c-{seed}-{r}".encode()).hexdigest()[:15], 16)
+            % (_BOOT_P - 1)
+            + 1
+        )
+        d = int(
+            hashlib.md5(f"boot-d-{seed}-{r}".encode()).hexdigest()[:15], 16
+        ) % _BOOT_P
+        out.append((a, c, d))
+    return out
+
+
+def _base_halves(key: Column, seed: str) -> tuple[Column, Column]:
+    """The row's 30-bit base pair: the two 60-bit halves of ONE md5
+    digest, reduced mod 2^30."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(f"|{seed}")))
     return (
-        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
-        F.conv(F.substring(h, 16, 15), 16, 10).cast("long"),
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % F.lit(_BOOT_M30),
+        F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % F.lit(_BOOT_M30),
     )
 
 
-def _slot_u15(u1: Column, u2: Column, s: int) -> Column:
-    """15-bit uniform for slot s (0-7) of a digest's two halves."""
-    src = u1 if s < 4 else u2
-    return F.shiftright(src, 15 * (s % 4)).bitwiseAND(F.lit(32767))
+def _slot_u15(h0a: Column, h0b: Column, const: "tuple[int, int, int]") -> Column:
+    """Replicate's 15-bit uniform from the row base pair and its
+    affine constants."""
+    a, c, d = const
+    return (
+        (F.lit(a) * h0a + F.lit(c) * h0b + F.lit(d)) % F.lit(_BOOT_P)
+    ).bitwiseAND(F.lit(32767))
 
 
 def poisson_weights(key: Column, b: int, seed: str = "boot") -> Column:
@@ -93,48 +145,62 @@ def poisson_weights(key: Column, b: int, seed: str = "boot") -> Column:
     the readable array-form SPEC of the draw scheme (asserted
     draw-identical to the hot-path :func:`poisson_draws` in tests).
     Narrow expression; prefer :func:`poisson_draws` on data-sized
-    inputs (lambda-interpreted md5 makes this form slower)."""
+    inputs (the compound conv(md5) base re-evaluates per replicate in
+    this form)."""
     thresholds = poisson1_cdf15()
-    blocks = (b + 7) // 8
-    cols = []
-    for j in range(blocks):
-        u1, u2 = _digest_halves(key, j, seed)
-        for s in range(8):
-            cols.append(_poisson_weight(_slot_u15(u1, u2, s), thresholds))
-    return F.slice(F.array(*cols), 1, b)
+    h0a, h0b = _base_halves(key, seed)
+    cols = [
+        _poisson_weight(_slot_u15(h0a, h0b, const), thresholds)
+        for const in boot_perm_consts(b, seed)
+    ]
+    return F.array(*cols)
 
 
 def poisson_draws(df: DataFrame, key_col: str, b: int, seed: str = "boot") -> DataFrame:
     """Exploded hot-path form of :func:`poisson_weights`: appends
-    ``(__r, __w)`` — one row per (input row, replicate). The ⌈b/8⌉
-    digests explode first; the two convs and eight shift/mask slots
-    are plain projections; the inverse-CDF CASE runs on the
-    materialized 15-bit column after the second explode. Everything
-    past the digest transform is whole-stage-codegen arithmetic."""
+    ``(__r, __w)`` — one row per (input row, replicate). ONE md5 per
+    input row projects the base pair; the per-replicate constants
+    posexplode from a literal array (constant-folded — no per-row
+    construction, no join); the uniform is a plain projection; the
+    inverse-CDF CASE runs on the MATERIALIZED 15-bit column.
+    Everything past the single digest is whole-stage-codegen integer
+    arithmetic.
+
+    Parallelism guard: the b× row fanout MULTIPLIES the scan's
+    parallelism — a small single-file parquet scan arrives as ONE
+    partition, which would serialize a b×n-row explode+aggregate on
+    one core (measured: the entire entry cost at sf0.1 was this, not
+    the hash arithmetic). When the input has fewer partitions than
+    the session default, repartition BEFORE the explode: a shuffle of
+    n narrow rows buys b×n-row parallel fanout. At real scale the
+    scan already arrives wide and the guard is a no-op."""
     thresholds = poisson1_cdf15()
-    blocks = (b + 7) // 8
-    ks = F.col(key_col).cast("string")
-    # explode the block index FIRST, then compute the digest as a plain
-    # projection on the exploded row: md5 inside the transform lambda
-    # was interpreted per element (the repo's measured md5-in-lambda
-    # trap); as a projection it runs in whole-stage codegen
-    d1 = df.select(
-        "*", F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("__j")
-    ).withColumn(
-        "__h", F.md5(F.concat(ks, F.lit(f"|{seed}|"), F.col("__j").cast("string")))
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    h0a, h0b = _base_halves(F.col(key_col), seed)
+    d1 = df.withColumns({"__h0a": h0a, "__h0b": h0b})
+    consts = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("a"), F.lit(c).alias("c"), F.lit(d).alias("d")
+            )
+            for a, c, d in boot_perm_consts(b, seed)
+        ]
     )
-    u1 = F.conv(F.substring(F.col("__h"), 1, 15), 16, 10).cast("long")
-    u2 = F.conv(F.substring(F.col("__h"), 16, 15), 16, 10).cast("long")
-    d1 = d1.withColumns({"__u1": u1, "__u2": u2})
-    slots = F.array(
-        *[_slot_u15(F.col("__u1"), F.col("__u2"), s) for s in range(8)]
-    )
-    d2 = d1.select("*", F.posexplode(slots).alias("__s", "__u"))
+    d2 = d1.select("*", F.posexplode(consts).alias("__r", "__k"))
+    u = (
+        (
+            F.col("__k.a") * F.col("__h0a")
+            + F.col("__k.c") * F.col("__h0b")
+            + F.col("__k.d")
+        )
+        % F.lit(_BOOT_P)
+    ).bitwiseAND(F.lit(32767))
+    d2 = d2.withColumn("__u", u)
     return (
         d2.withColumn("__w", _poisson_weight(F.col("__u"), thresholds))
-        .withColumn("__r", F.col("__j") * 8 + F.col("__s"))
-        .filter(F.col("__r") < b)
-        .drop("__j", "__h", "__s", "__u", "__u1", "__u2")
+        .drop("__h0a", "__h0b", "__k", "__u")
     )
 
 

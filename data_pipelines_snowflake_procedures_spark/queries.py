@@ -3244,14 +3244,25 @@ def orders_replica_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _boot_consts_values(b: int) -> str:
+    """The per-replicate affine constants as a SQL VALUES table —
+    read from the SAME Python source as the Spark operator
+    (operators/bootstrap.py::boot_perm_consts), so the engines
+    cannot drift."""
+    from .operators.bootstrap import boot_perm_consts
+
+    return ", ".join(
+        f"({r}, {a}::BIGINT, {c}::BIGINT, {d}::BIGINT)"
+        for r, (a, c, d) in enumerate(boot_perm_consts(b))
+    )
+
+
+_BOOT_U15_SQL = "(((a * h0a + c * h0b + d) % 1073741789) & 32767)"
+
+
 def _bootstrap_oracle(b: int = 200) -> str:
     from .operators.bootstrap import poisson_case_sql
 
-    blocks = b // 8
-    u15 = (
-        "((CASE WHEN s < 4 THEN u1 >> (15 * s) "
-        "ELSE u2 >> (15 * (s - 4)) END) & 32767)"
-    )
     lo_rn = -(-b * 25 // 1000)  # ceil(0.025 b)
     hi_rn = -(-b * 975 // 1000)
     return f"""
@@ -3261,16 +3272,16 @@ def _bootstrap_oracle(b: int = 200) -> str:
       FROM orders
     ),
     dg AS (
-      SELECT k, cents, j,
-             ('0x' || substr(md5(CAST(k AS VARCHAR) || '|boot|' ||
-                                 CAST(j AS VARCHAR)), 1, 15))::BIGINT AS u1,
-             ('0x' || substr(md5(CAST(k AS VARCHAR) || '|boot|' ||
-                                 CAST(j AS VARCHAR)), 16, 15))::BIGINT AS u2
-      FROM src, range({blocks}) t1(j)
+      SELECT k, cents,
+             ('0x' || substr(md5(CAST(k AS VARCHAR) || '|boot'),
+                             1, 15))::BIGINT % 1073741824 AS h0a,
+             ('0x' || substr(md5(CAST(k AS VARCHAR) || '|boot'),
+                             16, 15))::BIGINT % 1073741824 AS h0b
+      FROM src
     ),
     w AS (
-      SELECT 8 * j + s AS r, cents, {poisson_case_sql(u15)} AS w
-      FROM dg, range(8) t2(s)
+      SELECT r, cents, {poisson_case_sql(_BOOT_U15_SQL)} AS w
+      FROM dg, (VALUES {_boot_consts_values(b)}) consts(r, a, c, d)
     ),
     m AS (
       SELECT r, sum(w * cents)::BIGINT AS swx, sum(w)::BIGINT AS sw
@@ -3325,8 +3336,9 @@ def _orders_boot_partials(spark: SparkSession, sf_dir: str):
     "POISSON bootstrap (operators/bootstrap.py) — the resampling "
     "method that works at 100 TB: instead of B index-resampled "
     "passes, every row carries B=200 deterministic Poisson(1) "
-    "weights (md5-derived 16-bit uniforms through an integer-"
-    "threshold inverse CDF, ~1 md5 per 8 replicates) and all "
+    "weights (ONE md5 per row -> 30-bit base pair -> per-replicate "
+    "affine-universal 15-bit uniforms through an integer-threshold "
+    "inverse CDF; the MinHash one-digest construction) and all "
     "replicates accumulate in ONE pass. posexplode + groupBy looks "
     "like a B× blow-up, but map-side partial aggregation collapses "
     "each partition to <= B rows before the exchange — the shuffle "
@@ -3357,10 +3369,6 @@ def orders_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _group_bootstrap_oracle(b: int = 200) -> str:
     from .operators.bootstrap import poisson_case_sql
 
-    u15 = (
-        "((CASE WHEN s < 4 THEN u1 >> (15 * s) "
-        "ELSE u2 >> (15 * (s - 4)) END) & 32767)"
-    )
     lo_rn = -(-b * 25 // 1000)
     hi_rn = -(-b * 975 // 1000)
     return f"""
@@ -3370,16 +3378,16 @@ def _group_bootstrap_oracle(b: int = 200) -> str:
       FROM orders
     ),
     dg AS (
-      SELECT g, cents, j,
-             ('0x' || substr(md5(CAST(k AS VARCHAR) || '|boot|' ||
-                                 CAST(j AS VARCHAR)), 1, 15))::BIGINT AS u1,
-             ('0x' || substr(md5(CAST(k AS VARCHAR) || '|boot|' ||
-                                 CAST(j AS VARCHAR)), 16, 15))::BIGINT AS u2
-      FROM src, range({b // 8}) t1(j)
+      SELECT g, cents,
+             ('0x' || substr(md5(CAST(k AS VARCHAR) || '|boot'),
+                             1, 15))::BIGINT % 1073741824 AS h0a,
+             ('0x' || substr(md5(CAST(k AS VARCHAR) || '|boot'),
+                             16, 15))::BIGINT % 1073741824 AS h0b
+      FROM src
     ),
     w AS (
-      SELECT g, 8 * j + s AS r, cents, {poisson_case_sql(u15)} AS w
-      FROM dg, range(8) t2(s)
+      SELECT g, r, cents, {poisson_case_sql(_BOOT_U15_SQL)} AS w
+      FROM dg, (VALUES {_boot_consts_values(b)}) consts(r, a, c, d)
     ),
     m AS (
       SELECT g, r, sum(w * cents)::BIGINT AS swx, sum(w)::BIGINT AS sw
