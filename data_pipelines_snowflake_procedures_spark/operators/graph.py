@@ -44,6 +44,7 @@ def pagerank(
     decimals: int = 6,
     iter_decimals: int = 9,
     checkpoint_every: int = 4,
+    broadcast_max_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Weighted PageRank over an edge list; returns ``(node, pr)``.
 
@@ -71,6 +72,7 @@ def pagerank(
         decimals=decimals,
         iter_decimals=iter_decimals,
         checkpoint_every=checkpoint_every,
+        broadcast_max_nodes=broadcast_max_nodes,
     )
     return out.drop("__g")
 
@@ -290,6 +292,7 @@ def label_propagation(
     iters: int = 2,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_max_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Synchronous label propagation (community detection): every node
     starts labeled with its own id; each iteration relabels every node
@@ -317,16 +320,16 @@ def label_propagation(
         .persist()
     )
     nodes = sym.select("node").distinct().persist()
-    nodes.count()
+    # labels/winners are node-sized; below the threshold broadcast
+    # them into the edge-sized joins so the symmetrized edge list is
+    # never re-shuffled per iteration (the grouped_pagerank policy —
+    # all-integer here, so not even a float-order question)
+    small = nodes.count() <= broadcast_max_nodes
     labels = nodes.withColumn("label", F.col("node"))
     for _ in range(iters):
+        lab = labels.select(F.col("node").alias("nbr"), F.col("label"))
         counts = (
-            sym.join(
-                labels.select(
-                    F.col("node").alias("nbr"), F.col("label")
-                ),
-                "nbr",
-            )
+            sym.join(F.broadcast(lab) if small else lab, "nbr")
             .groupBy("node", "label")
             .agg(F.count("*").alias("cnt"))
         )
@@ -340,7 +343,7 @@ def label_propagation(
         )
         labels = (
             nodes.join(labels, "node")
-            .join(winners, "node", "left")
+            .join(F.broadcast(winners) if small else winners, "node", "left")
             .select(
                 "node",
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
@@ -460,6 +463,7 @@ def grouped_pagerank(
     decimals: int = 6,
     iter_decimals: int = 9,
     checkpoint_every: int = 4,
+    broadcast_max_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Per-group PageRank: many independent graphs (one per
     ``group_col`` value — e.g. one sentence-similarity graph per
@@ -493,10 +497,24 @@ def grouped_pagerank(
     else:
         nodes = nodes.select(g, "node").distinct()
     nodes = nodes.persist()
+    # node-sized frames (ranks, inflow) are the SMALL side of every
+    # iteration join against the edge-sized frac frame; when the total
+    # node count is actually small, broadcasting them removes the
+    # per-iteration shuffle of the WHOLE edge list (measured: the
+    # dominant per-iteration cost on the sf0.1 trade graph — 1.17M
+    # edge rows re-shuffled 3x to meet 16k rank rows). The count is
+    # one cheap job over the persisted nodes frame and also
+    # materializes the persists up front. Above the threshold
+    # (~tens of MB serialized) fall back to shuffle joins — a
+    # billion-node forest must NOT broadcast.
+    n_nodes = nodes.count()
+    small = n_nodes <= broadcast_max_nodes
     nn = nodes.groupBy(g).agg(F.count("*").cast("double").alias("c"))
     out_w = e.groupBy(g, "src").agg(F.sum("w").alias("ow"))
+    # out_w and nn are node-/group-sized too: under the threshold the
+    # construction joins keep the edge list unshuffled as well
     frac = (
-        e.join(out_w, [g, "src"])
+        e.join(F.broadcast(out_w) if small else out_w, [g, "src"])
         .select(g, "src", "dst", (F.col("w") / F.col("ow")).alias("frac"))
         .persist()
     )
@@ -504,22 +522,24 @@ def grouped_pagerank(
     # teleport term — materialize it once instead of re-running the
     # nodes⋈counts shuffle per iteration (values identical; one fewer
     # shuffle per pass over the whole forest)
-    base = nodes.join(nn, g).select(g, "node", "c").persist()
+    base = nodes.join(F.broadcast(nn) if small else nn, g).select(
+        g, "node", "c"
+    ).persist()
     pr = base.select(
         g, "node", F.round(F.lit(1.0) / F.col("c"), iter_decimals).alias("pr")
     )
     for i in range(iters):
+        ranks = pr.select(g, F.col("node").alias("src"), "pr")
         inflow = (
-            frac.join(
-                pr.select(g, F.col("node").alias("src"), "pr"), [g, "src"]
-            )
+            frac.join(F.broadcast(ranks) if small else ranks, [g, "src"])
             .groupBy(g, "dst")
             .agg(F.sum(F.col("frac") * F.col("pr")).alias("inflow"))
         )
+        inf = inflow.select(g, F.col("dst").alias("node"), "inflow")
         pr = (
             base
             .join(
-                inflow.select(g, F.col("dst").alias("node"), "inflow"),
+                F.broadcast(inf) if small else inf,
                 [g, "node"],
                 "left",
             )
