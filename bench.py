@@ -344,17 +344,23 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     total = round(time.perf_counter() - total0, 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # The driver's BENCH_r{N}.json truncates this stdout line, so the
+    # full per-query map also lands at a stable judge-readable path
+    # (VERDICT r7 #6). Overwritten per run; COVERAGE.md references it.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "var", "BENCH_full.json"), "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
     spark.stop()
 
 

@@ -351,3 +351,99 @@ def l_diversity_report(
         .alias("exposed_bp"),
         "max_value_share_bp",
     ).orderBy("level")
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_sets: "dict[str, list]",
+    sensitive_col: str,
+    m: int,
+    t_bp: int = 2000,
+) -> DataFrame:
+    """Distribution-disclosure audit (Li, Li & Venkatasubramanian 2007,
+    t-closeness for an ORDERED sensitive attribute): l-diversity counts
+    distinct sensitive values per class but is blind to SKEW — a class
+    whose balance-band distribution is (0.97, 0.01, 0.01, 0.01) in a
+    population at (0.25, 0.25, 0.25, 0.25) leaks almost as much as a
+    homogeneous one. t-closeness bounds the Earth Mover's Distance
+    between each class's sensitive distribution and the global one.
+
+    ``sensitive_col`` must hold ordinal bins 0..m-1. For an ordered
+    attribute EMD = (1/(m-1)) * sum_i |cum_p_i - cum_q_i|; with class
+    cumulative counts c_i (of ``size``) and global cumulative counts
+    g_i (of ``n_total``), each term is the exact integer
+    |c_i*n_total - g_i*size| over size*n_total — so the basis-point
+    EMD is pure integer arithmetic, restatable in any SQL engine. The
+    cross-products run in DECIMAL(38,0) (HUGEINT on the oracle side):
+    at petabyte row counts c_i*n_total overflows a long.
+
+    Per level reports: class count, worst EMD (basis points), classes
+    over the ``t_bp`` threshold, rows inside them and their share.
+
+    Plan shape: one (QI..., bin) groupBy, one O(classes) re-aggregate
+    with the m cumulative counts as plain conditional sums (m is a
+    schema constant, not data), and a broadcast of the 1-row global
+    distribution — the same two-aggregate skeleton as
+    :func:`k_anonymity_report`/:func:`l_diversity_report`, completing
+    the k-anonymity / l-diversity / t-closeness triad."""
+    if not quasi_sets:
+        raise ValueError("quasi_sets must be non-empty")
+    if m < 2:
+        raise ValueError("m must be >= 2 (ordered bins 0..m-1)")
+    s = F.col("__s")
+    cums = [
+        F.sum(F.when(s <= i, F.col("n")).otherwise(0)).alias(f"c{i}")
+        for i in range(m - 1)
+    ]
+    out = None
+    for name, exprs in quasi_sets.items():
+        cells = df.groupBy(*exprs, F.col(sensitive_col).alias("__s")).agg(
+            F.count("*").alias("n")
+        )
+        qi_cols = [c for c in cells.columns if c not in ("__s", "n")]
+        classes = cells.groupBy(*qi_cols).agg(
+            F.sum("n").alias("size"), *cums
+        )
+        glob = cells.groupBy().agg(
+            F.sum("n").alias("n_total"),
+            *[c.alias(f"g{i}") for i, c in enumerate(cums)],
+        )
+        # integer division via `div` (truncates toward zero in Spark,
+        # floors in DuckDB `//` — identical on these all-positive
+        # operands; decimal `/` would ROUND in Spark and floor in
+        # DuckDB, the cross-engine trap)
+        num_sql = " + ".join(
+            f"abs(CAST(c{i} AS DECIMAL(38,0)) * n_total"
+            f" - CAST(g{i} AS DECIMAL(38,0)) * size)"
+            for i in range(m - 1)
+        )
+        emd_bp = F.expr(
+            f"CAST((({num_sql}) * 10000) div "
+            f"(CAST(size AS DECIMAL(38,0)) * n_total * {m - 1}) AS BIGINT)"
+        )
+        scored = classes.crossJoin(F.broadcast(glob)).select(
+            "size", emd_bp.alias("emd_bp")
+        )
+        lvl = scored.agg(
+            F.lit(name).alias("level"),
+            F.count("*").cast("long").alias("n_classes"),
+            F.max("emd_bp").cast("long").alias("max_emd_bp"),
+            F.sum(F.when(F.col("emd_bp") > t_bp, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+            F.sum(F.when(F.col("emd_bp") > t_bp, F.col("size")).otherwise(0))
+            .cast("long")
+            .alias("rows_exposed"),
+            F.sum("size").cast("long").alias("rows_total"),
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out.select(
+        "level",
+        "n_classes",
+        "max_emd_bp",
+        "n_violations",
+        "rows_exposed",
+        F.expr("(rows_exposed * 10000) div rows_total")
+        .cast("long")
+        .alias("exposed_bp"),
+    ).orderBy("level")

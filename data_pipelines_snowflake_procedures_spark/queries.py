@@ -3888,6 +3888,105 @@ def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_t_closeness",
+    """
+    WITH base AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 0
+                  WHEN c_acctbal < 2500 THEN 1
+                  WHEN c_acctbal < 5000 THEN 2
+                  ELSE 3 END AS band
+      FROM customer
+    ),
+    lvls AS (
+      SELECT 'L0_nation_segment' AS level, c_nationkey AS q1,
+             c_mktsegment AS q2, band
+      FROM base
+      UNION ALL
+      SELECT 'L1_segment', NULL, c_mktsegment, band
+      FROM base
+    ),
+    cells AS (
+      SELECT level, q1, q2, band, count(*) AS n
+      FROM lvls GROUP BY 1, 2, 3, 4
+    ),
+    cls AS (
+      SELECT level, q1, q2, sum(n) AS size,
+             sum(CASE WHEN band <= 0 THEN n ELSE 0 END) AS c0,
+             sum(CASE WHEN band <= 1 THEN n ELSE 0 END) AS c1,
+             sum(CASE WHEN band <= 2 THEN n ELSE 0 END) AS c2
+      FROM cells GROUP BY 1, 2, 3
+    ),
+    gtot AS (
+      SELECT level, sum(n) AS n_total,
+             sum(CASE WHEN band <= 0 THEN n ELSE 0 END) AS g0,
+             sum(CASE WHEN band <= 1 THEN n ELSE 0 END) AS g1,
+             sum(CASE WHEN band <= 2 THEN n ELSE 0 END) AS g2
+      FROM cells GROUP BY 1
+    ),
+    scored AS (
+      SELECT c.level, c.size,
+             ((abs(c.c0::HUGEINT * g.n_total - g.g0::HUGEINT * c.size)
+             + abs(c.c1::HUGEINT * g.n_total - g.g1::HUGEINT * c.size)
+             + abs(c.c2::HUGEINT * g.n_total - g.g2::HUGEINT * c.size))
+               * 10000)
+             // (c.size::HUGEINT * g.n_total * 3) AS emd_bp
+      FROM cls c JOIN gtot g ON g.level = c.level
+    )
+    SELECT level,
+           count(*)::BIGINT AS n_classes,
+           max(emd_bp)::BIGINT AS max_emd_bp,
+           sum(CASE WHEN emd_bp > 2000 THEN 1 ELSE 0 END)::BIGINT
+             AS n_violations,
+           sum(CASE WHEN emd_bp > 2000 THEN size ELSE 0 END)::BIGINT
+             AS rows_exposed,
+           ((sum(CASE WHEN emd_bp > 2000 THEN size ELSE 0 END) * 10000)
+             // sum(size))::BIGINT AS exposed_bp
+    FROM scored GROUP BY level ORDER BY level
+    """,
+    doc="t-closeness audit over ordered balance bands (E187, Li/Li/"
+    "Venkatasubramanian 2007) — the distribution-disclosure member "
+    "that completes the k-anonymity (E166) / l-diversity (E183) "
+    "privacy triad: a class can pass both yet leak through SKEW "
+    "(97% of a nation-segment class in debt vs 25% globally). Per "
+    "generalization level reports the worst per-class Earth Mover's "
+    "Distance to the global band distribution in integer basis "
+    "points (ordered-attribute EMD = mean |cumulative difference|, "
+    "computed as exact |c_i*N - g_i*size| cross-products in "
+    "DECIMAL(38,0)/HUGEINT with `div` on both engines — hash-exact "
+    "even though it is a distributional statistic). Two partial-"
+    "aggregable groupBys per level + a broadcast 1-row global; "
+    "nothing beyond class dimension is held. operators/security.py::"
+    "t_closeness_report.",
+)
+def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.security import t_closeness_report
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, 0)
+        .when(F.col("c_acctbal") < 2500, 1)
+        .when(F.col("c_acctbal") < 5000, 2)
+        .otherwise(3)
+        .alias("band"),
+    )
+    return t_closeness_report(
+        c,
+        {
+            "L0_nation_segment": [
+                F.col("c_nationkey"),
+                F.col("c_mktsegment"),
+            ],
+            "L1_segment": [F.col("c_mktsegment")],
+        },
+        sensitive_col="band",
+        m=4,
+        t_bp=2000,
+    )
+
+
+@register(
     "orders_distinct_rewrite_bitmap",
     """
     SELECT o_orderpriority,

@@ -6150,3 +6150,153 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     hourly.unpersist()
     return out
+
+
+@register(
+    "events_sequence_match",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT len(regexp_extract_all(seq, 'vc'))      AS m0,
+             len(regexp_extract_all(seq, 'cp'))      AS m1,
+             len(regexp_extract_all(seq, 'vcp'))     AS m2,
+             len(regexp_extract_all(seq, 'v.*c.*p')) AS m3
+      FROM seqs
+    )
+    SELECT * FROM (
+      SELECT 'cp' AS pattern,
+             sum(CASE WHEN m1 > 0 THEN 1 ELSE 0 END)::BIGINT AS users_matched,
+             sum(m1)::BIGINT AS total_matches FROM c
+      UNION ALL
+      SELECT 'v.*c.*p',
+             sum(CASE WHEN m3 > 0 THEN 1 ELSE 0 END)::BIGINT,
+             sum(m3)::BIGINT FROM c
+      UNION ALL
+      SELECT 'vc',
+             sum(CASE WHEN m0 > 0 THEN 1 ELSE 0 END)::BIGINT,
+             sum(m0)::BIGINT FROM c
+      UNION ALL
+      SELECT 'vcp',
+             sum(CASE WHEN m2 > 0 THEN 1 ELSE 0 END)::BIGINT,
+             sum(m2)::BIGINT FROM c
+    ) ORDER BY pattern
+    """,
+    doc="Behavioral sequence matching (E188, the ClickHouse "
+    "sequenceMatch/sequenceCount family): each user's events collapse "
+    "to one ordered type-initial string ((ts, event_id) sort — "
+    "event_id is the unique tiebreak, so the string is identical on "
+    "both engines), then regex counting gives adjacent-transition "
+    "counts ('vc' view-then-click, 'cp', strict triple 'vcp') and the "
+    "gapped-funnel reach 'v.*c.*p' (greedy .* makes the count a 0/1 "
+    "flag with identical non-overlapping semantics under Java regex "
+    "and RE2 — lazy quantifiers and overlap rules never enter). The "
+    "expressive step funnels (window_funnel's 24h variant) can't do: "
+    "arbitrary regex over the full ordered history. One groupBy(user) "
+    "with a sequence-length-bounded state per user (production corpora "
+    "cap the window like events_window_funnel_24h); the four pattern "
+    "counters are plain projections on the sequence and the report is "
+    "a 4-row stack of partial-aggregable sums.",
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("i"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "i"))),
+                lambda x: x["i"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    pats = [("vc", "m0"), ("cp", "m1"), ("vcp", "m2"), ("v.*c.*p", "m3")]
+    cnts = seqs.select(
+        *[F.regexp_count("seq", F.lit(p)).alias(a) for p, a in pats]
+    )
+    tot = cnts.agg(
+        *[
+            agg
+            for _, a in pats
+            for agg in (
+                F.sum(F.when(F.col(a) > 0, 1).otherwise(0)).alias(f"u_{a}"),
+                F.sum(a).alias(f"t_{a}"),
+            )
+        ]
+    )
+    stacked = tot.selectExpr(
+        "stack(4, "
+        "'vc', u_m0, t_m0, "
+        "'cp', u_m1, t_m1, "
+        "'vcp', u_m2, t_m2, "
+        "'v.*c.*p', u_m3, t_m3"
+        ") AS (pattern, users_matched, total_matches)"
+    )
+    return stacked.select(
+        "pattern",
+        F.col("users_matched").cast("long").alias("users_matched"),
+        F.col("total_matches").cast("long").alias("total_matches"),
+    ).orderBy("pattern")
+
+
+@register(
+    "events_type_transitions",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS src, nxt AS dst, count(*) AS n
+      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           CAST((n * 10000) // sum(n) OVER (PARTITION BY src) AS BIGINT)
+             AS prob_bp
+    FROM t ORDER BY src, dst
+    """,
+    doc="First-order Markov transition matrix over the clickstream "
+    "(E189): per user the (ts, event_id)-ordered event sequence "
+    "yields (type, next-type) bigrams via one lead window, then a "
+    "(src, dst) count aggregate and integer basis-point row "
+    "normalization (`div`, exact cross-engine) give the empirical "
+    "transition probabilities — the path-analysis primitive behind "
+    "next-action prediction, anomaly scoring (improbable "
+    "transitions), and absorbing-state funnel models. Plan: one "
+    "user-partitioned window (the sessionization shuffle every "
+    "clickstream op pays), one partial-aggregable groupBy to a "
+    "types^2-sized frame, and a types-sized window for the row "
+    "totals — output is dimension-sized at any corpus scale.",
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.withColumn("nxt", F.lead("event_type").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    t = o.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count("*").alias("n"))
+    wsrc = Window.partitionBy("src")
+    return (
+        t.withColumn("tot", F.sum("n").over(wsrc))
+        .select(
+            "src",
+            "dst",
+            F.col("n").cast("long").alias("n"),
+            F.expr("CAST((n * 10000) div tot AS BIGINT)").alias("prob_bp"),
+        )
+        .orderBy("src", "dst")
+    )

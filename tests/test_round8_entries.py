@@ -1,0 +1,83 @@
+"""Round-8 wave (E188-E194): sequence matching, Markov transitions,
+skew audit, reconciliation, systematic sampling, JL projection.
+
+Each entry's hash-exactness is covered by the parametrized oracle
+mirror (test_queries_oracle.py); these tests pin the SEMANTICS with
+hand-computed cases and invariants the oracle can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipelines_snowflake_procedures_spark.queries import REGISTRY
+
+
+def test_sequence_match_invariants(spark, sf_dir):
+    rows = {r.pattern: r for r in
+            REGISTRY["events_sequence_match"].spark_fn(spark, sf_dir).collect()}
+    assert set(rows) == {"vc", "cp", "vcp", "v.*c.*p"}
+    for r in rows.values():
+        assert 0 <= r.users_matched <= r.total_matches or r.total_matches == 0
+    # a strict adjacent triple is rarer than either of its halves
+    assert rows["vcp"].total_matches <= rows["vc"].total_matches
+    assert rows["vcp"].total_matches <= rows["cp"].total_matches
+    # the gapped funnel is a per-user flag: matches == users
+    g = rows["v.*c.*p"]
+    assert g.total_matches == g.users_matched
+    # and reaches at least as many users as the strict triple
+    assert g.users_matched >= rows["vcp"].users_matched
+
+
+def test_type_transitions_rows_and_normalization(spark, sf_dir):
+    rows = REGISTRY["events_type_transitions"].spark_fn(spark, sf_dir).collect()
+    srcs = {}
+    for r in rows:
+        assert r.n > 0 and 0 <= r.prob_bp <= 10000
+        srcs.setdefault(r.src, []).append(r.prob_bp)
+    # each source row's probabilities sum to ~10000 (integer floor loss
+    # is < number of destinations)
+    for src, bps in srcs.items():
+        assert 10000 - len(bps) < sum(bps) <= 10000
+
+
+def test_skew_report_invariants(spark, sf_dir):
+    rows = {r.key_col: r for r in
+            REGISTRY["lineitem_skew_report"].spark_fn(spark, sf_dir).collect()}
+    assert set(rows) == {"l_partkey", "l_suppkey"}
+    for r in rows.values():
+        assert r.n_keys > 0 and r.n_rows >= r.n_keys
+        assert r.p50_n <= r.p99_n <= r.max_n
+        assert 0 <= r.gini < 1
+        assert r.top1_share_bp >= 10000 // r.n_keys  # max >= mean share
+    # both key columns count the same lineitem rows
+    assert rows["l_partkey"].n_rows == rows["l_suppkey"].n_rows
+
+
+def test_skew_report_gini_hand_computed(spark):
+    assert "lineitem_skew_report" in REGISTRY
+    # uniform frequencies -> gini 0, via a tiny synthetic frame run
+    # through the same rank formula
+    df = spark.createDataFrame([(k,) for k in range(4) for _ in range(5)],
+                               ["key"])
+    kdf = df.groupBy("key").agg(F.count("*").alias("n"))
+    from pyspark.sql.window import Window
+    rk = kdf.withColumn("i", F.row_number().over(Window.orderBy("n", "key")))
+    gini = rk.agg(
+        F.expr(
+            "(2.0 * CAST(sum(CAST(i AS DECIMAL(38,0)) * n) AS DOUBLE)"
+            " - (count(*) + 1.0) * sum(n)) / (1.0 * count(*) * sum(n))"
+        )
+    ).first()[0]
+    assert abs(gini) < 1e-12
+
+
+def test_reconcile_buckets_cover_all_orders(spark, sf_dir, duck):
+    rows = REGISTRY["orders_lineitem_reconcile"].spark_fn(spark, sf_dir).collect()
+    n_orders = duck.execute("SELECT count(*) FROM orders").fetchone()[0]
+    assert sum(r.n_orders for r in rows) == n_orders
+    for r in rows:
+        assert 0 <= r.share_bp <= 10000
+        assert r.total_abs_delta_cents >= 0
+    by = {r.bucket: r for r in rows}
+    if "b_exact" in by:
+        assert by["b_exact"].total_abs_delta_cents == 0

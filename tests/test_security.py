@@ -164,3 +164,50 @@ def test_l_diversity_entry_invariants(spark, sf_dir):
         assert 0 <= r.n_low_diversity_classes <= r.n_classes
         assert 0 <= r.exposed_bp <= 10000
         assert 0 < r.max_value_share_bp <= 10000
+
+
+def test_t_closeness_report_hand_computed(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipelines_snowflake_procedures_spark.operators.security import (
+        t_closeness_report,
+    )
+
+    # m=2 bands. Global: 4 rows of band 0, 4 of band 1 -> q = (0.5, 0.5).
+    # class A (4 rows, all band 0): |cum 1.0 - 0.5| = 0.5 -> 5000 bp
+    # class B (4 rows, 2/2):        |0.5 - 0.5| = 0 -> 0 bp
+    df = spark.createDataFrame(
+        [("A", 0)] * 4 + [("B", 0)] * 2 + [("B", 1)] * 4,
+        ["qi", "band"],
+    )
+    # global: 6x band0, 4x band1 -> q0 = 0.6
+    # A: p0 = 1.0 -> |1.0-0.6| = 0.4 -> 4000 bp
+    # B: p0 = 2/6 -> |1/3-0.6| = 0.2666.. -> 2666 bp (floor)
+    row = t_closeness_report(
+        df, {"L": [F.col("qi")]}, sensitive_col="band", m=2, t_bp=3000
+    ).first()
+    assert row.n_classes == 2
+    assert row.max_emd_bp == 4000
+    assert row.n_violations == 1
+    assert row.rows_exposed == 4
+    assert row.exposed_bp == 4 * 10000 // 10
+    with pytest.raises(ValueError):
+        t_closeness_report(df, {}, sensitive_col="band", m=2)
+    with pytest.raises(ValueError):
+        t_closeness_report(df, {"L": [F.col("qi")]}, sensitive_col="band", m=1)
+
+
+def test_t_closeness_entry_invariants(spark, sf_dir):
+    from data_pipelines_snowflake_procedures_spark.queries import REGISTRY
+
+    rows = REGISTRY["customer_t_closeness"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert 0 <= r.n_violations <= r.n_classes
+        assert 0 <= r.max_emd_bp <= 10000
+        assert 0 <= r.exposed_bp <= 10000
+    # the coarser level can never be MORE skewed than its refinement's
+    # worst class (merging classes moves distributions toward global)
+    by = {r.level: r for r in rows}
+    assert by["L1_segment"].max_emd_bp <= by["L0_nation_segment"].max_emd_bp
