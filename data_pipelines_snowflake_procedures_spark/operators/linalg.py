@@ -171,3 +171,86 @@ def pca_project(
         .withColumn(out_col, proj)
         .drop("__pca_mean", "__pca_comps")
     )
+
+
+# -------------------------------------------------------------------------
+# Johnson-Lindenstrauss sparse sign projection (round 8, E193/E194)
+# -------------------------------------------------------------------------
+
+def jl_signs(in_dim: int, out_dim: int) -> "list[list[int]]":
+    """Deterministic ±1 sign matrix for the JL projection (Achlioptas
+    2003 database-friendly variant, all-±1 form), derived from md5 of
+    the (out, in) index pair — the SINGLE SOURCE both the Spark
+    operator and the SQL oracle generator read (the
+    ``minhash_perm_consts`` contract). ``signs[j][i]`` is the sign of
+    input dim i in output dim j."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl-{j}-{i}".encode()).hexdigest()[0], 16) % 2
+            == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project_cols(
+    emb_col: str, in_dim: int, out_dim: int, decimals: int = 6
+) -> "list":
+    """The ``out_dim`` projected coordinates as Spark Columns:
+    ``y_j = round((±x_0 ±x_1 ... ±x_{d-1}) / sqrt(out_dim), decimals)``.
+
+    Bit-exactness contract: every element is cast to DOUBLE first and
+    the signed terms are added in one fixed left-associative chain —
+    the SQL oracle (:func:`jl_project_sql`) emits the terms in the
+    SAME textual order, so both engines execute the identical IEEE
+    double operation sequence and agree to the last bit BEFORE the
+    final rounding. ``out_dim`` should be a perfect square so the
+    1/sqrt(k) scale is an exact double (16 → /4.0).
+
+    No fitting, no shuffle, no driver state: unlike PCA the JL map is
+    data-independent, so the projection is a pure narrow projection
+    that fuses into the scan — the cheapest dimensionality reduction
+    that still carries a distance-preservation guarantee."""
+    import math
+
+    scale = math.sqrt(out_dim)
+    cols = []
+    for j, row in enumerate(jl_signs(in_dim, out_dim)):
+        acc = None
+        for i, s in enumerate(row):
+            term = F.col(emb_col)[i].cast("double")
+            if acc is None:
+                acc = term if s > 0 else -term
+            else:
+                acc = acc + term if s > 0 else acc - term
+        cols.append(F.round(acc / F.lit(scale), decimals).alias(f"y{j}"))
+    return cols
+
+
+def jl_project_sql(
+    emb_col: str, in_dim: int, out_dim: int, decimals: int = 6
+) -> "list[str]":
+    """The SQL restatement of :func:`jl_project_cols` (DuckDB arrays
+    are 1-based). Returns one expression string per output dim,
+    aliased ``y{j}`` — term order identical to the Spark chain."""
+    import math
+
+    scale = math.sqrt(out_dim)
+    out = []
+    for j, row in enumerate(jl_signs(in_dim, out_dim)):
+        terms = "".join(
+            ("+" if s > 0 else "-")
+            + f" CAST({emb_col}[{i + 1}] AS DOUBLE) "
+            for i, s in enumerate(row)
+        )
+        # leading "+ x" == the Spark chain's unary first term
+        out.append(
+            f"round(({terms.lstrip('+ ').strip() if row[0] > 0 else terms.strip()})"
+            f" / {scale!r}, {decimals}) AS y{j}"
+        )
+    return out

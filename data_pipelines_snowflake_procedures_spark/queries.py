@@ -4040,3 +4040,84 @@ def orders_distinct_rewrite_bitmap(
     if out is None:
         raise AssertionError("bitmap distinct rewrite unexpectedly declined")
     return out.orderBy("o_orderpriority")
+
+
+@register(
+    "orders_systematic_sample",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS w
+      FROM orders
+    ),
+    c AS (
+      SELECT k, w,
+             sum(w) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS cum
+      FROM src
+    ),
+    t AS (SELECT greatest(sum(w) // 1000, 1) AS step FROM src)
+    SELECT k AS o_orderkey, w AS weight_cents,
+           (cum // step - (cum - w) // step)::BIGINT AS n_copies
+    FROM c, t
+    WHERE cum // step > (cum - w) // step
+    ORDER BY o_orderkey
+    """,
+    doc="Deterministic weighted systematic sample of ~1000 orders, "
+    "probability proportional to price (E192): lay every order's "
+    "integer-cent weight on a line in o_orderkey order, take every "
+    "step-th position (step = total div 1000) — the classic PPS "
+    "systematic design, with zero randomness (the md5-uniform "
+    "alternatives live in documents_weighted_sample) and exact "
+    "integer arithmetic end to end, so selection and multiplicity "
+    "(an order heavier than step wins several positions) are "
+    "hash-exact. The scale story is the prefix sum: the oracle's "
+    "single ordered window is restated in Spark as the TWO-LEVEL "
+    "form (per-bucket running sums + one bucket-dimension offset "
+    "window, the events_peak_concurrency pattern) — data-sized rows "
+    "are never globally ordered, value-identical by associativity of "
+    "+. Used as the corpus-curation 'inspect a value-weighted slice' "
+    "primitive.",
+)
+def orders_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("w"),
+    )
+    bucketed = src.withColumn("b", F.expr("k div 8192"))
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_in = bucketed.withColumn("cum_in", F.sum("w").over(w_in))
+    tb = bucketed.groupBy("b").agg(F.sum("w").alias("tot"))
+    w_off = (
+        Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = tb.select(
+        "b", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off")
+    )
+    tot = src.agg(
+        F.expr("greatest(sum(w) div 1000, 1)").alias("step")
+    )
+    c = (
+        cum_in.join(offs, "b")
+        .withColumn("cum", F.col("off") + F.col("cum_in"))
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        c.filter(
+            F.expr("cum div step") > F.expr("(cum - w) div step")
+        )
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.col("w").alias("weight_cents"),
+            F.expr(
+                "CAST(cum div step - (cum - w) div step AS BIGINT)"
+            ).alias("n_copies"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -4861,3 +4861,129 @@ def knn_recall_report_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb.unpersist()
     truth.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+def _jl_oracle_project() -> str:
+    from .operators.linalg import jl_project_sql
+
+    cols = ", ".join(jl_project_sql("embedding", 64, 16))
+    return f"SELECT vec_id, {cols} FROM embeddings"
+
+
+@register(
+    "embeddings_jl_project",
+    _jl_oracle_project(),
+    doc="Johnson-Lindenstrauss sign projection 64 -> 16 dims (E193, "
+    "Achlioptas 2003 all-plus/minus-1 variant): y_j = sum_i s_ij*x_i / "
+    "sqrt(16) with md5-derived signs from operators/linalg.py::"
+    "jl_signs — the data-INDEPENDENT dimensionality reduction: unlike "
+    "PCA there is no fit pass, no driver eigensolve, no model state; "
+    "the map is a pure narrow projection fused into the scan, which "
+    "is why it is the 100 TB default when distances (not variance "
+    "directions) are what must survive. Fully SQL-oracle-backed where "
+    "PCA is rows-only: both engines evaluate the SAME left-"
+    "associative chain of sign-folded double additions (term order "
+    "is part of the generator contract), so the result is "
+    "bit-identical BEFORE rounding — a distance-preserving transform "
+    "that is also hash-exact.",
+)
+def embeddings_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.linalg import jl_project_cols
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.select("vec_id", *jl_project_cols("embedding", 64, 16))
+
+
+def _jl_oracle_distortion() -> str:
+    from .operators.linalg import jl_project_sql
+
+    ycols = ", ".join(jl_project_sql("embedding", 64, 16))
+    d2o = " + ".join(
+        f"(CAST(a.embedding[{i + 1}] AS DOUBLE)"
+        f" - CAST(b.embedding[{i + 1}] AS DOUBLE))"
+        f" * (CAST(a.embedding[{i + 1}] AS DOUBLE)"
+        f" - CAST(b.embedding[{i + 1}] AS DOUBLE))"
+        for i in range(64)
+    )
+    d2p = " + ".join(
+        f"(pa.y{j} - pb.y{j}) * (pa.y{j} - pb.y{j})" for j in range(16)
+    )
+    return f"""
+    WITH p AS (SELECT vec_id, {ycols} FROM embeddings),
+    pairs AS (
+      SELECT ({d2o}) AS d2o, ({d2p}) AS d2p
+      FROM embeddings a
+      JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      JOIN p pa ON pa.vec_id = a.vec_id
+      JOIN p pb ON pb.vec_id = b.vec_id
+    ),
+    r AS (SELECT d2p / d2o AS ratio FROM pairs WHERE d2o > 0)
+    SELECT count(*)::BIGINT AS n_pairs,
+           round(quantile_cont(ratio, 0.1), 6) AS p10_ratio,
+           round(quantile_cont(ratio, 0.5), 6) AS p50_ratio,
+           round(quantile_cont(ratio, 0.9), 6) AS p90_ratio,
+           sum(CASE WHEN ratio BETWEEN 0.7 AND 1.3 THEN 1 ELSE 0 END)::BIGINT
+             AS n_within_30pct
+    FROM r
+    """
+
+
+@register(
+    "embeddings_jl_distortion",
+    _jl_oracle_distortion(),
+    doc="JL distance-preservation audit (E194): over the "
+    "deterministic consecutive-id pair set (one equi-join on "
+    "vec_id+1 — a data-sized sample of pairs with NO cross join and "
+    "no RNG), the ratio of projected to original squared L2 distance "
+    "for embeddings_jl_project's 16-dim map. Reports pair count, "
+    "p10/p50/p90 of the ratio (percentile == quantile_cont, inputs "
+    "bit-identical because both distance chains use the fixed-order "
+    "term contract), and how many pairs stay within the +-30% band — "
+    "the lemma's epsilon made empirically checkable. This is the "
+    "acceptance gate a pipeline runs BEFORE swapping ANN search onto "
+    "the projected vectors; the recall harness "
+    "(knn_recall_report_pca) grades candidate quality, this grades "
+    "the metric itself.",
+)
+def embeddings_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.linalg import jl_project_cols
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = emb.select("vec_id", *jl_project_cols("embedding", 64, 16))
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pa = proj.select(
+        F.col("vec_id").alias("ia"), *[F.col(f"y{j}").alias(f"ya{j}") for j in range(16)]
+    )
+    pb = proj.select(
+        F.col("vec_id").alias("ib"), *[F.col(f"y{j}").alias(f"yb{j}") for j in range(16)]
+    )
+    d2o = None
+    for i in range(64):
+        d = F.col("ea")[i].cast("double") - F.col("eb")[i].cast("double")
+        t = d * d
+        d2o = t if d2o is None else d2o + t
+    d2p = None
+    for j in range(16):
+        d = F.col(f"ya{j}") - F.col(f"yb{j}")
+        t = d * d
+        d2p = t if d2p is None else d2p + t
+    pairs = (
+        a.join(b, F.col("ib") == F.col("ia") + 1)
+        .join(pa, "ia")
+        .join(pb, "ib")
+        .select(d2o.alias("d2o"), d2p.alias("d2p"))
+        .filter(F.col("d2o") > 0)
+        .select((F.col("d2p") / F.col("d2o")).alias("ratio"))
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.expr("percentile(ratio, 0.1)"), 6).alias("p10_ratio"),
+        F.round(F.expr("percentile(ratio, 0.5)"), 6).alias("p50_ratio"),
+        F.round(F.expr("percentile(ratio, 0.9)"), 6).alias("p90_ratio"),
+        F.sum(
+            F.when((F.col("ratio") >= 0.7) & (F.col("ratio") <= 1.3), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_within_30pct"),
+    )

@@ -81,3 +81,42 @@ def test_reconcile_buckets_cover_all_orders(spark, sf_dir, duck):
     by = {r.bucket: r for r in rows}
     if "b_exact" in by:
         assert by["b_exact"].total_abs_delta_cents == 0
+
+
+def test_systematic_sample_telescopes(spark, sf_dir, duck):
+    rows = REGISTRY["orders_systematic_sample"].spark_fn(spark, sf_dir).collect()
+    t, = duck.execute(
+        "SELECT sum(CAST(round(o_totalprice*100) AS BIGINT)) FROM orders"
+    ).fetchone()
+    step = max(t // 1000, 1)
+    # the per-row copy counts telescope to the total position count
+    assert sum(r.n_copies for r in rows) == t // step
+    assert all(r.n_copies >= 1 for r in rows)
+    # ~1000 samples, give or take integer-step rounding
+    assert 900 <= len(rows) <= t // step
+
+
+def test_jl_projection_matches_numpy(spark):
+    import numpy as np
+
+    from data_pipelines_snowflake_procedures_spark.operators.linalg import (
+        jl_project_cols,
+        jl_signs,
+    )
+
+    rng = [float(i % 7) - 3.0 for i in range(64)]
+    df = spark.createDataFrame([(1, rng)], ["vec_id", "embedding"])
+    row = df.select(*jl_project_cols("embedding", 64, 16)).first()
+    S = np.array(jl_signs(64, 16), dtype=np.float64)
+    want = S @ np.array(rng) / 4.0
+    got = np.array([row[f"y{j}"] for j in range(16)])
+    assert np.allclose(got, np.round(want, 6), atol=1e-9)
+
+
+def test_jl_distortion_sane(spark, sf_dir):
+    r = REGISTRY["embeddings_jl_distortion"].spark_fn(spark, sf_dir).first()
+    assert r.n_pairs > 100
+    # the JL lemma at k=16: the median ratio hugs 1, the spread is wide
+    assert 0.5 < r.p50_ratio < 1.5
+    assert r.p10_ratio < r.p50_ratio < r.p90_ratio
+    assert r.n_within_30pct > 0.4 * r.n_pairs
