@@ -226,6 +226,16 @@ HEADLINE = [
     "audio_neardup_pairs_documents",
     "multimodal_video_features_documents",
     "multimodal_mjpeg_video_documents",
+    # round-8 wave: privacy triad completion, sequence analytics,
+    # ops audits, deterministic sampling, JL projection
+    "customer_t_closeness",
+    "events_sequence_match",
+    "events_type_transitions",
+    "lineitem_skew_report",
+    "orders_lineitem_reconcile",
+    "orders_systematic_sample",
+    "embeddings_jl_project",
+    "embeddings_jl_distortion",
     # Structured Streaming entries — each runs a full availableNow
     # drain of the events table through a memory sink inside queries()
     # (micro-batch scheduling + state store + watermark flush, stopped
