@@ -236,6 +236,11 @@ HEADLINE = [
     "orders_systematic_sample",
     "embeddings_jl_project",
     "embeddings_jl_distortion",
+    "part_return_rate_shrinkage",
+    "events_funnel_timing",
+    "events_daily_anomaly_mad",
+    "events_forecast_backtest",
+    "customer_snm_pairs",
     # Structured Streaming entries — each runs a full availableNow
     # drain of the events table through a memory sink inside queries()
     # (micro-batch scheduling + state store + watermark flush, stopped

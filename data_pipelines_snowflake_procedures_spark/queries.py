@@ -4121,3 +4121,102 @@ def orders_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "customer_snm_pairs",
+    """
+    WITH src AS (
+      SELECT c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             c_custkey AS ck
+      FROM customer
+    ),
+    r AS (
+      SELECT seg, cents, ck,
+             row_number() OVER (PARTITION BY seg ORDER BY cents, ck) AS rk
+      FROM src
+    )
+    SELECT a.seg AS seg, a.ck AS cust_a, b.ck AS cust_b,
+           (b.cents - a.cents)::BIGINT AS delta_cents,
+           d.d::BIGINT AS neighbor_dist
+    FROM r a
+    CROSS JOIN (SELECT * FROM range(1, 4) t(d)) d
+    JOIN r b ON b.seg = a.seg AND b.rk = a.rk + d.d
+    WHERE b.cents - a.cents <= 100
+    ORDER BY a.seg, cust_a, cust_b
+    """,
+    doc="Sorted-neighborhood blocking (E199, Hernandez & Stolfo 1995 "
+    "SNM — the OTHER classic entity-resolution candidate generator "
+    "beside customer_fuzzy_match_pairs' deletion-neighborhood "
+    "index): sort each segment by balance cents, pair every record "
+    "with its next w=3 neighbors, keep pairs within $1 — near-"
+    "duplicate financial profiles as dedup candidates without an n² "
+    "cross join (candidates are n*w by construction). The scale "
+    "story is the RANK, not the window: Spark computes the global "
+    "per-segment rank with the TWO-LEVEL form (row_number inside "
+    "(segment, $100-bucket) partitions + one bucket-dimension "
+    "offset window), so no segment is ever sorted on a single task "
+    "— value-identical to the oracle's flat row_number because "
+    "bucket boundaries follow the sort key. Neighbor joins are "
+    "rank+d equi-joins (d exploded 1..3), never an inequality join.",
+)
+def customer_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    src = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.col("c_custkey").alias("ck"),
+    ).withColumn("b", F.expr("cents div 10000"))
+    w_in = Window.partitionBy("seg", "b").orderBy("cents", "ck")
+    rn = src.withColumn("rn_in", F.row_number().over(w_in))
+    cnts = src.groupBy("seg", "b").agg(F.count("*").alias("cnt"))
+    w_off = (
+        Window.partitionBy("seg")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnts.select(
+        "seg", "b", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    ranked = rn.join(offs, ["seg", "b"]).select(
+        "seg", "cents", "ck", (F.col("off") + F.col("rn_in")).alias("rk")
+    )
+    ranked = ranked.persist()
+    a = ranked.select(
+        "seg",
+        F.col("cents").alias("ca"),
+        F.col("ck").alias("cust_a"),
+        F.col("rk").alias("ra"),
+    ).select(
+        "*", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("d")
+    )
+    bb = ranked.select(
+        "seg",
+        F.col("cents").alias("cb"),
+        F.col("ck").alias("cust_b"),
+        F.col("rk").alias("rb"),
+    )
+    # rank+d equality is part of the JOIN CONDITION (Catalyst treats
+    # rb == ra + d as an equi-join key), never a post-join filter on a
+    # segment-only join — that would be an n²-per-segment expansion
+    out = (
+        a.join(
+            bb.withColumnRenamed("seg", "seg_b"),
+            (F.col("seg") == F.col("seg_b"))
+            & (F.col("rb") == F.col("ra") + F.col("d")),
+        )
+        .filter(F.col("cb") - F.col("ca") <= 100)
+        .select(
+            "seg",
+            "cust_a",
+            "cust_b",
+            (F.col("cb") - F.col("ca")).cast("long").alias("delta_cents"),
+            F.col("d").cast("long").alias("neighbor_dist"),
+        )
+        .orderBy("seg", "cust_a", "cust_b")
+    )
+    out = out.localCheckpoint(eager=True)
+    ranked.unpersist()
+    return out

@@ -6300,3 +6300,226 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+@register(
+    "events_funnel_timing",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS ts0
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id,
+             min(epoch_us(CAST(e.ts AS TIMESTAMP))
+                 - epoch_us(CAST(s.ts0 AS TIMESTAMP))) AS d_us
+      FROM events e JOIN s ON s.user_id = e.user_id AND e.ts > s.ts0
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM s)::BIGINT AS signup_users,
+           count(*)::BIGINT AS converters,
+           ((count(*) * 10000) // (SELECT count(*) FROM s))::BIGINT
+             AS conversion_bp,
+           round(quantile_cont(d_us / 1000000.0, 0.5), 3) AS p50_s,
+           round(quantile_cont(d_us / 1000000.0, 0.9), 3) AS p90_s
+    FROM p
+    """,
+    doc="Funnel conversion latency (E196): time from each user's FIRST "
+    "signup to their first subsequent purchase — the readout the "
+    "step-count funnels (window_funnel, sequence_match) can't give: "
+    "not whether users convert but HOW LONG conversion takes (the "
+    "p90 is the SLA number growth teams actually watch). Deltas are "
+    "exact integer microseconds (epoch_us == unix_micros "
+    "cross-engine) and only the percentile readout touches doubles — "
+    "on identical integer inputs, so percentile == quantile_cont "
+    "hash-exactly. Plan: two type-filtered aggregates (filters reach "
+    "the scan) + one user-keyed join; per-user state is two "
+    "timestamps, never an event list.",
+)
+def events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts0"))
+    ).persist()
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("ts0"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros("ts") - F.unix_micros("ts0")
+            ).alias("d_us")
+        )
+    )
+    n_signups = s.agg(F.count("*").alias("signup_users"))
+    out = (
+        p.agg(
+            F.count("*").alias("converters"),
+            F.round(F.expr("percentile(d_us / 1000000.0, 0.5)"), 3).alias("p50_s"),
+            F.round(F.expr("percentile(d_us / 1000000.0, 0.9)"), 3).alias("p90_s"),
+        )
+        .crossJoin(F.broadcast(n_signups))
+        .select(
+            F.col("signup_users").cast("long").alias("signup_users"),
+            F.col("converters").cast("long").alias("converters"),
+            F.expr(
+                "CAST((converters * 10000) div signup_users AS BIGINT)"
+            ).alias("conversion_bp"),
+            "p50_s",
+            "p90_s",
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    s.unpersist()
+    return out
+
+
+@register(
+    "events_daily_anomaly_mad",
+    """
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d')
+               AS day, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(n, 0.5) AS med FROM daily),
+    mad AS (
+      SELECT quantile_cont(abs(n - med), 0.5) AS mad FROM daily, med
+    )
+    SELECT day, n::BIGINT AS n,
+           round(0.6745 * (n - med) / greatest(mad, 0.5), 4) AS robust_z,
+           CASE WHEN abs(0.6745 * (n - med) / greatest(mad, 0.5)) > 3.5
+                THEN 1 ELSE 0 END::BIGINT AS is_anomaly
+    FROM daily, med, mad
+    ORDER BY day
+    """,
+    doc="Robust daily-volume anomaly flags via median absolute "
+    "deviation (E197, Hampel/Iglewicz-Hoaglin robust z = "
+    "0.6745*(x-med)/MAD, |z| > 3.5): the detector that does NOT "
+    "move when the anomaly itself inflates the baseline — mean/"
+    "stddev z-scores mask exactly the spikes they should flag (50% "
+    "breakdown vs 0%), the same robustness argument as the Theil-Sen "
+    "trend entry but for level instead of slope. Median and MAD are "
+    "interpolated percentiles over exact integer day counts "
+    "(percentile == quantile_cont cross-engine), the MAD=0 "
+    "degenerate case is floored at 0.5 counts, and z is rounded at "
+    "emission only. Plan: one partial-aggregable groupBy to the "
+    "DAYS dimension + two broadcast 1-row statistics — the events "
+    "scan runs once (persisted days frame) at any corpus scale.",
+)
+def events_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    daily = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+            .alias("day")
+        )
+        .agg(F.count("*").alias("n"))
+    ).persist()
+    med = daily.agg(F.expr("percentile(n, 0.5)").alias("med"))
+    d2 = daily.crossJoin(F.broadcast(med))
+    mad = d2.agg(F.expr("percentile(abs(n - med), 0.5)").alias("mad"))
+    z = F.expr("0.6745 * (n - med) / greatest(mad, 0.5)")
+    out = (
+        d2.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            F.col("n").cast("long").alias("n"),
+            F.round(z, 4).alias("robust_z"),
+            F.expr(
+                "CAST(CASE WHEN abs(0.6745 * (n - med) / greatest(mad, 0.5))"
+                " > 3.5 THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+    out = out.localCheckpoint(eager=True)
+    daily.unpersist()
+    return out
+
+
+@register(
+    "events_forecast_backtest",
+    """
+    WITH hourly AS (
+      SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+               // 3600000000 AS x, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    hm AS (SELECT max(x) AS hmax FROM hourly),
+    test AS (SELECT x, n FROM hourly, hm WHERE x > hmax - 24),
+    nv AS (
+      SELECT n AS n_last FROM hourly, hm WHERE x = hmax - 24
+    ),
+    sn AS (
+      SELECT t.x, t.n, h.n AS pred
+      FROM test t JOIN hourly h ON h.x = t.x - 24
+    )
+    SELECT (SELECT count(*) FROM test)::BIGINT AS n_holdout_hours,
+           (SELECT round(avg(abs(n - n_last)), 4) FROM test, nv)
+             AS mae_naive,
+           (SELECT round(avg(abs(n - pred)), 4) FROM sn) AS mae_snaive,
+           (SELECT round(avg(abs(sn.n - sn.pred))
+                         / avg(abs(test.n - nv.n_last)), 6)
+              FROM sn, test, nv) AS mase_vs_naive
+    """,
+    doc="Forecast backtest on a 24h holdout (E198): seasonal-naive "
+    "(same hour yesterday) vs last-value-naive MAE over the final "
+    "day of hourly volume, plus their ratio — the MASE-style "
+    "skill score that answers 'is the seasonality REAL enough to "
+    "forecast with?' before anyone trusts the Holt-Winters entry's "
+    "extrapolation (mase < 1 means the daily cycle beats "
+    "persistence). Errors are exact integer count differences; only "
+    "the two averages and their ratio touch doubles, on identical "
+    "integer sums. Lag alignment is integer epoch-hour equi-joins — "
+    "no ordered window, state is the hours dimension at any scale.",
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    hourly = (
+        ev.groupBy(
+            F.floor(
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600
+            ).cast("long").alias("x")
+        )
+        .agg(F.count("*").alias("n"))
+    ).persist()
+    hm = hourly.agg(F.max("x").alias("hmax"))
+    withmax = hourly.crossJoin(F.broadcast(hm))
+    test = withmax.filter(F.col("x") > F.col("hmax") - 24).select("x", "n")
+    test = test.persist()
+    nv = withmax.filter(F.col("x") == F.col("hmax") - 24).select(
+        F.col("n").alias("n_last")
+    )
+    sn = test.alias("t").join(
+        hourly.select(F.col("x").alias("xp"), F.col("n").alias("pred")),
+        F.col("xp") == F.col("x") - 24,
+    )
+    a_n = test.crossJoin(F.broadcast(nv)).agg(
+        F.count("*").alias("n_holdout_hours"),
+        F.round(F.avg(F.abs(F.col("n") - F.col("n_last"))), 4).alias("mae_naive"),
+        F.avg(F.abs(F.col("n") - F.col("n_last"))).alias("_mn_raw"),
+    )
+    a_s = sn.agg(
+        F.round(F.avg(F.abs(F.col("n") - F.col("pred"))), 4).alias("mae_snaive"),
+        F.avg(F.abs(F.col("n") - F.col("pred"))).alias("_ms_raw"),
+    )
+    out = (
+        a_n.crossJoin(F.broadcast(a_s))
+        .select(
+            F.col("n_holdout_hours").cast("long").alias("n_holdout_hours"),
+            "mae_naive",
+            "mae_snaive",
+            F.round(F.col("_ms_raw") / F.col("_mn_raw"), 6).alias(
+                "mase_vs_naive"
+            ),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    test.unpersist()
+    hourly.unpersist()
+    return out

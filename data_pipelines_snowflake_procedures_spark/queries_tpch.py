@@ -985,3 +985,88 @@ def orders_lineitem_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "part_return_rate_shrinkage",
+    """
+    WITH pp AS (
+      SELECT l_partkey AS pk, count(*) AS n,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    g1 AS (SELECT sum(r) * 1.0 / sum(n) AS m FROM pp),
+    g2 AS (
+      SELECT round(greatest(least(
+               m * (1 - m)
+               / avg((r * 1.0 / n - m) * (r * 1.0 / n - m)) - 1,
+               10000.0), 1.0), 6) AS k
+      FROM pp, g1 GROUP BY m
+    )
+    SELECT pk AS p_partkey,
+           n::BIGINT AS n_lines,
+           r::BIGINT AS n_returns,
+           ((r * 10000) // n)::BIGINT AS raw_rate_bp,
+           round((r + m * k) / (n + k), 6) AS shrunk_rate
+    FROM pp, g1, g2
+    ORDER BY p_partkey
+    """,
+    doc="Empirical-Bayes shrinkage of per-part return rates (E195, "
+    "beta-binomial pseudo-count prior): a part with 2 returns in 3 "
+    "lines must not outrank one with 200 in 400 — raw rates are "
+    "noise-ranked at small n, THE small-sample trap of any per-entity "
+    "rate leaderboard. The prior strength K comes from the method-of-"
+    "moments identity K = m(1-m)/Var(rates) - 1 (clamped to [1, 1e4]) "
+    "and the posterior mean is (r + mK)/(n + K). Determinism: m is a "
+    "ratio of exact integer totals, K is ROUNDED to 6 decimals before "
+    "use so the only cross-engine float exposure (summation order "
+    "inside the variance avg) is absorbed at the same boundary on "
+    "both engines, and the FDR entry's sibling contract holds — "
+    "brand_return_fdr ranks deviations, this one STABILIZES them. "
+    "Plan: one partial-aggregable groupBy to the parts dimension + "
+    "two broadcast 1-row priors; the fact table is scanned once.",
+)
+def part_return_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    pp = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r"),
+    ).persist()
+    g1 = pp.agg((F.sum("r") * 1.0 / F.sum("n")).alias("m"))
+    g2 = (
+        pp.crossJoin(F.broadcast(g1))
+        .agg(
+            F.round(
+                F.greatest(
+                    F.least(
+                        F.expr(
+                            "first(m) * (1 - first(m))"
+                            " / avg((r * 1.0 / n - m) * (r * 1.0 / n - m)) - 1"
+                        ),
+                        F.lit(10000.0),
+                    ),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("k")
+        )
+    )
+    out = (
+        pp.crossJoin(F.broadcast(g1))
+        .crossJoin(F.broadcast(g2))
+        .select(
+            F.col("pk").alias("p_partkey"),
+            F.col("n").cast("long").alias("n_lines"),
+            F.col("r").cast("long").alias("n_returns"),
+            F.expr("CAST((r * 10000) div n AS BIGINT)").alias("raw_rate_bp"),
+            F.round(
+                (F.col("r") + F.col("m") * F.col("k"))
+                / (F.col("n") + F.col("k")),
+                6,
+            ).alias("shrunk_rate"),
+        )
+        .orderBy("p_partkey")
+    )
+    out = out.localCheckpoint(eager=True)
+    pp.unpersist()
+    return out

@@ -120,3 +120,64 @@ def test_jl_distortion_sane(spark, sf_dir):
     assert 0.5 < r.p50_ratio < 1.5
     assert r.p10_ratio < r.p50_ratio < r.p90_ratio
     assert r.n_within_30pct > 0.4 * r.n_pairs
+
+
+def test_shrinkage_pulls_toward_global_mean(spark, sf_dir, duck):
+    rows = REGISTRY["part_return_rate_shrinkage"].spark_fn(spark, sf_dir).collect()
+    m, = duck.execute(
+        "SELECT sum(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) * 1.0"
+        " / count(*) FROM lineitem"
+    ).fetchone()
+    for r in rows:
+        raw = r.n_returns / r.n_lines
+        lo, hi = sorted((raw, m))
+        # posterior mean lies between the raw rate and the prior mean
+        assert lo - 1e-6 <= r.shrunk_rate <= hi + 1e-6
+    # smaller samples shrink harder (relative distance to m)
+    small = [r for r in rows if r.n_lines <= 10 and r.n_returns > 0]
+    big = [r for r in rows if r.n_lines >= 50 and r.n_returns > 0]
+    if small and big:
+        def pull(r):
+            raw = r.n_returns / r.n_lines
+            return abs(raw - r.shrunk_rate) / (abs(raw - m) + 1e-12)
+        assert (sum(map(pull, small)) / len(small)
+                >= sum(map(pull, big)) / len(big))
+
+
+def test_funnel_timing_invariants(spark, sf_dir):
+    r = REGISTRY["events_funnel_timing"].spark_fn(spark, sf_dir).first()
+    assert 0 < r.converters <= r.signup_users
+    assert r.conversion_bp == r.converters * 10000 // r.signup_users
+    assert 0 < r.p50_s <= r.p90_s
+
+
+def test_daily_anomaly_mad_flags_consistent(spark, sf_dir):
+    rows = REGISTRY["events_daily_anomaly_mad"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) > 20  # a month of days at sf0.01
+    for r in rows:
+        assert r.is_anomaly == (1 if abs(r.robust_z) > 3.5 else 0)
+    # median day must not be anomalous
+    zs = sorted(abs(r.robust_z) for r in rows)
+    assert zs[len(zs) // 2] < 3.5
+
+
+def test_forecast_backtest_invariants(spark, sf_dir):
+    r = REGISTRY["events_forecast_backtest"].spark_fn(spark, sf_dir).first()
+    assert 0 < r.n_holdout_hours <= 24
+    assert r.mae_naive >= 0 and r.mae_snaive >= 0
+    assert r.mase_vs_naive > 0
+    # the ratio is consistent with the two MAEs (rounding slack)
+    assert abs(r.mase_vs_naive - r.mae_snaive / r.mae_naive) < 1e-3
+
+
+def test_snm_pairs_window_semantics(spark, sf_dir):
+    rows = REGISTRY["customer_snm_pairs"].spark_fn(spark, sf_dir).collect()
+    assert rows, "expected at least one near-balance pair"
+    for r in rows:
+        assert 0 <= r.delta_cents <= 100
+        assert 1 <= r.neighbor_dist <= 3
+        assert r.cust_a != r.cust_b
+    # candidate volume is bounded by n*w (the SNM guarantee)
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+    n = load_table(spark, sf_dir, "customer").count()
+    assert len(rows) <= 3 * n
