@@ -230,7 +230,6 @@ HEADLINE = [
     # ops audits, deterministic sampling, JL projection
     "customer_t_closeness",
     "events_sequence_match",
-    "events_type_transitions",
     "lineitem_skew_report",
     "orders_lineitem_reconcile",
     "orders_systematic_sample",

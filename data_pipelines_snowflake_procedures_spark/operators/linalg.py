@@ -174,7 +174,7 @@ def pca_project(
 
 
 # -------------------------------------------------------------------------
-# Johnson-Lindenstrauss sparse sign projection (round 8, E193/E194)
+# Johnson-Lindenstrauss sparse sign projection (round 8, E192/E193)
 # -------------------------------------------------------------------------
 
 def jl_signs(in_dim: int, out_dim: int) -> "list[list[int]]":

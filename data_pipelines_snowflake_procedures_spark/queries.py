@@ -4063,7 +4063,7 @@ def orders_distinct_rewrite_bitmap(
     ORDER BY o_orderkey
     """,
     doc="Deterministic weighted systematic sample of ~1000 orders, "
-    "probability proportional to price (E192): lay every order's "
+    "probability proportional to price (E191): lay every order's "
     "integer-cent weight on a line in o_orderkey order, take every "
     "step-th position (step = total div 1000) — the classic PPS "
     "systematic design, with zero randomness (the md5-uniform "
@@ -4146,7 +4146,7 @@ def orders_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE b.cents - a.cents <= 100
     ORDER BY a.seg, cust_a, cust_b
     """,
-    doc="Sorted-neighborhood blocking (E199, Hernandez & Stolfo 1995 "
+    doc="Sorted-neighborhood blocking (E198, Hernandez & Stolfo 1995 "
     "SNM — the OTHER classic entity-resolution candidate generator "
     "beside customer_fuzzy_match_pairs' deletion-neighborhood "
     "index): sort each segment by balance cents, pair every record "

@@ -6246,63 +6246,6 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_type_transitions",
-    """
-    WITH o AS (
-      SELECT user_id, event_type,
-             lead(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
-      FROM events
-    ),
-    t AS (
-      SELECT event_type AS src, nxt AS dst, count(*) AS n
-      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
-    )
-    SELECT src, dst, CAST(n AS BIGINT) AS n,
-           CAST((n * 10000) // sum(n) OVER (PARTITION BY src) AS BIGINT)
-             AS prob_bp
-    FROM t ORDER BY src, dst
-    """,
-    doc="First-order Markov transition matrix over the clickstream "
-    "(E189): per user the (ts, event_id)-ordered event sequence "
-    "yields (type, next-type) bigrams via one lead window, then a "
-    "(src, dst) count aggregate and integer basis-point row "
-    "normalization (`div`, exact cross-engine) give the empirical "
-    "transition probabilities — the path-analysis primitive behind "
-    "next-action prediction, anomaly scoring (improbable "
-    "transitions), and absorbing-state funnel models. Plan: one "
-    "user-partitioned window (the sessionization shuffle every "
-    "clickstream op pays), one partial-aggregable groupBy to a "
-    "types^2-sized frame, and a types-sized window for the row "
-    "totals — output is dimension-sized at any corpus scale.",
-)
-def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    o = ev.withColumn("nxt", F.lead("event_type").over(w)).filter(
-        F.col("nxt").isNotNull()
-    )
-    t = o.groupBy(
-        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
-    ).agg(F.count("*").alias("n"))
-    wsrc = Window.partitionBy("src")
-    return (
-        t.withColumn("tot", F.sum("n").over(wsrc))
-        .select(
-            "src",
-            "dst",
-            F.col("n").cast("long").alias("n"),
-            F.expr("CAST((n * 10000) div tot AS BIGINT)").alias("prob_bp"),
-        )
-        .orderBy("src", "dst")
-    )
-
-
-@register(
     "events_funnel_timing",
     """
     WITH s AS (
@@ -6325,7 +6268,7 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_cont(d_us / 1000000.0, 0.9), 3) AS p90_s
     FROM p
     """,
-    doc="Funnel conversion latency (E196): time from each user's FIRST "
+    doc="Funnel conversion latency (E195): time from each user's FIRST "
     "signup to their first subsequent purchase — the readout the "
     "step-count funnels (window_funnel, sequence_match) can't give: "
     "not whether users convert but HOW LONG conversion takes (the "
@@ -6398,7 +6341,7 @@ def events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY day
     """,
     doc="Robust daily-volume anomaly flags via median absolute "
-    "deviation (E197, Hampel/Iglewicz-Hoaglin robust z = "
+    "deviation (E196, Hampel/Iglewicz-Hoaglin robust z = "
     "0.6745*(x-med)/MAD, |z| > 3.5): the detector that does NOT "
     "move when the anomaly itself inflates the baseline — mean/"
     "stddev z-scores mask exactly the spikes they should flag (50% "
@@ -6467,7 +6410,7 @@ def events_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / avg(abs(test.n - nv.n_last)), 6)
               FROM sn, test, nv) AS mase_vs_naive
     """,
-    doc="Forecast backtest on a 24h holdout (E198): seasonal-naive "
+    doc="Forecast backtest on a 24h holdout (E197): seasonal-naive "
     "(same hour yesterday) vs last-value-naive MAE over the final "
     "day of hourly volume, plus their ratio — the MASE-style "
     "skill score that answers 'is the seasonality REAL enough to "

@@ -4873,7 +4873,7 @@ def _jl_oracle_project() -> str:
 @register(
     "embeddings_jl_project",
     _jl_oracle_project(),
-    doc="Johnson-Lindenstrauss sign projection 64 -> 16 dims (E193, "
+    doc="Johnson-Lindenstrauss sign projection 64 -> 16 dims (E192, "
     "Achlioptas 2003 all-plus/minus-1 variant): y_j = sum_i s_ij*x_i / "
     "sqrt(16) with md5-derived signs from operators/linalg.py::"
     "jl_signs — the data-INDEPENDENT dimensionality reduction: unlike "
@@ -4931,7 +4931,7 @@ def _jl_oracle_distortion() -> str:
 @register(
     "embeddings_jl_distortion",
     _jl_oracle_distortion(),
-    doc="JL distance-preservation audit (E194): over the "
+    doc="JL distance-preservation audit (E193): over the "
     "deterministic consecutive-id pair set (one equi-join on "
     "vec_id+1 — a data-sized sample of pairs with NO cross join and "
     "no RNG), the ratio of projected to original squared L2 distance "

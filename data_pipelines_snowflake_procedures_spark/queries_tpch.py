@@ -835,7 +835,7 @@ def part_fifo_return_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (1.0 * count(*) * sum(n)), 6) AS gini
     FROM rk GROUP BY key_col ORDER BY key_col
     """,
-    doc="Join-key skew audit (E190) — the pre-flight a 100 TB join "
+    doc="Join-key skew audit (E189) — the pre-flight a 100 TB join "
     "needs BEFORE choosing salting/AQE-skew-join: per candidate key "
     "(part, supplier) the per-key frequency distribution collapses "
     "to key count, row count, max, exact p50/p99 "
@@ -920,7 +920,7 @@ def lineitem_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(delta)::BIGINT AS total_abs_delta_cents
     FROM b GROUP BY bucket ORDER BY bucket
     """,
-    doc="Cross-table financial reconciliation audit (E191) — the "
+    doc="Cross-table financial reconciliation audit (E190) — the "
     "header-vs-detail consistency check every warehouse runs nightly: "
     "does o_totalprice equal the order's lineitem charge total? Each "
     "side is fixed to integer cents FIRST (per-line "
@@ -1011,7 +1011,7 @@ def orders_lineitem_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pp, g1, g2
     ORDER BY p_partkey
     """,
-    doc="Empirical-Bayes shrinkage of per-part return rates (E195, "
+    doc="Empirical-Bayes shrinkage of per-part return rates (E194, "
     "beta-binomial pseudo-count prior): a part with 2 returns in 3 "
     "lines must not outrank one with 200 in 400 — raw rates are "
     "noise-ranked at small n, THE small-sample trap of any per-entity "

@@ -1,5 +1,6 @@
-"""Round-8 wave (E188-E194): sequence matching, Markov transitions,
-skew audit, reconciliation, systematic sampling, JL projection.
+"""Round-8 waves (E187-E198): t-closeness, sequence matching, skew
+audit, reconciliation, systematic sampling, JL projection, shrinkage,
+funnel latency, MAD anomalies, forecast backtest, SNM blocking.
 
 Each entry's hash-exactness is covered by the parametrized oracle
 mirror (test_queries_oracle.py); these tests pin the SEMANTICS with
@@ -26,18 +27,6 @@ def test_sequence_match_invariants(spark, sf_dir):
     assert g.total_matches == g.users_matched
     # and reaches at least as many users as the strict triple
     assert g.users_matched >= rows["vcp"].users_matched
-
-
-def test_type_transitions_rows_and_normalization(spark, sf_dir):
-    rows = REGISTRY["events_type_transitions"].spark_fn(spark, sf_dir).collect()
-    srcs = {}
-    for r in rows:
-        assert r.n > 0 and 0 <= r.prob_bp <= 10000
-        srcs.setdefault(r.src, []).append(r.prob_bp)
-    # each source row's probabilities sum to ~10000 (integer floor loss
-    # is < number of destinations)
-    for src, bps in srcs.items():
-        assert 10000 - len(bps) < sum(bps) <= 10000
 
 
 def test_skew_report_invariants(spark, sf_dir):
