@@ -215,20 +215,28 @@ def jl_project_cols(
     No fitting, no shuffle, no driver state: unlike PCA the JL map is
     data-independent, so the projection is a pure narrow projection
     that fuses into the scan — the cheapest dimensionality reduction
-    that still carries a distance-preservation guarantee."""
+    that still carries a distance-preservation guarantee.
+
+    Each output dim is built as ONE ``F.expr`` string (Spark SQL
+    array indexing is 0-based), not term-by-term Column arithmetic:
+    the per-term form cost ~3 py4j round-trips × in_dim × out_dim
+    (~5 s of driver-side build time per call at 64×16, vs 0.2 s of
+    actual execution)."""
     import math
 
     scale = math.sqrt(out_dim)
     cols = []
     for j, row in enumerate(jl_signs(in_dim, out_dim)):
-        acc = None
-        for i, s in enumerate(row):
-            term = F.col(emb_col)[i].cast("double")
-            if acc is None:
-                acc = term if s > 0 else -term
-            else:
-                acc = acc + term if s > 0 else acc - term
-        cols.append(F.round(acc / F.lit(scale), decimals).alias(f"y{j}"))
+        terms = "".join(
+            ("+" if s > 0 else "-") + f" CAST({emb_col}[{i}] AS DOUBLE) "
+            for i, s in enumerate(row)
+        )
+        chain = terms.lstrip("+ ").strip() if row[0] > 0 else terms.strip()
+        cols.append(
+            F.expr(
+                f"round(({chain}) / {scale!r}D, {decimals}) AS y{j}"
+            )
+        )
     return cols
 
 

@@ -4958,16 +4958,18 @@ def embeddings_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb = proj.select(
         F.col("vec_id").alias("ib"), *[F.col(f"y{j}").alias(f"yb{j}") for j in range(16)]
     )
-    d2o = None
-    for i in range(64):
-        d = F.col("ea")[i].cast("double") - F.col("eb")[i].cast("double")
-        t = d * d
-        d2o = t if d2o is None else d2o + t
-    d2p = None
-    for j in range(16):
-        d = F.col(f"ya{j}") - F.col(f"yb{j}")
-        t = d * d
-        d2p = t if d2p is None else d2p + t
+    # one F.expr per distance chain (not per-term Column arithmetic —
+    # the py4j build cost dwarfed execution; see jl_project_cols)
+    d2o = F.expr(
+        " + ".join(
+            f"(CAST(ea[{i}] AS DOUBLE) - CAST(eb[{i}] AS DOUBLE))"
+            f" * (CAST(ea[{i}] AS DOUBLE) - CAST(eb[{i}] AS DOUBLE))"
+            for i in range(64)
+        )
+    )
+    d2p = F.expr(
+        " + ".join(f"(ya{j} - yb{j}) * (ya{j} - yb{j})" for j in range(16))
+    )
     pairs = (
         a.join(b, F.col("ib") == F.col("ia") + 1)
         .join(pa, "ia")
