@@ -109,7 +109,16 @@ def main() -> None:
             "incremental quantiles, bloom decontamination, BM25, BPE "
             "training (4.6s at sf1 - vocabulary-sized state, sub-linear), "
             "and the multimodal codec legs (PPM/PNG/JPEG 28.5s, WAV 3.8s, "
-            "Y4M 1.8s on 100x docs - all sub-linear)."
+            "Y4M 1.8s on 100x docs - all sub-linear). r8: coverage extends "
+            "to events_hourly_acf (0.8s, time-dimension-sized) and the "
+            "round-8 wave E187-E198 (all sub-second-to-3s at sf1 except "
+            "SNM/JL-distortion which are pair-join bound and sub-linear); "
+            "orders_bootstrap_mean_ci 37.1s -> 8.6s (one-md5 affine draws "
+            "+ pre-fanout repartition); documents_textrank_chunks 54.7s "
+            "(was 75.3 at r7) under the node-broadcast policy. Absolute "
+            "totals are not comparable across rounds (shared box, load "
+            "varies +-30%); the gate is the per-query ratio/multiplier "
+            "column, which has zero super-linear flags this round."
         ),
         "queries": rows,
     }
