@@ -240,6 +240,10 @@ HEADLINE = [
     "events_daily_anomaly_mad",
     "events_forecast_backtest",
     "customer_snm_pairs",
+    "parts_price_index_yearly",
+    "orders_runs_test",
+    "nation_supplier_hhi",
+    "events_hourly_gorilla_report",
     # Structured Streaming entries — each runs a full availableNow
     # drain of the events table through a memory sink inside queries()
     # (micro-batch scheduling + state store + watermark flush, stopped

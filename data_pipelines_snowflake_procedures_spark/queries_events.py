@@ -6466,3 +6466,103 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     test.unpersist()
     hourly.unpersist()
     return out
+
+
+@register(
+    "events_hourly_gorilla_report",
+    """
+    WITH hourly AS (
+      SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+               // 3600000000 AS x, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    d1 AS (
+      SELECT x, n, n - lag(n) OVER (ORDER BY x) AS delta FROM hourly
+    ),
+    d2 AS (
+      SELECT x, delta - lag(delta) OVER (ORDER BY x) AS dod
+      FROM d1 WHERE delta IS NOT NULL
+    ),
+    bits AS (
+      SELECT CASE
+               WHEN dod = 0 THEN 1
+               WHEN dod BETWEEN -64 AND 63 THEN 9
+               WHEN dod BETWEEN -256 AND 255 THEN 12
+               WHEN dod BETWEEN -2048 AND 2047 THEN 16
+               ELSE 36
+             END AS b,
+             CASE
+               WHEN dod = 0 THEN 'a_zero'
+               WHEN dod BETWEEN -64 AND 63 THEN 'b_7bit'
+               WHEN dod BETWEEN -256 AND 255 THEN 'c_9bit'
+               WHEN dod BETWEEN -2048 AND 2047 THEN 'd_12bit'
+               ELSE 'e_wide'
+             END AS bucket
+      FROM d2 WHERE dod IS NOT NULL
+    )
+    SELECT count(*)::BIGINT AS n_values,
+           (count(*) * 64)::BIGINT AS raw_bits,
+           sum(b)::BIGINT AS packed_bits,
+           round(count(*) * 64.0 / sum(b), 4) AS compression_ratio,
+           sum(CASE WHEN bucket = 'a_zero' THEN 1 ELSE 0 END)::BIGINT
+             AS n_zero,
+           sum(CASE WHEN bucket = 'e_wide' THEN 1 ELSE 0 END)::BIGINT
+             AS n_wide
+    FROM bits
+    """,
+    doc="Gorilla-style delta-of-delta compression sizing for the "
+    "hourly count series (E202, Facebook Gorilla / Prometheus TSDB "
+    "encoding): second differences of a smooth series concentrate "
+    "near zero, so variable-width buckets (1 bit for 0, then "
+    "7/9/12-bit windows, 36-bit escape — the paper's control-code "
+    "ladder) predict the on-disk footprint BEFORE anyone builds the "
+    "store. The storage-engineering sibling of the Z-order "
+    "block-skipping report: that one prices read pruning, this "
+    "prices the write encoding (compression_ratio vs raw 64-bit "
+    "longs, plus the zero/escape bucket counts that tell you WHY). "
+    "All integer deltas and bit counts — hash-exact; the two lag "
+    "windows run over the HOURS dimension only.",
+)
+def events_hourly_gorilla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    hourly = ev.groupBy(
+        F.floor(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600
+        ).cast("long").alias("x")
+    ).agg(F.count("*").alias("n"))
+    w = Window.orderBy("x")
+    d1 = hourly.select(
+        "x", "n", (F.col("n") - F.lag("n").over(w)).alias("delta")
+    ).filter(F.col("delta").isNotNull())
+    d2 = d1.select(
+        (F.col("delta") - F.lag("delta").over(w)).alias("dod")
+    ).filter(F.col("dod").isNotNull())
+    b = (
+        F.when(F.col("dod") == 0, 1)
+        .when(F.col("dod").between(-64, 63), 9)
+        .when(F.col("dod").between(-256, 255), 12)
+        .when(F.col("dod").between(-2048, 2047), 16)
+        .otherwise(36)
+    )
+    bucket = (
+        F.when(F.col("dod") == 0, "a_zero")
+        .when(F.col("dod").between(-64, 63), "b_7bit")
+        .when(F.col("dod").between(-256, 255), "c_9bit")
+        .when(F.col("dod").between(-2048, 2047), "d_12bit")
+        .otherwise("e_wide")
+    )
+    bits = d2.select(b.alias("b"), bucket.alias("bucket"))
+    return bits.agg(
+        F.count("*").cast("long").alias("n_values"),
+        (F.count("*") * 64).cast("long").alias("raw_bits"),
+        F.sum("b").cast("long").alias("packed_bits"),
+        F.round(F.count("*") * 64.0 / F.sum("b"), 4).alias("compression_ratio"),
+        F.sum(F.when(F.col("bucket") == "a_zero", 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+        F.sum(F.when(F.col("bucket") == "e_wide", 1).otherwise(0))
+        .cast("long")
+        .alias("n_wide"),
+    )

@@ -1070,3 +1070,283 @@ def part_return_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     pp.unpersist()
     return out
+
+
+@register(
+    "parts_price_index_yearly",
+    """
+    WITH py AS (
+      SELECT l_partkey AS pk,
+             CAST(year(l_shipdate) AS INTEGER) AS y,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ext_cents,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    y0 AS (SELECT min(y) AS base_y FROM py),
+    base AS (
+      SELECT pk, ext_cents AS ext0, qty AS qty0 FROM py, y0
+      WHERE y = base_y AND qty > 0
+    ),
+    m AS (
+      SELECT p.y, p.pk,
+             p.ext_cents * 1.0 / p.qty AS pt,
+             b.ext0 * 1.0 / b.qty0 AS p0,
+             p.qty AS qt, b.qty0 AS q0
+      FROM py p JOIN base b ON b.pk = p.pk
+      WHERE p.qty > 0
+    )
+    SELECT y, count(*)::BIGINT AS n_parts_matched,
+           round(sum(pt * q0) / sum(p0 * q0), 6) AS laspeyres,
+           round(sum(pt * qt) / sum(p0 * qt), 6) AS paasche,
+           round(sqrt((sum(pt * q0) / sum(p0 * q0))
+                      * (sum(pt * qt) / sum(p0 * qt))), 6) AS fisher
+    FROM m GROUP BY y ORDER BY y
+    """,
+    doc="Yearly Laspeyres / Paasche / Fisher price indices over the "
+    "part basket (E199) — the economics-grade 'did prices move or did "
+    "the MIX move' decomposition a raw avg-price trend can't give "
+    "(Laspeyres holds the base-year basket fixed, Paasche the current "
+    "one, Fisher is their geometric mean). Per-(part, year) unit "
+    "prices come from exact integer cent/quantity totals; the four "
+    "basket sums are double products of those rationals and the "
+    "index is their ratio rounded at emission (~1.0 scale, so "
+    "summation-order noise is 8 orders below the 6dp boundary). "
+    "Plan: one partial-aggregable (part, year) groupBy, a broadcast "
+    "base-year basket join, and a years-dimension aggregate — the "
+    "fact table is scanned once at any scale.",
+)
+def parts_price_index_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"
+    )
+    py = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.year("l_shipdate").cast("int").alias("y"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "ext_cents"
+        ),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"),
+    )
+    py = py.persist()
+    y0 = py.agg(F.min("y").alias("base_y"))
+    base = (
+        py.crossJoin(F.broadcast(y0))
+        .filter((F.col("y") == F.col("base_y")) & (F.col("qty") > 0))
+        .select(
+            "pk",
+            F.col("ext_cents").alias("ext0"),
+            F.col("qty").alias("qty0"),
+        )
+    )
+    m = (
+        py.filter(F.col("qty") > 0)
+        .join(F.broadcast(base), "pk")
+        .select(
+            "y",
+            (F.col("ext_cents") * 1.0 / F.col("qty")).alias("pt"),
+            (F.col("ext0") * 1.0 / F.col("qty0")).alias("p0"),
+            F.col("qty").alias("qt"),
+            F.col("qty0").alias("q0"),
+        )
+    )
+    lasp = F.sum(F.col("pt") * F.col("q0")) / F.sum(F.col("p0") * F.col("q0"))
+    paas = F.sum(F.col("pt") * F.col("qt")) / F.sum(F.col("p0") * F.col("qt"))
+    out = (
+        m.groupBy("y")
+        .agg(
+            F.count("*").cast("long").alias("n_parts_matched"),
+            F.round(lasp, 6).alias("laspeyres"),
+            F.round(paas, 6).alias("paasche"),
+            F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+        )
+        .orderBy("y")
+    )
+    out = out.localCheckpoint(eager=True)
+    py.unpersist()
+    return out
+
+
+@register(
+    "orders_runs_test",
+    """
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(rev, 0.5) AS med FROM daily),
+    s AS (
+      SELECT day, CASE WHEN rev > med THEN 1 ELSE 0 END AS sgn
+      FROM daily, med WHERE rev <> med
+    ),
+    r AS (
+      SELECT sgn,
+             CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL
+                    OR lag(sgn) OVER (ORDER BY day) <> sgn
+                  THEN 1 ELSE 0 END AS run_start
+      FROM s
+    ),
+    agg AS (
+      SELECT sum(run_start)::BIGINT AS runs,
+             sum(sgn)::BIGINT AS n1,
+             sum(1 - sgn)::BIGINT AS n2
+      FROM r
+    )
+    SELECT runs, n1, n2,
+           round(1.0 + 2.0 * n1 * n2 / (n1 + n2), 4) AS expected_runs,
+           round((runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 4)
+             AS z
+    FROM agg
+    """,
+    doc="Wald-Wolfowitz runs test on daily revenue (E200): is the "
+    "above/below-median sequence RANDOM, or does revenue cluster in "
+    "streaks (momentum / regime) or alternate (overcorrection)? The "
+    "nonparametric randomness check that needs no distributional "
+    "assumptions — the DQ-flavored sibling of the MAD and "
+    "changepoint entries (those find WHERE structure is, this tests "
+    "WHETHER serial structure exists at all). Runs counted as "
+    "sign-change starts via one lag over the DAYS dimension (median "
+    "from exact integer cents, equal-to-median days excluded per the "
+    "classic test); expected runs and the normal-approximation z "
+    "use the standard closed forms on exact integer n1/n2. Plan: one "
+    "partial-aggregable groupBy + a days-sized window — nothing "
+    "data-sized is ever ordered.",
+)
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(
+        F.date_format(F.date_trunc("day", F.col("o_orderdate")), "yyyy-MM-dd")
+        .alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    daily = daily.persist()
+    med = daily.agg(F.expr("percentile(rev, 0.5)").alias("med"))
+    s = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("rev") != F.col("med"))
+        .select(
+            "day",
+            F.when(F.col("rev") > F.col("med"), 1).otherwise(0).alias("sgn"),
+        )
+    )
+    w = Window.orderBy("day")
+    r = s.select(
+        "sgn",
+        F.when(
+            F.lag("sgn").over(w).isNull() | (F.lag("sgn").over(w) != F.col("sgn")),
+            1,
+        ).otherwise(0).alias("run_start"),
+    )
+    agg = r.agg(
+        F.sum("run_start").cast("long").alias("runs"),
+        F.sum("sgn").cast("long").alias("n1"),
+        F.sum(1 - F.col("sgn")).cast("long").alias("n2"),
+    )
+    out = agg.select(
+        "runs",
+        "n1",
+        "n2",
+        F.round(F.expr("1.0D + 2.0D * n1 * n2 / (n1 + n2)"), 4).alias(
+            "expected_runs"
+        ),
+        F.round(
+            F.expr(
+                "(runs - (1.0D + 2.0D * n1 * n2 / (n1 + n2)))"
+                " / sqrt(2.0D * n1 * n2 * (2.0D * n1 * n2 - n1 - n2)"
+                " / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0D)))"
+            ),
+            4,
+        ).alias("z"),
+    )
+    out = out.localCheckpoint(eager=True)
+    daily.unpersist()
+    return out
+
+
+@register(
+    "nation_supplier_hhi",
+    """
+    WITH rev AS (
+      SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) AS cents
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT nk, sum(cents) AS t, count(*) AS n_suppliers FROM rev GROUP BY 1)
+    SELECT n.n_name AS nation,
+           t.n_suppliers::BIGINT AS n_suppliers,
+           CAST(sum((r.cents * 10000) // t.t
+                    * ((r.cents * 10000) // t.t)) AS BIGINT) AS hhi,
+           CAST((max(r.cents) * 10000) // t.t AS BIGINT) AS top_share_bp
+    FROM rev r
+    JOIN tot t ON t.nk = r.nk
+    JOIN nation n ON n.n_nationkey = r.nk
+    GROUP BY n.n_name, t.n_suppliers, t.t
+    ORDER BY nation
+    """,
+    doc="Herfindahl-Hirschman supplier-concentration index per nation "
+    "(E201): the antitrust-standard concentration measure — sum of "
+    "squared market shares, here in basis points so HHI ranges 0 to "
+    "10000^2/10000=10^8... reported as the sum of squared bp shares "
+    "(10^8 = monopoly; the DOJ 'highly concentrated' line 0.25 maps "
+    "to 2.5e7). Complements the Gini entries: Gini measures "
+    "inequality of the whole distribution, HHI weights the TOP "
+    "(squaring makes the largest shares dominate — the 'could one "
+    "supplier's failure take the nation down' readout). Shares are "
+    "floored integer basis points of exact cent totals, so the "
+    "squared sum is exact integer arithmetic — hash-exact with zero "
+    "float exposure. Plan: one (nation, supplier) groupBy, one "
+    "nation-level re-aggregate, broadcast nation dim.",
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("nk"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("cents")
+        )
+    )
+    rev = rev.persist()
+    tot = rev.groupBy("nk").agg(
+        F.sum("cents").alias("t"), F.count("*").alias("n_suppliers")
+    )
+    out = (
+        rev.join(F.broadcast(tot), "nk")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("nk"))
+        .groupBy(F.col("n_name").alias("nation"), "n_suppliers")
+        .agg(
+            F.expr(
+                "CAST(sum((cents * 10000) div t * ((cents * 10000) div t))"
+                " AS BIGINT)"
+            ).alias("hhi"),
+            F.expr("CAST((max(cents) * 10000) div first(t) AS BIGINT)").alias(
+                "top_share_bp"
+            ),
+        )
+        .select(
+            "nation",
+            F.col("n_suppliers").cast("long").alias("n_suppliers"),
+            "hhi",
+            "top_share_bp",
+        )
+        .orderBy("nation")
+    )
+    out = out.localCheckpoint(eager=True)
+    rev.unpersist()
+    return out

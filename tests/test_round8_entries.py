@@ -170,3 +170,43 @@ def test_snm_pairs_window_semantics(spark, sf_dir):
     from data_pipelines_snowflake_procedures_spark.session import load_table
     n = load_table(spark, sf_dir, "customer").count()
     assert len(rows) <= 3 * n
+
+
+def test_price_index_base_year_is_unity(spark, sf_dir):
+    rows = REGISTRY["parts_price_index_yearly"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    base = rows[0]  # ordered by year; first is the base year
+    assert base.laspeyres == 1.0 and base.paasche == 1.0 and base.fisher == 1.0
+    for r in rows:
+        lo, hi = sorted((r.laspeyres, r.paasche))
+        # Fisher is the geometric mean: always between L and P
+        assert lo - 1e-6 <= r.fisher <= hi + 1e-6
+        assert r.n_parts_matched > 0
+
+
+def test_runs_test_moments(spark, sf_dir):
+    r = REGISTRY["orders_runs_test"].spark_fn(spark, sf_dir).first()
+    n = r.n1 + r.n2
+    assert 1 <= r.runs <= n
+    assert abs(r.expected_runs - (1 + 2 * r.n1 * r.n2 / n)) < 1e-3
+    # median split: the two sides are balanced to within one
+    assert abs(r.n1 - r.n2) <= 1
+
+
+def test_hhi_bounds(spark, sf_dir):
+    rows = REGISTRY["nation_supplier_hhi"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # HHI of k equal shares = 10^8 / k; monopoly = 10^8
+        assert 10**8 // max(r.n_suppliers, 1) - 10000 <= r.hhi <= 10**8
+        assert r.top_share_bp * r.top_share_bp <= r.hhi + 10000
+        assert r.top_share_bp >= 10000 // r.n_suppliers
+
+
+def test_gorilla_report_consistency(spark, sf_dir):
+    r = REGISTRY["events_hourly_gorilla_report"].spark_fn(spark, sf_dir).first()
+    assert r.n_values > 0
+    assert r.raw_bits == r.n_values * 64
+    assert r.n_values <= r.packed_bits <= r.n_values * 36
+    assert r.compression_ratio > 1.0  # smooth hourly counts must compress
+    assert r.n_zero + r.n_wide <= r.n_values
