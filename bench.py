@@ -244,6 +244,9 @@ HEADLINE = [
     "orders_runs_test",
     "nation_supplier_hhi",
     "events_hourly_gorilla_report",
+    "part_abc_migration",
+    "lineitem_discount_did",
+    "events_session_bounce_rate",
     # Structured Streaming entries — each runs a full availableNow
     # drain of the events table through a memory sink inside queries()
     # (micro-batch scheduling + state store + watermark flush, stopped

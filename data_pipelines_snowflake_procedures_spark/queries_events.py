@@ -6566,3 +6566,81 @@ def events_hourly_gorilla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_wide"),
     )
+
+
+@register(
+    "events_session_bounce_rate",
+    """
+    WITH o AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+                    OR epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)))
+    ),
+    s AS (
+      SELECT user_id,
+             sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM o
+    ),
+    sess AS (SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY 1, 2)
+    SELECT count(*)::BIGINT AS n_sessions,
+           sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+           ((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000)
+             // count(*))::BIGINT AS bounce_bp,
+           round(sum(n_events) * 1.0 / count(*), 4) AS avg_events_per_session
+    FROM sess
+    """,
+    doc="Session bounce rate (E205): single-event sessions over total "
+    "sessions under the repo's standard 30-minute-gap sessionization "
+    "(the same per-user window chain as events_peak_concurrency, so "
+    "the session definition cannot drift between entries) — the "
+    "engagement-quality headline every web-analytics deployment "
+    "reports, plus events-per-session as its density complement. "
+    "Integer session/bounce counts with div basis points; the only "
+    "double is the rounded density ratio of two exact longs. Plan: "
+    "one user-partitioned window pass (ts ties are WITHIN a session "
+    "by construction — the gap predicate only compares adjacent "
+    "timestamps, so tie order cannot change session boundaries) and "
+    "one (user, sid) groupBy to session grain.",
+)
+def events_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    o = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("t").over(w).isNull()
+            | ((F.col("t") - F.lag("t").over(w)) > 1800000000),
+            1,
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = o.withColumn("sid", F.sum("new_s").over(w_run))
+    sess = s.groupBy("user_id", "sid").agg(F.count("*").alias("n_events"))
+    return sess.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.expr(
+            "CAST((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000)"
+            " div count(*) AS BIGINT)"
+        ).alias("bounce_bp"),
+        F.round(F.sum("n_events") * 1.0 / F.count("*"), 4).alias(
+            "avg_events_per_session"
+        ),
+    )

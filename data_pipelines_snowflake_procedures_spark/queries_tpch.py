@@ -1350,3 +1350,194 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     rev.unpersist()
     return out
+
+
+@register(
+    "part_abc_migration",
+    """
+    WITH rev AS (
+      SELECT l_partkey AS pk, CAST(year(l_shipdate) AS INTEGER) AS y,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cls AS (
+      SELECT y, pk,
+             CASE WHEN sum(cents) OVER (
+                    PARTITION BY y ORDER BY cents DESC, pk ASC
+                    ROWS UNBOUNDED PRECEDING) * 10
+                  <= sum(cents) OVER (PARTITION BY y) * 7 THEN 'A'
+                  WHEN sum(cents) OVER (
+                    PARTITION BY y ORDER BY cents DESC, pk ASC
+                    ROWS UNBOUNDED PRECEDING) * 10
+                  <= sum(cents) OVER (PARTITION BY y) * 9 THEN 'B'
+                  ELSE 'C' END AS c
+      FROM rev
+    )
+    SELECT a.y AS year_from, a.c AS from_class, b.c AS to_class,
+           count(*)::BIGINT AS n_parts
+    FROM cls a JOIN cls b ON b.pk = a.pk AND b.y = a.y + 1
+    GROUP BY 1, 2, 3
+    ORDER BY year_from, from_class, to_class
+    """,
+    doc="ABC class migration matrix year over year (E203): which "
+    "A-parts DROPPED to B/C and which C-parts climbed — the churn "
+    "readout the static part_abc_classification snapshot can't give "
+    "(a stable A list and a churning one demand opposite stocking "
+    "policies). Same exact-integer Pareto thresholds (cum*10 <= "
+    "tot*7/9 on cent longs, deterministic (revenue, partkey) rank "
+    "order), classified per YEAR, then one parts-keyed self-join on "
+    "adjacent years aggregates to the classes x classes x years "
+    "matrix. Windows partition by year over the PARTS dimension; "
+    "migrations count only parts present in both years (entries/"
+    "exits are a different readout, documented out of scope).",
+)
+def part_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice"
+    )
+    rev = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.year("l_shipdate").cast("int").alias("y"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
+    )
+    w_cum = (
+        Window.partitionBy("y")
+        .orderBy(F.col("cents").desc(), F.col("pk").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("y")
+    cls = rev.select(
+        "y",
+        "pk",
+        F.when(
+            F.sum("cents").over(w_cum) * 10 <= F.sum("cents").over(w_tot) * 7,
+            "A",
+        )
+        .when(
+            F.sum("cents").over(w_cum) * 10 <= F.sum("cents").over(w_tot) * 9,
+            "B",
+        )
+        .otherwise("C")
+        .alias("c"),
+    )
+    cls = cls.persist()
+    a = cls.select(F.col("y").alias("year_from"), "pk", F.col("c").alias("from_class"))
+    b = cls.select(
+        F.col("y").alias("yb"),
+        F.col("pk").alias("pk_b"),
+        F.col("c").alias("to_class"),
+    )
+    out = (
+        a.join(
+            b,
+            (F.col("pk") == F.col("pk_b"))
+            & (F.col("yb") == F.col("year_from") + 1),
+        )
+        .groupBy("year_from", "from_class", "to_class")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+        .orderBy("year_from", "from_class", "to_class")
+    )
+    out = out.localCheckpoint(eager=True)
+    cls.unpersist()
+    return out
+
+
+@register(
+    "lineitem_discount_did",
+    """
+    WITH cells AS (
+      SELECT CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS treated,
+             CASE WHEN l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                  THEN 1 ELSE 0 END AS post,
+             count(*) AS n,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT treated, post, n, round(cents * 1.0 / n / 100, 4) AS mean_rev
+      FROM cells
+    )
+    SELECT
+      (SELECT n FROM m WHERE treated = 1 AND post = 0)::BIGINT AS n_t_pre,
+      (SELECT n FROM m WHERE treated = 1 AND post = 1)::BIGINT AS n_t_post,
+      (SELECT mean_rev FROM m WHERE treated = 1 AND post = 0) AS t_pre,
+      (SELECT mean_rev FROM m WHERE treated = 1 AND post = 1) AS t_post,
+      (SELECT mean_rev FROM m WHERE treated = 0 AND post = 0) AS c_pre,
+      (SELECT mean_rev FROM m WHERE treated = 0 AND post = 1) AS c_post,
+      round(((SELECT mean_rev FROM m WHERE treated = 1 AND post = 1)
+           - (SELECT mean_rev FROM m WHERE treated = 1 AND post = 0))
+          - ((SELECT mean_rev FROM m WHERE treated = 0 AND post = 1)
+           - (SELECT mean_rev FROM m WHERE treated = 0 AND post = 0)), 4)
+        AS did_estimate
+    """,
+    doc="Difference-in-differences uplift estimate (E204, the "
+    "workhorse quasi-experimental design): PROMO-type parts as the "
+    "treated group, 1998-01-01 as the policy date, per-line "
+    "discounted revenue as the outcome — DiD = (T_post - T_pre) - "
+    "(C_post - C_pre) nets out both the group-level baseline gap "
+    "AND the common time trend that a naive before/after or "
+    "treated/control comparison confounds (the CUPED entry reduces "
+    "variance WITHIN a randomized test; DiD identifies an effect "
+    "when there was no randomization at all). The four cell means "
+    "come from one pass of exact integer cents (2x2 partial-agg "
+    "groupBy); the estimate is arithmetic on the four ROUNDED means, "
+    "so it is reproducible from the published cells.",
+)
+def lineitem_discount_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cells = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.when(F.col("p_type").startswith("PROMO"), 1).otherwise(0).alias(
+                "treated"
+            ),
+            F.when(
+                F.col("l_shipdate")
+                >= F.lit("1998-01-01 00:00:00").cast("timestamp"),
+                1,
+            ).otherwise(0).alias("post"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("cents"),
+        )
+        .select(
+            "treated",
+            "post",
+            "n",
+            F.round(F.col("cents") * 1.0 / F.col("n") / 100, 4).alias("mean_rev"),
+        )
+    )
+    # 4-cell pivot on the driver-free path: conditional firsts over the
+    # broadcast-sized cell frame
+    agg = cells.agg(
+        *[
+            F.first(F.when((F.col("treated") == t) & (F.col("post") == q), F.col(c)), ignorenulls=True).alias(f"{c}_{t}{q}")
+            for t in (0, 1)
+            for q in (0, 1)
+            for c in ("n", "mean_rev")
+        ]
+    )
+    return agg.select(
+        F.col("n_10").cast("long").alias("n_t_pre"),
+        F.col("n_11").cast("long").alias("n_t_post"),
+        F.col("mean_rev_10").alias("t_pre"),
+        F.col("mean_rev_11").alias("t_post"),
+        F.col("mean_rev_00").alias("c_pre"),
+        F.col("mean_rev_01").alias("c_post"),
+        F.round(
+            (F.col("mean_rev_11") - F.col("mean_rev_10"))
+            - (F.col("mean_rev_01") - F.col("mean_rev_00")),
+            4,
+        ).alias("did_estimate"),
+    )

@@ -210,3 +210,38 @@ def test_gorilla_report_consistency(spark, sf_dir):
     assert r.n_values <= r.packed_bits <= r.n_values * 36
     assert r.compression_ratio > 1.0  # smooth hourly counts must compress
     assert r.n_zero + r.n_wide <= r.n_values
+
+
+def test_abc_migration_matrix(spark, sf_dir, duck):
+    rows = REGISTRY["part_abc_migration"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.from_class in "ABC" and r.to_class in "ABC"
+        assert r.n_parts > 0
+    # per year-pair, migrated part totals equal the parts present in
+    # BOTH years (inner-join semantics)
+    import collections
+    per_year = collections.Counter()
+    for r in rows:
+        per_year[r.year_from] += r.n_parts
+    both, = duck.execute("""
+        WITH rev AS (SELECT l_partkey pk, year(l_shipdate) y FROM lineitem
+                     GROUP BY 1, 2)
+        SELECT count(*) FROM rev a JOIN rev b
+          ON b.pk = a.pk AND b.y = a.y + 1""").fetchone()
+    assert sum(per_year.values()) == both
+
+
+def test_did_estimate_consistent(spark, sf_dir):
+    r = REGISTRY["lineitem_discount_did"].spark_fn(spark, sf_dir).first()
+    assert r.n_t_pre > 0 and r.n_t_post > 0
+    want = round((r.t_post - r.t_pre) - (r.c_post - r.c_pre), 4)
+    assert abs(r.did_estimate - want) < 1e-9
+
+
+def test_bounce_rate_bounds(spark, sf_dir):
+    r = REGISTRY["events_session_bounce_rate"].spark_fn(spark, sf_dir).first()
+    assert 0 < r.n_sessions
+    assert 0 <= r.n_bounces <= r.n_sessions
+    assert r.bounce_bp == r.n_bounces * 10000 // r.n_sessions
+    assert r.avg_events_per_session >= 1.0
