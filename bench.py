@@ -247,6 +247,7 @@ HEADLINE = [
     "part_abc_migration",
     "lineitem_discount_did",
     "events_session_bounce_rate",
+    "lineitem_price_ks_test",
     # Structured Streaming entries — each runs a full availableNow
     # drain of the events table through a memory sink inside queries()
     # (micro-batch scheduling + state store + watermark flush, stopped

@@ -1541,3 +1541,100 @@ def lineitem_discount_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("did_estimate"),
     )
+
+
+@register(
+    "lineitem_price_ks_test",
+    """
+    WITH src AS (
+      SELECT CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS grp,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) // 10000 AS bin
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    cells AS (
+      SELECT bin,
+             sum(grp) AS n1b,
+             sum(1 - grp) AS n2b
+      FROM src GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin,
+             sum(n1b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c1,
+             sum(n2b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c2,
+             sum(n1b) OVER () AS n1,
+             sum(n2b) OVER () AS n2
+      FROM cells
+    ),
+    d AS (
+      SELECT max(abs(c1 * n2 - c2 * n1)) AS dnum,
+             max(n1) AS n1, max(n2) AS n2
+      FROM cum
+    )
+    SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
+           round(dnum * 1.0 / (n1 * n2), 6) AS d_stat,
+           round(dnum * 1.0 / (n1 * n2)
+                 * sqrt(n1 * 1.0 * n2 / (n1 + n2)), 4) AS ks_stat,
+           CASE WHEN dnum * 1.0 / (n1 * n2)
+                     * sqrt(n1 * 1.0 * n2 / (n1 + n2)) > 1.358
+                THEN 1 ELSE 0 END::BIGINT AS reject_at_05
+    FROM d
+    """,
+    doc="Two-sample Kolmogorov-Smirnov test on binned price "
+    "distributions, PROMO vs non-PROMO lines (E206): D = max ECDF "
+    "gap computed as the exact INTEGER max of |c1*n2 - c2*n1| over "
+    "$100 price bins, divided once at emission — so the "
+    "distribution-shape test joins Mann-Whitney (rank location) and "
+    "the chi-square entries (categorical mix) with zero float "
+    "accumulation; the 1.358 threshold is the alpha=0.05 asymptotic "
+    "critical value. Binning is the scale contract: raw cents are "
+    "near-unique (an exact KS would order data-sized rows), while "
+    "the binned ECDF needs one partial-aggregable groupBy to the "
+    "BINS dimension and bins-sized windows — the documented "
+    "exact-on-binned tradeoff every streaming KS implementation "
+    "makes (binned D lower-bounds raw D).",
+)
+def lineitem_price_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    src = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).select(
+        F.when(F.col("p_type").startswith("PROMO"), 1).otherwise(0).alias("grp"),
+        F.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT) div 10000"
+        ).alias("bin"),
+    )
+    cells = src.groupBy("bin").agg(
+        F.sum("grp").alias("n1b"), F.sum(1 - F.col("grp")).alias("n2b")
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cells.select(
+        F.sum("n1b").over(w_cum).alias("c1"),
+        F.sum("n2b").over(w_cum).alias("c2"),
+        F.sum("n1b").over(w_all).alias("n1"),
+        F.sum("n2b").over(w_all).alias("n2"),
+    )
+    d = cum.agg(
+        F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))).alias(
+            "dnum"
+        ),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )
+    return d.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(F.expr("dnum * 1.0D / (n1 * n2)"), 6).alias("d_stat"),
+        F.round(
+            F.expr("dnum * 1.0D / (n1 * n2) * sqrt(n1 * 1.0D * n2 / (n1 + n2))"),
+            4,
+        ).alias("ks_stat"),
+        F.expr(
+            "CAST(CASE WHEN dnum * 1.0D / (n1 * n2)"
+            " * sqrt(n1 * 1.0D * n2 / (n1 + n2)) > 1.358D"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_at_05"),
+    )

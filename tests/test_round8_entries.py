@@ -245,3 +245,28 @@ def test_bounce_rate_bounds(spark, sf_dir):
     assert 0 <= r.n_bounces <= r.n_sessions
     assert r.bounce_bp == r.n_bounces * 10000 // r.n_sessions
     assert r.avg_events_per_session >= 1.0
+
+
+def test_ks_test_against_scipy_formula(spark, sf_dir, duck):
+    r = REGISTRY["lineitem_price_ks_test"].spark_fn(spark, sf_dir).first()
+    assert r.n1 > 0 and r.n2 > 0
+    assert 0 <= r.d_stat <= 1
+    # recompute the binned D in duckdb-python as an independent check
+    rows = duck.execute("""
+        WITH src AS (
+          SELECT CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END g,
+                 CAST(round(l.l_extendedprice * 100) AS BIGINT) // 10000 b
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+        SELECT b, sum(g), sum(1 - g) FROM src GROUP BY b ORDER BY b
+    """).fetchall()
+    c1 = c2 = 0
+    n1 = sum(x[1] for x in rows)
+    n2 = sum(x[2] for x in rows)
+    dmax = 0
+    for _, a, b in rows:
+        c1 += a
+        c2 += b
+        dmax = max(dmax, abs(c1 * n2 - c2 * n1))
+    assert r.n1 == n1 and r.n2 == n2
+    assert abs(r.d_stat - dmax / (n1 * n2)) < 1e-6
+    assert r.reject_at_05 == (1 if r.ks_stat > 1.358 else 0)
