@@ -1,4 +1,4 @@
-"""Round-8 waves (E187-E198): t-closeness, sequence matching, skew
+"""Round-8 waves (E187-E206): t-closeness, sequence matching, skew
 audit, reconciliation, systematic sampling, JL projection, shrinkage,
 funnel latency, MAD anomalies, forecast backtest, SNM blocking.
 
