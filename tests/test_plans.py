@@ -306,3 +306,35 @@ def test_bitmap_joins_are_chunk_keyed_never_member_keyed(spark, sf_dir):
                 )  # bitmap-chunk or pair-rollup keys only
                 assert "user_id" not in keys, (name, ln, keys)
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_jl_projection_is_narrow(spark, sf_dir):
+    # a data-independent projection must fuse into the scan: no
+    # Exchange, no Join, and the embedding column read via pruning
+    plan = _plan(spark, "embeddings_jl_project", sf_dir)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "label" not in plan  # untouched column pruned from the scan
+
+
+def test_bootstrap_draws_fanout_parallelism_guard(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_pipelines_snowflake_procedures_spark.operators.bootstrap import (
+        poisson_draws,
+    )
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    d = poisson_draws(src, "o_orderkey", 40)
+    # the guard must lift a narrow single-file scan to session
+    # parallelism BEFORE the 40x explode
+    assert d.rdd.getNumPartitions() >= min(
+        spark.sparkContext.defaultParallelism, 8
+    )
+    # and the per-replicate constants must be CONSTANT-FOLDED into the
+    # Generate (a literal array, not per-row construction)
+    plan = d._jdf.queryExecution().optimizedPlan().toString()
+    assert "posexplode([[" in plan.replace(" ", "") or "posexplode([" in plan
