@@ -4220,3 +4220,72 @@ def customer_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     ranked.unpersist()
     return out
+
+
+@register(
+    "supplier_graph_clustering",
+    f"""
+    WITH {_cosupplier_graph_sql(10)},
+    dg AS (
+      SELECT node, count(*)::BIGINT AS deg FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) t
+      GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tn AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y AS node FROM tri
+      UNION ALL SELECT z AS node FROM tri
+    ),
+    tc AS (SELECT node, count(*)::BIGINT AS triangles FROM tn GROUP BY node)
+    SELECT d.node, d.deg,
+           coalesce(t.triangles, 0)::BIGINT AS triangles,
+           round(2.0 * coalesce(t.triangles, 0) / (d.deg * (d.deg - 1.0)), 6)
+             AS clustering_coeff
+    FROM dg d LEFT JOIN tc t ON t.node = d.node
+    WHERE d.deg >= 2
+    """,
+    doc="Local clustering coefficient per supplier over the "
+    "top-10-sparsified co-supplier graph (E210): cc(v) = 2*tri(v) / "
+    "(deg(v)*(deg(v)-1)) for every node with deg >= 2 — how close "
+    "each supplier's neighborhood is to a clique, the standard "
+    "small-world diagnostic that complements the raw triangle entry. "
+    "Reuses operators/graph.py::triangle_count's degree-ordered "
+    "node-iterator (O(|E|^1.5) wedges, hubs never fan out) and joins "
+    "it back to the degree table LEFT so triangle-free nodes emit "
+    "cc = 0 rather than vanishing. The sparsified edge list is "
+    "localCheckpointed by topk_sparsify, so the deg scan and the "
+    "triangle pass share one materialization; the only float is the "
+    "final rounded division.",
+)
+def supplier_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import triangle_count
+
+    e = _cosupplier_edges(spark, sf_dir, k=10)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    tc = triangle_count(e)
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tc, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.round(
+                2.0
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -6644,3 +6644,130 @@ def events_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_events_per_session"
         ),
     )
+
+
+@register(
+    "events_value_kruskal_wallis",
+    """
+    WITH cells AS (
+      SELECT value, event_type, count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT value, sum(c)::BIGINT AS t FROM cells GROUP BY value
+    ),
+    mid AS (
+      SELECT value, t,
+             2 * coalesce(sum(t) OVER (
+               ORDER BY value ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS r2
+      FROM tot
+    ),
+    grp AS (
+      SELECT c.event_type,
+             sum(c.c)::BIGINT AS ni,
+             sum(c.c * m.r2)::BIGINT AS r2i
+      FROM cells c JOIN mid m ON m.value = c.value
+      GROUP BY c.event_type
+    ),
+    ties AS (
+      SELECT sum(t * t * t - t) AS tsum, sum(t)::BIGINT AS n FROM tot
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS k,
+             sum((r2i / 2.0) * (r2i / 2.0) / ni) AS sr
+      FROM grp
+    )
+    SELECT t.n,
+           s.k AS k_groups,
+           (s.k - 1)::BIGINT AS df,
+           round(12.0 / (t.n * (t.n + 1.0)) * s.sr - 3.0 * (t.n + 1), 4)
+             AS h_stat,
+           round((12.0 / (t.n * (t.n + 1.0)) * s.sr - 3.0 * (t.n + 1))
+                 / (1.0 - CAST(t.tsum AS DOUBLE)
+                          / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n)), 4)
+             AS h_corrected,
+           CASE WHEN (12.0 / (t.n * (t.n + 1.0)) * s.sr - 3.0 * (t.n + 1))
+                     / (1.0 - CAST(t.tsum AS DOUBLE)
+                              / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n))
+                  > CASE s.k - 1
+                      WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
+                      WHEN 4 THEN 9.488 WHEN 5 THEN 11.070 WHEN 6 THEN 12.592
+                      WHEN 7 THEN 14.067 WHEN 8 THEN 15.507 WHEN 9 THEN 16.919
+                      ELSE 18.307 END
+                THEN 1 ELSE 0 END::BIGINT AS reject_at_05
+    FROM s, ties t
+    """,
+    doc="Kruskal-Wallis H test of event value across ALL event types "
+    "(E208) — the k-sample extension of the Mann-Whitney entry and "
+    "the distribution-free ANOVA: are the 5 type distributions "
+    "location-shifted? Same no-per-row-ranks contract as MW: the "
+    "corpus collapses to a distinct-value x type cell grid, midranks "
+    "come 2x-scaled from the value rollup's strict-cumulative window "
+    "(integers throughout: r2 = 2*cum_before + t + 1), per-type rank "
+    "sums are exact integer dot products, and the tie correction "
+    "sum(t^3 - t) accumulates hugeint/decimal so no float touches a "
+    "shuffle. H, the tie-corrected H, and a chi-square alpha=0.05 "
+    "lookup (df 1..10) emit from one final row. Scale: one "
+    "map-side-combinable groupBy to the cell grid, one "
+    "distinct-values window, one k-row aggregate.",
+)
+def events_value_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("value", "event_type")
+    cells = ev.groupBy("value", "event_type").agg(F.count("*").alias("c"))
+    cells = cells.persist()
+    tot = cells.groupBy("value").agg(F.sum("c").alias("t"))
+    w = Window.orderBy(F.asc("value")).rowsBetween(Window.unboundedPreceding, -1)
+    mid = tot.select(
+        "value",
+        "t",
+        (2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + 1).alias("r2"),
+    ).persist()
+    grp = (
+        cells.join(mid.select("value", "r2"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").alias("ni"),
+            F.sum(F.col("c") * F.col("r2")).alias("r2i"),
+        )
+    )
+    ties = mid.agg(
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).alias("tsum"),
+        F.sum("t").alias("n"),
+    )
+    s = grp.agg(
+        F.count("*").alias("k"),
+        F.sum(
+            (F.col("r2i") / 2.0) * (F.col("r2i") / 2.0) / F.col("ni")
+        ).alias("sr"),
+    )
+    h = F.expr("12.0D / (n * (n + 1.0D)) * sr - 3.0D * (n + 1)")
+    hc = F.expr(
+        "(12.0D / (n * (n + 1.0D)) * sr - 3.0D * (n + 1))"
+        " / (1.0D - CAST(tsum AS DOUBLE)"
+        "          / (CAST(n AS DOUBLE) * n * n - n))"
+    )
+    crit = F.expr(
+        "CASE k - 1 WHEN 1 THEN 3.841D WHEN 2 THEN 5.991D WHEN 3 THEN 7.815D"
+        " WHEN 4 THEN 9.488D WHEN 5 THEN 11.070D WHEN 6 THEN 12.592D"
+        " WHEN 7 THEN 14.067D WHEN 8 THEN 15.507D WHEN 9 THEN 16.919D"
+        " ELSE 18.307D END"
+    )
+    out = (
+        s.crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k_groups"),
+            (F.col("k") - 1).cast("long").alias("df"),
+            F.round(h, 4).alias("h_stat"),
+            F.round(hc, 4).alias("h_corrected"),
+            F.when(hc > crit, 1).otherwise(0).cast("long").alias("reject_at_05"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    cells.unpersist()
+    mid.unpersist()
+    return out

@@ -1638,3 +1638,424 @@ def lineitem_price_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("reject_at_05"),
     )
+
+
+@register(
+    "lineitem_spearman_qty_price",
+    """
+    WITH src AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS qb,
+             CAST(round(l_extendedprice * 100) AS BIGINT) // 10000 AS pb
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT qb, pb, count(*)::BIGINT AS w FROM src GROUP BY 1, 2
+    ),
+    qm AS (
+      SELECT qb,
+             2 * (sum(t) OVER (ORDER BY qb ROWS UNBOUNDED PRECEDING) - t)
+               + t + 1 AS r2q
+      FROM (SELECT qb, sum(w) AS t FROM cells GROUP BY qb) m
+    ),
+    pm AS (
+      SELECT pb,
+             2 * (sum(t) OVER (ORDER BY pb ROWS UNBOUNDED PRECEDING) - t)
+               + t + 1 AS r2p
+      FROM (SELECT pb, sum(w) AS t FROM cells GROUP BY pb) m
+    ),
+    mom AS (
+      SELECT sum(c.w)                        AS n,
+             sum(c.w * q.r2q)                AS sx,
+             sum(c.w * p.r2p)                AS sy,
+             sum(c.w * q.r2q * q.r2q)        AS sxx,
+             sum(c.w * p.r2p * p.r2p)        AS syy,
+             sum(c.w * q.r2q * p.r2p)        AS sxy
+      FROM cells c JOIN qm q ON q.qb = c.qb JOIN pm p ON p.pb = c.pb
+    )
+    SELECT n::BIGINT AS n,
+           round(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt(
+                 (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS spearman_rho
+    FROM mom
+    """,
+    doc="Spearman rank correlation between quantity and price (E207), "
+    "binned-exact: quantity is already a ~50-value integer domain and "
+    "price bins to $100 buckets (the KS entry's grid), so average "
+    "ranks are derived FROM MARGINAL COUNTS — 2x-scaled to keep "
+    "midranks integral (r2 = 2*cum_before + t + 1) — and rho is "
+    "weighted Pearson over the qb x pb cell grid. Scale shape: one "
+    "map-side-combinable groupBy to a dimension-sized grid, two "
+    "bins-sized windows for the cumulative marginals, and every "
+    "moment accumulates as an EXACT integer (Spark decimal(38,0) / "
+    "DuckDB hugeint — n*4n^2 exceeds int64 at sf1) cast to double "
+    "only inside the final one-row rho expression. No data-sized "
+    "global rank/sort, which is what a textbook Spearman would need.",
+)
+def lineitem_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round("l_quantity").cast("long").alias("qb"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 10000").alias("pb"),
+    )
+    cells = li.groupBy("qb", "pb").agg(F.count("*").alias("w"))
+    cells = cells.persist()
+
+    def _midranks(col: str) -> DataFrame:
+        m = cells.groupBy(col).agg(F.sum("w").alias("t"))
+        w_cum = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return m.select(
+            col,
+            (2 * (F.sum("t").over(w_cum) - F.col("t")) + F.col("t") + 1).alias(
+                "r2" + col[0]
+            ),
+        )
+
+    mom = (
+        cells.join(F.broadcast(_midranks("qb")), "qb")
+        .join(F.broadcast(_midranks("pb")), "pb")
+        .agg(
+            F.sum("w").alias("n"),
+            F.sum(F.expr("CAST(w * r2q AS DECIMAL(38,0))")).alias("sx"),
+            F.sum(F.expr("CAST(w * r2p AS DECIMAL(38,0))")).alias("sy"),
+            F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * r2q * r2q")).alias("sxx"),
+            F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * r2p * r2p")).alias("syy"),
+            F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * r2q * r2p")).alias("sxy"),
+        )
+    )
+    out = mom.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.expr(
+                "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+                " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+                " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+                "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+                "        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+                "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+    out = out.localCheckpoint(eager=True)
+    cells.unpersist()
+    return out
+
+
+@register(
+    "part_xyz_classification",
+    """
+    WITH months AS (
+      SELECT count(DISTINCT date_trunc('month', l_shipdate)) AS nm
+      FROM lineitem
+    ),
+    monthly AS (
+      SELECT l_partkey AS partkey,
+             date_trunc('month', l_shipdate) AS m,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT partkey, sum(q) AS tot, sum(q * q) AS tot2
+      FROM monthly GROUP BY partkey
+    ),
+    cv AS (
+      SELECT s.partkey,
+             round(
+               sqrt(greatest(
+                 CAST(s.tot2 AS DOUBLE) / m.nm
+                 - (CAST(s.tot AS DOUBLE) / m.nm)
+                   * (CAST(s.tot AS DOUBLE) / m.nm), 0))
+               / (CAST(s.tot AS DOUBLE) / m.nm), 4) AS cv
+      FROM stats s, months m
+    ),
+    xyz AS (
+      SELECT partkey,
+             cv,
+             CASE WHEN cv <= 0.5 THEN 'X'
+                  WHEN cv <= 1.0 THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM cv
+    ),
+    rev AS (
+      SELECT l.l_partkey AS partkey, p.p_brand,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    abc AS (
+      SELECT partkey,
+             CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+                  WHEN cum * 10 <= tot * 9 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM (
+        SELECT partkey, cents,
+               sum(cents) OVER (
+                 PARTITION BY p_brand
+                 ORDER BY cents DESC, partkey ASC
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cents) OVER (PARTITION BY p_brand) AS tot
+        FROM rev) r
+    )
+    SELECT a.abc_class, x.xyz_class,
+           count(*)::BIGINT AS parts,
+           round(avg(x.cv), 4) AS avg_cv
+    FROM abc a JOIN xyz x ON x.partkey = a.partkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="ABC x XYZ inventory classification matrix (E209): ABC ranks "
+    "parts by revenue contribution within brand (the existing E-entry's "
+    "exact integer 70/90 boundaries), XYZ grades demand VARIABILITY by "
+    "the coefficient of variation of monthly shipped quantity — "
+    "missing months count as zero demand via the global month count, "
+    "so no part x month cross join is materialized: variance comes "
+    "from per-part (sum q, sum q^2) integer aggregates plus one global "
+    "scalar. The 3x3 matrix is the planner's stock-policy staple "
+    "(steady A-movers vs erratic C-tail). Shuffles: two part-grain "
+    "groupBys + the brand-partitioned ABC window; everything integer "
+    "until the final cv division, population variance clamped at 0 "
+    "before sqrt.",
+)
+def part_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = li.persist()
+    nm = (
+        li.select(F.date_trunc("month", "l_shipdate").alias("m"))
+        .distinct()
+        .agg(F.count("*").alias("nm"))
+    )
+    monthly = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.date_trunc("month", "l_shipdate").alias("m"),
+    ).agg(F.sum(F.round("l_quantity").cast("long")).alias("q"))
+    stats = monthly.groupBy("partkey").agg(
+        F.sum("q").alias("tot"), F.sum(F.col("q") * F.col("q")).alias("tot2")
+    )
+    cv = stats.crossJoin(F.broadcast(nm)).select(
+        "partkey",
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.expr(
+                        "CAST(tot2 AS DOUBLE) / nm"
+                        " - (CAST(tot AS DOUBLE) / nm) * (CAST(tot AS DOUBLE) / nm)"
+                    ),
+                    F.lit(0.0),
+                )
+            )
+            / F.expr("CAST(tot AS DOUBLE) / nm"),
+            4,
+        ).alias("cv"),
+    )
+    xyz = cv.select(
+        "partkey",
+        "cv",
+        F.when(F.col("cv") <= 0.5, "X")
+        .when(F.col("cv") <= 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    rev = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"), "p_brand")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w_cum = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("cents").desc(), F.col("partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    abc = rev.select(
+        "partkey",
+        F.when(
+            F.sum("cents").over(w_cum) * 10
+            <= F.sum("cents").over(Window.partitionBy("p_brand")) * 7,
+            "A",
+        )
+        .when(
+            F.sum("cents").over(w_cum) * 10
+            <= F.sum("cents").over(Window.partitionBy("p_brand")) * 9,
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    out = (
+        abc.join(xyz, "partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count("*").cast("long").alias("parts"),
+            F.round(F.avg("cv"), 4).alias("avg_cv"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
+    out = out.localCheckpoint(eager=True)
+    li.unpersist()
+    return out
+
+
+@register(
+    "nation_revenue_bridge",
+    """
+    WITH base AS (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             l.l_partkey AS partkey,
+             sum(CAST(round(l.l_quantity) AS BIGINT)) AS q,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) AS cents
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2, 3
+    ),
+    pair AS (
+      SELECT coalesce(a.nation, b.nation) AS nation,
+             coalesce(a.yr + 1, b.yr) AS yr,
+             coalesce(b.q, 0) AS q1, coalesce(b.cents, 0) AS r1,
+             coalesce(a.q, 0) AS q0, coalesce(a.cents, 0) AS r0
+      FROM base a
+      FULL OUTER JOIN base b
+        ON b.nation = a.nation AND b.partkey = a.partkey AND b.yr = a.yr + 1
+      WHERE coalesce(a.yr + 1, b.yr) <= (SELECT max(yr) FROM base)
+    ),
+    eff AS (
+      SELECT nation, yr,
+             r1, r0, q1, q0,
+             CASE WHEN q0 > 0 AND q1 > 0 THEN
+               CAST(floor((q1 - q0) * (CAST(r0 AS DOUBLE) / q0) * 100) AS BIGINT)
+             ELSE 0 END AS vol_u,
+             CASE WHEN q0 > 0 AND q1 > 0 THEN
+               CAST(floor(q1 * (CAST(r1 AS DOUBLE) / q1
+                                - CAST(r0 AS DOUBLE) / q0) * 100) AS BIGINT)
+             ELSE 0 END AS price_u,
+             CASE WHEN q0 = 0 THEN r1 ELSE 0 END AS new_c,
+             CASE WHEN q1 = 0 THEN -r0 ELSE 0 END AS churn_c
+      FROM pair
+    )
+    SELECT nation, yr,
+           round(sum(r0) / 100.0, 2) AS rev_prev,
+           round(sum(r1) / 100.0, 2) AS rev_curr,
+           round(sum(vol_u) / 10000.0, 2) AS volume_effect,
+           round(sum(price_u) / 10000.0, 2) AS price_effect,
+           round(sum(new_c) / 100.0, 2) AS new_parts_effect,
+           round(sum(churn_c) / 100.0, 2) AS churned_parts_effect
+    FROM eff
+    GROUP BY nation, yr
+    ORDER BY nation, yr
+    """,
+    doc="Year-over-year revenue bridge per nation (E211), the FP&A "
+    "waterfall: for each consecutive year pair, discounted revenue "
+    "change decomposes into VOLUME (quantity delta at prior-year unit "
+    "price), PRICE (current quantity times unit-price delta), NEW "
+    "parts (no prior-year sales), and CHURNED parts (no current-year "
+    "sales), at (nation, part, year) grain. Determinism contract: "
+    "revenue and quantity aggregate as exact integer cents/units; the "
+    "per-part volume/price terms — the only rational quantities — are "
+    "floor-scaled to integer 1e-4-cent units per part before the "
+    "nation-level sum (the adamic-adar integer-micro-unit move), so "
+    "no order-dependent float accumulation crosses a shuffle. Scale: "
+    "one fact-grain groupBy, a self full-outer join keyed (nation, "
+    "part, year) -> (year+1), dims broadcast.",
+)
+def nation_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).alias("q"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("cents"),
+        )
+        .persist()
+    )
+    max_yr = base.agg(F.max("yr").alias("max_yr"))
+    a = base.select(
+        F.col("nation").alias("a_nation"),
+        F.col("partkey").alias("a_partkey"),
+        (F.col("yr") + 1).alias("a_yr1"),
+        F.col("q").alias("q0"),
+        F.col("cents").alias("r0"),
+    )
+    b = base.select("nation", "partkey", F.col("yr").alias("b_yr"), "q", "cents")
+    pair = a.join(
+        b,
+        (F.col("nation") == F.col("a_nation"))
+        & (F.col("partkey") == F.col("a_partkey"))
+        & (F.col("b_yr") == F.col("a_yr1")),
+        "full_outer",
+    ).select(
+        F.coalesce("a_nation", "nation").alias("nation"),
+        F.coalesce("a_yr1", "b_yr").alias("yr"),
+        F.coalesce("q", F.lit(0)).alias("q1"),
+        F.coalesce("cents", F.lit(0)).alias("r1"),
+        F.coalesce("q0", F.lit(0)).alias("q0"),
+        F.coalesce("r0", F.lit(0)).alias("r0"),
+    )
+    pair = pair.join(F.broadcast(max_yr), F.col("yr") <= F.col("max_yr")).drop(
+        "max_yr"
+    )
+    eff = pair.select(
+        "nation",
+        "yr",
+        "r1",
+        "r0",
+        F.expr(
+            "CASE WHEN q0 > 0 AND q1 > 0 THEN"
+            " CAST(floor((q1 - q0) * (CAST(r0 AS DOUBLE) / q0) * 100) AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("vol_u"),
+        F.expr(
+            "CASE WHEN q0 > 0 AND q1 > 0 THEN"
+            " CAST(floor(q1 * (CAST(r1 AS DOUBLE) / q1"
+            "                  - CAST(r0 AS DOUBLE) / q0) * 100) AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("price_u"),
+        F.expr("CASE WHEN q0 = 0 THEN r1 ELSE 0 END").alias("new_c"),
+        F.expr("CASE WHEN q1 = 0 THEN -r0 ELSE 0 END").alias("churn_c"),
+    )
+    out = (
+        eff.groupBy("nation", "yr")
+        .agg(
+            F.round(F.sum("r0") / 100.0, 2).alias("rev_prev"),
+            F.round(F.sum("r1") / 100.0, 2).alias("rev_curr"),
+            F.round(F.sum("vol_u") / 10000.0, 2).alias("volume_effect"),
+            F.round(F.sum("price_u") / 10000.0, 2).alias("price_effect"),
+            F.round(F.sum("new_c") / 100.0, 2).alias("new_parts_effect"),
+            F.round(F.sum("churn_c") / 100.0, 2).alias("churned_parts_effect"),
+        )
+        .orderBy("nation", "yr")
+    )
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out

@@ -270,3 +270,96 @@ def test_ks_test_against_scipy_formula(spark, sf_dir, duck):
     assert r.n1 == n1 and r.n2 == n2
     assert abs(r.d_stat - dmax / (n1 * n2)) < 1e-6
     assert r.reject_at_05 == (1 if r.ks_stat > 1.358 else 0)
+
+
+def test_spearman_matches_scipy_style_reference(spark, sf_dir, duck):
+    # recompute rho from the same binned data with a dense in-memory
+    # rank implementation (pandas average ranks) and compare
+    import pandas as pd
+
+    rho = (
+        REGISTRY["lineitem_spearman_qty_price"]
+        .spark_fn(spark, sf_dir)
+        .first()["spearman_rho"]
+    )
+    pdf = duck.execute(
+        f"""SELECT CAST(round(l_quantity) AS BIGINT) AS qb,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) // 10000 AS pb
+            FROM '{sf_dir}/lineitem.parquet'"""
+    ).df()
+    ref = pdf["qb"].rank(method="average").corr(pdf["pb"].rank(method="average"))
+    assert abs(rho - ref) < 1e-6
+    assert -1.0 <= rho <= 1.0
+
+
+def test_kruskal_wallis_invariants(spark, sf_dir):
+    r = REGISTRY["events_value_kruskal_wallis"].spark_fn(spark, sf_dir).first()
+    assert r.k_groups == 5 and r.df == 4
+    assert r.h_stat >= 0
+    # tie correction divides by (1 - x) with x in (0, 1): can only grow H
+    assert r.h_corrected >= r.h_stat
+    assert r.reject_at_05 in (0, 1)
+
+
+def test_kruskal_wallis_hand_computed(spark, sf_dir):
+    # scipy-formula recompute on the driver from the raw values
+    import pandas as pd
+
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    pdf = load_table(spark, sf_dir, "events").select(
+        "value", "event_type"
+    ).toPandas()
+    pdf["rank"] = pdf["value"].rank(method="average")
+    n = len(pdf)
+    sr = sum(
+        g["rank"].sum() ** 2 / len(g) for _, g in pdf.groupby("event_type")
+    )
+    h = 12.0 / (n * (n + 1)) * sr - 3 * (n + 1)
+    t = pdf.groupby("value").size()
+    hc = h / (1 - (t**3 - t).sum() / (n**3 - n))
+    r = REGISTRY["events_value_kruskal_wallis"].spark_fn(spark, sf_dir).first()
+    assert abs(r.h_stat - h) < 1e-3
+    assert abs(r.h_corrected - hc) < 1e-3
+
+
+def test_xyz_matrix_partitions_all_sold_parts(spark, sf_dir, duck):
+    rows = REGISTRY["part_xyz_classification"].spark_fn(spark, sf_dir).collect()
+    assert all(r.abc_class in "ABC" and r.xyz_class in "XYZ" for r in rows)
+    total = sum(r.parts for r in rows)
+    sold = duck.execute(
+        f"SELECT count(DISTINCT l_partkey) FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert total == sold
+    assert all(r.avg_cv >= 0 for r in rows)
+
+
+def test_revenue_bridge_effects_reconcile(spark, sf_dir):
+    # for every (nation, year): rev_curr - rev_prev == volume + price
+    # + new + churned, up to the documented 1e-4-cent floor-scaling
+    # granularity (one floor per part per effect)
+    rows = REGISTRY["nation_revenue_bridge"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        delta = r.rev_curr - r.rev_prev
+        decomp = (
+            r.volume_effect
+            + r.price_effect
+            + r.new_parts_effect
+            + r.churned_parts_effect
+        )
+        # floors lose < 1e-4 cents per part-term; bound generously
+        assert abs(delta - decomp) < 1.0, (r.nation, r.yr, delta, decomp)
+
+
+def test_clustering_coeff_bounds_and_triangle_consistency(spark, sf_dir):
+    rows = REGISTRY["supplier_graph_clustering"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    tri = {
+        r.node: r.triangles
+        for r in REGISTRY["supplier_graph_triangles"].spark_fn(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r.deg >= 2
+        assert 0.0 <= r.clustering_coeff <= 1.0
+        assert r.triangles == tri.get(r.node, 0)
