@@ -6771,3 +6771,83 @@ def events_value_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells.unpersist()
     mid.unpersist()
     return out
+
+
+@register(
+    "events_user_entropy",
+    """
+    WITH ut AS (
+      SELECT user_id, event_type, count(*)::BIGINT AS nt
+      FROM events GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT user_id,
+             sum(nt)::BIGINT AS n,
+             count(*)::BIGINT AS k_types,
+             sum(CASE WHEN nt > 1
+                      THEN CAST(floor(nt * ln(nt) * 1e9) AS BIGINT)
+                      ELSE 0 END) AS s
+      FROM ut GROUP BY user_id
+    ),
+    h AS (
+      SELECT user_id, n, k_types,
+             CASE WHEN n > 1 THEN
+               (10 * greatest(CAST(floor(ln(n) * 1e9) AS BIGINT) * n - s, 0))
+                 // (n * 1000000000)
+             ELSE 0 END AS band
+      FROM u
+    )
+    SELECT band::BIGINT AS entropy_band,
+           count(*)::BIGINT AS users,
+           round(avg(n), 2) AS avg_events,
+           round(avg(k_types), 4) AS avg_types
+    FROM h
+    GROUP BY band
+    ORDER BY band
+    """,
+    doc="Per-user behavioral entropy histogram (E216): Shannon "
+    "entropy of each user's event-type mix, H = ln n - (sum nt ln "
+    "nt)/n, banded to tenths of a nat — the diversity profile that "
+    "separates single-action bots (band 0) from broad explorers "
+    "(band ~ln 5). Determinism contract: every ln term floor-scales "
+    "to integer NANO-units per (user, type) row BEFORE any "
+    "aggregation (the adamic-adar micro-unit move, same small-"
+    "integer ln domain both engines agree on), the band emerges "
+    "from pure integer arithmetic (greatest-0 guards the floor "
+    "residue of one-type users), and no float ever crosses a "
+    "shuffle. Two map-side-combinable groupBys: (user, type) then "
+    "user, then the bands-sized rollup.",
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    ut = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("nt"))
+    u = ut.groupBy("user_id").agg(
+        F.sum("nt").alias("n"),
+        F.count("*").alias("k_types"),
+        F.sum(
+            F.expr(
+                "CASE WHEN nt > 1"
+                " THEN CAST(floor(nt * ln(nt) * 1e9) AS BIGINT)"
+                " ELSE 0 END"
+            )
+        ).alias("s"),
+    )
+    h = u.select(
+        "n",
+        "k_types",
+        F.expr(
+            "CASE WHEN n > 1 THEN"
+            " (10 * greatest(CAST(floor(ln(n) * 1e9) AS BIGINT) * n - s, 0))"
+            "   div (n * 1000000000)"
+            " ELSE 0 END"
+        ).alias("band"),
+    )
+    return (
+        h.groupBy(F.col("band").cast("long").alias("entropy_band"))
+        .agg(
+            F.count("*").cast("long").alias("users"),
+            F.round(F.avg("n"), 2).alias("avg_events"),
+            F.round(F.avg("k_types"), 4).alias("avg_types"),
+        )
+        .orderBy("entropy_band")
+    )

@@ -4989,3 +4989,76 @@ def embeddings_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_within_30pct"),
     )
+
+
+@register(
+    "documents_compaction_plan",
+    """
+    WITH f AS (
+      SELECT doc_id, n_chars AS bytes FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, bytes,
+             sum(bytes) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - bytes AS cum_before
+      FROM f
+    )
+    SELECT (cum_before // 8192)::BIGINT AS group_id,
+           count(*)::BIGINT AS n_files,
+           sum(bytes)::BIGINT AS bytes,
+           (sum(bytes) * 10000 // 8192)::BIGINT AS fill_bp
+    FROM cum
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Compaction bin-packing plan (E215), the lakehouse OPTIMIZE "
+    "planner's core step: treat each document as a small file of "
+    "n_chars bytes, pack files in doc_id order into ~8 KiB target "
+    "groups by bucketing the EXCLUSIVE running size (cum_before div "
+    "target — first-fit-in-order, deterministic, no driver loop), "
+    "and report per-group file count, bytes, and fill basis points. "
+    "The oracle states the running sum as one flat window; the "
+    "Spark plan computes it with the TWO-LEVEL prefix-sum form "
+    "(in-bucket cumsum over doc_id div 8192 partitions + one "
+    "bucket-dimension offset window, the systematic-sample/"
+    "peak-concurrency machinery) so no global single-partition sort "
+    "ever materializes — at 100 TB the group assignment stays one "
+    "narrow pass over the file manifest.",
+)
+def documents_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    f = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("bytes")
+    )
+    b = f.withColumn("bk", F.expr("doc_id div 8192"))
+    w_in = (
+        Window.partitionBy("bk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_in = b.withColumn("ci", F.sum("bytes").over(w_in))
+    offs = b.groupBy("bk").agg(F.sum("bytes").alias("tot"))
+    w_off = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = offs.select(
+        "bk", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off")
+    )
+    cum = cum_in.join(F.broadcast(offs), "bk").select(
+        "bytes",
+        (F.col("off") + F.col("ci") - F.col("bytes")).alias("cum_before"),
+    )
+    return (
+        cum.groupBy(F.expr("cum_before div 8192").alias("group_id"))
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("bytes").alias("bytes"),
+            F.expr("sum(bytes) * 10000 div 8192").alias("fill_bp"),
+        )
+        .select(
+            F.col("group_id").cast("long"),
+            F.col("n_files").cast("long"),
+            F.col("bytes").cast("long"),
+            F.col("fill_bp").cast("long"),
+        )
+        .orderBy("group_id")
+    )

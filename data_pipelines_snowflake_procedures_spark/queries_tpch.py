@@ -2059,3 +2059,286 @@ def nation_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     base.unpersist()
     return out
+
+
+@register(
+    "part_item_item_cf",
+    """
+    WITH bi0 AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    bi AS (
+      SELECT ck, pk FROM (
+        SELECT ck, pk,
+               row_number() OVER (PARTITION BY ck ORDER BY pk) AS rn
+        FROM bi0) t
+      WHERE rn <= 50
+    ),
+    np AS (SELECT pk, count(*)::BIGINT AS n FROM bi GROUP BY pk),
+    co AS (
+      SELECT a.pk AS i, b.pk AS j, count(*)::BIGINT AS c
+      FROM bi a JOIN bi b ON b.ck = a.ck AND b.pk > a.pk
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT i, j, c FROM co
+      UNION ALL
+      SELECT j AS i, i AS j, c FROM co
+    ),
+    scored AS (
+      SELECT s.i, s.j, s.c,
+             ni.n AS n_i, nj.n AS n_j,
+             row_number() OVER (
+               PARTITION BY s.i
+               ORDER BY CAST(s.c AS DOUBLE) * s.c / nj.n DESC, s.j ASC
+             ) AS rk
+      FROM sym s JOIN np ni ON ni.pk = s.i JOIN np nj ON nj.pk = s.j
+    )
+    SELECT i AS part_i, j AS part_j, c AS customers_both,
+           round(c / sqrt(CAST(n_i AS DOUBLE) * n_j), 6) AS cosine,
+           rk::BIGINT AS rank
+    FROM scored WHERE rk <= 5
+    ORDER BY part_i, rank
+    """,
+    doc="Item-item collaborative filtering (E212): top-5 most similar "
+    "parts per part by binary cosine over the customer x part "
+    "purchase matrix — sim(i,j) = |buyers of both| / sqrt(|buyers "
+    "i|*|buyers j|), the Amazon-style neighborhood recommender. "
+    "Scale guards: baskets cap at 50 parts per customer BEFORE the "
+    "pair self-join (documented policy — whale carts would square), "
+    "co-support floor of 2 prunes noise pairs, and the per-part "
+    "top-5 window orders by the TIE-SAFE key c^2/n_j (equivalent to "
+    "cosine within a partition where n_i is constant, computed from "
+    "exact integers so both engines see identical doubles) with a "
+    "part_j tiebreak. Shuffles: basket cap window, one co-occurrence "
+    "self-join keyed on customer, one count groupBy, one part-keyed "
+    "rank window.",
+)
+def part_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bi0 = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    w_cap = Window.partitionBy("ck").orderBy("pk")
+    bi = (
+        bi0.withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+        .persist()
+    )
+    np_ = bi.groupBy("pk").agg(F.count("*").alias("n"))
+    a = bi.select(F.col("ck"), F.col("pk").alias("i"))
+    b = bi.select(F.col("ck"), F.col("pk").alias("j"))
+    co = (
+        a.join(b, "ck")
+        .filter(F.col("j") > F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    sym = co.unionByName(
+        co.select(F.col("j").alias("i"), F.col("i").alias("j"), "c")
+    )
+    scored = (
+        sym.join(
+            F.broadcast(np_.select(F.col("pk").alias("i"), F.col("n").alias("n_i"))),
+            "i",
+        )
+        .join(
+            F.broadcast(np_.select(F.col("pk").alias("j"), F.col("n").alias("n_j"))),
+            "j",
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("i").orderBy(
+                    (F.col("c").cast("double") * F.col("c") / F.col("n_j")).desc(),
+                    F.col("j").asc(),
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+    )
+    out = scored.select(
+        F.col("i").alias("part_i"),
+        F.col("j").alias("part_j"),
+        F.col("c").alias("customers_both"),
+        F.round(
+            F.col("c") / F.sqrt(F.col("n_i").cast("double") * F.col("n_j")), 6
+        ).alias("cosine"),
+        F.col("rk").cast("long").alias("rank"),
+    ).orderBy("part_i", "rank")
+    out = out.localCheckpoint(eager=True)
+    bi.unpersist()
+    return out
+
+
+@register(
+    "part_brand_target_encoding",
+    """
+    WITH agg AS (
+      SELECT p.p_brand,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+               AS returns
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand
+    )
+    SELECT p_brand, n, returns,
+           round(returns * 1.0 / n, 6) AS return_rate,
+           CASE WHEN n > 1
+                THEN round((returns - 1) * 1.0 / (n - 1), 6) END
+             AS enc_if_returned,
+           CASE WHEN n > 1
+                THEN round(returns * 1.0 / (n - 1), 6) END
+             AS enc_if_not,
+           round(abs(returns * 1.0 / n
+                     - (SELECT sum(returns) * 1.0 / sum(n) FROM agg)), 6)
+             AS abs_lift_vs_global
+    FROM agg
+    ORDER BY p_brand
+    """,
+    doc="Leave-one-out target encoding of part brand against the "
+    "return flag (E213), the leakage-safe categorical feature every "
+    "tabular-ML pipeline derives: because the target is binary, the "
+    "full per-ROW LOO encoding collapses to a brand x {returned, "
+    "not} DICTIONARY — (R-1)/(n-1) and R/(n-1) — so the operator "
+    "emits the complete encoder as a dimension-sized table instead "
+    "of a data-sized projection (apply = one broadcast join + a "
+    "2-way CASE). Single exact-integer fact pass; n=1 brands emit "
+    "NULL (undefined LOO) identically in both engines; the global-"
+    "lift column ranks brands by signal strength.",
+)
+def part_brand_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    agg = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias("returns"),
+        )
+        .persist()
+    )
+    glob = agg.agg(
+        (F.sum("returns") * 1.0 / F.sum("n")).alias("g")
+    )
+    out = (
+        agg.crossJoin(F.broadcast(glob))
+        .select(
+            "p_brand",
+            "n",
+            "returns",
+            F.round(F.col("returns") * 1.0 / F.col("n"), 6).alias("return_rate"),
+            F.when(
+                F.col("n") > 1,
+                F.round((F.col("returns") - 1) * 1.0 / (F.col("n") - 1), 6),
+            ).alias("enc_if_returned"),
+            F.when(
+                F.col("n") > 1,
+                F.round(F.col("returns") * 1.0 / (F.col("n") - 1), 6),
+            ).alias("enc_if_not"),
+            F.round(
+                F.abs(F.col("returns") * 1.0 / F.col("n") - F.col("g")), 6
+            ).alias("abs_lift_vs_global"),
+        )
+        .orderBy("p_brand")
+    )
+    out = out.localCheckpoint(eager=True)
+    agg.unpersist()
+    return out
+
+
+@register(
+    "customer_interpurchase_gaps",
+    """
+    WITH gaps AS (
+      SELECT c.c_mktsegment AS seg,
+             date_diff('day',
+               CAST(lag(o.o_orderdate) OVER (
+                 PARTITION BY o.o_custkey
+                 ORDER BY o.o_orderdate, o.o_orderkey) AS DATE),
+               CAST(o.o_orderdate AS DATE)) AS gap
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    hist AS (
+      SELECT seg, gap, count(*)::BIGINT AS cnt
+      FROM gaps WHERE gap IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT seg, gap, cnt,
+             sum(cnt) OVER (PARTITION BY seg ORDER BY gap
+                            ROWS UNBOUNDED PRECEDING) AS c,
+             sum(cnt) OVER (PARTITION BY seg) AS n,
+             sum(gap * cnt) OVER (PARTITION BY seg) AS s
+      FROM hist
+    )
+    SELECT seg,
+           max(n)::BIGINT AS n_gaps,
+           round(max(s) * 1.0 / max(n), 4) AS mean_days,
+           min(CASE WHEN c * 2 >= n THEN gap END) AS median_days,
+           min(CASE WHEN c * 10 >= n * 9 THEN gap END) AS p90_days
+    FROM cum GROUP BY seg
+    ORDER BY seg
+    """,
+    doc="Inter-purchase gap distribution per market segment (E214): "
+    "days between a customer's consecutive orders via one "
+    "customer-partitioned lag window (total order: date then "
+    "orderkey), then mean/median/p90 per segment using the "
+    "cumulative-histogram DISCRETE rank rule over integer day gaps "
+    "— the replenishment-cycle input to CRM timing and churn-"
+    "horizon models (complements idle_customer_cohorts' recency "
+    "snapshot with the full cadence distribution). All-integer "
+    "until the final mean division; the quantile windows run over "
+    "segment x distinct-gap histograms, never raw rows.",
+)
+def customer_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag("o_orderdate").over(w).cast("date"),
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    hist = gaps.groupBy("seg", "gap").agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("seg")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("seg")
+    cum = hist.select(
+        "seg",
+        "gap",
+        F.sum("cnt").over(w_cum).alias("c"),
+        F.sum("cnt").over(w_all).alias("n"),
+        F.sum(F.col("gap") * F.col("cnt")).over(w_all).alias("s"),
+    )
+    return (
+        cum.groupBy("seg")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            F.round(F.max("s") * 1.0 / F.max("n"), 4).alias("mean_days"),
+            F.min(F.when(F.col("c") * 2 >= F.col("n"), F.col("gap"))).alias(
+                "median_days"
+            ),
+            F.min(
+                F.when(F.col("c") * 10 >= F.col("n") * 9, F.col("gap"))
+            ).alias("p90_days"),
+        )
+        .orderBy("seg")
+    )

@@ -363,3 +363,82 @@ def test_clustering_coeff_bounds_and_triangle_consistency(spark, sf_dir):
         assert r.deg >= 2
         assert 0.0 <= r.clustering_coeff <= 1.0
         assert r.triangles == tri.get(r.node, 0)
+
+
+def test_item_item_cf_invariants(spark, sf_dir):
+    rows = REGISTRY["part_item_item_cf"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    by_part = {}
+    for r in rows:
+        assert 1 <= r.rank <= 5
+        assert 0.0 < r.cosine <= 1.0
+        assert r.customers_both >= 2
+        assert r.part_i != r.part_j
+        by_part.setdefault(r.part_i, []).append(r)
+    for _, rs in by_part.items():
+        rs.sort(key=lambda r: r.rank)
+        ranks = [r.rank for r in rs]
+        assert ranks == list(range(1, len(rs) + 1))
+
+
+def test_target_encoding_loo_ordering(spark, sf_dir):
+    rows = REGISTRY["part_brand_target_encoding"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.returns <= r.n
+        if r.n > 1 and 0 < r.returns < r.n:
+            # removing a positive lowers the mean; removing a negative raises it
+            assert r.enc_if_returned <= r.return_rate <= r.enc_if_not
+        # LOO dictionary reconstructs from (n, returns) exactly
+        if r.n > 1:
+            assert abs(r.enc_if_returned - round((r.returns - 1) / (r.n - 1), 6)) < 1e-9
+            assert abs(r.enc_if_not - round(r.returns / (r.n - 1), 6)) < 1e-9
+
+
+def test_interpurchase_gap_counts(spark, sf_dir, duck):
+    rows = REGISTRY["customer_interpurchase_gaps"].spark_fn(spark, sf_dir).collect()
+    assert {r.seg for r in rows} == {
+        s[0] for s in duck.execute(
+            f"SELECT DISTINCT c_mktsegment FROM '{sf_dir}/customer.parquet'"
+        ).fetchall()
+    }
+    # gaps per segment = orders - customers_with_orders in that segment
+    expected = dict(duck.execute(
+        f"""SELECT c_mktsegment, count(*) - count(DISTINCT o_custkey)
+            FROM '{sf_dir}/orders.parquet' o
+            JOIN '{sf_dir}/customer.parquet' c ON c.c_custkey = o.o_custkey
+            GROUP BY 1"""
+    ).fetchall())
+    for r in rows:
+        assert r.n_gaps == expected[r.seg]
+        assert 0 <= r.median_days <= r.p90_days
+        assert r.mean_days > 0
+
+
+def test_compaction_plan_conserves_and_is_contiguous(spark, sf_dir, duck):
+    rows = sorted(
+        REGISTRY["documents_compaction_plan"].spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r.group_id,
+    )
+    total = duck.execute(
+        f"SELECT sum(n_chars) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r.bytes for r in rows) == total
+    assert [r.group_id for r in rows] == list(range(len(rows)))
+    for r in rows:
+        assert r.fill_bp == r.bytes * 10000 // 8192
+        assert r.n_files >= 1
+
+
+def test_user_entropy_bands(spark, sf_dir, duck):
+    import math
+
+    rows = REGISTRY["events_user_entropy"].spark_fn(spark, sf_dir).collect()
+    n_users = duck.execute(
+        f"SELECT count(DISTINCT user_id) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r.users for r in rows) == n_users
+    max_band = int(10 * math.log(5))  # 5 event types -> H <= ln 5
+    for r in rows:
+        assert 0 <= r.entropy_band <= max_band
+        assert r.avg_types >= 1
