@@ -248,6 +248,21 @@ HEADLINE = [
     "lineitem_discount_did",
     "events_session_bounce_rate",
     "lineitem_price_ks_test",
+    # round-8 waves 7-8
+    "lineitem_spearman_qty_price",
+    "events_value_kruskal_wallis",
+    "part_xyz_classification",
+    "supplier_graph_clustering",
+    "nation_revenue_bridge",
+    "part_item_item_cf",
+    "part_brand_target_encoding",
+    "customer_interpurchase_gaps",
+    "documents_compaction_plan",
+    "events_user_entropy",
+    "events_hourly_sax",
+    "events_type_hour_cramers_v",
+    "events_user_burstiness",
+    "events_type_hour_mutual_info",
     # Structured Streaming entries — each runs a full availableNow
     # drain of the events table through a memory sink inside queries()
     # (micro-batch scheduling + state store + watermark flush, stopped

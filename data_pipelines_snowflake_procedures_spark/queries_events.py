@@ -6851,3 +6851,444 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entropy_band")
     )
+
+
+@register(
+    "events_hourly_sax",
+    """
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR,
+                 CAST(ts AS TIMESTAMP)))) / 3600 AS BIGINT) AS hi,
+             count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1
+    ),
+    st AS (
+      SELECT min(hi) AS hmin, max(hi) AS hmax,
+             max(hi) - min(hi) + 1 AS nh,
+             sum(cnt) AS tot, sum(cnt * cnt) AS tot2
+      FROM hourly
+    ),
+    brk AS (
+      SELECT hmin, hmax,
+             CAST(tot AS DOUBLE) / nh AS mu,
+             sqrt(greatest(CAST(tot2 AS DOUBLE) / nh
+                  - (CAST(tot AS DOUBLE) / nh) * (CAST(tot AS DOUBLE) / nh),
+                  0)) AS sd
+      FROM st
+    ),
+    seg AS (
+      SELECT hi // 24 AS day,
+             sum(CASE WHEN (hi % 24) // 4 = 0 THEN cnt ELSE 0 END) AS s0,
+             sum(CASE WHEN (hi % 24) // 4 = 1 THEN cnt ELSE 0 END) AS s1,
+             sum(CASE WHEN (hi % 24) // 4 = 2 THEN cnt ELSE 0 END) AS s2,
+             sum(CASE WHEN (hi % 24) // 4 = 3 THEN cnt ELSE 0 END) AS s3,
+             sum(CASE WHEN (hi % 24) // 4 = 4 THEN cnt ELSE 0 END) AS s4,
+             sum(CASE WHEN (hi % 24) // 4 = 5 THEN cnt ELSE 0 END) AS s5
+      FROM hourly GROUP BY 1
+    ),
+    words AS (
+      SELECT day,
+             concat(
+               CASE WHEN s0 / 4.0 < mu - 0.6745 * sd THEN 'a'
+                    WHEN s0 / 4.0 < mu THEN 'b'
+                    WHEN s0 / 4.0 < mu + 0.6745 * sd THEN 'c' ELSE 'd' END,
+               CASE WHEN s1 / 4.0 < mu - 0.6745 * sd THEN 'a'
+                    WHEN s1 / 4.0 < mu THEN 'b'
+                    WHEN s1 / 4.0 < mu + 0.6745 * sd THEN 'c' ELSE 'd' END,
+               CASE WHEN s2 / 4.0 < mu - 0.6745 * sd THEN 'a'
+                    WHEN s2 / 4.0 < mu THEN 'b'
+                    WHEN s2 / 4.0 < mu + 0.6745 * sd THEN 'c' ELSE 'd' END,
+               CASE WHEN s3 / 4.0 < mu - 0.6745 * sd THEN 'a'
+                    WHEN s3 / 4.0 < mu THEN 'b'
+                    WHEN s3 / 4.0 < mu + 0.6745 * sd THEN 'c' ELSE 'd' END,
+               CASE WHEN s4 / 4.0 < mu - 0.6745 * sd THEN 'a'
+                    WHEN s4 / 4.0 < mu THEN 'b'
+                    WHEN s4 / 4.0 < mu + 0.6745 * sd THEN 'c' ELSE 'd' END,
+               CASE WHEN s5 / 4.0 < mu - 0.6745 * sd THEN 'a'
+                    WHEN s5 / 4.0 < mu THEN 'b'
+                    WHEN s5 / 4.0 < mu + 0.6745 * sd THEN 'c' ELSE 'd' END
+             ) AS word
+      FROM seg, brk
+      WHERE day * 24 >= brk.hmin AND day * 24 + 23 <= brk.hmax
+    )
+    SELECT word, count(*)::BIGINT AS days, min(day)::BIGINT AS first_day
+    FROM words GROUP BY word
+    ORDER BY days DESC, word
+    """,
+    doc="SAX symbolization of the hourly event series (E217, Lin et "
+    "al. 2003 Symbolic Aggregate approXimation — the time-series "
+    "motif/novelty index): each complete day compresses to a 6-"
+    "letter word (PAA over 4-hour segments, 4-symbol alphabet at "
+    "the N(0,1) quartile breakpoints ±0.6745), and the word "
+    "frequency table surfaces recurring daily shapes vs one-off "
+    "anomaly days. Missing hours count as ZERO demand (conditional "
+    "segment sums over the hour grid, zero-fill by construction — "
+    "no gapfill join), the global mean/std come from one exact "
+    "integer (Σc, Σc²) pass over the hour span, and symbols compare "
+    "identical doubles in both engines. Scale: hours-dimension "
+    "state only — one fact groupBy then day-grain aggregates.",
+)
+def events_hourly_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("hi")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    st = hourly.agg(
+        F.min("hi").alias("hmin"),
+        F.max("hi").alias("hmax"),
+        (F.max("hi") - F.min("hi") + 1).alias("nh"),
+        F.sum("cnt").alias("tot"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("tot2"),
+    )
+    brk = st.select(
+        "hmin",
+        "hmax",
+        F.expr("CAST(tot AS DOUBLE) / nh").alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.expr(
+                    "CAST(tot2 AS DOUBLE) / nh"
+                    " - (CAST(tot AS DOUBLE) / nh) * (CAST(tot AS DOUBLE) / nh)"
+                ),
+                F.lit(0.0),
+            )
+        ).alias("sd"),
+    )
+    segs = [
+        F.sum(
+            F.when(F.expr(f"(hi % 24) div 4 = {i}"), F.col("cnt")).otherwise(0)
+        ).alias(f"s{i}")
+        for i in range(6)
+    ]
+    seg = hourly.groupBy(F.expr("hi div 24").alias("day")).agg(*segs)
+
+    def sym(col: str):
+        v = F.col(col) / 4.0
+        return (
+            F.when(v < F.col("mu") - 0.6745 * F.col("sd"), "a")
+            .when(v < F.col("mu"), "b")
+            .when(v < F.col("mu") + 0.6745 * F.col("sd"), "c")
+            .otherwise("d")
+        )
+
+    words = (
+        seg.crossJoin(F.broadcast(brk))
+        .filter(
+            (F.col("day") * 24 >= F.col("hmin"))
+            & (F.col("day") * 24 + 23 <= F.col("hmax"))
+        )
+        .select(
+            "day",
+            F.concat(*[sym(f"s{i}") for i in range(6)]).alias("word"),
+        )
+    )
+    out = (
+        words.groupBy("word")
+        .agg(
+            F.count("*").cast("long").alias("days"),
+            F.min("day").cast("long").alias("first_day"),
+        )
+        .orderBy(F.desc("days"), "word")
+    )
+    out = out.localCheckpoint(eager=True)
+    hourly.unpersist()
+    return out
+
+
+@register(
+    "events_type_hour_cramers_v",
+    """
+    WITH cells AS (
+      SELECT event_type, hour(CAST(ts AS TIMESTAMP))::BIGINT AS hod,
+             count(*)::BIGINT AS o
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+    c AS (SELECT hod, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+    n AS (SELECT sum(o)::BIGINT AS n,
+                 count(DISTINCT event_type)::BIGINT AS nr,
+                 count(DISTINCT hod)::BIGINT AS nc
+          FROM cells),
+    s AS (
+      SELECT sum(CAST(floor(ce.o * ce.o * 1e12 / (r.r * 1.0 * c.c))
+                      AS BIGINT)) AS sterm
+      FROM cells ce JOIN r ON r.event_type = ce.event_type
+      JOIN c ON c.hod = ce.hod
+    ),
+    chi AS (
+      SELECT n.n, n.nr, n.nc,
+             n.n * (s.sterm / 1e12 - 1.0) AS chi2
+      FROM n, s
+    ),
+    scored AS (
+      SELECT ce.event_type, ce.hod, ce.o,
+             r.r * 1.0 * c.c / chi.n AS e,
+             (ce.o - r.r * 1.0 * c.c / chi.n)
+               / sqrt(r.r * 1.0 * c.c / chi.n) AS resid,
+             chi.chi2, chi.n, chi.nr, chi.nc,
+             row_number() OVER (
+               ORDER BY abs((ce.o - r.r * 1.0 * c.c / chi.n)
+                            / sqrt(r.r * 1.0 * c.c / chi.n)) DESC,
+                        ce.event_type, ce.hod) AS rk
+      FROM cells ce JOIN r ON r.event_type = ce.event_type
+      JOIN c ON c.hod = ce.hod CROSS JOIN chi
+    )
+    SELECT event_type, hod, o AS observed,
+           round(e, 4) AS expected,
+           round(resid, 4) AS std_residual,
+           round(chi2, 4) AS chi2,
+           round(sqrt(chi2 / (n * least(nr - 1, nc - 1))), 6) AS cramers_v
+    FROM scored WHERE rk <= 20
+    ORDER BY abs(std_residual) DESC, event_type, hod
+    """,
+    doc="Cramér's V effect size + top-20 Pearson standardized "
+    "residual cells for the event-type × hour-of-day contingency "
+    "(E218) — WHERE the association lives, not just whether it "
+    "exists (the chi-square entry answers that): V normalizes chi2 "
+    "to [0,1] comparably across table sizes, and the residual "
+    "ranking names the (type, hour) cells driving it. chi2 uses the "
+    "identity n·(Σ o²/(r·c) − 1) with each cell term floor-scaled "
+    "to integer 1e-12 units and summed exactly — no float "
+    "accumulation across the 120-cell grid; residuals are per-cell "
+    "deterministic doubles ranked with a (type, hour) tiebreak. "
+    "One fact groupBy; margins and the rank window are "
+    "cells-dimension.",
+)
+def events_type_hour_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    )
+    cells = ev.groupBy("event_type", "hod").agg(F.count("*").alias("o"))
+    cells = cells.persist()
+    r = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    c = cells.groupBy("hod").agg(F.sum("o").alias("c"))
+    n = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("hod").alias("nc"),
+    )
+    joined = cells.join(F.broadcast(r), "event_type").join(F.broadcast(c), "hod")
+    s = joined.agg(
+        F.sum(
+            F.expr("CAST(floor(o * o * 1e12 / (r * 1.0D * c)) AS BIGINT)")
+        ).alias("sterm")
+    )
+    chi = (
+        n.crossJoin(F.broadcast(s))
+        .select("n", "nr", "nc", F.expr("n * (sterm / 1e12 - 1.0D)").alias("chi2"))
+    )
+    scored = joined.crossJoin(F.broadcast(chi)).select(
+        "event_type",
+        "hod",
+        "o",
+        F.expr("r * 1.0D * c / n").alias("e"),
+        F.expr("(o - r * 1.0D * c / n) / sqrt(r * 1.0D * c / n)").alias("resid"),
+        "chi2",
+        "n",
+        "nr",
+        "nc",
+    )
+    w = Window.orderBy(F.abs(F.col("resid")).desc(), "event_type", "hod")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "event_type",
+            "hod",
+            F.col("o").alias("observed"),
+            F.round("e", 4).alias("expected"),
+            F.round("resid", 4).alias("std_residual"),
+            F.round("chi2", 4).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+        .orderBy(F.abs(F.col("std_residual")).desc(), "event_type", "hod")
+    )
+
+
+@register(
+    "events_user_burstiness",
+    """
+    WITH uh AS (
+      SELECT user_id,
+             CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR,
+                 CAST(ts AS TIMESTAMP)))) / 3600 AS BIGINT) AS hi,
+             count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT max(hi) - min(hi) + 1 AS nh FROM uh
+    ),
+    u AS (
+      SELECT user_id, sum(cnt)::BIGINT AS s, sum(cnt * cnt)::BIGINT AS s2
+      FROM uh GROUP BY user_id
+    )
+    SELECT least((span.nh * u.s2 - u.s * u.s) // (span.nh * u.s), 20)::BIGINT
+             AS fano_band,
+           count(*)::BIGINT AS users,
+           round(avg(u.s), 2) AS avg_events
+    FROM u, span
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Per-user burstiness histogram via the Fano factor of hourly "
+    "activity (E219): F = var/mean of each user's hourly event "
+    "counts over the GLOBAL hour span (silent hours are zero demand "
+    "— same zero-via-global-denominator trick as the XYZ entry, no "
+    "user × hour densification), banded to integer floors and "
+    "capped at 20. F ≈ 1 is Poisson-like background, F >> 1 is "
+    "bursty session behavior — the traffic-shape complement to the "
+    "entropy entry's type-mix diversity. The band is PURE INTEGER "
+    "arithmetic — (H·Σc² − (Σc)²) div (H·Σc) — so not even a "
+    "rounded double crosses engines. Two map-side-combinable "
+    "groupBys: (user, hour) then user.",
+)
+def events_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("long")
+        .alias("hi"),
+    )
+    uh = ev.groupBy("user_id", "hi").agg(F.count("*").alias("cnt"))
+    uh = uh.persist()
+    span = uh.agg((F.max("hi") - F.min("hi") + 1).alias("nh"))
+    u = uh.groupBy("user_id").agg(
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    out = (
+        u.crossJoin(F.broadcast(span))
+        .select(
+            F.least(
+                F.expr("(nh * s2 - s * s) div (nh * s)"), F.lit(20)
+            )
+            .cast("long")
+            .alias("fano_band"),
+            F.col("s"),
+        )
+        .groupBy("fano_band")
+        .agg(
+            F.count("*").cast("long").alias("users"),
+            F.round(F.avg("s"), 2).alias("avg_events"),
+        )
+        .orderBy("fano_band")
+    )
+    out = out.localCheckpoint(eager=True)
+    uh.unpersist()
+    return out
+
+
+@register(
+    "events_type_hour_mutual_info",
+    """
+    WITH cells AS (
+      SELECT event_type, hour(CAST(ts AS TIMESTAMP))::BIGINT AS hod,
+             count(*)::BIGINT AS o
+      FROM events GROUP BY 1, 2
+    ),
+    t1 AS (
+      SELECT sum(CASE WHEN o > 1
+                 THEN CAST(floor(o * ln(o) * 1e9) AS BIGINT) ELSE 0 END) AS v
+      FROM cells
+    ),
+    t2 AS (
+      SELECT sum(CASE WHEN r > 1
+                 THEN CAST(floor(r * ln(r) * 1e9) AS BIGINT) ELSE 0 END) AS v
+      FROM (SELECT sum(o)::BIGINT AS r FROM cells GROUP BY event_type) m
+    ),
+    t3 AS (
+      SELECT sum(CASE WHEN c > 1
+                 THEN CAST(floor(c * ln(c) * 1e9) AS BIGINT) ELSE 0 END) AS v
+      FROM (SELECT sum(o)::BIGINT AS c FROM cells GROUP BY hod) m
+    ),
+    t4 AS (
+      SELECT CAST(floor(n * ln(n) * 1e9) AS BIGINT) AS v, n
+      FROM (SELECT sum(o)::BIGINT AS n FROM cells) m
+    )
+    SELECT t4.n,
+           round(greatest(t1.v - t2.v - t3.v + t4.v, 0)
+                 / (t4.n * 1e9), 6) AS mi_nats,
+           round((t4.v - t2.v) * 1.0 / (t4.n * 1e9), 6) AS h_type,
+           round((t4.v - t3.v) * 1.0 / (t4.n * 1e9), 6) AS h_hour,
+           round(CASE WHEN (t4.v - t2.v) > 0 AND (t4.v - t3.v) > 0 THEN
+             greatest(t1.v - t2.v - t3.v + t4.v, 0)
+               / sqrt((t4.v - t2.v) * 1.0 * (t4.v - t3.v))
+             ELSE 0 END, 6) AS nmi
+    FROM t1, t2, t3, t4
+    """,
+    doc="Mutual information between event type and hour of day "
+    "(E220), the information-theoretic effect size beside Cramér's "
+    "V: MI = H(type) + H(hour) − H(type, hour), computed through "
+    "the count identity n·MI = Σo·ln o − Σr·ln r − Σc·ln c + "
+    "n·ln n, where EVERY ln term takes an INTEGER argument and "
+    "floor-scales to nano-units before exact summation — the whole "
+    "statistic is integer arithmetic until the final divisions "
+    "(greatest-0 clamps the floor residue at independence). NMI "
+    "normalizes by sqrt(H_type·H_hour) from the same nano-unit "
+    "terms. One fact groupBy to the 120-cell grid; margins are "
+    "cells-dimension rollups.",
+)
+def events_type_hour_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    )
+    cells = ev.groupBy("event_type", "hod").agg(F.count("*").alias("o"))
+    cells = cells.persist()
+
+    def nano(col: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN {col} > 1"
+                    f" THEN CAST(floor({col} * ln({col}) * 1e9) AS BIGINT)"
+                    " ELSE 0 END"
+                )
+            ).alias("v")
+        )
+
+    t1 = nano("o", cells)
+    t2 = nano("r", cells.groupBy("event_type").agg(F.sum("o").alias("r")))
+    t3 = nano("c", cells.groupBy("hod").agg(F.sum("o").alias("c")))
+    t4 = cells.agg(F.sum("o").alias("n")).select(
+        "n", F.expr("CAST(floor(n * ln(n) * 1e9) AS BIGINT)").alias("v4")
+    )
+    out = (
+        t1.select(F.col("v").alias("v1"))
+        .crossJoin(F.broadcast(t2.select(F.col("v").alias("v2"))))
+        .crossJoin(F.broadcast(t3.select(F.col("v").alias("v3"))))
+        .crossJoin(F.broadcast(t4))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.expr("greatest(v1 - v2 - v3 + v4, 0) / (n * 1e9)"), 6
+            ).alias("mi_nats"),
+            F.round(F.expr("(v4 - v2) * 1.0D / (n * 1e9)"), 6).alias("h_type"),
+            F.round(F.expr("(v4 - v3) * 1.0D / (n * 1e9)"), 6).alias("h_hour"),
+            F.round(
+                F.expr(
+                    "CASE WHEN (v4 - v2) > 0 AND (v4 - v3) > 0 THEN"
+                    " greatest(v1 - v2 - v3 + v4, 0)"
+                    "   / sqrt((v4 - v2) * 1.0D * (v4 - v3))"
+                    " ELSE 0 END"
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    cells.unpersist()
+    return out

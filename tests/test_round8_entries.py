@@ -442,3 +442,71 @@ def test_user_entropy_bands(spark, sf_dir, duck):
     for r in rows:
         assert 0 <= r.entropy_band <= max_band
         assert r.avg_types >= 1
+
+
+def test_sax_words_well_formed(spark, sf_dir):
+    rows = REGISTRY["events_hourly_sax"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert len(r.word) == 6 and set(r.word) <= set("abcd")
+        assert r.days >= 1
+    # words cover every complete day exactly once
+    total_days = sum(r.days for r in rows)
+    assert total_days >= 1
+
+
+def test_cramers_v_vs_pandas(spark, sf_dir, duck):
+    rows = REGISTRY["events_type_hour_cramers_v"].spark_fn(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 20
+    v = rows[0].cramers_v
+    assert all(r.cramers_v == v for r in rows)
+    assert 0.0 <= v <= 1.0
+    pdf = duck.execute(
+        f"""SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hod, count(*) AS o
+            FROM '{sf_dir}/events.parquet' GROUP BY 1, 2"""
+    ).df()
+    piv = pdf.pivot_table(index="event_type", columns="hod", values="o",
+                          fill_value=0)
+    import numpy as np
+
+    obs = piv.to_numpy(dtype=float)
+    n = obs.sum()
+    e = obs.sum(1, keepdims=True) @ obs.sum(0, keepdims=True) / n
+    chi2 = ((obs - e) ** 2 / e)[obs + e > 0].sum()
+    ref_v = float(np.sqrt(chi2 / (n * (min(obs.shape) - 1))))
+    assert abs(v - ref_v) < 1e-4
+    # residuals ranked by absolute value
+    resids = [abs(r.std_residual) for r in rows]
+    assert resids == sorted(resids, reverse=True)
+
+
+def test_burstiness_conserves_users(spark, sf_dir, duck):
+    rows = REGISTRY["events_user_burstiness"].spark_fn(spark, sf_dir).collect()
+    n_users = duck.execute(
+        f"SELECT count(DISTINCT user_id) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r.users for r in rows) == n_users
+    for r in rows:
+        assert 0 <= r.fano_band <= 20
+
+
+def test_mutual_info_vs_pandas(spark, sf_dir, duck):
+    import numpy as np
+
+    r = REGISTRY["events_type_hour_mutual_info"].spark_fn(spark, sf_dir).first()
+    assert r.mi_nats >= 0
+    assert r.mi_nats <= min(r.h_type, r.h_hour) + 1e-6
+    assert 0.0 <= r.nmi <= 1.0
+    pdf = duck.execute(
+        f"""SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hod, count(*) AS o
+            FROM '{sf_dir}/events.parquet' GROUP BY 1, 2"""
+    ).df()
+    o = pdf["o"].to_numpy(dtype=float)
+    n = o.sum()
+    rm = pdf.groupby("event_type")["o"].sum().to_numpy(dtype=float)
+    cm = pdf.groupby("hod")["o"].sum().to_numpy(dtype=float)
+    ref = (
+        (o * np.log(o)).sum() - (rm * np.log(rm)).sum()
+        - (cm * np.log(cm)).sum() + n * np.log(n)
+    ) / n
+    assert abs(r.mi_nats - ref) < 1e-5
