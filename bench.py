@@ -263,6 +263,9 @@ HEADLINE = [
     "events_type_hour_cramers_v",
     "events_user_burstiness",
     "events_type_hour_mutual_info",
+    "orders_pps_ht_estimate",
+    "orders_neyman_allocation",
+    "lineitem_simpson_audit",
     # Structured Streaming entries — each runs a full availableNow
     # drain of the events table through a memory sink inside queries()
     # (micro-batch scheduling + state store + watermark flush, stopped

@@ -4289,3 +4289,349 @@ def supplier_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+@register(
+    "orders_pps_ht_estimate",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS w
+      FROM orders
+    ),
+    tot AS (
+      SELECT sum(w) AS tw, greatest(sum(w) // 1000, 1) AS step
+      FROM src
+    ),
+    cum AS (
+      SELECT k, pri, w,
+             sum(w) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS c
+      FROM src
+    ),
+    sampled AS (
+      SELECT cu.k, cu.pri, cu.w, t.tw, t.step
+      FROM cum cu, tot t
+      WHERE cu.c // t.step > (cu.c - cu.w) // t.step
+    ),
+    ht AS (
+      SELECT pri,
+             count(*)::BIGINT AS sampled_orders,
+             sum(CASE WHEN w * 1000 >= tw THEN 1000000::BIGINT
+                      ELSE CAST(floor(tw * 1e6 / (1000.0 * w)) AS BIGINT)
+                 END) AS est_u
+      FROM sampled GROUP BY pri
+    ),
+    truth AS (
+      SELECT pri, count(*)::BIGINT AS true_orders FROM src GROUP BY pri
+    )
+    SELECT t.pri AS o_orderpriority, t.true_orders,
+           coalesce(h.sampled_orders, 0)::BIGINT AS sampled_orders,
+           round(coalesce(h.est_u, 0) / 1e6, 2) AS ht_estimate,
+           CAST(abs(coalesce(h.est_u, 0) // 1000000 - t.true_orders)
+                * 10000 // t.true_orders AS BIGINT) AS abs_err_bp
+    FROM truth t LEFT JOIN ht h ON h.pri = t.pri
+    ORDER BY t.pri
+    """,
+    doc="Horvitz-Thompson calibration report for the PPS systematic "
+    "sampler (E221): estimate per-priority ORDER COUNTS from the "
+    "price-weighted sample (the systematic-sample entry's exact "
+    "machinery: deterministic key order, step = W div 1000, an "
+    "order is sampled iff its weight interval straddles a step "
+    "boundary) by summing 1/pi with pi = min(1, n*w/W) — certainty "
+    "units (w >= W/n) contribute exactly 1. Each 1/pi term "
+    "floor-scales to integer MICRO-units before the stratum sum "
+    "(no float crosses the shuffle), and the report publishes the "
+    "estimate against the true count in basis points — the "
+    "unbiasedness check a sampling pipeline runs before trusting "
+    "sampled aggregates at 100 TB. The oracle states the cumsum as "
+    "one flat window; Spark's plan shares the systematic-sample "
+    "two-level prefix-sum shape.",
+)
+def orders_pps_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("w"),
+    )
+    src = src.persist()
+    bucketed = src.withColumn("b", F.expr("k div 8192"))
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_in = bucketed.withColumn("ci", F.sum("w").over(w_in))
+    tb = bucketed.groupBy("b").agg(F.sum("w").alias("tot"))
+    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = tb.select(
+        "b", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off")
+    )
+    tot = src.agg(
+        F.sum("w").alias("tw"),
+        F.expr("greatest(sum(w) div 1000, 1)").alias("step"),
+    )
+    cum = (
+        cum_in.join(F.broadcast(offs), "b")
+        .withColumn("c", F.col("off") + F.col("ci"))
+        .crossJoin(F.broadcast(tot))
+    )
+    sampled = cum.filter(
+        F.expr("c div step") > F.expr("(c - w) div step")
+    )
+    ht = sampled.groupBy("pri").agg(
+        F.count("*").alias("sampled_orders"),
+        F.sum(
+            F.expr(
+                "CASE WHEN w * 1000 >= tw THEN CAST(1000000 AS BIGINT)"
+                " ELSE CAST(floor(tw * 1e6 / (1000.0D * w)) AS BIGINT) END"
+            )
+        ).alias("est_u"),
+    )
+    truth = src.groupBy("pri").agg(F.count("*").alias("true_orders"))
+    out = (
+        truth.join(ht, "pri", "left")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "true_orders",
+            F.coalesce("sampled_orders", F.lit(0)).cast("long").alias(
+                "sampled_orders"
+            ),
+            F.round(F.coalesce("est_u", F.lit(0)) / 1e6, 2).alias("ht_estimate"),
+            F.expr(
+                "CAST(abs(coalesce(est_u, 0) div 1000000 - true_orders)"
+                " * 10000 div true_orders AS BIGINT)"
+            ).alias("abs_err_bp"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    out = out.localCheckpoint(eager=True)
+    src.unpersist()
+    return out
+
+
+@register(
+    "orders_neyman_allocation",
+    """
+    WITH s AS (
+      SELECT o_orderpriority,
+             count(*)::BIGINT AS nh,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sw,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                 * CAST(round(o_totalprice * 100) AS BIGINT)) AS sw2
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT o_orderpriority, nh, sw,
+             sqrt(greatest(
+               CAST(sw2 AS DOUBLE) / nh
+               - (CAST(sw AS DOUBLE) / nh) * (CAST(sw AS DOUBLE) / nh),
+               0)) AS sd
+      FROM s
+    ),
+    t AS (
+      SELECT sum(nh) AS n, sum(nh * sd) AS d FROM m
+    )
+    SELECT m.o_orderpriority, m.nh,
+           round(CAST(m.sw AS DOUBLE) / m.nh / 100.0, 2) AS mean_price,
+           round(m.sd / 100.0, 2) AS sd_price,
+           CAST(floor(m.nh * m.sd * 10000 / t.d) AS BIGINT) AS neyman_share_bp,
+           CAST(m.nh * 10000 // t.n AS BIGINT) AS proportional_share_bp,
+           CAST(floor(m.nh * m.sd * 1000 / t.d) AS BIGINT) AS neyman_n_of_1000
+    FROM m, t
+    ORDER BY m.o_orderpriority
+    """,
+    doc="Neyman optimal allocation for a stratified sample of 1000 "
+    "orders by priority (E222): n_h proportional to N_h*S_h — the "
+    "survey-sampling design rule that beats proportional allocation "
+    "whenever strata variances differ, published side-by-side with "
+    "the proportional shares so the design choice is auditable. "
+    "Per-stratum std comes from one exact integer (n, sum w, sum w^2) "
+    "pass in cents (population variance clamped at 0 before sqrt); "
+    "N_h*S_h products are identical doubles in both engines and the "
+    "shares floor to basis points. One dimension-sized groupBy plus "
+    "a 5-row rollup — the design table costs one scan at any SF.",
+)
+def orders_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("w"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("nh"),
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("w")).alias("sw2"),
+        )
+    )
+    m = s.select(
+        "o_orderpriority",
+        "nh",
+        "sw",
+        F.sqrt(
+            F.greatest(
+                F.expr(
+                    "CAST(sw2 AS DOUBLE) / nh"
+                    " - (CAST(sw AS DOUBLE) / nh) * (CAST(sw AS DOUBLE) / nh)"
+                ),
+                F.lit(0.0),
+            )
+        ).alias("sd"),
+    )
+    t = m.agg(
+        F.sum("nh").alias("n"), F.sum(F.col("nh") * F.col("sd")).alias("d")
+    )
+    return (
+        m.crossJoin(F.broadcast(t))
+        .select(
+            "o_orderpriority",
+            "nh",
+            F.round(F.expr("CAST(sw AS DOUBLE) / nh / 100.0D"), 2).alias(
+                "mean_price"
+            ),
+            F.round(F.col("sd") / 100.0, 2).alias("sd_price"),
+            F.expr("CAST(floor(nh * sd * 10000 / d) AS BIGINT)").alias(
+                "neyman_share_bp"
+            ),
+            F.expr("CAST(nh * 10000 div n AS BIGINT)").alias(
+                "proportional_share_bp"
+            ),
+            F.expr("CAST(floor(nh * sd * 1000 / d) AS BIGINT)").alias(
+                "neyman_n_of_1000"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "lineitem_simpson_audit",
+    """
+    WITH src AS (
+      SELECT p.p_brand AS brand,
+             CASE WHEN l.l_discount > 0.05 THEN 1 ELSE 0 END AS x,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    cells AS (
+      SELECT brand,
+             sum(x * y)::BIGINT AS r1, sum(x)::BIGINT AS n1,
+             sum((1 - x) * y)::BIGINT AS r0, sum(1 - x)::BIGINT AS n0
+      FROM src GROUP BY brand
+    ),
+    strata AS (
+      SELECT brand,
+             CASE WHEN n1 = 0 OR n0 = 0 THEN 0
+                  WHEN r1 * n0 > r0 * n1 THEN 1
+                  WHEN r1 * n0 < r0 * n1 THEN -1
+                  ELSE 0 END AS sgn
+      FROM cells
+    ),
+    ov AS (
+      SELECT CASE WHEN sum(r1) * sum(n0) > sum(r0) * sum(n1) THEN 1
+                  WHEN sum(r1) * sum(n0) < sum(r0) * sum(n1) THEN -1
+                  ELSE 0 END AS osgn,
+             sum(r1)::BIGINT AS r1, sum(n1)::BIGINT AS n1,
+             sum(r0)::BIGINT AS r0, sum(n0)::BIGINT AS n0
+      FROM cells
+    )
+    SELECT ov.osgn AS overall_sign,
+           round(ov.r1 * 1.0 / ov.n1, 6) AS rate_discounted,
+           round(ov.r0 * 1.0 / ov.n0, 6) AS rate_full_price,
+           count(*)::BIGINT AS strata,
+           sum(CASE WHEN s.sgn = ov.osgn AND s.sgn <> 0
+                    THEN 1 ELSE 0 END)::BIGINT AS strata_agree,
+           sum(CASE WHEN s.sgn = -ov.osgn AND s.sgn <> 0
+                    THEN 1 ELSE 0 END)::BIGINT AS strata_reverse,
+           sum(CASE WHEN s.sgn = 0 THEN 1 ELSE 0 END)::BIGINT AS strata_tied,
+           CASE WHEN ov.osgn <> 0
+                 AND sum(CASE WHEN s.sgn = -ov.osgn AND s.sgn <> 0
+                              THEN 1 ELSE 0 END)
+                     > sum(CASE WHEN s.sgn = ov.osgn AND s.sgn <> 0
+                                THEN 1 ELSE 0 END)
+                THEN 1 ELSE 0 END::BIGINT AS simpson_flag
+    FROM strata s, ov
+    GROUP BY ov.osgn, ov.r1, ov.n1, ov.r0, ov.n0
+    """,
+    doc="Simpson's paradox audit (E223): does the marginal "
+    "association between discounting and returns reverse inside "
+    "brand strata? The overall and per-stratum association signs "
+    "use CROSS-MULTIPLIED integer rate comparisons (r1*n0 vs "
+    "r0*n1) — no division, no float, no tolerance — and the flag "
+    "fires when reversing strata outnumber agreeing ones, the "
+    "aggregation-bias tripwire every metrics platform should run "
+    "before publishing a marginal rate. One fact groupBy to brand "
+    "cells, then a brands-sized rollup joined to the 1-row "
+    "marginal.",
+)
+def lineitem_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_discount") > 0.05).cast("int").alias("x"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.col("x") * F.col("y")).alias("r1"),
+            F.sum("x").alias("n1"),
+            F.sum((1 - F.col("x")) * F.col("y")).alias("r0"),
+            F.sum(1 - F.col("x")).alias("n0"),
+        )
+        .persist()
+    )
+    strata = cells.select(
+        F.expr(
+            "CASE WHEN n1 = 0 OR n0 = 0 THEN 0"
+            " WHEN r1 * n0 > r0 * n1 THEN 1"
+            " WHEN r1 * n0 < r0 * n1 THEN -1 ELSE 0 END"
+        ).alias("sgn")
+    )
+    ov = cells.agg(
+        F.expr(
+            "CASE WHEN sum(r1) * sum(n0) > sum(r0) * sum(n1) THEN 1"
+            " WHEN sum(r1) * sum(n0) < sum(r0) * sum(n1) THEN -1"
+            " ELSE 0 END"
+        ).alias("osgn"),
+        F.sum("r1").alias("r1"),
+        F.sum("n1").alias("n1"),
+        F.sum("r0").alias("r0"),
+        F.sum("n0").alias("n0"),
+    )
+    out = (
+        strata.crossJoin(F.broadcast(ov))
+        .groupBy("osgn", "r1", "n1", "r0", "n0")
+        .agg(
+            F.count("*").alias("strata"),
+            F.sum(
+                F.expr("CASE WHEN sgn = osgn AND sgn <> 0 THEN 1 ELSE 0 END")
+            ).alias("strata_agree"),
+            F.sum(
+                F.expr("CASE WHEN sgn = -osgn AND sgn <> 0 THEN 1 ELSE 0 END")
+            ).alias("strata_reverse"),
+            F.sum(F.expr("CASE WHEN sgn = 0 THEN 1 ELSE 0 END")).alias(
+                "strata_tied"
+            ),
+        )
+        .select(
+            F.col("osgn").alias("overall_sign"),
+            F.round(F.expr("r1 * 1.0D / n1"), 6).alias("rate_discounted"),
+            F.round(F.expr("r0 * 1.0D / n0"), 6).alias("rate_full_price"),
+            F.col("strata").cast("long"),
+            F.col("strata_agree").cast("long"),
+            F.col("strata_reverse").cast("long"),
+            F.col("strata_tied").cast("long"),
+            F.expr(
+                "CAST(CASE WHEN osgn <> 0 AND strata_reverse > strata_agree"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("simpson_flag"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    cells.unpersist()
+    return out

@@ -510,3 +510,52 @@ def test_mutual_info_vs_pandas(spark, sf_dir, duck):
         - (cm * np.log(cm)).sum() + n * np.log(n)
     ) / n
     assert abs(r.mi_nats - ref) < 1e-5
+
+
+def test_pps_ht_estimate_calibration(spark, sf_dir, duck):
+    rows = REGISTRY["orders_pps_ht_estimate"].spark_fn(spark, sf_dir).collect()
+    n_orders = duck.execute(
+        f"SELECT count(*) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r.true_orders for r in rows) == n_orders
+    total_sampled = sum(r.sampled_orders for r in rows)
+    # step = W div 1000 yields ~1000 boundary hits (certainty units can
+    # absorb several steps each)
+    assert 900 <= total_sampled <= 1100
+    for r in rows:
+        assert r.ht_estimate > 0
+        # HT is unbiased; with ~200 samples/stratum the realized error
+        # stays well inside 30%
+        assert r.abs_err_bp < 3000
+
+
+def test_neyman_allocation_shares(spark, sf_dir, duck):
+    rows = REGISTRY["orders_neyman_allocation"].spark_fn(spark, sf_dir).collect()
+    n_orders = duck.execute(
+        f"SELECT count(*) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r.nh for r in rows) == n_orders
+    # floored shares: sum within one floor-loss per stratum of 10000
+    s_bp = sum(r.neyman_share_bp for r in rows)
+    assert 10000 - len(rows) <= s_bp <= 10000
+    p_bp = sum(r.proportional_share_bp for r in rows)
+    assert 10000 - len(rows) <= p_bp <= 10000
+    n_alloc = sum(r.neyman_n_of_1000 for r in rows)
+    assert 1000 - len(rows) <= n_alloc <= 1000
+    for r in rows:
+        assert r.sd_price >= 0 and r.mean_price > 0
+
+
+def test_simpson_audit_partition(spark, sf_dir, duck):
+    r = REGISTRY["lineitem_simpson_audit"].spark_fn(spark, sf_dir).first()
+    n_brands = duck.execute(
+        f"SELECT count(DISTINCT p_brand) FROM '{sf_dir}/part.parquet'"
+    ).fetchone()[0]
+    assert r.strata == n_brands
+    assert r.strata_agree + r.strata_reverse + r.strata_tied == r.strata
+    assert 0 <= r.rate_discounted <= 1 and 0 <= r.rate_full_price <= 1
+    assert r.overall_sign in (-1, 0, 1)
+    if r.overall_sign == 1:
+        assert r.rate_discounted >= r.rate_full_price
+    if r.simpson_flag:
+        assert r.strata_reverse > r.strata_agree
