@@ -266,6 +266,9 @@ HEADLINE = [
     "orders_pps_ht_estimate",
     "orders_neyman_allocation",
     "lineitem_simpson_audit",
+    "nation_theil_decomposition",
+    "orders_dow_seasonality",
+    "nation_brand_rca",
     # Structured Streaming entries — each runs a full availableNow
     # drain of the events table through a memory sink inside queries()
     # (micro-batch scheduling + state store + watermark flush, stopped

@@ -4635,3 +4635,252 @@ def lineitem_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     cells.unpersist()
     return out
+
+
+@register(
+    "nation_theil_decomposition",
+    """
+    WITH cust AS (
+      SELECT n.n_name AS nation,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY o.o_custkey, n.n_name
+    ),
+    g AS (
+      SELECT nation,
+             count(*)::BIGINT AS ng,
+             sum(x) AS xg,
+             sum(CAST(floor(x * ln(x) * 1e6) AS BIGINT)) AS sxlx
+      FROM cust GROUP BY nation
+    ),
+    t AS (
+      SELECT sum(ng)::BIGINT AS n, sum(xg) AS xt,
+             sum(sxlx) AS sx,
+             sum(CAST(xg AS DOUBLE) * (ln(CAST(xg AS DOUBLE)) - ln(ng))) AS bsum
+      FROM g
+    )
+    SELECT g.nation, g.ng AS customers,
+           round(g.xg / 100.0, 2) AS revenue,
+           CAST(g.xg * 10000 // t.xt AS BIGINT) AS revenue_share_bp,
+           round(CAST(g.sxlx AS DOUBLE) / 1e6 / g.xg
+                 - ln(CAST(g.xg AS DOUBLE)) + ln(g.ng), 6) AS theil_within,
+           round(t.bsum / t.xt - ln(CAST(t.xt AS DOUBLE)) + ln(t.n), 6)
+             AS theil_between,
+           round(CAST(t.sx AS DOUBLE) / 1e6 / t.xt
+                 - ln(CAST(t.xt AS DOUBLE)) + ln(t.n), 6) AS theil_total
+    FROM g, t
+    ORDER BY g.nation
+    """,
+    doc="Theil-T inequality decomposition of customer revenue by "
+    "nation (E224): T = Σ(x/μ)ln(x/μ)/n rewritten through the count "
+    "identity T = (Σx·ln x)/X − ln X + ln n so every data-sized ln "
+    "takes an INTEGER cent argument and floor-scales to 1e-6 units "
+    "before an exact decimal/hugeint sum — the within-nation terms, "
+    "the between-nation term, and the total all emerge from one "
+    "customer-grain pass + one nations-sized rollup. Unlike Gini "
+    "(E-entry nation_revenue_gini ranks within nations), Theil is "
+    "ADDITIVELY DECOMPOSABLE: total = between + Σ share·within, the "
+    "property that lets a platform attribute inequality to mix vs "
+    "within-group spread. Identity is pinned by a unit test.",
+)
+def nation_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("o_custkey", F.col("n_name").alias("nation"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    )
+    g = cust.groupBy("nation").agg(
+        F.count("*").alias("ng"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("xg"),
+        F.sum(F.expr("CAST(floor(x * ln(x) * 1e6) AS BIGINT)")).alias("sxlx"),
+    )
+    g = g.persist()
+    t = g.agg(
+        F.sum("ng").alias("n"),
+        F.sum("xg").alias("xt"),
+        F.sum(F.expr("CAST(sxlx AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(
+            F.expr("CAST(xg AS DOUBLE) * (ln(CAST(xg AS DOUBLE)) - ln(ng))")
+        ).alias("bsum"),
+    )
+    out = (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "nation",
+            F.col("ng").cast("long").alias("customers"),
+            F.round(F.expr("xg / 100.0D"), 2).alias("revenue"),
+            F.expr("CAST(xg * 10000 div xt AS BIGINT)").alias(
+                "revenue_share_bp"
+            ),
+            F.round(
+                F.expr(
+                    "CAST(sxlx AS DOUBLE) / 1e6 / xg"
+                    " - ln(CAST(xg AS DOUBLE)) + ln(ng)"
+                ),
+                6,
+            ).alias("theil_within"),
+            F.round(
+                F.expr("bsum / xt - ln(CAST(xt AS DOUBLE)) + ln(n)"), 6
+            ).alias("theil_between"),
+            F.round(
+                F.expr(
+                    "CAST(sx AS DOUBLE) / 1e6 / xt"
+                    " - ln(CAST(xt AS DOUBLE)) + ln(n)"
+                ),
+                6,
+            ).alias("theil_total"),
+        )
+        .orderBy("nation")
+    )
+    out = out.localCheckpoint(eager=True)
+    g.unpersist()
+    return out
+
+
+@register(
+    "orders_dow_seasonality",
+    """
+    WITH src AS (
+      SELECT o_orderpriority AS pri,
+             (date_part('dow', o_orderdate) + 1)::BIGINT AS dow,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS w
+      FROM orders
+    ),
+    cell AS (
+      SELECT pri, dow, count(*)::BIGINT AS n, sum(w) AS s
+      FROM src GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT pri, sum(n)::BIGINT AS np, sum(s) AS sp FROM cell GROUP BY pri
+    )
+    SELECT c.pri AS o_orderpriority, c.dow, c.n AS orders,
+           CAST(c.n * 7 * 10000 // t.np AS BIGINT) AS volume_idx_bp,
+           CAST((CAST(c.s AS HUGEINT) * t.np * 10000)
+                // (CAST(c.n AS HUGEINT) * t.sp) AS BIGINT) AS value_idx_bp
+    FROM cell c JOIN tot t ON t.pri = c.pri
+    ORDER BY c.pri, c.dow
+    """,
+    doc="Day-of-week seasonality indices per order priority (E225): "
+    "volume index (dow order share vs the uniform 1/7) and value "
+    "index (dow average order value vs the priority average), both "
+    "in basis points via PURE INTEGER cross-multiplied ratios — "
+    "volume = n·7·10⁴ div N, value = (s·N·10⁴) div (n·S) with "
+    "hugeint/decimal intermediates since s·N exceeds int64 at sf1. "
+    "The staffing/capacity-planning readout: one fact groupBy to a "
+    "35-cell grid, margins cells-dimension, no float anywhere.",
+)
+def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        (F.dayofweek("o_orderdate")).cast("long").alias("dow"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("w"),
+    )
+    cell = src.groupBy("pri", "dow").agg(
+        F.count("*").alias("n"), F.sum("w").alias("s")
+    )
+    tot = cell.groupBy("pri").agg(
+        F.sum("n").alias("np"), F.sum("s").alias("sp")
+    )
+    return (
+        cell.join(F.broadcast(tot), "pri")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "dow",
+            F.col("n").alias("orders"),
+            F.expr("CAST(n * 7 * 10000 div np AS BIGINT)").alias(
+                "volume_idx_bp"
+            ),
+            F.expr(
+                "CAST((CAST(s AS DECIMAL(38,0)) * np * 10000)"
+                " div (CAST(n AS DECIMAL(38,0)) * sp) AS BIGINT)"
+            ).alias("value_idx_bp"),
+        )
+        .orderBy("o_orderpriority", "dow")
+    )
+
+
+@register(
+    "nation_brand_rca",
+    """
+    WITH cell AS (
+      SELECT n.n_name AS nation, p.p_brand AS brand,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS x
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    xn AS (SELECT nation, sum(x) AS xn FROM cell GROUP BY nation),
+    xb AS (SELECT brand, sum(x) AS xb FROM cell GROUP BY brand),
+    xt AS (SELECT sum(x) AS xt FROM cell)
+    SELECT c.nation, c.brand,
+           round(c.x / 100.0, 2) AS revenue,
+           CAST((CAST(c.x AS HUGEINT) * t.xt * 10000)
+                // (CAST(n.xn AS HUGEINT) * b.xb) AS BIGINT) AS rca_bp,
+           CASE WHEN (CAST(c.x AS HUGEINT) * t.xt * 10000)
+                     // (CAST(n.xn AS HUGEINT) * b.xb) > 10000
+                THEN 1 ELSE 0 END::BIGINT AS specialized
+    FROM cell c
+    JOIN xn n ON n.nation = c.nation
+    JOIN xb b ON b.brand = c.brand
+    CROSS JOIN xt t
+    ORDER BY c.nation, c.brand
+    """,
+    doc="Balassa revealed comparative advantage matrix (E226): "
+    "RCA(nation, brand) = (x_nb/x_n)/(x_b/x_total) in basis points "
+    "— which nations over-index on which brands relative to the "
+    "global mix, the trade-economics standard repurposed as a "
+    "merchandising skew matrix. PURE INTEGER: the four exact cent "
+    "totals cross-multiply under hugeint/decimal (x_nb·x_total "
+    "overflows int64 at sf1) and one floor-div emits bp; "
+    "specialized = RCA > 1. One fact groupBy to the nations×brands "
+    "grid; margins are grid-dimension rollups, dims broadcast.",
+)
+def nation_brand_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cell = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_brand").alias("brand"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("x"))
+        .persist()
+    )
+    xn = cell.groupBy("nation").agg(F.sum("x").alias("xn"))
+    xb = cell.groupBy("brand").agg(F.sum("x").alias("xb"))
+    xt = cell.agg(F.sum("x").alias("xt"))
+    rca = F.expr(
+        "(CAST(x AS DECIMAL(38,0)) * xt * 10000)"
+        " div (CAST(xn AS DECIMAL(38,0)) * xb)"
+    )
+    out = (
+        cell.join(F.broadcast(xn), "nation")
+        .join(F.broadcast(xb), "brand")
+        .crossJoin(F.broadcast(xt))
+        .select(
+            "nation",
+            "brand",
+            F.round(F.col("x") / 100.0, 2).alias("revenue"),
+            rca.cast("long").alias("rca_bp"),
+            F.when(rca > 10000, 1).otherwise(0).cast("long").alias("specialized"),
+        )
+        .orderBy("nation", "brand")
+    )
+    out = out.localCheckpoint(eager=True)
+    cell.unpersist()
+    return out

@@ -559,3 +559,51 @@ def test_simpson_audit_partition(spark, sf_dir, duck):
         assert r.rate_discounted >= r.rate_full_price
     if r.simpson_flag:
         assert r.strata_reverse > r.strata_agree
+
+
+def test_theil_decomposition_identity(spark, sf_dir):
+    rows = REGISTRY["nation_theil_decomposition"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    total = rows[0].theil_total
+    between = rows[0].theil_between
+    assert all(r.theil_total == total and r.theil_between == between
+               for r in rows)
+    assert total >= 0 and between >= 0
+    # additive decomposability: total = between + sum(share * within)
+    recomposed = between + sum(
+        (r.revenue_share_bp / 10000.0) * r.theil_within for r in rows
+    )
+    # shares are floored to bp -> small slack
+    assert abs(total - recomposed) < 5e-3
+    assert all(r.theil_within >= -1e-9 for r in rows)
+
+
+def test_dow_seasonality_index_structure(spark, sf_dir):
+    rows = REGISTRY["orders_dow_seasonality"].spark_fn(spark, sf_dir).collect()
+    by_pri = {}
+    for r in rows:
+        assert 1 <= r.dow <= 7
+        assert r.volume_idx_bp > 0 and r.value_idx_bp > 0
+        by_pri.setdefault(r.o_orderpriority, []).append(r)
+    for pri, rs in by_pri.items():
+        assert len(rs) == 7
+        # volume indices average to ~10000 (floor loss < 7 bp each)
+        s = sum(x.volume_idx_bp for x in rs)
+        assert 7 * 10000 - 7 * 7 <= s <= 7 * 10000
+
+
+def test_rca_matrix_structure(spark, sf_dir, duck):
+    rows = REGISTRY["nation_brand_rca"].spark_fn(spark, sf_dir).collect()
+    total = duck.execute(
+        f"""SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   / 100.0, 2)
+            FROM '{sf_dir}/lineitem.parquet'"""
+    ).fetchone()[0]
+    assert abs(sum(r.revenue for r in rows) - total) < 0.01 * len(rows)
+    for r in rows:
+        assert r.rca_bp >= 0
+        assert r.specialized == (1 if r.rca_bp > 10000 else 0)
+    # every nation over-indexes on at least one brand
+    spec_nations = {r.nation for r in rows if r.specialized}
+    all_nations = {r.nation for r in rows}
+    assert spec_nations == all_nations
