@@ -4652,13 +4652,14 @@ def lineitem_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT nation,
              count(*)::BIGINT AS ng,
              sum(x) AS xg,
-             sum(CAST(floor(x * ln(x) * 1e6) AS BIGINT)) AS sxlx
+             sum(CAST(floor(x * ln(x) * 1e6) AS HUGEINT)) AS sxlx
       FROM cust GROUP BY nation
     ),
     t AS (
       SELECT sum(ng)::BIGINT AS n, sum(xg) AS xt,
              sum(sxlx) AS sx,
-             sum(CAST(xg AS DOUBLE) * (ln(CAST(xg AS DOUBLE)) - ln(ng))) AS bsum
+             sum(CAST(floor(CAST(xg AS DOUBLE)
+                 * (ln(CAST(xg AS DOUBLE)) - ln(ng)) * 1e6) AS HUGEINT)) AS bsum
       FROM g
     )
     SELECT g.nation, g.ng AS customers,
@@ -4666,8 +4667,8 @@ def lineitem_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(g.xg * 10000 // t.xt AS BIGINT) AS revenue_share_bp,
            round(CAST(g.sxlx AS DOUBLE) / 1e6 / g.xg
                  - ln(CAST(g.xg AS DOUBLE)) + ln(g.ng), 6) AS theil_within,
-           round(t.bsum / t.xt - ln(CAST(t.xt AS DOUBLE)) + ln(t.n), 6)
-             AS theil_between,
+           round(CAST(t.bsum AS DOUBLE) / 1e6 / t.xt
+                 - ln(CAST(t.xt AS DOUBLE)) + ln(t.n), 6) AS theil_between,
            round(CAST(t.sx AS DOUBLE) / 1e6 / t.xt
                  - ln(CAST(t.xt AS DOUBLE)) + ln(t.n), 6) AS theil_total
     FROM g, t
@@ -4698,15 +4699,25 @@ def nation_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = cust.groupBy("nation").agg(
         F.count("*").alias("ng"),
         F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("xg"),
-        F.sum(F.expr("CAST(floor(x * ln(x) * 1e6) AS BIGINT)")).alias("sxlx"),
+        # per-customer 1e-6-unit terms reach ~5e15; a nation's sum
+        # overflows int64 beyond ~2k customers, so accumulate decimal
+        F.sum(
+            F.expr("CAST(floor(x * ln(x) * 1e6) AS DECIMAL(38,0))")
+        ).alias("sxlx"),
     )
     g = g.persist()
     t = g.agg(
         F.sum("ng").alias("n"),
         F.sum("xg").alias("xt"),
-        F.sum(F.expr("CAST(sxlx AS DECIMAL(38,0))")).alias("sx"),
+        F.sum("sxlx").alias("sx"),
+        # between-group terms floor to 1e-6 units too: the 25-group sum
+        # must not depend on partial-aggregation order
         F.sum(
-            F.expr("CAST(xg AS DOUBLE) * (ln(CAST(xg AS DOUBLE)) - ln(ng))")
+            F.expr(
+                "CAST(floor(CAST(xg AS DOUBLE)"
+                " * (ln(CAST(xg AS DOUBLE)) - ln(ng)) * 1e6)"
+                " AS DECIMAL(38,0))"
+            )
         ).alias("bsum"),
     )
     out = (
@@ -4726,7 +4737,11 @@ def nation_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("theil_within"),
             F.round(
-                F.expr("bsum / xt - ln(CAST(xt AS DOUBLE)) + ln(n)"), 6
+                F.expr(
+                    "CAST(bsum AS DOUBLE) / 1e6 / xt"
+                    " - ln(CAST(xt AS DOUBLE)) + ln(n)"
+                ),
+                6,
             ).alias("theil_between"),
             F.round(
                 F.expr(
