@@ -115,7 +115,14 @@ def main() -> None:
             "SNM/JL-distortion which are pair-join bound and sub-linear); "
             "orders_bootstrap_mean_ci 37.1s -> 8.6s (one-md5 affine draws "
             "+ pre-fanout repartition); documents_textrank_chunks 54.7s "
-            "(was 75.3 at r7) under the node-broadcast policy. Absolute "
+            "(was 75.3 at r7) under the node-broadcast policy. r8 "
+            "continuation: 20 more entries (E207-E226, waves 7-11) all "
+            "sub-linear - the heaviest is part_item_item_cf (the 120M-row "
+            "pair self-join behind the 50-part basket cap; ratio ~8 on "
+            "10x, solo steady-state 27.7s), and the Theil entry's "
+            "per-nation x*ln(x) sum moved to decimal after an int64 "
+            "overflow surfaced HERE and not at sf0.01 - the scale stress "
+            "doing its job. Absolute "
             "totals are not comparable across rounds (shared box, load "
             "varies +-30%); the gate is the per-query ratio/multiplier "
             "column, which has zero super-linear flags this round."
