@@ -269,6 +269,8 @@ HEADLINE = [
     "nation_theil_decomposition",
     "orders_dow_seasonality",
     "nation_brand_rca",
+    "part_slow_mover_report",
+    "events_error_pchart",
     # Structured Streaming entries — each runs a full availableNow
     # drain of the events table through a memory sink inside queries()
     # (micro-batch scheduling + state store + watermark flush, stopped

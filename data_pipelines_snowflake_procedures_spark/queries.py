@@ -4899,3 +4899,172 @@ def nation_brand_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     cell.unpersist()
     return out
+
+
+@register(
+    "part_slow_mover_report",
+    """
+    WITH anchor AS (
+      SELECT max(l_shipdate) AS maxd FROM lineitem
+    ),
+    last_ship AS (
+      SELECT l_partkey AS partkey, max(l_shipdate) AS last_d,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS units
+      FROM lineitem GROUP BY 1
+    ),
+    aged AS (
+      SELECT p.p_brand,
+             CAST(round(p.p_retailprice * 100) AS BIGINT) AS price_cents,
+             ls.units,
+             date_diff('day', CAST(ls.last_d AS DATE),
+                       CAST(a.maxd AS DATE)) // 90 AS age_q
+      FROM part p
+      JOIN last_ship ls ON ls.partkey = p.p_partkey
+      CROSS JOIN anchor a
+    )
+    SELECT p_brand,
+           least(age_q, 4)::BIGINT AS age_quarters,
+           count(*)::BIGINT AS parts,
+           sum(units)::BIGINT AS lifetime_units,
+           round(sum(price_cents) / 100.0, 2) AS locked_retail_value
+    FROM aged
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Slow-mover / obsolescence aging report (E227): parts bucketed "
+    "by quarters since their LAST shipment (capped at 4+ — the "
+    "dead-stock tail), per brand, with the retail value locked in "
+    "each bucket — the inventory write-down planner's companion to "
+    "the ABC/XYZ matrix (E209 grades movers; this one names the "
+    "non-movers). Anchor = corpus max ship date so the report is "
+    "deterministic and replayable. One part-grain max/sum groupBy + "
+    "a broadcast scalar; ages are integer days div 90 — no float "
+    "anywhere except the final cents emission.",
+)
+def part_slow_mover_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_shipdate"
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    li = li.persist()
+    anchor = li.agg(F.max("l_shipdate").alias("maxd"))
+    last_ship = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.max("l_shipdate").alias("last_d"),
+        F.sum(F.round("l_quantity").cast("long")).alias("units"),
+    )
+    aged = (
+        p.join(last_ship, F.col("partkey") == F.col("p_partkey"))
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "p_brand",
+            F.round(F.col("p_retailprice") * 100).cast("long").alias(
+                "price_cents"
+            ),
+            "units",
+            F.expr(
+                "datediff(CAST(maxd AS DATE), CAST(last_d AS DATE)) div 90"
+            ).alias("age_q"),
+        )
+    )
+    out = (
+        aged.groupBy(
+            "p_brand", F.least(F.col("age_q"), F.lit(4)).cast("long").alias(
+                "age_quarters"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("parts"),
+            F.sum("units").cast("long").alias("lifetime_units"),
+            F.round(F.sum("price_cents") / 100.0, 2).alias(
+                "locked_retail_value"
+            ),
+        )
+        .orderBy("p_brand", "age_quarters")
+    )
+    out = out.localCheckpoint(eager=True)
+    li.unpersist()
+    return out
+
+
+@register(
+    "events_error_pchart",
+    """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+               AS errs
+      FROM events GROUP BY 1
+    ),
+    center AS (
+      SELECT sum(errs) AS te, sum(n) AS tn FROM daily
+    )
+    SELECT strftime(d.d, '%Y-%m-%d') AS day, d.n AS events, d.errs AS errors,
+           round(d.errs * 1.0 / d.n, 6) AS p_day,
+           round(c.te * 1.0 / c.tn, 6) AS p_bar,
+           round(c.te * 1.0 / c.tn
+                 + 3 * sqrt((c.te * 1.0 / c.tn) * (1 - c.te * 1.0 / c.tn)
+                            / d.n), 6) AS ucl,
+           round(greatest(c.te * 1.0 / c.tn
+                 - 3 * sqrt((c.te * 1.0 / c.tn) * (1 - c.te * 1.0 / c.tn)
+                            / d.n), 0), 6) AS lcl,
+           CASE WHEN d.errs * 1.0 / d.n
+                     > c.te * 1.0 / c.tn
+                       + 3 * sqrt((c.te * 1.0 / c.tn)
+                                  * (1 - c.te * 1.0 / c.tn) / d.n)
+                THEN 1
+                WHEN d.errs * 1.0 / d.n
+                     < greatest(c.te * 1.0 / c.tn
+                       - 3 * sqrt((c.te * 1.0 / c.tn)
+                                  * (1 - c.te * 1.0 / c.tn) / d.n), 0)
+                THEN -1 ELSE 0 END::BIGINT AS out_of_control
+    FROM daily d, center c
+    ORDER BY d.d
+    """,
+    doc="Shewhart p-chart on the daily error proportion (E228), the "
+    "SPC control chart that separates common-cause noise from "
+    "assignable-cause days: centerline p-bar from exact integer "
+    "totals, per-day 3-sigma limits scale with that day's sample "
+    "size (the variable-n p-chart form), out_of_control = ±1 above/"
+    "below. Complements the MAD/seasonal anomaly entries with the "
+    "proportion-domain test ops teams actually chart for error "
+    "budgets. All counts integer; limits are per-row deterministic "
+    "doubles from the same exact totals in both engines. One fact "
+    "groupBy to days-dimension + a broadcast 1-row centerline.",
+)
+def events_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("errs"),
+        )
+    )
+    center = daily.agg(F.sum("errs").alias("te"), F.sum("n").alias("tn"))
+    pbar = F.expr("te * 1.0D / tn")
+    sig = F.sqrt(pbar * (1 - pbar) / F.col("n"))
+    return (
+        daily.crossJoin(F.broadcast(center))
+        .select(
+            "day",
+            F.col("n").alias("events"),
+            F.col("errs").alias("errors"),
+            F.round(F.expr("errs * 1.0D / n"), 6).alias("p_day"),
+            F.round(pbar, 6).alias("p_bar"),
+            F.round(pbar + 3 * sig, 6).alias("ucl"),
+            F.round(F.greatest(pbar - 3 * sig, F.lit(0.0)), 6).alias("lcl"),
+            F.when(F.expr("errs * 1.0D / n") > pbar + 3 * sig, 1)
+            .when(
+                F.expr("errs * 1.0D / n")
+                < F.greatest(pbar - 3 * sig, F.lit(0.0)),
+                -1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("out_of_control"),
+        )
+        .orderBy("day")
+    )

@@ -607,3 +607,31 @@ def test_rca_matrix_structure(spark, sf_dir, duck):
     spec_nations = {r.nation for r in rows if r.specialized}
     all_nations = {r.nation for r in rows}
     assert spec_nations == all_nations
+
+
+def test_slow_mover_report_conserves_parts(spark, sf_dir, duck):
+    rows = REGISTRY["part_slow_mover_report"].spark_fn(spark, sf_dir).collect()
+    sold = duck.execute(
+        f"SELECT count(DISTINCT l_partkey) FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert sum(r.parts for r in rows) == sold
+    for r in rows:
+        assert 0 <= r.age_quarters <= 4
+        assert r.lifetime_units >= r.parts  # every part shipped >= 1 unit
+        assert r.locked_retail_value > 0
+
+
+def test_pchart_limits_and_flags(spark, sf_dir):
+    rows = REGISTRY["events_error_pchart"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    pbar = rows[0].p_bar
+    for r in rows:
+        assert r.p_bar == pbar
+        assert 0 <= r.lcl <= pbar <= r.ucl <= 1
+        assert abs(r.p_day - round(r.errors / r.events, 6)) < 1e-9
+        if r.out_of_control == 1:
+            assert r.p_day > r.ucl
+        elif r.out_of_control == -1:
+            assert r.p_day < r.lcl
+        else:
+            assert r.lcl <= r.p_day <= r.ucl
