@@ -76,6 +76,44 @@ def _sampled_keys() -> tuple[set[str], set[str], set[str]]:
     return latest, ever, failed
 
 
+#: Within the never-sampled band, these names take the FIRST sample
+#: slots in this order (the round's 50-slot evidence plan: the 8
+#: entries VERDICT r7 flagged, then waves 7-12 in landing order).
+#: Entries not listed sort behind by registry order — late-round
+#: additions queue for the NEXT round instead of displacing the plan.
+#: Self-expiring: once a name has a driver row it leaves priority 1
+#: and the hint for it is inert.
+_NEVER_SAMPLED_FIRST = [
+    "orders_bootstrap_mean_ci", "orders_bootstrap_ci_by_priority",
+    "brand_return_fdr", "orders_rollup_rewrite", "orders_distinct_rewrite",
+    "customer_k_anonymity", "customer_l_diversity",
+    "orders_distinct_rewrite_bitmap",
+    # E187-E206 (first-session waves, also never sampled)
+    "customer_t_closeness", "events_sequence_match", "lineitem_skew_report",
+    "orders_lineitem_reconcile", "orders_systematic_sample",
+    "embeddings_jl_project", "embeddings_jl_distortion",
+    "part_return_rate_shrinkage", "events_funnel_timing",
+    "events_daily_anomaly_mad", "events_forecast_backtest",
+    "customer_snm_pairs", "parts_price_index_yearly", "orders_runs_test",
+    "nation_supplier_hhi", "events_hourly_gorilla_report",
+    "part_abc_migration", "lineitem_discount_did",
+    "events_session_bounce_rate", "lineitem_price_ks_test",
+    # waves 7-9
+    "lineitem_spearman_qty_price", "events_value_kruskal_wallis",
+    "part_xyz_classification", "supplier_graph_clustering",
+    "nation_revenue_bridge", "part_item_item_cf",
+    "part_brand_target_encoding", "customer_interpurchase_gaps",
+    "documents_compaction_plan", "events_user_entropy",
+    "events_hourly_sax", "events_type_hour_cramers_v",
+    "events_user_burstiness", "events_type_hour_mutual_info",
+    # waves 10-12
+    "orders_pps_ht_estimate", "orders_neyman_allocation",
+    "lineitem_simpson_audit", "nation_theil_decomposition",
+    "orders_dow_seasonality", "nation_brand_rca",
+    "part_slow_mover_report", "events_error_pchart",
+]
+
+
 def _ordered_names() -> list[str]:
     latest, ever, failed = _sampled_keys()
 
@@ -89,7 +127,15 @@ def _ordered_names() -> list[str]:
         return 3      # freshly sampled last round, green
 
     names = list(REGISTRY)
-    return sorted(names, key=lambda n: (priority(n), names.index(n)))
+    hint = {n: i for i, n in enumerate(_NEVER_SAMPLED_FIRST)}
+
+    def key(n: str):
+        p = priority(n)
+        if p == 1:
+            return (p, hint.get(n, len(hint)), names.index(n))
+        return (p, 0, names.index(n))
+
+    return sorted(names, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

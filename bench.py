@@ -271,6 +271,10 @@ HEADLINE = [
     "nation_brand_rca",
     "part_slow_mover_report",
     "events_error_pchart",
+    "lineitem_price_qty_elasticity",
+    "events_session_lognormal_fit",
+    "events_cohort_halflife",
+    "supplier_graph_assortativity",
     # Structured Streaming entries — each runs a full availableNow
     # drain of the events table through a memory sink inside queries()
     # (micro-batch scheduling + state store + watermark flush, stopped

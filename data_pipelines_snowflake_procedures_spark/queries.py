@@ -5068,3 +5068,83 @@ def events_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "supplier_graph_assortativity",
+    f"""
+    WITH {_cosupplier_graph_sql(10)},
+    dg AS (
+      SELECT node, count(*)::BIGINT AS deg FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) t
+      GROUP BY node
+    ),
+    ends AS (
+      SELECT da.deg AS x, db.deg AS y
+      FROM e JOIN dg da ON da.node = e.a JOIN dg db ON db.node = e.b
+      UNION ALL
+      SELECT db.deg AS x, da.deg AS y
+      FROM e JOIN dg da ON da.node = e.a JOIN dg db ON db.node = e.b
+    ),
+    mom AS (
+      SELECT count(*)::BIGINT AS m2,
+             sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
+             sum(x * y)::BIGINT AS sxy
+      FROM ends
+    )
+    SELECT (m2 / 2)::BIGINT AS edges,
+           (SELECT count(*) FROM dg)::BIGINT AS nodes,
+           round((CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+                 / (CAST(m2 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+             AS assortativity
+    FROM mom
+    """,
+    doc="Degree assortativity of the co-supplier graph (E232, Newman "
+    "2002): the Pearson correlation of endpoint degrees over both "
+    "orientations of every edge — positive means hubs attach to hubs "
+    "(social-network mixing), negative means hub-and-spoke "
+    "(technological/dependency mixing); with both orientations the "
+    "x and y marginals coincide, so the formula collapses to three "
+    "integer moments (Σx, Σx², Σxy over 2|E| rows, degrees bounded "
+    "by the top-k sparsification) and ONE rounded division. "
+    "Completes the graph-structure readout set: triangles (local "
+    "closure), clustering coefficient (normalized closure), k-core "
+    "(density layers), assortativity (degree mixing).",
+)
+def supplier_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _cosupplier_edges(spark, sf_dir, k=10)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+        .persist()
+    )
+    j = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    ends = j.select(F.col("da").alias("x"), F.col("db").alias("y")).unionByName(
+        j.select(F.col("db").alias("x"), F.col("da").alias("y"))
+    )
+    mom = ends.agg(
+        F.count("*").alias("m2"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nodes = deg.agg(F.count("*").alias("nodes"))
+    out = mom.crossJoin(F.broadcast(nodes)).select(
+        F.expr("m2 div 2").cast("long").alias("edges"),
+        F.col("nodes").cast("long"),
+        F.round(
+            F.expr(
+                "(CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)"
+                " / (CAST(m2 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+    out = out.localCheckpoint(eager=True)
+    deg.unpersist()
+    return out

@@ -7292,3 +7292,290 @@ def events_type_hour_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     cells.unpersist()
     return out
+
+
+@register(
+    "events_session_lognormal_fit",
+    """
+    WITH o AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+                    OR epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)))
+    ),
+    s AS (
+      SELECT user_id,
+             sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING
+             ) AS sid, t
+      FROM o
+    ),
+    sess AS (
+      SELECT user_id, sid, (max(t) - min(t)) // 1000000 AS dur_s
+      FROM s GROUP BY 1, 2 HAVING (max(t) - min(t)) // 1000000 >= 1
+    ),
+    mom AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(CAST(floor(ln(dur_s) * 1e9) AS BIGINT)) AS sl,
+             sum(CAST(floor(ln(dur_s) * 1e9) AS HUGEINT)
+                 * CAST(floor(ln(dur_s) * 1e9) AS HUGEINT)) AS sl2
+      FROM sess
+    ),
+    hist AS (
+      SELECT dur_s, count(*)::BIGINT AS cnt FROM sess GROUP BY dur_s
+    ),
+    cum AS (
+      SELECT dur_s,
+             sum(cnt) OVER (ORDER BY dur_s ROWS UNBOUNDED PRECEDING) AS c,
+             sum(cnt) OVER () AS tn
+      FROM hist
+    ),
+    emp AS (
+      SELECT min(CASE WHEN c * 2 >= tn THEN dur_s END) AS emp_median_s,
+             min(CASE WHEN c * 10 >= tn * 9 THEN dur_s END) AS emp_p90_s
+      FROM cum
+    )
+    SELECT m.n AS sessions,
+           round(CAST(m.sl AS DOUBLE) / 1e9 / m.n, 6) AS mu,
+           round(sqrt(greatest(
+             CAST(m.sl2 AS DOUBLE) / 1e18 / m.n
+             - (CAST(m.sl AS DOUBLE) / 1e9 / m.n)
+               * (CAST(m.sl AS DOUBLE) / 1e9 / m.n), 0)), 6) AS sigma,
+           round(exp(CAST(m.sl AS DOUBLE) / 1e9 / m.n), 2) AS fitted_median_s,
+           e.emp_median_s::BIGINT AS emp_median_s,
+           round(exp(CAST(m.sl AS DOUBLE) / 1e9 / m.n
+                 + 1.2816 * sqrt(greatest(
+                     CAST(m.sl2 AS DOUBLE) / 1e18 / m.n
+                     - (CAST(m.sl AS DOUBLE) / 1e9 / m.n)
+                       * (CAST(m.sl AS DOUBLE) / 1e9 / m.n), 0))), 2)
+             AS fitted_p90_s,
+           e.emp_p90_s::BIGINT AS emp_p90_s
+    FROM mom m, emp e
+    """,
+    doc="Lognormal fit of session durations (E230): method-of-moments "
+    "on ln(duration) under the repo's standard 30-min-gap "
+    "sessionization (same window chain as bounce rate / peak "
+    "concurrency), with the fitted median and p90 published BESIDE "
+    "the empirical cumulative-histogram quantiles — the "
+    "model-vs-data readout capacity planners use before trusting a "
+    "parametric tail. Durations are integer seconds (>= 1, so ln is "
+    "defined and integer-argued), each ln floor-scales to nano-units "
+    "and the square accumulates hugeint/decimal; only the final "
+    "exp/round touches floats, identically in both engines. The "
+    "duration histogram (not raw sessions) feeds the empirical "
+    "quantile windows.",
+)
+def events_session_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts)").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    o = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("t").over(w).isNull()
+            | (F.col("t") - F.lag("t").over(w) > 1800000000),
+            1,
+        ).otherwise(0),
+    )
+    s = o.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sess = (
+        s.groupBy("user_id", "sid")
+        .agg(F.expr("(max(t) - min(t)) div 1000000").alias("dur_s"))
+        .filter(F.col("dur_s") >= 1)
+        .persist()
+    )
+    mom = sess.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(floor(ln(dur_s) * 1e9) AS BIGINT)")).alias("sl"),
+        F.sum(
+            F.expr(
+                "CAST(floor(ln(dur_s) * 1e9) AS DECIMAL(38,0))"
+                " * CAST(floor(ln(dur_s) * 1e9) AS DECIMAL(38,0))"
+            )
+        ).alias("sl2"),
+    )
+    hist = sess.groupBy("dur_s").agg(F.count("*").alias("cnt"))
+    w_cum = Window.orderBy("dur_s").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("dur_s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "dur_s",
+        F.sum("cnt").over(w_cum).alias("c"),
+        F.sum("cnt").over(w_all).alias("tn"),
+    )
+    emp = cum.agg(
+        F.min(F.when(F.col("c") * 2 >= F.col("tn"), F.col("dur_s"))).alias(
+            "emp_median_s"
+        ),
+        F.min(
+            F.when(F.col("c") * 10 >= F.col("tn") * 9, F.col("dur_s"))
+        ).alias("emp_p90_s"),
+    )
+    mu = "CAST(sl AS DOUBLE) / 1e9 / n"
+    var = (
+        "greatest(CAST(sl2 AS DOUBLE) / 1e18 / n"
+        f" - ({mu}) * ({mu}), 0)"
+    )
+    out = (
+        mom.crossJoin(F.broadcast(emp))
+        .select(
+            F.col("n").cast("long").alias("sessions"),
+            F.round(F.expr(mu), 6).alias("mu"),
+            F.round(F.expr(f"sqrt({var})"), 6).alias("sigma"),
+            F.round(F.expr(f"exp({mu})"), 2).alias("fitted_median_s"),
+            F.col("emp_median_s").cast("long").alias("emp_median_s"),
+            F.round(
+                F.expr(f"exp({mu} + 1.2816D * sqrt({var}))"), 2
+            ).alias("fitted_p90_s"),
+            F.col("emp_p90_s").cast("long").alias("emp_p90_s"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    sess.unpersist()
+    return out
+
+
+@register(
+    "events_cohort_halflife",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, min(wk) AS cw FROM activity GROUP BY user_id
+    ),
+    cells AS (
+      SELECT c.cw, datediff('week', c.cw, a.wk) AS k,
+             count(DISTINCT a.user_id)::BIGINT AS active
+      FROM activity a JOIN cohorts c ON c.user_id = a.user_id
+      GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT cw, active AS size FROM cells WHERE k = 0
+    ),
+    pts AS (
+      SELECT ce.cw, ce.k,
+             CAST(floor(ln(ce.active) * 1e9) AS BIGINT)
+               - CAST(floor(ln(b.size) * 1e9) AS BIGINT) AS lnr
+      FROM cells ce JOIN base b ON b.cw = ce.cw
+      WHERE ce.k >= 1
+    ),
+    fit AS (
+      SELECT cw, count(*)::BIGINT AS pts,
+             sum(k) AS sk, sum(lnr) AS sl,
+             sum(k * k) AS skk, sum(k * lnr) AS skl
+      FROM pts GROUP BY cw HAVING count(*) >= 3
+    )
+    SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+           b.size AS cohort_size,
+           f.pts AS weeks_observed,
+           round((f.pts * CAST(f.skl AS DOUBLE) / 1e9
+                  - f.sk * CAST(f.sl AS DOUBLE) / 1e9)
+                 / (f.pts * f.skk - CAST(f.sk AS DOUBLE) * f.sk), 6)
+             AS decay_slope,
+           CASE WHEN (f.pts * CAST(f.skl AS DOUBLE) / 1e9
+                      - f.sk * CAST(f.sl AS DOUBLE) / 1e9)
+                     / (f.pts * f.skk - CAST(f.sk AS DOUBLE) * f.sk) < 0
+                THEN round(-0.693147
+                     / ((f.pts * CAST(f.skl AS DOUBLE) / 1e9
+                         - f.sk * CAST(f.sl AS DOUBLE) / 1e9)
+                        / (f.pts * f.skk - CAST(f.sk AS DOUBLE) * f.sk)), 2)
+           END AS half_life_weeks
+    FROM fit f JOIN base b ON b.cw = f.cw
+    ORDER BY f.cw
+    """,
+    doc="Cohort retention half-life (E231): fit ln(retention_k) = a + "
+    "lambda*k per weekly cohort by OLS over week offsets k >= 1 and "
+    "publish the exponential-decay half-life -ln2/lambda — the single "
+    "number product teams quote from the retention triangle (the "
+    "retention-cohorts entry publishes the full triangle; this one "
+    "fits it). ln(retention) decomposes as ln(active) - ln(size), "
+    "both INTEGER-argument lns nano-floored, so the per-cohort OLS "
+    "moments are exact integers; cohorts with < 3 observed weeks are "
+    "excluded (no meaningful fit), and non-decaying cohorts emit "
+    "NULL half-life rather than a negative one. Cohort grain keeps "
+    "every window/join week-dimension-sized.",
+)
+def events_cohort_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    activity = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk"),
+        )
+        .distinct()
+    )
+    cohorts = activity.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    cells = (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cw",
+            (F.datediff("wk", "cw") / 7).cast("long").alias("k"),
+        )
+        .agg(F.countDistinct("user_id").alias("active"))
+        .persist()
+    )
+    base = cells.filter(F.col("k") == 0).select(
+        "cw", F.col("active").alias("size")
+    )
+    pts = (
+        cells.filter(F.col("k") >= 1)
+        .join(F.broadcast(base), "cw")
+        .select(
+            "cw",
+            "k",
+            (
+                F.expr("CAST(floor(ln(active) * 1e9) AS BIGINT)")
+                - F.expr("CAST(floor(ln(size) * 1e9) AS BIGINT)")
+            ).alias("lnr"),
+        )
+    )
+    fit = (
+        pts.groupBy("cw")
+        .agg(
+            F.count("*").alias("pts"),
+            F.sum("k").alias("sk"),
+            F.sum("lnr").alias("sl"),
+            F.sum(F.col("k") * F.col("k")).alias("skk"),
+            F.sum(F.col("k") * F.col("lnr")).alias("skl"),
+        )
+        .filter(F.col("pts") >= 3)
+    )
+    slope = (
+        "(pts * CAST(skl AS DOUBLE) / 1e9 - sk * CAST(sl AS DOUBLE) / 1e9)"
+        " / (pts * skk - CAST(sk AS DOUBLE) * sk)"
+    )
+    out = (
+        fit.join(F.broadcast(base), "cw")
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            F.col("size").cast("long").alias("cohort_size"),
+            F.col("pts").cast("long").alias("weeks_observed"),
+            F.round(F.expr(slope), 6).alias("decay_slope"),
+            F.when(
+                F.expr(slope) < 0,
+                F.round(F.expr(f"-0.693147D / ({slope})"), 2),
+            ).alias("half_life_weeks"),
+        )
+        .orderBy("cohort_week")
+    )
+    out = out.localCheckpoint(eager=True)
+    cells.unpersist()
+    return out

@@ -2342,3 +2342,109 @@ def customer_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@register(
+    "lineitem_price_qty_elasticity",
+    """
+    WITH cells AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS qb,
+             CAST(round(l_extendedprice * 100) AS BIGINT) // 10000 AS pb,
+             count(*)::BIGINT AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    lncells AS (
+      SELECT w,
+             CAST(floor(ln(pb * 10000 + 5000) * 1e9) AS BIGINT) AS x,
+             CAST(floor(ln(qb) * 1e9) AS BIGINT) AS y
+      FROM cells WHERE qb >= 1
+    ),
+    mom AS (
+      SELECT sum(w)::BIGINT AS n,
+             sum(CAST(w AS HUGEINT) * x) AS sx,
+             sum(CAST(w AS HUGEINT) * y) AS sy,
+             sum(CAST(w AS HUGEINT) * x * x) AS sxx,
+             sum(CAST(w AS HUGEINT) * x * y) AS sxy,
+             sum(CAST(w AS HUGEINT) * y * y) AS syy
+      FROM lncells
+    )
+    SELECT n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+             AS elasticity,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / n / 1e9, 4) AS ln_intercept,
+           round(pow(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+             AS r_squared
+    FROM mom
+    """,
+    doc="Log-log price elasticity of quantity (E229): weighted OLS of "
+    "ln(quantity) on ln(price-bin midpoint) over the same $100 x "
+    "unit-quantity cell grid the Spearman entry uses — slope = "
+    "elasticity, the demand-curve headline number. Every ln takes an "
+    "INTEGER argument (bin midpoint cents, unit quantities) and "
+    "floor-scales to nano-units; the five weighted moments accumulate "
+    "hugeint/decimal so nothing order-dependent crosses a shuffle; "
+    "slope/intercept/R^2 emerge from one final row of identical "
+    "doubles. One map-side-combinable groupBy; no data-sized state.",
+)
+def lineitem_price_qty_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round("l_quantity").cast("long").alias("qb"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 10000").alias(
+            "pb"
+        ),
+    )
+    cells = li.groupBy("qb", "pb").agg(F.count("*").alias("w"))
+    lncells = cells.filter(F.col("qb") >= 1).select(
+        "w",
+        F.expr("CAST(floor(ln(pb * 10000 + 5000) * 1e9) AS BIGINT)").alias("x"),
+        F.expr("CAST(floor(ln(qb) * 1e9) AS BIGINT)").alias("y"),
+    )
+    mom = lncells.agg(
+        F.sum("w").alias("n"),
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * x")).alias("sx"),
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * y")).alias("sy"),
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * x * x")).alias("sxx"),
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * x * y")).alias("sxy"),
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * y * y")).alias("syy"),
+    )
+    slope = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return mom.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.expr(slope), 4).alias("elasticity"),
+        F.round(
+            F.expr(
+                f"(CAST(sy AS DOUBLE) - {slope} * CAST(sx AS DOUBLE))"
+                " / n / 1e9"
+            ),
+            4,
+        ).alias("ln_intercept"),
+        F.round(
+            F.expr(
+                "pow(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+                "    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)"
+                " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+                "     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+                "    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+                "       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+            ),
+            4,
+        ).alias("r_squared"),
+    )

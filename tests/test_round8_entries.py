@@ -635,3 +635,63 @@ def test_pchart_limits_and_flags(spark, sf_dir):
             assert r.p_day < r.lcl
         else:
             assert r.lcl <= r.p_day <= r.ucl
+
+
+def test_elasticity_vs_numpy(spark, sf_dir, duck):
+    import numpy as np
+
+    r = REGISTRY["lineitem_price_qty_elasticity"].spark_fn(spark, sf_dir).first()
+    pdf = duck.execute(
+        f"""SELECT CAST(round(l_quantity) AS BIGINT) AS qb,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) // 10000 AS pb
+            FROM '{sf_dir}/lineitem.parquet' WHERE round(l_quantity) >= 1"""
+    ).df()
+    x = np.log(pdf["pb"].to_numpy() * 10000 + 5000)
+    y = np.log(pdf["qb"].to_numpy(dtype=float))
+    slope, _ = np.polyfit(x, y, 1)
+    assert abs(r.elasticity - slope) < 1e-3
+    assert 0 <= r.r_squared <= 1
+
+
+def test_lognormal_fit_vs_numpy(spark, sf_dir):
+    r = REGISTRY["events_session_lognormal_fit"].spark_fn(spark, sf_dir).first()
+    assert r.sessions > 0 and r.sigma >= 0
+    # fitted median = exp(mu) by construction
+    import math
+
+    assert abs(r.fitted_median_s - round(math.exp(r.mu), 2)) < 0.05
+    # the lognormal p90 must exceed its median; empirical quantiles ordered
+    assert r.fitted_p90_s > r.fitted_median_s
+    assert r.emp_median_s <= r.emp_p90_s
+
+
+def test_cohort_halflife_sanity(spark, sf_dir):
+    rows = REGISTRY["events_cohort_halflife"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.weeks_observed >= 3
+        assert r.cohort_size > 0
+        if r.half_life_weeks is not None:
+            assert r.decay_slope < 0
+            assert r.half_life_weeks > 0
+
+
+def test_assortativity_vs_numpy(spark, sf_dir):
+    import numpy as np
+
+    r = REGISTRY["supplier_graph_assortativity"].spark_fn(spark, sf_dir).first()
+    assert -1.0 <= r.assortativity <= 1.0
+    from data_pipelines_snowflake_procedures_spark.queries import _cosupplier_edges
+
+    e = _cosupplier_edges(spark, sf_dir, k=10).toPandas()
+    deg = {}
+    for _, row in e.iterrows():
+        deg[row.a] = deg.get(row.a, 0) + 1
+        deg[row.b] = deg.get(row.b, 0) + 1
+    xs, ys = [], []
+    for _, row in e.iterrows():
+        xs += [deg[row.a], deg[row.b]]
+        ys += [deg[row.b], deg[row.a]]
+    ref = np.corrcoef(np.array(xs, dtype=float), np.array(ys, dtype=float))[0, 1]
+    assert abs(r.assortativity - ref) < 1e-4
+    assert r.edges == len(e) and r.nodes == len(deg)
