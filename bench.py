@@ -275,6 +275,9 @@ HEADLINE = [
     "events_session_lognormal_fit",
     "events_cohort_halflife",
     "supplier_graph_assortativity",
+    "part_basket_rules_gtest",
+    "events_markov_stationary",
+    "part_price_ladder_gaps",
     # Structured Streaming entries — each runs a full availableNow
     # drain of the events table through a memory sink inside queries()
     # (micro-batch scheduling + state store + watermark flush, stopped

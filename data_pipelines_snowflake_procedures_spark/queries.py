@@ -5148,3 +5148,134 @@ def supplier_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     deg.unpersist()
     return out
+
+
+@register(
+    "part_basket_rules_gtest",
+    """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem
+    ),
+    isup AS (SELECT item, count(*)::BIGINT AS s FROM bi GROUP BY item),
+    pr AS (
+      SELECT x.item AS item_a, y.item AS item_b, count(*)::BIGINT AS s11
+      FROM bi x JOIN bi y ON x.bk = y.bk AND x.item < y.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    nb AS (SELECT count(DISTINCT bk)::BIGINT AS n FROM bi),
+    cells AS (
+      SELECT pr.item_a, pr.item_b, pr.s11,
+             sa.s AS sa, sb.s AS sb, nb.n,
+             sa.s - pr.s11 AS s10,
+             sb.s - pr.s11 AS s01,
+             nb.n - sa.s - sb.s + pr.s11 AS s00
+      FROM pr JOIN isup sa ON sa.item = pr.item_a
+      JOIN isup sb ON sb.item = pr.item_b CROSS JOIN nb
+    ),
+    g AS (
+      SELECT item_a, item_b, s11, sa, sb, n,
+             2.0 * (
+               (CASE WHEN s11 > 0 THEN CAST(floor(s11 * (ln(s11 * 1.0 * n)
+                  - ln(sa * 1.0 * sb)) * 1e9) AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s10 > 0 THEN CAST(floor(s10 * (ln(s10 * 1.0 * n)
+                  - ln(sa * 1.0 * (n - sb))) * 1e9) AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s01 > 0 THEN CAST(floor(s01 * (ln(s01 * 1.0 * n)
+                  - ln((n - sa) * 1.0 * sb)) * 1e9) AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s00 > 0 THEN CAST(floor(s00 * (ln(s00 * 1.0 * n)
+                  - ln((n - sa) * 1.0 * (n - sb))) * 1e9) AS BIGINT) ELSE 0 END)
+             ) / 1e9 AS g_stat
+      FROM cells
+    ),
+    ranked AS (
+      SELECT item_a, item_b, s11 AS support, sa AS support_a, sb AS support_b,
+             round(s11 * 1.0 * n / (sa * 1.0 * sb), 6) AS lift,
+             round(g_stat, 4) AS g_stat,
+             CASE WHEN g_stat > 3.841 THEN 1 ELSE 0 END::BIGINT
+               AS significant_at_05,
+             row_number() OVER (ORDER BY g_stat DESC, item_a, item_b) AS rk
+      FROM g
+    )
+    SELECT item_a, item_b, support, support_a, support_b, lift, g_stat,
+           significant_at_05
+    FROM ranked WHERE rk <= 20
+    ORDER BY g_stat DESC, item_a, item_b
+    """,
+    doc="G-test significance for co-purchase rules (E233), the "
+    "statistical upgrade the lift-ranked basket entry needs: lift "
+    "rewards rare coincidences (2 co-baskets of 2 can out-lift a "
+    "real pattern), while the likelihood-ratio G over the full 2x2 "
+    "contingency (both / a-only / b-only / neither) weighs evidence "
+    "mass — top-20 pairs by G with the df=1 alpha=0.05 call. Every "
+    "ln argument is an INTEGER product (o*N and row*col margins), "
+    "each cell term nano-floors before the exact 4-term sum, so G "
+    "is engine-identical. Same bounded pair self-join as the rules "
+    "entry; ranking window runs over the pairs dimension.",
+)
+def part_basket_rules_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    bi = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("item"))
+        .distinct()
+        .persist()
+    )
+    isup = bi.groupBy("item").agg(F.count("*").alias("s"))
+    x = bi.select("bk", F.col("item").alias("item_a"))
+    y = bi.select("bk", F.col("item").alias("item_b"))
+    pr = (
+        x.join(y, "bk")
+        .filter(F.col("item_b") > F.col("item_a"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("s11"))
+        .filter(F.col("s11") >= 2)
+    )
+    nb = bi.agg(F.countDistinct("bk").alias("n"))
+    cells = (
+        pr.join(
+            F.broadcast(isup.select(F.col("item").alias("item_a"),
+                                    F.col("s").alias("sa"))), "item_a")
+        .join(
+            F.broadcast(isup.select(F.col("item").alias("item_b"),
+                                    F.col("s").alias("sb"))), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .withColumn("s10", F.col("sa") - F.col("s11"))
+        .withColumn("s01", F.col("sb") - F.col("s11"))
+        .withColumn("s00", F.col("n") - F.col("sa") - F.col("sb") + F.col("s11"))
+    )
+    term = (
+        "(CASE WHEN {o} > 0 THEN CAST(floor({o} * (ln({o} * 1.0D * n)"
+        " - ln({r} * 1.0D * {c})) * 1e9) AS BIGINT) ELSE 0 END)"
+    )
+    g_expr = (
+        "2.0D * ("
+        + term.format(o="s11", r="sa", c="sb") + " + "
+        + term.format(o="s10", r="sa", c="(n - sb)") + " + "
+        + term.format(o="s01", r="(n - sa)", c="sb") + " + "
+        + term.format(o="s00", r="(n - sa)", c="(n - sb)")
+        + ") / 1e9"
+    )
+    g = cells.withColumn("g_stat", F.expr(g_expr))
+    w = Window.orderBy(F.desc("g_stat"), "item_a", "item_b")
+    out = (
+        g.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "item_a",
+            "item_b",
+            F.col("s11").alias("support"),
+            F.col("sa").alias("support_a"),
+            F.col("sb").alias("support_b"),
+            F.round(
+                F.expr("s11 * 1.0D * n / (sa * 1.0D * sb)"), 6
+            ).alias("lift"),
+            F.round("g_stat", 4).alias("g_stat"),
+            F.expr(
+                "CAST(CASE WHEN g_stat > 3.841D THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("significant_at_05"),
+        )
+        .orderBy(F.desc("g_stat"), "item_a", "item_b")
+    )
+    out = out.localCheckpoint(eager=True)
+    bi.unpersist()
+    return out

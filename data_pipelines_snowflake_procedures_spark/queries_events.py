@@ -7579,3 +7579,117 @@ def events_cohort_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     cells.unpersist()
     return out
+
+
+def _markov_iter_sql(k: int) -> str:
+    """CTE unroll of one integer-scaled power-iteration step v{k} ->
+    v{k+1}: v'_j = sum_i (v_i * cnt_ij) div rowtot_i — every term an
+    exact integer, floors deterministic in both engines."""
+    return (
+        f"v{k + 1} AS (\n"
+        f"  SELECT t.nxt AS ty,\n"
+        f"         sum((v.v * t.cnt) // o.row_total)::BIGINT AS v\n"
+        f"  FROM v{k} v JOIN trans t ON t.cur = v.ty\n"
+        f"  JOIN tot o ON o.cur = v.ty\n"
+        f"  GROUP BY t.nxt)"
+    )
+
+
+@register(
+    "events_markov_stationary",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+             ) AS nxt
+      FROM events
+    ),
+    trans AS (
+      SELECT cur, nxt, count(*)::BIGINT AS cnt
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    tot AS (SELECT cur, sum(cnt)::BIGINT AS row_total FROM trans GROUP BY cur),
+    v0 AS (SELECT cur AS ty, 1000000000::BIGINT AS v FROM tot),
+    {_markov_iter_sql(0)},
+    {_markov_iter_sql(1)},
+    {_markov_iter_sql(2)},
+    {_markov_iter_sql(3)},
+    emp AS (
+      SELECT event_type AS ty, count(*)::BIGINT AS c FROM events GROUP BY 1
+    ),
+    et AS (SELECT sum(c)::BIGINT AS tc FROM emp),
+    vt AS (SELECT sum(v)::BIGINT AS tv FROM v4)
+    SELECT v4.ty AS event_type,
+           (v4.v * 10000 // vt.tv)::BIGINT AS stationary_bp,
+           (emp.c * 10000 // et.tc)::BIGINT AS empirical_bp,
+           (v4.v * 10000 // vt.tv - emp.c * 10000 // et.tc)::BIGINT
+             AS delta_bp
+    FROM v4 JOIN emp ON emp.ty = v4.ty, et, vt
+    ORDER BY event_type
+    """,
+    doc="Stationary distribution of the event-type Markov chain "
+    "(E234): four synchronous power-iteration steps over the "
+    "row-stochastic transition matrix the transitions entry "
+    "publishes, started uniform — where user behavior SETTLES vs "
+    "where it currently is (empirical mix), with the gap in bp "
+    "flagging types still absorbing traffic. Every step is "
+    "INTEGER-scaled (v'_j = Σ v_i·cnt_ij div rowtot_i — exact "
+    "products, deterministic floors, no float matrix math), so four "
+    "unrolled type²-sized join+groupBy rounds are hash-exact. One "
+    "user-window shuffle builds the chain; everything after is "
+    "types-dimension.",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = (
+        seq.groupBy("cur", "nxt").agg(F.count("*").alias("cnt")).persist()
+    )
+    tot = trans.groupBy("cur").agg(F.sum("cnt").alias("row_total"))
+    tr = trans.join(F.broadcast(tot), "cur")
+    v = tot.select(F.col("cur").alias("ty"), F.lit(1000000000).alias("v"))
+    for _ in range(4):
+        v = (
+            v.join(tr, F.col("ty") == F.col("cur"))
+            .groupBy(F.col("nxt").alias("ty2"))
+            .agg(
+                F.sum(
+                    F.expr("(v * cnt) div row_total")
+                ).alias("v")
+            )
+            .select(F.col("ty2").alias("ty"), "v")
+        )
+    emp = ev.groupBy(F.col("event_type").alias("ty")).agg(
+        F.count("*").alias("c")
+    )
+    et = emp.agg(F.sum("c").alias("tc"))
+    vt = v.agg(F.sum("v").alias("tv"))
+    out = (
+        v.join(emp, "ty")
+        .crossJoin(F.broadcast(et))
+        .crossJoin(F.broadcast(vt))
+        .select(
+            F.col("ty").alias("event_type"),
+            F.expr("v * 10000 div tv").cast("long").alias("stationary_bp"),
+            F.expr("c * 10000 div tc").cast("long").alias("empirical_bp"),
+            F.expr("v * 10000 div tv - c * 10000 div tc")
+            .cast("long")
+            .alias("delta_bp"),
+        )
+        .orderBy("event_type")
+    )
+    out = out.localCheckpoint(eager=True)
+    trans.unpersist()
+    return out

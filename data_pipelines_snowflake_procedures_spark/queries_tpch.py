@@ -2448,3 +2448,70 @@ def lineitem_price_qty_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame
             4,
         ).alias("r_squared"),
     )
+
+
+@register(
+    "part_price_ladder_gaps",
+    """
+    WITH pts AS (
+      SELECT DISTINCT p_brand,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    ),
+    gaps AS (
+      SELECT p_brand, cents,
+             cents - lag(cents) OVER (
+               PARTITION BY p_brand ORDER BY cents) AS gap
+      FROM pts
+    )
+    SELECT p_brand,
+           count(*)::BIGINT AS price_points,
+           round(min(cents) / 100.0, 2) AS min_price,
+           round(max(cents) / 100.0, 2) AS max_price,
+           max(gap)::BIGINT AS max_gap_cents,
+           CAST(sum(gap) // (count(*) - 1) AS BIGINT) AS avg_gap_cents,
+           (max(gap) * 10000 // (max(cents) - min(cents)))::BIGINT
+             AS max_gap_share_bp
+    FROM gaps
+    GROUP BY p_brand
+    HAVING count(*) >= 2
+    ORDER BY p_brand
+    """,
+    doc="Price-ladder gap analysis per brand (E235), the assortment "
+    "planner's coverage check: distinct retail price points sorted "
+    "within brand, the largest rung gap in cents and as a share of "
+    "the brand's price span — a big max_gap_share_bp names the "
+    "price band where the brand offers nothing (the classic "
+    "good-better-best audit). Integer cents end to end (avg gap is "
+    "an integer floor-div, span share in bp); the lag window "
+    "partitions by brand over DISTINCT price points, so it is "
+    "dimension-sized at any SF.",
+)
+def part_price_ladder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_brand",
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("p_brand").orderBy("cents")
+    gaps = pts.withColumn("gap", F.col("cents") - F.lag("cents").over(w))
+    return (
+        gaps.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("price_points"),
+            F.round(F.min("cents") / 100.0, 2).alias("min_price"),
+            F.round(F.max("cents") / 100.0, 2).alias("max_price"),
+            F.max("gap").cast("long").alias("max_gap_cents"),
+            F.expr("CAST(sum(gap) div (count(*) - 1) AS BIGINT)").alias(
+                "avg_gap_cents"
+            ),
+            F.expr(
+                "CAST(max(gap) * 10000 div (max(cents) - min(cents)) AS BIGINT)"
+            ).alias("max_gap_share_bp"),
+        )
+        .filter(F.col("price_points") >= 2)
+        .orderBy("p_brand")
+    )

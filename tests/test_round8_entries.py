@@ -695,3 +695,59 @@ def test_assortativity_vs_numpy(spark, sf_dir):
     ref = np.corrcoef(np.array(xs, dtype=float), np.array(ys, dtype=float))[0, 1]
     assert abs(r.assortativity - ref) < 1e-4
     assert r.edges == len(e) and r.nodes == len(deg)
+
+
+def test_gtest_top_pairs_significant_and_ranked(spark, sf_dir):
+    rows = REGISTRY["part_basket_rules_gtest"].spark_fn(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 20
+    gs = [r.g_stat for r in rows]
+    assert gs == sorted(gs, reverse=True)
+    for r in rows:
+        assert r.support >= 2
+        assert r.support_a >= r.support and r.support_b >= r.support
+        assert r.significant_at_05 == (1 if r.g_stat > 3.841 else 0)
+        assert r.lift > 0
+
+
+def test_markov_stationary_sums_and_matches_numpy(spark, sf_dir, duck):
+    import numpy as np
+
+    rows = REGISTRY["events_markov_stationary"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    s_bp = sum(r.stationary_bp for r in rows)
+    assert 10000 - 10 <= s_bp <= 10000
+    # numpy power iteration on the same transition counts
+    pdf = duck.execute(
+        f"""WITH seq AS (
+              SELECT event_type AS cur,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+              FROM '{sf_dir}/events.parquet')
+            SELECT cur, nxt, count(*) AS c FROM seq
+            WHERE nxt IS NOT NULL GROUP BY 1, 2"""
+    ).df()
+    types = sorted({r.event_type for r in rows})
+    idx = {t: i for i, t in enumerate(types)}
+    m = np.zeros((5, 5))
+    for _, r in pdf.iterrows():
+        m[idx[r.cur], idx[r.nxt]] = r.c
+    p = m / m.sum(axis=1, keepdims=True)
+    v = np.full(5, 0.2)
+    for _ in range(4):
+        v = v @ p
+    for r in rows:
+        ref_bp = v[idx[r.event_type]] / v.sum() * 10000
+        assert abs(r.stationary_bp - ref_bp) <= 2  # integer-scale floors
+        assert r.delta_bp == r.stationary_bp - r.empirical_bp
+
+
+def test_price_ladder_gap_bounds(spark, sf_dir):
+    rows = REGISTRY["part_price_ladder_gaps"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.price_points >= 2
+        assert r.min_price < r.max_price
+        assert 0 < r.max_gap_cents <= round((r.max_price - r.min_price) * 100)
+        assert 0 < r.max_gap_share_bp <= 10000
+        assert r.avg_gap_cents <= r.max_gap_cents
