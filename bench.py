@@ -278,6 +278,9 @@ HEADLINE = [
     "part_basket_rules_gtest",
     "events_markov_stationary",
     "part_price_ladder_gaps",
+    "events_hourly_periodogram",
+    "events_session_timeout_sweep",
+    "part_size_price_anova",
     # Structured Streaming entries — each runs a full availableNow
     # drain of the events table through a memory sink inside queries()
     # (micro-batch scheduling + state store + watermark flush, stopped

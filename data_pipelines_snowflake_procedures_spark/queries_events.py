@@ -7693,3 +7693,215 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     trans.unpersist()
     return out
+
+
+@register(
+    "events_hourly_periodogram",
+    """
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR,
+                 CAST(ts AS TIMESTAMP)))) / 3600 AS BIGINT) AS hi,
+             count(*)::BIGINT AS x
+      FROM events GROUP BY 1
+    ),
+    st AS (
+      SELECT min(hi) AS h0, count(*) AS nh,
+             sum(x) AS tot, sum(x * x) AS tot2
+      FROM hourly
+    ),
+    ks AS (
+      SELECT p.p, (h.hi - s.h0) % p.p AS k, sum(h.x)::BIGINT AS sk
+      FROM hourly h CROSS JOIN st s
+      CROSS JOIN (SELECT unnest([12, 24, 84, 168]) AS p) p
+      GROUP BY 1, 2
+    ),
+    ft AS (
+      SELECT p,
+             sum(sk * CAST(floor(cos(2 * pi() * k / p) * 1e6) AS BIGINT))
+               AS re,
+             sum(sk * CAST(floor(sin(2 * pi() * k / p) * 1e6) AS BIGINT))
+               AS im
+      FROM ks GROUP BY p
+    )
+    SELECT f.p AS period_hours,
+           round(2.0 * sqrt(CAST(f.re AS DOUBLE) * f.re
+                            + CAST(f.im AS DOUBLE) * f.im)
+                 / 1e6 / s.nh, 4) AS amplitude,
+           CAST((2 * (CAST(f.re AS HUGEINT) * f.re
+                      + CAST(f.im AS HUGEINT) * f.im) * 10000)
+                // (1000000000000::HUGEINT * s.nh
+                    * (s.nh * s.tot2 - s.tot * s.tot) // s.nh) AS BIGINT)
+             AS var_share_bp
+    FROM ft f, st s
+    ORDER BY f.p
+    """,
+    doc="Periodogram of the hourly series at the calendar harmonics "
+    "(E236): single-frequency DFT power at periods 12/24/84/168 h — "
+    "which rhythm (half-day, daily, half-week, weekly) carries the "
+    "traffic, the seasonality-STRENGTH readout the STL and "
+    "seasonal-anomaly entries assume rather than measure. The "
+    "Goertzel regroup Σx_t·e^{-2πit/p} = Σ_k s_k·e^{-2πik/p} "
+    "collapses the data-sized sum to p phase bins FIRST (one "
+    "map-side-combinable groupBy), then each cos/sin takes the "
+    "SMALL rational argument 2πk/p (identical doubles both "
+    "engines), floor-scaled to micro-units so the transform sums "
+    "are exact integers; power and the variance share (bp, hugeint "
+    "division) never accumulate floats. Amplitude is in "
+    "events/hour units (2|F|/H).",
+)
+def events_hourly_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("hi")
+        )
+        .agg(F.count("*").alias("x"))
+        .persist()
+    )
+    st = hourly.agg(
+        F.min("hi").alias("h0"),
+        F.count("*").alias("nh"),
+        F.sum("x").alias("tot"),
+        F.sum(F.col("x") * F.col("x")).alias("tot2"),
+    )
+    periods = spark.createDataFrame([(12,), (24,), (84,), (168,)], ["p"])
+    ks = (
+        hourly.crossJoin(F.broadcast(st.select("h0")))
+        .crossJoin(F.broadcast(periods))
+        .groupBy("p", F.expr("(hi - h0) % p").alias("k"))
+        .agg(F.sum("x").alias("sk"))
+    )
+    ft = ks.groupBy("p").agg(
+        F.sum(
+            F.expr("sk * CAST(floor(cos(2 * pi() * k / p) * 1e6) AS BIGINT)")
+        ).alias("re"),
+        F.sum(
+            F.expr("sk * CAST(floor(sin(2 * pi() * k / p) * 1e6) AS BIGINT)")
+        ).alias("im"),
+    )
+    out = (
+        ft.crossJoin(F.broadcast(st))
+        .select(
+            F.col("p").cast("long").alias("period_hours"),
+            F.round(
+                F.expr(
+                    "2.0D * sqrt(CAST(re AS DOUBLE) * re"
+                    " + CAST(im AS DOUBLE) * im) / 1e6 / nh"
+                ),
+                4,
+            ).alias("amplitude"),
+            F.expr(
+                "CAST((2 * (CAST(re AS DECIMAL(38,0)) * re"
+                " + CAST(im AS DECIMAL(38,0)) * im) * 10000)"
+                " div (CAST(1000000000000 AS DECIMAL(38,0)) * nh"
+                "      * (nh * tot2 - tot * tot) div nh) AS BIGINT)"
+            ).alias("var_share_bp"),
+        )
+        .orderBy("period_hours")
+    )
+    out = out.localCheckpoint(eager=True)
+    hourly.unpersist()
+    return out
+
+
+@register(
+    "events_session_timeout_sweep",
+    """
+    WITH o AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP))) AS gap
+      FROM events
+    ),
+    agg AS (
+      SELECT count(*)::BIGINT AS n_events,
+             count(DISTINCT user_id)::BIGINT AS n_users
+      FROM events
+    ),
+    g AS (
+      SELECT t.t AS timeout_min,
+             sum(CASE WHEN o.gap > t.t * 60000000::BIGINT THEN 1 ELSE 0 END)::BIGINT
+               AS breaks
+      FROM o CROSS JOIN (SELECT unnest([15, 30, 60]) AS t) t
+      WHERE o.gap IS NOT NULL
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT g.timeout_min,
+             a.n_users + g.breaks AS sessions,
+             a.n_events
+      FROM g, agg a
+    ),
+    base AS (SELECT sessions AS s30 FROM s WHERE timeout_min = 30)
+    SELECT s.timeout_min, s.sessions::BIGINT AS sessions,
+           round(s.n_events * 1.0 / s.sessions, 4) AS avg_events_per_session,
+           (s.sessions * 10000 // b.s30)::BIGINT AS vs_30min_bp
+    FROM s, base b
+    ORDER BY s.timeout_min
+    """,
+    doc="Sessionization timeout sensitivity sweep (E237): session "
+    "counts and events-per-session at 15/30/60-minute gap "
+    "thresholds from ONE user-window pass — sessions(T) = users + "
+    "gaps>T, so the whole parameter sweep costs a single lag window "
+    "plus conditional sums (no re-sessionization per threshold). "
+    "The metrics-governance audit every team using the repo's "
+    "standard 30-min sessionization should run: vs_30min_bp says "
+    "how much the bounce/session-count KPIs move if the parameter "
+    "moves. All integer until the one rounded average.",
+)
+def events_session_timeout_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts)").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    o = ev.select(
+        (F.col("t") - F.lag("t").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    agg = ev.agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    thresholds = spark.createDataFrame([(15,), (30,), (60,)], ["timeout_min"])
+    g = (
+        o.crossJoin(F.broadcast(thresholds))
+        .groupBy("timeout_min")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN gap > timeout_min * 60000000 THEN 1 ELSE 0 END"
+                )
+            ).alias("breaks")
+        )
+    )
+    s = g.crossJoin(F.broadcast(agg)).select(
+        "timeout_min",
+        (F.col("n_users") + F.col("breaks")).alias("sessions"),
+        "n_events",
+    )
+    s = s.persist()
+    base = s.filter(F.col("timeout_min") == 30).select(
+        F.col("sessions").alias("s30")
+    )
+    out = (
+        s.crossJoin(F.broadcast(base))
+        .select(
+            "timeout_min",
+            F.col("sessions").cast("long").alias("sessions"),
+            F.round(F.expr("n_events * 1.0D / sessions"), 4).alias(
+                "avg_events_per_session"
+            ),
+            F.expr("sessions * 10000 div s30").cast("long").alias(
+                "vs_30min_bp"
+            ),
+        )
+        .orderBy("timeout_min")
+    )
+    out = out.localCheckpoint(eager=True)
+    s.unpersist()
+    return out

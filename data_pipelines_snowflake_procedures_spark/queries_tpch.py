@@ -2515,3 +2515,92 @@ def part_price_ladder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("price_points") >= 2)
         .orderBy("p_brand")
     )
+
+
+@register(
+    "part_size_price_anova",
+    """
+    WITH g AS (
+      SELECT p_size,
+             count(*)::BIGINT AS ng,
+             sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS sw,
+             sum(CAST(round(p_retailprice * 100) AS BIGINT)
+                 * CAST(round(p_retailprice * 100) AS BIGINT)) AS sw2
+      FROM part GROUP BY p_size
+    ),
+    t AS (
+      SELECT count(*)::BIGINT AS k,
+             sum(ng)::BIGINT AS n,
+             sum(sw) AS s,
+             sum(sw2) AS s2,
+             sum(CAST(floor(CAST(sw AS DOUBLE) * sw / ng) AS HUGEINT))
+               AS ssb_u
+      FROM g
+    )
+    SELECT k, n, (k - 1)::BIGINT AS df_between, (n - k)::BIGINT AS df_within,
+           round(((CAST(ssb_u AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                  / (k - 1))
+                 / ((CAST(s2 AS DOUBLE) - CAST(ssb_u AS DOUBLE)) / (n - k)), 4)
+             AS f_stat,
+           round((CAST(ssb_u AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                 / (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 6)
+             AS eta_squared
+    FROM t
+    """,
+    doc="One-way ANOVA of retail price across part sizes (E238), the "
+    "parametric twin of the Kruskal-Wallis rank entry: F = "
+    "(SSB/(k−1))/(SSW/(N−k)) and the eta-squared effect size, all "
+    "from ONE dimension-sized pass of exact integer (n, Σw, Σw²) "
+    "cent moments per size — SSB via the Σ(S_g²/n_g) identity with "
+    "each group term FLOORED TO AN INTEGER before the 50-row sum "
+    "(hugeint/decimal), so not even the dimension rollup depends on "
+    "float accumulation order. Emits F "
+    "and the dfs; the decision belongs to the caller since F "
+    "critical values need both dfs.",
+)
+def part_size_price_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_size",
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("w"),
+        )
+        .groupBy("p_size")
+        .agg(
+            F.count("*").alias("ng"),
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("w")).alias("sw2"),
+        )
+    )
+    t = g.agg(
+        F.count("*").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sw").alias("s"),
+        F.sum("sw2").alias("s2"),
+        F.sum(
+            F.expr(
+                "CAST(floor(CAST(sw AS DOUBLE) * sw / ng) AS DECIMAL(38,0))"
+            )
+        ).alias("ssb_u"),
+    )
+    return t.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("long").alias("df_within"),
+        F.round(
+            F.expr(
+                "((CAST(ssb_u AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+                " / (k - 1))"
+                " / ((CAST(s2 AS DOUBLE) - CAST(ssb_u AS DOUBLE)) / (n - k))"
+            ),
+            4,
+        ).alias("f_stat"),
+        F.round(
+            F.expr(
+                "(CAST(ssb_u AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+                " / (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+            ),
+            6,
+        ).alias("eta_squared"),
+    )

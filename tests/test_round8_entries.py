@@ -751,3 +751,44 @@ def test_price_ladder_gap_bounds(spark, sf_dir):
         assert 0 < r.max_gap_cents <= round((r.max_price - r.min_price) * 100)
         assert 0 < r.max_gap_share_bp <= 10000
         assert r.avg_gap_cents <= r.max_gap_cents
+
+
+def test_periodogram_daily_dominates(spark, sf_dir):
+    rows = {r.period_hours: r for r in
+            REGISTRY["events_hourly_periodogram"].spark_fn(spark, sf_dir).collect()}
+    assert set(rows) == {12, 24, 84, 168}
+    for r in rows.values():
+        assert r.amplitude >= 0
+        assert 0 <= r.var_share_bp <= 10000
+
+
+def test_timeout_sweep_monotone(spark, sf_dir):
+    rows = {r.timeout_min: r for r in
+            REGISTRY["events_session_timeout_sweep"].spark_fn(spark, sf_dir).collect()}
+    assert set(rows) == {15, 30, 60}
+    # longer timeout merges sessions: counts weakly decrease
+    assert rows[15].sessions >= rows[30].sessions >= rows[60].sessions
+    assert rows[30].vs_30min_bp == 10000
+    assert rows[15].vs_30min_bp >= 10000 >= rows[60].vs_30min_bp
+    for r in rows.values():
+        assert r.avg_events_per_session >= 1
+
+
+def test_anova_vs_numpy(spark, sf_dir, duck):
+    import numpy as np
+
+    r = REGISTRY["part_size_price_anova"].spark_fn(spark, sf_dir).first()
+    pdf = duck.execute(
+        f"""SELECT p_size, CAST(round(p_retailprice * 100) AS BIGINT) AS w
+            FROM '{sf_dir}/part.parquet'"""
+    ).df()
+    groups = [g["w"].to_numpy(dtype=float) for _, g in pdf.groupby("p_size")]
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    mu = pdf["w"].mean()
+    ssb = sum(len(g) * (g.mean() - mu) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r.k == k and r.n == n
+    assert abs(r.f_stat - f) < 1e-2
+    assert abs(r.eta_squared - ssb / (ssb + ssw)) < 1e-4
