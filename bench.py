@@ -281,6 +281,8 @@ HEADLINE = [
     "events_hourly_periodogram",
     "events_session_timeout_sweep",
     "part_size_price_anova",
+    "orders_wilson_ci_by_priority",
+    "orders_status_aging",
     # Structured Streaming entries — each runs a full availableNow
     # drain of the events table through a memory sink inside queries()
     # (micro-batch scheduling + state store + watermark flush, stopped

@@ -2604,3 +2604,153 @@ def part_size_price_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("eta_squared"),
     )
+
+
+@register(
+    "orders_wilson_ci_by_priority",
+    """
+    WITH flags AS (
+      SELECT o.o_orderpriority AS pri,
+             max(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                     CAST(l.l_shipdate AS DATE)) > 90
+                      THEN 1 ELSE 0 END) AS late
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority
+    ),
+    agg AS (
+      SELECT pri, count(*)::BIGINT AS n, sum(late)::BIGINT AS x
+      FROM flags GROUP BY pri
+    )
+    SELECT pri AS o_orderpriority, n, x AS late_orders,
+           round(x * 1.0 / n, 6) AS p_hat,
+           round((x * 1.0 / n + 1.9208 / n
+                  - 1.96 * sqrt((x * 1.0 / n) * (1 - x * 1.0 / n) / n
+                                + 0.9604 / (n * 1.0 * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_lo,
+           round((x * 1.0 / n + 1.9208 / n
+                  + 1.96 * sqrt((x * 1.0 / n) * (1 - x * 1.0 / n) / n
+                                + 0.9604 / (n * 1.0 * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_hi
+    FROM agg ORDER BY pri
+    """,
+    doc="Wilson score 95% intervals for the per-priority late-order "
+    "rate (E239, >90 days order-to-first-ship): the closed-form "
+    "binomial CI that stays inside [0,1] and behaves at small n and "
+    "extreme rates where the Wald interval collapses — the "
+    "ANALYTICAL companion to the bootstrap CI entries (resampling "
+    "vs formula, two independent routes to uncertainty). Order-"
+    "level lateness folds with one max-groupBy (any late line flags "
+    "the order), counts stay integer, and the interval arithmetic "
+    "is per-row doubles from exact (n, x) — z constants inlined "
+    "(1.96, z²=3.8416, z²/2=1.9208, z²/4=0.9604) so both engines "
+    "evaluate the identical expression tree.",
+)
+def orders_wilson_ci_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    flags = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.max(
+                F.when(
+                    F.datediff(
+                        F.col("l_shipdate").cast("date"),
+                        F.col("o_orderdate").cast("date"),
+                    )
+                    > 90,
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    agg = flags.groupBy("pri").agg(
+        F.count("*").alias("n"), F.sum("late").alias("x")
+    )
+    ph = "x * 1.0D / n"
+    rad = f"1.96D * sqrt(({ph}) * (1 - {ph}) / n + 0.9604D / (n * 1.0D * n))"
+    return agg.select(
+        F.col("pri").alias("o_orderpriority"),
+        "n",
+        F.col("x").alias("late_orders"),
+        F.round(F.expr(ph), 6).alias("p_hat"),
+        F.round(
+            F.expr(f"({ph} + 1.9208D / n - {rad}) / (1 + 3.8416D / n)"), 6
+        ).alias("wilson_lo"),
+        F.round(
+            F.expr(f"({ph} + 1.9208D / n + {rad}) / (1 + 3.8416D / n)"), 6
+        ).alias("wilson_hi"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "orders_status_aging",
+    """
+    WITH anchor AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    aged AS (
+      SELECT o_orderstatus,
+             least(date_diff('day', CAST(o_orderdate AS DATE),
+                             CAST(a.maxd AS DATE)) // 180, 4) AS halfyears,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders, anchor a
+    ),
+    cell AS (
+      SELECT o_orderstatus, halfyears,
+             count(*)::BIGINT AS orders,
+             sum(cents) AS cents
+      FROM aged GROUP BY 1, 2
+    ),
+    tot AS (SELECT halfyears, sum(orders)::BIGINT AS t FROM cell GROUP BY 1)
+    SELECT c.o_orderstatus, c.halfyears::BIGINT AS age_halfyears,
+           c.orders,
+           round(c.cents / 100.0, 2) AS order_value,
+           (c.orders * 10000 // t.t)::BIGINT AS age_share_bp
+    FROM cell c JOIN tot t ON t.halfyears = c.halfyears
+    ORDER BY c.o_orderstatus, c.halfyears
+    """,
+    doc="Order-status aging matrix (E240), the WIP health readout: "
+    "orders bucketed by status x half-years-since-placement (capped "
+    "4+), with each status's share of its age cohort in bp — open "
+    "('O') orders concentrated in OLD buckets are the stuck-WIP "
+    "signal an operations dashboard pages on, and the status mix "
+    "drifting across ages approximates the fulfillment lifecycle "
+    "without event-level history. Anchor = corpus max order date "
+    "(replayable); one fact groupBy to a 15-cell grid, integer "
+    "day/cent arithmetic throughout.",
+)
+def orders_status_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    o = o.persist()
+    anchor = o.agg(F.max("o_orderdate").alias("maxd"))
+    aged = o.crossJoin(F.broadcast(anchor)).select(
+        "o_orderstatus",
+        F.least(
+            F.expr(
+                "datediff(CAST(maxd AS DATE), CAST(o_orderdate AS DATE)) div 180"
+            ),
+            F.lit(4),
+        ).alias("halfyears"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cell = aged.groupBy("o_orderstatus", "halfyears").agg(
+        F.count("*").alias("orders"), F.sum("cents").alias("cents")
+    )
+    tot = cell.groupBy("halfyears").agg(F.sum("orders").alias("t"))
+    out = (
+        cell.join(F.broadcast(tot), "halfyears")
+        .select(
+            "o_orderstatus",
+            F.col("halfyears").cast("long").alias("age_halfyears"),
+            "orders",
+            F.round(F.col("cents") / 100.0, 2).alias("order_value"),
+            F.expr("orders * 10000 div t").cast("long").alias("age_share_bp"),
+        )
+        .orderBy("o_orderstatus", "age_halfyears")
+    )
+    out = out.localCheckpoint(eager=True)
+    o.unpersist()
+    return out

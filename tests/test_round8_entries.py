@@ -792,3 +792,37 @@ def test_anova_vs_numpy(spark, sf_dir, duck):
     assert r.k == k and r.n == n
     assert abs(r.f_stat - f) < 1e-2
     assert abs(r.eta_squared - ssb / (ssb + ssw)) < 1e-4
+
+
+def test_wilson_ci_vs_formula(spark, sf_dir):
+    import math
+
+    rows = REGISTRY["orders_wilson_ci_by_priority"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    z = 1.96
+    for r in rows:
+        assert 0 <= r.wilson_lo <= r.p_hat <= r.wilson_hi <= 1
+        p, n = r.late_orders / r.n, r.n
+        lo = (p + z * z / (2 * n)
+              - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) \
+             / (1 + z * z / n)
+        hi = (p + z * z / (2 * n)
+              + z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) \
+             / (1 + z * z / n)
+        assert abs(r.wilson_lo - lo) < 1e-4 and abs(r.wilson_hi - hi) < 1e-4
+
+
+def test_status_aging_shares(spark, sf_dir, duck):
+    rows = REGISTRY["orders_status_aging"].spark_fn(spark, sf_dir).collect()
+    n_orders = duck.execute(
+        f"SELECT count(*) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r.orders for r in rows) == n_orders
+    by_age = {}
+    for r in rows:
+        assert 0 <= r.age_halfyears <= 4
+        assert r.order_value > 0
+        by_age.setdefault(r.age_halfyears, 0)
+        by_age[r.age_halfyears] += r.age_share_bp
+    for age, s in by_age.items():
+        assert 10000 - 3 <= s <= 10000  # floor loss < 1bp per status
