@@ -283,6 +283,9 @@ HEADLINE = [
     "part_size_price_anova",
     "orders_wilson_ci_by_priority",
     "orders_status_aging",
+    "events_bot_score_histogram",
+    "events_activation_funnel",
+    "events_ab_power_analysis",
     # Structured Streaming entries — each runs a full availableNow
     # drain of the events table through a memory sink inside queries()
     # (micro-batch scheduling + state store + watermark flush, stopped

@@ -7905,3 +7905,263 @@ def events_session_timeout_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     s.unpersist()
     return out
+
+
+@register(
+    "events_bot_score_histogram",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP))) AS gap
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             count(*)::BIGINT AS n,
+             count(DISTINCT event_type)::BIGINT AS k_types,
+             min(gap) AS min_gap,
+             count(DISTINCT t // 3600000000)::BIGINT AS active_hours
+      FROM o GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, n,
+             (CASE WHEN min_gap IS NOT NULL AND min_gap < 1000000
+                   THEN 1 ELSE 0 END
+            + CASE WHEN k_types = 1 AND n >= 10 THEN 1 ELSE 0 END
+            + CASE WHEN n > 20 * active_hours THEN 1 ELSE 0 END
+            + CASE WHEN n >= 50 THEN 1 ELSE 0 END) AS bot_score
+      FROM u
+    ),
+    tot AS (SELECT count(*)::BIGINT AS nu FROM scored)
+    SELECT s.bot_score::BIGINT AS bot_score,
+           count(*)::BIGINT AS users,
+           round(avg(s.n), 2) AS avg_events,
+           (count(*) * 10000 // t.nu)::BIGINT AS share_bp
+    FROM scored s, tot t
+    GROUP BY s.bot_score, t.nu
+    ORDER BY s.bot_score
+    """,
+    doc="Bot-likelihood score histogram (E241), the training-data "
+    "hygiene gate a 100 TB event corpus needs before user text/"
+    "behavior feeds a model: four integer rules — sub-second minimum "
+    "inter-event gap, monotype high-volume behavior, >20 events per "
+    "active hour, raw volume — sum to a 0-4 score per user (each "
+    "rule is an exact integer comparison; active-hours come from "
+    "distinct epoch-hours, no float rate). Complements the entropy "
+    "(type diversity) and Fano (temporal burstiness) entries with "
+    "the DECISION layer: share_bp per score band is what a filter "
+    "threshold commits to dropping. One user-window pass + one "
+    "user-grain groupBy.",
+)
+def events_bot_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    o = ev.withColumn("gap", F.col("t") - F.lag("t").over(w))
+    u = o.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_type").alias("k_types"),
+        F.min("gap").alias("min_gap"),
+        F.countDistinct(F.expr("t div 3600000000")).alias("active_hours"),
+    )
+    scored = u.select(
+        "n",
+        (
+            F.expr(
+                "CASE WHEN min_gap IS NOT NULL AND min_gap < 1000000"
+                " THEN 1 ELSE 0 END"
+            )
+            + F.expr("CASE WHEN k_types = 1 AND n >= 10 THEN 1 ELSE 0 END")
+            + F.expr("CASE WHEN n > 20 * active_hours THEN 1 ELSE 0 END")
+            + F.expr("CASE WHEN n >= 50 THEN 1 ELSE 0 END")
+        ).alias("bot_score"),
+    )
+    scored = scored.persist()
+    tot = scored.agg(F.count("*").alias("nu"))
+    out = (
+        scored.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("bot_score").cast("long").alias("bot_score"), "nu")
+        .agg(
+            F.count("*").alias("users"),
+            F.round(F.avg("n"), 2).alias("avg_events"),
+        )
+        .select(
+            "bot_score",
+            F.col("users").cast("long"),
+            "avg_events",
+            F.expr("users * 10000 div nu").cast("long").alias("share_bp"),
+        )
+        .orderBy("bot_score")
+    )
+    out = out.localCheckpoint(eager=True)
+    scored.unpersist()
+    return out
+
+
+@register(
+    "events_activation_funnel",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS buys
+      FROM events GROUP BY 1, 2
+    ),
+    firsts AS (
+      SELECT user_id, min(d) AS d0 FROM daily GROUP BY user_id
+    ),
+    feat AS (
+      SELECT f.user_id,
+             least(max(CASE WHEN dd.d = f.d0 THEN dd.n ELSE 0 END), 5)
+               AS day0_bucket,
+             max(CASE WHEN datediff('day', f.d0, dd.d) BETWEEN 0 AND 7
+                       AND dd.buys > 0 THEN 1 ELSE 0 END) AS activated
+      FROM firsts f JOIN daily dd ON dd.user_id = f.user_id
+      GROUP BY f.user_id, f.d0
+    )
+    SELECT day0_bucket::BIGINT AS day0_events_bucket,
+           count(*)::BIGINT AS users,
+           sum(activated)::BIGINT AS activated,
+           (sum(activated) * 10000 // count(*))::BIGINT AS activation_bp
+    FROM feat GROUP BY day0_bucket ORDER BY day0_bucket
+    """,
+    doc="New-user activation funnel (E242): P(purchase within 7 days "
+    "of first activity | first-day engagement bucket) — the "
+    "aha-moment curve growth teams read to pick onboarding "
+    "interventions (does day-0 depth predict conversion?). Buckets "
+    "cap at 5+ first-day events; activation is an integer max-flag "
+    "over the user's first week; rates in bp. Two user-grain "
+    "groupBys over the per-(user, day) rollup — the same bounded "
+    "calendar state as the retention entries, no raw-event state.",
+)
+def events_activation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "buys"
+            ),
+        )
+        .persist()
+    )
+    firsts = daily.groupBy("user_id").agg(F.min("d").alias("d0"))
+    feat = (
+        daily.join(firsts, "user_id")
+        .groupBy("user_id", "d0")
+        .agg(
+            F.least(
+                F.max(
+                    F.when(F.col("d") == F.col("d0"), F.col("n")).otherwise(0)
+                ),
+                F.lit(5),
+            ).alias("day0_bucket"),
+            F.max(
+                F.when(
+                    F.datediff("d", "d0").between(0, 7) & (F.col("buys") > 0),
+                    1,
+                ).otherwise(0)
+            ).alias("activated"),
+        )
+    )
+    out = (
+        feat.groupBy(F.col("day0_bucket").cast("long").alias("day0_events_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("users"),
+            F.sum("activated").cast("long").alias("activated"),
+            F.expr("sum(activated) * 10000 div count(*)")
+            .cast("long")
+            .alias("activation_bp"),
+        )
+        .orderBy("day0_events_bucket")
+    )
+    out = out.localCheckpoint(eager=True)
+    daily.unpersist()
+    return out
+
+
+@register(
+    "events_ab_power_analysis",
+    """
+    WITH m AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) AS s,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS s2
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT n,
+             CAST(s AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n
+               - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS var
+      FROM m
+    )
+    SELECT t.mde_bp,
+           v.n AS baseline_n,
+           round(v.mu / 100.0, 4) AS mean_value,
+           round(sqrt(v.var) / 100.0, 4) AS sd_value,
+           CAST(ceil(2 * 7.8489 * v.var
+                     / ((t.mde_bp / 10000.0 * v.mu)
+                        * (t.mde_bp / 10000.0 * v.mu))) AS BIGINT)
+             AS n_per_arm
+    FROM v CROSS JOIN (SELECT unnest([100, 500, 1000]) AS mde_bp) t
+    ORDER BY t.mde_bp
+    """,
+    doc="A/B test power analysis on purchase value (E243): sample "
+    "size per arm to detect a 1% / 5% / 10% relative lift at "
+    "alpha=0.05, power=0.80 — n = 2(z_a+z_b)^2 sigma^2 / delta^2 "
+    "with (1.96+0.8416)^2 = 7.8489 inlined, the DESIGN-stage "
+    "companion to the ab_test/CUPED/bootstrap entries (those "
+    "analyze a finished experiment; this one says how long to run "
+    "the next one). Moments are exact integer cents from one "
+    "filtered pass; the three MDE rows come from a broadcast "
+    "3-row literal, and ceil lands on an integer both engines "
+    "agree on.",
+)
+def events_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.round(F.col("value") * 100).cast("long").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("w").alias("s"),
+            F.sum(F.col("w") * F.col("w")).alias("s2"),
+        )
+    )
+    v = m.select(
+        "n",
+        F.expr("CAST(s AS DOUBLE) / n").alias("mu"),
+        F.expr(
+            "CAST(s2 AS DOUBLE) / n"
+            " - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)"
+        ).alias("var"),
+    )
+    mde = spark.createDataFrame([(100,), (500,), (1000,)], ["mde_bp"])
+    return (
+        v.crossJoin(F.broadcast(mde))
+        .select(
+            "mde_bp",
+            F.col("n").alias("baseline_n"),
+            F.round(F.expr("mu / 100.0D"), 4).alias("mean_value"),
+            F.round(F.expr("sqrt(var) / 100.0D"), 4).alias("sd_value"),
+            F.expr(
+                "CAST(ceil(2 * 7.8489D * var"
+                " / ((mde_bp / 10000.0D * mu) * (mde_bp / 10000.0D * mu)))"
+                " AS BIGINT)"
+            ).alias("n_per_arm"),
+        )
+        .orderBy("mde_bp")
+    )

@@ -116,13 +116,14 @@ def main() -> None:
             "orders_bootstrap_mean_ci 37.1s -> 8.6s (one-md5 affine draws "
             "+ pre-fanout repartition); documents_textrank_chunks 54.7s "
             "(was 75.3 at r7) under the node-broadcast policy. r8 "
-            "continuation: 20 more entries (E207-E226, waves 7-11) all "
-            "sub-linear - the heaviest is part_item_item_cf (the 120M-row "
-            "pair self-join behind the 50-part basket cap; ratio ~8 on "
-            "10x, solo steady-state 27.7s), and the Theil entry's "
-            "per-nation x*ln(x) sum moved to decimal after an int64 "
-            "overflow surfaced HERE and not at sf0.01 - the scale stress "
-            "doing its job. Absolute "
+            "continuation: 34 more entries (E207-E240, waves 7-16) all "
+            "sub-linear. Two defects surfaced HERE and not at sf0.01 - "
+            "the scale stress doing its job: the Theil entry's "
+            "per-nation x*ln(x) sum overflowed int64 (moved to decimal/"
+            "hugeint), and part_item_item_cf's pair hash-agg spilled at "
+            "32 shuffle partitions (fixed by a 64-way (i,j) repartition "
+            "+ single-buyer prefilter + dropping the output sort: 76s "
+            "cold -> 23s, ratio 13.3 -> ~4 on 10x data). Absolute "
             "totals are not comparable across rounds (shared box, load "
             "varies +-30%); the gate is the per-query ratio/multiplier "
             "column, which has zero super-linear flags this round."

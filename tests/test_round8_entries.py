@@ -826,3 +826,39 @@ def test_status_aging_shares(spark, sf_dir, duck):
         by_age[r.age_halfyears] += r.age_share_bp
     for age, s in by_age.items():
         assert 10000 - 3 <= s <= 10000  # floor loss < 1bp per status
+
+
+def test_bot_score_partitions_users(spark, sf_dir, duck):
+    rows = REGISTRY["events_bot_score_histogram"].spark_fn(spark, sf_dir).collect()
+    n_users = duck.execute(
+        f"SELECT count(DISTINCT user_id) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r.users for r in rows) == n_users
+    s_bp = sum(r.share_bp for r in rows)
+    assert 10000 - len(rows) <= s_bp <= 10000
+    for r in rows:
+        assert 0 <= r.bot_score <= 4
+
+
+def test_activation_funnel_partitions_users(spark, sf_dir, duck):
+    rows = REGISTRY["events_activation_funnel"].spark_fn(spark, sf_dir).collect()
+    n_users = duck.execute(
+        f"SELECT count(DISTINCT user_id) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r.users for r in rows) == n_users
+    for r in rows:
+        assert 1 <= r.day0_events_bucket <= 5
+        assert 0 <= r.activated <= r.users
+        assert r.activation_bp == r.activated * 10000 // r.users
+
+
+def test_power_analysis_scaling_law(spark, sf_dir):
+    rows = {r.mde_bp: r for r in
+            REGISTRY["events_ab_power_analysis"].spark_fn(spark, sf_dir).collect()}
+    assert set(rows) == {100, 500, 1000}
+    # n scales inversely with mde^2: 1% needs ~25x the 5% sample
+    assert rows[100].n_per_arm > rows[500].n_per_arm > rows[1000].n_per_arm
+    ratio = rows[100].n_per_arm / rows[1000].n_per_arm
+    assert 90 <= ratio <= 110  # (10/1)^2 = 100 up to ceil slack
+    for r in rows.values():
+        assert r.sd_value > 0 and r.mean_value > 0
