@@ -286,6 +286,8 @@ HEADLINE = [
     "events_bot_score_histogram",
     "events_activation_funnel",
     "events_ab_power_analysis",
+    "documents_length_tail_hill",
+    "documents_vocab_heaps_law",
     # Structured Streaming entries — each runs a full availableNow
     # drain of the events table through a memory sink inside queries()
     # (micro-batch scheduling + state store + watermark flush, stopped

@@ -5062,3 +5062,198 @@ def documents_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_id")
     )
+
+
+@register(
+    "documents_length_tail_hill",
+    """
+    WITH ranked AS (
+      SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents
+    ),
+    topk AS (
+      SELECT n_chars, rk FROM ranked WHERE rk <= 101
+    ),
+    xk AS (SELECT n_chars AS x_k FROM topk WHERE rk = 101),
+    hill AS (
+      SELECT count(*)::BIGINT AS k,
+             sum(CAST(floor(ln(t.n_chars) * 1e9) AS BIGINT)
+                 - CAST(floor(ln(xk.x_k) * 1e9) AS BIGINT)) AS s
+      FROM topk t, xk WHERE t.rk <= 100
+    )
+    SELECT hill.k, xk.x_k AS threshold_chars,
+           round(hill.k * 1e9 / hill.s, 4) AS hill_alpha,
+           round(hill.s / 1e9 / hill.k, 6) AS mean_excess_ln
+    FROM hill, xk
+    """,
+    doc="Hill tail-index estimate for document lengths (E244): alpha "
+    "= k / Σ ln(x_i / x_(k+1)) over the top-100 order statistics — "
+    "is the length distribution power-law-tailed (alpha small, "
+    "giant docs dominate token budgets) or well-behaved? The corpus "
+    "curation number behind max-length truncation policy. Every ln "
+    "takes the INTEGER character count and nano-floors before the "
+    "exact difference sum; the only data-sized op is the top-k "
+    "window, which Spark executes as TakeOrdered-style rank over "
+    "(n_chars desc, doc_id) — ties broken deterministically. "
+    "Complements the Zipf entry (token frequencies) with the "
+    "document-size tail.",
+)
+def documents_length_tail_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ranked = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rk") <= 101)
+    )
+    ranked = ranked.persist()
+    xk = ranked.filter(F.col("rk") == 101).select(
+        F.col("n_chars").alias("x_k")
+    )
+    hill = (
+        ranked.filter(F.col("rk") <= 100)
+        .crossJoin(F.broadcast(xk))
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(ln(n_chars) * 1e9) AS BIGINT)"
+                    " - CAST(floor(ln(x_k) * 1e9) AS BIGINT)"
+                )
+            ).alias("s"),
+        )
+    )
+    out = hill.crossJoin(F.broadcast(xk)).select(
+        F.col("k").cast("long").alias("k"),
+        F.col("x_k").cast("long").alias("threshold_chars"),
+        F.round(F.expr("k * 1e9 / s"), 4).alias("hill_alpha"),
+        F.round(F.expr("s / 1e9 / k"), 6).alias("mean_excess_ln"),
+    )
+    out = out.localCheckpoint(eager=True)
+    ranked.unpersist()
+    return out
+
+
+@register(
+    "documents_vocab_heaps_law",
+    """
+    WITH toks AS (
+      SELECT doc_id % 10 AS b, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    clean AS (SELECT b, tok FROM toks WHERE length(tok) >= 1),
+    firstb AS (SELECT tok, min(b) AS fb FROM clean GROUP BY tok),
+    perb AS (
+      SELECT b, count(*)::BIGINT AS toks FROM clean GROUP BY b
+    ),
+    newb AS (
+      SELECT fb AS b, count(*)::BIGINT AS new_types FROM firstb GROUP BY fb
+    ),
+    cum AS (
+      SELECT p.b,
+             sum(p.toks) OVER (ORDER BY p.b ROWS UNBOUNDED PRECEDING)
+               AS cum_tokens,
+             sum(coalesce(n.new_types, 0)) OVER (
+               ORDER BY p.b ROWS UNBOUNDED PRECEDING) AS cum_types
+      FROM perb p LEFT JOIN newb n ON n.b = p.b
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(cum_tokens) * 1e9) AS BIGINT) AS x,
+             CAST(floor(ln(cum_types) * 1e9) AS BIGINT) AS y
+      FROM cum
+    ),
+    mom AS (
+      SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy
+      FROM pts
+    )
+    SELECT n AS growth_points,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+             AS heaps_beta,
+           round(exp((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / n / 1e9), 4) AS heaps_k
+    FROM mom
+    """,
+    doc="Heaps' law fit for vocabulary growth (E245): V(N) = K·N^β "
+    "estimated by OLS on the 10-point log-log growth curve built "
+    "from hash buckets (doc_id mod 10) — each token's FIRST bucket "
+    "marks when it enters the vocabulary, so cumulative type counts "
+    "need one tokens-grain groupBy (min bucket per type) + a "
+    "10-row window, never a re-scan per prefix. β predicts how "
+    "tokenizer vocabulary and BPE merge tables grow with corpus "
+    "size — the sizing number behind the BPE entries. All lns "
+    "integer-argued and nano-floored; moments hugeint; β and K "
+    "from one final row.",
+)
+def documents_vocab_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.expr("doc_id % 10").alias("b"),
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+        )
+        .filter(F.length("tok") >= 1)
+    )
+    toks = toks.persist()
+    firstb = toks.groupBy("tok").agg(F.min("b").alias("fb"))
+    perb = toks.groupBy("b").agg(F.count("*").alias("toks"))
+    newb = firstb.groupBy(F.col("fb").alias("b")).agg(
+        F.count("*").alias("new_types")
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        perb.join(newb, "b", "left")
+        .select(
+            "b",
+            F.sum("toks").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("new_types", F.lit(0))).over(w).alias("cum_types"),
+        )
+    )
+    pts = cum.select(
+        F.expr("CAST(floor(ln(cum_tokens) * 1e9) AS BIGINT)").alias("x"),
+        F.expr("CAST(floor(ln(cum_types) * 1e9) AS BIGINT)").alias("y"),
+    )
+    mom = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    slope = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    out = mom.select(
+        F.col("n").cast("long").alias("growth_points"),
+        F.round(F.expr(slope), 4).alias("heaps_beta"),
+        F.round(
+            F.expr(
+                f"exp((CAST(sy AS DOUBLE) - {slope} * CAST(sx AS DOUBLE))"
+                " / n / 1e9)"
+            ),
+            4,
+        ).alias("heaps_k"),
+    )
+    out = out.localCheckpoint(eager=True)
+    toks.unpersist()
+    return out

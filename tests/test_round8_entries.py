@@ -862,3 +862,29 @@ def test_power_analysis_scaling_law(spark, sf_dir):
     assert 90 <= ratio <= 110  # (10/1)^2 = 100 up to ceil slack
     for r in rows.values():
         assert r.sd_value > 0 and r.mean_value > 0
+
+
+def test_hill_alpha_vs_numpy(spark, sf_dir, duck):
+    import numpy as np
+
+    r = REGISTRY["documents_length_tail_hill"].spark_fn(spark, sf_dir).first()
+    lens = duck.execute(
+        f"""SELECT n_chars FROM '{sf_dir}/documents.parquet'
+            ORDER BY n_chars DESC, doc_id LIMIT 101"""
+    ).df()["n_chars"].to_numpy(dtype=float)
+    ref = 100 / np.log(lens[:100] / lens[100]).sum()
+    assert r.k == 100
+    assert abs(r.hill_alpha - ref) < 1e-2
+    assert r.hill_alpha > 0 and r.threshold_chars > 0
+
+
+def test_heaps_fit_in_plausible_range(spark, sf_dir):
+    r = REGISTRY["documents_vocab_heaps_law"].spark_fn(spark, sf_dir).first()
+    assert r.growth_points == 10
+    # natural text gives beta in (0, 1); the SYNTHETIC corpus has a
+    # tiny closed vocabulary (~31 types, all seen in bucket 0), so
+    # beta legitimately collapses to 0 and K equals the vocab size
+    assert 0 <= r.heaps_beta < 1
+    assert r.heaps_k > 0
+    if r.heaps_beta == 0:
+        assert 10 <= r.heaps_k <= 100  # K = the closed vocabulary size
