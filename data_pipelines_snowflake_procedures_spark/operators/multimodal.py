@@ -732,11 +732,13 @@ def encode_avi_mjpeg(
 
     import numpy as np
 
-    from .jpeg import encode_jpeg
+    from .jpeg import encode_jpeg_batch
 
     arr = np.asarray(frames, dtype=np.uint8)
     n, h, w = arr.shape[:3]
-    payloads = [encode_jpeg(arr[i], quality=quality) for i in range(n)]
+    # batched across frames (color transform + DCT in one broadcast
+    # pass); byte-identical to per-frame encode_jpeg, pinned by tests
+    payloads = encode_jpeg_batch(arr, quality=quality)
 
     def chunk(ckid: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) % 2 else b""
@@ -796,8 +798,6 @@ def decode_avi_mjpeg(payload: bytes) -> dict[str, Any]:
 
     import numpy as np
 
-    from .jpeg import decode_jpeg
-
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     w = h = None
@@ -829,15 +829,29 @@ def decode_avi_mjpeg(payload: bytes) -> dict[str, Any]:
         raise ValueError("AVI missing or zero-sized avih header")
     y_sum = 0
     y_sum_sampled = 0
-    for i, fr in enumerate(frames):
-        px = decode_jpeg(fr)["pixels"].astype(np.float64)
-        luma = np.round(
-            0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
-        ).astype(np.int64)
-        s = int(luma.sum())
-        y_sum += s
-        if i % 2 == 0:
-            y_sum_sampled += s
+    if frames:
+        # batched decode: IDCT/color-convert once per table group (all
+        # frames of a well-formed MJPEG share one), then one vectorized
+        # luma reduction — bit-identical to the per-frame loop
+        from .jpeg import decode_jpeg_pixels_batch
+
+        pixel_list = decode_jpeg_pixels_batch(frames)
+        if len({p.shape for p in pixel_list}) == 1:
+            pxs = np.stack(pixel_list).astype(np.float64)
+            luma = np.round(
+                0.299 * pxs[..., 0] + 0.587 * pxs[..., 1] + 0.114 * pxs[..., 2]
+            ).astype(np.int64)
+            sums = luma.sum(axis=(1, 2)).tolist()
+        else:  # malformed stream mixing frame shapes: per-frame reduce
+            sums = []
+            for px in pixel_list:
+                pxf = px.astype(np.float64)
+                luma = np.round(
+                    0.299 * pxf[..., 0] + 0.587 * pxf[..., 1] + 0.114 * pxf[..., 2]
+                ).astype(np.int64)
+                sums.append(int(luma.sum()))
+        y_sum = int(sum(sums))
+        y_sum_sampled = int(sum(sums[::2]))
     n_frames = len(frames)
     n_px = w * h
     n_sampled = (n_frames + 1) // 2

@@ -1685,3 +1685,50 @@ def test_audio_energy_fingerprint_matches_hand_computation():
         w.writeframes(np.zeros(16, np.int16).tobytes())
     with _pytest.raises(NotImplementedError, match="8-bit"):
         audio_energy_fingerprint(buf.getvalue())
+
+
+def test_jpeg_batch_encode_decode_byte_identical_to_per_frame():
+    """The batched MJPEG hot paths (encode_jpeg_batch,
+    decode_jpeg_pixels_batch) must be BYTE-identical to the per-frame
+    encode_jpeg/decode_jpeg they replace: the batch forms run the same
+    elementwise/dgemm kernels with an extra frame axis, so any drift
+    is a bug. Covers gray + color, 4:4:4 + 4:2:0, flat + random
+    frames, and restart intervals — plus mixed-table payload groups in
+    one decode batch."""
+    import numpy as np
+
+    from data_pipelines_snowflake_procedures_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_pixels_batch,
+        encode_jpeg,
+        encode_jpeg_batch,
+    )
+
+    rng = np.random.default_rng(13)
+    cases = [
+        (rng.integers(0, 256, size=(5, 8, 8, 3)).astype(np.uint8), 100, False, 0),
+        (rng.integers(0, 256, size=(3, 24, 33, 3)).astype(np.uint8), 85, True, 2),
+        (rng.integers(0, 256, size=(4, 16, 16)).astype(np.uint8), 50, False, 0),
+        (
+            np.stack([np.full((8, 8, 3), v, np.uint8) for v in range(1, 7)]),
+            100, False, 0,
+        ),
+    ]
+    all_payloads = []
+    for frames, q, sub, ri in cases:
+        batch = encode_jpeg_batch(
+            frames, quality=q, subsample=sub, restart_interval=ri
+        )
+        per = [
+            encode_jpeg(frames[i], quality=q, subsample=sub, restart_interval=ri)
+            for i in range(frames.shape[0])
+        ]
+        assert batch == per
+        all_payloads += per
+    # one mixed batch spanning every (geometry, table) group
+    got = decode_jpeg_pixels_batch(all_payloads)
+    want = [decode_jpeg(p)["pixels"] for p in all_payloads]
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert np.array_equal(a, b)
+    assert encode_jpeg_batch(np.zeros((0, 8, 8, 3), np.uint8)) == []
