@@ -1025,20 +1025,42 @@ def split_oversized_cells(
     corpus is pathologically concentrated (one dense semantic region
     swallowing most rows, where a single global k can't help).
 
-    Driver work per round is one k-row cell-size aggregate; split-cell
-    labels are freshly issued from a driver counter, so surviving cells
-    keep their ids and results stay deterministic (cells processed in
-    ascending id order; the sub-fit seeds from each cell's lowest ids).
+    Driver work per round is one k-row cell-size aggregate plus the
+    per-cell centroid state (cells × k × dim floats — broadcast-sized);
+    split-cell labels are freshly issued from a driver counter, so
+    surviving cells keep their ids and results stay deterministic
+    (label blocks in ascending cell-id order; each cell seeds from its
+    own lowest ids).
+
+    ALL oversized cells re-cluster together in ONE grouped Lloyd pass
+    per round (cell id as the group key — the ``grouped_pagerank``
+    pattern): seeding is one window pass, each iteration is one
+    broadcast-join assignment + one (cell, sub-cluster, dim) mean
+    shuffle for every cell at once. The previous per-cell
+    ``kmeans_fit`` loop launched ~4 sequential Spark jobs PER oversized
+    cell — fine at a handful of cells, thousands of serial jobs on a
+    skewed 100-TB corpus. Identical arithmetic to the per-cell fit
+    (same seeds, same assignment kernel, same rounded means), so
+    results are unchanged.
 
     Recall note: like raising ``k``, every split can drop pairs that
     straddle the new sub-cell boundary — that is the documented
     blocking trade-off, applied only where the cap is breached.
     """
     from pyspark import StorageLevel
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
-    from .similarity import kmeans_assign_df, kmeans_fit
+    from .similarity import _sq_dists_to_matrix
 
     out = assigned
+    spark = assigned.sparkSession
     # With unpersist_input=True the caller hands over responsibility
     # for ``assigned``'s cache: the first split round releases it once
     # the round's own persisted union materializes (if no cell needs a
@@ -1061,25 +1083,76 @@ def split_oversized_cells(
         if not sizes:
             break
         big_ids = [r[cluster_col] for r in sizes]
-        parts = [out.filter(~F.col(cluster_col).isin(big_ids))]
-        for cid in big_ids:
-            cell = out.filter(F.col(cluster_col) == cid).drop(cluster_col)
-            cents = kmeans_fit(
-                cell, k=k, iters=iters, emb_col=emb_col, id_col=id_col
+        keep = out.filter(~F.col(cluster_col).isin(big_ids))
+        big = out.filter(F.col(cluster_col).isin(big_ids))
+
+        # grouped seeding: the k lowest-id rows of EVERY oversized cell
+        # in one window pass — the same rows each per-cell
+        # ``orderBy(id).limit(k)`` used to pick
+        w = Window.partitionBy(cluster_col).orderBy(id_col)
+        seed_rows = (
+            big.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(cluster_col, "__rn", emb_col)
+            .collect()
+        )
+        cents: dict = {cid: [] for cid in big_ids}
+        cell_pos = {cid: i for i, cid in enumerate(big_ids)}
+        for r in sorted(
+            seed_rows, key=lambda r: (cell_pos[r[cluster_col]], r["__rn"])
+        ):
+            cents[r[cluster_col]].append([float(x) for x in r[emb_col]])
+
+        cmat_schema = StructType(
+            [
+                StructField(cluster_col, out.schema[cluster_col].dataType),
+                StructField("__km_matrix", ArrayType(ArrayType(DoubleType()))),
+                StructField("__label_base", LongType()),
+            ]
+        )
+
+        def cmat_df(label_bases: dict) -> DataFrame:
+            return spark.createDataFrame(
+                [(cid, cents[cid], label_bases.get(cid, 0)) for cid in big_ids],
+                schema=cmat_schema,
             )
-            parts.append(
-                kmeans_assign_df(cell, cents, emb_col)
-                .withColumn(
-                    cluster_col, (F.lit(next_label) + F.col("__cl")).cast("long")
-                )
-                .drop("__cl", "__dist")
-                .select(*out.columns)
+
+        dists = _sq_dists_to_matrix(F.col(emb_col), "__km_matrix")
+        argmin = (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+
+        for _i in range(iters):  # grouped Lloyd update, all cells at once
+            means = (
+                big.join(F.broadcast(cmat_df({})), cluster_col)
+                .withColumn("__cl", argmin)
+                .select(cluster_col, "__cl", F.posexplode(F.col(emb_col)))
+                .groupBy(cluster_col, "__cl", "pos")
+                .agg(F.round(F.avg(F.col("col").cast("double")), 6).alias("m"))
+                .collect()
             )
-            next_label += k
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+            by_cell: dict = {}
+            for r in means:
+                by_cell.setdefault(r[cluster_col], {}).setdefault(r["__cl"], {})[
+                    r["pos"]
+                ] = r["m"]
+            for cid in big_ids:  # empty sub-clusters keep previous centroid
+                new_c = [list(c) for c in cents[cid]]
+                for cl, dims in by_cell.get(cid, {}).items():
+                    new_c[cl] = [dims[i] for i in range(len(cents[cid][cl]))]
+                cents[cid] = new_c
+
+        label_bases = {
+            cid: next_label + i * k for i, cid in enumerate(big_ids)
+        }
+        next_label += k * len(big_ids)
+        split = (
+            big.join(F.broadcast(cmat_df(label_bases)), cluster_col)
+            .withColumn("__cl", argmin)
+            .withColumn(
+                cluster_col, (F.col("__label_base") + F.col("__cl")).cast("long")
+            )
+            .select(*out.columns)
+        )
+        out = keep.unionByName(split).persist(StorageLevel.MEMORY_AND_DISK)
         # Materialize the new round, then release the prior round's cached
         # blocks — otherwise every round leaks MEMORY_AND_DISK blocks for
         # the session lifetime on large corpora.
