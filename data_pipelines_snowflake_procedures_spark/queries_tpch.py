@@ -2137,14 +2137,18 @@ def part_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi2 = bi.join(F.broadcast(keep), "pk")
     a = bi2.select(F.col("ck"), F.col("pk").alias("i"))
     b = bi2.select(F.col("ck"), F.col("pk").alias("j"))
+    # Size the pair aggregation from the data instead of a constant
+    # (VERDICT r8 #5): upper-bound the pair stream as rows x (cap-1)/2
+    # pre-agg pairs at ~24 B each, target ~64 MB per partition, floor
+    # at the sf1-A/B'd 64 (76s cold -> 23s with the widened hash-agg;
+    # a literal 64 would under-partition again at 100x). The count
+    # materializes the persisted basket frame the plan reuses 3x.
+    n_baskets = bi.count()
+    pair_parts = max(64, min(4096, (n_baskets * 49 // 2) * 24 // (64 << 20) + 1))
     co = (
         a.join(b, "ck")
         .filter(F.col("j") > F.col("i"))
-        # widen the pair aggregation beyond the default 32 shuffle
-        # partitions: the ~10*|baskets|^2/2 pair stream spills its
-        # hash-agg otherwise (A/B at sf1: 76s cold / 37s warm -> 23s
-        # cold / 20s warm)
-        .repartition(64, "i", "j")
+        .repartition(pair_parts, "i", "j")
         .groupBy("i", "j")
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= 2)
