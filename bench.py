@@ -303,7 +303,61 @@ HEADLINE = [
     "events_incremental_rollup_streaming",
     "events_dau_bitmap_streaming",
     "events_heavy_hitters_streaming",
+    # r1-r3 entries restored to the headline set (VERDICT r8 #4): they
+    # had bench rows in early rounds but fell out when later waves were
+    # appended — the bench now covers the FULL registry; a new entry is
+    # added here in the same commit that registers it.
+    "latest_order_per_customer_maxby",
+    "dq_table_scores_documents",
+    "dq_file_completeness_uniqueness_customer",
+    "dq_zscore_accuracy_supplier",
+    "dq_rare_value_accuracy_customer",
+    "dq_fd_consistency_part",
+    "pii_detect_customer",
+    "pii_masking_report_customer",
+    "events_rollup_type_day",
+    "customer_period_setops",
+    "customers_above_avg_balance",
+    "orders_equidepth_histogram",
+    "orders_monthly_growth",
+    "events_sliding_30m",
+    "events_props_agg",
+    "events_salted_type_agg",
+    "events_heavy_hitters",
+    "events_range_join",
+    "events_stream_stream_join",
+    "events_type_counts_cms",
+    "synthetic_events_agg",
+    "events_enriched_hourly_streaming",
+    "dedup_jaccard_pairs_documents",
+    "minhash_estimate_pairs_documents",
+    "dedup_simhash_pairs_documents",
+    "tfidf_cosine_pairs_documents",
+    "corpus_token_budget",
+    "corpus_split_documents",
+    "corpus_chunk_documents",
+    "corpus_scrub_documents",
+    "corpus_sample_mix",
+    "embedding_near_dup_pairs",
+    "knn_lsh_embeddings",
+    "knn_lsh_multiprobe_embeddings",
+    "knn_ivf_embeddings",
+    "knn_ivf_nprobe_embeddings",
+    "percentile_profile_lineitem",
+    "documents_quality_by_source",
+    "profile_lineitem_approx",
+    "vocab_zipf_fit",
+    "knn_recall_report",
+    "corpus_temperature_mix",
+    "dedup_containment_pairs_documents",
+    "top_revenue_suppliers",
 ]
+
+# The bench must cover the FULL registry: a silent selection rule reads
+# as coverage it isn't (VERDICT r8 #4). Fails fast at import time when
+# a registered entry is missing from HEADLINE.
+_missing = [n for n in REGISTRY if n not in set(HEADLINE)]
+assert not _missing, f"registry entries missing from bench HEADLINE: {_missing}"
 
 
 def _shuffle_partitions_for(sf_dir: str, cpus: int) -> int:
