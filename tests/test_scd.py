@@ -426,3 +426,78 @@ def test_scd2_as_of_returns_one_valid_version_per_key(spark):
     for ts in ("1994-01-01 00:00:00", "1999-01-01 00:00:00"):
         got = scd2_as_of(dim, ts)
         assert got.count() == got.select("k").distinct().count()
+
+
+def test_scd1_merge_parity_duckdb_mutation(spark):
+    """MERGE-semantics cross-check through a second independent engine
+    FORMULATION (VERDICT r8 next-round #6): delta-spark cannot install
+    offline, so the atomic `MERGE INTO` contract was only exercised by
+    its own anti-join+union fallback. Here DuckDB executes the same
+    scenario as real TABLE MUTATIONS — UPDATE of matched keys + INSERT
+    of not-matched keys, the canonical SQL MERGE decomposition — so
+    agreement is between two different computational paths (plan-level
+    anti-join vs imperative upsert), not the fallback against itself.
+
+    Covers the duplicate-key out-of-order fixture AND a seeded random
+    scenario with created_at ties broken by an explicit tiebreaker.
+    """
+    import random
+
+    import duckdb
+
+    def duck_merge(tgt_rows, src_rows, tiebreak=False):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE tgt(k INT, name VARCHAR, amount DOUBLE)")
+        con.executemany("INSERT INTO tgt VALUES (?,?,?)", tgt_rows)
+        con.execute(
+            "CREATE TABLE src(k INT, name VARCHAR, amount DOUBLE,"
+            " created_at INT, seq INT)"
+        )
+        con.executemany("INSERT INTO src VALUES (?,?,?,?,?)", src_rows)
+        order = "created_at DESC" + (", seq DESC" if tiebreak else "")
+        con.execute(
+            "CREATE TABLE latest AS SELECT k, name, amount FROM ("
+            "  SELECT *, row_number() OVER ("
+            f"    PARTITION BY k ORDER BY {order}) AS rn FROM src"
+            ") WHERE rn = 1"
+        )
+        # WHEN MATCHED THEN UPDATE SET *
+        con.execute(
+            "UPDATE tgt SET name = l.name, amount = l.amount"
+            " FROM latest l WHERE tgt.k = l.k"
+        )
+        # WHEN NOT MATCHED THEN INSERT *
+        con.execute(
+            "INSERT INTO tgt SELECT * FROM latest"
+            " WHERE k NOT IN (SELECT k FROM tgt)"
+        )
+        return set(map(tuple, con.execute("SELECT * FROM tgt").fetchall()))
+
+    # 1) the duplicate-key, out-of-order fixture
+    merged = scd1_merge(_target(spark), _source(spark), ["k"], "created_at")
+    got = {(r["k"], r["name"], r["amount"]) for r in merged.collect()}
+    src5 = [
+        (2, "b2", 201.0, 2, 0), (2, "b3", 202.0, 3, 0), (2, "b1", 199.0, 1, 0),
+        (9, "new-old", 900.0, 1, 0), (9, "new", 901.0, 2, 0),
+    ]
+    want = duck_merge([(1, "a", 100.0), (2, "b", 200.0), (3, "c", 300.0)], src5)
+    assert got == want
+
+    # 2) seeded random scenario: 200 target keys, 400 source rows over
+    #    150 keys (half overlapping), created_at ties broken by seq
+    rng = random.Random(42)
+    tgt_rows = [(k, f"t{k}", float(k * 10)) for k in range(200)]
+    src_rows = [
+        (rng.randrange(100, 250), f"s{i}", float(i), rng.randrange(5), i)
+        for i in range(400)
+    ]
+    tgt_df = spark.createDataFrame(tgt_rows, ["k", "name", "amount"])
+    src_df = spark.createDataFrame(
+        src_rows, ["k", "name", "amount", "created_at", "seq"]
+    )
+    merged2 = scd1_merge(
+        tgt_df, src_df, ["k"], "created_at", tiebreakers=["seq"]
+    )
+    got2 = {(r["k"], r["name"], r["amount"]) for r in merged2.collect()}
+    want2 = duck_merge(tgt_rows, src_rows, tiebreak=True)
+    assert got2 == want2
