@@ -338,3 +338,60 @@ def test_bootstrap_draws_fanout_parallelism_guard(spark, sf_dir):
     # Generate (a literal array, not per-row construction)
     plan = d._jdf.queryExecution().optimizedPlan().toString()
     assert "posexplode([[" in plan.replace(" ", "") or "posexplode([" in plan
+
+
+def test_top_sf1_entries_plan_budgets(spark, sf_dir):
+    """Plan budgets for the 15 most expensive sf1 entries (VERDICT r8
+    next-round #8): a future wave cannot land a scale-killer in the
+    heavy hitters without failing CI. Budgets pin the CURRENT plan
+    shape with zero headroom on the dangerous axes — shuffle count,
+    cartesian products, row-at-a-time Python — and allow the declared
+    Arrow-batched codec/stateful nodes where they are the design.
+    BroadcastNestedLoopJoin counts are pinned too: the only BNLJ sites
+    are 1-row broadcast matrix joins (kmeans/IVF centroid tables), so
+    growth means a real nested-loop crept in. Streaming drains are
+    excluded (their queries() surface is a memory-sink batch read, not
+    the streaming plan).
+
+    NOTE for future waves: budgets are (max_shuffles, max_arrow,
+    max_bnlj) — if a legitimate plan change moves one, update the row
+    in the same commit and say why in SCALING.md.
+    """
+    from data_pipelines_snowflake_procedures_spark.plans.advisor import (
+        plan_report,
+    )
+
+    budgets = {
+        # name: (max_shuffles, max_arrow_python, max_bnlj)
+        "multimodal_mjpeg_video_documents": (1, 1, 0),
+        "embedding_near_dup_kmeans": (0, 0, 2),
+        "documents_textrank_chunks": (2, 0, 0),
+        "trade_graph_pagerank": (0, 0, 0),
+        "events_wallet_balance_scan": (2, 1, 0),
+        "part_item_item_cf": (0, 0, 0),
+        "multimodal_features_documents": (0, 4, 0),
+        "part_copurchase_kcore": (1, 0, 0),
+        "supplier_graph_bfs_hops": (0, 0, 0),
+        "multimodal_adpcm_audio_documents": (1, 1, 0),
+        "trade_graph_labelprop": (0, 0, 0),
+        "nation_revenue_bridge": (0, 0, 0),
+        "knn_recall_report_quantized": (0, 0, 0),
+        "knn_ivfpq_embeddings": (3, 0, 7),
+        "multimodal_sniff_documents": (0, 4, 0),
+    }
+    for name, (max_sh, max_arrow, max_bnlj) in budgets.items():
+        report = plan_report(REGISTRY[name].spark_fn(spark, sf_dir))
+        assert report["shuffles"] <= max_sh, (
+            f"{name}: {report['shuffles']} shuffles > budget {max_sh}"
+        )
+        assert report["row_python"] == 0, f"{name}: row-Python in plan"
+        assert report["arrow_python"] <= max_arrow, (
+            f"{name}: {report['arrow_python']} Arrow-Python nodes > "
+            f"budget {max_arrow}"
+        )
+        assert not report["joins"].get("CartesianProduct"), (
+            f"{name}: cartesian product in plan"
+        )
+        assert report["joins"].get("BroadcastNestedLoopJoin", 0) <= max_bnlj, (
+            f"{name}: BNLJ count exceeds the pinned 1-row matrix joins"
+        )
