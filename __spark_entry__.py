@@ -111,6 +111,19 @@ _NEVER_SAMPLED_FIRST = [
     "lineitem_simpson_audit", "nation_theil_decomposition",
     "orders_dow_seasonality", "nation_brand_rca",
     "part_slow_mover_report", "events_error_pchart",
+    # round-9 plan (VERDICT r8 #1): the 17 wave-13-18 entries that have
+    # never had a driver row take the FIRST slots; the round-9 wave
+    # (E246-E251) is deliberately NOT listed, so it queues behind them
+    # by registry order instead of interleaving into the backlog.
+    "events_hourly_periodogram", "events_session_timeout_sweep",
+    "events_markov_stationary", "events_session_lognormal_fit",
+    "events_cohort_halflife", "supplier_graph_assortativity",
+    "part_basket_rules_gtest", "part_price_ladder_gaps",
+    "lineitem_price_qty_elasticity", "part_size_price_anova",
+    "orders_wilson_ci_by_priority", "orders_status_aging",
+    "events_bot_score_histogram", "events_activation_funnel",
+    "events_ab_power_analysis", "documents_length_tail_hill",
+    "documents_vocab_heaps_law",
 ]
 
 

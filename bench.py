@@ -351,6 +351,13 @@ HEADLINE = [
     "corpus_temperature_mix",
     "dedup_containment_pairs_documents",
     "top_revenue_suppliers",
+    # round-9 wave (E246-E251)
+    "documents_source_js_divergence",
+    "part_basket_rules_conviction",
+    "events_page_hinkley_drift",
+    "trade_graph_hits",
+    "events_value_levene_test",
+    "customer_mahalanobis_outliers",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

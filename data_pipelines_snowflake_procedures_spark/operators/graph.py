@@ -564,3 +564,84 @@ def grouped_pagerank(
     base.unpersist()
     e.unpersist()
     return out
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    decimals: int = 6,
+    iter_decimals: int = 9,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg) over a DIRECTED edge
+    list; returns ``(node, hub, authority)`` for every node appearing
+    as a source or destination (0.0 on the side it never plays).
+
+    Per iteration: ``a(v) = Σ_in w·h(u)`` then L2-normalize,
+    ``h(u) = Σ_out w·a(v)`` then L2-normalize — the power iteration on
+    AᵀA / AAᵀ. Determinism contract (the PageRank pattern): every
+    per-node sum is rounded to ``iter_decimals`` BEFORE the norm
+    aggregate and every normalized score after it, so accumulation-
+    order noise cannot leak into the next iteration or the oracle
+    comparison.
+
+    Plan shape: per half-iteration one O(|E|) join-by-key + one
+    node-sized groupBy + one 1-row L2 aggregate broadcast back —
+    scores stay node-sized, the edge list is never collected."""
+    w_col = (
+        F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        w_col.alias("w"),
+    ).persist()
+    h = e.select(F.col("src").alias("node")).distinct().withColumn(
+        "score", F.lit(1.0)
+    )
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.round(F.sum(F.col("w") * F.col("score")), iter_decimals).alias("s"))
+        )
+        a_nrm = a_raw.agg(
+            F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm")
+        )
+        a = a_raw.crossJoin(F.broadcast(a_nrm)).select(
+            F.col("dst").alias("node"),
+            F.round(F.col("s") / F.col("nrm"), iter_decimals).alias("score"),
+        )
+        h_raw = (
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.round(F.sum(F.col("w") * F.col("score")), iter_decimals).alias("s"))
+        )
+        h_nrm = h_raw.agg(
+            F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm")
+        )
+        h = h_raw.crossJoin(F.broadcast(h_nrm)).select(
+            F.col("src").alias("node"),
+            F.round(F.col("s") / F.col("nrm"), iter_decimals).alias("score"),
+        )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out = (
+        nodes.join(h.withColumnRenamed("score", "hub"), "node", "left")
+        .join(a.withColumnRenamed("score", "authority"), "node", "left")
+        .select(
+            "node",
+            F.round(F.coalesce(F.col("hub"), F.lit(0.0)), decimals).alias("hub"),
+            F.round(F.coalesce(F.col("authority"), F.lit(0.0)), decimals).alias(
+                "authority"
+            ),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

@@ -91,3 +91,85 @@ def frequent_pairs(
             ).alias("lift"),
         )
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+    min_support: int = 2,
+    max_basket: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Directed association rules over :func:`frequent_pairs`: each
+    unordered frequent pair yields both ``antecedent -> consequent``
+    directions with the full strength-metric set —
+
+    * ``confidence`` = support / support(antecedent),
+    * ``lift``       = support·N / (s_a·s_c)  (direction-symmetric),
+    * ``leverage``   = P(a,c) − P(a)P(c)      (co-occurrence excess),
+    * ``conviction`` = (1 − P(c)) / (1 − confidence), NULL at
+      confidence 1 (the standard "infinite conviction" case).
+
+    All metrics are single rounded doubles over integer counts, so the
+    result is hash-exact cross-engine. Plan shape adds only a
+    2×-union of the pair table plus two broadcast marginal joins on
+    top of frequent_pairs — nothing new shuffles at corpus scale."""
+    pairs = frequent_pairs(
+        baskets, basket_col, item_col, min_support, max_basket, decimals
+    ).select("item_a", "item_b", "support")
+    bi = baskets.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
+    ).distinct()
+    isup = bi.groupBy("item").agg(F.count("*").alias("s"))
+    n = float(bi.select("bk").distinct().count())
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "support",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "support",
+        )
+    )
+    sa = isup.select(
+        F.col("item").alias("antecedent"), F.col("s").alias("support_ante")
+    )
+    sc = isup.select(
+        F.col("item").alias("consequent"), F.col("s").alias("support_cons")
+    )
+    conf = F.col("support").cast("double") / F.col("support_ante")
+    return (
+        directed.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("support").cast("long").alias("support"),
+            F.col("support_ante").cast("long").alias("support_ante"),
+            F.col("support_cons").cast("long").alias("support_cons"),
+            F.round(conf, decimals).alias("confidence"),
+            F.round(
+                F.col("support") * F.lit(n)
+                / (F.col("support_ante") * F.col("support_cons")),
+                decimals,
+            ).alias("lift"),
+            F.round(
+                F.col("support") / F.lit(n)
+                - (F.col("support_ante") / F.lit(n))
+                * (F.col("support_cons") / F.lit(n)),
+                decimals,
+            ).alias("leverage"),
+            F.when(F.col("support") == F.col("support_ante"), F.lit(None))
+            .otherwise(
+                F.round(
+                    (F.lit(1.0) - F.col("support_cons") / F.lit(n))
+                    / (F.lit(1.0) - conf),
+                    decimals,
+                )
+            )
+            .alias("conviction"),
+        )
+    )

@@ -5279,3 +5279,254 @@ def part_basket_rules_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     bi.unpersist()
     return out
+
+
+@register(
+    "part_basket_rules_conviction",
+    """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem
+    ),
+    isup AS (SELECT item, count(*) AS s FROM bi GROUP BY item),
+    freq AS (SELECT item FROM isup WHERE s >= 2),
+    fbi AS (SELECT bk, item FROM bi WHERE item IN (SELECT item FROM freq)),
+    pr AS (
+      SELECT x.item AS item_a, y.item AS item_b, count(*) AS support
+      FROM fbi x JOIN fbi y ON x.bk = y.bk AND x.item < y.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    dir AS (
+      SELECT item_a AS antecedent, item_b AS consequent, support FROM pr
+      UNION ALL
+      SELECT item_b AS antecedent, item_a AS consequent, support FROM pr
+    ),
+    nb AS (SELECT CAST(count(DISTINCT bk) AS DOUBLE) AS n FROM bi)
+    SELECT antecedent, consequent,
+           CAST(support AS BIGINT) AS support,
+           CAST(sa.s AS BIGINT) AS support_ante,
+           CAST(sc.s AS BIGINT) AS support_cons,
+           round(CAST(support AS DOUBLE) / sa.s, 6) AS confidence,
+           round(support * nb.n / (sa.s * sc.s), 6) AS lift,
+           round(support / nb.n - (sa.s / nb.n) * (sc.s / nb.n), 6)
+             AS leverage,
+           CASE WHEN support = sa.s THEN NULL
+                ELSE round((1.0 - sc.s / nb.n)
+                           / (1.0 - CAST(support AS DOUBLE) / sa.s), 6)
+           END AS conviction
+    FROM dir
+    JOIN isup sa ON sa.item = dir.antecedent
+    JOIN isup sc ON sc.item = dir.consequent
+    CROSS JOIN nb
+    """,
+    doc="Directed association-rule strength metrics (E247, "
+    "operators/itemsets.py::association_rules): every frequent part "
+    "pair in both antecedent->consequent directions with confidence, "
+    "lift, leverage, and conviction — conviction being the "
+    "directional measure retailers act on (how much MORE often the "
+    "rule would have to fail under independence), NULL at the "
+    "standard infinite-conviction case confidence=1. Integer counts "
+    "+ single rounded double expressions: hash-exact. Adds only a "
+    "2x-union and two broadcast marginal joins over the "
+    "part_basket_rules plan.",
+)
+def part_basket_rules_conviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.itemsets import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("item")
+    )
+    return association_rules(li, basket_col="bk", item_col="item", min_support=2)
+
+
+def _hits_steps_sql(iters: int = 2) -> str:
+    """CTE unroll of HITS half-iterations with the operator's rounding
+    contract (sums rounded to 9 before each L2 norm, scores after)."""
+    its = []
+    prev_h = "h0"
+    a = "a0"
+    for t in range(1, iters + 1):
+        a = f"a{t}"
+        its.append(f"""a{t}r AS (
+      SELECT dst AS node, round(sum(w * s.score), 9) AS s
+      FROM pairs p JOIN {prev_h} s ON s.node = p.src GROUP BY dst
+    ),
+    a{t}n AS (SELECT sqrt(sum(s * s)) AS nrm FROM a{t}r),
+    a{t} AS (SELECT node, round(s / nrm, 9) AS score FROM a{t}r, a{t}n),
+    h{t}r AS (
+      SELECT src AS node, round(sum(w * s.score), 9) AS s
+      FROM pairs p JOIN a{t} s ON s.node = p.dst GROUP BY src
+    ),
+    h{t}n AS (SELECT sqrt(sum(s * s)) AS nrm FROM h{t}r),
+    h{t} AS (SELECT node, round(s / nrm, 9) AS score FROM h{t}r, h{t}n)""")
+        prev_h = f"h{t}"
+    return ",\n    ".join(its)
+
+
+@register(
+    "trade_graph_hits",
+    f"""
+    WITH pairs AS (
+      SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    h0 AS (SELECT DISTINCT src AS node, 1.0 AS score FROM pairs),
+    {_hits_steps_sql(2)},
+    nodes AS (
+      SELECT node FROM (
+        SELECT src AS node FROM pairs UNION SELECT dst AS node FROM pairs
+      )
+    )
+    SELECT n.node,
+           coalesce(h.score, 0.0) AS hub,
+           coalesce(a.score, 0.0) AS authority
+    FROM nodes n
+    LEFT JOIN h2 h ON h.node = n.node
+    LEFT JOIN a2 a ON a.node = n.node
+    """,
+    doc="HITS hubs-and-authorities (E249, operators/graph.py::hits, 2 "
+    "power iterations) on the directed customer->supplier trade "
+    "graph: hub score ranks customers by how much they buy from "
+    "authoritative suppliers, authority ranks suppliers by how much "
+    "authoritative buyers purchase — the mutually-recursive "
+    "centrality pair PageRank cannot express on a bipartite graph. "
+    "Each half-iteration is one O(|E|) equi-join + node-sized groupBy "
+    "+ 1-row L2-norm broadcast; per-node sums round to 9 decimals "
+    "before the norm and scores after (the PageRank determinism "
+    "contract), so the oracle unrolls both iterations in CTEs and "
+    "hash-matches.",
+)
+def trade_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import hits
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count("*").cast("double").alias("w"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            "w",
+        )
+    )
+    # decimals=9 == iter_decimals: a second 6-decimal rounding of a
+    # 9-rounded score lands exactly on .5 boundaries (found at sf0.01:
+    # 0.0315255 flipped between engines) — emit at iteration precision
+    return hits(pairs, iters=2, weight_col="w", decimals=9)
+
+
+@register(
+    "customer_mahalanobis_outliers",
+    """
+    WITH feat AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS spend_cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(spend_cents) AS DOUBLE) AS sx,
+             CAST(sum(n_orders) AS DOUBLE) AS sy,
+             CAST(sum(CAST(spend_cents AS HUGEINT) * spend_cents)
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(n_orders AS HUGEINT) * n_orders) AS DOUBLE) AS syy,
+             CAST(sum(CAST(spend_cents AS HUGEINT) * n_orders) AS DOUBLE) AS sxy
+      FROM feat
+    ),
+    cov AS (
+      SELECT n, sx / n AS mx, sy / n AS my,
+             sxx / n - (sx / n) * (sx / n) AS vx,
+             syy / n - (sy / n) * (sy / n) AS vy,
+             sxy / n - (sx / n) * (sy / n) AS cxy
+      FROM mom
+    ),
+    d AS (
+      SELECT f.c_custkey,
+             round(f.spend_cents / 100.0, 2) AS total_spend,
+             f.n_orders,
+             round(
+               ((f.spend_cents - c.mx) * (f.spend_cents - c.mx) * c.vy
+                - 2 * (f.spend_cents - c.mx) * (f.n_orders - c.my) * c.cxy
+                + (f.n_orders - c.my) * (f.n_orders - c.my) * c.vx)
+               / (c.vx * c.vy - c.cxy * c.cxy),
+               4) AS d2
+      FROM feat f CROSS JOIN cov c
+    )
+    SELECT c_custkey, total_spend, n_orders, d2,
+           CAST(CASE WHEN d2 > 13.8155 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_extreme
+    FROM d WHERE d2 >= 9.2103
+    """,
+    doc="Multivariate outlier detection via 2-D Mahalanobis distance "
+    "(E251) on per-customer (total spend, order count): the "
+    "correlation-aware generalization of the univariate z-score DQ "
+    "rule — a customer can be unremarkable on each margin yet far "
+    "from the joint distribution (few orders, huge spend). The 2x2 "
+    "covariance inverts in closed form, so d^2 is a single "
+    "expression over one moments aggregate: moments accumulate "
+    "128-bit-exact from integer cents (Sxx ~ 1e21 overflows int64; "
+    "decimal accumulation is the Theil-fix audit rule), and every "
+    "engine-facing double derives from the same exact integers. "
+    "Emits customers past the chi2(2) 99% cut (9.21), flagging the "
+    "99.9% extremes (13.82). Plan: one groupBy + one 1-row moment "
+    "aggregate broadcast back — two scans of the orders rollup, "
+    "nothing order-sized joined.",
+)
+def customer_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    feat = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("spend_cents"),
+        F.count("*").cast("long").alias("n_orders"),
+    ).persist()
+    mom = feat.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("spend_cents").cast("double").alias("sx"),
+        F.sum("n_orders").cast("double").alias("sy"),
+        F.sum(F.expr("CAST(spend_cents AS DECIMAL(38,0)) * spend_cents"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.expr("CAST(n_orders AS DECIMAL(38,0)) * n_orders"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.expr("CAST(spend_cents AS DECIMAL(38,0)) * n_orders"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    cov = mom.select(
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        (F.col("sxx") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))).alias("vx"),
+        (F.col("syy") / F.col("n") - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("vy"),
+        (F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("cxy"),
+    )
+    dx = F.col("spend_cents") - F.col("mx")
+    dy = F.col("n_orders") - F.col("my")
+    d2 = F.round(
+        (dx * dx * F.col("vy") - 2 * dx * dy * F.col("cxy") + dy * dy * F.col("vx"))
+        / (F.col("vx") * F.col("vy") - F.col("cxy") * F.col("cxy")),
+        4,
+    )
+    out = (
+        feat.crossJoin(F.broadcast(cov))
+        .select(
+            "c_custkey",
+            F.round(F.col("spend_cents") / 100.0, 2).alias("total_spend"),
+            "n_orders",
+            d2.alias("d2"),
+        )
+        .filter(F.col("d2") >= 9.2103)
+        .withColumn(
+            "is_extreme", (F.col("d2") > 13.8155).cast("long")
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    feat.unpersist()
+    return out

@@ -8165,3 +8165,244 @@ def events_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mde_bp")
     )
+
+
+@register(
+    "events_page_hinkley_drift",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d')
+               AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS DOUBLE) * 10000.0 / count(*), 0) AS BIGINT)
+               AS x_micro
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, day, x_micro,
+             row_number() OVER w AS t,
+             CAST(sum(x_micro) OVER w AS BIGINT) AS scum
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    dev AS (
+      SELECT event_type, day,
+             x_micro - CAST(round(CAST(scum AS DOUBLE) / t, 0) AS BIGINT)
+               AS d_micro
+      FROM seq
+    ),
+    m AS (
+      SELECT event_type, day,
+             CAST(sum(d_micro) OVER w AS BIGINT) AS m_t
+      FROM dev
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    ph AS (
+      SELECT event_type, day,
+             m_t - CAST(min(m_t) OVER w AS BIGINT) AS ph_micro
+      FROM m
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    sel AS (
+      SELECT event_type, day, ph_micro,
+             count(*) OVER (PARTITION BY event_type) AS n_days,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ph_micro DESC, day ASC) AS rk
+      FROM ph
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           round(ph_micro / 1e6, 6) AS ph_stat,
+           day AS drift_day,
+           CAST(CASE WHEN ph_micro > 5000000 THEN 1 ELSE 0 END AS BIGINT)
+             AS alarm
+    FROM sel WHERE rk = 1
+    """,
+    doc="Page-Hinkley mean-shift detector (E248) on the daily mean "
+    "event value per type: the classic sequential drift test "
+    "(m_t = cumulative deviation from the running mean; alarm when "
+    "m_t climbs lambda above its running minimum) that streaming "
+    "feature pipelines run to catch silent upstream shifts. Emits "
+    "per type the PH statistic, the drift day achieving it "
+    "(earliest on ties), and the alarm at lambda = 5.0 value units. "
+    "Determinism contract: ALL cumulative state lives in integer "
+    "MICRO-units (daily means and running means rounded to 1e-6 "
+    "before accumulation), so window-aggregation internals (Spark's "
+    "left fold vs DuckDB's segment tree) cannot reorder float "
+    "additions — the statistic is integer-exact cross-engine. Plan: "
+    "one partial-aggregable groupBy to the (type, day) grid, then "
+    "days-sized windows partitioned by type; nothing event-sized "
+    "shuffles.",
+)
+def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.round(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double")
+            * 10000.0
+            / F.count("*"),
+            0,
+        )
+        .cast("long")
+        .alias("x_micro")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq = daily.select(
+        "event_type",
+        "day",
+        "x_micro",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")).alias("t"),
+        F.sum("x_micro").over(w).cast("long").alias("scum"),
+    )
+    dev = seq.select(
+        "event_type",
+        "day",
+        (
+            F.col("x_micro")
+            - F.round(F.col("scum").cast("double") / F.col("t"), 0).cast("long")
+        ).alias("d_micro"),
+    )
+    m = dev.select(
+        "event_type", "day", F.sum("d_micro").over(w).cast("long").alias("m_t")
+    )
+    ph = m.select(
+        "event_type",
+        "day",
+        (F.col("m_t") - F.min("m_t").over(w).cast("long")).alias("ph_micro"),
+    )
+    sel = ph.select(
+        "event_type",
+        "day",
+        "ph_micro",
+        F.count("*").over(Window.partitionBy("event_type")).alias("n_days"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("ph_micro").desc(), F.col("day").asc()
+            )
+        )
+        .alias("rk"),
+    )
+    return sel.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.col("ph_micro") / 1e6, 6).alias("ph_stat"),
+        F.col("day").alias("drift_day"),
+        (F.col("ph_micro") > 5000000).cast("long").alias("alarm"),
+    )
+
+
+@register(
+    "events_value_levene_test",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(round(2 * quantile_cont(cents, 0.5), 0) AS BIGINT) AS m2
+      FROM v GROUP BY event_type
+    ),
+    z AS (
+      SELECT v.event_type, abs(2 * v.cents - m.m2) AS q
+      FROM v JOIN med m ON m.event_type = v.event_type
+    ),
+    grp AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_i,
+             CAST(sum(q) AS BIGINT) AS s_i,
+             CAST(sum(CAST(q AS HUGEINT) * q) AS DOUBLE) AS qq_i
+      FROM z GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_i) AS BIGINT) AS n,
+             CAST(sum(s_i) AS DOUBLE) AS t
+      FROM grp
+    )
+    SELECT tot.k,
+           tot.n,
+           CAST(tot.k - 1 AS BIGINT) AS df1,
+           CAST(tot.n - tot.k AS BIGINT) AS df2,
+           round(
+             (CAST(tot.n - tot.k AS DOUBLE) / (tot.k - 1))
+             * sum(n_i * (CAST(s_i AS DOUBLE) / n_i - tot.t / tot.n)
+                       * (CAST(s_i AS DOUBLE) / n_i - tot.t / tot.n))
+             / sum(qq_i - CAST(s_i AS DOUBLE) * s_i / n_i),
+             6) AS w_stat
+    FROM grp CROSS JOIN tot
+    GROUP BY tot.k, tot.n, tot.t
+    """,
+    doc="Brown-Forsythe (median-based Levene) variance-homogeneity "
+    "test (E250) across event types: the k-sample spread test that "
+    "validates the equal-variance assumption the ANOVA entry "
+    "(part_size_price_anova) makes — W = ((N-k)/(k-1)) * "
+    "between-group / within-group sum of squares of |x - group "
+    "median|, F(k-1, N-k) under H0. Determinism: values go to "
+    "integer cents, deviations to the integer q = |2x - 2*median| "
+    "(interpolated medians are half-integers, so q is exact), and "
+    "both sums-of-squares derive from integer aggregates (sum(q^2) "
+    "accumulated 128-bit against 100x overflow) — the statistic is "
+    "one identical double expression per engine. Plan: one "
+    "percentile aggregate + one broadcast median join + one "
+    "group-level aggregate; nothing event-sized shuffles twice.",
+)
+def events_value_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    med = v.groupBy("event_type").agg(
+        F.round(F.expr("2 * percentile(cents, 0.5)"), 0).cast("long").alias("m2")
+    )
+    z = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(2 * F.col("cents") - F.col("m2")).alias("q")
+    )
+    grp = z.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_i"),
+        F.sum("q").cast("long").alias("s_i"),
+        F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * q")).cast("double").alias("qq_i"),
+    )
+    tot = grp.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("s_i").cast("double").alias("t"),
+    )
+    zi = F.col("s_i").cast("double") / F.col("n_i") - F.col("t") / F.col("n")
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .groupBy("k", "n", "t")
+        .agg(
+            F.round(
+                ((F.col("n") - F.col("k")).cast("double") / (F.col("k") - 1))
+                * F.sum(F.col("n_i") * zi * zi)
+                / F.sum(
+                    F.col("qq_i")
+                    - F.col("s_i").cast("double") * F.col("s_i") / F.col("n_i")
+                ),
+                6,
+            ).alias("w_stat")
+        )
+        .select(
+            "k",
+            "n",
+            (F.col("k") - 1).cast("long").alias("df1"),
+            (F.col("n") - F.col("k")).cast("long").alias("df2"),
+            "w_stat",
+        )
+    )

@@ -5257,3 +5257,156 @@ def documents_vocab_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     toks.unpersist()
     return out
+
+
+@register(
+    "documents_source_js_divergence",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({_CLEAN_TOKS}) AS tok FROM documents
+    ),
+    cnt AS (SELECT source, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+    tot AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS nt FROM cnt GROUP BY source
+    ),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(sum(CAST(round(
+               (0.5 * (CAST(a.n AS DOUBLE) / ta.nt)
+                    * ln(2.0 * (CAST(a.n AS DOUBLE) / ta.nt)
+                         / (CAST(a.n AS DOUBLE) / ta.nt
+                            + CAST(b.n AS DOUBLE) / tb.nt))
+              + 0.5 * (CAST(b.n AS DOUBLE) / tb.nt)
+                    * ln(2.0 * (CAST(b.n AS DOUBLE) / tb.nt)
+                         / (CAST(a.n AS DOUBLE) / ta.nt
+                            + CAST(b.n AS DOUBLE) / tb.nt))) * 1e12, 0)
+               AS BIGINT)) AS BIGINT) AS shared_pico,
+             CAST(sum(a.n) AS BIGINT) AS shared_na,
+             CAST(sum(b.n) AS BIGINT) AS shared_nb
+      FROM cnt a
+      JOIN cnt b ON a.tok = b.tok AND a.source < b.source
+      JOIN tot ta ON ta.source = a.source
+      JOIN tot tb ON tb.source = b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b,
+           ta.nt AS n_tokens_a, tb.nt AS n_tokens_b,
+           round(coalesce(s.shared_pico, 0) / 1e12
+                 + 0.5 * ln(2.0)
+                   * ((1.0 - CAST(coalesce(s.shared_na, 0) AS DOUBLE) / ta.nt)
+                    + (1.0 - CAST(coalesce(s.shared_nb, 0) AS DOUBLE) / tb.nt)),
+                 6) AS js_divergence
+    FROM (SELECT x.source AS source_a, y.source AS source_b
+          FROM tot x JOIN tot y ON x.source < y.source) p
+    LEFT JOIN shared s
+      ON s.source_a = p.source_a AND s.source_b = p.source_b
+    JOIN tot ta ON ta.source = p.source_a
+    JOIN tot tb ON tb.source = p.source_b
+    """,
+    doc="Corpus-mixture drift diagnostic (E246): Jensen-Shannon "
+    "divergence between every source pair's unigram distributions — "
+    "the bounded, symmetric distance data-mixing pipelines use to "
+    "quantify how different two corpus slices are before weighting "
+    "them. Decomposed for scale AND determinism: tokens present in "
+    "BOTH sources contribute through a vocab-sized equi-join whose "
+    "per-token JS integrand (always >= 0) is rounded to integer "
+    "PICO-nats and summed exactly; tokens unique to one side "
+    "contribute the closed form 0.5*ln2*(missing mass), computed from "
+    "integer shared-token counts — no full-outer join, no per-token "
+    "handling of zeros. Shuffles: one token count, one vocab-sized "
+    "self-join keyed on token, one (source,source) aggregate; nothing "
+    "corpus-sized is ever joined pairwise at 100 TB.",
+)
+def documents_source_js_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.filter(tokens("text"), lambda t: t != "")).alias("tok")
+    )
+    cnt = toks.groupBy("source", "tok").agg(F.count("*").alias("n")).persist()
+    tot = (
+        cnt.groupBy("source")
+        .agg(F.sum("n").cast("long").alias("nt"))
+        .persist()
+    )
+    a = (
+        cnt.select(
+            F.col("source").alias("source_a"), "tok", F.col("n").alias("na")
+        )
+        .join(
+            F.broadcast(
+                tot.select(F.col("source").alias("source_a"), F.col("nt").alias("nta"))
+            ),
+            "source_a",
+        )
+    )
+    b = (
+        cnt.select(
+            F.col("source").alias("source_b"), "tok", F.col("n").alias("nb")
+        )
+        .join(
+            F.broadcast(
+                tot.select(F.col("source").alias("source_b"), F.col("nt").alias("ntb"))
+            ),
+            "source_b",
+        )
+    )
+    pa = F.col("na").cast("double") / F.col("nta")
+    pb = F.col("nb").cast("double") / F.col("ntb")
+    integrand = (
+        F.lit(0.5) * pa * F.log(F.lit(2.0) * pa / (pa + pb))
+        + F.lit(0.5) * pb * F.log(F.lit(2.0) * pb / (pa + pb))
+    )
+    shared = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.round(integrand * 1e12, 0).cast("long"))
+            .cast("long")
+            .alias("shared_pico"),
+            F.sum("na").cast("long").alias("shared_na"),
+            F.sum("nb").cast("long").alias("shared_nb"),
+        )
+    )
+    ta = tot.select(
+        F.col("source").alias("source_a"), F.col("nt").alias("n_tokens_a")
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"), F.col("nt").alias("n_tokens_b")
+    )
+    allpairs = ta.join(tb, F.col("source_a") < F.col("source_b"))
+    out = (
+        allpairs.join(shared, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_tokens_a",
+            "n_tokens_b",
+            F.round(
+                F.coalesce(F.col("shared_pico"), F.lit(0)) / 1e12
+                + F.lit(0.5)
+                * F.log(F.lit(2.0))
+                * (
+                    (
+                        F.lit(1.0)
+                        - F.coalesce(F.col("shared_na"), F.lit(0)).cast("double")
+                        / F.col("n_tokens_a")
+                    )
+                    + (
+                        F.lit(1.0)
+                        - F.coalesce(F.col("shared_nb"), F.lit(0)).cast("double")
+                        / F.col("n_tokens_b")
+                    )
+                ),
+                6,
+            ).alias("js_divergence"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    cnt.unpersist()
+    tot.unpersist()
+    return out
