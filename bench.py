@@ -358,6 +358,10 @@ HEADLINE = [
     "trade_graph_hits",
     "events_value_levene_test",
     "customer_mahalanobis_outliers",
+    "documents_langid_eval",
+    "embeddings_silhouette_simplified",
+    "documents_rake_keywords",
+    "orders_interarrival_weibull",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

@@ -2770,3 +2770,119 @@ def orders_status_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     o.unpersist()
     return out
+
+
+@register(
+    "orders_interarrival_weibull",
+    """
+    WITH gaps AS (
+      SELECT date_diff('day',
+               CAST(lag(o_orderdate) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS DATE),
+               CAST(o_orderdate AS DATE)) AS gap
+      FROM orders
+    ),
+    hist AS (
+      SELECT gap, count(*)::BIGINT AS cnt
+      FROM gaps WHERE gap >= 1 GROUP BY gap
+    ),
+    cum AS (
+      SELECT gap, cnt,
+             CAST(sum(cnt) OVER (ORDER BY gap ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS c,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+      FROM hist
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(CAST(gap AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+             CAST(floor(ln(-ln(1.0 - (i - 0.3) / (n + 0.4))) * 1e9)
+                  AS BIGINT) AS y
+      FROM cum, unnest(range(c - cnt + 1, c + 1)) AS t(i)
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      FROM pts
+    )
+    SELECT n AS n_gaps,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS shape_k,
+           round(exp(-((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                       / n / 1e9)
+                     / ((n * sxy - sx * sy) / (n * sxx - sx * sx))),
+                 2) AS scale_days
+    FROM mom
+    """,
+    doc="Weibull reliability fit (E255) of customer order interarrival "
+    "times by median-rank regression: sorted gaps get plotting "
+    "positions F_i=(i-0.3)/(n+0.4) (Bernard's approximation) and OLS "
+    "on ln(-ln(1-F)) vs ln(t) yields shape k (slope; k<1 = "
+    "bursty/decreasing hazard, k=1 = memoryless, k>1 = rhythmic "
+    "reordering) and scale lambda = exp(-intercept/slope) in days — "
+    "the lifetime-model upgrade of the plain gap histogram entry. "
+    "Scale-safe rank assignment: ranks derive from the integer-day "
+    "gap HISTOGRAM's cumulative spans (each gap row unnests its own "
+    "rank range), so no observation-grain global sort exists — the "
+    "only global window runs over the histogram (days-dimension). "
+    "Per-point (x, y) floor to 1e-9 before exact 128-bit moment "
+    "sums: hash-exact cross-engine.",
+)
+def orders_interarrival_weibull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag("o_orderdate").over(w).cast("date"),
+        ).alias("gap")
+    ).filter(F.col("gap") >= 1)
+    hist = gaps.groupBy("gap").agg(F.count("*").cast("long").alias("cnt"))
+    w_cum = Window.orderBy("gap").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "gap",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("c"),
+        F.sum("cnt").over(
+            Window.orderBy("gap").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    pts = cum.select(
+        "gap",
+        F.explode(F.sequence(F.col("c") - F.col("cnt") + 1, F.col("c"))).alias("i"),
+        "n",
+    ).select(
+        F.floor(F.log(F.col("gap").cast("double")) * 1e9).cast("long").alias("x"),
+        F.floor(
+            F.log(-F.log(F.lit(1.0) - (F.col("i") - 0.3) / (F.col("n") + 0.4)))
+            * 1e9
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    mom = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("double").alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mom.select(
+        F.col("n").alias("n_gaps"),
+        F.round(slope, 4).alias("shape_k"),
+        F.round(
+            F.exp(
+                -((F.col("sy") - slope * F.col("sx")) / F.col("n") / 1e9) / slope
+            ),
+            2,
+        ).alias("scale_days"),
+    )
