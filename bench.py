@@ -362,6 +362,7 @@ HEADLINE = [
     "embeddings_silhouette_simplified",
     "documents_rake_keywords",
     "orders_interarrival_weibull",
+    "events_markov_attribution",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

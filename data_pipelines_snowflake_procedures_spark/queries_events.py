@@ -8406,3 +8406,240 @@ def events_value_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w_stat",
         )
     )
+
+
+_MARKOV_CHANNELS = ("click", "error", "signup", "view")
+_MARKOV_STEPS = 16
+
+
+def _markov_chain_sql(tag: str, steps: int) -> str:
+    """CTE unroll of ``steps`` absorption iterations for the variant
+    transition table ``{tag}p(src, dst, prob)``: conv/null carry their
+    mass, every state's inflow rounds to 9 decimals per step (the
+    PageRank determinism contract)."""
+    out = [f"{tag}s0 AS MATERIALIZED (SELECT 'start' AS st, 1.0 AS pi)"]
+    for t in range(1, steps + 1):
+        out.append(f"""{tag}s{t} AS MATERIALIZED (
+      SELECT st, round(sum(pi), 9) AS pi FROM (
+        SELECT p.dst AS st, x.pi * p.prob AS pi
+        FROM {tag}p p JOIN {tag}s{t - 1} x ON x.st = p.src
+        UNION ALL
+        SELECT st, pi FROM {tag}s{t - 1} WHERE st IN ('conv', 'null')
+      ) GROUP BY st
+    )""")
+    return ",\n    ".join(out)
+
+
+def _markov_attribution_oracle() -> str:
+    steps = _MARKOV_STEPS
+    parts = [f"""ev AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1
+                               ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS prior_conv
+      FROM events
+    ),
+    kept AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'purchase' THEN 'conv'
+                  ELSE event_type END AS st,
+             rn
+      FROM ev WHERE prior_conv = 0
+    ),
+    seq AS (
+      SELECT user_id, st,
+             lag(st) OVER (PARTITION BY user_id ORDER BY rn) AS prev,
+             row_number() OVER (PARTITION BY user_id ORDER BY rn) AS krn,
+             count(*) OVER (PARTITION BY user_id) AS kn
+      FROM kept
+    ),
+    edges AS (
+      SELECT coalesce(prev, 'start') AS src, st AS dst FROM seq
+      UNION ALL
+      SELECT st AS src, 'null' AS dst
+      FROM seq WHERE krn = kn AND st <> 'conv'
+    ),
+    trans AS MATERIALIZED (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+      FROM edges GROUP BY 1, 2
+    ),
+    outc AS MATERIALIZED (
+      SELECT src, CAST(sum(c) AS BIGINT) AS oc FROM trans GROUP BY src
+    ),
+    convn AS (
+      SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n
+      FROM trans WHERE dst = 'conv'
+    ),
+    basep AS MATERIALIZED (
+      SELECT t.src, t.dst, CAST(t.c AS DOUBLE) / o.oc AS prob
+      FROM trans t JOIN outc o ON o.src = t.src
+    ),
+    {_markov_chain_sql("base", steps)},
+    pbase AS MATERIALIZED (
+      SELECT coalesce((SELECT pi FROM bases{steps} WHERE st = 'conv'), 0.0)
+        AS p
+    )"""]
+    for ch in _MARKOV_CHANNELS:
+        tag = f"rm_{ch}"
+        parts.append(f"""{tag}p AS MATERIALIZED (
+      SELECT t.src,
+             CASE WHEN t.dst = '{ch}' THEN 'null' ELSE t.dst END AS dst,
+             CAST(sum(t.c) AS DOUBLE) / min(o.oc) AS prob
+      FROM trans t JOIN outc o ON o.src = t.src
+      WHERE t.src <> '{ch}'
+      GROUP BY 1, 2
+    ),
+    {_markov_chain_sql(tag, steps)}""")
+    res_rows = "\n      UNION ALL\n      ".join(
+        f"""SELECT '{ch}' AS channel,
+             CASE WHEN pbase.p = 0 THEN NULL
+                  ELSE round(1.0 - coalesce(
+                         (SELECT pi FROM rm_{ch}s{steps} WHERE st = 'conv'),
+                         0.0) / pbase.p, 6)
+             END AS removal_effect
+      FROM pbase"""
+        for ch in _MARKOV_CHANNELS
+    )
+    return f"""
+    WITH {", ".join(parts)},
+    all_res AS (
+      {res_rows}
+    ),
+    tot_re AS (SELECT sum(removal_effect) AS s FROM all_res),
+    shared AS (
+      SELECT channel, removal_effect,
+             CASE WHEN s > 0 THEN round(removal_effect / s, 6) END AS share
+      FROM all_res, tot_re
+    )
+    SELECT channel, removal_effect, share,
+           CASE WHEN share IS NOT NULL
+                THEN round(share * convn.n, 2) END AS attributed_conversions,
+           pbase.p AS base_conv_rate
+    FROM shared, convn, pbase
+    """
+
+
+@register(
+    "events_markov_attribution",
+    _markov_attribution_oracle(),
+    doc="Markov removal-effect attribution (E256): journeys are each "
+    "user's channel sequence up to the FIRST purchase ('conv') or "
+    "journey end ('null'); a first-order chain is fit from integer "
+    "transition counts, and each channel's value is the relative "
+    "drop in the chain's conversion probability when that channel "
+    "is removed (its inbound edges redirect to 'null') — the "
+    "data-driven alternative to the positional first/last/linear "
+    "models in events_attribution_models, Anderl et al.'s standard "
+    "formulation. Absorption probabilities use a FIXED 16-step "
+    "horizon (documented policy; journeys are short, mass converges "
+    "geometrically) with per-step 9-decimal rounding — the PageRank "
+    "determinism contract — so the oracle unrolls all 5 chains x 16 "
+    "steps in CTEs and hash-matches. Plan: the event-sized work is "
+    "two user-partitioned windows + one edge count; the chain math "
+    "runs on the driver over the <=49-entry transition matrix "
+    "(metadata-sized, the kmeans_fit pattern).",
+)
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_prior = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    kept = (
+        ev.select(
+            "user_id",
+            F.when(F.col("event_type") == "purchase", F.lit("conv"))
+            .otherwise(F.col("event_type"))
+            .alias("st"),
+            F.row_number().over(w_ord).alias("rn"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).over(w_prior),
+                F.lit(0),
+            ).alias("prior_conv"),
+        )
+        .filter(F.col("prior_conv") == 0)
+    )
+    w_k = Window.partitionBy("user_id").orderBy("rn")
+    seq = kept.select(
+        "user_id",
+        "st",
+        F.lag("st").over(w_k).alias("prev"),
+        F.row_number().over(w_k).alias("krn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("kn"),
+    )
+    edges = seq.select(
+        F.coalesce(F.col("prev"), F.lit("start")).alias("src"),
+        F.col("st").alias("dst"),
+    ).unionByName(
+        seq.filter((F.col("krn") == F.col("kn")) & (F.col("st") != "conv")).select(
+            F.col("st").alias("src"), F.lit("null").alias("dst")
+        )
+    )
+    trans_rows = (
+        edges.groupBy("src", "dst").agg(F.count("*").alias("c")).collect()
+    )
+    counts = {(r["src"], r["dst"]): int(r["c"]) for r in trans_rows}
+    outc: dict[str, int] = {}
+    for (src, _dst), c in counts.items():
+        outc[src] = outc.get(src, 0) + c
+    conv_total = sum(c for (_s, d), c in counts.items() if d == "conv")
+
+    def round_away(x: float, nd: int) -> float:
+        scale = 10.0 ** nd
+        import math
+
+        return math.floor(x * scale + 0.5) / scale
+
+    def absorb(probs: dict) -> float:
+        pi = {"start": 1.0}
+        for _ in range(_MARKOV_STEPS):
+            nxt: dict[str, float] = {}
+            for (src, dst), p in sorted(probs.items()):
+                if src in pi:
+                    nxt[dst] = nxt.get(dst, 0.0) + pi[src] * p
+            for st in ("conv", "null"):
+                if st in pi:
+                    nxt[st] = nxt.get(st, 0.0) + pi[st]
+            pi = {k: round_away(v, 9) for k, v in nxt.items()}
+        return pi.get("conv", 0.0)
+
+    base_probs = {k: c / outc[k[0]] for k, c in counts.items()}
+    p_base = absorb(base_probs)
+    res = []
+    for ch in _MARKOV_CHANNELS:
+        merged: dict[tuple[str, str], int] = {}
+        for (src, dst), c in counts.items():
+            if src == ch:
+                continue
+            key = (src, "null" if dst == ch else dst)
+            merged[key] = merged.get(key, 0) + c
+        probs = {k: c / outc[k[0]] for k, c in merged.items()}
+        re = (
+            None
+            if p_base == 0
+            else round_away(1.0 - absorb(probs) / p_base, 6)
+        )
+        res.append((ch, re))
+    s = sum(re for _ch, re in res if re is not None) if res else 0.0
+    rows = []
+    for ch, re in res:
+        share = (
+            round_away(re / s, 6) if (re is not None and s > 0) else None
+        )
+        attributed = (
+            round_away(share * conv_total, 2) if share is not None else None
+        )
+        rows.append((ch, re, share, attributed, p_base))
+    return spark.createDataFrame(
+        rows,
+        "channel STRING, removal_effect DOUBLE, share DOUBLE, "
+        "attributed_conversions DOUBLE, base_conv_rate DOUBLE",
+    )
