@@ -363,6 +363,7 @@ HEADLINE = [
     "documents_rake_keywords",
     "orders_interarrival_weibull",
     "events_markov_attribution",
+    "dedup_lsh_pr_report",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

@@ -5805,3 +5805,68 @@ def documents_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     ptoks.unpersist()
     return out
+
+
+def _lsh_pr_oracle() -> str:
+    from .queries import REGISTRY
+
+    truth = REGISTRY["dedup_jaccard_pairs_documents"].oracle
+    lsh = _minhash_lsh_oracle()
+    return f"""
+    WITH truth AS ({truth}),
+    lsh AS ({lsh}),
+    tp AS (
+      SELECT count(*) AS n FROM lsh l
+      JOIN truth t ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+           CAST(tp.n AS BIGINT) AS n_common,
+           CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL
+                ELSE round(CAST(tp.n AS DOUBLE)
+                           / (SELECT count(*) FROM truth), 6)
+           END AS recall,
+           CASE WHEN (SELECT count(*) FROM lsh) = 0 THEN NULL
+                ELSE round(CAST(tp.n AS DOUBLE)
+                           / (SELECT count(*) FROM lsh), 6)
+           END AS precision
+    FROM tp
+    """
+
+
+@register(
+    "dedup_lsh_pr_report",
+    _lsh_pr_oracle(),
+    doc="Dedup-pipeline evaluation harness (E257): recall/precision of "
+    "the MinHash-LSH pipeline (24 perms, 6x4 banding, n=1 slice "
+    "config) against the EXACT token-set Jaccard >= 0.9 ground truth "
+    "on the same slice — the 'no silent caps' readout that quantifies "
+    "what banding loses (recall < 1 = band misses; precision = 1 by "
+    "construction because LSH candidates are exact-verified, and the "
+    "report PROVES that claim rather than asserting it). Composes the "
+    "two existing entries' logic end-to-end on both engines — the "
+    "oracle nests both entries' oracle SQL as CTEs, so this report "
+    "can never drift from what those entries actually compute.",
+)
+def dedup_lsh_pr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs, token_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    truth = token_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    ).persist()
+    lsh = minhash_lsh_pairs(
+        docs, num_perm=_NUM_PERM, bands=_BANDS, n=1, threshold=_JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b").persist()
+    n_truth = truth.count()
+    n_lsh = lsh.count()
+    n_common = truth.join(lsh, ["doc_a", "doc_b"]).count()
+    truth.unpersist()
+    lsh.unpersist()
+    recall = round(n_common / n_truth, 6) if n_truth else None
+    precision = round(n_common / n_lsh, 6) if n_lsh else None
+    return spark.createDataFrame(
+        [(n_truth, n_lsh, n_common, recall, precision)],
+        "n_truth BIGINT, n_lsh BIGINT, n_common BIGINT, "
+        "recall DOUBLE, precision DOUBLE",
+    )
