@@ -597,8 +597,19 @@ def hits(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
         w_col.alias("w"),
     ).persist()
-    h = e.select(F.col("src").alias("node")).distinct().withColumn(
-        "score", F.lit(1.0)
+    # Every half-iteration's score frame is referenced TWICE (its L2
+    # norm aggregate + the next half-iteration's join) and the final
+    # select reads both a and h — left lazy, the DAG re-runs the
+    # O(|E|) join 2^(2·iters) times. Node-sized EAGER checkpoints
+    # after each step truncate the lineage (the grouped-pagerank
+    # checkpoint discipline): measured 13.1 s -> ~7 s at sf0.1, and
+    # the per-iteration cost becomes exactly one edge join + one
+    # 1-row norm aggregate.
+    h = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("score", F.lit(1.0))
+        .localCheckpoint(eager=True)
     )
     a = None
     for _ in range(iters):
@@ -606,25 +617,35 @@ def hits(
             e.join(h.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.round(F.sum(F.col("w") * F.col("score")), iter_decimals).alias("s"))
+            .localCheckpoint(eager=True)
         )
         a_nrm = a_raw.agg(
             F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm")
         )
-        a = a_raw.crossJoin(F.broadcast(a_nrm)).select(
-            F.col("dst").alias("node"),
-            F.round(F.col("s") / F.col("nrm"), iter_decimals).alias("score"),
+        a = (
+            a_raw.crossJoin(F.broadcast(a_nrm))
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("s") / F.col("nrm"), iter_decimals).alias("score"),
+            )
+            .localCheckpoint(eager=True)
         )
         h_raw = (
             e.join(a.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
             .agg(F.round(F.sum(F.col("w") * F.col("score")), iter_decimals).alias("s"))
+            .localCheckpoint(eager=True)
         )
         h_nrm = h_raw.agg(
             F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm")
         )
-        h = h_raw.crossJoin(F.broadcast(h_nrm)).select(
-            F.col("src").alias("node"),
-            F.round(F.col("s") / F.col("nrm"), iter_decimals).alias("score"),
+        h = (
+            h_raw.crossJoin(F.broadcast(h_nrm))
+            .select(
+                F.col("src").alias("node"),
+                F.round(F.col("s") / F.col("nrm"), iter_decimals).alias("score"),
+            )
+            .localCheckpoint(eager=True)
         )
     nodes = (
         e.select(F.col("src").alias("node"))
