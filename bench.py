@@ -458,7 +458,18 @@ def main() -> None:
     )
     timings: dict[str, float] = {}
 
-    names = [n for n in HEADLINE if n in REGISTRY]
+    # Comma-separated entries to skip for LARGE-SF stress runs only —
+    # the labeled exact-quadratic full-corpus baselines (e.g.
+    # embedding_near_dup_pairs: 31e9 pairs at sf1 BY DESIGN; its
+    # scalable variants near_dup_blocked/kmeans are benched). Skips
+    # are printed loudly and recorded in the JSON, never silent.
+    skip = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s
+    }
+    for name in sorted(skip):
+        print(f"# SKIP {name} (SPARK_GRAFT_BENCH_SKIP)", file=sys.stderr)
+
+    names = [n for n in HEADLINE if n in REGISTRY and n not in skip]
     # Warm the JVM + parquet footers once so timings measure query
     # execution, not session bring-up.
     REGISTRY[names[0]].spark_fn(spark, sf_dir).count()
@@ -480,6 +491,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if skip:
+        payload["skipped"] = sorted(skip)
     print(json.dumps(payload))
     # The driver's BENCH_r{N}.json truncates this stdout line, so the
     # full per-query map also lands at a stable judge-readable path
