@@ -364,6 +364,8 @@ HEADLINE = [
     "orders_interarrival_weibull",
     "events_markov_attribution",
     "dedup_lsh_pr_report",
+    "events_page_hinkley_streaming",
+    "orders_cohort_retention_matrix",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries import register
+from .queries import REGISTRY, register
 from .session import load_table
 
 
@@ -8239,8 +8239,6 @@ def events_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles.",
 )
 def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
     daily = ev.groupBy(
         "event_type",
@@ -8255,54 +8253,9 @@ def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("x_micro")
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    seq = daily.select(
-        "event_type",
-        "day",
-        "x_micro",
-        F.row_number().over(Window.partitionBy("event_type").orderBy("day")).alias("t"),
-        F.sum("x_micro").over(w).cast("long").alias("scum"),
-    )
-    dev = seq.select(
-        "event_type",
-        "day",
-        (
-            F.col("x_micro")
-            - F.round(F.col("scum").cast("double") / F.col("t"), 0).cast("long")
-        ).alias("d_micro"),
-    )
-    m = dev.select(
-        "event_type", "day", F.sum("d_micro").over(w).cast("long").alias("m_t")
-    )
-    ph = m.select(
-        "event_type",
-        "day",
-        (F.col("m_t") - F.min("m_t").over(w).cast("long")).alias("ph_micro"),
-    )
-    sel = ph.select(
-        "event_type",
-        "day",
-        "ph_micro",
-        F.count("*").over(Window.partitionBy("event_type")).alias("n_days"),
-        F.row_number()
-        .over(
-            Window.partitionBy("event_type").orderBy(
-                F.col("ph_micro").desc(), F.col("day").asc()
-            )
-        )
-        .alias("rk"),
-    )
-    return sel.filter(F.col("rk") == 1).select(
-        "event_type",
-        F.col("n_days").cast("long").alias("n_days"),
-        F.round(F.col("ph_micro") / 1e6, 6).alias("ph_stat"),
-        F.col("day").alias("drift_day"),
-        (F.col("ph_micro") > 5000000).cast("long").alias("alarm"),
-    )
+    # the PH windows are shared with the streaming form (E258) so the
+    # two entries cannot drift
+    return _ph_from_daily(daily)
 
 
 @register(
@@ -8643,3 +8596,103 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel STRING, removal_effect DOUBLE, share DOUBLE, "
         "attributed_conversions DOUBLE, base_conv_rate DOUBLE",
     )
+
+
+def _ph_from_daily(daily: DataFrame) -> DataFrame:
+    """PH statistic windows over a (event_type, day, x_micro) frame —
+    shared by the batch and streaming Page-Hinkley entries so the two
+    cannot drift (same integer-micro determinism contract)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq = daily.select(
+        "event_type",
+        "day",
+        "x_micro",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("t"),
+        F.sum("x_micro").over(w).cast("long").alias("scum"),
+    )
+    dev = seq.select(
+        "event_type",
+        "day",
+        (
+            F.col("x_micro")
+            - F.round(F.col("scum").cast("double") / F.col("t"), 0).cast("long")
+        ).alias("d_micro"),
+    )
+    m = dev.select(
+        "event_type", "day", F.sum("d_micro").over(w).cast("long").alias("m_t")
+    )
+    ph = m.select(
+        "event_type",
+        "day",
+        (F.col("m_t") - F.min("m_t").over(w).cast("long")).alias("ph_micro"),
+    )
+    sel = ph.select(
+        "event_type",
+        "day",
+        "ph_micro",
+        F.count("*").over(Window.partitionBy("event_type")).alias("n_days"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("ph_micro").desc(), F.col("day").asc()
+            )
+        )
+        .alias("rk"),
+    )
+    return sel.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.col("ph_micro") / 1e6, 6).alias("ph_stat"),
+        F.col("day").alias("drift_day"),
+        (F.col("ph_micro") > 5000000).cast("long").alias("alarm"),
+    )
+
+
+@register(
+    "events_page_hinkley_streaming",
+    REGISTRY["events_page_hinkley_drift"].oracle,
+    doc="The SAME Page-Hinkley drift detector (E248) with its daily "
+    "aggregation executed as a Structured Streaming query (E258): "
+    "readStream file source -> watermark -> 1-day tumbling window "
+    "sum/count per event type -> availableNow drain to a memory "
+    "sink, then the identical integer-micro PH windows over the "
+    "drained days frame (shared helper, so batch and stream cannot "
+    "drift). Hash-checked against the SAME DuckDB oracle as the "
+    "batch form: stream-equals-batch verified at value level for a "
+    "sequential statistic, not just a sum. The streaming stage "
+    "carries only (type, day) state — watermark-bounded; the "
+    "sequential PH scan runs post-drain on the days-dimension frame, "
+    "exactly where a production monitor would fold it.",
+)
+def events_page_hinkley_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stream import read_events_stream, run_to_memory
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    daily_stream = (
+        ev.groupBy(F.col("event_type"), F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.count("*").alias("n"),
+        )
+    )
+    drained = run_to_memory(daily_stream)
+    daily = drained.select(
+        "event_type",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+        F.round(
+            F.col("cents").cast("double") * 10000.0 / F.col("n"), 0
+        )
+        .cast("long")
+        .alias("x_micro"),
+    )
+    return _ph_from_daily(daily)

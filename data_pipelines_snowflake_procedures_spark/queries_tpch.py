@@ -2886,3 +2886,90 @@ def orders_interarrival_weibull(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("scale_days"),
     )
+
+
+@register(
+    "orders_cohort_retention_matrix",
+    """
+    WITH firstq AS (
+      SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS first_dt
+      FROM orders GROUP BY o_custkey
+    ),
+    base AS (
+      SELECT o.o_custkey,
+             year(f.first_dt) * 4 + quarter(f.first_dt) - 1 AS cq,
+             year(f.first_dt) AS cy, quarter(f.first_dt) AS cqt,
+             year(CAST(o.o_orderdate AS DATE)) * 4
+               + quarter(CAST(o.o_orderdate AS DATE)) - 1 AS oq
+      FROM orders o JOIN firstq f ON f.o_custkey = o.o_custkey
+    ),
+    size_ AS (
+      SELECT cq, CAST(count(DISTINCT o_custkey) AS BIGINT) AS cohort_size
+      FROM base GROUP BY cq
+    ),
+    ret AS (
+      SELECT cq, min(cy) AS cy, min(cqt) AS cqt,
+             oq - cq AS quarters_since,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS active_customers
+      FROM base GROUP BY cq, oq - cq
+    )
+    SELECT CAST(r.cy AS VARCHAR) || '-Q' || CAST(r.cqt AS VARCHAR)
+             AS cohort,
+           CAST(r.quarters_since AS BIGINT) AS quarters_since,
+           r.active_customers,
+           s.cohort_size,
+           round(CAST(r.active_customers AS DOUBLE) / s.cohort_size, 6)
+             AS retention
+    FROM ret r JOIN size_ s ON s.cq = r.cq
+    """,
+    doc="Customer repurchase retention triangle by acquisition QUARTER "
+    "(E259): cohort = the quarter of a customer's first order, each "
+    "cell = distinct cohort customers who ordered again k quarters "
+    "later over the cohort size — the revenue-side complement to the "
+    "user/day events_retention_cohorts entry (same triangle shape, "
+    "order-grain truth, quarterly horizon). Integer distinct counts "
+    "+ one rounded division: hash-exact. Plan: one first-order "
+    "aggregate, one customer-keyed join back, one (cohort, offset) "
+    "distinct-count — all partial-aggregable; the triangle is "
+    "quarters^2-sized output regardless of corpus scale.",
+)
+def orders_cohort_retention_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    firstq = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_dt")
+    )
+    base = o.join(firstq, "o_custkey").select(
+        "o_custkey",
+        (F.year("first_dt") * 4 + F.quarter("first_dt") - 1).alias("cq"),
+        F.year("first_dt").alias("cy"),
+        F.quarter("first_dt").alias("cqt"),
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 4
+            + F.quarter(F.col("o_orderdate").cast("date"))
+            - 1
+        ).alias("oq"),
+    ).persist()
+    size_ = base.groupBy("cq").agg(
+        F.countDistinct("o_custkey").cast("long").alias("cohort_size")
+    )
+    ret = base.groupBy("cq", (F.col("oq") - F.col("cq")).alias("quarters_since")).agg(
+        F.min("cy").alias("cy"),
+        F.min("cqt").alias("cqt"),
+        F.countDistinct("o_custkey").cast("long").alias("active_customers"),
+    )
+    out = ret.join(size_, "cq").select(
+        F.concat(
+            F.col("cy").cast("string"), F.lit("-Q"), F.col("cqt").cast("string")
+        ).alias("cohort"),
+        F.col("quarters_since").cast("long").alias("quarters_since"),
+        "active_customers",
+        "cohort_size",
+        F.round(
+            F.col("active_customers").cast("double") / F.col("cohort_size"), 6
+        ).alias("retention"),
+    )
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out

@@ -378,6 +378,9 @@ def test_top_sf1_entries_plan_budgets(spark, sf_dir):
         "knn_recall_report_quantized": (0, 0, 0),
         "knn_ivfpq_embeddings": (3, 0, 7),
         "multimodal_sniff_documents": (0, 4, 0),
+        # round-9 additions whose sf1 time exceeds 10 s
+        "documents_rake_keywords": (0, 0, 0),
+        "trade_graph_hits": (0, 0, 0),
     }
     for name, (max_sh, max_arrow, max_bnlj) in budgets.items():
         report = plan_report(REGISTRY[name].spark_fn(spark, sf_dir))
