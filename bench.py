@@ -366,6 +366,7 @@ HEADLINE = [
     "dedup_lsh_pr_report",
     "events_page_hinkley_streaming",
     "orders_cohort_retention_matrix",
+    "orders_interarrival_hazard_curve",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

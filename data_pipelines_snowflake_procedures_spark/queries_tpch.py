@@ -2973,3 +2973,81 @@ def orders_cohort_retention_matrix(
     out = out.localCheckpoint(eager=True)
     base.unpersist()
     return out
+
+
+@register(
+    "orders_interarrival_hazard_curve",
+    """
+    WITH gaps AS (
+      SELECT date_diff('day',
+               CAST(lag(o_orderdate) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS DATE),
+               CAST(o_orderdate AS DATE)) AS gap
+      FROM orders
+    ),
+    hist AS (
+      SELECT gap, CAST(count(*) AS BIGINT) AS deaths
+      FROM gaps WHERE gap >= 1 GROUP BY gap
+    ),
+    cum AS (
+      SELECT gap, deaths,
+             CAST(sum(deaths) OVER (ORDER BY gap ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_d,
+             CAST(sum(deaths) OVER () AS BIGINT) AS n
+      FROM hist
+    )
+    SELECT gap AS t_days,
+           CAST(n - cum_d + deaths AS BIGINT) AS at_risk,
+           deaths,
+           round(CAST(deaths AS DOUBLE) / (n - cum_d + deaths), 6) AS hazard,
+           round(CAST(n - cum_d AS DOUBLE) / n, 6) AS survival
+    FROM cum
+    """,
+    doc="Nonparametric discrete-time hazard/survival curve of customer "
+    "re-order gaps (E260, the life-table estimator): at each observed "
+    "gap length t, at-risk = gaps >= t, hazard h(t) = deaths(t)/"
+    "at_risk(t), survival S(t) = gaps > t over all gaps — with fully "
+    "observed integer gaps the Kaplan-Meier product collapses to this "
+    "exact counting form, so every value is one division of integers: "
+    "hash-exact, no cumulative float product anywhere. The "
+    "nonparametric complement to the parametric Weibull fit (E255): "
+    "the Weibull says WHICH law, this says what the data does at "
+    "every t. Plan: one lag window + gap-histogram aggregation; the "
+    "curve windows run over the days-dimension histogram, never raw "
+    "rows.",
+)
+def orders_interarrival_hazard_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag("o_orderdate").over(w).cast("date"),
+        ).alias("gap")
+    ).filter(F.col("gap") >= 1)
+    hist = gaps.groupBy("gap").agg(F.count("*").cast("long").alias("deaths"))
+    w_cum = Window.orderBy("gap").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("gap").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "gap",
+        "deaths",
+        F.sum("deaths").over(w_cum).cast("long").alias("cum_d"),
+        F.sum("deaths").over(w_all).cast("long").alias("n"),
+    )
+    at_risk = F.col("n") - F.col("cum_d") + F.col("deaths")
+    return cum.select(
+        F.col("gap").alias("t_days"),
+        at_risk.cast("long").alias("at_risk"),
+        "deaths",
+        F.round(F.col("deaths").cast("double") / at_risk, 6).alias("hazard"),
+        F.round(
+            (F.col("n") - F.col("cum_d")).cast("double") / F.col("n"), 6
+        ).alias("survival"),
+    )
