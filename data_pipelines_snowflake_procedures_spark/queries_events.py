@@ -1583,7 +1583,16 @@ def events_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.stream import dedup_stream, run_to_memory
 
-    return run_to_memory(dedup_stream(spark, sf_dir), output_mode="append")
+    # per-drain state-store opt-out (the r6 contract): the dedup state
+    # is insert-once per event_id with nothing read back or evicted
+    # inside a batch — the in-JVM HDFS-store map wins decisively over
+    # RocksDB's per-op native calls (A/B at sf1, r9: 37.4 s vs
+    # 130.4 s; RocksDB drifted to the 120 s drain deadline on a slow
+    # box and produced a truncated 0-row table — a correctness
+    # hazard, not just a perf note)
+    return run_to_memory(
+        dedup_stream(spark, sf_dir), output_mode="append", state_store="hdfs"
+    )
 
 
 @register(
