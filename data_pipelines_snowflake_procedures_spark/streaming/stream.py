@@ -266,9 +266,22 @@ def run_to_memory(
                     break
         if not stop:
             _time.sleep(0.2)
+    timed_out = q.isActive and not stop
     if q.isActive:
         q.stop()
     q.awaitTermination(30)
+    if timed_out and not saw_data:
+        # Deadline hit before any data batch completed: the memory
+        # table is EMPTY/partial and returning it would silently hand
+        # wrong results downstream (observed at sf1 on a slow box:
+        # the dedup drain crossed 120 s once and yielded 0 rows).
+        # Truncation after data batches completed is still fine — the
+        # remaining work is only the watermark-flush no-data batch.
+        raise RuntimeError(
+            f"streaming drain '{name}' hit the {timeout_sec}s deadline "
+            "before completing any data batch — raise timeout_sec or "
+            "reduce state pressure (see state_store)"
+        )
     spark = streaming_df.sparkSession
     return spark.table(name)
 
