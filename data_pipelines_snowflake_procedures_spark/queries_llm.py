@@ -5717,93 +5717,122 @@ def _rake_oracle() -> str:
     "iterations — using the repo's standard tokenizer and the "
     "(deliberately tiny) English stopword lexicon as delimiters. "
     "Word scores round to integer micro-units so phrase sums are "
-    "exact: hash-exact cross-engine. Plan: everything is keyed by "
-    "(doc_id[, phrase/token]) — token-grain groupBys and joins that "
-    "partition perfectly at 100 TB; the only window is the per-doc "
-    "position scan.",
+    "exact: hash-exact cross-engine. Plan: phrases are segmented "
+    "MAP-SIDE from the token array (stopword boundary positions + "
+    "slices — no per-token window scan), so only three exchanges "
+    "remain: the (doc_id, tok) word-stat groupBy (partial-agg "
+    "combined), the per-doc word-score map build, and the "
+    "phrase-grain join back — the top-3 selection reuses the join's "
+    "doc_id hash partitioning with no further exchange. Everything "
+    "is keyed by doc_id and partitions perfectly at 100 TB.",
 )
 def documents_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from .operators.text import QUALITY_STOPWORDS, tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    pos = docs.select(
-        "doc_id",
-        F.posexplode(F.filter(tokens("text"), lambda t: t != "")).alias(
-            "i0", "tok"
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    # Stopword positions delimit phrases; slice between consecutive
+    # boundaries (padded with -1 / size) and drop empty runs.
+    stops = F.filter(
+        F.transform(
+            toks, lambda t, i: F.when(t.isin(*QUALITY_STOPWORDS), i).otherwise(F.lit(-1))
         ),
-    ).select(
-        "doc_id",
-        (F.col("i0") + 1).alias("i"),
-        "tok",
-        F.array_contains(
-            F.array(*[F.lit(w) for w in QUALITY_STOPWORDS]), F.col("tok")
-        )
-        .cast("int")
-        .alias("is_stop"),
+        lambda x: x >= 0,
     )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    bounds = F.concat(
+        F.array(F.lit(-1)), stops, F.array(F.size(toks))
     )
-    seg = pos.select(
-        "doc_id", "i", "tok", "is_stop", F.sum("is_stop").over(w).alias("pid")
+    phrases = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size(stops)),
+            lambda k: F.slice(
+                toks,
+                F.element_at(bounds, (k + 1).cast("int")) + 2,
+                F.element_at(bounds, (k + 2).cast("int"))
+                - F.element_at(bounds, (k + 1).cast("int"))
+                - 1,
+            ),
+        ),
+        lambda a: F.size(a) > 0,
     )
-    ptoks = seg.filter(F.col("is_stop") == 0).select("doc_id", "pid", "i", "tok")
-    ptoks = ptoks.persist()
-    plen = ptoks.groupBy("doc_id", "pid").agg(F.count("*").alias("plen"))
+    ph = (
+        docs.select("doc_id", F.explode(phrases).alias("ptoks"))
+        .select("doc_id", "ptoks", F.size("ptoks").alias("plen"))
+        .persist()
+    )
     wstat = (
-        ptoks.join(plen, ["doc_id", "pid"])
+        ph.select("doc_id", "plen", F.explode("ptoks").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(
             F.count("*").alias("freq"),
             F.sum("plen").cast("long").alias("deg"),
         )
     )
-    wscore = wstat.select(
-        "doc_id",
-        "tok",
-        F.round(F.col("deg").cast("double") * 1e6 / F.col("freq"), 0)
-        .cast("long")
-        .alias("wsm"),
-    )
-    pscore = (
-        ptoks.join(wscore, ["doc_id", "tok"])
-        .groupBy("doc_id", "pid")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("phrase"),
-            F.sum("wsm").cast("long").alias("sm"),
-        )
-    )
-    dedup = pscore.groupBy("doc_id", "phrase").agg(F.max("sm").alias("sm"))
-    ranked = dedup.select(
-        "doc_id",
-        "phrase",
-        "sm",
-        F.row_number()
-        .over(
-            Window.partitionBy("doc_id").orderBy(
-                F.col("sm").desc(), F.col("phrase").asc()
+    wmap = wstat.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("tok"),
+                    F.round(F.col("deg").cast("double") * 1e6 / F.col("freq"), 0)
+                    .cast("long")
+                    .alias("wsm"),
+                )
             )
-        )
-        .alias("rk"),
-    ).filter(F.col("rk") <= 3)
-    out = ranked.select(
+        ).alias("wm")
+    )
+    scored = ph.join(wmap, "doc_id").select(
         "doc_id",
-        F.col("rk").cast("long").alias("rank"),
-        "phrase",
-        F.round(F.col("sm") / 1e6, 6).alias("score"),
+        F.struct(
+            F.array_join("ptoks", " ").alias("phrase"),
+            (
+                -F.aggregate(
+                    "ptoks",
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.element_at(F.col("wm"), t),
+                )
+            ).alias("neg"),
+        ).alias("ps"),
+    )
+    # Top-3 per doc without a window: collect per-doc phrase structs
+    # (doc_id partitioning carries over from the join — no exchange),
+    # sort (phrase asc, sm desc), drop adjacent duplicate phrases
+    # (keeps each phrase's max score), re-sort (sm desc, phrase asc),
+    # slice 3.
+    per_doc = scored.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("ps")).alias("srt")
+    )
+    dedup = F.aggregate(
+        F.col("srt"),
+        F.slice(F.col("srt"), 1, 0),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1)["phrase"] == x["phrase"]),
+            acc,
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    top3 = F.slice(
+        F.array_sort(
+            F.transform(
+                dedup,
+                lambda x: F.struct(
+                    x["neg"].alias("neg"), x["phrase"].alias("phrase")
+                ),
+            )
+        ),
+        1,
+        3,
+    )
+    out = (
+        per_doc.select("doc_id", F.posexplode(top3).alias("p", "s"))
+        .select(
+            "doc_id",
+            (F.col("p") + 1).cast("long").alias("rank"),
+            F.col("s")["phrase"].alias("phrase"),
+            F.round(-F.col("s")["neg"] / 1e6, 6).alias("score"),
+        )
     )
     out = out.localCheckpoint(eager=True)
-    ptoks.unpersist()
+    ph.unpersist()
     return out
 
 
