@@ -8705,3 +8705,340 @@ def events_page_hinkley_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("x_micro"),
     )
     return _ph_from_daily(daily)
+
+
+@register(
+    "events_type_rate_poisson_test",
+    """
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day',
+                       (SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                        FROM events),
+                       CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS dd
+      FROM events
+    ),
+    span AS (
+      SELECT CAST(max(dd) AS BIGINT) AS total,
+             CAST(floor(max(dd) / 2) AS BIGINT) AS half
+      FROM d
+    ),
+    c AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN dd < (SELECT half FROM span)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN dd >= (SELECT half FROM span)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type,
+           n1 AS n_first, n2 AS n_second,
+           s.half AS days_first,
+           CAST(s.total - s.half + 1 AS BIGINT) AS days_second,
+           CASE WHEN n2 = 0 THEN NULL
+                ELSE round(CAST(n1 AS DOUBLE) * (s.total - s.half + 1)
+                           / (CAST(n2 AS DOUBLE) * s.half), 6)
+           END AS rate_ratio,
+           round((n1 - (n1 + n2) * (CAST(s.half AS DOUBLE)
+                                    / (s.total + 1)))
+                 / sqrt((n1 + n2) * (CAST(s.half AS DOUBLE) / (s.total + 1))
+                        * (1 - CAST(s.half AS DOUBLE) / (s.total + 1))), 6)
+             AS z_score,
+           abs((n1 - (n1 + n2) * (CAST(s.half AS DOUBLE) / (s.total + 1)))
+               / sqrt((n1 + n2) * (CAST(s.half AS DOUBLE) / (s.total + 1))
+                      * (1 - CAST(s.half AS DOUBLE) / (s.total + 1))))
+             > 1.96 AS sig_95
+    FROM c, span s
+    """,
+    doc="Two-period Poisson rate test per event type (E262): split the "
+    "observed day span at its midpoint, count each type's events in "
+    "the two halves, and test rate equality with the conditional "
+    "binomial (given N = n1+n2, n1 ~ Bin(N, d1/(d1+d2)) under H0) "
+    "normal-approximation z -- the standard 'did this event type's "
+    "rate change?' readout, with the exposure-corrected rate ratio as "
+    "the effect size. Complements the Page-Hinkley drift entries: "
+    "those find WHEN a level shift happened, this quantifies "
+    "first-half vs second-half with significance. Exposure is integer "
+    "days so the split is identical cross-engine. Plan: one map-side "
+    "day-offset projection against the broadcast min-day, one "
+    "type-grain aggregate; z arithmetic on the handful of type rows.",
+)
+def events_type_rate_poisson_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    mind = ev.agg(F.min("day").alias("min_day"))
+    d = ev.crossJoin(F.broadcast(mind)).select(
+        "event_type", F.datediff("day", "min_day").alias("dd")
+    )
+    span = d.agg(
+        F.max("dd").cast("long").alias("total"),
+        F.floor(F.max("dd") / 2).cast("long").alias("half"),
+    )
+    c = (
+        d.crossJoin(F.broadcast(span))
+        .groupBy("event_type", "total", "half")
+        .agg(
+            F.sum((F.col("dd") < F.col("half")).cast("int"))
+            .cast("long")
+            .alias("n1"),
+            F.sum((F.col("dd") >= F.col("half")).cast("int"))
+            .cast("long")
+            .alias("n2"),
+        )
+    )
+    p0 = F.col("half").cast("double") / (F.col("total") + 1)
+    nn = F.col("n1") + F.col("n2")
+    z = (F.col("n1") - nn * p0) / F.sqrt(nn * p0 * (1 - p0))
+    return c.select(
+        "event_type",
+        F.col("n1").alias("n_first"),
+        F.col("n2").alias("n_second"),
+        F.col("half").alias("days_first"),
+        (F.col("total") - F.col("half") + 1).cast("long").alias("days_second"),
+        F.when(
+            F.col("n2") == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.round(
+                F.col("n1").cast("double")
+                * (F.col("total") - F.col("half") + 1)
+                / (F.col("n2").cast("double") * F.col("half")),
+                6,
+            )
+        ).alias("rate_ratio"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.96).alias("sig_95"),
+    )
+
+
+@register(
+    "events_markov_entropy_rate",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+             ) AS nxt
+      FROM events
+    ),
+    trans AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    rowt AS (
+      SELECT cur, CAST(sum(cnt) AS BIGINT) AS row_total FROM trans GROUP BY cur
+    ),
+    ent AS (
+      SELECT t.cur,
+             CAST(sum(CAST(round(
+               -(CAST(t.cnt AS DOUBLE) / r.row_total)
+                 * log2(CAST(t.cnt AS DOUBLE) / r.row_total) * 1e12, 0)
+               AS BIGINT)) AS BIGINT) AS ent_pico,
+             r.row_total
+      FROM trans t JOIN rowt r ON r.cur = t.cur
+      GROUP BY t.cur, r.row_total
+    ),
+    n AS (SELECT CAST(sum(row_total) AS BIGINT) AS total FROM rowt)
+    SELECT cur AS from_type,
+           row_total AS n_trans,
+           round(ent_pico / 1e12, 6) AS row_entropy_bits,
+           round(CAST(row_total AS DOUBLE) / n.total, 6) AS weight,
+           round((CAST(row_total AS DOUBLE) / n.total)
+                 * (ent_pico / 1e12), 6) AS contribution_bits
+    FROM ent, n
+    """,
+    doc="Empirical entropy rate of the session Markov chain (E268): "
+    "per-source-state conditional next-step entropy "
+    "H(X_t+1 | X_t = s) = -sum_j p_sj log2 p_sj over the same "
+    "per-user consecutive-event transitions as the stationary-"
+    "distribution entry (E248's extraction, verbatim), weighted by "
+    "the empirical source frequency -- the sum of contribution_bits "
+    "IS the chain's entropy rate H(X_t+1 | X_t), the "
+    "predictability-of-behavior readout that the stationary "
+    "distribution alone doesn't give. Per-term entropy rounds to "
+    "pico-units before the integer sum (the JS-divergence "
+    "convention) so the float log never meets a cross-engine "
+    "nondeterministic sum. Plan: one lead window at event grain, "
+    "then everything is on the types-x-types transition matrix.",
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    rowt = trans.groupBy("cur").agg(
+        F.sum("cnt").cast("long").alias("row_total")
+    )
+    p = F.col("cnt").cast("double") / F.col("row_total")
+    ent = (
+        trans.join(rowt, "cur")
+        .groupBy("cur", "row_total")
+        .agg(
+            F.sum(
+                F.round(-p * F.log2(p) * 1e12, 0).cast("long")
+            )
+            .cast("long")
+            .alias("ent_pico")
+        )
+    )
+    n = rowt.agg(F.sum("row_total").cast("long").alias("total"))
+    return ent.crossJoin(F.broadcast(n)).select(
+        F.col("cur").alias("from_type"),
+        F.col("row_total").alias("n_trans"),
+        F.round(F.col("ent_pico") / 1e12, 6).alias("row_entropy_bits"),
+        F.round(F.col("row_total").cast("double") / F.col("total"), 6).alias(
+            "weight"
+        ),
+        F.round(
+            (F.col("row_total").cast("double") / F.col("total"))
+            * (F.col("ent_pico") / 1e12),
+            6,
+        ).alias("contribution_bits"),
+    )
+
+
+#: Chi-square 95th-percentile critical values for df = 1..24 (standard
+#: table, e.g. Abramowitz & Stegun 26.8) — the Ljung-Box rejection line.
+_CHI2_95 = [
+    3.841459, 5.991465, 7.814728, 9.487729, 11.070498, 12.591587,
+    14.067140, 15.507313, 16.918978, 18.307038, 19.675138, 21.026070,
+    22.362032, 23.684791, 24.995790, 26.296228, 27.587112, 28.869299,
+    30.143527, 31.410433, 32.670573, 33.924438, 35.172462, 36.415029,
+]
+
+
+@register(
+    "events_hourly_ljung_box",
+    f"""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR,
+                                          CAST(ts AS TIMESTAMP))) / 3600)
+                  AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+      FROM hourly
+    ),
+    u AS (
+      SELECT x, CAST((SELECT n FROM st) * y - (SELECT s FROM st) AS BIGINT)
+               AS u
+      FROM hourly
+    ),
+    den AS (SELECT CAST(sum(u * u) AS BIGINT) AS den FROM u),
+    lags AS (SELECT unnest(range(1, 25)) AS lag),
+    num AS (
+      SELECT l.lag, CAST(sum(a.u * b.u) AS BIGINT) AS num
+      FROM lags l
+      JOIN u a ON TRUE
+      JOIN u b ON b.x = a.x + l.lag
+      GROUP BY l.lag
+    ),
+    r AS (
+      SELECT lag, CAST(num AS DOUBLE) / (SELECT den FROM den) AS r
+      FROM num
+    ),
+    q AS (
+      SELECT lag, r,
+             (SELECT n FROM st) * ((SELECT n FROM st) + 2)
+               * sum(r * r / ((SELECT n FROM st) - lag))
+                   OVER (ORDER BY lag ROWS UNBOUNDED PRECEDING) AS q_stat
+      FROM r
+    ),
+    crit AS (
+      SELECT unnest(range(1, 25)) AS lag,
+             unnest({_CHI2_95}) AS crit_95
+    )
+    SELECT q.lag AS lag, round(q.r, 6) AS r, round(q.q_stat, 6) AS q_stat,
+           crit.crit_95, q.q_stat > crit.crit_95 AS reject_95
+    FROM q JOIN crit ON crit.lag = q.lag
+    """,
+    doc="Ljung-Box portmanteau white-noise test on hourly event volume "
+    "(E269): common-mean autocorrelations r_k at lags 1..24 and the "
+    "cumulative Q_m = n(n+2) sum r_k^2/(n-k) against the chi-square "
+    "95% line (literal public table, df = m). The SIGNIFICANCE "
+    "complement to the ACF entry (E119 computes per-lag Pearson r "
+    "descriptively; Ljung-Box asks 'is there ANY autocorrelation "
+    "through lag m' with one number). Exactness: the series is "
+    "centered in integers (u_t = n*y_t - S, so r_k = sum u_t u_t+k / "
+    "sum u_t^2 is a ratio of exact BIGINTs; pairs align on absolute "
+    "hour offset, gap hours drop from pairs on both engines alike); "
+    "the only float accumulation is the 24-term cumulative Q, which "
+    "runs in lag order through an ordered window -- deterministic. "
+    "Plan: one hour-grain aggregate; lags explode the ~hundreds-row "
+    "hourly dimension x24, never event rows.",
+)
+def events_hourly_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.floor(F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+            .cast("long")
+            .alias("x")
+        )
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    st = hourly.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    u = hourly.crossJoin(F.broadcast(st)).select(
+        "x",
+        "n",
+        (F.col("n") * F.col("y") - F.col("s")).cast("long").alias("u"),
+    )
+    den = u.agg(F.sum(F.col("u") * F.col("u")).cast("long").alias("den"))
+    lags = spark.range(1, 25).select(F.col("id").cast("long").alias("lag"))
+    a = u.select(F.col("x").alias("xa"), F.col("u").alias("ua"), "n")
+    b = u.select(F.col("x").alias("xb"), F.col("u").alias("ub"))
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("xb") == F.col("xa") + F.col("lag")
+    )
+    num = pairs.groupBy("lag", "n").agg(
+        F.sum(F.col("ua") * F.col("ub")).cast("long").alias("num")
+    )
+    r = num.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n",
+        (F.col("num").cast("double") / F.col("den")).alias("r"),
+    )
+    w_cum = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    q = r.select(
+        "lag",
+        "r",
+        (
+            F.col("n")
+            * (F.col("n") + 2)
+            * F.sum(F.col("r") * F.col("r") / (F.col("n") - F.col("lag"))).over(
+                w_cum
+            )
+        ).alias("q_stat"),
+    )
+    crit = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(_CHI2_95)], "lag long, crit_95 double"
+    )
+    return q.join(F.broadcast(crit), "lag").select(
+        "lag",
+        F.round("r", 6).alias("r"),
+        F.round("q_stat", 6).alias("q_stat"),
+        "crit_95",
+        (F.col("q_stat") > F.col("crit_95")).alias("reject_95"),
+    )

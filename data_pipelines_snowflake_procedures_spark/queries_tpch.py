@@ -3051,3 +3051,336 @@ def orders_interarrival_hazard_curve(
             (F.col("n") - F.col("cum_d")).cast("double") / F.col("n"), 6
         ).alias("survival"),
     )
+
+
+@register(
+    "part_brand_return_odds_ratio",
+    """
+    WITH j AS (
+      SELECT p.p_brand AS brand,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    b AS (
+      SELECT brand,
+             CAST(sum(ret) AS BIGINT) AS a,
+             CAST(count(*) - sum(ret) AS BIGINT) AS bb
+      FROM j GROUP BY brand
+    ),
+    t AS (
+      SELECT brand, a, bb,
+             CAST(sum(a) OVER () - a AS BIGINT) AS c,
+             CAST(sum(bb) OVER () - bb AS BIGINT) AS d
+      FROM b
+    )
+    SELECT brand,
+           a AS n_return, CAST(a + bb AS BIGINT) AS n_lines,
+           round((a + 0.5) * (d + 0.5) / ((bb + 0.5) * (c + 0.5)), 6)
+             AS odds_ratio,
+           round(ln((a + 0.5) * (d + 0.5) / ((bb + 0.5) * (c + 0.5))), 6)
+             AS log_or,
+           round(sqrt(1.0 / (a + 0.5) + 1.0 / (bb + 0.5)
+                      + 1.0 / (c + 0.5) + 1.0 / (d + 0.5)), 6) AS se_log,
+           round(ln((a + 0.5) * (d + 0.5) / ((bb + 0.5) * (c + 0.5)))
+                 - 1.96 * sqrt(1.0 / (a + 0.5) + 1.0 / (bb + 0.5)
+                               + 1.0 / (c + 0.5) + 1.0 / (d + 0.5)), 6)
+             AS lo95_log,
+           round(ln((a + 0.5) * (d + 0.5) / ((bb + 0.5) * (c + 0.5)))
+                 + 1.96 * sqrt(1.0 / (a + 0.5) + 1.0 / (bb + 0.5)
+                               + 1.0 / (c + 0.5) + 1.0 / (d + 0.5)), 6)
+             AS hi95_log
+    FROM t
+    """,
+    doc="Per-brand return-rate effect size (E261): the 2x2 odds ratio "
+    "of (brand vs rest) x (returned vs kept) with the Haldane-Anscombe "
+    "+0.5 continuity correction applied to every cell (so zero cells "
+    "never divide by zero and the estimate is always defined), plus "
+    "the Woolf log-scale standard error and 95% CI. The effect-size "
+    "complement to the G-test/FDR entries: those say WHETHER a brand's "
+    "return rate differs, this says BY HOW MUCH with uncertainty. "
+    "Plan: one fact-side join to the part dim, one brand-grain "
+    "aggregate; the margin totals come from a window over the "
+    "25-row brand aggregate, never the fact rows.",
+)
+def part_brand_return_odds_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", (F.col("l_returnflag") == "R").cast("int").alias("ret")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum("ret").cast("long").alias("a"),
+            (F.count("*") - F.sum("ret")).cast("long").alias("bb"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = b.select(
+        "brand",
+        "a",
+        "bb",
+        (F.sum("a").over(w_all) - F.col("a")).cast("long").alias("c"),
+        (F.sum("bb").over(w_all) - F.col("bb")).cast("long").alias("d"),
+    )
+    a5 = F.col("a") + 0.5
+    b5 = F.col("bb") + 0.5
+    c5 = F.col("c") + 0.5
+    d5 = F.col("d") + 0.5
+    orr = a5 * d5 / (b5 * c5)
+    se = F.sqrt(1.0 / a5 + 1.0 / b5 + 1.0 / c5 + 1.0 / d5)
+    return t.select(
+        "brand",
+        F.col("a").alias("n_return"),
+        (F.col("a") + F.col("bb")).cast("long").alias("n_lines"),
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.log(orr), 6).alias("log_or"),
+        F.round(se, 6).alias("se_log"),
+        F.round(F.log(orr) - 1.96 * se, 6).alias("lo95_log"),
+        F.round(F.log(orr) + 1.96 * se, 6).alias("hi95_log"),
+    )
+
+
+@register(
+    "orders_price_emd_yearly",
+    """
+    WITH pr AS (
+      SELECT year(o_orderdate) AS yr, o_totalprice AS p FROM orders
+    ),
+    mm AS (SELECT min(p) AS lo, max(p) AS hi FROM pr),
+    binned AS (
+      SELECT yr,
+             CASE WHEN (SELECT hi FROM mm) = (SELECT lo FROM mm) THEN 0
+                  ELSE least(CAST(floor((p - (SELECT lo FROM mm))
+                             / (((SELECT hi FROM mm) - (SELECT lo FROM mm))
+                                / 50.0)) AS INT), 49)
+             END AS bin
+      FROM pr
+    ),
+    grid AS (
+      SELECT y.yr, g.bin
+      FROM (SELECT DISTINCT yr FROM pr) y,
+           (SELECT unnest(range(50)) AS bin) g
+    ),
+    cnt AS (
+      SELECT g.yr, g.bin,
+             CAST(count(b.bin) AS BIGINT) AS c
+      FROM grid g LEFT JOIN binned b ON b.yr = g.yr AND b.bin = g.bin
+      GROUP BY g.yr, g.bin
+    ),
+    cum AS (
+      SELECT yr, bin,
+             CAST(sum(c) OVER (PARTITION BY yr ORDER BY bin
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc,
+             CAST(sum(c) OVER (PARTITION BY yr) AS BIGINT) AS n
+      FROM cnt
+    )
+    SELECT a.yr AS year_a, b.yr AS year_b,
+           round((((SELECT hi FROM mm) - (SELECT lo FROM mm)) / 50.0)
+                 * CAST(sum(abs(a.cc * b.n - b.cc * a.n)) AS DOUBLE)
+                 / (a.n * b.n), 6) AS emd
+    FROM cum a JOIN cum b ON b.yr = a.yr + 1 AND b.bin = a.bin
+    GROUP BY a.yr, b.yr, a.n, b.n
+    """,
+    doc="Year-over-year distribution drift of order prices as a true "
+    "metric (E266): the 1-D earth mover's (Wasserstein-1) distance "
+    "between consecutive years' o_totalprice distributions on a shared "
+    "50-bin equi-width grid - EMD = bin_width * sum |CDF_a - CDF_b|. "
+    "Complements the PSI entry (orders_price_drift_psi): PSI is a "
+    "divergence that explodes on empty bins and ignores bin ADJACENCY; "
+    "EMD is a metric that weights drift by how FAR the mass moved. "
+    "Exactness: the CDF difference is computed cross-multiplied in "
+    "BIGINT (|cum_a*n_b - cum_b*n_a|), so the only floats are the "
+    "final division and the bin-width scale. Plan: one fact-grain "
+    "binning pass (min/max broadcast), then everything is on the "
+    "years-x-50-bins dimension grid.",
+)
+def orders_price_emd_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"), F.col("o_totalprice").alias("p")
+    )
+    mm = o.agg(
+        F.min("p").alias("lo"), F.max("p").alias("hi")
+    )
+    binned = o.crossJoin(F.broadcast(mm)).select(
+        "yr",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("p") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 50.0)
+                ).cast("int"),
+                F.lit(49),
+            )
+        )
+        .alias("bin"),
+    )
+    years = o.select("yr").distinct()
+    bins = spark.range(50).select(F.col("id").cast("int").alias("bin"))
+    grid = years.crossJoin(F.broadcast(bins))
+    cnt = (
+        grid.join(
+            binned.groupBy("yr", "bin").agg(F.count("*").alias("c0")),
+            ["yr", "bin"],
+            "left",
+        )
+        .select("yr", "bin", F.coalesce("c0", F.lit(0)).alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("yr")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_n = Window.partitionBy("yr")
+    cum = cnt.select(
+        "yr",
+        "bin",
+        F.sum("c").over(w_cum).cast("long").alias("cc"),
+        F.sum("c").over(w_n).cast("long").alias("n"),
+    )
+    a = cum.alias("a")
+    b = cum.alias("b")
+    pair = a.join(
+        b,
+        (F.col("b.yr") == F.col("a.yr") + 1) & (F.col("b.bin") == F.col("a.bin")),
+    )
+    width = mm.select(
+        ((F.col("hi") - F.col("lo")) / 50.0).alias("w")
+    )
+    return (
+        pair.groupBy(
+            F.col("a.yr").alias("year_a"),
+            F.col("b.yr").alias("year_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(
+            F.sum(
+                F.abs(F.col("a.cc") * F.col("b.n") - F.col("b.cc") * F.col("a.n"))
+            ).alias("s")
+        )
+        .crossJoin(F.broadcast(width))
+        .select(
+            "year_a",
+            "year_b",
+            F.round(
+                F.col("w") * F.col("s").cast("double") / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("emd"),
+        )
+    )
+
+
+@register(
+    "orders_monthly_mann_kendall",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mo,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY mo) AS i, rev FROM m
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+                           WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM idx a JOIN idx b ON b.i > a.i
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+    ties AS (
+      SELECT COALESCE(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+               AS tie_adj
+      FROM (SELECT count(*) AS t FROM idx GROUP BY rev HAVING count(*) > 1)
+    )
+    SELECT n.n AS n_months,
+           s.s_stat,
+           round((n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_adj) / 18.0, 6)
+             AS var_s,
+           round(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                        / sqrt((n.n * (n.n - 1) * (2 * n.n + 5)
+                                - ties.tie_adj) / 18.0)
+                      WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                        / sqrt((n.n * (n.n - 1) * (2 * n.n + 5)
+                                - ties.tie_adj) / 18.0)
+                      ELSE 0.0 END, 6) AS z_score,
+           CASE WHEN s.s_stat > 0 AND abs((s.s_stat - 1)
+                  / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_adj)
+                         / 18.0)) > 1.96 THEN 'increasing'
+                WHEN s.s_stat < 0 AND abs((s.s_stat + 1)
+                  / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_adj)
+                         / 18.0)) > 1.96 THEN 'decreasing'
+                ELSE 'no trend' END AS trend
+    FROM s, n, ties
+    """,
+    doc="Mann-Kendall nonparametric trend TEST on monthly revenue "
+    "(E267): S = sum of sign(rev_j - rev_i) over all i<j month pairs, "
+    "variance with the exact tie correction, continuity-corrected "
+    "z-score and the 5% two-sided verdict. The significance complement "
+    "to the Theil-Sen slope estimator (events_theilsen_trend): that "
+    "entry says how steep, this says whether a monotone trend exists "
+    "at all, with no distributional assumption. Monthly revenue sums "
+    "in integer cents so the sign comparisons are exact. Plan: the "
+    "pair join runs over the ~84-row month aggregate (dimension-sized "
+    "triangle), never order rows.",
+)
+def orders_monthly_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").alias("mo"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    m = o.groupBy("mo").agg(F.sum("cents").cast("long").alias("rev"))
+    idx = m.select(
+        F.row_number().over(Window.orderBy("mo")).alias("i"), "rev"
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    s = a.join(b, F.col("b.i") > F.col("a.i")).agg(
+        F.sum(
+            F.when(F.col("b.rev") > F.col("a.rev"), 1)
+            .when(F.col("b.rev") < F.col("a.rev"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat")
+    )
+    n = idx.agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        idx.groupBy("rev")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_adj")
+        )
+    )
+    row = s.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ties))
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_adj")
+    ) / 18.0
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return row.select(
+        F.col("n").alias("n_months"),
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z_score"),
+        F.when((F.col("s_stat") > 0) & (F.abs(z) > 1.96), "increasing")
+        .when((F.col("s_stat") < 0) & (F.abs(z) > 1.96), "decreasing")
+        .otherwise("no trend")
+        .alias("trend"),
+    )
