@@ -5899,3 +5899,223 @@ def dedup_lsh_pr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth BIGINT, n_lsh BIGINT, n_common BIGINT, "
         "recall DOUBLE, precision DOUBLE",
     )
+
+
+@register(
+    "documents_ngram_novelty",
+    f"""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, source, gram
+      FROM (
+        SELECT doc_id, source, toks,
+               array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+        FROM (SELECT doc_id, source, {_CLEAN_TOKS} AS toks FROM documents),
+             unnest(range(1, len(toks) - 3)) AS t(i)
+        WHERE len(toks) >= 5
+      )
+    ),
+    first_seen AS (
+      SELECT gram, CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM grams GROUP BY gram
+    ),
+    per_doc AS (
+      SELECT g.doc_id, g.source,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS novel
+      FROM grams g JOIN first_seen f ON f.gram = g.gram
+      GROUP BY g.doc_id, g.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(total) AS BIGINT) AS n_grams,
+           CAST(sum(novel) AS BIGINT) AS n_novel,
+           round(sum(CAST(round(novel * 1e6 / total, 0) AS BIGINT))
+                 / count(*) / 1e6, 6) AS mean_novelty
+    FROM per_doc GROUP BY source
+    """,
+    doc="Per-source n-gram novelty of the corpus in ingestion order "
+    "(E264): a document's novelty is the fraction of its DISTINCT "
+    "token 5-grams whose first occurrence (min doc_id across the "
+    "whole corpus) is the document itself -- the memorization-risk / "
+    "content-freshness readout used to spot sources that mostly "
+    "re-serve already-seen text (boilerplate mirrors score near 0, "
+    "original text near 1). Complements the dedup family: exact/near "
+    "dedup asks 'is this DOCUMENT a copy'; novelty measures sub-"
+    "document reuse mass without removing anything. Per-doc novelty "
+    "rounds to integer micro-units before the source mean (exact "
+    "integer sums). Plan: one distinct-gram explode, one gram-grain "
+    "min aggregate joined back at gram grain (both partition by the "
+    "gram hash at 100 TB), then doc- and source-grain rollups.",
+)
+def documents_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    grams = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.when(
+                    F.size(toks) >= 5,
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(toks) - 4),
+                            lambda i: F.array_join(
+                                F.slice(toks, i, 5), " "
+                            ),
+                        )
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+    )
+    first_seen = grams.groupBy("gram").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    per_doc = (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("total"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("long")
+            .alias("novel"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("total").cast("long").alias("n_grams"),
+        F.sum("novel").cast("long").alias("n_novel"),
+        F.round(
+            F.sum(
+                F.round(F.col("novel") * 1e6 / F.col("total"), 0).cast("long")
+            )
+            / F.count("*")
+            / 1e6,
+            6,
+        ).alias("mean_novelty"),
+    )
+
+
+@register(
+    "dedup_source_mix_shift",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source, text FROM documents
+      WHERE doc_id % 10 = 0
+    ),
+    keyed AS (
+      SELECT doc_id, source,
+             md5(array_to_string({_TOKS}, ' ')) AS content_hash
+      FROM corpus
+    ),
+    kept AS (
+      SELECT content_hash, min(doc_id) AS keep_id
+      FROM keyed GROUP BY content_hash
+    ),
+    flagged AS (
+      SELECT k.source,
+             CASE WHEN kp.keep_id = k.doc_id THEN 1 ELSE 0 END AS is_kept
+      FROM keyed k JOIN kept kp ON kp.content_hash = k.content_hash
+    ),
+    by_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_before,
+             CAST(sum(is_kept) AS BIGINT) AS n_after
+      FROM flagged GROUP BY source
+    ),
+    tot AS (
+      SELECT source, n_before, n_after,
+             CAST(sum(n_before) OVER () AS BIGINT) AS tb,
+             CAST(sum(n_after) OVER () AS BIGINT) AS ta
+      FROM by_src
+    )
+    SELECT source, n_before, n_after,
+           round(CAST(n_after AS DOUBLE) / n_before, 6) AS kept_rate,
+           round(CAST(n_before AS DOUBLE) / tb, 6) AS share_before,
+           round(CAST(n_after AS DOUBLE) / ta, 6) AS share_after,
+           round(0.5 * (CAST(n_before AS DOUBLE) / tb)
+                   * ln(2.0 * (CAST(n_before AS DOUBLE) / tb)
+                        / (CAST(n_before AS DOUBLE) / tb
+                           + CAST(n_after AS DOUBLE) / ta))
+                 + 0.5 * (CAST(n_after AS DOUBLE) / ta)
+                   * ln(2.0 * (CAST(n_after AS DOUBLE) / ta)
+                        / (CAST(n_before AS DOUBLE) / tb
+                           + CAST(n_after AS DOUBLE) / ta)), 6)
+             AS js_contribution
+    FROM tot
+    """,
+    doc="Source-mix shift induced by exact deduplication (E265): run "
+    "the registry's exact dedup (min-id representative per normalized-"
+    "content md5, dedup_exact_documents' key, on the same planted-"
+    "duplicate corpus where re-crawled copies keep their original "
+    "source) and report, per source, the before/after counts, kept "
+    "rate, corpus share before/after, and the per-source term of the "
+    "Jensen-Shannon divergence between the two mixes. The "
+    "survivorship-bias readout for training-data pipelines: dedup is "
+    "never mix-neutral, and a source whose share moves is exactly "
+    "where downstream domain balance silently changes. Plan: one "
+    "128-bit-hash shuffle (the dedup), one hash-grain join back, one "
+    "source-grain rollup; the share window runs over the 20-row "
+    "source aggregate.",
+)
+def dedup_source_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = docs.unionByName(dups)
+    keyed = corpus.select(
+        "doc_id",
+        "source",
+        F.md5(F.array_join(tokens("text"), " ")).alias("content_hash"),
+    )
+    kept = keyed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    flagged = keyed.join(kept, "content_hash").select(
+        "source",
+        (F.col("keep_id") == F.col("doc_id")).cast("int").alias("is_kept"),
+    )
+    by_src = flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_before"),
+        F.sum("is_kept").cast("long").alias("n_after"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = by_src.select(
+        "source",
+        "n_before",
+        "n_after",
+        F.sum("n_before").over(w_all).cast("long").alias("tb"),
+        F.sum("n_after").over(w_all).cast("long").alias("ta"),
+    )
+    p = F.col("n_before").cast("double") / F.col("tb")
+    q = F.col("n_after").cast("double") / F.col("ta")
+    return tot.select(
+        "source",
+        "n_before",
+        "n_after",
+        F.round(F.col("n_after").cast("double") / F.col("n_before"), 6).alias(
+            "kept_rate"
+        ),
+        F.round(p, 6).alias("share_before"),
+        F.round(q, 6).alias("share_after"),
+        F.round(
+            0.5 * p * F.log(2.0 * p / (p + q))
+            + 0.5 * q * F.log(2.0 * q / (p + q)),
+            6,
+        ).alias("js_contribution"),
+    )

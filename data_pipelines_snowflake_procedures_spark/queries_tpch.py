@@ -3384,3 +3384,106 @@ def orders_monthly_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no trend")
         .alias("trend"),
     )
+
+
+@register(
+    "part_croston_demand_forecast",
+    """
+    WITH d AS (
+      SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+             sum(l_quantity) AS z
+      FROM lineitem GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT l_partkey, day, z,
+             row_number() OVER (PARTITION BY l_partkey ORDER BY day) AS rn,
+             count(*) OVER (PARTITION BY l_partkey) AS n,
+             date_diff('day',
+                       lag(day) OVER (PARTITION BY l_partkey ORDER BY day),
+                       day) AS gap
+      FROM d
+    ),
+    terms AS (
+      SELECT l_partkey, rn, n,
+             CASE WHEN rn = 1 THEN pow(0.8, n - 1) * z
+                  ELSE 0.2 * pow(0.8, n - rn) * z END AS zterm,
+             CASE WHEN rn = 1 THEN NULL
+                  WHEN rn = 2 THEN pow(0.8, n - 2) * gap
+                  ELSE 0.2 * pow(0.8, n - rn) * gap END AS pterm
+      FROM seq
+    ),
+    cum AS (
+      SELECT l_partkey, rn, n,
+             sum(zterm) OVER (PARTITION BY l_partkey ORDER BY rn
+                              ROWS UNBOUNDED PRECEDING) AS z_hat,
+             sum(pterm) OVER (PARTITION BY l_partkey ORDER BY rn
+                              ROWS UNBOUNDED PRECEDING) AS p_hat
+      FROM terms
+    )
+    SELECT l_partkey AS p_partkey, CAST(n AS BIGINT) AS n_demands,
+           round(z_hat, 6) AS z_hat, round(p_hat, 6) AS p_hat,
+           round(z_hat / p_hat, 6) AS croston_forecast
+    FROM cum WHERE rn = n AND n >= 3
+    """,
+    doc="Croston's intermittent-demand forecast per part (E263): "
+    "demand sizes (quantity per ship day) and inter-demand intervals "
+    "are smoothed SEPARATELY with simple exponential smoothing "
+    "(alpha=0.2, s_1 = first observation), and the demand-rate "
+    "forecast is z_hat/p_hat -- the standard method for sparse/lumpy "
+    "demand where plain SES chases zeros (Croston 1972). Complements "
+    "the Holt-Winters/EWMA entries (dense series) and the "
+    "slow-mover/XYZ classification entries (which FLAG lumpy parts; "
+    "this forecasts them). The SES recursions are evaluated in closed "
+    "form as ordered cumulative weighted sums (one window each), so "
+    "both engines add the same terms in the same order: "
+    "deterministic. Plan: one (part, day) aggregate, two windows over "
+    "it, no joins; partitions by part key at any scale.",
+)
+def part_croston_demand_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.to_date("l_shipdate").alias("day"), "l_quantity"
+    )
+    d = li.groupBy("l_partkey", "day").agg(F.sum("l_quantity").alias("z"))
+    w = Window.partitionBy("l_partkey").orderBy("day")
+    w_all = Window.partitionBy("l_partkey")
+    seq = d.select(
+        "l_partkey",
+        "z",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+        F.datediff("day", F.lag("day").over(w)).alias("gap"),
+    )
+    zterm = F.when(
+        F.col("rn") == 1, F.pow(0.8, F.col("n") - 1) * F.col("z")
+    ).otherwise(0.2 * F.pow(0.8, F.col("n") - F.col("rn")) * F.col("z"))
+    pterm = (
+        F.when(F.col("rn") == 1, F.lit(None).cast("double"))
+        .when(F.col("rn") == 2, F.pow(0.8, F.col("n") - 2) * F.col("gap"))
+        .otherwise(0.2 * F.pow(0.8, F.col("n") - F.col("rn")) * F.col("gap"))
+    )
+    terms = seq.select(
+        "l_partkey",
+        "rn",
+        "n",
+        zterm.alias("zterm"),
+        pterm.alias("pterm"),
+    )
+    w_cum = Window.partitionBy("l_partkey").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = terms.select(
+        "l_partkey",
+        "rn",
+        "n",
+        F.sum("zterm").over(w_cum).alias("z_hat"),
+        F.sum("pterm").over(w_cum).alias("p_hat"),
+    )
+    return cum.filter((F.col("rn") == F.col("n")) & (F.col("n") >= 3)).select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("n").cast("long").alias("n_demands"),
+        F.round("z_hat", 6).alias("z_hat"),
+        F.round("p_hat", 6).alias("p_hat"),
+        F.round(F.col("z_hat") / F.col("p_hat"), 6).alias("croston_forecast"),
+    )
