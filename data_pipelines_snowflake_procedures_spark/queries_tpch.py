@@ -3487,3 +3487,276 @@ def part_croston_demand_forecast(
         F.round("p_hat", 6).alias("p_hat"),
         F.round(F.col("z_hat") / F.col("p_hat"), 6).alias("croston_forecast"),
     )
+
+
+@register(
+    "nation_forecast_reconciliation",
+    """
+    WITH fact AS (
+      SELECT n.n_name, date_trunc('month', o.o_orderdate) AS mo,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    m AS (
+      SELECT mo, CAST(sum(cents) AS BIGINT) AS rev FROM fact GROUP BY mo
+    ),
+    idx AS (
+      SELECT mo, rev, row_number() OVER (ORDER BY mo) AS i FROM m
+    ),
+    ols AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(i) AS BIGINT) AS sx,
+             CAST(sum(i * i) AS BIGINT) AS sxx,
+             CAST(sum(rev) AS BIGINT) AS sy,
+             CAST(sum(i * rev) AS BIGINT) AS sxy
+      FROM idx
+    ),
+    coefs AS (
+      SELECT n,
+             (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+               AS slope,
+             (CAST(sy AS DOUBLE)
+              - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) * sx)
+               / n AS intercept
+      FROM ols
+    ),
+    trail AS (
+      SELECT f.n_name, CAST(sum(f.cents) AS BIGINT) AS rev12
+      FROM fact f JOIN idx ON idx.mo = f.mo, ols
+      WHERE idx.i > ols.n - 12
+      GROUP BY f.n_name
+    ),
+    shares AS (
+      SELECT n_name, rev12,
+             CAST(sum(rev12) OVER () AS BIGINT) AS tot12
+      FROM trail
+    ),
+    h AS (SELECT unnest(range(1, 4)) AS horizon)
+    SELECT s.n_name, CAST(h.horizon AS BIGINT) AS horizon,
+           CAST(c.n + h.horizon AS BIGINT) AS month_idx,
+           round(CAST(s.rev12 AS DOUBLE) / s.tot12, 6) AS share,
+           round((c.intercept + c.slope * (c.n + h.horizon)) / 100.0, 6)
+             AS total_forecast,
+           round((CAST(s.rev12 AS DOUBLE) / s.tot12)
+                 * (c.intercept + c.slope * (c.n + h.horizon)) / 100.0, 6)
+             AS nation_forecast
+    FROM shares s, coefs c, h
+    """,
+    doc="Top-down hierarchical forecast reconciliation (E271): fit an "
+    "OLS trend to TOTAL monthly revenue (exact integer-cent sums, so "
+    "slope/intercept are ratios of exact BIGINTs), forecast 3 months "
+    "ahead, then disaggregate to nations by their trailing-12-month "
+    "revenue shares -- the classic 'forecast the stable top, allocate "
+    "to the noisy bottom' pattern, and by construction the nation "
+    "forecasts sum exactly to the total (coherence, which "
+    "independently-fitted per-nation models never give). Complements "
+    "forecast_revenue_delta / events_hourly_forecast (single-series) "
+    "with the hierarchy dimension. Plan: one fact-grain join+month "
+    "aggregate; OLS, shares, and horizons all live on month/nation "
+    "dimension rows.",
+)
+def nation_forecast_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("mo"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    fact = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    m = fact.groupBy("mo").agg(F.sum("cents").cast("long").alias("rev"))
+    idx = m.select(
+        "mo", "rev", F.row_number().over(Window.orderBy("mo")).alias("i")
+    )
+    ols = idx.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("i").cast("long").alias("sx"),
+        F.sum(F.col("i") * F.col("i")).cast("long").alias("sxx"),
+        F.sum("rev").cast("long").alias("sy"),
+        F.sum(F.col("i") * F.col("rev")).cast("long").alias("sxy"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    coefs = ols.select(
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")).alias(
+            "intercept"
+        ),
+    )
+    trail = (
+        fact.join(F.broadcast(idx.select("mo", "i")), "mo")
+        .crossJoin(F.broadcast(coefs.select(F.col("n").alias("nm"))))
+        .filter(F.col("i") > F.col("nm") - 12)
+        .groupBy("n_name")
+        .agg(F.sum("cents").cast("long").alias("rev12"))
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    shares = trail.select(
+        "n_name",
+        "rev12",
+        F.sum("rev12").over(w_all).cast("long").alias("tot12"),
+    )
+    h = spark.range(1, 4).select(F.col("id").cast("long").alias("horizon"))
+    share = F.col("rev12").cast("double") / F.col("tot12")
+    total_fc = (
+        F.col("intercept") + F.col("slope") * (F.col("n") + F.col("horizon"))
+    ) / 100.0
+    return (
+        shares.crossJoin(F.broadcast(coefs))
+        .crossJoin(F.broadcast(h))
+        .select(
+            "n_name",
+            "horizon",
+            (F.col("n") + F.col("horizon")).cast("long").alias("month_idx"),
+            F.round(share, 6).alias("share"),
+            F.round(total_fc, 6).alias("total_forecast"),
+            F.round(share * total_fc, 6).alias("nation_forecast"),
+        )
+    )
+
+
+@register(
+    "orders_little_law_wip",
+    """
+    WITH spans AS (
+      SELECT * FROM (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS start_day,
+               CAST(max(l.l_shipdate) AS DATE) AS end_day
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+      ) WHERE end_day >= start_day
+    ),
+    arr AS (
+      SELECT date_trunc('month', start_day) AS mo,
+             CAST(count(*) AS BIGINT) AS arrivals,
+             CAST(sum(date_diff('day', start_day, end_day)) AS BIGINT)
+               AS sum_days
+      FROM spans GROUP BY 1
+    ),
+    wip AS (
+      SELECT CAST(mm AS DATE) AS mo_d, CAST(count(*) AS BIGINT) AS wip_direct
+      FROM spans,
+           unnest(range(date_trunc('month', start_day),
+                        date_trunc('month', end_day),
+                        INTERVAL 1 MONTH)) AS t(mm)
+      GROUP BY mm
+    )
+    SELECT strftime(CAST(a.mo AS DATE), '%Y-%m') AS month,
+           a.arrivals,
+           round(CAST(a.sum_days AS DOUBLE) / a.arrivals, 6) AS mean_days,
+           COALESCE(w.wip_direct, 0) AS wip_direct,
+           round((CAST(a.arrivals AS DOUBLE)
+                  / date_diff('day', CAST(a.mo AS DATE),
+                              CAST(a.mo + INTERVAL 1 MONTH AS DATE)))
+                 * (CAST(a.sum_days AS DOUBLE) / a.arrivals), 6)
+             AS wip_littles,
+           CASE WHEN COALESCE(w.wip_direct, 0) = 0 THEN NULL
+                ELSE round(((CAST(a.arrivals AS DOUBLE)
+                             / date_diff('day', CAST(a.mo AS DATE),
+                                         CAST(a.mo + INTERVAL 1 MONTH
+                                              AS DATE)))
+                            * (CAST(a.sum_days AS DOUBLE) / a.arrivals))
+                           / w.wip_direct, 6)
+           END AS littles_ratio
+    FROM arr a LEFT JOIN wip w ON w.mo_d = CAST(a.mo AS DATE)
+    """,
+    doc="Little's-law consistency audit of order fulfillment (E272): "
+    "per month, the queueing-theory WIP estimate L = lambda * W "
+    "(arrival rate per day x mean days from order to last shipment) "
+    "against the DIRECTLY counted work-in-progress (orders placed on "
+    "or before each month's end whose last line ships after it, via "
+    "a bounded month-span explode per order -- never a fact x months "
+    "cross join). Their ratio is the sanity gauge: ~1 where the "
+    "system is stationary, drifting where backlog builds or drains "
+    "-- the standard ops-analytics cross-check that a latency metric "
+    "and a backlog metric tell one story. Complements "
+    "order_fulfillment_latency (W alone) and orders_backlog_curve "
+    "(L alone) by joining them through lambda. Restricted to orders "
+    "whose last shipment is on/after the order date (the synthetic "
+    "generator draws the two dates independently; ~21% are reversed "
+    "and have no queueing interpretation). Plan: one order-grain "
+    "max-shipdate aggregate, a <=duration-months explode, month-grain "
+    "rollups.",
+)
+def orders_little_law_wip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("start_day")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_day")
+    )
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "start_day")
+        .agg(F.max("ship_day").alias("end_day"))
+        .filter(F.col("end_day") >= F.col("start_day"))
+    )
+    arr = spans.groupBy(
+        F.date_trunc("month", "start_day").cast("date").alias("month")
+    ).agg(
+        F.count("*").cast("long").alias("arrivals"),
+        F.sum(F.datediff("end_day", "start_day")).cast("long").alias(
+            "sum_days"
+        ),
+    )
+    wip = (
+        spans.select(
+            F.explode(
+                F.when(
+                    F.date_trunc("month", "end_day")
+                    > F.date_trunc("month", "start_day"),
+                    F.sequence(
+                        F.date_trunc("month", "start_day").cast("date"),
+                        F.add_months(
+                            F.date_trunc("month", "end_day").cast("date"), -1
+                        ),
+                        F.expr("INTERVAL 1 MONTH"),
+                    ),
+                ).otherwise(F.array().cast("array<date>"))
+            ).alias("month")
+        )
+        .groupBy("month")
+        .agg(F.count("*").cast("long").alias("wip_direct"))
+    )
+    joined = arr.join(wip, "month", "left").select(
+        "month",
+        "arrivals",
+        "sum_days",
+        F.coalesce("wip_direct", F.lit(0)).cast("long").alias("wip_direct"),
+    )
+    days_in_month = F.datediff(
+        F.add_months(F.col("month"), 1), F.col("month")
+    )
+    mean_days = F.col("sum_days").cast("double") / F.col("arrivals")
+    littles = (
+        F.col("arrivals").cast("double") / days_in_month
+    ) * mean_days
+    return joined.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        "arrivals",
+        F.round(mean_days, 6).alias("mean_days"),
+        "wip_direct",
+        F.round(littles, 6).alias("wip_littles"),
+        F.when(F.col("wip_direct") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(littles / F.col("wip_direct"), 6))
+        .alias("littles_ratio"),
+    )
