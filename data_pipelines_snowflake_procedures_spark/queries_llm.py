@@ -6119,3 +6119,216 @@ def dedup_source_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("js_contribution"),
     )
+
+
+def _lof_oracle() -> str:
+    pair_d2 = (
+        "list_aggregate([(a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)"
+        " * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)"
+        " FOR i IN range(1, 65)], 'sum')"
+    )
+    return f"""
+    WITH {_kmeans_ctes()},
+    af AS (
+      SELECT e.vec_id, e.embedding, c.cid AS cell
+      FROM embeddings e CROSS JOIN c2 c
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                 ORDER BY {_KM_DIST}, c.cid) = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, a.cell, b.vec_id AS ib,
+             CAST(round(sqrt({pair_d2}) * 1e6, 0) AS BIGINT) AS dm
+      FROM af a JOIN af b ON b.cell = a.cell AND b.vec_id <> a.vec_id
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT ia, cell, ib, dm,
+               row_number() OVER (PARTITION BY ia ORDER BY dm, ib) AS rn
+        FROM pairs
+      ) WHERE rn <= 5
+    ),
+    kd AS (
+      SELECT ia, max(dm) AS kdist, CAST(count(*) AS BIGINT) AS keff
+      FROM top GROUP BY ia
+    ),
+    r AS (
+      SELECT t.ia, t.cell,
+             CAST(sum(greatest(kb.kdist, t.dm)) AS BIGINT) AS rsum
+      FROM top t JOIN kd kb ON kb.ia = t.ib
+      GROUP BY t.ia, t.cell
+    ),
+    lrd AS (
+      SELECT r.ia, r.cell, kd.kdist, kd.keff,
+             kd.keff * 1e6 / r.rsum AS lrd
+      FROM r JOIN kd ON kd.ia = r.ia
+    ),
+    lofv AS (
+      SELECT a.ia, a.cell, a.kdist, a.lrd,
+             list_sum([x FOR x IN
+                       list(nb.lrd ORDER BY t.rn)]) / a.keff / a.lrd AS lof
+      FROM top t
+      JOIN lrd nb ON nb.ia = t.ib
+      JOIN lrd a ON a.ia = t.ia
+      GROUP BY a.ia, a.cell, a.kdist, a.keff, a.lrd
+    )
+    SELECT * FROM (
+      SELECT CAST(ia AS BIGINT) AS vec_id, CAST(cell AS BIGINT) AS cell,
+             round(kdist / 1e6, 6) AS k_dist,
+             round(lrd, 6) AS lrd,
+             round(lof, 6) AS lof,
+             CAST(row_number() OVER (ORDER BY round(lof, 6) DESC, ia)
+                  AS BIGINT) AS rank
+      FROM lofv
+    ) WHERE rank <= 20
+    """
+
+
+@register(
+    "embeddings_lof_outliers",
+    _lof_oracle(),
+    doc="Density-based outlier detection over the embedding corpus "
+    "(E270): Local Outlier Factor (Breunig et al. 2000) with k=5, "
+    "blocked by the shared deterministic k-means cells so kNN search "
+    "never goes all-pairs -- neighbors, k-distances, reachability "
+    "sums and lrd ratios all within a point's coarse cell (the "
+    "IVF-nprobe=1 approximation, documented: recall loss only for "
+    "points whose true neighbors straddle a cell boundary). The "
+    "DENSITY-RATIO complement to the Mahalanobis (global Gaussian) "
+    "and z-score outlier entries: LOF flags points that are sparse "
+    "RELATIVE TO THEIR LOCAL NEIGHBORHOOD, which global models miss "
+    "in multi-modal embedding spaces. Exactness: pair distances "
+    "round to integer micro-units, reach sums are BIGINT, lrd sums "
+    "fold in neighbor-rank order -- deterministic cross-engine. "
+    "Spark side derives k = max(8, n/1024) (the SemDeDup adaptive "
+    "contract, = the oracle's k=8 at the sf0.01 gate) so cell size "
+    "-- hence sum(n_cell^2) pair work -- stays constant at 100 TB. "
+    "Top-20 by LOF.",
+)
+def embeddings_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql.window import Window
+
+    from .operators.similarity import kmeans_assign_df, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = max(_KM_K, math.ceil(n / 1024))
+    tag = "coarse_k8" if k == _KM_K else f"lof_coarse_k{k}"
+    cents = _cached_fit(sf_dir, tag, lambda: kmeans_fit(emb, k=k, iters=2))
+    af = kmeans_assign_df(emb, cents, "embedding").select(
+        "vec_id", "embedding", F.col("__cl").alias("cell")
+    )
+    a = af.select(
+        F.col("vec_id").alias("ia"),
+        F.col("cell"),
+        F.col("embedding").alias("ea"),
+    )
+    b = af.select(
+        F.col("vec_id").alias("ib"),
+        F.col("cell"),
+        F.col("embedding").alias("eb"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("ea"),
+            F.col("eb"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("ib") != F.col("ia"))
+        .select(
+            "ia",
+            "cell",
+            "ib",
+            F.round(F.sqrt(d2) * 1e6, 0).cast("long").alias("dm"),
+        )
+    )
+    top = (
+        pairs.groupBy("ia", "cell")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("dm", "ib"))), 1, 5
+            ).alias("nb")
+        )
+        .select(
+            "ia",
+            "cell",
+            F.posexplode("nb").alias("p", "s"),
+        )
+        .select(
+            "ia",
+            "cell",
+            (F.col("p") + 1).alias("rn"),
+            F.col("s")["ib"].alias("ib"),
+            F.col("s")["dm"].alias("dm"),
+        )
+    )
+    kd = top.groupBy("ia").agg(
+        F.max("dm").alias("kdist"), F.count("*").cast("long").alias("keff")
+    )
+    r = (
+        top.join(
+            kd.select(F.col("ia").alias("ib"), F.col("kdist").alias("kdist_b")),
+            "ib",
+        )
+        .groupBy("ia", "cell")
+        .agg(
+            F.sum(F.greatest(F.col("kdist_b"), F.col("dm")))
+            .cast("long")
+            .alias("rsum")
+        )
+    )
+    lrd = r.join(kd, "ia").select(
+        "ia",
+        "cell",
+        "kdist",
+        "keff",
+        (F.col("keff") * 1e6 / F.col("rsum")).alias("lrd"),
+    )
+    nb_lrd = top.join(
+        lrd.select(F.col("ia").alias("ib"), F.col("lrd").alias("lrd_b")), "ib"
+    )
+    lofv = (
+        nb_lrd.groupBy("ia")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "lrd_b"))),
+                    lambda s: s["lrd_b"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("suml")
+        )
+        .join(lrd, "ia")
+        .select(
+            "ia",
+            "cell",
+            "kdist",
+            "lrd",
+            (F.col("suml") / F.col("keff") / F.col("lrd")).alias("lof"),
+        )
+    )
+    scored = lofv.select(
+        F.col("ia").alias("vec_id"),
+        F.col("cell").cast("long").alias("cell"),
+        F.round(F.col("kdist") / 1e6, 6).alias("k_dist"),
+        F.round("lrd", 6).alias("lrd"),
+        F.round("lof", 6).alias("lof"),
+    )
+    top20 = scored.orderBy(F.desc("lof"), "vec_id").limit(20)
+    w = Window.orderBy(F.desc("lof"), "vec_id")
+    return top20.select(
+        "vec_id",
+        "cell",
+        "k_dist",
+        "lrd",
+        "lof",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
