@@ -367,6 +367,19 @@ HEADLINE = [
     "events_page_hinkley_streaming",
     "orders_cohort_retention_matrix",
     "orders_interarrival_hazard_curve",
+    # round-9 continuation wave (E261-E272)
+    "part_brand_return_odds_ratio",
+    "events_type_rate_poisson_test",
+    "part_croston_demand_forecast",
+    "documents_ngram_novelty",
+    "dedup_source_mix_shift",
+    "orders_price_emd_yearly",
+    "orders_monthly_mann_kendall",
+    "events_markov_entropy_rate",
+    "events_hourly_ljung_box",
+    "embeddings_lof_outliers",
+    "nation_forecast_reconciliation",
+    "orders_little_law_wip",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads
