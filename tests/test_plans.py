@@ -381,6 +381,12 @@ def test_top_sf1_entries_plan_budgets(spark, sf_dir):
         # round-9 additions whose sf1 time exceeds 10 s
         "documents_rake_keywords": (0, 0, 0),
         "trade_graph_hits": (0, 0, 0),
+        # round-9 continuation wave (E261-E272): LOF returns a
+        # localCheckpoint scan (its pipeline is budgeted by the
+        # persisted-stage structure documented in SCALING.md); novelty
+        # is 3 exchanges (gram-stat groupBy, first-seen join, rollup)
+        "documents_ngram_novelty": (3, 0, 0),
+        "embeddings_lof_outliers": (0, 0, 0),
     }
     for name, (max_sh, max_arrow, max_bnlj) in budgets.items():
         report = plan_report(REGISTRY[name].spark_fn(spark, sf_dir))
