@@ -380,6 +380,8 @@ HEADLINE = [
     "embeddings_lof_outliers",
     "nation_forecast_reconciliation",
     "orders_little_law_wip",
+    "documents_tokenizer_fertility",
+    "embeddings_intrinsic_dimension",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

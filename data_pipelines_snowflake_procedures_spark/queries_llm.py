@@ -6364,3 +6364,186 @@ def embeddings_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     top.unpersist()
     af.unpersist()
     return out
+
+
+@register(
+    "documents_tokenizer_fertility",
+    r"""
+    WITH t AS (
+      SELECT source,
+             len(string_split_regex(lower(trim(coalesce(text, ''))),
+                                    '\s+')) AS n_ws,
+             len(regexp_extract_all(coalesce(text, ''),
+                                    '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+               AS n_bpe
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_ws) AS BIGINT) AS n_words,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws), 6) AS fertility
+    FROM t GROUP BY source
+    """,
+    doc="Tokenizer fertility per source (E273): BPE-ish pre-tokens "
+    "(the repo's GPT-2-style alnum-run/symbol splitter, "
+    "operators/text.BPE_TOKEN_RE) per whitespace word -- the standard "
+    "'how many tokens does this domain cost per word' readout that "
+    "drives per-source training cost and context-window budgeting "
+    "(punctuation/code-heavy sources run fertility >> 1). Complements "
+    "the BPE train/apply entries (which build the merge table) and "
+    "corpus_token_budget (which spends it) with the efficiency "
+    "denominator. Exact integer token counts; one map-side projection "
+    "+ one source-grain aggregate, no joins -- trivially "
+    "100-TB-partitionable.",
+)
+def documents_tokenizer_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.text import bpe_token_count, ws_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        ws_token_count("text").alias("n_ws"),
+        bpe_token_count("text").alias("n_bpe"),
+    )
+    return t.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("n_words"),
+        F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6
+        ).alias("fertility"),
+    )
+
+
+def _twonn_oracle() -> str:
+    pair_d2 = (
+        "list_aggregate([(a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)"
+        " * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)"
+        " FOR i IN range(1, 65)], 'sum')"
+    )
+    return f"""
+    WITH {_kmeans_ctes()},
+    af AS (
+      SELECT e.vec_id, e.embedding, c.cid AS cell
+      FROM embeddings e CROSS JOIN c2 c
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                 ORDER BY {_KM_DIST}, c.cid) = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(round(sqrt({pair_d2}) * 1e6, 0) AS BIGINT) AS dm
+      FROM af a JOIN af b ON b.cell = a.cell AND b.vec_id <> a.vec_id
+    ),
+    top2 AS (
+      SELECT ia,
+             min(CASE WHEN rn = 1 THEN dm END) AS r1,
+             min(CASE WHEN rn = 2 THEN dm END) AS r2
+      FROM (
+        SELECT ia, dm,
+               row_number() OVER (PARTITION BY ia ORDER BY dm, ib) AS rn
+        FROM pairs
+      ) WHERE rn <= 2 GROUP BY ia
+    ),
+    mu AS (
+      SELECT CAST(round(ln(CAST(r2 AS DOUBLE) / r1) * 1e12, 0) AS BIGINT)
+               AS lnmu_pico
+      FROM top2 WHERE r1 > 0 AND r2 IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_used,
+           round(sum(lnmu_pico) / 1e12, 6) AS sum_ln_mu,
+           round(count(*) / (sum(lnmu_pico) / 1e12), 6) AS intrinsic_dim
+    FROM mu
+    """
+
+
+@register(
+    "embeddings_intrinsic_dimension",
+    _twonn_oracle(),
+    doc="Intrinsic dimensionality of the embedding corpus via the "
+    "TwoNN estimator (E274, Facco et al. 2017): for each point the "
+    "ratio mu = r2/r1 of its second to first neighbor distance "
+    "follows Pareto(d) on a d-dimensional manifold, so the MLE is "
+    "d = n / sum ln(mu) -- THE capacity readout that says whether "
+    "64-dim embeddings really occupy 64 dimensions (it sizes PCA/JL "
+    "targets and predicts ANN recall difficulty; cf. the JL "
+    "distortion and PCA entries). Neighbors come from the same "
+    "deterministic k-means cell blocking as the LOF entry (nprobe=1 "
+    "approximation; points with a zero first distance -- exact "
+    "duplicates -- are excluded per the estimator's definition, as "
+    "are cells of size < 3). Per-point ln(mu) rounds to pico-units "
+    "before the integer sum. Plan: identical pair structure to LOF "
+    "(n x cell_size work, adaptive cells); only top-2 per point "
+    "survives the first aggregate.",
+)
+def embeddings_intrinsic_dimension(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+
+    from .operators.similarity import kmeans_assign_df, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    # same adaptive-cell + sampled-fit contract as embeddings_lof_outliers
+    k = max(_KM_K, math.ceil(n / 256))
+    tag = "coarse_k8" if k == _KM_K else f"lof_coarse_k{k}"
+    fit_src = emb if k == _KM_K else emb.filter(F.col("vec_id") % 4 == 0)
+    cents = _cached_fit(sf_dir, tag, lambda: kmeans_fit(fit_src, k=k, iters=2))
+    af = (
+        kmeans_assign_df(emb, cents, "embedding")
+        .select("vec_id", "embedding", F.col("__cl").alias("cell"))
+        .persist()
+    )
+    a = af.select(
+        F.col("vec_id").alias("ia"), "cell", F.col("embedding").alias("ea")
+    )
+    b = af.select(
+        F.col("vec_id").alias("ib"), "cell", F.col("embedding").alias("eb")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("ea"),
+            F.col("eb"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("ib") != F.col("ia"))
+        .select(
+            "ia",
+            F.round(F.sqrt(d2) * 1e6, 0).cast("long").alias("dm"),
+            "ib",
+        )
+    )
+    top2 = pairs.groupBy("ia").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("dm", "ib"))), 1, 2
+        ).alias("nb")
+    )
+    mu = top2.select(
+        F.col("nb")[0]["dm"].alias("r1"),
+        F.when(F.size("nb") >= 2, F.col("nb")[1]["dm"]).alias("r2"),
+    ).filter((F.col("r1") > 0) & F.col("r2").isNotNull())
+    out = mu.select(
+        F.round(
+            F.log(F.col("r2").cast("double") / F.col("r1")) * 1e12, 0
+        )
+        .cast("long")
+        .alias("lnmu_pico")
+    ).agg(
+        F.count("*").cast("long").alias("n_used"),
+        F.round(F.sum("lnmu_pico") / 1e12, 6).alias("sum_ln_mu"),
+        F.round(
+            F.count("*") / (F.sum("lnmu_pico") / 1e12), 6
+        ).alias("intrinsic_dim"),
+    )
+    out = out.localCheckpoint(eager=True)
+    af.unpersist()
+    return out

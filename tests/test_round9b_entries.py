@@ -240,3 +240,30 @@ def test_little_law_ratio_definition(spark, sf_dir):
             assert (
                 abs(r.littles_ratio - r.wip_littles / r.wip_direct) < 2e-6
             )
+
+
+def test_tokenizer_fertility_bounds(spark, sf_dir):
+    rows = REGISTRY["documents_tokenizer_fertility"].spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs > 0 and r.n_words > 0
+        # BPE-ish pre-tokens can only split whitespace words further
+        assert r.n_bpe_tokens >= 0
+        assert abs(r.fertility - r.n_bpe_tokens / r.n_words) < 2e-6
+
+
+def test_intrinsic_dimension_positive_and_consistent(spark, sf_dir):
+    rows = REGISTRY["embeddings_intrinsic_dimension"].spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_used > 0
+    assert r.sum_ln_mu > 0  # r2 >= r1 always, strict for non-ties
+    assert r.intrinsic_dim > 0
+    assert abs(r.intrinsic_dim - r.n_used / r.sum_ln_mu) < 1e-3
+    # 64-dim ambient space bounds the manifold dimension estimate only
+    # loosely (estimator variance), but it should land in a sane band
+    assert r.intrinsic_dim < 200
