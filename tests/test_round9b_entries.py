@@ -1,6 +1,7 @@
-"""Round-9 wave E261-E272: odds ratio, Poisson rate test, Croston,
+"""Round-9 wave E261-E274: odds ratio, Poisson rate test, Croston,
 n-gram novelty, dedup mix shift, price EMD, Mann-Kendall, Markov
-entropy rate, Ljung-Box, LOF, forecast reconciliation, Little's law.
+entropy rate, Ljung-Box, LOF, forecast reconciliation, Little's law,
+tokenizer fertility, TwoNN intrinsic dimension.
 
 Hash-exactness is covered by the parametrized oracle mirror
 (test_queries_oracle.py); these pin SEMANTICS with invariants and
