@@ -382,6 +382,8 @@ HEADLINE = [
     "orders_little_law_wip",
     "documents_tokenizer_fertility",
     "embeddings_intrinsic_dimension",
+    "orders_theil_u_forecast",
+    "supplier_revenue_lorenz",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

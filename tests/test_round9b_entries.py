@@ -268,3 +268,30 @@ def test_intrinsic_dimension_positive_and_consistent(spark, sf_dir):
     # 64-dim ambient space bounds the manifold dimension estimate only
     # loosely (estimator variance), but it should land in a sane band
     assert r.intrinsic_dim < 200
+
+
+def test_theil_u_definition_consistency(spark, sf_dir):
+    rows = REGISTRY["orders_theil_u_forecast"].spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_holdout == 12
+    assert r.rmse_ols > 0 and r.rmse_naive > 0
+    assert abs(r.theil_u2 - r.rmse_ols / r.rmse_naive) < 1e-4
+
+
+def test_lorenz_curve_monotone_and_below_diagonal(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["supplier_revenue_lorenz"].spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    prev_pop = prev_rev = 0.0
+    for r in rows:
+        assert r.pop_share_cum >= prev_pop and r.rev_share_cum >= prev_rev
+        # ascending-rank Lorenz curve sits on/below the diagonal
+        assert r.lorenz_gap >= -1e-9
+        prev_pop, prev_rev = r.pop_share_cum, r.rev_share_cum
+    assert abs(rows[-1].pop_share_cum - 1.0) < 1e-6
+    assert abs(rows[-1].rev_share_cum - 1.0) < 1e-6
