@@ -5915,17 +5915,19 @@ def dedup_lsh_pr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE len(toks) >= 5
       )
     ),
-    first_seen AS (
-      SELECT gkey, CAST(min(doc_id) AS BIGINT) AS first_doc
-      FROM grams GROUP BY gkey
+    totals AS (
+      SELECT doc_id, source, CAST(count(*) AS BIGINT) AS total
+      FROM grams GROUP BY doc_id, source
+    ),
+    novel_by_doc AS (
+      SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS novel
+      FROM (SELECT CAST(min(doc_id) AS BIGINT) AS first_doc
+            FROM grams GROUP BY gkey)
+      GROUP BY first_doc
     ),
     per_doc AS (
-      SELECT g.doc_id, g.source,
-             CAST(count(*) AS BIGINT) AS total,
-             CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
-                  AS BIGINT) AS novel
-      FROM grams g JOIN first_seen f ON f.gkey = g.gkey
-      GROUP BY g.doc_id, g.source
+      SELECT t.doc_id, t.source, t.total, COALESCE(n.novel, 0) AS novel
+      FROM totals t LEFT JOIN novel_by_doc n ON n.doc_id = t.doc_id
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -5949,53 +5951,51 @@ def dedup_lsh_pr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "strings (identical function both engines, so cross-engine "
     "parity survives; expected collisions n^2/2^61 merge a gram pair "
     "indistinguishably on both sides -- ~4e5 at 1e12 grams, a 4e-7 "
-    "relative distortion). Plan: one distinct-gram explode, one "
-    "gram-grain min aggregate joined back at gram grain (both "
-    "partition by the 8-byte key at 100 TB), then doc- and "
-    "source-grain rollups.",
+    "relative distortion). Plan: one distinct-gram explode feeds ONE "
+    "gram-grain aggregate (min doc per gram -> novel counts regrouped "
+    "by that min doc); per-doc totals never leave the doc row (map-"
+    "side array size), so no gram-grain join-back exists -- the only "
+    "large exchange is the single min aggregate, partitioned by the "
+    "8-byte key at 100 TB.",
 )
 def documents_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(tokens("text"), lambda t: t != "")
-    grams = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.when(
-                    F.size(toks) >= 5,
-                    F.array_distinct(
-                        F.transform(
-                            F.sequence(F.lit(1), F.size(toks) - 4),
-                            lambda i: F.conv(
-                                F.substring(
-                                    F.md5(F.array_join(F.slice(toks, i, 5), " ")),
-                                    1,
-                                    15,
-                                ),
-                                16,
-                                10,
-                            ).cast("long"),
-                        )
+    gram_arr = F.when(
+        F.size(toks) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 4),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice(toks, i, 5), " ")), 1, 15
                     ),
-                ).otherwise(F.array().cast("array<long>"))
-            ).alias("gkey"),
-        )
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    keyed = docs.select("doc_id", "source", gram_arr.alias("garr")).filter(
+        F.size("garr") > 0
     )
-    first_seen = grams.groupBy("gkey").agg(
-        F.min("doc_id").cast("long").alias("first_doc")
+    totals = keyed.select(
+        "doc_id", "source", F.size("garr").cast("long").alias("total")
     )
-    per_doc = (
-        grams.join(first_seen, "gkey")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count("*").cast("long").alias("total"),
-            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
-            .cast("long")
-            .alias("novel"),
-        )
+    novel_by_doc = (
+        keyed.select("doc_id", F.explode("garr").alias("gkey"))
+        .groupBy("gkey")
+        .agg(F.min("doc_id").cast("long").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count("*").cast("long").alias("novel0"))
+    )
+    per_doc = totals.join(novel_by_doc, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "total",
+        F.coalesce("novel0", F.lit(0)).cast("long").alias("novel"),
     )
     return per_doc.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
