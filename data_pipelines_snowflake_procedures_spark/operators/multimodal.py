@@ -1158,10 +1158,11 @@ def set_decoder(kind: str, fn: Callable[[bytes], Any]) -> None:
 
 
 def decode(kind: str, payload: bytes) -> Any:
-    """Decode one payload. PPM/BMP/PNG/GIF/baseline-JPEG images and WAV
-    audio decode for real (stdlib + numpy codecs); remaining kinds
-    (video, compressed audio) STUB until a decoder is registered —
-    the container ships no media libraries."""
+    """Decode one payload. PPM/BMP/PNG/GIF/TIFF/JPEG images, WAV PCM +
+    IMA-ADPCM audio, and Y4M / AVI-MJPEG / FLIC video (the last a true
+    inter-frame delta codec) decode for real (stdlib + numpy codecs);
+    modern DCT/motion-compensated kinds (H.264 etc.) STUB until a
+    decoder is registered — the container ships no media libraries."""
     if kind in _DECODERS:
         return _DECODERS[kind](payload)
     raise NotImplementedError(
@@ -1717,3 +1718,277 @@ def sniff_media_type(payload: bytes) -> str:
     if p[:4] in (b"II*\x00", b"MM\x00*"):
         return "image/tiff"
     return "application/octet-stream"
+
+
+def encode_flc(
+    frames: "Any",
+    palette: list[tuple[int, int, int]],
+    speed_ms: int = 40,
+) -> bytes:
+    """Encode 8-bit indexed frames as an Autodesk FLIC (FLC, magic
+    0xAF12) animation — a REAL inter-frame codec: the first frame is a
+    BRUN (type 15) keyframe plus a COLOR_256 (type 4) palette chunk,
+    every later frame is a DELTA_FLC (type 7, "SS2") word-oriented
+    line delta against the previous frame. Fixture builder for the
+    decoder below (the repo's codec convention: every decoder ships
+    its own deterministic encoder so round-trip tests never depend on
+    external media). Width must be even (DELTA_FLC is word-based).
+    ``frames``: list of equal-shape 2-D uint8 numpy arrays."""
+    import struct as _struct
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("FLC needs at least one frame")
+    h, w = frames[0].shape
+    if w % 2:
+        raise ValueError("FLC width must be even (word-oriented deltas)")
+    if len(palette) != 256:
+        raise ValueError("FLC palette must have 256 entries")
+
+    def chunk(ctype: int, body: bytes) -> bytes:
+        if len(body) % 2:
+            body += b"\x00"
+        return _struct.pack("<IH", 6 + len(body), ctype) + body
+
+    def brun(frame: "Any") -> bytes:
+        # literal-only packets: i8 count < 0 => copy -count bytes
+        out = bytearray()
+        for y in range(h):
+            row = frame[y].tobytes()
+            packets = [row[i : i + 127] for i in range(0, w, 127)]
+            out.append(len(packets) & 0xFF)
+            for p in packets:
+                out += _struct.pack("b", -len(p)) + p
+        return bytes(out)
+
+    def delta_flc(prev: "Any", cur: "Any") -> bytes | None:
+        changed = [y for y in range(h) if not np.array_equal(prev[y], cur[y])]
+        if not changed:
+            return None
+        out = bytearray(_struct.pack("<H", len(changed)))
+        last = -1
+        for y in changed:
+            skip = y - last - 1
+            if skip:
+                out += _struct.pack("<h", -skip)
+            # word-aligned literal packets over the changed span
+            pw, cw = prev[y].tobytes(), cur[y].tobytes()
+            diffs = [
+                i for i in range(0, w, 2) if pw[i : i + 2] != cw[i : i + 2]
+            ]
+            packets: list[tuple[int, bytes]] = []
+            i = 0
+            while i < len(diffs):
+                j = i
+                while (
+                    j + 1 < len(diffs)
+                    and diffs[j + 1] == diffs[j] + 2
+                    and (j - i) < 126
+                ):
+                    j += 1
+                col = diffs[i]
+                words = cw[col : diffs[j] + 2]
+                packets.append((col, words))
+                i = j + 1
+            out += _struct.pack("<h", len(packets))
+            col0 = 0
+            for col, words in packets:
+                if col - col0 > 255:
+                    raise ValueError(
+                        "FLC encoder: column skip exceeds one u8 packet "
+                        "(split wide sparse rows before encoding)"
+                    )
+                out += _struct.pack(
+                    "<Bb", col - col0, len(words) // 2
+                ) + words
+                col0 = col + len(words)
+            last = y
+        return bytes(out)
+
+    pal = bytearray(_struct.pack("<H", 1))
+    pal += bytes((0, 0))  # skip 0, count 0 => all 256 entries
+    for r, g, b in palette:
+        pal += bytes((r, g, b))
+
+    frame_blobs: list[bytes] = []
+    for i, f in enumerate(frames):
+        if f.shape != (h, w):
+            raise ValueError("FLC frames must share one shape")
+        if i == 0:
+            chunks = [chunk(4, bytes(pal)), chunk(15, brun(f))]
+        else:
+            d = delta_flc(frames[i - 1], f)
+            chunks = [] if d is None else [chunk(7, d)]
+        body = b"".join(chunks)
+        frame_blobs.append(
+            _struct.pack("<IHH8x", 16 + len(body), 0xF1FA, len(chunks)) + body
+        )
+
+    body = b"".join(frame_blobs)
+    header = _struct.pack(
+        "<IHHHHHHI108x",
+        128 + len(body),
+        0xAF12,
+        len(frames),
+        w,
+        h,
+        8,
+        3,
+        speed_ms,
+    )
+    return header + body
+
+
+def decode_flc(payload: bytes) -> dict[str, Any]:
+    """REAL decoder for Autodesk FLIC (FLC 0xAF12 / FLI 0xAF11) — the
+    registry's inter-frame video leg: maintains the implicit previous
+    frame across BRUN (15, keyframe RLE), DELTA_FLC (7, word line
+    deltas with line-skip opcodes), BLACK (13), COPY (16) and
+    COLOR_256 (4) / FLI_COLOR (11) palette chunks, then reports the
+    same integer-exact statistics contract as the Y4M/MJPEG decoders:
+    BT.601 luma (scaled x1000 per palette entry, per-frame histogram
+    dot product), plus inter-frame facts no intra codec can give —
+    keyframe/delta counts and total changed pixels."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    if len(payload) < 128:
+        raise ValueError("FLC payload shorter than its 128-byte header")
+    size, magic, n_frames, w, h, depth = _struct.unpack_from(
+        "<IHHHHH", payload, 0
+    )
+    if magic not in (0xAF12, 0xAF11):
+        raise ValueError(f"not a FLIC payload (magic 0x{magic:04X})")
+    if depth != 8:
+        raise NotImplementedError("only 8-bit FLIC supported")
+    frame = np.zeros((h, w), np.uint8)
+    pal_luma = np.zeros(256, np.int64)  # (299r+587g+114b) per index
+    y_sum_milli = 0
+    n_key = n_delta = 0
+    changed_px = 0
+    frames_seen = 0
+    pos = 128
+    while pos + 16 <= len(payload) and frames_seen < n_frames:
+        fsize, fmagic, nchunks = _struct.unpack_from("<IHH", payload, pos)
+        if fmagic != 0xF1FA:
+            raise ValueError("FLIC frame marker desync")
+        cpos = pos + 16
+        is_key = False
+        is_delta = False
+        for _ in range(nchunks):
+            csize, ctype = _struct.unpack_from("<IH", payload, cpos)
+            body = payload[cpos + 6 : cpos + csize]
+            if ctype in (4, 11):  # COLOR_256 / FLI_COLOR
+                scale = 1 if ctype == 4 else 4
+                (npk,) = _struct.unpack_from("<H", body, 0)
+                bp, idx = 2, 0
+                for _p in range(npk):
+                    idx += body[bp]
+                    cnt = body[bp + 1] or 256
+                    bp += 2
+                    for _c in range(cnt):
+                        r, g, b = body[bp : bp + 3]
+                        pal_luma[idx] = (
+                            299 * r * scale + 587 * g * scale + 114 * b * scale
+                        )
+                        idx += 1
+                        bp += 3
+            elif ctype == 15:  # BRUN keyframe
+                is_key = True
+                bp = 0
+                for y in range(h):
+                    bp += 1  # legacy packet count, not authoritative
+                    row = bytearray()
+                    while len(row) < w:
+                        cnt = _struct.unpack_from("b", body, bp)[0]
+                        bp += 1
+                        if cnt > 0:
+                            row += body[bp : bp + 1] * cnt
+                            bp += 1
+                        else:
+                            row += body[bp : bp - cnt]
+                            bp += -cnt
+                    frame[y] = np.frombuffer(bytes(row[:w]), np.uint8)
+            elif ctype == 7:  # DELTA_FLC (SS2)
+                is_delta = True
+                (nlines,) = _struct.unpack_from("<H", body, 0)
+                bp, y = 2, 0
+                for _line in range(nlines):
+                    while True:
+                        (opu,) = _struct.unpack_from("<H", body, bp)
+                        bp += 2
+                        top = opu >> 14
+                        if top == 0b11:  # skip lines: value is negative
+                            y += 0x10000 - opu
+                            continue
+                        if top == 0b10:  # set last byte of odd-width line
+                            frame[y, w - 1] = opu & 0xFF
+                            continue
+                        op = opu  # 0b00: packet count for this line
+                        break
+                    col = 0
+                    row = frame[y]
+                    for _pk in range(op):
+                        col += body[bp]
+                        cnt = _struct.unpack_from("b", body, bp + 1)[0]
+                        bp += 2
+                        if cnt > 0:
+                            words = np.frombuffer(
+                                body[bp : bp + 2 * cnt], np.uint8
+                            )
+                            before = row[col : col + 2 * cnt].copy()
+                            row[col : col + 2 * cnt] = words
+                            changed_px += int((before != words).sum())
+                            bp += 2 * cnt
+                            col += 2 * cnt
+                        else:
+                            pair = np.frombuffer(body[bp : bp + 2], np.uint8)
+                            span = row[col : col + 2 * -cnt]
+                            before = span.copy()
+                            span[0::2] = pair[0]
+                            span[1::2] = pair[1]
+                            changed_px += int((before != span).sum())
+                            bp += 2
+                            col += 2 * -cnt
+                    y += 1
+            elif ctype == 13:  # BLACK
+                is_key = True
+                frame[:] = 0
+            elif ctype == 16:  # COPY
+                is_key = True
+                frame[:] = np.frombuffer(body[: w * h], np.uint8).reshape(h, w)
+            else:
+                raise NotImplementedError(f"FLIC chunk type {ctype}")
+            cpos += csize + (csize % 2 if csize % 2 else 0)
+        hist = np.bincount(frame.reshape(-1), minlength=256)
+        y_sum_milli += int(hist @ pal_luma)
+        n_key += int(is_key)
+        n_delta += int(is_delta and not is_key)
+        frames_seen += 1
+        pos += fsize
+    if frames_seen != n_frames:
+        raise ValueError(
+            f"FLIC truncated: {frames_seen} of {n_frames} frames present"
+        )
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": frames_seen,
+        "n_key_frames": n_key,
+        "n_delta_frames": n_delta,
+        "changed_pixels": changed_px,
+        "luma_milli_sum": y_sum_milli,
+        "last_frame_crc": _zlib.crc32(frame.tobytes()) & 0xFFFFFFFF,
+    }
+
+
+# FLIC registers late (defined after the decoder table): the T13
+# inter-frame video leg is REAL from here on; remaining unregistered
+# kinds are the modern DCT/motion-compensated codecs (H.264 etc.),
+# which stay behind set_decoder().
+_DECODERS["flc"] = decode_flc
+_DECODERS["fli"] = decode_flc
+_DECODERS["video/x-flic"] = decode_flc

@@ -1732,3 +1732,130 @@ def test_jpeg_batch_encode_decode_byte_identical_to_per_frame():
     for a, b in zip(got, want):
         assert np.array_equal(a, b)
     assert encode_jpeg_batch(np.zeros((0, 8, 8, 3), np.uint8)) == []
+
+
+def test_flc_round_trip_stats_and_reconstruction():
+    import zlib
+
+    import numpy as np
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        decode,
+        decode_flc,
+        encode_flc,
+    )
+
+    rng = np.random.RandomState(7)
+    h, w, n = 24, 32, 6
+    frames = [rng.randint(0, 256, (h, w)).astype(np.uint8)]
+    for i in range(1, n):
+        f = frames[-1].copy()
+        if i != 3:  # frame 3 is identical -> zero-chunk frame
+            f[i, 4:12] = (f[i, 4:12] + 17) % 256
+            f[(i * 5) % h, 20:26] = i
+        frames.append(f)
+    palette = [(i, (i * 3) % 256, 255 - i) for i in range(256)]
+    st = decode_flc(encode_flc(frames, palette))
+    luma = np.array([299 * r + 587 * g + 114 * b for r, g, b in palette])
+    assert st["width"] == w and st["height"] == h and st["n_frames"] == n
+    assert st["n_key_frames"] == 1  # only the BRUN keyframe
+    assert st["n_delta_frames"] == n - 2  # identical frame carries no chunk
+    assert st["luma_milli_sum"] == sum(
+        int(np.bincount(f.reshape(-1), minlength=256) @ luma) for f in frames
+    )
+    assert st["changed_pixels"] == sum(
+        int((frames[i] != frames[i - 1]).sum()) for i in range(1, n)
+    )
+    assert st["last_frame_crc"] == (zlib.crc32(frames[-1].tobytes()) & 0xFFFFFFFF)
+    # the decoder registry routes the new kinds
+    assert decode("video/x-flic", encode_flc(frames, palette))["n_frames"] == n
+
+
+def test_flc_replicate_packets_skip_opcode_black_and_copy():
+    """Hand-built FLIC exercising the spec paths the repo encoder never
+    emits: BRUN replicate packets (count > 0), DELTA_FLC word-replicate
+    packets (count < 0) and line-skip opcodes (top bits 0b11), plus
+    BLACK and COPY keyframe chunks."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        decode_flc,
+    )
+
+    h, w = 4, 8
+
+    def chunk(ctype, body):
+        if len(body) % 2:
+            body += b"\x00"
+        return struct.pack("<IH", 6 + len(body), ctype) + body
+
+    def frame(chunks):
+        body = b"".join(chunks)
+        return struct.pack("<IHH8x", 16 + len(body), 0xF1FA, len(chunks)) + body
+
+    # palette: identity gray so luma = 1000 * index
+    pal = struct.pack("<H", 1) + bytes((0, 0)) + bytes(
+        b for i in range(256) for b in (i, i, i)
+    )
+    # frame 1: BRUN with replicate packets — every line = 8 x value 5
+    brun = b"".join(bytes((1,)) + struct.pack("b", 8) + bytes((5,)) for _ in range(h))
+    # frame 2: DELTA on line 2 only (skip 2 lines via 0b11 opcode):
+    # one replicate packet writing the word (9, 9) three times at col 2
+    delta = struct.pack("<H", 1)  # one line entry
+    delta += struct.pack("<h", -2)  # skip 2 lines
+    delta += struct.pack("<h", 1)  # one packet
+    delta += struct.pack("<Bb", 2, -3) + bytes((9, 9))
+    # frame 3: BLACK; frame 4: COPY of an arange ramp
+    ramp = (np.arange(h * w, dtype=np.uint8) % 251).tobytes()
+    body = (
+        frame([chunk(4, pal), chunk(15, brun)])
+        + frame([chunk(7, delta)])
+        + frame([chunk(13, b"")])
+        + frame([chunk(16, ramp)])
+    )
+    blob = struct.pack(
+        "<IHHHHHHI108x", 128 + len(body), 0xAF12, 4, w, h, 8, 3, 40
+    ) + body
+    st = decode_flc(blob)
+    assert st["n_frames"] == 4
+    assert st["n_key_frames"] == 3  # BRUN, BLACK, COPY
+    assert st["n_delta_frames"] == 1
+    # delta wrote six 9s over 5s on line 2
+    assert st["changed_pixels"] == 6
+    f1 = np.full((h, w), 5, np.uint8)
+    f2 = f1.copy()
+    f2[2, 2:8] = 9
+    f4 = np.frombuffer(ramp, np.uint8).reshape(h, w)
+    expected_luma = 1000 * (
+        int(f1.sum()) + int(f2.sum()) + 0 + int(f4.sum())
+    )
+    assert st["luma_milli_sum"] == expected_luma
+    assert st["last_frame_crc"] == (zlib.crc32(ramp) & 0xFFFFFFFF)
+
+
+def test_flc_error_paths():
+    import numpy as np
+    import pytest
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        decode_flc,
+        encode_flc,
+    )
+
+    pal = [(i, i, i) for i in range(256)]
+    with pytest.raises(ValueError):
+        decode_flc(b"RIFF" + b"\x00" * 200)  # wrong magic
+    with pytest.raises(ValueError):
+        decode_flc(b"\x00" * 64)  # shorter than the header
+    with pytest.raises(ValueError):
+        encode_flc([np.zeros((4, 7), np.uint8)], pal)  # odd width
+    with pytest.raises(ValueError):
+        encode_flc([np.zeros((4, 8), np.uint8)], pal[:10])  # short palette
+    blob = encode_flc(
+        [np.zeros((4, 8), np.uint8), np.ones((4, 8), np.uint8)], pal
+    )
+    with pytest.raises(ValueError):
+        decode_flc(blob[:-20])  # truncated final frame
