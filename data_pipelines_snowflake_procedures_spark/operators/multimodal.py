@@ -1418,6 +1418,26 @@ def extract_video_features(df: DataFrame) -> DataFrame:
                 dec = decode_y4m
             elif kind in ("video/x-msvideo", "avi"):
                 dec = decode_avi_mjpeg
+            elif kind in ("video/x-flic", "flc", "fli"):
+                # inter-frame codec: adapt FLIC's stats to the shared
+                # schema (palette milli-luma -> 0..255 mean_y; no
+                # sampled mean — sampling an inter-frame stream still
+                # decodes every frame, so the shortcut would be a lie)
+                def dec(d: bytes) -> dict[str, Any]:
+                    s = decode_flc(d)
+                    px = s["width"] * s["height"] * s["n_frames"]
+                    return {
+                        "width": s["width"],
+                        "height": s["height"],
+                        "n_frames": s["n_frames"],
+                        "fps_num": 1000,
+                        "fps_den": max(s["speed_ms"], 1),
+                        "duration_sec": s["n_frames"]
+                        * s["speed_ms"]
+                        / 1000.0,
+                        "mean_y": s["luma_milli_sum"] / 1000.0 / px,
+                        "sampled_mean_y": None,
+                    }
             else:
                 return nulls
             try:
@@ -1973,9 +1993,11 @@ def decode_flc(payload: bytes) -> dict[str, Any]:
         raise ValueError(
             f"FLIC truncated: {frames_seen} of {n_frames} frames present"
         )
+    (speed_ms,) = _struct.unpack_from("<I", payload, 16)
     return {
         "width": int(w),
         "height": int(h),
+        "speed_ms": int(speed_ms),
         "n_frames": frames_seen,
         "n_key_frames": n_key,
         "n_delta_frames": n_delta,
@@ -1992,3 +2014,54 @@ def decode_flc(payload: bytes) -> dict[str, Any]:
 _DECODERS["flc"] = decode_flc
 _DECODERS["fli"] = decode_flc
 _DECODERS["video/x-flic"] = decode_flc
+
+
+def attach_flc_video(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    speed_ms: int = 40,
+) -> DataFrame:
+    """FLIC leg of the binary-attach family: each document's utf-8
+    bytes become 8×8 indexed frames under an identity-gray palette in
+    a VALID FLC stream (:func:`encode_flc` — BRUN keyframe + true
+    inter-frame DELTA_FLC chunks, so consecutive text chunks that
+    share bytes genuinely compress). Same MEDIA_SCHEMA contract as
+    :func:`attach_video`, mime ``video/x-flic``."""
+
+    def per_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        palette = [(i, i, i) for i in range(256)]
+        for pdf in batches:
+            payloads = []
+            for text in pdf["__text"]:
+                data = (text or "").encode("utf-8")
+                nf = max(-(-len(data) // 64), 1)
+                buf = np.zeros(nf * 64, dtype=np.uint8)
+                buf[: len(data)] = np.frombuffer(data, dtype=np.uint8)
+                frames = list(buf.reshape(nf, 8, 8))
+                payloads.append(
+                    encode_flc(frames, palette, speed_ms=speed_ms)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "video/x-flic",
+                }
+            )
+
+    rendered = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("__text"),
+    ).mapInPandas(per_batches, "doc_id BIGINT, payload BINARY, mime STRING")
+    return rendered.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )

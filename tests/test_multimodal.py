@@ -1859,3 +1859,38 @@ def test_flc_error_paths():
     )
     with pytest.raises(ValueError):
         decode_flc(blob[:-20])  # truncated final frame
+
+
+def test_flc_spark_plumbing_attach_and_features(spark, sf_dir):
+    """Distributed FLIC plumbing: attach_flc_video renders per-doc FLC
+    payloads in Arrow batches; extract_video_features decodes them back
+    through the shared VIDEO_SCHEMA with the inter-frame codec branch."""
+    import numpy as np
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        attach_flc_video,
+        extract_video_features,
+    )
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(24)
+    vids = attach_flc_video(docs)
+    feats = {
+        r.doc_id: r for r in extract_video_features(vids).collect()
+    }
+    src = {r.doc_id: r.text for r in docs.collect()}
+    assert set(feats) == set(src)
+    pal_luma = np.array([(299 + 587 + 114) * i for i in range(256)])
+    for doc_id, text in src.items():
+        data = (text or "").encode("utf-8")
+        nf = max(-(-len(data) // 64), 1)
+        buf = np.zeros(nf * 64, dtype=np.uint8)
+        buf[: len(data)] = np.frombuffer(data, dtype=np.uint8)
+        r = feats[doc_id]
+        assert (r.width, r.height, r.n_frames) == (8, 8, nf)
+        assert r.sampled_mean_y is None  # honest: no sampling shortcut
+        expect = int(
+            np.bincount(buf, minlength=256) @ pal_luma
+        ) / 1000.0 / (64 * nf)
+        assert abs(r.mean_y - expect) < 1e-9
+        assert abs(r.duration_sec - nf * 0.04) < 1e-9
