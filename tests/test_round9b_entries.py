@@ -295,3 +295,22 @@ def test_lorenz_curve_monotone_and_below_diagonal(spark, sf_dir):
         prev_pop, prev_rev = r.pop_share_cum, r.rev_share_cum
     assert abs(rows[-1].pop_share_cum - 1.0) < 1e-6
     assert abs(rows[-1].rev_share_cum - 1.0) < 1e-6
+
+
+def test_adaptive_cell_contract_keeps_oracle_gate_native():
+    """Guard for the BLAS fast-path parity argument: at every scale the
+    DuckDB oracles run (sf0.01: 500 vectors; local mirror max: sf0.1,
+    2000), the adaptive cell count max(8, n/256) must stay below
+    NUMPY_ASSIGN_MIN_K so hash-checked assignments use the bit-exact
+    native fold. If either constant changes, this fails before any
+    oracle silently drifts."""
+    import math
+
+    from data_pipelines_snowflake_procedures_spark.operators.similarity import (
+        NUMPY_ASSIGN_MIN_K,
+    )
+
+    for n in (500, 2000):
+        k = max(8, math.ceil(n / 256))
+        assert k == 8
+        assert k < NUMPY_ASSIGN_MIN_K
