@@ -115,6 +115,12 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         from .office import read_xml  # stdlib ElementTree record inference
 
         return read_xml(spark, path)
+    if ext in ("arrow", "feather", "ipc"):
+        from .arrowipc import read_arrow_ipc, read_arrow_stream, sniff_ipc_kind
+
+        if sniff_ipc_kind(path) == "file":
+            return read_arrow_ipc(spark, path)  # batch-parallel
+        return read_arrow_stream(spark, path)  # no footer: driver-side
     raise ValueError(f"Unsupported file format: {ext!r} ({path})")
 
 

@@ -1067,3 +1067,65 @@ def test_fixed_width_round_trip_and_edges(spark, tmp_path):
     # the parse is pure Column expressions — no Python on executors
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_read_any_arrow_ipc_file_batch_parallel(spark, tmp_path):
+    """Arrow IPC FILE format loads through read_any with values intact;
+    the reader distributes by record batch (footer opened once)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from data_pipelines_snowflake_procedures_spark.sources.discovery import read_any
+
+    pdf = pd.DataFrame(
+        {
+            "k": list(range(100)),
+            "v": [f"s{i}" for i in range(100)],
+            "x": [i / 4.0 for i in range(100)],
+        }
+    )
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    path = str(tmp_path / "t.arrow")
+    with pa.OSFile(path, "wb") as f:
+        with pa.ipc.new_file(f, table.schema) as w:
+            for start in range(0, 100, 16):  # 7 record batches
+                w.write_table(table.slice(start, 16))
+    df = read_any(spark, path)
+    assert df.count() == 100
+    got = sorted((r.k, r.v, r.x) for r in df.collect())
+    assert got == [(i, f"s{i}", i / 4.0) for i in range(100)]
+    assert [f.name for f in df.schema.fields] == ["k", "v", "x"]
+
+
+def test_read_any_arrow_stream_fallback(spark, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+
+    from data_pipelines_snowflake_procedures_spark.sources.discovery import read_any
+
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    path = str(tmp_path / "t.ipc")
+    with pa.OSFile(path, "wb") as f:
+        with pa.ipc.new_stream(f, table.schema) as w:
+            w.write_table(table)
+    df = read_any(spark, path)
+    assert sorted((r.a, r.b) for r in df.collect()) == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_read_any_empty_arrow_file(spark, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+
+    from data_pipelines_snowflake_procedures_spark.sources.discovery import read_any
+
+    table = pa.Table.from_pandas(
+        pd.DataFrame({"a": pd.Series([], dtype="int64")}), preserve_index=False
+    )
+    path = str(tmp_path / "e.feather")
+    with pa.OSFile(path, "wb") as f:
+        with pa.ipc.new_file(f, table.schema) as w:
+            pass  # zero record batches
+    df = read_any(spark, path)
+    assert df.count() == 0
+    assert df.columns == ["a"]
