@@ -384,13 +384,21 @@ HEADLINE = [
     "embeddings_intrinsic_dimension",
     "orders_theil_u_forecast",
     "supplier_revenue_lorenz",
+    # round-10 wave
+    "multimodal_flc_video_documents",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads
 # as coverage it isn't (VERDICT r8 #4). Fails fast at import time when
-# a registered entry is missing from HEADLINE.
-_missing = [n for n in REGISTRY if n not in set(HEADLINE)]
+# a registered entry is missing from HEADLINE — and in the OTHER
+# direction too: a typo'd/renamed HEADLINE name would otherwise be
+# silently dropped by the run-loop's membership filter (ADVICE r9).
+_headline_set = set(HEADLINE)
+_missing = [n for n in REGISTRY if n not in _headline_set]
 assert not _missing, f"registry entries missing from bench HEADLINE: {_missing}"
+_unknown = [n for n in HEADLINE if n not in REGISTRY]
+assert not _unknown, f"bench HEADLINE names not in registry: {_unknown}"
+assert len(_headline_set) == len(HEADLINE), "duplicate names in bench HEADLINE"
 
 
 def _shuffle_partitions_for(sf_dir: str, cpus: int) -> int:
@@ -489,7 +497,12 @@ def main() -> None:
     for name in sorted(skip):
         print(f"# SKIP {name} (SPARK_GRAFT_BENCH_SKIP)", file=sys.stderr)
 
-    names = [n for n in HEADLINE if n in REGISTRY and n not in skip]
+    names = [n for n in HEADLINE if n not in skip]
+    if not names:
+        raise SystemExit(
+            "SPARK_GRAFT_BENCH_SKIP filtered out every registry entry — "
+            "nothing to bench"
+        )
     # Warm the JVM + parquet footers once so timings measure query
     # execution, not session bring-up.
     REGISTRY[names[0]].spark_fn(spark, sf_dir).count()

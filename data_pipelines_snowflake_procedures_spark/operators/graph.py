@@ -590,6 +590,8 @@ def hits(
     Plan shape: per half-iteration one O(|E|) join-by-key + one
     node-sized groupBy + one 1-row L2 aggregate broadcast back —
     scores stay node-sized, the edge list is never collected."""
+    if iters < 1:
+        raise ValueError(f"hits() needs iters >= 1, got {iters}")
     w_col = (
         F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     )

@@ -832,24 +832,34 @@ def decode_avi_mjpeg(payload: bytes) -> dict[str, Any]:
     if frames:
         # batched decode: IDCT/color-convert once per table group (all
         # frames of a well-formed MJPEG share one), then one vectorized
-        # luma reduction — bit-identical to the per-frame loop
+        # luma reduction — bit-identical to the per-frame loop. Decoded
+        # in BOUNDED chunks: float64 pixel+IDCT intermediates run
+        # ~10-25x the uint8 frame bytes, so stacking a whole long clip
+        # at once could OOM an executor that the per-frame loop never
+        # did (ADVICE r9); per-chunk peak is constant, sums accumulate.
         from .jpeg import decode_jpeg_pixels_batch
 
-        pixel_list = decode_jpeg_pixels_batch(frames)
-        if len({p.shape for p in pixel_list}) == 1:
-            pxs = np.stack(pixel_list).astype(np.float64)
-            luma = np.round(
-                0.299 * pxs[..., 0] + 0.587 * pxs[..., 1] + 0.114 * pxs[..., 2]
-            ).astype(np.int64)
-            sums = luma.sum(axis=(1, 2)).tolist()
-        else:  # malformed stream mixing frame shapes: per-frame reduce
-            sums = []
-            for px in pixel_list:
-                pxf = px.astype(np.float64)
+        sums: list[int] = []
+        chunk_frames = 256
+        for lo in range(0, len(frames), chunk_frames):
+            pixel_list = decode_jpeg_pixels_batch(frames[lo : lo + chunk_frames])
+            if len({p.shape for p in pixel_list}) == 1:
+                pxs = np.stack(pixel_list).astype(np.float64)
                 luma = np.round(
-                    0.299 * pxf[..., 0] + 0.587 * pxf[..., 1] + 0.114 * pxf[..., 2]
+                    0.299 * pxs[..., 0]
+                    + 0.587 * pxs[..., 1]
+                    + 0.114 * pxs[..., 2]
                 ).astype(np.int64)
-                sums.append(int(luma.sum()))
+                sums.extend(luma.sum(axis=(1, 2)).tolist())
+            else:  # malformed stream mixing frame shapes: per-frame reduce
+                for px in pixel_list:
+                    pxf = px.astype(np.float64)
+                    luma = np.round(
+                        0.299 * pxf[..., 0]
+                        + 0.587 * pxf[..., 1]
+                        + 0.114 * pxf[..., 2]
+                    ).astype(np.int64)
+                    sums.append(int(luma.sum()))
         y_sum = int(sum(sums))
         y_sum_sampled = int(sum(sums[::2]))
     n_frames = len(frames)
@@ -1402,7 +1412,27 @@ VIDEO_SCHEMA = (
 def extract_video_features(df: DataFrame) -> DataFrame:
     """Video feature extraction over Arrow batches (``mapInPandas``):
     container metadata + all-frame and every-2nd-frame luma means via
-    :func:`decode_y4m` for decodable payloads, NULLs otherwise."""
+    :func:`decode_y4m` for decodable payloads, NULLs otherwise.
+
+    Native-swap contract (the SCALING.md production path, enforced by
+    ``tests/test_multimodal.py::test_set_decoder_native_swap_*``): any
+    decoder registered via :func:`set_decoder` BEFORE this plan is
+    built is snapshotted into the closure and shipped to executors
+    with it, replacing the stdlib kernel for its kind — including
+    kinds with no built-in at all (H.264-class). A swapped decoder
+    must return the same stats-dict contract as the built-in it
+    replaces (``decode_avi_mjpeg``-shaped for 'avi'/'video/x-msvideo',
+    ``decode_y4m``-shaped for Y4M, ``decode_flc``-shaped for FLIC;
+    unknown kinds return the shared VIDEO_SCHEMA key set directly).
+    The plan, Arrow batch shape, and output schema do not change with
+    the swap."""
+    # snapshot driver-side set_decoder() overrides at PLAN time so they
+    # ride to executors inside the pickled closure (a bare module-global
+    # lookup would re-import the default table on each worker)
+    overrides = {
+        k: f for k, f in _DECODERS.items()
+        if _DEFAULT_DECODERS.get(k) is not f
+    }
 
     def per_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -1415,16 +1445,18 @@ def extract_video_features(df: DataFrame) -> DataFrame:
 
         def stats(kind: str, data: bytes) -> dict[str, Any]:
             if kind in ("video/x-yuv4mpeg", "y4m"):
-                dec = decode_y4m
+                dec = overrides.get(kind, decode_y4m)
             elif kind in ("video/x-msvideo", "avi"):
-                dec = decode_avi_mjpeg
+                dec = overrides.get(kind, decode_avi_mjpeg)
             elif kind in ("video/x-flic", "flc", "fli"):
                 # inter-frame codec: adapt FLIC's stats to the shared
                 # schema (palette milli-luma -> 0..255 mean_y; no
                 # sampled mean — sampling an inter-frame stream still
                 # decodes every frame, so the shortcut would be a lie)
+                base = overrides.get(kind, decode_flc)
+
                 def dec(d: bytes) -> dict[str, Any]:
-                    s = decode_flc(d)
+                    s = base(d)
                     px = s["width"] * s["height"] * s["n_frames"]
                     return {
                         "width": s["width"],
@@ -1438,10 +1470,15 @@ def extract_video_features(df: DataFrame) -> DataFrame:
                         "mean_y": s["luma_milli_sum"] / 1000.0 / px,
                         "sampled_mean_y": None,
                     }
+            elif kind in overrides:
+                # a kind with NO built-in (H.264-class): a registered
+                # native decoder must return the VIDEO key set directly
+                dec = overrides[kind]
             else:
                 return nulls
             try:
-                return dec(data)
+                r = dec(data)
+                return {k: r.get(k) for k in keys}
             except Exception:
                 return nulls
 
@@ -2014,6 +2051,13 @@ def decode_flc(payload: bytes) -> dict[str, Any]:
 _DECODERS["flc"] = decode_flc
 _DECODERS["fli"] = decode_flc
 _DECODERS["video/x-flic"] = decode_flc
+
+# Frozen snapshot of the built-in decoder table, taken after ALL
+# built-ins (including the late FLIC rows above) have registered.
+# extract_video_features diffs _DECODERS against this at plan time to
+# find set_decoder() overrides to ship with the closure — the enforced
+# half of the SCALING.md native-swap contract.
+_DEFAULT_DECODERS: dict[str, Callable[[bytes], Any]] = dict(_DECODERS)
 
 
 def attach_flc_video(

@@ -925,6 +925,134 @@ def multimodal_mjpeg_video_documents(
 
 
 @register(
+    "multimodal_flc_video_documents",
+    """
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    nf AS (
+      SELECT doc_id, h, n,
+             greatest(CAST(ceil(n / 64.0) AS BIGINT), 1) AS n_frames
+      FROM hx
+    ),
+    ls AS (
+      SELECT doc_id,
+             sum(strpos('123456789ABCDEF', substr(h, 2*i-1, 1)) * 16
+               + strpos('123456789ABCDEF', substr(h, 2*i, 1)))
+               ::BIGINT AS byte_sum
+      FROM nf, unnest(range(1, n + 1)) AS t(i)
+      GROUP BY doc_id
+    ),
+    hp AS (
+      SELECT doc_id, n_frames,
+             rpad(h, CAST(n_frames * 128 AS INTEGER), '0') AS h
+      FROM nf
+    ),
+    df AS (
+      SELECT doc_id,
+             ((p - 1) // 64) AS frame_idx,
+             CASE WHEN substr(h, 2*p-1, 2) != substr(h, 2*(p-64)-1, 2)
+                  THEN 1 ELSE 0 END AS diff
+      FROM hp, unnest(range(65, n_frames * 64 + 1)) AS t(p)
+    ),
+    ds AS (
+      SELECT doc_id,
+             sum(diff)::BIGINT AS changed_pixels,
+             count(DISTINCT CASE WHEN diff = 1 THEN frame_idx END)
+               ::BIGINT AS n_delta_frames
+      FROM df GROUP BY doc_id
+    )
+    SELECT hp.doc_id,
+           'video/x-flic' AS mime,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(40 AS INTEGER) AS speed_ms,
+           CAST(hp.n_frames AS BIGINT) AS n_frames,
+           CAST(1 AS BIGINT) AS n_key_frames,
+           coalesce(ds.n_delta_frames, 0) AS n_delta_frames,
+           coalesce(ds.changed_pixels, 0) AS changed_pixels,
+           1000 * coalesce(ls.byte_sum, 0) AS luma_milli_sum
+    FROM hp
+    LEFT JOIN ls USING (doc_id)
+    LEFT JOIN ds USING (doc_id)
+    """,
+    doc="INTER-FRAME compressed video with a full codec round-trip — "
+    "the T13 leg no intra-only codec can exercise: each document's "
+    "utf-8 bytes become successive 8x8 indexed frames under an "
+    "identity-gray palette in a REAL Autodesk FLIC (FLC 0xAF12) "
+    "stream (operators/multimodal.py::encode_flc — BRUN keyframe + "
+    "COLOR_256 palette, then true DELTA_FLC word-oriented line deltas "
+    "against the PREVIOUS frame), and decode_flc re-parses the "
+    "container maintaining the implicit previous-frame state across "
+    "BRUN/DELTA_FLC/BLACK/COPY opcodes. The byte-level oracle "
+    "restates every reported statistic from the SOURCE bytes in pure "
+    "SQL: per-frame luma sums via the identity palette (BT.601 "
+    "299+587+114 = x1000 per index), keyframe/delta counts and "
+    "changed-pixel totals via hex-pair comparison of consecutive "
+    "64-byte chunks — so the hash match proves the encode -> "
+    "inter-frame delta -> stateful decode pipeline end-to-end, not "
+    "parser-vs-itself. Arrow-batched mapInPandas, one Python crossing "
+    "per batch; the frame-state CRC is pinned in unit tests "
+    "(tests/test_multimodal.py) rather than here because the oracle "
+    "dialect has no crc32.",
+)
+def multimodal_flc_video_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F401
+
+    # codec work is CPU-bound per doc; a small parquet file arrives as
+    # one scan partition — spread rows across cores first (same
+    # rationale as the MJPEG entry above)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def per_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from .operators.multimodal import decode_flc, encode_flc
+
+        palette = [(i, i, i) for i in range(256)]
+        cols = (
+            "width", "height", "speed_ms", "n_frames", "n_key_frames",
+            "n_delta_frames", "changed_pixels", "luma_milli_sum",
+        )
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")
+                nf = max(-(-len(data) // 64), 1)
+                buf = np.zeros(nf * 64, dtype=np.uint8)
+                buf[: len(data)] = np.frombuffer(data, dtype=np.uint8)
+                frames = list(buf.reshape(nf, 8, 8))
+                st = decode_flc(encode_flc(frames, palette, speed_ms=40))
+                rows.append(
+                    (int(doc_id), "video/x-flic") + tuple(st[c] for c in cols)
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "mime", *cols])
+
+    return docs.mapInPandas(
+        per_batches,
+        schema=(
+            "doc_id BIGINT, mime STRING, width INT, height INT, "
+            "speed_ms INT, n_frames BIGINT, n_key_frames BIGINT, "
+            "n_delta_frames BIGINT, changed_pixels BIGINT, "
+            "luma_milli_sum BIGINT"
+        ),
+    )
+
+
+@register(
     "events_hourly_streaming",
     """
     SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,

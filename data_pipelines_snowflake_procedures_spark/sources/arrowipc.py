@@ -54,7 +54,17 @@ def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
         for pdf in parts:
             if len(pdf) == 0:
                 continue
-            with pa.memory_map(path, "rb") as f:
+            # The driver validated the footer at plan time; if the file
+            # vanished or was rewritten since, surface a named error
+            # instead of an opaque executor-side Arrow failure.
+            try:
+                mm = pa.memory_map(path, "rb")
+            except Exception as exc:
+                raise ValueError(
+                    f"Arrow IPC file {path!r} unreadable from executor "
+                    f"(moved/deleted since planning?): {exc}"
+                ) from exc
+            with mm as f:
                 r = pa.ipc.open_file(f)
                 for b in pdf["batch"]:
                     yield r.get_batch(int(b)).to_pandas()
@@ -72,13 +82,22 @@ def read_arrow_stream(spark: SparkSession, path: str) -> DataFrame:
     not as a scale path."""
     import pyarrow as pa
 
-    with pa.OSFile(path, "rb") as f:
-        table = pa.ipc.open_stream(f).read_all()
+    try:
+        with pa.OSFile(path, "rb") as f:
+            table = pa.ipc.open_stream(f).read_all()
+    except pa.lib.ArrowInvalid as exc:
+        raise ValueError(
+            f"not a valid Arrow IPC stream: {path!r} ({exc})"
+        ) from exc
     return spark.createDataFrame(table.to_pandas())
 
 
 def sniff_ipc_kind(path: str) -> str:
-    """'file' (footer-indexed, magic ARROW1) vs 'stream'."""
+    """'file' (footer-indexed, magic ARROW1) vs 'stream'. Raises a
+    ValueError NAMING THE PATH for payloads that are neither — a
+    truncated FILE (head magic without the footer magic) or bytes with
+    no Arrow framing at all — instead of deferring the failure to an
+    opaque executor-side Arrow error (ADVICE r9)."""
     size = os.path.getsize(path)
     with open(path, "rb") as f:
         head = f.read(8)
@@ -87,6 +106,15 @@ def sniff_ipc_kind(path: str) -> str:
             tail = f.read(6)
         else:
             tail = b""
-    if head.startswith(b"ARROW1") and tail == b"ARROW1":
-        return "file"
-    return "stream"
+    if head.startswith(b"ARROW1"):
+        if tail == b"ARROW1":
+            return "file"
+        raise ValueError(
+            f"truncated Arrow IPC file {path!r}: header magic present "
+            "but footer magic missing"
+        )
+    # stream framing: every encapsulated message since Arrow 0.15 leads
+    # with the 0xFFFFFFFF continuation marker, then the metadata length
+    if len(head) >= 8 and head[:4] == b"\xff\xff\xff\xff":
+        return "stream"
+    raise ValueError(f"not an Arrow IPC file or stream: {path!r}")

@@ -1129,3 +1129,43 @@ def test_read_any_empty_arrow_file(spark, tmp_path):
     df = read_any(spark, path)
     assert df.count() == 0
     assert df.columns == ["a"]
+
+
+def test_sniff_ipc_kind_rejects_garbage_and_truncation(spark, tmp_path):
+    """Invalid IPC payloads fail fast on the driver with the path in
+    the message (ADVICE r9) instead of an opaque executor Arrow error."""
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    from data_pipelines_snowflake_procedures_spark.sources.arrowipc import sniff_ipc_kind
+
+    garbage = tmp_path / "g.arrow"
+    garbage.write_bytes(b"this is not arrow at all")
+    with pytest.raises(ValueError, match="g.arrow"):
+        sniff_ipc_kind(str(garbage))
+
+    empty = tmp_path / "z.arrow"
+    empty.write_bytes(b"")
+    with pytest.raises(ValueError, match="z.arrow"):
+        sniff_ipc_kind(str(empty))
+
+    # a FILE-format payload with the footer magic chopped off
+    pdf = pd.DataFrame({"a": [1, 2]})
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    whole = tmp_path / "w.arrow"
+    with pa.OSFile(str(whole), "wb") as f:
+        with pa.ipc.new_file(f, table.schema) as w:
+            w.write_table(table)
+    truncated = tmp_path / "trunc.arrow"
+    truncated.write_bytes(whole.read_bytes()[:-6])
+    with pytest.raises(ValueError, match="trunc.arrow"):
+        sniff_ipc_kind(str(truncated))
+
+    # valid payloads still classify
+    assert sniff_ipc_kind(str(whole)) == "file"
+    stream = tmp_path / "s.ipc"
+    with pa.OSFile(str(stream), "wb") as f:
+        with pa.ipc.new_stream(f, table.schema) as w:
+            w.write_table(table)
+    assert sniff_ipc_kind(str(stream)) == "stream"

@@ -1162,6 +1162,31 @@ def test_avi_mjpeg_round_trip_and_gates():
         decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
 
 
+def test_avi_mjpeg_long_clip_chunked_decode_exact():
+    """Clips longer than the 256-frame decode chunk (the bounded-memory
+    guard from ADVICE r9) produce bit-identical statistics across the
+    chunk boundary — flat q100 frames stay integer-exact, and the
+    every-2nd-frame sample keeps its global (not per-chunk) phase."""
+    import math
+
+    import numpy as np
+
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    vals = [(7 * i + 3) % 256 for i in range(260)]  # crosses lo=256
+    frames = np.stack([np.full((8, 8, 3), v, dtype=np.uint8) for v in vals])
+    out = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=(25, 1), quality=100))
+    assert out["n_frames"] == 260
+    assert out["mean_y"] == math.floor(sum(vals) / 260 * 10000) / 10000
+    assert (
+        out["sampled_mean_y"]
+        == math.floor(sum(vals[::2]) / 130 * 10000) / 10000
+    )
+
+
 def test_extract_video_features_routes_avi(spark):
     """extract_video_features dispatches 'video/x-msvideo' payloads to
     the MJPEG decoder inside the Arrow batch — same one-crossing
@@ -1894,3 +1919,120 @@ def test_flc_spark_plumbing_attach_and_features(spark, sf_dir):
         ) / 1000.0 / (64 * nf)
         assert abs(r.mean_y - expect) < 1e-9
         assert abs(r.duration_sec - nf * 0.04) < 1e-9
+
+
+def test_set_decoder_native_swap_rides_arrow_path(spark):
+    """The SCALING.md native-swap contract, enforced (VERDICT r9 #3):
+    a decoder registered via set_decoder() BEFORE the plan is built is
+    snapshotted into the mapInPandas closure, ships to executors, and
+    replaces the stdlib kernel for its kind — same plan, same Arrow
+    batch shape, same output schema/columns as the built-in."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_pipelines_snowflake_procedures_spark.operators import multimodal
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        extract_video_features,
+        set_decoder,
+    )
+
+    frames = np.stack(
+        [np.full((8, 8, 3), v, dtype=np.uint8) for v in (10, 20, 30)]
+    )
+    avi = encode_avi_mjpeg(frames, fps=(25, 1), quality=100)
+    df = spark.createDataFrame(
+        [(0, avi)], "doc_id LONG, payload BINARY"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("video/x-msvideo").alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+    builtin = extract_video_features(df)
+    builtin_row = builtin.collect()[0]
+    assert builtin_row.mean_y == 20.0  # flat q100 frames, stdlib kernel
+
+    def fake_native_mjpeg(payload: bytes) -> dict:
+        # same return contract as decode_avi_mjpeg (container metadata
+        # + luma stats), kernel swapped — sentinel value proves THIS
+        # function decoded the frames on the executor
+        out = decode_avi_mjpeg(payload)
+        out["mean_y"] = 123.0
+        return out
+
+    try:
+        set_decoder("video/x-msvideo", fake_native_mjpeg)
+        swapped = extract_video_features(df)
+        # identical schema/columns: nothing downstream (oracles
+        # included) can tell the kernels apart structurally
+        assert swapped.schema == builtin.schema
+        row = swapped.collect()[0]
+        assert row.mean_y == 123.0  # the registered kernel ran
+        # everything the fake didn't touch matches the stdlib decode
+        for k in ("width", "height", "n_frames", "fps_num", "fps_den",
+                  "duration_sec", "sampled_mean_y"):
+            assert row[k] == builtin_row[k], k
+    finally:
+        set_decoder(
+            "video/x-msvideo",
+            multimodal._DEFAULT_DECODERS["video/x-msvideo"],
+        )
+
+    # registry restored: the built-in kernel is back
+    assert extract_video_features(df).collect()[0].mean_y == 20.0
+
+
+def test_set_decoder_native_swap_h264_class_kind(spark):
+    """A kind with NO built-in decoder (modern DCT/motion-compensated
+    codecs, T13): unregistered it yields the NULL row — after
+    set_decoder() the SAME plan surfaces the native decoder's stats
+    through the unchanged VIDEO_SCHEMA. This is the test that the
+    declared stub is a real extension point, not a dead end."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_snowflake_procedures_spark.operators import multimodal
+    from data_pipelines_snowflake_procedures_spark.operators.multimodal import (
+        extract_video_features,
+        set_decoder,
+    )
+
+    df = spark.createDataFrame(
+        [(7, b"\x00\x00\x00\x01gfake-nal-unit")], "doc_id LONG, payload BINARY"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("video/h264").alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+    null_row = extract_video_features(df).collect()[0]
+    assert null_row.n_frames is None and null_row.mean_y is None
+
+    def fake_native_h264(payload: bytes) -> dict:
+        # H.264-class contract: return the shared VIDEO key set
+        return {
+            "width": 64, "height": 48, "n_frames": 9,
+            "fps_num": 30, "fps_den": 1, "duration_sec": 0.3,
+            "mean_y": 99.5, "sampled_mean_y": 98.25,
+        }
+
+    try:
+        set_decoder("video/h264", fake_native_h264)
+        row = extract_video_features(df).collect()[0]
+        assert (row.width, row.height, row.n_frames) == (64, 48, 9)
+        assert (row.fps_num, row.fps_den) == (30, 1)
+        assert row.mean_y == 99.5 and row.sampled_mean_y == 98.25
+        assert row.mime == "video/h264"  # metadata untouched by swap
+    finally:
+        multimodal._DECODERS.pop("video/h264", None)
+
+    # unregistered again: back to the honest NULL row
+    after = extract_video_features(df).collect()[0]
+    assert after.n_frames is None

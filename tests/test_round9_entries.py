@@ -102,6 +102,18 @@ def test_hits_normalization_and_bipartite_sides(spark):
     assert rows["u1"].hub > rows["u2"].hub
 
 
+def test_hits_rejects_zero_iters(spark):
+    """iters=0 has no defined authority frame — fail with a clear
+    ValueError instead of the AttributeError it used to hit (ADVICE r9)."""
+    import pytest
+
+    from data_pipelines_snowflake_procedures_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError, match="iters >= 1"):
+        hits(edges, iters=0)
+
+
 def test_page_hinkley_planted_shift(spark, sf_dir):
     rows = REGISTRY["events_page_hinkley_drift"].spark_fn(
         spark, sf_dir
