@@ -387,6 +387,16 @@ def test_top_sf1_entries_plan_budgets(spark, sf_dir):
         # is 3 exchanges (gram-stat groupBy, first-seen join, rollup)
         "documents_ngram_novelty": (3, 0, 0),
         "embeddings_lof_outliers": (0, 0, 0),
+        # round-10 completion of the E246-E276 coverage (VERDICT r9
+        # #4): every wave entry with sf1 > 5 s is pinned. TwoNN, like
+        # LOF, surfaces a localCheckpoint scan (pipeline budgeted by
+        # its persisted-stage structure); ljung-box runs on HOURLY-
+        # grain aggregates, so its 12 exchanges and 5 one-row scalar
+        # BNLJ broadcasts move kilobytes (sf1 ratio 1.03).
+        "part_croston_demand_forecast": (2, 0, 0),
+        "events_hourly_ljung_box": (12, 0, 5),
+        "orders_little_law_wip": (4, 0, 0),
+        "embeddings_intrinsic_dimension": (0, 0, 0),
     }
     for name, (max_sh, max_arrow, max_bnlj) in budgets.items():
         report = plan_report(REGISTRY[name].spark_fn(spark, sf_dir))
