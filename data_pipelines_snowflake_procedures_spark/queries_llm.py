@@ -3286,11 +3286,17 @@ def documents_quality_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_auc_binned(scored, "score", "label", bins=1024)
 
 
-def _knn_pq_oracle() -> str:
-    """Restates PQ end-to-end: per-subspace 2-iteration Lloyd codebooks
-    (same seed/rounding/tie conventions as the k-means oracle), encode,
-    reconstruct, asymmetric scoring, exact re-rank."""
-    m, sub, kk = 4, 16, 16
+def _pq_codebook_ctes(
+    src: str, se_tpl: str, prefix: str, m: int = 4, sub: int = 16,
+    kk: int = 16,
+) -> str:
+    """Per-subspace PQ codebook CTE chain: ``{prefix}s{j}`` subvector
+    slices -> two unrolled Lloyd iterations (lowest-id seeds, 6-decimal
+    mean rounding, lowest-cluster tie-break) -> ``{prefix}dec_{j}``,
+    each vector's nearest FINAL codeword. Shared by the PQ, IVF-PQ,
+    and quantized-recall oracles so the three restate literally the
+    same training. ``se_tpl`` formats the j-th subvector DOUBLE-list
+    expression given ``{lo}``/``{hi}`` slice bounds over ``src``."""
 
     def dist(a: str, b: str) -> str:
         return (
@@ -3298,64 +3304,76 @@ def _knn_pq_oracle() -> str:
             f"FOR i IN range(1, {sub + 1})], 'sum')"
         )
 
+    p = prefix
     ctes = []
     for j in range(m):
         lo, hi = j * sub + 1, (j + 1) * sub
-        ctes.append(f"""s{j} AS (
-      SELECT vec_id, [x::DOUBLE FOR x IN embedding[{lo}:{hi}]] AS se
-      FROM embeddings
+        se = se_tpl.format(lo=lo, hi=hi)
+        ctes.append(f"""{p}s{j} AS (
+      SELECT vec_id, {se} AS se FROM {src}
     ),
-    c0_{j} AS (
+    {p}c0_{j} AS (
       SELECT srn - 1 AS cid, se AS c FROM (
-        SELECT se, row_number() OVER (ORDER BY vec_id) AS srn FROM s{j}
+        SELECT se, row_number() OVER (ORDER BY vec_id) AS srn FROM {p}s{j}
       ) WHERE srn <= {kk}
     ),
-    a1_{j} AS (
+    {p}a1_{j} AS (
       SELECT vec_id, se, cid AS cl FROM (
         SELECT e.vec_id, e.se, c.cid,
                row_number() OVER (
                  PARTITION BY e.vec_id ORDER BY {dist('e.se', 'c.c')}, c.cid
                ) AS rn
-        FROM s{j} e CROSS JOIN c0_{j} c
+        FROM {p}s{j} e CROSS JOIN {p}c0_{j} c
       ) WHERE rn = 1
     ),
-    c1m_{j} AS (
+    {p}c1m_{j} AS (
       SELECT cl AS cid, i, round(avg(se[i]), 6) AS mval
-      FROM a1_{j}, unnest(range(1, {sub + 1})) AS t(i) GROUP BY cl, i
+      FROM {p}a1_{j}, unnest(range(1, {sub + 1})) AS t(i) GROUP BY cl, i
     ),
-    c1l_{j} AS (SELECT cid, list(mval ORDER BY i) AS c FROM c1m_{j} GROUP BY cid),
-    c1_{j} AS (
+    {p}c1l_{j} AS (SELECT cid, list(mval ORDER BY i) AS c FROM {p}c1m_{j} GROUP BY cid),
+    {p}c1_{j} AS (
       SELECT s.cid, coalesce(cm.c, s.c) AS c
-      FROM c0_{j} s LEFT JOIN c1l_{j} cm USING (cid)
+      FROM {p}c0_{j} s LEFT JOIN {p}c1l_{j} cm USING (cid)
     ),
-    a2_{j} AS (
+    {p}a2_{j} AS (
       SELECT vec_id, se, cid AS cl FROM (
         SELECT e.vec_id, e.se, c.cid,
                row_number() OVER (
                  PARTITION BY e.vec_id ORDER BY {dist('e.se', 'c.c')}, c.cid
                ) AS rn
-        FROM s{j} e CROSS JOIN c1_{j} c
+        FROM {p}s{j} e CROSS JOIN {p}c1_{j} c
       ) WHERE rn = 1
     ),
-    c2m_{j} AS (
+    {p}c2m_{j} AS (
       SELECT cl AS cid, i, round(avg(se[i]), 6) AS mval
-      FROM a2_{j}, unnest(range(1, {sub + 1})) AS t(i) GROUP BY cl, i
+      FROM {p}a2_{j}, unnest(range(1, {sub + 1})) AS t(i) GROUP BY cl, i
     ),
-    c2l_{j} AS (SELECT cid, list(mval ORDER BY i) AS c FROM c2m_{j} GROUP BY cid),
-    c2_{j} AS (
+    {p}c2l_{j} AS (SELECT cid, list(mval ORDER BY i) AS c FROM {p}c2m_{j} GROUP BY cid),
+    {p}c2f_{j} AS (
       SELECT s.cid, coalesce(cm.c, s.c) AS c
-      FROM c1_{j} s LEFT JOIN c2l_{j} cm USING (cid)
+      FROM {p}c1_{j} s LEFT JOIN {p}c2l_{j} cm USING (cid)
     ),
-    dec_{j} AS (
+    {p}dec_{j} AS (
       SELECT vec_id, c FROM (
         SELECT e.vec_id, c.c,
                row_number() OVER (
                  PARTITION BY e.vec_id ORDER BY {dist('e.se', 'c.c')}, c.cid
                ) AS rn
-        FROM s{j} e CROSS JOIN c2_{j} c
+        FROM {p}s{j} e CROSS JOIN {p}c2f_{j} c
       ) WHERE rn = 1
     )""")
-    books = ",\n    ".join(ctes)
+    return ",\n    ".join(ctes)
+
+
+_PQ_RAW_SE = "[x::DOUBLE FOR x IN embedding[{lo}:{hi}]]"
+
+
+def _knn_pq_oracle() -> str:
+    """Restates PQ end-to-end: per-subspace 2-iteration Lloyd codebooks
+    (same seed/rounding/tie conventions as the k-means oracle), encode,
+    reconstruct, asymmetric scoring, exact re-rank."""
+    m = 4
+    books = _pq_codebook_ctes("embeddings", _PQ_RAW_SE, "")
     recon = " || ".join(f"d{j}.c" for j in range(m))
     joins = " ".join(f"JOIN dec_{j} d{j} USING (vec_id)" for j in range(1, m))
     return f"""
@@ -3440,73 +3458,11 @@ def knn_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_ivfpq_oracle() -> str:
     """Restates IVF-PQ end-to-end: the coarse 2-iteration Lloyd
     quantizer (shared _kmeans_ctes), per-vector residuals, 4 unrolled
-    residual-codebook Lloyd runs, encode/reconstruct (cell centroid +
-    decoded residual), the nprobe=2 cell probe, and exact re-rank."""
-    m, sub, kk, nprobe = 4, 16, 16, 2
-
-    def sdist(a: str, b: str) -> str:
-        return (
-            f"list_aggregate([({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
-            f"FOR i IN range(1, {sub + 1})], 'sum')"
-        )
-
-    ctes = []
-    for j in range(m):
-        lo, hi = j * sub + 1, (j + 1) * sub
-        ctes.append(f"""s{j} AS (
-      SELECT vec_id, remb[{lo}:{hi}] AS se FROM res
-    ),
-    c0_{j} AS (
-      SELECT srn - 1 AS cid, se AS c FROM (
-        SELECT se, row_number() OVER (ORDER BY vec_id) AS srn FROM s{j}
-      ) WHERE srn <= {kk}
-    ),
-    a1_{j} AS (
-      SELECT vec_id, se, cid AS cl FROM (
-        SELECT e.vec_id, e.se, c.cid,
-               row_number() OVER (
-                 PARTITION BY e.vec_id ORDER BY {sdist('e.se', 'c.c')}, c.cid
-               ) AS rn
-        FROM s{j} e CROSS JOIN c0_{j} c
-      ) WHERE rn = 1
-    ),
-    c1m_{j} AS (
-      SELECT cl AS cid, i, round(avg(se[i]), 6) AS mval
-      FROM a1_{j}, unnest(range(1, {sub + 1})) AS t(i) GROUP BY cl, i
-    ),
-    c1l_{j} AS (SELECT cid, list(mval ORDER BY i) AS c FROM c1m_{j} GROUP BY cid),
-    c1_{j} AS (
-      SELECT s.cid, coalesce(cm.c, s.c) AS c
-      FROM c0_{j} s LEFT JOIN c1l_{j} cm USING (cid)
-    ),
-    a2_{j} AS (
-      SELECT vec_id, se, cid AS cl FROM (
-        SELECT e.vec_id, e.se, c.cid,
-               row_number() OVER (
-                 PARTITION BY e.vec_id ORDER BY {sdist('e.se', 'c.c')}, c.cid
-               ) AS rn
-        FROM s{j} e CROSS JOIN c1_{j} c
-      ) WHERE rn = 1
-    ),
-    c2m_{j} AS (
-      SELECT cl AS cid, i, round(avg(se[i]), 6) AS mval
-      FROM a2_{j}, unnest(range(1, {sub + 1})) AS t(i) GROUP BY cl, i
-    ),
-    c2l_{j} AS (SELECT cid, list(mval ORDER BY i) AS c FROM c2m_{j} GROUP BY cid),
-    c2f_{j} AS (
-      SELECT s.cid, coalesce(cm.c, s.c) AS c
-      FROM c1_{j} s LEFT JOIN c2l_{j} cm USING (cid)
-    ),
-    dec_{j} AS (
-      SELECT vec_id, c FROM (
-        SELECT e.vec_id, c.c,
-               row_number() OVER (
-                 PARTITION BY e.vec_id ORDER BY {sdist('e.se', 'c.c')}, c.cid
-               ) AS rn
-        FROM s{j} e CROSS JOIN c2f_{j} c
-      ) WHERE rn = 1
-    )""")
-    books = ",\n    ".join(ctes)
+    residual-codebook Lloyd runs (shared _pq_codebook_ctes), encode/
+    reconstruct (cell centroid + decoded residual), the nprobe=2 cell
+    probe, and exact re-rank."""
+    m, nprobe = 4, 2
+    books = _pq_codebook_ctes("res", "remb[{lo}:{hi}]", "")
     recon_res = " || ".join(f"d{j}.c" for j in range(m))
     joins = " ".join(f"JOIN dec_{j} d{j} USING (vec_id)" for j in range(1, m))
     return f"""
@@ -3853,14 +3809,158 @@ def documents_centrality_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame
     return out
 
 
+def _knn_recall_quantized_oracle() -> str:
+    """Composite restatement of the quantized recall report (VERDICT
+    r9 #5 — shrink the rows-only set): the SAME PQ and IVF-PQ
+    pipelines the standalone entries verify hash-exact (shared
+    ``_pq_codebook_ctes`` / ``_kmeans_ctes``), evaluated on the
+    report's 10-query set, plus brute-force truth and the recall@5
+    join — so the report's VALUES are oracle-backed, not just its
+    row count."""
+    qf = "vec_id >= 100 AND vec_id < 110"
+    raw_books = _pq_codebook_ctes("embeddings", _PQ_RAW_SE, "p_")
+    res_books = _pq_codebook_ctes("res", "remb[{lo}:{hi}]", "r_")
+    p_recon = " || ".join(f"d{j}.c" for j in range(4))
+    p_joins = " ".join(f"JOIN p_dec_{j} d{j} USING (vec_id)" for j in range(1, 4))
+    r_joins = " ".join(f"JOIN r_dec_{j} d{j} USING (vec_id)" for j in range(1, 4))
+
+    def rerank(pfx: str) -> str:
+        """Candidate cap + exact re-rank, shared by all variants
+        (k=5, rerank=3 -> 15 candidates)."""
+        return f"""{pfx}cand AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id
+        ) AS arn FROM {pfx}approx
+      ) WHERE arn <= 15
+    ),
+    {pfx}top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY
+            round(list_aggregate([q_emb[i] * c_emb[i]
+                                  FOR i IN range(1, 65)], 'sum')
+                  / (q_nrm * c_nrm), 6) DESC, neighbor_id
+        ) AS rank FROM {pfx}cand
+      ) WHERE rank <= 5
+    )"""
+
+    def ivf_approx(pfx: str, nprobe: int) -> str:
+        return f"""{pfx}approx AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             q.ve AS q_emb, c.ve AS c_emb, q.nrm AS q_nrm, c.nrm AS c_nrm,
+             round(CASE WHEN q.nrm * c.rc_nrm > 0
+                   THEN list_aggregate([q.ve[i] * c.rc[i]
+                                        FOR i IN range(1, 65)], 'sum')
+                        / (q.nrm * c.rc_nrm)
+                   ELSE NULL END, 6) AS approx_cosine
+      FROM rcn c
+      JOIN qp p ON c.cell = p.cell AND p.rn <= {nprobe}
+      JOIN qs q ON q.vec_id = p.query_id
+      WHERE c.vec_id <> p.query_id
+    )"""
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS ve,
+             sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN embedding],
+                                 'sum')) AS nrm
+      FROM embeddings
+    ),
+    qs AS (SELECT vec_id, ve, nrm FROM v WHERE {qf}),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_aggregate([q.ve[i] * c.ve[i]
+                                                FOR i IN range(1, 65)], 'sum')
+                                / (q.nrm * c.nrm), 6) DESC, c.vec_id
+               ) AS rnk
+        FROM v c JOIN qs q ON q.vec_id <> c.vec_id
+      ) WHERE rnk <= 5
+    ),
+    {raw_books},
+    p_deq AS (SELECT d0.vec_id, {p_recon} AS deq FROM p_dec_0 d0 {p_joins}),
+    p_vd AS (
+      SELECT v.vec_id, v.ve, v.nrm, q.deq,
+             sqrt(list_aggregate([d * d FOR d IN q.deq], 'sum')) AS deq_nrm
+      FROM v JOIN p_deq q USING (vec_id)
+    ),
+    p_approx AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.ve AS q_emb, c.ve AS c_emb, q.nrm AS q_nrm, c.nrm AS c_nrm,
+             round(CASE WHEN q.nrm * c.deq_nrm > 0
+                   THEN list_aggregate([q.ve[i] * c.deq[i]
+                                        FOR i IN range(1, 65)], 'sum')
+                        / (q.nrm * c.deq_nrm)
+                   ELSE NULL END, 6) AS approx_cosine
+      FROM p_vd c JOIN qs q ON q.vec_id <> c.vec_id
+    ),
+    {rerank("p_")},
+    {_kmeans_ctes()},
+    af AS (
+      SELECT vec_id, cell, cc FROM (
+        SELECT e.vec_id, c.cid AS cell, c.c AS cc,
+               row_number() OVER (
+                 PARTITION BY e.vec_id ORDER BY {_KM_DIST}, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    res AS (
+      SELECT e.vec_id, a.cell, a.cc,
+             [e.embedding[i]::DOUBLE - a.cc[i] FOR i IN range(1, 65)] AS remb
+      FROM embeddings e JOIN af a USING (vec_id)
+    ),
+    {res_books},
+    r_deq AS (SELECT d0.vec_id, {p_recon} AS dres FROM r_dec_0 d0 {r_joins}),
+    rec AS (
+      SELECT r.vec_id, r.cell,
+             [r.cc[i] + q.dres[i] FOR i IN range(1, 65)] AS rc
+      FROM res r JOIN r_deq q USING (vec_id)
+    ),
+    rcn AS (
+      SELECT rec.vec_id, rec.cell, v.ve, v.nrm, rec.rc,
+             sqrt(list_aggregate([d * d FOR d IN rec.rc], 'sum')) AS rc_nrm
+      FROM rec JOIN v USING (vec_id)
+    ),
+    qp AS (
+      SELECT query_id, cell, rn FROM (
+        SELECT q.vec_id AS query_id, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id ORDER BY
+                   list_aggregate([(q.ve[i] - c.c[i]) * (q.ve[i] - c.c[i])
+                                   FOR i IN range(1, 65)], 'sum'), c.cid
+               ) AS rn
+        FROM qs q CROSS JOIN c2 c
+      ) WHERE rn <= 2
+    ),
+    {ivf_approx("i1_", 1)},
+    {rerank("i1_")},
+    {ivf_approx("i2_", 2)},
+    {rerank("i2_")},
+    n AS (SELECT count(*)::DOUBLE AS n_truth FROM truth)
+    SELECT variant, CAST(n_matched AS BIGINT) AS n_matched,
+           round(n_matched / n.n_truth, 4) AS recall_at_5
+    FROM (
+      SELECT 'pq_rerank3' AS variant,
+             (SELECT count(*) FROM p_top
+              JOIN truth USING (query_id, neighbor_id)) AS n_matched
+      UNION ALL SELECT 'ivfpq_nprobe1',
+             (SELECT count(*) FROM i1_top
+              JOIN truth USING (query_id, neighbor_id))
+      UNION ALL SELECT 'ivfpq_nprobe2',
+             (SELECT count(*) FROM i2_top
+              JOIN truth USING (query_id, neighbor_id))
+    ) r, n
+    ORDER BY variant
+    """
+
+
 @register(
     "knn_recall_report_quantized",
-    None,  # rows-only by design: the variants' VALUES are each
-    # oracle-verified in their own entries (knn_pq_embeddings,
-    # knn_ivfpq_embeddings); this report exists to MEASURE their
-    # retrieval quality, and a composite SQL restatement of two full
-    # quantization pipelines inside the recall join would add oracle
-    # bulk without adding verification power.
+    _knn_recall_quantized_oracle(),
     doc="Recall@5 of the QUANTIZED ANN rungs (PQ, IVF-PQ at nprobe "
     "1 and 2) against brute-force ground truth on the shared "
     "10-query set — the companion to knn_recall_report, which covers "

@@ -319,3 +319,44 @@ def test_mg_merge_preserves_heavy_hitter_guarantee(spark):
             r["pn"] for r in state.collect() if r["v"] is None
         )
         assert tot == n
+
+
+def test_portable_hll_distinct_merge_invariance_and_error(spark):
+    """The oracle-backed portable HLL (events_distinct_users_sketch):
+    estimates are invariant to how rows split across slices AND across
+    partitions (registers are max-folds), land inside the error band,
+    and the small-range branch engages exactly when zeros remain."""
+    from data_pipelines_snowflake_procedures_spark.operators.sketch import (
+        portable_hll_distinct,
+    )
+
+    rows = [("big", i % 37, i) for i in range(30000)]
+    rows += [("small", i % 37, i) for i in range(50)]
+    df = spark.createDataFrame(rows, "k STRING, d LONG, v LONG")
+    got = {
+        r["k"]: r
+        for r in portable_hll_distinct(df, ["k"], "d", "v").collect()
+    }
+    assert got["big"]["exact_distinct"] == 30000
+    assert got["small"]["exact_distinct"] == 50
+    # m=4096 -> ~1.04/sqrt(4096) = 1.6% band; allow 3 sigma
+    assert got["big"]["rel_err"] < 0.05
+    assert got["small"]["rel_err"] < 0.10  # linear-counting regime
+    assert 0 < got["small"]["n_registers_filled"] <= 50
+
+    # slice-merge invariance: ONE slice vs 37 slices vs repartitioned
+    one = {
+        r["k"]: r
+        for r in portable_hll_distinct(
+            df, ["k"], F.lit(0), "v"
+        ).collect()
+    }
+    re11 = {
+        r["k"]: r
+        for r in portable_hll_distinct(
+            df.repartition(11), ["k"], "d", "v"
+        ).collect()
+    }
+    for k in ("big", "small"):
+        for c in ("approx_distinct", "rel_err", "n_registers_filled"):
+            assert got[k][c] == one[k][c] == re11[k][c], (k, c)
