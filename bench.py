@@ -386,6 +386,7 @@ HEADLINE = [
     "supplier_revenue_lorenz",
     # round-10 wave
     "multimodal_flc_video_documents",
+    "events_quantile_sketch_bottomk",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

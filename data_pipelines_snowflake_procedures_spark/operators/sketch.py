@@ -83,6 +83,113 @@ def distinct_with_sketch(
     )
 
 
+def bottomk_quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    slice_col: str | Column,
+    key_col: str,
+    value_col: str,
+    k: int = 256,
+    pcts: tuple[int, ...] = (25, 50, 75, 90),
+) -> DataFrame:
+    """Mergeable bounded-state QUANTILE sketch (VERDICT r9 #8) — the
+    order-statistics family member next to the incremental histogram:
+    keep the k rows with the SMALLEST ``md5(key)`` hash per
+    (group, slice) — a coordinated uniform row sample whose merge is
+    trivially associative and ORDER-FREE (bottom-k of a union ==
+    bottom-k of the per-slice bottom-k's, unlike KLL/t-digest whose
+    compaction sequence depends on arrival order and therefore can
+    never be hash-exact cross-engine) — then answer any percentile
+    from the merged sample with discrete rank selection. Error is the
+    standard bottom-k sampling bound O(1/sqrt(k)) per quantile.
+
+    Determinism contract: hashes are the repo's md5 60-bit idiom; ALL
+    rank arithmetic is integer (``rank = (pct*n + 99) div 100`` — the
+    integer ceil of pct% of n, never a float multiply whose ulp could
+    flip a ceil); selected outputs are source data, not arithmetic.
+    Per-slice state is <= k rows — the partial you would persist per
+    day at 100 TB; the exact calibration column re-ranks the full
+    input and drops out at scale.
+
+    Returns one row per (group, pct): ``n_rows``, ``sample_k``,
+    ``est_value``, ``exact_value``, ``abs_err``."""
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("bkq|"), F.col(key_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    slice_c = F.col(slice_col) if isinstance(slice_col, str) else slice_col
+    base = df.select(
+        *group_cols,
+        slice_c.alias("__slice"),
+        F.col(key_col).alias("__key"),
+        F.col(value_col).alias("__val"),
+        h.alias("__h"),
+    )
+    w_slice = Window.partitionBy(*group_cols, "__slice").orderBy(
+        "__h", "__key"
+    )
+    per_slice = (
+        base.withColumn("__rn", F.row_number().over(w_slice))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    w_grp = Window.partitionBy(*group_cols).orderBy("__h", "__key")
+    sample = (
+        per_slice.withColumn("__rn", F.row_number().over(w_grp))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__h", "__slice")
+    )
+    pct_arr = F.explode(
+        F.array(*[F.lit(int(p)) for p in pcts])
+    ).alias("pct")
+
+    w_sval = Window.partitionBy(*group_cols).orderBy("__val", "__key")
+    sranked = sample.withColumn("__vr", F.row_number().over(w_sval))
+    ssz = sample.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("sample_k")
+    )
+    est = (
+        ssz.select(*group_cols, "sample_k", pct_arr)
+        .join(sranked, group_cols)
+        .filter(F.col("__vr") == F.expr("(pct * sample_k + 99) DIV 100"))
+        .select(*group_cols, "pct", "sample_k", F.col("__val").alias("est_value"))
+    )
+
+    # exact calibration: full re-rank (drops out at scale)
+    xbase = df.select(
+        *group_cols,
+        F.col(key_col).alias("__key"),
+        F.col(value_col).alias("__val"),
+    )
+    w_xval = Window.partitionBy(*group_cols).orderBy("__val", "__key")
+    xranked = xbase.withColumn("__vr", F.row_number().over(w_xval))
+    nsz = xbase.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    exact = (
+        nsz.select(*group_cols, "n_rows", pct_arr)
+        .join(xranked, group_cols)
+        .filter(F.col("__vr") == F.expr("(pct * n_rows + 99) DIV 100"))
+        .select(*group_cols, "pct", "n_rows", F.col("__val").alias("exact_value"))
+    )
+    return est.join(exact, [*group_cols, "pct"]).select(
+        *group_cols,
+        F.col("pct").cast("int").alias("pct"),
+        "n_rows",
+        "sample_k",
+        "est_value",
+        "exact_value",
+        F.round(F.abs(F.col("est_value") - F.col("exact_value")), 4).alias(
+            "abs_err"
+        ),
+    )
+
+
 def portable_hll_distinct(
     df: DataFrame,
     group_cols: list[str],

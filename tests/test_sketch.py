@@ -360,3 +360,52 @@ def test_portable_hll_distinct_merge_invariance_and_error(spark):
     for k in ("big", "small"):
         for c in ("approx_distinct", "rel_err", "n_registers_filled"):
             assert got[k][c] == one[k][c] == re11[k][c], (k, c)
+
+
+def test_bottomk_quantile_sketch_merge_invariance_and_bound(spark):
+    """Bottom-k quantile sketch: merging per-slice samples equals the
+    one-slice sketch and is partition-invariant; estimates hit the
+    sampling error band; exact column is the true discrete quantile."""
+    import numpy as np
+
+    from data_pipelines_snowflake_procedures_spark.operators.sketch import (
+        bottomk_quantile_sketch,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = rng.lognormal(0, 1, 8000)
+    rows = [("a", i % 13, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g STRING, d LONG, k LONG, v DOUBLE")
+
+    got = {
+        r["pct"]: r
+        for r in bottomk_quantile_sketch(
+            df, ["g"], "d", "k", "v", k=256
+        ).collect()
+    }
+    assert set(got) == {25, 50, 75, 90}
+    sv = np.sort(vals)
+    for pct, r in got.items():
+        assert r["n_rows"] == 8000 and r["sample_k"] == 256
+        # exact column == discrete quantile definition (rank ceil(p*n))
+        assert r["exact_value"] == float(sv[(pct * 8000 + 99) // 100 - 1])
+        # sampling bound: ~3 sigma of p(1-p)/sqrt(k) in RANK space,
+        # translated loosely to value space via the empirical CDF
+        est_rank = np.searchsorted(sv, r["est_value"], side="right")
+        assert abs(est_rank / 8000 - pct / 100) < 3 * 0.5 / np.sqrt(256)
+
+    # invariance: one slice == 13 slices == repartitioned input
+    one = {
+        r["pct"]: r["est_value"]
+        for r in bottomk_quantile_sketch(
+            df, ["g"], F.lit(0), "k", "v", k=256
+        ).collect()
+    }
+    re9 = {
+        r["pct"]: r["est_value"]
+        for r in bottomk_quantile_sketch(
+            df.repartition(9), ["g"], "d", "k", "v", k=256
+        ).collect()
+    }
+    for pct in (25, 50, 75, 90):
+        assert got[pct]["est_value"] == one[pct] == re9[pct]
