@@ -387,6 +387,12 @@ HEADLINE = [
     # round-10 wave
     "multimodal_flc_video_documents",
     "events_quantile_sketch_bottomk",
+    "documents_unigram_perplexity_holdout",
+    "documents_term_burstiness",
+    "embeddings_davies_bouldin",
+    "orders_daily_ar2_yulewalker",
+    "orders_daily_hurst_rs",
+    "orders_daily_permutation_entropy",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

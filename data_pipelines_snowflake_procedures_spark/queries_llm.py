@@ -6647,3 +6647,327 @@ def embeddings_intrinsic_dimension(
     out = out.localCheckpoint(eager=True)
     af.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave: E278-E281
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "documents_unigram_perplexity_holdout",
+    r"""
+    WITH tr AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents WHERE doc_id % 10 < 8
+    ),
+    trc AS (SELECT w, count(*)::BIGINT AS c FROM tr WHERE w <> '' GROUP BY w),
+    tn AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM trc),
+    ho AS (
+      SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents WHERE doc_id % 10 >= 8
+    ),
+    hoc AS (
+      SELECT source, w, count(*)::BIGINT AS cnt
+      FROM ho WHERE w <> '' GROUP BY 1, 2
+    ),
+    lp AS (
+      SELECT h.source, h.cnt,
+             CAST(round(ln(CAST(coalesce(t.c, 0) + 1 AS DOUBLE)
+                           / (tn.n + tn.v + 1)) * 1000000) AS BIGINT)
+               AS lp_micro,
+             CASE WHEN t.c IS NULL THEN h.cnt ELSE 0 END AS oov
+      FROM hoc h LEFT JOIN trc t USING (w), tn
+    ),
+    ag AS (
+      SELECT source, sum(cnt)::BIGINT AS n_tokens, sum(oov)::BIGINT AS n_oov,
+             sum(cnt * lp_micro)::BIGINT AS s
+      FROM lp GROUP BY source
+    )
+    SELECT ag.source, ag.n_tokens, ag.n_oov, tn.v AS vocab_train,
+           round(-CAST(s AS DOUBLE) / n_tokens / 1000000, 6)
+             AS cross_entropy_nats,
+           round(exp(round(-CAST(s AS DOUBLE) / n_tokens / 1000000, 6)), 4)
+             AS perplexity
+    FROM ag, tn
+    """,
+    doc="Held-out unigram cross-entropy / perplexity per source — the "
+    "train/eval SPLIT the in-corpus LM scores (unigram/bigram_logprob"
+    "_score) deliberately don't have: an add-1-smoothed unigram LM is "
+    "fit on the deterministic 80% split (doc_id % 10 < 8) and every "
+    "20%-holdout token is priced under it, OOV mass included — the "
+    "honest 'how well does this corpus model THAT source' number a "
+    "mix-weighting pipeline reads. Determinism: per-TYPE log-probs "
+    "round to integer micro-nats, weighted sums are exact BIGINTs "
+    "(order-free), perplexity exponentiates the already-rounded "
+    "entropy. Plan: one vocab-shaped count table broadcast to the "
+    "holdout type join; per-source rollup shuffles (source, 3 ints).",
+)
+def documents_unigram_perplexity_holdout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    tr = docs.filter(F.col("doc_id") % 10 < 8).select(
+        F.explode(toks).alias("w")
+    )
+    trc = tr.groupBy("w").agg(F.count("*").alias("c"))
+    tn = trc.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("v"),
+    )
+    ho = docs.filter(F.col("doc_id") % 10 >= 8).select(
+        "source", F.explode(toks).alias("w")
+    )
+    hoc = ho.groupBy("source", "w").agg(F.count("*").cast("long").alias("cnt"))
+    lp = (
+        hoc.join(F.broadcast(trc), "w", "left")
+        .crossJoin(F.broadcast(tn))
+        .select(
+            "source",
+            "cnt",
+            F.expr(
+                "CAST(round(ln(CAST(coalesce(c, 0) + 1 AS DOUBLE)"
+                " / (n + v + 1)) * 1000000) AS BIGINT)"
+            ).alias("lp_micro"),
+            F.when(F.col("c").isNull(), F.col("cnt"))
+            .otherwise(F.lit(0))
+            .alias("oov"),
+        )
+    )
+    ag = lp.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.sum(F.col("cnt") * F.col("lp_micro")).cast("long").alias("s"),
+    )
+    return ag.crossJoin(F.broadcast(tn)).select(
+        "source",
+        "n_tokens",
+        "n_oov",
+        F.col("v").alias("vocab_train"),
+        F.expr("round(-CAST(s AS DOUBLE) / n_tokens / 1000000, 6)").alias(
+            "cross_entropy_nats"
+        ),
+        F.expr(
+            "round(exp(round(-CAST(s AS DOUBLE) / n_tokens / 1000000, 6)), 4)"
+        ).alias("perplexity"),
+    )
+
+
+@register(
+    "documents_term_burstiness",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    ),
+    tc AS (
+      SELECT w, doc_id, count(*)::BIGINT AS c
+      FROM toks WHERE w <> '' GROUP BY 1, 2
+    ),
+    term AS (
+      SELECT w, count(*)::BIGINT AS df, sum(c)::BIGINT AS n_total,
+             sum(c * c)::BIGINT AS s2,
+             sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT AS df2
+      FROM tc GROUP BY w
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (ORDER BY df DESC, w) AS rk FROM term
+      ) WHERE rk <= 50
+    ),
+    dd AS (SELECT count(*)::BIGINT AS d FROM documents)
+    SELECT w AS term, df, n_total,
+           round((CAST(s2 AS DOUBLE) - CAST(n_total AS DOUBLE) * n_total / dd.d)
+                 / n_total, 6) AS vmr,
+           round(CAST(df2 AS DOUBLE) / df, 6) AS adaptation
+    FROM top, dd
+    """,
+    doc="Term burstiness (Church & Gale): for the top-50 terms by "
+    "document frequency, the variance-to-mean ratio of per-document "
+    "counts (zeros included via the moment identity, never an explode "
+    "of absent rows) and the adaptation probability P(>=2 occurrences "
+    "| >=1) — a Poisson-distributed term has VMR 1 and adaptation "
+    "1-e^-m/(1-e^-m)-ish; content words burst (VMR >> 1), function "
+    "words don't. The mix-construction signal for which terms are "
+    "TOPICAL vs background. All moments are exact integer sums from "
+    "one (term, doc) grain pass; VMR/adaptation are rounded ratios of "
+    "exact ints — hash-exact by construction. One shuffle to the "
+    "(term, doc) grain, one to term grain, top-50 on a vocab-sized "
+    "frame.",
+)
+def documents_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    tc = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("w", "doc_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    term = tc.groupBy("w").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("c").cast("long").alias("n_total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("df2"),
+    )
+    top = (
+        term.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("df"), F.asc("w"))),
+        )
+        .filter(F.col("rk") <= 50)
+        .drop("rk")
+    )
+    dd = docs.agg(F.count("*").cast("long").alias("d"))
+    return top.crossJoin(F.broadcast(dd)).select(
+        F.col("w").alias("term"),
+        "df",
+        "n_total",
+        F.expr(
+            "round((CAST(s2 AS DOUBLE) - CAST(n_total AS DOUBLE) * n_total / d)"
+            " / n_total, 6)"
+        ).alias("vmr"),
+        F.expr("round(CAST(df2 AS DOUBLE) / df, 6)").alias("adaptation"),
+    )
+
+
+def _davies_bouldin_oracle() -> str:
+    """Restates the DB index over the shared k=8/2-iteration Lloyd fit:
+    per-member sqrt distances in integer micro-units (order-free
+    scatter sums), centroid separations as ordered 64-term folds, the
+    max over other clusters, and the final mean of per-cluster worsts."""
+    return f"""
+    WITH {_kmeans_ctes()},
+    af AS (
+      SELECT e.vec_id, c.cid, {_KM_DIST} AS d2
+      FROM embeddings e CROSS JOIN c2 c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id ORDER BY {_KM_DIST}, c.cid) = 1
+    ),
+    sc AS (
+      SELECT cid, count(*)::BIGINT AS n_members,
+             sum(CAST(round(sqrt(d2) * 1000000) AS BIGINT))::BIGINT AS smic
+      FROM af GROUP BY cid
+    ),
+    si AS (
+      SELECT cid, n_members,
+             CAST(smic AS DOUBLE) / n_members / 1000000 AS s
+      FROM sc
+    ),
+    cd AS (
+      SELECT a.cid AS i, b.cid AS j,
+             sqrt(list_aggregate(
+               [(CAST(round(a.c[i2] * 1000000) AS BIGINT)
+                 - CAST(round(b.c[i2] * 1000000) AS BIGINT))
+                * (CAST(round(a.c[i2] * 1000000) AS BIGINT)
+                   - CAST(round(b.c[i2] * 1000000) AS BIGINT))
+                FOR i2 IN range(1, 65)], 'sum')::DOUBLE) / 1000000 AS m
+      FROM c2 a JOIN c2 b ON a.cid <> b.cid
+    ),
+    r AS (
+      SELECT cd.i AS cluster, round(max((si_i.s + si_j.s) / cd.m), 6) AS d_i
+      FROM cd
+      JOIN si si_i ON si_i.cid = cd.i
+      JOIN si si_j ON si_j.cid = cd.j
+      GROUP BY cd.i
+    ),
+    db AS (
+      SELECT round(sum(CAST(round(d_i * 1000000) AS BIGINT))::DOUBLE
+                   / count(*) / 1000000, 6) AS db_index
+      FROM r
+    )
+    SELECT CAST(r.cluster AS BIGINT) AS cluster, si.n_members,
+           round(si.s, 6) AS scatter, r.d_i, db.db_index
+    FROM r JOIN si ON si.cid = r.cluster, db
+    """
+
+
+@register(
+    "embeddings_davies_bouldin",
+    _davies_bouldin_oracle(),
+    doc="Davies-Bouldin clustering-quality index over the SHARED k=8 "
+    "coarse fit (the same cached quantizer the IVF/SemDeDup entries "
+    "block on, so this grades the partitioning those entries rely "
+    "on): per-cluster scatter = mean member-to-centroid distance "
+    "(micro-unit integer sums — order-free), pairwise centroid "
+    "separations, D_i = max over others of (S_i+S_j)/M_ij, index = "
+    "mean D_i; low = tight well-separated cells. Plan: the broadcast-"
+    "centroid argmin assignment (zero shuffle) + one cluster-grain "
+    "aggregate; the k x k ratio table is driver-trivial. Oracle "
+    "unrolls the full Lloyd fit and restates every stage.",
+)
+def embeddings_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from .operators.similarity import kmeans_assign_df, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _cached_fit(
+        sf_dir, "coarse_k8", lambda: kmeans_fit(emb, k=_KM_K, iters=2)
+    )
+    asg = kmeans_assign_df(emb, cents, "embedding")
+    sc = asg.groupBy(F.col("__cl").alias("cid")).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum(
+            F.expr("CAST(round(sqrt(__dist) * 1000000) AS BIGINT)")
+        ).cast("long").alias("smic"),
+    )
+    si = sc.select(
+        "cid",
+        "n_members",
+        (F.col("smic").cast("double") / F.col("n_members") / 1e6).alias("s"),
+    )
+    # centroid separations on the driver: k x dim literals. The squared
+    # distance accumulates in EXACT integer micro-units (centroids are
+    # 6-decimal values, so x1e6 rounds to exact ints) — order-free, so
+    # the oracle's list_aggregate sum matches bit-for-bit regardless of
+    # either engine's fold order; sqrt is IEEE-correctly-rounded.
+    rows = []
+    for i, ci in enumerate(cents):
+        for j, cj in enumerate(cents):
+            if i == j:
+                continue
+            acc = 0
+            for a, b in zip(ci, cj):
+                d = round(a * 1000000) - round(b * 1000000)
+                acc += d * d
+            rows.append((i, j, math.sqrt(acc) / 1000000))
+    cd = spark.createDataFrame(rows, "i LONG, j LONG, m DOUBLE")
+    r = (
+        cd.join(si.select(F.col("cid").alias("i"), F.col("s").alias("s_i")), "i")
+        .join(si.select(F.col("cid").alias("j"), F.col("s").alias("s_j")), "j")
+        .groupBy(F.col("i").alias("cluster"))
+        .agg(
+            F.round(
+                F.max((F.col("s_i") + F.col("s_j")) / F.col("m")), 6
+            ).alias("d_i")
+        )
+    )
+    # mean over exact micro-unit ints (d_i is already 6-decimal): the
+    # plain avg of 8 rounded doubles once landed exactly on a rounding
+    # boundary across engines
+    db = r.agg(
+        F.expr(
+            "round(CAST(sum(CAST(round(d_i * 1000000) AS BIGINT)) AS DOUBLE)"
+            " / count(*) / 1000000, 6)"
+        ).alias("db_index")
+    )
+    return (
+        r.join(si.select(F.col("cid").alias("cluster"), "n_members", "s"), "cluster")
+        .crossJoin(F.broadcast(db))
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_members",
+            F.round(F.col("s"), 6).alias("scatter"),
+            "d_i",
+            "db_index",
+        )
+    )

@@ -3983,3 +3983,391 @@ def supplier_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lorenz_gap"),
     )
+
+
+@register(
+    "orders_daily_ar2_yulewalker",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, count(*)::BIGINT AS x
+      FROM orders GROUP BY 1
+    ),
+    s AS (SELECT x, row_number() OVER (ORDER BY day) AS t FROM d),
+    tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx FROM s),
+    y AS (SELECT t, (tot.n * x - tot.sx)::BIGINT AS y, x FROM s, tot),
+    s0 AS (SELECT sum(y * y)::BIGINT AS v FROM y),
+    s1 AS (SELECT sum(a.y * b.y)::BIGINT AS v FROM y a JOIN y b ON b.t = a.t - 1),
+    s2 AS (SELECT sum(a.y * b.y)::BIGINT AS v FROM y a JOIN y b ON b.t = a.t - 2),
+    phi AS (
+      SELECT round(CAST(s1.v AS DOUBLE)
+                   * (CAST(s0.v AS DOUBLE) - CAST(s2.v AS DOUBLE))
+                   / (CAST(s0.v AS DOUBLE) * s0.v
+                      - CAST(s1.v AS DOUBLE) * s1.v), 6) AS phi1,
+             round((CAST(s0.v AS DOUBLE) * s2.v
+                    - CAST(s1.v AS DOUBLE) * s1.v)
+                   / (CAST(s0.v AS DOUBLE) * s0.v
+                      - CAST(s1.v AS DOUBLE) * s1.v), 6) AS phi2
+      FROM s0, s1, s2
+    ),
+    fc AS (
+      SELECT c.x AS xt, a.x AS x1, b.x AS x2,
+             tot.sx::DOUBLE / tot.n AS m, phi.phi1, phi.phi2
+      FROM y c JOIN y a ON a.t = c.t - 1 JOIN y b ON b.t = c.t - 2, tot, phi
+    ),
+    err AS (
+      SELECT
+        sum(CAST(round((xt - (m + phi1 * (x1 - m) + phi2 * (x2 - m)))
+                       * 1000) AS BIGINT)
+            * CAST(round((xt - (m + phi1 * (x1 - m) + phi2 * (x2 - m)))
+                         * 1000) AS BIGINT))::BIGINT AS se_ar,
+        sum((xt - x1) * (xt - x1))::BIGINT AS se_naive,
+        count(*)::BIGINT AS nf
+      FROM fc
+    )
+    SELECT tot.n AS n_days, phi.phi1, phi.phi2,
+           round(sqrt(CAST(err.se_ar AS DOUBLE) / err.nf) / 1000, 4)
+             AS rmse_ar2,
+           round(sqrt(CAST(err.se_naive AS DOUBLE) / err.nf), 4)
+             AS rmse_naive,
+           round(1 - (sqrt(CAST(err.se_ar AS DOUBLE) / err.nf) / 1000)
+                   / sqrt(CAST(err.se_naive AS DOUBLE) / err.nf), 4) AS skill
+    FROM tot, phi, err
+    """,
+    doc="AR(2) fit on the daily order-count series via Yule-Walker — "
+    "the parametric member of the serial-structure family (Ljung-Box "
+    "detects whether structure exists, PACF-order-2 here MODELS it): "
+    "phi1/phi2 from lag-0/1/2 autocovariances, then in-sample one-step "
+    "RMSE against the last-value naive and the skill ratio. "
+    "Determinism is total: the series is centered in INTEGER space "
+    "(y_t = n*x_t - sum(x), exact BIGINT), the three S_k products are "
+    "exact integer sums whose n^3 normalizers cancel inside the "
+    "phi ratios, and forecast residuals square in milli-unit integers "
+    "— every float is a fixed-expression function of exact ints. "
+    "Plan: one day-grain aggregate, three tiny self-joins on the "
+    "days dimension, 1-row output.",
+)
+def orders_daily_ar2_yulewalker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    s = d.select(
+        "x", F.row_number().over(Window.orderBy("day")).alias("t")
+    )
+    tot = s.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    y = s.crossJoin(F.broadcast(tot)).select(
+        "t", "x", (F.col("n") * F.col("x") - F.col("sx")).alias("y")
+    )
+    ya = y.select(F.col("t").alias("ta"), F.col("y").alias("yda"), F.col("x").alias("xa"))
+    s0 = y.agg(F.sum(F.col("y") * F.col("y")).cast("long").alias("v0"))
+    s1 = (
+        y.join(ya, y["t"] - 1 == ya["ta"])
+        .agg(F.sum(F.col("y") * F.col("yda")).cast("long").alias("v1"))
+    )
+    s2 = (
+        y.join(ya, y["t"] - 2 == ya["ta"])
+        .agg(F.sum(F.col("y") * F.col("yda")).cast("long").alias("v2"))
+    )
+    phi = (
+        s0.crossJoin(s1)
+        .crossJoin(s2)
+        .select(
+            F.expr(
+                "round(CAST(v1 AS DOUBLE) * (CAST(v0 AS DOUBLE)"
+                " - CAST(v2 AS DOUBLE)) / (CAST(v0 AS DOUBLE) * v0"
+                " - CAST(v1 AS DOUBLE) * v1), 6)"
+            ).alias("phi1"),
+            F.expr(
+                "round((CAST(v0 AS DOUBLE) * v2 - CAST(v1 AS DOUBLE) * v1)"
+                " / (CAST(v0 AS DOUBLE) * v0 - CAST(v1 AS DOUBLE) * v1), 6)"
+            ).alias("phi2"),
+        )
+    )
+    yb = y.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    fc = (
+        y.join(ya, y["t"] - 1 == ya["ta"])
+        .join(yb, y["t"] - 2 == yb["tb"])
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(phi))
+        .select(
+            F.col("x").alias("xt"),
+            F.col("xa").alias("x1"),
+            F.col("xb").alias("x2"),
+            F.expr("CAST(sx AS DOUBLE) / n").alias("m"),
+            "phi1",
+            "phi2",
+        )
+    )
+    err = fc.agg(
+        F.sum(
+            F.expr(
+                "CAST(round((xt - (m + phi1 * (x1 - m) + phi2 * (x2 - m)))"
+                " * 1000) AS BIGINT)"
+                " * CAST(round((xt - (m + phi1 * (x1 - m) + phi2 * (x2 - m)))"
+                " * 1000) AS BIGINT)"
+            )
+        ).cast("long").alias("se_ar"),
+        F.sum((F.col("xt") - F.col("x1")) * (F.col("xt") - F.col("x1")))
+        .cast("long")
+        .alias("se_naive"),
+        F.count("*").cast("long").alias("nf"),
+    )
+    return (
+        tot.crossJoin(phi)
+        .crossJoin(err)
+        .select(
+            F.col("n").alias("n_days"),
+            "phi1",
+            "phi2",
+            F.expr(
+                "round(sqrt(CAST(se_ar AS DOUBLE) / nf) / 1000, 4)"
+            ).alias("rmse_ar2"),
+            F.expr("round(sqrt(CAST(se_naive AS DOUBLE) / nf), 4)").alias(
+                "rmse_naive"
+            ),
+            F.expr(
+                "round(1 - (sqrt(CAST(se_ar AS DOUBLE) / nf) / 1000)"
+                " / sqrt(CAST(se_naive AS DOUBLE) / nf), 4)"
+            ).alias("skill"),
+        )
+    )
+
+
+@register(
+    "orders_daily_hurst_rs",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             (sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100)::BIGINT
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    s AS (SELECT x, row_number() OVER (ORDER BY day) AS t FROM d),
+    ws AS (SELECT unnest([16, 32, 64, 128]) AS w),
+    blk AS (
+      SELECT ws.w, ((s.t - 1) // ws.w)::BIGINT AS b,
+             ((s.t - 1) % ws.w)::BIGINT + 1 AS j, s.x
+      FROM s, ws
+      WHERE s.t <= ((SELECT count(*) FROM s) // ws.w) * ws.w
+    ),
+    bs AS (
+      SELECT w, b, sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx
+      FROM blk GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT w, b, j, sum(x) OVER (
+        PARTITION BY w, b ORDER BY j ROWS UNBOUNDED PRECEDING)::BIGINT AS cx
+      FROM blk
+    ),
+    dev AS (
+      SELECT c.w, c.b, (c.w * c.cx - c.j * bs.sx)::BIGINT AS y
+      FROM cum c JOIN bs ON bs.w = c.w AND bs.b = c.b
+    ),
+    rr AS (
+      SELECT w, b, (max(y) - min(y))::BIGINT AS r_scaled FROM dev GROUP BY 1, 2
+    ),
+    rs AS (
+      SELECT rr.w, rr.b,
+             (CAST(rr.r_scaled AS DOUBLE) / rr.w)
+             / sqrt((CAST(bs.sxx AS DOUBLE)
+                     - CAST(bs.sx AS DOUBLE) * bs.sx / rr.w) / rr.w) AS ratio
+      FROM rr JOIN bs ON bs.w = rr.w AND bs.b = rr.b
+    ),
+    mrs AS (
+      SELECT w, count(*)::BIGINT AS n_blocks,
+             round(sum(CAST(round(ratio * 1000000) AS BIGINT))::DOUBLE
+                   / count(*) / 1000000, 6) AS mean_rs
+      FROM rs GROUP BY w
+    ),
+    pts AS (SELECT ln(CAST(w AS DOUBLE)) AS lx, ln(mean_rs) AS ly FROM mrs),
+    ols AS (
+      SELECT round((count(*) * sum(lx * ly) - sum(lx) * sum(ly))
+                   / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)), 4)
+        AS hurst
+      FROM pts
+    )
+    SELECT mrs.w, mrs.n_blocks, mrs.mean_rs, ols.hurst FROM mrs, ols
+    """,
+    doc="Hurst exponent via classical rescaled-range (R/S) analysis on "
+    "daily revenue: non-overlapping blocks at 4 window sizes, per-"
+    "block range of INTEGER-scaled cumulative deviations (y = w*cum - "
+    "j*sum, exact BIGINT — the mean never floats) over the population "
+    "std, micro-unit block means, then the log-log OLS slope = H. "
+    "H~0.5 = memoryless, >0.5 = persistent trends, <0.5 = mean-"
+    "reverting — the long-memory diagnostic behind choosing AR-family "
+    "models (the AR(2) entry) vs differencing. Everything aggregates "
+    "on the days dimension: one day-grain pass, block-grain windows, "
+    "4-point driver-sized regression.",
+)
+def orders_daily_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100"
+            " AS BIGINT)"
+        ).alias("x")
+    )
+    s = d.select("x", F.row_number().over(Window.orderBy("day")).alias("t"))
+    n1 = s.agg(F.count("*").cast("long").alias("n_days"))
+    ws = spark.createDataFrame([(16,), (32,), (64,), (128,)], "w INT")
+    blk = (
+        s.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(ws))
+        .filter(F.col("t") <= F.expr("(n_days DIV w) * w"))
+        .select(
+            "w",
+            F.expr("CAST((t - 1) DIV w AS BIGINT)").alias("b"),
+            F.expr("CAST((t - 1) % w AS BIGINT) + 1").alias("j"),
+            "x",
+        )
+    )
+    bs = blk.groupBy("w", "b").agg(
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    wcum = Window.partitionBy("w", "b").orderBy("j").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = blk.select(
+        "w", "b", "j", F.sum("x").over(wcum).cast("long").alias("cx")
+    )
+    dev = cum.join(bs, ["w", "b"]).select(
+        "w",
+        "b",
+        (F.col("w").cast("long") * F.col("cx") - F.col("j") * F.col("sx"))
+        .cast("long")
+        .alias("y"),
+    )
+    rr = dev.groupBy("w", "b").agg(
+        (F.max("y") - F.min("y")).cast("long").alias("r_scaled")
+    )
+    rs = rr.join(bs, ["w", "b"]).select(
+        "w",
+        "b",
+        F.expr(
+            "(CAST(r_scaled AS DOUBLE) / w)"
+            " / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / w) / w)"
+        ).alias("ratio"),
+    )
+    mrs = rs.groupBy("w").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.expr(
+            "round(CAST(sum(CAST(round(ratio * 1000000) AS BIGINT)) AS DOUBLE)"
+            " / count(*) / 1000000, 6)"
+        ).alias("mean_rs"),
+    )
+    pts = mrs.select(
+        F.expr("ln(CAST(w AS DOUBLE))").alias("lx"),
+        F.expr("ln(mean_rs)").alias("ly"),
+    )
+    ols = pts.agg(
+        F.expr(
+            "round((count(*) * sum(lx * ly) - sum(lx) * sum(ly))"
+            " / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)), 4)"
+        ).alias("hurst")
+    )
+    return mrs.crossJoin(F.broadcast(ols)).select(
+        F.col("w").cast("int").alias("w"), "n_blocks", "mean_rs", "hurst"
+    )
+
+
+@register(
+    "orders_daily_permutation_entropy",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, count(*)::BIGINT AS x
+      FROM orders GROUP BY 1
+    ),
+    s AS (SELECT x, row_number() OVER (ORDER BY day) AS t FROM d),
+    tri AS (
+      SELECT a.x AS x1, b.x AS x2, c.x AS x3
+      FROM s a JOIN s b ON b.t = a.t + 1 JOIN s c ON c.t = a.t + 2
+    ),
+    pat AS (
+      SELECT CASE
+        WHEN x1 <= x2 AND x2 <= x3 THEN '012'
+        WHEN x1 <= x3 AND x3 < x2  THEN '021'
+        WHEN x2 < x1  AND x1 <= x3 THEN '102'
+        WHEN x3 < x1  AND x1 <= x2 THEN '120'
+        WHEN x2 <= x3 AND x3 < x1  THEN '201'
+        ELSE '210' END AS pattern
+      FROM tri
+    ),
+    cnt AS (SELECT pattern, count(*)::BIGINT AS c FROM pat GROUP BY 1),
+    nn AS (SELECT sum(c)::BIGINT AS n FROM cnt),
+    terms AS (
+      SELECT pattern, c,
+             CAST(round(-(CAST(c AS DOUBLE) / nn.n)
+                        * ln(CAST(c AS DOUBLE) / nn.n) * 1000000) AS BIGINT)
+               AS term_micro
+      FROM cnt, nn
+    ),
+    h AS (
+      SELECT round(sum(term_micro)::DOUBLE / 1000000 / ln(6.0), 6) AS h_norm
+      FROM terms
+    )
+    SELECT t.pattern, t.c AS n_triples,
+           round(CAST(t.c AS DOUBLE) / nn.n, 6) AS p, h.h_norm
+    FROM terms t, nn, h
+    """,
+    doc="Permutation entropy (Bandt & Pompe, order 3) of the daily "
+    "order-count series: every consecutive triple classifies into one "
+    "of 6 ordinal patterns by pure integer comparisons (ties broken "
+    "toward the earlier day — a stable argsort, stated in the shared "
+    "CASE), and the normalized Shannon entropy of the pattern "
+    "histogram reads out dynamical complexity: 1.0 = pattern-random, "
+    "low = deterministic motifs. Complements the magnitude-based "
+    "tests (runs/Ljung-Box/Mann-Kendall) with an ORDINAL one that is "
+    "outlier-immune. Integer micro-nat entropy terms; two tiny "
+    "t-shifted self-joins on the days dimension.",
+)
+def orders_daily_permutation_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    s = d.select("x", F.row_number().over(Window.orderBy("day")).alias("t"))
+    sa = s.select(F.col("t").alias("ta"), F.col("x").alias("x1"))
+    sb = s.select(F.col("t").alias("tb"), F.col("x").alias("x2"))
+    sc_ = s.select(F.col("t").alias("tc"), F.col("x").alias("x3"))
+    tri = sa.join(sb, sb["tb"] == sa["ta"] + 1).join(
+        sc_, sc_["tc"] == sa["ta"] + 2
+    )
+    pat = tri.select(
+        F.expr(
+            "CASE"
+            " WHEN x1 <= x2 AND x2 <= x3 THEN '012'"
+            " WHEN x1 <= x3 AND x3 < x2  THEN '021'"
+            " WHEN x2 < x1  AND x1 <= x3 THEN '102'"
+            " WHEN x3 < x1  AND x1 <= x2 THEN '120'"
+            " WHEN x2 <= x3 AND x3 < x1  THEN '201'"
+            " ELSE '210' END"
+        ).alias("pattern")
+    )
+    cnt = pat.groupBy("pattern").agg(F.count("*").cast("long").alias("c"))
+    nn = cnt.agg(F.sum("c").cast("long").alias("n"))
+    terms = cnt.crossJoin(F.broadcast(nn)).select(
+        "pattern",
+        "c",
+        "n",
+        F.expr(
+            "CAST(round(-(CAST(c AS DOUBLE) / n)"
+            " * ln(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT)"
+        ).alias("term_micro"),
+    )
+    h = terms.agg(
+        F.expr(
+            "round(CAST(sum(term_micro) AS DOUBLE) / 1000000 / ln(6.0), 6)"
+        ).alias("h_norm")
+    )
+    return terms.crossJoin(F.broadcast(h)).select(
+        "pattern",
+        F.col("c").alias("n_triples"),
+        F.expr("round(CAST(c AS DOUBLE) / n, 6)").alias("p"),
+        "h_norm",
+    )

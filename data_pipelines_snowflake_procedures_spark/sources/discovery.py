@@ -21,6 +21,10 @@ Spark-first notes:
 * The reference copied stage files to local disk first
   (``session.file.get``, :363). Spark reads paths (local/S3/HDFS)
   directly, so S6 is a no-op here.
+* Beyond-reference interchange formats ride their natural parallel
+  unit: Arrow IPC by record batch (sources/arrowipc.py), Avro object
+  containers by sync-delimited block (sources/avrofile.py, S14) —
+  driver reads headers only, executors seek straight to their slices.
 * The DQ sweep runs on the Spark DataFrame through the distributed
   rule engines (operators/dq.py) — a handful of aggregate jobs total —
   instead of whole-file pandas. Full-fidelity rule records
@@ -115,6 +119,10 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         from .office import read_xml  # stdlib ElementTree record inference
 
         return read_xml(spark, path)
+    if ext == "avro":
+        from .avrofile import read_avro  # stdlib spec-path container reader
+
+        return read_avro(spark, path)  # block-parallel
     if ext in ("arrow", "feather", "ipc"):
         from .arrowipc import read_arrow_ipc, read_arrow_stream, sniff_ipc_kind
 

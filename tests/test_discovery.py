@@ -65,7 +65,7 @@ def test_read_parquet(spark, sf_dir):
 
 def test_read_unsupported(spark):
     with pytest.raises(ValueError, match="Unsupported"):
-        read_any(spark, "/tmp/file.avro")
+        read_any(spark, "/tmp/file.dbf")
 
 
 def test_file_metadata(spark, sample_files):
@@ -1169,3 +1169,84 @@ def test_sniff_ipc_kind_rejects_garbage_and_truncation(spark, tmp_path):
         with pa.ipc.new_stream(f, table.schema) as w:
             w.write_table(table)
     assert sniff_ipc_kind(str(stream)) == "stream"
+
+
+def test_read_any_avro_round_trip_both_codecs(spark, tmp_path):
+    """S14 Avro object-container source: stdlib spec-path reader,
+    block-parallel, null + deflate codecs, nullable-union columns."""
+    from data_pipelines_snowflake_procedures_spark.sources.avrofile import write_avro
+    from data_pipelines_snowflake_procedures_spark.sources.discovery import read_any
+
+    fields = [
+        ("id", "long", False),
+        ("name", "string", False),
+        ("score", "double", True),
+        ("flag", "boolean", False),
+        ("small", "int", False),
+    ]
+    rows = [
+        {
+            "id": i,
+            "name": f"n{i}",
+            "score": None if i % 3 == 0 else i * 1.5,
+            "flag": i % 2 == 0,
+            "small": -i,
+        }
+        for i in range(1000)
+    ]
+    for codec in ("null", "deflate"):
+        path = str(tmp_path / f"t_{codec}.avro")
+        write_avro(path, rows, fields, codec=codec, records_per_block=300)
+        df = read_any(spark, path)
+        assert df.columns == ["id", "name", "score", "flag", "small"]
+        assert [f.dataType.simpleString() for f in df.schema.fields] == [
+            "bigint", "string", "double", "boolean", "int",
+        ]
+        got = {r.id: r for r in df.collect()}
+        assert len(got) == 1000
+        assert got[7].score == 10.5 and got[9].score is None
+        assert got[4].flag is True and got[5].small == -5
+
+
+def test_read_avro_empty_and_errors(spark, tmp_path):
+    from data_pipelines_snowflake_procedures_spark.sources.avrofile import (
+        read_avro,
+        write_avro,
+    )
+
+    fields = [("id", "long", False)]
+    empty = str(tmp_path / "e.avro")
+    write_avro(empty, [], fields)
+    df = read_avro(spark, empty)
+    assert df.count() == 0 and df.columns == ["id"]
+
+    # corrupt sync marker fails fast on the driver, naming the path
+    good = str(tmp_path / "g.avro")
+    write_avro(good, [{"id": i} for i in range(10)], fields)
+    data = bytearray(open(good, "rb").read())
+    data[-1] ^= 0xFF  # flip a byte of the final sync marker
+    bad = tmp_path / "bad.avro"
+    bad.write_bytes(bytes(data))
+    with pytest.raises(ValueError, match="bad.avro"):
+        read_avro(spark, str(bad))
+
+    # non-Avro payload
+    garbage = tmp_path / "x.avro"
+    garbage.write_bytes(b"not avro at all")
+    with pytest.raises(ValueError, match="magic"):
+        read_avro(spark, str(garbage))
+
+    # nested schema rejected loudly
+    import json
+
+    nested = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": {"type": "array", "items": "int"}}],
+    }
+    from data_pipelines_snowflake_procedures_spark.sources.avrofile import (
+        _parse_record_schema,
+    )
+
+    with pytest.raises(NotImplementedError, match="nested"):
+        _parse_record_schema(json.dumps(nested))
