@@ -393,6 +393,9 @@ HEADLINE = [
     "orders_daily_ar2_yulewalker",
     "orders_daily_hurst_rs",
     "orders_daily_permutation_entropy",
+    "events_daily_nb_overdispersion",
+    "embeddings_anisotropy_report",
+    "events_hourly_spectral_entropy",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

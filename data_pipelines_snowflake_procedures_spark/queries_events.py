@@ -9303,3 +9303,220 @@ def events_hourly_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         "crit_95",
         (F.col("q_stat") > F.col("crit_95")).alias("reject_95"),
     )
+
+
+@register(
+    "events_daily_nb_overdispersion",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, count(*)::BIGINT AS n_days,
+             sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx
+      FROM d GROUP BY 1
+    ),
+    mv AS (
+      SELECT event_type, n_days, sx,
+             CAST(sx AS DOUBLE) / n_days AS mean_d,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_days)
+               / n_days AS var_d
+      FROM m
+    )
+    SELECT event_type, n_days, sx AS n_events,
+           round(mean_d, 4) AS mean_daily,
+           round(var_d, 4) AS var_daily,
+           round(var_d / mean_d, 4) AS dispersion_index,
+           CASE WHEN var_d > mean_d
+                THEN round(mean_d * mean_d / (var_d - mean_d), 4) END AS nb_r,
+           CASE WHEN var_d > mean_d
+                THEN round(mean_d / var_d, 6) END AS nb_p
+    FROM mv
+    """,
+    doc="Negative-binomial overdispersion fit (method of moments) on "
+    "daily counts per event type: dispersion index var/mean decides "
+    "whether the Poisson-rate entry's equal-rate assumption holds "
+    "(index ~1) or a clustered NB(r, p) with r = m^2/(v-m) is the "
+    "honest arrival model — the distribution choice behind capacity "
+    "planning and anomaly thresholds (a 3-sigma band under Poisson "
+    "false-alarms constantly on overdispersed traffic). Observed-days "
+    "basis, stated; all moments are exact integer sums, every float a "
+    "fixed expression of them; NULL r/p where variance <= mean says "
+    "'Poisson or thinner' honestly instead of a negative r. One "
+    "day-grain pass + type-grain rollup.",
+)
+def events_daily_nb_overdispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    m = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    mv = m.select(
+        "event_type",
+        "n_days",
+        "sx",
+        F.expr("CAST(sx AS DOUBLE) / n_days").alias("mean_d"),
+        F.expr(
+            "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_days)"
+            " / n_days"
+        ).alias("var_d"),
+    )
+    return mv.select(
+        "event_type",
+        "n_days",
+        F.col("sx").alias("n_events"),
+        F.round("mean_d", 4).alias("mean_daily"),
+        F.round("var_d", 4).alias("var_daily"),
+        F.round(F.col("var_d") / F.col("mean_d"), 4).alias("dispersion_index"),
+        F.when(
+            F.col("var_d") > F.col("mean_d"),
+            F.round(
+                F.col("mean_d") * F.col("mean_d")
+                / (F.col("var_d") - F.col("mean_d")),
+                4,
+            ),
+        ).alias("nb_r"),
+        F.when(
+            F.col("var_d") > F.col("mean_d"),
+            F.round(F.col("mean_d") / F.col("var_d"), 6),
+        ).alias("nb_p"),
+    )
+
+
+@register(
+    "events_hourly_spectral_entropy",
+    """
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR,
+                 CAST(ts AS TIMESTAMP)))) / 3600 AS BIGINT) AS hi,
+             count(*)::BIGINT AS x
+      FROM events GROUP BY 1
+    ),
+    st AS (SELECT min(hi) AS h0 FROM hourly),
+    ks AS (
+      SELECT (h.hi - s.h0) % 168 AS k, sum(h.x)::BIGINT AS sk
+      FROM hourly h CROSS JOIN st s GROUP BY 1
+    ),
+    fr AS (SELECT unnest(range(1, 85)) AS j),
+    ft AS (
+      SELECT fr.j,
+             sum(ks.sk * CAST(floor(cos(2 * pi() * ((fr.j * ks.k) % 168)
+                                        / 168) * 1e6) AS BIGINT))::BIGINT
+               AS re,
+             sum(ks.sk * CAST(floor(sin(2 * pi() * ((fr.j * ks.k) % 168)
+                                        / 168) * 1e6) AS BIGINT))::BIGINT
+               AS im
+      FROM ks CROSS JOIN fr GROUP BY fr.j
+    ),
+    pw AS (
+      SELECT j,
+             CAST(round((CAST(re AS DOUBLE) * re + CAST(im AS DOUBLE) * im)
+                        / 1000000000000) AS BIGINT) AS p_int
+      FROM ft
+    ),
+    tt AS (SELECT sum(p_int)::BIGINT AS tot FROM pw),
+    terms AS (
+      SELECT pw.j, pw.p_int,
+             (pw.p_int * 10000 // tt.tot)::BIGINT AS share_bp,
+             CASE WHEN pw.p_int > 0
+                  THEN CAST(round(-(CAST(pw.p_int AS DOUBLE) / tt.tot)
+                             * ln(CAST(pw.p_int AS DOUBLE) / tt.tot)
+                             * 1000000) AS BIGINT)
+                  ELSE 0 END AS term_micro
+      FROM pw, tt
+    ),
+    h AS (
+      SELECT round(sum(term_micro)::DOUBLE / 1000000 / ln(84.0), 6) AS h_norm
+      FROM terms
+    )
+    SELECT t.j AS freq_per_week,
+           round(CAST(168 AS DOUBLE) / t.j, 2) AS period_hours,
+           t.share_bp, h.h_norm
+    FROM terms t, h
+    """,
+    doc="Spectral entropy of the hourly series over the full weekly "
+    "harmonic ladder (j = 1..84 cycles/week): the periodogram entry "
+    "reads power at 4 chosen harmonics, this reads the WHOLE "
+    "spectrum's concentration — normalized entropy ~1 = arrhythmic "
+    "white noise, low = traffic locked to a few rhythms; the one-"
+    "number gate for whether seasonal models (STL/Holt-Winters "
+    "entries) have anything to model. Same Goertzel regroup as the "
+    "periodogram (data collapses to 168 phase bins FIRST, map-side "
+    "combinable), trig arguments mod-reduced to [0, 2pi) BEFORE "
+    "cos/sin so both engines evaluate identical small rationals, "
+    "micro-unit trig x integer bins = exact transform sums, power "
+    "quantized to a fixed 1e12 grain (part of the metric definition), "
+    "integer bp shares, micro-nat entropy terms. 84-row output.",
+)
+def events_hourly_spectral_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("long")
+        .alias("hi")
+    ).agg(F.count("*").cast("long").alias("x"))
+    st = hourly.agg(F.min("hi").alias("h0"))
+    ks = (
+        hourly.crossJoin(F.broadcast(st))
+        .groupBy(((F.col("hi") - F.col("h0")) % 168).alias("k"))
+        .agg(F.sum("x").cast("long").alias("sk"))
+    )
+    fr = spark.range(1, 85).select(F.col("id").cast("long").alias("j"))
+    ft = (
+        ks.crossJoin(F.broadcast(fr))
+        .groupBy("j")
+        .agg(
+            F.sum(
+                F.expr(
+                    "sk * CAST(floor(cos(2 * pi() * ((j * k) % 168) / 168)"
+                    " * 1e6) AS BIGINT)"
+                )
+            ).cast("long").alias("re"),
+            F.sum(
+                F.expr(
+                    "sk * CAST(floor(sin(2 * pi() * ((j * k) % 168) / 168)"
+                    " * 1e6) AS BIGINT)"
+                )
+            ).cast("long").alias("im"),
+        )
+    )
+    pw = ft.select(
+        "j",
+        F.expr(
+            "CAST(round((CAST(re AS DOUBLE) * re + CAST(im AS DOUBLE) * im)"
+            " / 1000000000000) AS BIGINT)"
+        ).alias("p_int"),
+    )
+    tt = pw.agg(F.sum("p_int").cast("long").alias("tot"))
+    terms = pw.crossJoin(F.broadcast(tt)).select(
+        "j",
+        "p_int",
+        F.expr("CAST(p_int * 10000 DIV tot AS BIGINT)").alias("share_bp"),
+        F.expr(
+            "CASE WHEN p_int > 0 THEN CAST(round(-(CAST(p_int AS DOUBLE)"
+            " / tot) * ln(CAST(p_int AS DOUBLE) / tot) * 1000000) AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("term_micro"),
+    )
+    h = terms.agg(
+        F.expr(
+            "round(CAST(sum(term_micro) AS DOUBLE) / 1000000 / ln(84.0), 6)"
+        ).alias("h_norm")
+    )
+    return terms.crossJoin(F.broadcast(h)).select(
+        F.col("j").alias("freq_per_week"),
+        # CAST, not a bare 168.0 literal: Spark parses decimal-point
+        # literals as DECIMAL (the measured literal-type trap)
+        F.expr("round(CAST(168 AS DOUBLE) / j, 2)").alias("period_hours"),
+        "share_bp",
+        "h_norm",
+    )

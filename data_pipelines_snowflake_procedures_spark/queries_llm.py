@@ -6971,3 +6971,115 @@ def embeddings_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "db_index",
         )
     )
+
+
+@register(
+    "embeddings_anisotropy_report",
+    """
+    WITH x AS (
+      SELECT vec_id, [v::DOUBLE FOR v IN embedding] AS e FROM embeddings
+    ),
+    dimsum AS (
+      SELECT i, sum(CAST(round(e[i] * 1000000) AS BIGINT))::BIGINT AS smic,
+             count(*)::BIGINT AS n
+      FROM x, unnest(range(1, 65)) AS t(i) GROUP BY i
+    ),
+    mu AS (
+      SELECT list(CAST(smic AS DOUBLE) / n / 1000000 ORDER BY i) AS m,
+             any_value(n) AS n
+      FROM dimsum
+    ),
+    cosr AS (
+      SELECT x.vec_id,
+             round(list_aggregate([x.e[i] * mu.m[i]
+                                   FOR i IN range(1, 65)], 'sum')
+                   / (sqrt(list_aggregate([v * v FOR v IN x.e], 'sum'))
+                      * sqrt(list_aggregate([v * v FOR v IN mu.m], 'sum'))),
+                   6) AS c
+      FROM x, mu
+    ),
+    ag AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(CAST(round(c * 1000000) AS BIGINT))::BIGINT AS smic,
+             sum(CASE WHEN c > 0 THEN 1 ELSE 0 END)::BIGINT AS npos
+      FROM cosr
+    )
+    SELECT ag.n AS n_vectors,
+           round(sqrt(list_aggregate([v * v FOR v IN mu.m], 'sum')), 6)
+             AS mu_norm,
+           round(CAST(ag.smic AS DOUBLE) / ag.n / 1000000, 6)
+             AS mean_cos_to_mu,
+           round(CAST(ag.npos AS DOUBLE) / ag.n, 6) AS frac_positive
+    FROM ag, mu
+    """,
+    doc="Embedding-space anisotropy report (Ethayarajh-style): the "
+    "corpus mean vector's norm, the mean cosine of every vector to "
+    "it, and the fraction pointing into the dominant half-space — "
+    "high values mean embeddings crowd a narrow cone, which inflates "
+    "all cosines and silently degrades every cosine-based entry "
+    "(near-dup thresholds, ANN recall, MMR); the standard fix it "
+    "motivates is mean-centering/whitening (the PCA entries). "
+    "Determinism: per-dimension sums in exact micro-unit integers "
+    "(order-free across any partitioning), the 64-value mean vector "
+    "broadcast as literals, per-row cosines ordered-fold + 6-decimal "
+    "rounded, row means in micro-units. Plan: one posexplode "
+    "dimension pass (map-side combinable), then a map-only cosine "
+    "scan — two corpus reads, zero data-sized shuffles.",
+)
+def embeddings_anisotropy_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.dedup import dot_product, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dimsum = (
+        emb.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "i0", "v"
+            )
+        )
+        .groupBy("i0")
+        .agg(
+            F.sum(F.expr("CAST(round(v * 1000000) AS BIGINT)"))
+            .cast("long")
+            .alias("smic"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .collect()
+    )
+    n = dimsum[0]["n"]
+    mu = [
+        r["smic"] / r["n"] / 1e6 for r in sorted(dimsum, key=lambda r: r["i0"])
+    ]
+    mu_lit = F.array(*[F.lit(float(v)) for v in mu])
+    # mu_norm via the same ordered fold as the oracle's list_aggregate
+    acc = 0.0
+    for v in mu:
+        acc += v * v
+    import math
+
+    mu_norm = round(math.sqrt(acc), 6)
+    cosr = emb.select(
+        F.round(
+            dot_product(F.col("embedding").cast("array<double>"), mu_lit)
+            / (norm(F.col("embedding").cast("array<double>")) * F.lit(math.sqrt(acc))),
+            6,
+        ).alias("c")
+    )
+    ag = cosr.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("CAST(round(c * 1000000) AS BIGINT)"))
+        .cast("long")
+        .alias("smic"),
+        F.sum(F.when(F.col("c") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("npos"),
+    )
+    return ag.select(
+        F.col("n").alias("n_vectors"),
+        F.lit(mu_norm).alias("mu_norm"),
+        F.expr("round(CAST(smic AS DOUBLE) / n / 1000000, 6)").alias(
+            "mean_cos_to_mu"
+        ),
+        F.expr("round(CAST(npos AS DOUBLE) / n, 6)").alias("frac_positive"),
+    )
