@@ -6942,8 +6942,18 @@ def embeddings_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((i, j, math.sqrt(acc) / 1000000))
     cd = spark.createDataFrame(rows, "i LONG, j LONG, m DOUBLE")
     r = (
-        cd.join(si.select(F.col("cid").alias("i"), F.col("s").alias("s_i")), "i")
-        .join(si.select(F.col("cid").alias("j"), F.col("s").alias("s_j")), "j")
+        cd.join(
+            F.broadcast(
+                si.select(F.col("cid").alias("i"), F.col("s").alias("s_i"))
+            ),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                si.select(F.col("cid").alias("j"), F.col("s").alias("s_j"))
+            ),
+            "j",
+        )
         .groupBy(F.col("i").alias("cluster"))
         .agg(
             F.round(
@@ -6961,7 +6971,12 @@ def embeddings_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("db_index")
     )
     return (
-        r.join(si.select(F.col("cid").alias("cluster"), "n_members", "s"), "cluster")
+        r.join(
+            F.broadcast(
+                si.select(F.col("cid").alias("cluster"), "n_members", "s")
+            ),
+            "cluster",
+        )
         .crossJoin(F.broadcast(db))
         .select(
             F.col("cluster").cast("long").alias("cluster"),

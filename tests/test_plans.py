@@ -397,6 +397,15 @@ def test_top_sf1_entries_plan_budgets(spark, sf_dir):
         "events_hourly_ljung_box": (12, 0, 5),
         "orders_little_law_wip": (4, 0, 0),
         "embeddings_intrinsic_dimension": (0, 0, 0),
+        # round-10 additions with sf1 > 5 s: FLIC is one repartition +
+        # one Arrow codec node (the MJPEG shape); Davies-Bouldin's 6
+        # BNLJ are 1-row scalar broadcasts and its k-sized joins are
+        # hinted broadcasts; bottom-k sketch pays its per-slice windows
+        # + exact-calibration ranks (the calibration drops at scale)
+        "multimodal_flc_video_documents": (1, 1, 0),
+        "embeddings_davies_bouldin": (8, 0, 6),
+        "documents_term_burstiness": (3, 0, 1),
+        "events_quantile_sketch_bottomk": (8, 0, 0),
     }
     for name, (max_sh, max_arrow, max_bnlj) in budgets.items():
         report = plan_report(REGISTRY[name].spark_fn(spark, sf_dir))
