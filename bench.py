@@ -396,6 +396,7 @@ HEADLINE = [
     "events_daily_nb_overdispersion",
     "embeddings_anisotropy_report",
     "events_hourly_spectral_entropy",
+    "events_quantile_sketch_streaming",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

@@ -9520,3 +9520,76 @@ def events_hourly_spectral_entropy(
         "share_bp",
         "h_norm",
     )
+
+
+@register(
+    "events_quantile_sketch_streaming",
+    """
+    WITH b AS (
+      SELECT event_type, event_id, value,
+             ('0x' || substr(md5('bkq|' || CAST(event_id AS VARCHAR)),
+                             1, 15))::BIGINT AS h
+      FROM events
+    ),
+    smp AS (
+      SELECT event_type, event_id, value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY event_type ORDER BY h, event_id) AS rn
+        FROM b
+      ) WHERE rn <= 256
+    ),
+    sk AS (SELECT event_type, count(*)::BIGINT AS k FROM smp GROUP BY 1),
+    sr AS (
+      SELECT event_type, value, row_number() OVER (
+        PARTITION BY event_type ORDER BY value, event_id) AS vr
+      FROM smp
+    ),
+    est AS (
+      SELECT sr.event_type,
+             max(CASE WHEN sr.vr = (25 * sk.k + 99) // 100
+                 THEN sr.value END) AS p25,
+             max(CASE WHEN sr.vr = (50 * sk.k + 99) // 100
+                 THEN sr.value END) AS p50,
+             max(CASE WHEN sr.vr = (75 * sk.k + 99) // 100
+                 THEN sr.value END) AS p75,
+             max(CASE WHEN sr.vr = (90 * sk.k + 99) // 100
+                 THEN sr.value END) AS p90
+      FROM sr JOIN sk USING (event_type) GROUP BY 1
+    ),
+    nn AS (
+      SELECT event_type, count(*)::BIGINT AS n_seen FROM events GROUP BY 1
+    )
+    SELECT n.event_type, n.n_seen, e.p25, e.p50, e.p75, e.p90
+    FROM nn n JOIN est e USING (event_type)
+    """,
+    doc="The bottom-k quantile sketch as a CUSTOM STATEFUL STREAMING "
+    "operator (applyInPandasWithState, streaming/stateful.py::"
+    "quantile_sketch_stream): per-type state is the 256 rows with the "
+    "smallest md5(event_id) hash seen so far — merge-invariant, so "
+    "the final drained state equals the batch bottom-k regardless of "
+    "micro-batch slicing, and the emitted quantiles hash-check "
+    "against the SAME SQL restatement as the batch entry "
+    "(events_quantile_sketch_bottomk): stream-equals-batch for a "
+    "custom sketch, not just built-in aggregations. Hashing runs "
+    "JVM-side before the state operator; NoTimeout because the "
+    "sample must survive the whole drain; update-mode emissions are "
+    "resolved to each type's LAST (max n_seen, strictly increasing). "
+    "Bounded state: <= 256 rows per type, ever.",
+)
+def events_quantile_sketch_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .streaming.stateful import quantile_sketch_stream
+    from .streaming.stream import run_to_memory
+
+    drained = run_to_memory(
+        quantile_sketch_stream(spark, sf_dir), output_mode="update"
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_seen"))
+    return (
+        drained.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

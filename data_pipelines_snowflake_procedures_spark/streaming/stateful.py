@@ -21,8 +21,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -99,3 +101,119 @@ def user_totals_stream(spark, sf_dir: str) -> DataFrame:
     from .stream import read_events_stream
 
     return running_user_totals(read_events_stream(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Streaming bottom-k quantile sketch: the stateful-streaming leg of the
+# batch entry events_quantile_sketch_bottomk (operators/sketch.py::
+# bottomk_quantile_sketch). The state per key is the k rows with the
+# smallest md5 hash seen so far — merge-invariant, so the FINAL state
+# after an availableNow drain equals the batch bottom-k no matter how
+# micro-batches sliced the input, and the emitted quantiles hash-check
+# against the same SQL restatement.
+# ---------------------------------------------------------------------------
+
+SKETCH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("p25", DoubleType()),
+        StructField("p50", DoubleType()),
+        StructField("p75", DoubleType()),
+        StructField("p90", DoubleType()),
+    ]
+)
+
+SKETCH_STATE_SCHEMA = StructType(
+    [
+        StructField("n_seen", LongType()),
+        StructField("hs", ArrayType(LongType())),
+        StructField("ks", ArrayType(LongType())),
+        StructField("vs", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _make_update_sketch(k: int):
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Fold this micro-batch's (hash, key, value) rows into the
+        persisted bottom-k sample and emit the current quantiles.
+        NoTimeout: the sample must survive to the end of the drain —
+        an idle-expiry here would silently truncate the sketch."""
+        if state.exists:
+            n_seen, hs, ks, vs = state.get
+            sample = list(zip(hs, ks, vs))
+        else:
+            n_seen, sample = 0, []
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            sample.extend(
+                zip(
+                    (int(h) for h in pdf["h"]),
+                    (int(e) for e in pdf["event_id"]),
+                    (float(v) for v in pdf["value"]),
+                )
+            )
+        sample.sort(key=lambda t: (t[0], t[1]))
+        sample = sample[:k]
+        state.update(
+            (
+                n_seen,
+                [t[0] for t in sample],
+                [t[1] for t in sample],
+                [t[2] for t in sample],
+            )
+        )
+        # quantiles by the batch entry's integer discrete-rank rule,
+        # value-ordered with the same (value, key) tie-break
+        byval = sorted(sample, key=lambda t: (t[2], t[1]))
+        kk = len(byval)
+        qs = {}
+        for pct in (25, 50, 75, 90):
+            qs[pct] = byval[(pct * kk + 99) // 100 - 1][2]
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n_seen],
+                "p25": [qs[25]],
+                "p50": [qs[50]],
+                "p75": [qs[75]],
+                "p90": [qs[90]],
+            }
+        )
+
+    return _update
+
+
+def quantile_sketch_stream(spark, sf_dir: str, k: int = 256) -> DataFrame:
+    """Streaming per-type bottom-k quantile sketch over the harness
+    events. The md5 hash is computed JVM-side before the state
+    operator (the exact expression the batch sketch and its oracle
+    use), so Python only merges pre-hashed rows."""
+    from pyspark.sql import functions as F
+
+    from .stream import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        "value",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bkq|"), F.col("event_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long").alias("h"),
+    )
+    return ev.groupBy("event_type").applyInPandasWithState(
+        _make_update_sketch(k),
+        outputStructType=SKETCH_OUTPUT_SCHEMA,
+        stateStructType=SKETCH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
