@@ -397,6 +397,9 @@ HEADLINE = [
     "embeddings_anisotropy_report",
     "events_hourly_spectral_entropy",
     "events_quantile_sketch_streaming",
+    "documents_fim_split",
+    "documents_curriculum_order",
+    "documents_token_budget_waterfill",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

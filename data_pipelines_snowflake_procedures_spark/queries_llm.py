@@ -7098,3 +7098,259 @@ def embeddings_anisotropy_report(
         ),
         F.expr("round(CAST(npos AS DOUBLE) / n, 6)").alias("frac_positive"),
     )
+
+
+@register(
+    "documents_fim_split",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         w -> w <> '') AS toks
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id, len(toks)::BIGINT AS n,
+             ('0x' || substr(md5('fim1|' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS h1,
+             ('0x' || substr(md5('fim2|' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS h2
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id, n,
+             CASE WHEN doc_id % 2 = 0 AND n >= 3 THEN 'psm' ELSE 'ar' END
+               AS mode,
+             h1 % (n + 1) AS c1, h2 % (n + 1) AS c2
+      FROM z
+    )
+    SELECT doc_id, mode, n AS n_tokens,
+           CAST(CASE WHEN mode = 'psm' THEN least(c1, c2) ELSE n END
+                AS BIGINT) AS n_prefix,
+           CAST(CASE WHEN mode = 'psm' THEN greatest(c1, c2) - least(c1, c2)
+                ELSE 0 END AS BIGINT) AS n_middle,
+           CAST(CASE WHEN mode = 'psm' THEN n - greatest(c1, c2)
+                ELSE 0 END AS BIGINT) AS n_suffix
+    FROM m
+    """,
+    doc="Fill-in-the-middle (FIM/PSM) training transformation plan: a "
+    "deterministic 50% of documents (doc_id parity — the standard FIM "
+    "rate, reproducible across reruns) split into prefix/middle/suffix "
+    "at two md5-derived uniform cut points in token space; short and "
+    "unselected docs stay autoregressive with full-length prefix. "
+    "Emits the SPAN PLAN (token counts per segment, conserved to "
+    "n_tokens) rather than re-rendered text, the way a packing "
+    "pipeline consumes it. Pure Column expressions, map-only, "
+    "zero shuffles; every cut is integer modulo arithmetic on "
+    "md5 hashes, so the plan is bit-stable across engines and runs.",
+)
+def documents_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    z = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fim1|"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("long").alias("h1"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fim2|"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("long").alias("h2"),
+    )
+    m = z.select(
+        "doc_id",
+        "n",
+        F.when(
+            (F.col("doc_id") % 2 == 0) & (F.col("n") >= 3), F.lit("psm")
+        ).otherwise(F.lit("ar")).alias("mode"),
+        (F.col("h1") % (F.col("n") + 1)).alias("c1"),
+        (F.col("h2") % (F.col("n") + 1)).alias("c2"),
+    )
+    is_psm = F.col("mode") == "psm"
+    lo = F.least("c1", "c2")
+    hi = F.greatest("c1", "c2")
+    return m.select(
+        "doc_id",
+        "mode",
+        F.col("n").alias("n_tokens"),
+        F.when(is_psm, lo).otherwise(F.col("n")).cast("long").alias("n_prefix"),
+        F.when(is_psm, hi - lo).otherwise(F.lit(0)).cast("long").alias("n_middle"),
+        F.when(is_psm, F.col("n") - hi).otherwise(F.lit(0)).cast("long").alias("n_suffix"),
+    )
+
+
+def _curriculum_oracle() -> str:
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, round({_quality_sql()}, 2) AS q,
+             ('0x' || substr(md5('cur|' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS h
+      FROM documents
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY q, doc_id) AS r,
+             count(*) OVER () AS nd
+      FROM scored
+    ),
+    b AS (
+      SELECT doc_id, q, h, ((r - 1) * 10 // nd)::BIGINT AS band FROM rk
+    )
+    SELECT doc_id, q AS quality_score, band,
+           row_number() OVER (ORDER BY band, h, doc_id)::BIGINT AS position
+    FROM b
+    """
+
+
+@register(
+    "documents_curriculum_order",
+    _curriculum_oracle(),
+    doc="Curriculum training order: documents band into quality "
+    "deciles by exact integer rank arithmetic ((r-1)*10 div n — no "
+    "ntile, whose remainder placement is engine-defined), then the "
+    "global position streams bands in ascending quality with an "
+    "md5-shuffled order INSIDE each band — the standard curriculum "
+    "shape (coarse difficulty ordering, randomized within level so "
+    "batches stay i.i.d.-ish) made fully reproducible: same corpus, "
+    "same order, any engine, any partitioning. Shares the 4-gate "
+    "quality score with the quality entries so the difficulty axis "
+    "cannot drift from the filtering axis. One global window at "
+    "doc-id grain (the curriculum IS a total order; at 100 TB this "
+    "materializes per-band files and the order becomes (band, file, "
+    "offset)).",
+)
+def documents_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_score("text"), 2).alias("q"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cur|"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("long").alias("h"),
+    )
+    nd = scored.agg(F.count("*").cast("long").alias("nd"))
+    rk = scored.withColumn(
+        "r", F.row_number().over(Window.orderBy("q", "doc_id"))
+    ).crossJoin(F.broadcast(nd))
+    b = rk.select(
+        "doc_id", "q", "h",
+        F.expr("CAST((r - 1) * 10 DIV nd AS BIGINT)").alias("band"),
+    )
+    return b.select(
+        "doc_id",
+        F.col("q").alias("quality_score"),
+        "band",
+        F.row_number().over(Window.orderBy("band", "h", "doc_id"))
+        .cast("long")
+        .alias("position"),
+    )
+
+
+@register(
+    "documents_token_budget_waterfill",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             w -> w <> ''))::BIGINT AS nt
+      FROM documents
+    ),
+    src AS (SELECT source, sum(nt)::BIGINT AS c FROM toks GROUP BY 1),
+    tot AS (
+      SELECT sum(c)::BIGINT AS total, (sum(c) // 2)::BIGINT AS budget,
+             count(*)::BIGINT AS s
+      FROM src
+    ),
+    ord AS (
+      SELECT source, c, row_number() OVER (ORDER BY c, source) AS i,
+             coalesce(sum(c) OVER (ORDER BY c, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS pre
+      FROM src
+    ),
+    cand AS (
+      SELECT o.*, tot.budget, tot.total, tot.s,
+             ((tot.budget - o.pre) // (tot.s - o.i + 1))::BIGINT AS t_cand
+      FROM ord o, tot
+    ),
+    th AS (SELECT t_cand AS t FROM cand WHERE t_cand <= c ORDER BY i LIMIT 1)
+    SELECT c2.source, c2.c AS tokens_available,
+           least(c2.c, th.t)::BIGINT AS tokens_allocated,
+           c2.c > th.t AS capped,
+           th.t AS threshold, c2.budget, c2.total
+    FROM cand c2, th
+    """,
+    doc="Token-budget water-filling across sources: allocate a 50% "
+    "token budget as equally as possible, letting small sources keep "
+    "everything and capping large ones at the water level t where "
+    "sum(min(c_s, t)) fills the budget — the max-min-fair allocation "
+    "behind 'don't let the biggest crawl drown the curated sources'. "
+    "Closed form via one ascending prefix-sum pass: the first source "
+    "(by size) whose equal-share candidate (budget - smaller-sources) "
+    "div (remaining count) fits under its own supply sets t; floor "
+    "semantics leave < s tokens of slack (reported via the budget "
+    "column). ALL integer arithmetic — threshold, allocations, and "
+    "caps are exact BIGINTs. Source-grain windows only; the corpus is "
+    "read once for the token counts.",
+)
+def documents_token_budget_waterfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    src = (
+        docs.select("source", F.size(toks).cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("c"))
+    )
+    tot = src.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.expr("CAST(sum(c) DIV 2 AS BIGINT)").alias("budget"),
+        F.count("*").cast("long").alias("s"),
+    )
+    w = Window.orderBy("c", "source")
+    ordd = src.select(
+        "source",
+        "c",
+        F.row_number().over(w).alias("i"),
+        F.coalesce(
+            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("pre"),
+    )
+    cand = ordd.crossJoin(F.broadcast(tot)).withColumn(
+        "t_cand", F.expr("CAST((budget - pre) DIV (s - i + 1) AS BIGINT)")
+    )
+    th = (
+        cand.filter(F.col("t_cand") <= F.col("c"))
+        .orderBy("i")
+        .limit(1)
+        .select(F.col("t_cand").alias("t"))
+    )
+    return cand.crossJoin(F.broadcast(th)).select(
+        "source",
+        F.col("c").alias("tokens_available"),
+        F.least("c", "t").cast("long").alias("tokens_allocated"),
+        (F.col("c") > F.col("t")).alias("capped"),
+        F.col("t").alias("threshold"),
+        "budget",
+        "total",
+    )
