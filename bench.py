@@ -400,6 +400,8 @@ HEADLINE = [
     "documents_fim_split",
     "documents_curriculum_order",
     "documents_token_budget_waterfill",
+    "corpus_contamination_sweep",
+    "bm25_ndcg_report",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

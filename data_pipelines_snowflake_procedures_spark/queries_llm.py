@@ -7354,3 +7354,241 @@ def documents_token_budget_waterfill(
         "budget",
         "total",
     )
+
+
+def _contamination_sweep_oracle() -> str:
+    def shingle_sql(n: int) -> str:
+        parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+        # range() excludes its stop: last start index is len-n+1,
+        # so stop = len-n+2
+        return (
+            f"list_distinct(list_transform(range(1, len(toks) - {n - 2}), "
+            f"i -> {parts}))"
+        )
+
+    toks = r"string_split_regex(lower(trim(text)), '\s+')"
+    legs = []
+    for n in (2, 3, 5):
+        legs.append(f"""
+    SELECT {n} AS n_gram, nt.n_train_docs,
+           count(DISTINCT tr.doc_id)::BIGINT AS n_contaminated,
+           count(*)::BIGINT AS total_shared_shingles,
+           round(count(DISTINCT tr.doc_id)::DOUBLE / nt.n_train_docs, 6)
+             AS frac_contaminated
+    FROM (
+      SELECT doc_id, unnest({shingle_sql(n)}) AS sh
+      FROM (SELECT doc_id, {toks} AS toks
+            FROM documents WHERE doc_id % 25 <> 0)
+    ) tr
+    JOIN (
+      SELECT DISTINCT unnest({shingle_sql(n)}) AS sh
+      FROM (SELECT doc_id, {toks} AS toks
+            FROM documents WHERE doc_id % 25 = 0)
+    ) ev USING (sh)
+    CROSS JOIN (
+      SELECT count(*)::BIGINT AS n_train_docs
+      FROM documents WHERE doc_id % 25 <> 0
+    ) nt
+    GROUP BY nt.n_train_docs""")
+    return " UNION ALL ".join(legs)
+
+
+@register(
+    "corpus_contamination_sweep",
+    _contamination_sweep_oracle(),
+    doc="Decontamination n-gram-size SWEEP: the single-n entry "
+    "(corpus_decontaminate_documents) answers 'who is contaminated at "
+    "n=3'; this answers the question that PRECEDES it — which n to "
+    "use: contaminated-train-doc fraction and total shared shingles "
+    "at n=2/3/5 in one report (the GPT-3 8-to-13-gram choice, scaled "
+    "to the fixture's short docs). The n=2 row saturating while n=5 "
+    "goes near-zero is exactly the overlap-curve a pipeline owner "
+    "reads before committing an n. Each leg is the proven broadcast "
+    "shape: eval shingle set broadcast, train side scanned once, "
+    "never shuffled on text. All-integer counts.",
+)
+def corpus_contamination_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from .operators.corpus import contamination_hits
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    nt = train.agg(F.count("*").cast("long").alias("n_train_docs"))
+    legs = []
+    for n in (2, 3, 5):
+        hits = contamination_hits(train, ev, n=n)
+        legs.append(
+            hits.agg(
+                F.count("*").cast("long").alias("n_contaminated"),
+                F.sum("n_hits").cast("long").alias("total_shared_shingles"),
+            )
+            .crossJoin(F.broadcast(nt))
+            .select(
+                F.lit(n).cast("int").alias("n_gram"),
+                "n_train_docs",
+                "n_contaminated",
+                "total_shared_shingles",
+                F.round(
+                    F.col("n_contaminated").cast("double")
+                    / F.col("n_train_docs"),
+                    6,
+                ).alias("frac_contaminated"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), legs)
+
+
+@register(
+    "bm25_ndcg_report",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({{toks}}) AS tok, len({{toks}})::BIGINT AS dl
+      FROM documents
+    ),
+    nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    ad AS (
+      SELECT sum(len({{toks}}))::DOUBLE / any_value(nd.n) AS avgdl
+      FROM documents, nd
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf, any_value(dl) AS dl
+      FROM toks WHERE tok IN {tuple(_BM25_TERMS)}
+      GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+    sc AS (
+      SELECT t.tok AS term, t.doc_id, least(t.tf, 3)::BIGINT AS rel,
+             CAST(round(
+               ln((nd.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / ad.avgdl))
+               * 1000000) AS BIGINT) AS micro
+      FROM tf t JOIN dfreq d USING (tok), nd, ad
+    ),
+    rk AS (
+      SELECT term, doc_id, rel,
+             row_number() OVER (
+               PARTITION BY term ORDER BY micro DESC, doc_id) AS r
+      FROM sc
+    ),
+    dcg AS (
+      SELECT term,
+             sum(CASE WHEN r <= 10 THEN
+               CAST(round(((1 << rel) - 1)::DOUBLE / log2(r + 1) * 1000000)
+                    AS BIGINT) ELSE 0 END)::BIGINT AS dcg_micro
+      FROM rk GROUP BY term
+    ),
+    irk AS (
+      SELECT term, rel,
+             row_number() OVER (
+               PARTITION BY term ORDER BY rel DESC, doc_id) AS r
+      FROM rk
+    ),
+    idcg AS (
+      SELECT term,
+             sum(CASE WHEN r <= 10 THEN
+               CAST(round(((1 << rel) - 1)::DOUBLE / log2(r + 1) * 1000000)
+                    AS BIGINT) ELSE 0 END)::BIGINT AS idcg_micro
+      FROM irk GROUP BY term
+    ),
+    nrel AS (SELECT term, count(*)::BIGINT AS n_relevant FROM sc GROUP BY term)
+    SELECT d.term, nr.n_relevant,
+           round(d.dcg_micro / 1000000.0, 6) AS dcg_at_10,
+           round(i.idcg_micro / 1000000.0, 6) AS idcg_at_10,
+           round(d.dcg_micro::DOUBLE / i.idcg_micro, 6) AS ndcg_at_10
+    FROM dcg d JOIN idcg i USING (term) JOIN nrel nr USING (term)
+    """.replace("{toks}", r"string_split_regex(lower(trim(text)), '\s+')"),
+    doc="Ranking-quality readout for the BM25 scorer: per query term, "
+    "NDCG@10 against a deterministic graded-relevance label "
+    "(term frequency capped at 3 — the document genuinely about the "
+    "term scores higher than one mentioning it once), with DCG/IDCG "
+    "in integer micro-units (gains are exact ints 2^rel - 1; each "
+    "rank's log2 discount is a libm call on a SMALL fixed integer, "
+    "identical cross-engine). Completes the retrieval family: the "
+    "recall reports grade ANN candidate quality, this grades the "
+    "lexical ranking itself. One (doc, term) shuffle shared with the "
+    "BM25 entry's shape, then term-grain windows over matching docs "
+    "only.",
+)
+def bm25_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks_c = tokens("text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(toks_c).alias("tok"),
+        F.size(toks_c).cast("long").alias("dl"),
+    )
+    nd = docs.agg(F.count("*").cast("double").alias("n"))
+    ad = docs.select(F.size(toks_c).cast("long").alias("dl0")).agg(
+        F.expr("CAST(sum(dl0) AS DOUBLE)").alias("sdl")
+    ).crossJoin(F.broadcast(nd)).select(
+        (F.col("sdl") / F.col("n")).alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    sc = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(ad))
+        .select(
+            F.col("tok").alias("term"),
+            "doc_id",
+            F.least(F.col("tf"), F.lit(3)).cast("long").alias("rel"),
+            F.expr(
+                "CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0)"
+                " * (tf * 2.2)"
+                " / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+                " * 1000000) AS BIGINT)"
+            ).alias("micro"),
+        )
+    )
+    rk = sc.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("term").orderBy(F.desc("micro"), F.asc("doc_id"))
+        ),
+    )
+    gain = (
+        "CASE WHEN r <= 10 THEN CAST(round(CAST(shiftleft(1, rel) - 1"
+        " AS DOUBLE) / log2(r + 1) * 1000000) AS BIGINT) ELSE 0 END"
+    )
+    dcg = rk.groupBy("term").agg(
+        F.sum(F.expr(gain)).cast("long").alias("dcg_micro")
+    )
+    irk = rk.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("term").orderBy(F.desc("rel"), F.asc("doc_id"))
+        ),
+    )
+    idcg = irk.groupBy("term").agg(
+        F.sum(F.expr(gain)).cast("long").alias("idcg_micro")
+    )
+    nrel = sc.groupBy("term").agg(F.count("*").cast("long").alias("n_relevant"))
+    return (
+        dcg.join(idcg, "term")
+        .join(nrel, "term")
+        .select(
+            "term",
+            "n_relevant",
+            F.expr(
+                "round(dcg_micro / CAST(1000000 AS DOUBLE), 6)"
+            ).alias("dcg_at_10"),
+            F.expr(
+                "round(idcg_micro / CAST(1000000 AS DOUBLE), 6)"
+            ).alias("idcg_at_10"),
+            F.expr("round(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6)").alias(
+                "ndcg_at_10"
+            ),
+        )
+    )
