@@ -402,6 +402,9 @@ HEADLINE = [
     "documents_token_budget_waterfill",
     "corpus_contamination_sweep",
     "bm25_ndcg_report",
+    "documents_langid_confusion",
+    "documents_balanced_sample",
+    "vocab_truncation_sweep",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

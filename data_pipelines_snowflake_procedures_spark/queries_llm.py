@@ -7592,3 +7592,220 @@ def bm25_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _langid_confusion_oracle() -> str:
+    return f"""
+    WITH lab AS (
+      SELECT lang AS true_lang, {_lang_sql()} AS detected_lang
+      FROM documents
+    ),
+    cell AS (
+      SELECT true_lang, detected_lang, count(*)::BIGINT AS n_docs
+      FROM lab GROUP BY 1, 2
+    ),
+    tt AS (SELECT true_lang, sum(n_docs)::BIGINT AS n_true FROM cell GROUP BY 1),
+    acc AS (
+      SELECT round(sum(CASE WHEN true_lang = detected_lang
+                        THEN n_docs ELSE 0 END)::DOUBLE
+                   / sum(n_docs), 6) AS overall_accuracy
+      FROM cell
+    )
+    SELECT c.true_lang, c.detected_lang, c.n_docs,
+           round(CAST(c.n_docs AS DOUBLE) / t.n_true, 6) AS share_of_truth,
+           a.overall_accuracy
+    FROM cell c JOIN tt t USING (true_lang), acc a
+    """
+
+
+@register(
+    "documents_langid_confusion",
+    _langid_confusion_oracle(),
+    doc="Language-ID confusion matrix: the heuristic stopword-argmax "
+    "classifier (operators/text.py::detect_language — the SAME "
+    "expression the corpus-clean gate filters on) graded against the "
+    "corpus's lang label, cell counts + per-truth-language shares + "
+    "overall accuracy. The label-noise readout a mix pipeline checks "
+    "BEFORE trusting a language gate: if 'es' routinely detects as "
+    "'und' here, the clean stage is silently dropping Spanish. Pure "
+    "Column expressions to the (truth, detected) grain, one tiny "
+    "groupBy; all ratios from integer cells.",
+)
+def documents_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import detect_language
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.select(
+        F.col("lang").alias("true_lang"),
+        detect_language("text").alias("detected_lang"),
+    )
+    cell = lab.groupBy("true_lang", "detected_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    tt = cell.groupBy("true_lang").agg(
+        F.sum("n_docs").cast("long").alias("n_true")
+    )
+    acc = cell.agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("true_lang") == F.col("detected_lang"),
+                    F.col("n_docs"),
+                ).otherwise(0)
+            ).cast("double")
+            / F.sum("n_docs"),
+            6,
+        ).alias("overall_accuracy")
+    )
+    return (
+        cell.join(F.broadcast(tt), "true_lang")
+        .crossJoin(F.broadcast(acc))
+        .select(
+            "true_lang",
+            "detected_lang",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_true"), 6
+            ).alias("share_of_truth"),
+            "overall_accuracy",
+        )
+    )
+
+
+@register(
+    "documents_balanced_sample",
+    """
+    WITH sz AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+    k AS (SELECT min(n)::BIGINT AS k FROM sz),
+    rk AS (
+      SELECT lang, doc_id, row_number() OVER (
+        PARTITION BY lang
+        ORDER BY md5('bal|' || CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
+      FROM documents
+    )
+    SELECT rk.lang, rk.doc_id, CAST(rk.pick_rank AS BIGINT) AS pick_rank
+    FROM rk, k WHERE rk.pick_rank <= k.k
+    """,
+    doc="Class-balanced deterministic subsample: every language "
+    "contributes exactly min-class-count documents, chosen by md5 "
+    "order within class (coordinated sampling — rerunning on a grown "
+    "corpus keeps earlier picks stable for unchanged doc_ids). The "
+    "downsampling-to-the-rarest-class move behind balanced eval sets "
+    "and fair per-language probes; the alternative (upweighting) is "
+    "the temperature-mix entry. One class-partitioned window; the "
+    "min-count rides as a 1-row broadcast.",
+)
+def documents_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sz = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    k = sz.agg(F.min("n").cast("long").alias("k"))
+    rk = docs.select(
+        "lang",
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.concat(F.lit("bal|"), F.col("doc_id").cast("string"))),
+                F.col("doc_id"),
+            )
+        )
+        .alias("pick_rank"),
+    )
+    return (
+        rk.crossJoin(F.broadcast(k))
+        .filter(F.col("pick_rank") <= F.col("k"))
+        .select("lang", "doc_id", F.col("pick_rank").cast("long").alias("pick_rank"))
+    )
+
+
+def _vocab_truncation_oracle() -> str:
+    toks = r"string_split_regex(lower(trim(text)), '\s+')"
+    legs = []
+    for v in (8, 16, 24):
+        legs.append(f"""
+    SELECT {v} AS v_size, vt.vocab_total, vt.total_tokens,
+           coalesce(sum(CASE WHEN tc.rk > {v} THEN tc.c END), 0)::BIGINT
+             AS oov_tokens,
+           round(coalesce(sum(CASE WHEN tc.rk > {v} THEN tc.c END), 0)::DOUBLE
+                 / vt.total_tokens, 6) AS oov_share
+    FROM (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM (
+        SELECT w, count(*)::BIGINT AS c FROM (
+          SELECT unnest({toks}) AS w FROM documents
+        ) WHERE w <> '' GROUP BY w
+      )
+    ) tc
+    CROSS JOIN (
+      SELECT count(*)::BIGINT AS vocab_total, sum(c)::BIGINT AS total_tokens
+      FROM (
+        SELECT w, count(*)::BIGINT AS c FROM (
+          SELECT unnest({toks}) AS w FROM documents
+        ) WHERE w <> '' GROUP BY w
+      )
+    ) vt
+    GROUP BY vt.vocab_total, vt.total_tokens""")
+    return " UNION ALL ".join(legs)
+
+
+@register(
+    "vocab_truncation_sweep",
+    _vocab_truncation_oracle(),
+    doc="Vocabulary-truncation OOV sweep: token-level out-of-vocab "
+    "share when the vocabulary keeps only the top-V types by "
+    "frequency (deterministic ties by term), at V = 8/16/24 — the "
+    "coverage curve read before fixing a vocab/tokenizer budget "
+    "(the Zipf entry says the tail is long; this prices CUTTING it). "
+    "One type-grain count table reused by all three legs; exact "
+    "integer counts throughout.",
+)
+def vocab_truncation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    tc = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w"))),
+        )
+        .persist()
+    )
+    vt = tc.agg(
+        F.count("*").cast("long").alias("vocab_total"),
+        F.sum("c").cast("long").alias("total_tokens"),
+    )
+    legs = []
+    for v in (8, 16, 24):
+        legs.append(
+            tc.crossJoin(F.broadcast(vt))
+            .groupBy("vocab_total", "total_tokens")
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("rk") > v, F.col("c"))), F.lit(0)
+                ).cast("long").alias("oov_tokens")
+            )
+            .select(
+                F.lit(v).cast("int").alias("v_size"),
+                "vocab_total",
+                "total_tokens",
+                "oov_tokens",
+                F.round(
+                    F.col("oov_tokens").cast("double")
+                    / F.col("total_tokens"),
+                    6,
+                ).alias("oov_share"),
+            )
+        )
+    out = reduce(lambda a, b: a.unionByName(b), legs)
+    rows = out.collect()
+    tc.unpersist()
+    return spark.createDataFrame(rows, out.schema)
