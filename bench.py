@@ -405,6 +405,7 @@ HEADLINE = [
     "documents_langid_confusion",
     "documents_balanced_sample",
     "vocab_truncation_sweep",
+    "dedup_simhash_bit_balance",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

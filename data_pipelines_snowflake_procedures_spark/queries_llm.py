@@ -7809,3 +7809,78 @@ def vocab_truncation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     tc.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+def _simhash_bit_balance_oracle() -> str:
+    return f"""
+    WITH sig AS ({_simhash_oracle()}),
+    bits AS (SELECT unnest(range(0, 32)) AS bit),
+    bc AS (
+      SELECT b.bit,
+             sum(((s.simhash >> b.bit) & 1))::BIGINT AS n_set,
+             count(*)::BIGINT AS n_docs
+      FROM sig s CROSS JOIN bits b GROUP BY b.bit
+    ),
+    mx AS (
+      SELECT round(max(abs(CAST(n_set AS DOUBLE) / n_docs - 0.5)), 6)
+        AS worst_skew
+      FROM bc
+    )
+    SELECT CAST(bc.bit AS INTEGER) AS bit, bc.n_set, bc.n_docs,
+           round(CAST(bc.n_set AS DOUBLE) / bc.n_docs, 6) AS share_set,
+           round(abs(CAST(bc.n_set AS DOUBLE) / bc.n_docs - 0.5), 6)
+             AS skew_from_half,
+           mx.worst_skew
+    FROM bc, mx
+    """
+
+
+@register(
+    "dedup_simhash_bit_balance",
+    _simhash_bit_balance_oracle(),
+    doc="SimHash bit-balance diagnostic: per-bit set-share across the "
+    "corpus's signatures plus the worst absolute skew from 1/2. The "
+    "banding math behind simhash near-dup blocking assumes each bit "
+    "splits the corpus ~50/50 — a bit that is 99% constant (which "
+    "this fixture's tiny vocabulary genuinely produces, worst skew "
+    "~0.5) contributes no discrimination, so Hamming bands collapse "
+    "and candidate sets explode. This is the readout to check BEFORE "
+    "trusting simhash banding on a new corpus; the fix is salting the "
+    "token hash or switching to minhash banding. One projection off "
+    "the shared simhash operator + a 32-bin aggregate.",
+)
+def dedup_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash
+
+    sig = simhash(load_table(spark, sf_dir, "documents"))
+    bits = spark.range(0, 32).select(F.col("id").cast("int").alias("bit"))
+    bc = (
+        sig.crossJoin(F.broadcast(bits))
+        .groupBy("bit")
+        .agg(
+            F.sum(F.expr("shiftright(simhash, bit) & 1"))
+            .cast("long")
+            .alias("n_set"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+    mx = bc.agg(
+        F.round(
+            F.max(
+                F.abs(F.col("n_set").cast("double") / F.col("n_docs") - 0.5)
+            ),
+            6,
+        ).alias("worst_skew")
+    )
+    return bc.crossJoin(F.broadcast(mx)).select(
+        F.col("bit").cast("int").alias("bit"),
+        "n_set",
+        "n_docs",
+        F.round(F.col("n_set").cast("double") / F.col("n_docs"), 6).alias(
+            "share_set"
+        ),
+        F.round(
+            F.abs(F.col("n_set").cast("double") / F.col("n_docs") - 0.5), 6
+        ).alias("skew_from_half"),
+        "worst_skew",
+    )
