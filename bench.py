@@ -406,6 +406,7 @@ HEADLINE = [
     "documents_balanced_sample",
     "vocab_truncation_sweep",
     "dedup_simhash_bit_balance",
+    "embeddings_pq_distortion_report",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

@@ -7884,3 +7884,92 @@ def dedup_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("skew_from_half"),
         "worst_skew",
     )
+
+
+def _pq_distortion_oracle() -> str:
+    books = _pq_codebook_ctes("embeddings", _PQ_RAW_SE, "")
+    legs = []
+    for j in range(4):
+        legs.append(f"""
+    SELECT {j} AS subspace, count(DISTINCT s.vec_id)::BIGINT AS n_vectors,
+           round(sum(CAST(round((s.se[i] - d.c[i]) * (s.se[i] - d.c[i])
+                                * 1000000000) AS BIGINT))::DOUBLE
+                 / (count(DISTINCT s.vec_id) * 16) / 1000000000, 6) AS mse,
+           round(sqrt(sum(CAST(round((s.se[i] - d.c[i]) * (s.se[i] - d.c[i])
+                                     * 1000000000) AS BIGINT))::DOUBLE
+                      / (count(DISTINCT s.vec_id) * 16) / 1000000000), 6)
+             AS rmse
+    FROM s{j} s JOIN dec_{j} d USING (vec_id),
+         unnest(range(1, 17)) AS t(i)""")
+    return "WITH " + books + " " + " UNION ALL ".join(legs)
+
+
+@register(
+    "embeddings_pq_distortion_report",
+    _pq_distortion_oracle(),
+    doc="PQ quantization-distortion report: per-subspace reconstruction "
+    "MSE/RMSE between each vector's subvector and its selected final "
+    "codeword, over the SAME m=4/k=16/2-iteration codebooks the "
+    "PQ/IVF-PQ ANN entries search with (shared _pq_codebook_ctes + "
+    "the cached pq_fit). This prices the memory rung directly: "
+    "recall@5 says how retrieval degrades, THIS says how much signal "
+    "the 16x compression itself destroys, per subspace — a skewed "
+    "subspace (one rmse far above the others) is the cue to rotate "
+    "(OPQ) or re-slice before buying more codebook bits. Per-element "
+    "squared errors round to integer nano-units, so the corpus sum is "
+    "order-free; encode is the broadcast-codebook argmin (zero "
+    "shuffle) and the report aggregates to 4 rows.",
+)
+def embeddings_pq_distortion_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from functools import reduce
+
+    from .operators.similarity import pq_encode, pq_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    books = _cached_fit(
+        sf_dir, "pq_books_raw", lambda: pq_fit(emb, m=4, k=16, iters=2)
+    )
+    enc = pq_encode(emb, books)
+    legs = []
+    for j, book in enumerate(books):
+        matrix = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+        )
+        sel = F.element_at(matrix, (F.col(f"code_{j}") + 1).cast("int"))
+        sub = F.slice(F.col("embedding").cast("array<double>"), j * 16 + 1, 16)
+        err_nano = F.aggregate(
+            F.zip_with(
+                sub,
+                sel,
+                lambda a, b: F.round(
+                    (a - b) * (a - b) * F.lit(1000000000.0)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        legs.append(
+            enc.select(err_nano.alias("e"))
+            .agg(
+                F.sum("e").cast("long").alias("se_nano"),
+                F.count("*").cast("long").alias("n_vectors"),
+            )
+            .select(
+                F.lit(j).cast("int").alias("subspace"),
+                "n_vectors",
+                F.expr(
+                    "round(CAST(se_nano AS DOUBLE) / (n_vectors * 16)"
+                    " / 1000000000, 6)"
+                ).alias("mse"),
+                F.expr(
+                    "round(sqrt(CAST(se_nano AS DOUBLE) / (n_vectors * 16)"
+                    " / 1000000000), 6)"
+                ).alias("rmse"),
+            )
+        )
+    out = reduce(lambda a, b: a.unionByName(b), legs)
+    rows = out.collect()
+    emb.unpersist()
+    return spark.createDataFrame(rows, out.schema)
