@@ -407,6 +407,9 @@ HEADLINE = [
     "vocab_truncation_sweep",
     "dedup_simhash_bit_balance",
     "embeddings_pq_distortion_report",
+    # round-10 continuation wave
+    "documents_dsir_importance",
+    "documents_quality_logreg_irls",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

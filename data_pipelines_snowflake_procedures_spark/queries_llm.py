@@ -7973,3 +7973,394 @@ def embeddings_pq_distortion_report(
     rows = out.collect()
     emb.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 continuation wave: data-selection / classifier / coreset entries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "documents_dsir_importance",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    big AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('dsir|' || bg), 1, 4))::BIGINT % 128 AS bucket,
+             count(*)::BIGINT AS n
+      FROM toks,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS s(bg)
+      WHERE len(t) >= 2
+      GROUP BY 1, 2, 3
+    ),
+    tgt AS (
+      SELECT bucket, sum(n)::BIGINT AS c_t FROM big WHERE lang = 'en' GROUP BY 1
+    ),
+    raw AS (
+      SELECT bucket, sum(n)::BIGINT AS c_r FROM big WHERE lang <> 'en' GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT COALESCE(sum(c_t), 0) FROM tgt) AS t_tot,
+             (SELECT COALESCE(sum(c_r), 0) FROM raw) AS r_tot
+    ),
+    lam AS (
+      SELECT b.bucket,
+             CAST(round(ln(CAST(COALESCE(t.c_t, 0) + 1 AS DOUBLE)
+                           * (tot.r_tot + 128)
+                           / (CAST(COALESCE(r.c_r, 0) + 1 AS DOUBLE)
+                              * (tot.t_tot + 128))) * 1000000) AS BIGINT)
+               AS lam_micro
+      FROM (SELECT DISTINCT bucket FROM big) b
+      LEFT JOIN tgt t USING (bucket)
+      LEFT JOIN raw r USING (bucket)
+      CROSS JOIN tot
+    ),
+    w AS (
+      SELECT big.doc_id,
+             sum(big.n * lam.lam_micro)::BIGINT AS weight_micro,
+             sum(big.n)::BIGINT AS n_bigrams
+      FROM big JOIN lam USING (bucket)
+      WHERE big.lang <> 'en'
+      GROUP BY 1
+    ),
+    top AS (
+      SELECT doc_id, n_bigrams, weight_micro
+      FROM w ORDER BY weight_micro DESC, doc_id ASC LIMIT 20
+    )
+    SELECT top.doc_id, d.source, d.lang, top.n_bigrams, top.weight_micro,
+           round(top.weight_micro / 1000000.0 / top.n_bigrams, 6) AS avg_loglr
+    FROM top JOIN documents d ON d.doc_id = top.doc_id
+    ORDER BY top.weight_micro DESC, top.doc_id ASC
+    """,
+    doc="DSIR-style data selection (Xie et al. 2023, public): score "
+    "each raw-pool document by an importance log-likelihood ratio "
+    "between a hashed-bigram unigram model of the TARGET domain "
+    "(lang='en' docs) and one of the raw pool (everything else), "
+    "add-1 smoothed over 128 md5 buckets. Per-bucket log-ratios are "
+    "a single ln of a ratio of exact integer products (the PMI "
+    "recipe), frozen to integer MICRO-UNITS, so each doc weight is "
+    "an exact integer dot product — order-independent and "
+    "bit-identical cross-engine. Scale shape: the model is 128 "
+    "broadcast rows; the only data-sized work is one "
+    "(doc,bucket)-grain aggregate with map-side combine and one "
+    "doc-grain sum, then TakeOrderedAndProject for the top-20 — no "
+    "global sort, no all-pairs anything. At 100 TB the bucket count "
+    "rises (e.g. 2^20) without changing the plan shape; BIGINT "
+    "products stay in range because only the smoothed per-bucket "
+    "counts multiply, never data-sized values.",
+)
+def documents_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tokens("text").alias("t"))
+    big = (
+        t.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.size("t") - 1),
+                    F.slice(F.col("t"), 2, F.size("t") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("dsir|"), F.col("bg"))), 1, 4
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 128
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    tgt = (
+        big.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("c_t"))
+    )
+    raw = (
+        big.filter(F.col("lang") != "en")
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("c_r"))
+    )
+    tot = (
+        tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("t_tot"))
+        .crossJoin(raw.agg(F.coalesce(F.sum("c_r"), F.lit(0)).alias("r_tot")))
+    )
+    lam = (
+        big.select("bucket")
+        .distinct()
+        .join(tgt, "bucket", "left")
+        .join(raw, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
+                    * (F.col("r_tot") + 128)
+                    / (
+                        (F.coalesce(F.col("c_r"), F.lit(0)) + 1).cast("double")
+                        * (F.col("t_tot") + 128)
+                    )
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lam_micro"),
+        )
+    )
+    w = (
+        big.filter(F.col("lang") != "en")
+        .join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * F.col("lam_micro")).cast("long").alias("weight_micro"),
+            F.sum("n").cast("long").alias("n_bigrams"),
+        )
+    )
+    top = w.orderBy(F.col("weight_micro").desc(), F.col("doc_id").asc()).limit(20)
+    out = (
+        top.join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_bigrams",
+            "weight_micro",
+            F.round(
+                F.col("weight_micro") / 1000000.0 / F.col("n_bigrams"), 6
+            ).alias("avg_loglr"),
+        )
+        .orderBy(F.col("weight_micro").desc(), F.col("doc_id").asc())
+    )
+    rows = out.collect()
+    big.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+_EN_STOP_LIT = (
+    "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for']"
+)
+
+
+@register(
+    "documents_quality_logreg_irls",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             list_aggregate(list_transform({_TOKS}, x -> len(x)),
+                            'sum')::DOUBLE / len({_TOKS}) AS x1,
+             len(list_intersect({_TOKSET}, {_EN_STOP_LIT}))::DOUBLE
+               / len({_TOKSET}) AS x2
+      FROM documents
+    ),
+    s1 AS (
+      SELECT
+        sum(CAST(round(0.25 * 1000000) AS BIGINT)) AS h00,
+        sum(CAST(round(0.25 * x1 * 1000000) AS BIGINT)) AS h01,
+        sum(CAST(round(0.25 * x2 * 1000000) AS BIGINT)) AS h02,
+        sum(CAST(round(0.25 * x1 * x1 * 1000000) AS BIGINT)) AS h11,
+        sum(CAST(round(0.25 * x1 * x2 * 1000000) AS BIGINT)) AS h12,
+        sum(CAST(round(0.25 * x2 * x2 * 1000000) AS BIGINT)) AS h22,
+        sum(CAST(round((y - 0.5) * 1000000) AS BIGINT)) AS g0,
+        sum(CAST(round((y - 0.5) * x1 * 1000000) AS BIGINT)) AS g1,
+        sum(CAST(round((y - 0.5) * x2 * 1000000) AS BIGINT)) AS g2
+      FROM feat
+    ),
+    b1 AS (
+      SELECT
+        CAST(h00 AS DOUBLE) AS a, CAST(h01 AS DOUBLE) AS b,
+        CAST(h02 AS DOUBLE) AS c, CAST(h11 AS DOUBLE) AS d,
+        CAST(h12 AS DOUBLE) AS e, CAST(h22 AS DOUBLE) AS f,
+        CAST(g0 AS DOUBLE) AS gg0, CAST(g1 AS DOUBLE) AS gg1,
+        CAST(g2 AS DOUBLE) AS gg2,
+        a * (d * f - e * e) - b * (b * f - e * c) + c * (b * e - d * c)
+          AS det,
+        round(((d * f - e * e) * gg0 + (c * e - b * f) * gg1
+               + (b * e - c * d) * gg2) / det, 9) AS b0,
+        round(((c * e - b * f) * gg0 + (a * f - c * c) * gg1
+               + (c * b - a * e) * gg2) / det, 9) AS b1_,
+        round(((b * e - c * d) * gg0 + (c * b - a * e) * gg1
+               + (a * d - b * b) * gg2) / det, 9) AS b2
+      FROM s1
+    ),
+    p2 AS (
+      SELECT feat.y, feat.x1, feat.x2,
+             round(1.0 / (1.0 + exp(-(b1.b0 + b1.b1_ * feat.x1
+                                      + b1.b2 * feat.x2))), 9) AS p
+      FROM feat CROSS JOIN b1
+    ),
+    s2 AS (
+      SELECT
+        sum(CAST(round(p * (1 - p) * 1000000) AS BIGINT)) AS h00,
+        sum(CAST(round(p * (1 - p) * x1 * 1000000) AS BIGINT)) AS h01,
+        sum(CAST(round(p * (1 - p) * x2 * 1000000) AS BIGINT)) AS h02,
+        sum(CAST(round(p * (1 - p) * x1 * x1 * 1000000) AS BIGINT)) AS h11,
+        sum(CAST(round(p * (1 - p) * x1 * x2 * 1000000) AS BIGINT)) AS h12,
+        sum(CAST(round(p * (1 - p) * x2 * x2 * 1000000) AS BIGINT)) AS h22,
+        sum(CAST(round((y - p) * 1000000) AS BIGINT)) AS g0,
+        sum(CAST(round((y - p) * x1 * 1000000) AS BIGINT)) AS g1,
+        sum(CAST(round((y - p) * x2 * 1000000) AS BIGINT)) AS g2
+      FROM p2
+    ),
+    bfin AS (
+      SELECT
+        round(b1.b0 + ((CAST(s2.h11 AS DOUBLE) * s2.h22
+                        - CAST(s2.h12 AS DOUBLE) * s2.h12) * s2.g0
+               + (CAST(s2.h02 AS DOUBLE) * s2.h12
+                  - CAST(s2.h01 AS DOUBLE) * s2.h22) * s2.g1
+               + (CAST(s2.h01 AS DOUBLE) * s2.h12
+                  - CAST(s2.h02 AS DOUBLE) * s2.h11) * s2.g2)
+              / (CAST(s2.h00 AS DOUBLE) * (CAST(s2.h11 AS DOUBLE) * s2.h22
+                                           - CAST(s2.h12 AS DOUBLE) * s2.h12)
+                 - CAST(s2.h01 AS DOUBLE) * (CAST(s2.h01 AS DOUBLE) * s2.h22
+                                             - CAST(s2.h12 AS DOUBLE) * s2.h02)
+                 + CAST(s2.h02 AS DOUBLE) * (CAST(s2.h01 AS DOUBLE) * s2.h12
+                                             - CAST(s2.h11 AS DOUBLE) * s2.h02)),
+              9) AS b0,
+        round(b1.b1_ + ((CAST(s2.h02 AS DOUBLE) * s2.h12
+                         - CAST(s2.h01 AS DOUBLE) * s2.h22) * s2.g0
+               + (CAST(s2.h00 AS DOUBLE) * s2.h22
+                  - CAST(s2.h02 AS DOUBLE) * s2.h02) * s2.g1
+               + (CAST(s2.h02 AS DOUBLE) * s2.h01
+                  - CAST(s2.h00 AS DOUBLE) * s2.h12) * s2.g2)
+              / (CAST(s2.h00 AS DOUBLE) * (CAST(s2.h11 AS DOUBLE) * s2.h22
+                                           - CAST(s2.h12 AS DOUBLE) * s2.h12)
+                 - CAST(s2.h01 AS DOUBLE) * (CAST(s2.h01 AS DOUBLE) * s2.h22
+                                             - CAST(s2.h12 AS DOUBLE) * s2.h02)
+                 + CAST(s2.h02 AS DOUBLE) * (CAST(s2.h01 AS DOUBLE) * s2.h12
+                                             - CAST(s2.h11 AS DOUBLE) * s2.h02)),
+              9) AS b1_,
+        round(b1.b2 + ((CAST(s2.h01 AS DOUBLE) * s2.h12
+                        - CAST(s2.h02 AS DOUBLE) * s2.h11) * s2.g0
+               + (CAST(s2.h02 AS DOUBLE) * s2.h01
+                  - CAST(s2.h00 AS DOUBLE) * s2.h12) * s2.g1
+               + (CAST(s2.h00 AS DOUBLE) * s2.h11
+                  - CAST(s2.h01 AS DOUBLE) * s2.h01) * s2.g2)
+              / (CAST(s2.h00 AS DOUBLE) * (CAST(s2.h11 AS DOUBLE) * s2.h22
+                                           - CAST(s2.h12 AS DOUBLE) * s2.h12)
+                 - CAST(s2.h01 AS DOUBLE) * (CAST(s2.h01 AS DOUBLE) * s2.h22
+                                             - CAST(s2.h12 AS DOUBLE) * s2.h02)
+                 + CAST(s2.h02 AS DOUBLE) * (CAST(s2.h01 AS DOUBLE) * s2.h12
+                                             - CAST(s2.h11 AS DOUBLE) * s2.h02)),
+              9) AS b2
+      FROM s2 CROSS JOIN b1
+    )
+    SELECT round(bfin.b0, 6) AS beta0,
+           round(bfin.b1_, 6) AS beta1,
+           round(bfin.b2, 6) AS beta2,
+           count(*)::BIGINT AS n_docs,
+           sum(feat.y)::BIGINT AS n_pos,
+           round(sum(CASE WHEN (bfin.b0 + bfin.b1_ * feat.x1
+                                + bfin.b2 * feat.x2 >= 0) = (feat.y = 1)
+                          THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+             AS train_accuracy
+    FROM feat CROSS JOIN bfin
+    GROUP BY 1, 2, 3
+    """,
+    doc="fastText-style shallow quality/language classifier trained IN "
+    "the engine: logistic regression (intercept + mean token length + "
+    "stopword-hit fraction -> is-English) via two unrolled IRLS/Newton "
+    "steps. Each step needs only NINE aggregate sums (the symmetric "
+    "3x3 Hessian + gradient); per-doc contributions freeze to integer "
+    "micro-units before summing so the sums are exact and "
+    "order-independent, the sigmoid is rounded to 9 decimals before "
+    "quantization to erase last-ulp libm divergence, and the 3x3 "
+    "solve is a closed-form adjugate on driver-sized scalars. Scale "
+    "shape: two map-side-combined scans of the corpus (one per "
+    "step) each shuffling nine longs, a 3-float beta broadcast "
+    "between steps - the textbook distributed-GLM layout; no gram "
+    "matrix per row, no driver-side data loop.",
+)
+def documents_quality_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import mean_token_length, stopword_hits, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        mean_token_length("text").alias("x1"),
+        (
+            stopword_hits("text").cast("double")
+            / F.size(F.array_distinct(tokens("text"))).cast("double")
+        ).alias("x2"),
+    ).persist()
+
+    def _micro(col):
+        return F.round(col * 1000000).cast("long")
+
+    def _sums(df, w, resid):
+        x1, x2 = F.col("x1"), F.col("x2")
+        return df.agg(
+            F.sum(_micro(w)).alias("h00"),
+            F.sum(_micro(w * x1)).alias("h01"),
+            F.sum(_micro(w * x2)).alias("h02"),
+            F.sum(_micro(w * x1 * x1)).alias("h11"),
+            F.sum(_micro(w * x1 * x2)).alias("h12"),
+            F.sum(_micro(w * x2 * x2)).alias("h22"),
+            F.sum(_micro(resid)).alias("g0"),
+            F.sum(_micro(resid * x1)).alias("g1"),
+            F.sum(_micro(resid * x2)).alias("g2"),
+        ).first()
+
+    def _solve(row):
+        a, b, c = float(row["h00"]), float(row["h01"]), float(row["h02"])
+        d, e, f = float(row["h11"]), float(row["h12"]), float(row["h22"])
+        g0, g1, g2 = float(row["g0"]), float(row["g1"]), float(row["g2"])
+        det = a * (d * f - e * e) - b * (b * f - e * c) + c * (b * e - d * c)
+        d0 = (
+            (d * f - e * e) * g0 + (c * e - b * f) * g1 + (b * e - c * d) * g2
+        ) / det
+        d1 = (
+            (c * e - b * f) * g0 + (a * f - c * c) * g1 + (c * b - a * e) * g2
+        ) / det
+        d2 = (
+            (b * e - c * d) * g0 + (c * b - a * e) * g1 + (a * d - b * b) * g2
+        ) / det
+        return d0, d1, d2
+
+    # step 1 from beta = 0: w = 0.25 exactly, residual = y - 0.5
+    d0, d1, d2 = _solve(_sums(feat, F.lit(0.25), F.col("y") - 0.5))
+    b0, b1, b2 = round(d0, 9), round(d1, 9), round(d2, 9)
+
+    # step 2 at beta1: sigmoid rounded to 9 decimals pre-quantization
+    s = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-s)), 9)
+    p2 = feat.withColumn("p", p)
+    e0, e1, e2 = _solve(
+        _sums(p2, F.col("p") * (1 - F.col("p")), F.col("y") - F.col("p"))
+    )
+    f0, f1, f2 = round(b0 + e0, 9), round(b1 + e1, 9), round(b2 + e2, 9)
+
+    score = F.lit(f0) + F.lit(f1) * F.col("x1") + F.lit(f2) * F.col("x2")
+    out = feat.agg(
+        F.round(F.lit(f0), 6).alias("beta0"),
+        F.round(F.lit(f1), 6).alias("beta1"),
+        F.round(F.lit(f2), 6).alias("beta2"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.round(
+            F.sum(
+                F.when((score >= 0) == (F.col("y") == 1), 1).otherwise(0)
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("train_accuracy"),
+    )
+    rows = out.collect()
+    feat.unpersist()
+    return spark.createDataFrame(rows, out.schema)
