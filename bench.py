@@ -410,6 +410,9 @@ HEADLINE = [
     # round-10 continuation wave
     "documents_dsir_importance",
     "documents_quality_logreg_irls",
+    "embeddings_kcenter_coreset",
+    "events_hourly_pacf",
+    "events_hourly_motifs",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

@@ -9593,3 +9593,294 @@ def events_quantile_sketch_streaming(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+@register(
+    "events_hourly_pacf",
+    """
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR,
+                                          CAST(ts AS TIMESTAMP))) / 3600)
+                  AS BIGINT) AS x,
+             count(*)::BIGINT AS y
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(0, 5)) AS lag),
+    paired AS (
+      SELECT l.lag, h1.y AS a, h2.y AS b
+      FROM lags l
+      JOIN hourly h1 ON TRUE
+      JOIN hourly h2 ON h2.x = h1.x + l.lag
+    ),
+    s AS (
+      SELECT lag, count(*)::BIGINT AS nk,
+             sum(a)::BIGINT AS sa, sum(b)::BIGINT AS sb,
+             sum(a * b)::HUGEINT AS sab
+      FROM paired GROUP BY lag
+    ),
+    base AS (
+      SELECT CAST((SELECT sum(y) FROM hourly) AS DOUBLE)
+               / (SELECT count(*) FROM hourly) AS m
+    ),
+    cv AS (
+      SELECT s.lag,
+             CAST(s.sab AS DOUBLE)
+               - base.m * (CAST(s.sa AS DOUBLE) + CAST(s.sb AS DOUBLE))
+               + s.nk * base.m * base.m AS c
+      FROM s CROSS JOIN base
+    ),
+    r AS (
+      SELECT
+        round((SELECT c FROM cv WHERE lag = 1)
+              / (SELECT c FROM cv WHERE lag = 0), 9) AS r1,
+        round((SELECT c FROM cv WHERE lag = 2)
+              / (SELECT c FROM cv WHERE lag = 0), 9) AS r2,
+        round((SELECT c FROM cv WHERE lag = 3)
+              / (SELECT c FROM cv WHERE lag = 0), 9) AS r3,
+        round((SELECT c FROM cv WHERE lag = 4)
+              / (SELECT c FROM cv WHERE lag = 0), 9) AS r4
+    ),
+    dl AS (
+      SELECT r1, r2, r3, r4,
+        r1 AS phi11,
+        (r2 - phi11 * r1) / (1 - phi11 * r1) AS phi22,
+        phi11 - phi22 * phi11 AS phi21,
+        (r3 - (phi21 * r2 + phi22 * r1))
+          / (1 - (phi21 * r1 + phi22 * r2)) AS phi33,
+        phi21 - phi33 * phi22 AS phi31,
+        phi22 - phi33 * phi21 AS phi32,
+        (r4 - (phi31 * r3 + phi32 * r2 + phi33 * r1))
+          / (1 - (phi31 * r1 + phi32 * r2 + phi33 * r3)) AS phi44
+      FROM r
+    )
+    SELECT CAST(1 AS INTEGER) AS lag, round(r1, 6) AS acf,
+           round(phi11, 6) AS pacf FROM dl
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), round(r2, 6), round(phi22, 6) FROM dl
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), round(r3, 6), round(phi33, 6) FROM dl
+    UNION ALL
+    SELECT CAST(4 AS INTEGER), round(r4, 6), round(phi44, 6) FROM dl
+    ORDER BY lag
+    """,
+    doc="Partial autocorrelation of hourly event volume at lags 1..4 "
+    "via the Durbin-Levinson recursion — the AR-order-selection "
+    "companion to events_hourly_acf (an AR(p) series shows PACF "
+    "cutting off after lag p, which is what justifies the "
+    "Yule-Walker AR(2) entry's order choice). Autocovariances come "
+    "from exact integer sufficient statistics per lag (the expanded "
+    "form sum(ab) - m*(sum(a)+sum(b)) + n*m^2, no float sums over "
+    "rows), autocorrelations freeze at 9 decimals, and the "
+    "recursion itself is driver-sized scalar arithmetic with "
+    "identical expression trees on both engines. Scale shape: the "
+    "hourly frame is time-dimension-sized, lag shifts are integer "
+    "equi-joins on epoch-hour — one count aggregate over the corpus "
+    "is the only data-sized work at any scale.",
+)
+def events_hourly_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    hourly = (
+        ev.groupBy(
+            F.floor(
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600
+            )
+            .cast("long")
+            .alias("x")
+        )
+        .agg(F.count("*").alias("y"))
+        .persist()
+    )
+    lags = spark.range(0, 5).select(F.col("id").alias("lag"))
+    h1 = hourly.select("x", F.col("y").alias("a"))
+    h2 = hourly.select(F.col("x").alias("x2"), F.col("y").alias("b"))
+    s = (
+        F.broadcast(lags)
+        .crossJoin(h1)
+        .join(h2, F.col("x2") == F.col("x") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("nk"),
+            F.sum("a").alias("sa"),
+            F.sum("b").alias("sb"),
+            F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")).alias("sab"),
+        )
+    )
+    base = hourly.agg(
+        F.sum("y").alias("sy"), F.count("*").alias("nh")
+    ).first()
+    m = float(base["sy"]) / float(base["nh"])
+    stats = {int(row["lag"]): row for row in s.collect()}
+    hourly.unpersist()
+
+    def _c(k: int) -> float:
+        row = stats[k]
+        return (
+            float(row["sab"])
+            - m * (float(row["sa"]) + float(row["sb"]))
+            + float(row["nk"]) * m * m
+        )
+
+    c0 = _c(0)
+    r1 = round(_c(1) / c0, 9)
+    r2 = round(_c(2) / c0, 9)
+    r3 = round(_c(3) / c0, 9)
+    r4 = round(_c(4) / c0, 9)
+    phi11 = r1
+    phi22 = (r2 - phi11 * r1) / (1 - phi11 * r1)
+    phi21 = phi11 - phi22 * phi11
+    phi33 = (r3 - (phi21 * r2 + phi22 * r1)) / (
+        1 - (phi21 * r1 + phi22 * r2)
+    )
+    phi31 = phi21 - phi33 * phi22
+    phi32 = phi22 - phi33 * phi21
+    phi44 = (r4 - (phi31 * r3 + phi32 * r2 + phi33 * r1)) / (
+        1 - (phi31 * r1 + phi32 * r2 + phi33 * r3)
+    )
+    rows = [
+        (1, round(r1, 6), round(phi11, 6)),
+        (2, round(r2, 6), round(phi22, 6)),
+        (3, round(r3, 6), round(phi33, 6)),
+        (4, round(r4, 6), round(phi44, 6)),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("lag", T.IntegerType()),
+            T.StructField("acf", T.DoubleType()),
+            T.StructField("pacf", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "events_hourly_motifs",
+    """
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR,
+                                          CAST(ts AS TIMESTAMP))) / 3600)
+                  AS BIGINT) AS x,
+             count(*)::BIGINT AS y
+      FROM events GROUP BY 1
+    ),
+    sub AS (
+      SELECT h0.x,
+             h0.y + h1.y + h2.y + h3.y AS s,
+             h0.y * h0.y + h1.y * h1.y + h2.y * h2.y + h3.y * h3.y AS ss,
+             [h0.y, h1.y, h2.y, h3.y] AS v
+      FROM hourly h0
+      JOIN hourly h1 ON h1.x = h0.x + 1
+      JOIN hourly h2 ON h2.x = h0.x + 2
+      JOIN hourly h3 ON h3.x = h0.x + 3
+      WHERE 4 * (h0.y * h0.y + h1.y * h1.y + h2.y * h2.y + h3.y * h3.y)
+            - (h0.y + h1.y + h2.y + h3.y)
+              * (h0.y + h1.y + h2.y + h3.y) > 0
+    ),
+    pairs AS (
+      SELECT a.x AS xa, b.x AS xb,
+             round((4 * CAST(a.v[1] * b.v[1] + a.v[2] * b.v[2]
+                             + a.v[3] * b.v[3] + a.v[4] * b.v[4] AS DOUBLE)
+                    - CAST(a.s AS DOUBLE) * b.s)
+                   / sqrt((4 * CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) * a.s)
+                          * (4 * CAST(b.ss AS DOUBLE)
+                             - CAST(b.s AS DOUBLE) * b.s)), 9) AS r
+      FROM sub a JOIN sub b ON b.x >= a.x + 4
+    )
+    SELECT xa, xb, round(r, 6) AS znorm_corr,
+           round(sqrt(greatest(0.0, 8 * (1 - r))), 6) AS znorm_dist
+    FROM pairs
+    ORDER BY sqrt(greatest(0.0, 8 * (1 - r))) ASC, xa ASC, xb ASC
+    LIMIT 5
+    """,
+    doc="Matrix-profile-style motif discovery on hourly event volume: "
+    "the top-5 most similar non-overlapping window-4 subsequence "
+    "pairs by z-normalized Euclidean distance (d = sqrt(2w(1-r)), "
+    "the Matrix Profile/STOMP identity, Yeh et al. 2016 — public), "
+    "with a full exclusion zone |xa-xb| >= w to suppress trivial "
+    "self-matches. Each subsequence's moments and the cross dot "
+    "product are exact integers, so the correlation is one double "
+    "expression from exact sufficient statistics, frozen at 9 "
+    "decimals before ordering. Scale shape: subsequences come from "
+    "three integer equi-joins on epoch-hour; the pair join is "
+    "O(m^2) on the TIME-dimension-sized hourly frame (m grows with "
+    "calendar hours, not data volume), so at 100 TB the corpus cost "
+    "is still the single count aggregate — the classic reason "
+    "matrix-profile mining stays tractable on aggregated series.",
+)
+def events_hourly_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    hourly = (
+        ev.groupBy(
+            F.floor(
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600
+            )
+            .cast("long")
+            .alias("x")
+        )
+        .agg(F.count("*").alias("y"))
+        .persist()
+    )
+    h = [
+        hourly.select(
+            F.col("x").alias(f"x{i}"), F.col("y").alias(f"y{i}")
+        )
+        for i in range(4)
+    ]
+    joined = (
+        h[0]
+        .join(h[1], F.col("x1") == F.col("x0") + 1)
+        .join(h[2], F.col("x2") == F.col("x0") + 2)
+        .join(h[3], F.col("x3") == F.col("x0") + 3)
+    )
+    y0, y1, y2, y3 = (F.col(f"y{i}") for i in range(4))
+    s = y0 + y1 + y2 + y3
+    ss = y0 * y0 + y1 * y1 + y2 * y2 + y3 * y3
+    sub = joined.select(
+        F.col("x0").alias("x"),
+        s.alias("s"),
+        ss.alias("ss"),
+        F.array(y0, y1, y2, y3).alias("v"),
+    ).filter(4 * ss - s * s > 0)
+    a = sub.select(
+        F.col("x").alias("xa"),
+        F.col("s").alias("sa"),
+        F.col("ss").alias("ssa"),
+        F.col("v").alias("va"),
+    )
+    b = sub.select(
+        F.col("x").alias("xb"),
+        F.col("s").alias("sb"),
+        F.col("ss").alias("ssb"),
+        F.col("v").alias("vb"),
+    )
+    dot = (
+        F.col("va")[0] * F.col("vb")[0]
+        + F.col("va")[1] * F.col("vb")[1]
+        + F.col("va")[2] * F.col("vb")[2]
+        + F.col("va")[3] * F.col("vb")[3]
+    )
+    r = F.round(
+        (4 * dot.cast("double") - F.col("sa").cast("double") * F.col("sb"))
+        / F.sqrt(
+            (4 * F.col("ssa").cast("double") - F.col("sa").cast("double") * F.col("sa"))
+            * (4 * F.col("ssb").cast("double") - F.col("sb").cast("double") * F.col("sb"))
+        ),
+        9,
+    )
+    dist = F.sqrt(F.greatest(F.lit(0.0), 8 * (1 - F.col("r"))))
+    out = (
+        a.join(b, F.col("xb") >= F.col("xa") + 4)
+        .select("xa", "xb", r.alias("r"))
+        .select(
+            "xa",
+            "xb",
+            F.round(F.col("r"), 6).alias("znorm_corr"),
+            F.round(dist, 6).alias("znorm_dist"),
+        )
+        .orderBy(dist.asc(), F.col("xa").asc(), F.col("xb").asc())
+        .limit(5)
+    )
+    rows = out.collect()
+    hourly.unpersist()
+    return spark.createDataFrame(rows, out.schema)

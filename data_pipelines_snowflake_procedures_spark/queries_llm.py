@@ -8364,3 +8364,129 @@ def documents_quality_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame
     rows = out.collect()
     feat.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unrolled greedy k-center oracle: step t's candidate set chains a
+    least() against the step-t center only (the classic incremental
+    min-distance update), so each CTE is one scan — the same chained
+    expression the Spark loop builds."""
+
+    def _d2(evec: str, cvec: str) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, len({evec}) + 1), "
+            f"i -> ({evec}[i]::DOUBLE - {cvec}[i]::DOUBLE) "
+            f"* ({evec}[i]::DOUBLE - {cvec}[i]::DOUBLE)), 'sum')"
+        )
+
+    ctes = [
+        "c1 AS (SELECT vec_id, embedding FROM embeddings "
+        "ORDER BY vec_id LIMIT 1)",
+        f"""d1 AS (
+      SELECT e.vec_id, e.embedding,
+             {_d2("e.embedding", "c1.embedding")} AS dmin
+      FROM embeddings e CROSS JOIN c1
+      WHERE e.vec_id <> c1.vec_id
+    )""",
+    ]
+    for t in range(2, k + 1):
+        ctes.append(
+            f"c{t} AS (SELECT vec_id, embedding, round(dmin, 6) AS dsel "
+            f"FROM d{t - 1} ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        if t < k:
+            ctes.append(
+                f"""d{t} AS (
+      SELECT d.vec_id, d.embedding,
+             least(d.dmin, {_d2("d.embedding", f"c{t}.embedding")}) AS dmin
+      FROM d{t - 1} d CROSS JOIN c{t}
+      WHERE d.vec_id <> c{t}.vec_id
+    )"""
+            )
+    selects = [
+        "SELECT CAST(1 AS INTEGER) AS step, c1.vec_id, "
+        "0.0 AS d2_to_chosen FROM c1"
+    ] + [
+        f"SELECT CAST({t} AS INTEGER) AS step, c{t}.vec_id, "
+        f"c{t}.dsel AS d2_to_chosen FROM c{t}"
+        for t in range(2, k + 1)
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(selects) + "\n    ORDER BY step"
+    )
+
+
+@register(
+    "embeddings_kcenter_coreset",
+    _kcenter_oracle(8),
+    doc="Greedy k-center (farthest-point) coreset selection over the "
+    "embedding corpus — the classic diversity-maximizing data-"
+    "selection / active-learning primitive (2-approximation to the "
+    "k-center objective). Seed = lowest vec_id; each of the k-1 "
+    "subsequent steps picks the point with the LARGEST current "
+    "min-squared-distance to the chosen set (ties to lowest id). "
+    "The min-distance column updates incrementally — least(prev, "
+    "d2-to-newest-center) — so each step is ONE map-only scan plus a "
+    "TakeOrdered(1); centers live on the driver as k x dim floats "
+    "and enter the plan as broadcast literals. Squared distances "
+    "fold element-wise in array order on both engines, making the "
+    "argmax comparisons bit-identical. At 100 TB: k scans of the "
+    "corpus with no shuffle beyond a 1-row TakeOrdered per step — "
+    "the standard distributed k-center layout; for much larger k, "
+    "swap in the documented sampled variant (k-center on a "
+    "deterministic sample) without changing this plan shape.",
+)
+def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    k = 8
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .persist()
+    )
+
+    def _d2_expr(center: list) -> "F.Column":
+        lit = F.array(*[F.lit(float(v)) for v in center])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                lit,
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    first = emb.orderBy("vec_id").first()
+    rows = [(1, int(first["vec_id"]), 0.0)]
+    chosen_ids = [int(first["vec_id"])]
+    dmin = _d2_expr(list(first["embedding"]))
+    last_vec = None
+    for step in range(2, k + 1):
+        if last_vec is not None:
+            dmin = F.least(dmin, _d2_expr(last_vec))
+        cand = (
+            emb.filter(~F.col("vec_id").isin(chosen_ids))
+            .select(
+                "vec_id",
+                "embedding",
+                dmin.alias("dmin"),
+                F.round(dmin, 6).alias("dsel"),
+            )
+            .orderBy(F.col("dmin").desc(), F.col("vec_id").asc())
+            .first()
+        )
+        rows.append((step, int(cand["vec_id"]), float(cand["dsel"])))
+        chosen_ids.append(int(cand["vec_id"]))
+        last_vec = list(cand["embedding"])
+    emb.unpersist()
+    schema = T.StructType(
+        [
+            T.StructField("step", T.IntegerType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("d2_to_chosen", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
