@@ -413,6 +413,7 @@ HEADLINE = [
     "embeddings_kcenter_coreset",
     "events_hourly_pacf",
     "events_hourly_motifs",
+    "webdataset_tar_documents",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

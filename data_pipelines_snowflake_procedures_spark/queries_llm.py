@@ -8490,3 +8490,91 @@ def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "webdataset_tar_documents",
+    """
+    WITH m AS (
+      SELECT doc_id % 8 AS shard,
+             lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS name,
+             octet_length(encode(COALESCE(text, ''))) AS sz,
+             md5(COALESCE(text, '')) AS h
+      FROM documents
+      UNION ALL
+      SELECT doc_id % 8,
+             lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.cls',
+             octet_length(encode(COALESCE(lang, ''))),
+             md5(COALESCE(lang, ''))
+      FROM documents
+    )
+    SELECT shard, count(*)::BIGINT AS n_members,
+           CAST(sum(sz) AS BIGINT) AS payload_bytes,
+           md5(string_agg(name || ':' || h, '|' ORDER BY name || ':' || h))
+             AS members_digest
+    FROM m GROUP BY shard ORDER BY shard
+    """,
+    doc="WebDataset tar-shard round trip (S15, sources/tar.py): pack "
+    "each of 8 doc_id-sharded groups into a POSIX ustar archive "
+    "(one .txt payload + one .cls label member per document, the "
+    "public WebDataset sample convention), parse the archive back "
+    "with the spec-path reader, and report per-shard member counts, "
+    "payload byte totals, and an order-canonical md5 digest over "
+    "(member name, payload md5) pairs. The oracle restates all "
+    "three FROM THE SOURCE TABLE — so a single corrupted size "
+    "field, padding error, or payload byte flips the hash. Encode+ "
+    "parse run inside one applyInPandas per shard (Arrow-batched, "
+    "no per-row Python); at 100 TB shards are the parallel unit "
+    "exactly as in production WebDataset loaders, and the file "
+    "reader variant (read_tar) walks headers driver-side and "
+    "fans member byte-ranges out to executors.",
+)
+def webdataset_tar_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tar import encode_ustar, parse_ustar
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .withColumn("shard", F.col("doc_id") % 8)
+    )
+
+    def roundtrip(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        members = []
+        for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+            base = "%08d" % int(doc_id)
+            members.append(
+                (base + ".txt", (text or "").encode("utf-8"))
+            )
+            members.append(
+                (base + ".cls", (lang or "").encode("utf-8"))
+            )
+        blob = encode_ustar(members)
+        shard = int(pdf["shard"].iloc[0])
+        rows = [
+            (shard, name, int(size), blob[off : off + size])
+            for name, off, size in parse_ustar(blob)
+        ]
+        return pd.DataFrame(rows, columns=["shard", "name", "size", "payload"])
+
+    parsed = docs.groupBy("shard").applyInPandas(
+        roundtrip, "shard BIGINT, name STRING, size BIGINT, payload BINARY"
+    )
+    return (
+        parsed.select(
+            "shard",
+            "size",
+            F.concat(F.col("name"), F.lit(":"), F.md5("payload")).alias("nh"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("size").cast("long").alias("payload_bytes"),
+            F.md5(
+                F.concat_ws("|", F.array_sort(F.collect_list("nh")))
+            ).alias("members_digest"),
+        )
+        .orderBy("shard")
+    )

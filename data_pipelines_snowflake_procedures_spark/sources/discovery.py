@@ -123,6 +123,10 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         from .avrofile import read_avro  # stdlib spec-path container reader
 
         return read_avro(spark, path)  # block-parallel
+    if ext == "tar":
+        from .tar import read_tar  # stdlib-free POSIX ustar reader
+
+        return read_tar(spark, path)  # member-parallel (WebDataset shards)
     if ext in ("arrow", "feather", "ipc"):
         from .arrowipc import read_arrow_ipc, read_arrow_stream, sniff_ipc_kind
 
