@@ -414,6 +414,9 @@ HEADLINE = [
     "events_hourly_pacf",
     "events_hourly_motifs",
     "webdataset_tar_documents",
+    "events_bayes_ab_beta",
+    "orders_its_segmented_regression",
+    "customer_blocking_quality",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

@@ -5530,3 +5530,158 @@ def customer_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
     out = out.localCheckpoint(eager=True)
     feat.unpersist()
     return out
+
+
+@register(
+    "customer_blocking_quality",
+    """
+    WITH src AS (
+      SELECT c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             c_custkey AS ck
+      FROM customer
+    ),
+    segsz AS (SELECT seg, count(*)::BIGINT AS n FROM src GROUP BY seg),
+    total_pairs AS (
+      SELECT sum(n * (n - 1) / 2)::BIGINT AS n_total FROM segsz
+    ),
+    b AS (SELECT seg, cents, ck, CAST(floor(cents / 100.0) AS BIGINT) AS bucket FROM src),
+    truth AS (
+      SELECT count(*)::BIGINT AS n_truth
+      FROM b a
+      JOIN (SELECT * FROM range(0, 2) t(d)) d ON TRUE
+      JOIN b c ON c.seg = a.seg AND c.bucket = a.bucket + d.d
+      WHERE (c.cents > a.cents OR (c.cents = a.cents AND c.ck > a.ck))
+        AND c.cents - a.cents <= 100
+    ),
+    r AS (
+      SELECT seg, cents, ck,
+             row_number() OVER (PARTITION BY seg ORDER BY cents, ck) AS rk
+      FROM src
+    ),
+    cand AS (
+      SELECT count(*)::BIGINT AS n_cand
+      FROM r a
+      CROSS JOIN (SELECT * FROM range(1, 4) t(d)) d
+      JOIN r c ON c.seg = a.seg AND c.rk = a.rk + d.d
+      WHERE c.cents - a.cents <= 100
+    )
+    SELECT (SELECT sum(n) FROM segsz)::BIGINT AS n_records,
+           total_pairs.n_total AS n_total_pairs,
+           truth.n_truth AS n_truth_pairs,
+           cand.n_cand AS n_candidates,
+           round(CAST(cand.n_cand AS DOUBLE) / truth.n_truth, 6)
+             AS pairs_completeness,
+           round(1.0 - CAST(cand.n_cand AS DOUBLE) / total_pairs.n_total, 6)
+             AS reduction_ratio
+    FROM total_pairs CROSS JOIN truth CROSS JOIN cand
+    """,
+    doc="Blocking-quality evaluation for the entity-resolution "
+    "pipeline (the standard pairs-completeness / reduction-ratio "
+    "report, Christen 2012 — public): ground truth = ALL same-"
+    "segment customer pairs within $1 of account balance, counted "
+    "EXACTLY without an n^2 join by the $1-bucket trick (a "
+    "within-100-cents pair can only span adjacent 100-cent buckets, "
+    "so an equi-join on bucket and bucket+1 covers every truth "
+    "pair once under (cents, custkey) ordering); candidates = the "
+    "w=3 sorted-neighborhood pairs of customer_snm_pairs. "
+    "Pairs-completeness is the blocking recall (SNM candidates are "
+    "truth pairs by construction, so the ratio isolates what the "
+    "window MISSES); reduction ratio is 1 - candidates/all-pairs. "
+    "Scale shape: both counts are bounded-fanout equi-joins "
+    "(bucket adjacency, rank+d) — no inequality join, no n^2 "
+    "anywhere; bucket/window density bounds the per-key fanout "
+    "exactly as in the SNM entry.",
+)
+def customer_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    src = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.col("c_custkey").alias("ck"),
+    ).persist()
+    segsz = src.groupBy("seg").agg(F.count("*").alias("n"))
+    total_pairs = segsz.agg(
+        (F.sum(F.col("n") * (F.col("n") - 1) / 2))
+        .cast("long")
+        .alias("n_total")
+    )
+    n_records = segsz.agg(F.sum("n").cast("long").alias("n_records"))
+    b = src.withColumn("bucket", F.floor(F.col("cents") / 100.0).cast("long"))
+    offs = spark.range(0, 2).select(F.col("id").alias("d"))
+    left = b.select(
+        "seg",
+        F.col("cents").alias("ca"),
+        F.col("ck").alias("ka"),
+        F.col("bucket").alias("ba"),
+    )
+    right = b.select(
+        F.col("seg").alias("seg2"),
+        F.col("cents").alias("cb"),
+        F.col("ck").alias("kb"),
+        F.col("bucket").alias("bb"),
+    )
+    truth = (
+        left.crossJoin(F.broadcast(offs))
+        .join(
+            right,
+            (F.col("seg2") == F.col("seg"))
+            & (F.col("bb") == F.col("ba") + F.col("d")),
+        )
+        .filter(
+            (
+                (F.col("cb") > F.col("ca"))
+                | ((F.col("cb") == F.col("ca")) & (F.col("kb") > F.col("ka")))
+            )
+            & (F.col("cb") - F.col("ca") <= 100)
+        )
+        .agg(F.count("*").alias("n_truth"))
+    )
+    rk = src.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("seg").orderBy(
+                F.col("cents").asc(), F.col("ck").asc()
+            )
+        ),
+    )
+    rl = rk.select("seg", F.col("cents").alias("ca"), F.col("rk").alias("ra"))
+    rr = rk.select(
+        F.col("seg").alias("seg2"),
+        F.col("cents").alias("cb"),
+        F.col("rk").alias("rb"),
+    )
+    w_offs = spark.range(1, 4).select(F.col("id").alias("d"))
+    cand = (
+        rl.crossJoin(F.broadcast(w_offs))
+        .join(
+            rr,
+            (F.col("seg2") == F.col("seg"))
+            & (F.col("rb") == F.col("ra") + F.col("d")),
+        )
+        .filter(F.col("cb") - F.col("ca") <= 100)
+        .agg(F.count("*").alias("n_cand"))
+    )
+    out = (
+        n_records.crossJoin(F.broadcast(total_pairs))
+        .crossJoin(F.broadcast(truth))
+        .crossJoin(F.broadcast(cand))
+        .select(
+            "n_records",
+            F.col("n_total").alias("n_total_pairs"),
+            F.col("n_truth").alias("n_truth_pairs"),
+            F.col("n_cand").alias("n_candidates"),
+            F.round(
+                F.col("n_cand").cast("double") / F.col("n_truth"), 6
+            ).alias("pairs_completeness"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_cand").cast("double") / F.col("n_total"),
+                6,
+            ).alias("reduction_ratio"),
+        )
+    )
+    rows = out.collect()
+    src.unpersist()
+    return spark.createDataFrame(rows, out.schema)

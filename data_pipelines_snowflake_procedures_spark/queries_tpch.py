@@ -4371,3 +4371,113 @@ def orders_daily_permutation_entropy(
         F.expr("round(CAST(c AS DOUBLE) / n, 6)").alias("p"),
         "h_norm",
     )
+
+
+@register(
+    "orders_its_segmented_regression",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', TIMESTAMP '1998-01-01',
+                       date_trunc('day', o_orderdate)) AS x,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS y
+      FROM orders GROUP BY 1
+    ),
+    seg AS (
+      SELECT CASE WHEN x < 0 THEN 0 ELSE 1 END AS post,
+             count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::HUGEINT AS sxy, sum(x * x)::HUGEINT AS sxx
+      FROM daily GROUP BY 1
+    ),
+    fit AS (
+      SELECT post, n,
+             (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+               AS slope,
+             (CAST(sy AS DOUBLE)
+              - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                * sx) / n AS level_t0
+      FROM seg
+    ),
+    pre AS (SELECT n, slope, level_t0 FROM fit WHERE post = 0),
+    pst AS (SELECT n, slope, level_t0 FROM fit WHERE post = 1)
+    SELECT pre.n AS n_days_pre, pst.n AS n_days_post,
+           round(pre.slope / 100, 4) AS slope_pre,
+           round(pst.slope / 100, 4) AS slope_post,
+           round((pst.slope - pre.slope) / 100, 4) AS slope_change,
+           round(pre.level_t0 / 100, 2) AS level_pre_t0,
+           round(pst.level_t0 / 100, 2) AS level_post_t0,
+           round((pst.level_t0 - pre.level_t0) / 100, 2) AS level_jump
+    FROM pre CROSS JOIN pst
+    """,
+    doc="Interrupted time-series / segmented regression on daily order "
+    "revenue around a 1998-01-01 cutover: independent OLS lines on "
+    "the pre and post segments (x = days since cutover, so the "
+    "intercepts ARE the segment levels AT the cutover), reporting "
+    "the level jump and slope change — the standard "
+    "policy/deploy-impact readout, and the causal-inference "
+    "companion to lineitem_discount_did (which compares groups; "
+    "this compares regimes over time). Both fits come from five "
+    "exact integer sufficient statistics per segment (revenue in "
+    "cents, HUGEINT/decimal cross products), combined in one "
+    "double expression tree — bit-identical cross-engine. Scale "
+    "shape: one day-grain aggregate over orders with map-side "
+    "combine, then a 2-row rollup; the daily frame is "
+    "time-dimension-sized, so cost at 100 TB is the single scan.",
+)
+def orders_its_segmented_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("o_orderdate"))),
+            F.lit("1998-01-01").cast("date"),
+        ).alias("x")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+    )
+    seg = daily.groupBy(
+        F.when(F.col("x") < 0, 0).otherwise(1).alias("post")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * F.col("sx"))
+    level = (F.col("sy").cast("double") - slope * F.col("sx")) / n
+    fit = seg.select("post", "n", slope.alias("slope"), level.alias("level_t0"))
+    pre = fit.filter(F.col("post") == 0).select(
+        F.col("n").alias("n_days_pre"),
+        F.col("slope").alias("slope_p"),
+        F.col("level_t0").alias("level_p"),
+    )
+    pst = fit.filter(F.col("post") == 1).select(
+        F.col("n").alias("n_days_post"),
+        F.col("slope").alias("slope_q"),
+        F.col("level_t0").alias("level_q"),
+    )
+    return pre.crossJoin(pst).select(
+        "n_days_pre",
+        "n_days_post",
+        F.round(F.col("slope_p") / 100, 4).alias("slope_pre"),
+        F.round(F.col("slope_q") / 100, 4).alias("slope_post"),
+        F.round((F.col("slope_q") - F.col("slope_p")) / 100, 4).alias(
+            "slope_change"
+        ),
+        F.round(F.col("level_p") / 100, 2).alias("level_pre_t0"),
+        F.round(F.col("level_q") / 100, 2).alias("level_post_t0"),
+        F.round((F.col("level_q") - F.col("level_p")) / 100, 2).alias(
+            "level_jump"
+        ),
+    )
