@@ -417,6 +417,9 @@ HEADLINE = [
     "events_bayes_ab_beta",
     "orders_its_segmented_regression",
     "customer_blocking_quality",
+    "events_kleinberg_bursts",
+    "supplier_graph_jaccard_linkpred",
+    "knn_maxsim_colbert_embeddings",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

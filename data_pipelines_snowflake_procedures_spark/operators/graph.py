@@ -668,3 +668,66 @@ def hits(
     out = out.localCheckpoint(eager=True)
     e.unpersist()
     return out
+
+
+def jaccard_coefficient(
+    edges: DataFrame,
+    src_col: str = "a",
+    dst_col: str = "b",
+    decimals: int = 6,
+) -> DataFrame:
+    """Jaccard-coefficient link prediction over an undirected simple
+    edge list: for every NON-adjacent pair (u, v) with >= 1 common
+    neighbor, ``(u, v, common_neighbors, jaccard)`` where jaccard =
+    |N(u) ∩ N(v)| / |N(u) ∪ N(v)| = cn / (deg u + deg v - cn).
+
+    Same wedge enumeration + anti-join layout as :func:`adamic_adar`
+    (one self-join keyed on the common neighbor, cost Σ deg(z)²);
+    unlike AA the score is a single division of exact integers, so no
+    unit scaling is needed at all — numerator and denominator are
+    BIGINT counts on both engines."""
+    e = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    half = e.select(F.col("a").alias("z"), F.col("b").alias("nbr")).unionByName(
+        e.select(F.col("b").alias("z"), F.col("a").alias("nbr"))
+    )
+    deg = half.groupBy("z").agg(F.count("*").alias("deg"))
+    a1 = half.select("z", F.col("nbr").alias("u"))
+    a2 = half.select("z", F.col("nbr").alias("v"))
+    pairs = (
+        a1.join(a2, "z")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("common_neighbors"))
+    )
+    du = deg.select(F.col("z").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("z").alias("v"), F.col("deg").alias("deg_v"))
+    scored = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .join(
+            e,
+            (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")),
+            "left_anti",
+        )
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            "deg_u",
+            "deg_v",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("common_neighbors")),
+                decimals,
+            ).alias("jaccard"),
+        )
+    )
+    return scored

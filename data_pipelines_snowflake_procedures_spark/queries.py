@@ -5685,3 +5685,46 @@ def customer_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     src.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "supplier_graph_jaccard_linkpred",
+    f"""
+    WITH {_cosupplier_graph_sql(10)},
+    half AS (
+      SELECT a AS z, b AS nbr FROM e
+      UNION ALL SELECT b AS z, a AS nbr FROM e
+    ),
+    dg AS (SELECT z, count(*)::BIGINT AS deg FROM half GROUP BY z),
+    pr AS (
+      SELECT a1.nbr AS u, a2.nbr AS v, count(*)::BIGINT AS cn
+      FROM half a1 JOIN half a2 ON a1.z = a2.z AND a1.nbr < a2.nbr
+      GROUP BY 1, 2
+    )
+    SELECT pr.u, pr.v, pr.cn AS common_neighbors,
+           du.deg AS deg_u, dv.deg AS deg_v,
+           round(CAST(pr.cn AS DOUBLE) / (du.deg + dv.deg - pr.cn), 6)
+             AS jaccard
+    FROM pr
+    JOIN dg du ON du.z = pr.u
+    JOIN dg dv ON dv.z = pr.v
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = pr.u AND e.b = pr.v)
+    """,
+    doc="Jaccard-coefficient link prediction over the sparsified "
+    "co-supplier graph (operators/graph.py::jaccard_coefficient) — "
+    "the set-overlap companion to supplier_graph_adamic_adar: for "
+    "every non-adjacent pair with a common neighbor, "
+    "|N(u) ∩ N(v)| / |N(u) ∪ N(v)| via cn / (deg u + deg v - cn). "
+    "Numerator and denominator are exact BIGINT counts (one wedge "
+    "self-join keyed on the common neighbor + one anti-join), so "
+    "the score is a single division — no unit scaling needed. "
+    "Scale shape identical to AA: wedge cost Σ deg(z)², hub-bounded "
+    "here by the top-10 sparsification and in the operator by "
+    "max_hub_degree-style caps upstream.",
+)
+def supplier_graph_jaccard_linkpred(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.graph import jaccard_coefficient
+
+    return jaccard_coefficient(_cosupplier_edges(spark, sf_dir, k=10))

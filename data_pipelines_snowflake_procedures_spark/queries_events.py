@@ -9989,3 +9989,147 @@ def events_bayes_ab_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(1.702) * z))), 6
         ).alias("p_b_beats_a"),
     )
+
+
+@register(
+    "events_kleinberg_bursts",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT row_number() OVER (ORDER BY d) AS t, c FROM (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+               count(*)::BIGINT AS c
+        FROM events GROUP BY 1
+      )
+    ),
+    dims AS (
+      SELECT count(*)::BIGINT AS nd, sum(c)::BIGINT AS r FROM daily
+    ),
+    rates AS (
+      SELECT nd, r,
+             CAST(r AS DOUBLE) / nd AS r0,
+             2.0 * (CAST(r AS DOUBLE) / nd) AS r1,
+             CAST(round(ln(CAST(nd AS DOUBLE)) * 1000000) AS BIGINT)
+               AS gamma
+      FROM dims
+    ),
+    dp AS (
+      SELECT daily.t,
+             CAST(round((rates.r0 - daily.c * ln(rates.r0)) * 1000000)
+                  AS BIGINT) AS v0,
+             CAST(round((rates.r1 - daily.c * ln(rates.r1)) * 1000000)
+                  AS BIGINT) + rates.gamma AS v1,
+             CAST('0' AS VARCHAR) AS p0,
+             CAST('1' AS VARCHAR) AS p1
+      FROM daily CROSS JOIN rates WHERE daily.t = 1
+      UNION ALL
+      SELECT daily.t,
+             CAST(round((rates.r0 - daily.c * ln(rates.r0)) * 1000000)
+                  AS BIGINT)
+               + CASE WHEN dp.v1 < dp.v0 THEN dp.v1 ELSE dp.v0 END AS v0,
+             CAST(round((rates.r1 - daily.c * ln(rates.r1)) * 1000000)
+                  AS BIGINT)
+               + CASE WHEN dp.v1 < dp.v0 + rates.gamma
+                      THEN dp.v1 ELSE dp.v0 + rates.gamma END AS v1,
+             (CASE WHEN dp.v1 < dp.v0 THEN dp.p1 ELSE dp.p0 END) || '0'
+               AS p0,
+             (CASE WHEN dp.v1 < dp.v0 + rates.gamma
+                   THEN dp.p1 ELSE dp.p0 END) || '1' AS p1
+      FROM dp
+      JOIN daily ON daily.t = dp.t + 1
+      CROSS JOIN rates
+    ),
+    last AS (
+      SELECT v0, v1, CASE WHEN v1 < v0 THEN p1 ELSE p0 END AS p,
+             CASE WHEN v1 < v0 THEN v1 ELSE v0 END AS vmin
+      FROM dp ORDER BY t DESC LIMIT 1
+    )
+    SELECT rates.nd AS n_days, rates.r AS total_events,
+           round(rates.r0, 6) AS base_rate,
+           round(rates.r1, 6) AS burst_rate,
+           CAST(len(last.p) - len(replace(last.p, '1', '')) AS BIGINT)
+             AS n_burst_days,
+           CAST((len('0' || last.p)
+                 - len(replace('0' || last.p, '01', ''))) / 2 AS BIGINT)
+             AS n_bursts,
+           CAST(list_max(list_transform(string_split(last.p, '0'),
+                                        x -> len(x))) AS BIGINT)
+             AS max_burst_len,
+           last.vmin AS min_cost_micro
+    FROM last CROSS JOIN rates
+    """,
+    doc="Kleinberg two-state burst detection (Kleinberg 2002, public) "
+    "on daily event volume: Viterbi over a base-rate state (r0 = "
+    "mean daily rate) and a burst state (r1 = 2 r0) with an "
+    "up-transition cost of ln(n), reporting burst-day count, "
+    "number of burst episodes, the longest episode, and the "
+    "optimal path cost. Emission costs (r_s - c_t ln r_s, the "
+    "Poisson NLL with the state-independent ln c! term dropped) "
+    "freeze to integer micro-units BEFORE the recursion, so the "
+    "whole DP is exact integer arithmetic with a deterministic "
+    "strict-inequality tie-break — the oracle replays it in a "
+    "RECURSIVE CTE carrying the argmin path strings, the Spark "
+    "side in a driver loop over the collected day-grain series. "
+    "Scale shape: the corpus-sized work is ONE day-grain count "
+    "aggregate; the DP itself is O(days), time-dimension-sized at "
+    "any data volume (the same contract as the Holt-Winters/STL "
+    "family).",
+)
+def events_kleinberg_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    daily = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count("*").alias("c"))
+        .orderBy("d")
+        .collect()
+    )
+    cs = [int(r["c"]) for r in daily]
+    nd = len(cs)
+    r_tot = sum(cs)
+    r0 = float(r_tot) / nd
+    r1 = 2.0 * (float(r_tot) / nd)
+    gamma = round(math.log(float(nd)) * 1000000)
+
+    def e(rate: float, c: int) -> int:
+        return round((rate - c * math.log(rate)) * 1000000)
+
+    v0, v1 = e(r0, cs[0]), e(r1, cs[0]) + gamma
+    p0, p1 = "0", "1"
+    for c in cs[1:]:
+        nv0 = e(r0, c) + (v1 if v1 < v0 else v0)
+        np0 = (p1 if v1 < v0 else p0) + "0"
+        nv1 = e(r1, c) + (v1 if v1 < v0 + gamma else v0 + gamma)
+        np1 = (p1 if v1 < v0 + gamma else p0) + "1"
+        v0, v1, p0, p1 = nv0, nv1, np0, np1
+    p = p1 if v1 < v0 else p0
+    vmin = v1 if v1 < v0 else v0
+    n_burst_days = p.count("1")
+    runs = [len(x) for x in p.split("0")]
+    n_bursts = sum(1 for x in p.split("0") if x)
+    max_burst_len = max(runs)
+    row = (
+        nd,
+        r_tot,
+        round(r0, 6),
+        round(r1, 6),
+        n_burst_days,
+        n_bursts,
+        max_burst_len,
+        vmin,
+    )
+    schema = T.StructType(
+        [
+            T.StructField("n_days", T.LongType()),
+            T.StructField("total_events", T.LongType()),
+            T.StructField("base_rate", T.DoubleType()),
+            T.StructField("burst_rate", T.DoubleType()),
+            T.StructField("n_burst_days", T.LongType()),
+            T.StructField("n_bursts", T.LongType()),
+            T.StructField("max_burst_len", T.LongType()),
+            T.StructField("min_cost_micro", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame([row], schema)

@@ -8578,3 +8578,115 @@ def webdataset_tar_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "knn_maxsim_colbert_embeddings",
+    """
+    WITH v AS (
+      SELECT vec_id, vec_id // 8 AS doc, embedding,
+             sqrt(list_aggregate([x::DOUBLE * x::DOUBLE FOR x IN embedding],
+                                 'sum')) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE doc < 2),
+    c AS (SELECT * FROM v WHERE doc >= 2),
+    sims AS (
+      SELECT q.vec_id AS qv, q.doc AS qdoc, c.doc AS cdoc,
+             CAST(round(list_aggregate(
+                    [q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+                     FOR i IN range(1, len(q.embedding) + 1)], 'sum')
+                  / (q.nrm * c.nrm) * 1000000) AS BIGINT) AS cos_micro
+      FROM q CROSS JOIN c
+    ),
+    mx AS (
+      SELECT qv, qdoc, cdoc, max(cos_micro) AS m
+      FROM sims GROUP BY 1, 2, 3
+    ),
+    ms AS (
+      SELECT qdoc, cdoc, sum(m)::BIGINT AS maxsim_micro,
+             count(*)::BIGINT AS n_query_vecs
+      FROM mx GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT qdoc, cdoc, maxsim_micro, n_query_vecs,
+             row_number() OVER (
+               PARTITION BY qdoc
+               ORDER BY maxsim_micro DESC, cdoc ASC
+             ) AS rnk
+      FROM ms
+    )
+    SELECT qdoc AS query_doc, cdoc AS candidate_doc,
+           CAST(rnk AS INTEGER) AS rank, n_query_vecs,
+           round(maxsim_micro / 1000000.0, 6) AS maxsim
+    FROM ranked WHERE rnk <= 5
+    ORDER BY query_doc, rank
+    """,
+    doc="ColBERT-style late-interaction retrieval (Khattab & Zaharia "
+    "2020 MaxSim, public) over pseudo-documents of 8 chunk vectors "
+    "each (doc = vec_id div 8; docs 0-1 are the queries): "
+    "score(q, d) = sum over query chunks of the MAX cosine against "
+    "any candidate chunk, top-5 candidates per query. Cosines round "
+    "to integer micro-units BEFORE the max/sum, so the whole score "
+    "pipeline is exact integer arithmetic — deterministic "
+    "cross-engine, no float accumulation anywhere. Scale shape: "
+    "query chunks are a broadcast-sized side (16 vectors), so the "
+    "interaction join is LINEAR in corpus chunks with one "
+    "(query-chunk x candidate-doc)-grain max and one "
+    "candidate-doc-grain sum — the standard MaxSim fan-in; the "
+    "per-query top-5 is a bounded window over candidate-doc-grain "
+    "scores partitioned by query. For real corpora the candidate "
+    "set would first be pruned by the IVF/LSH rungs "
+    "(knn_ivf_embeddings et al.) and MaxSim re-ranks survivors — "
+    "the documented two-stage layout.",
+)
+def knn_maxsim_colbert_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.dedup import dot_product, norm
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.floor(F.col("vec_id") / 8).cast("long").alias("doc"),
+        "embedding",
+    )
+    q = v.filter(F.col("doc") < 2).select(
+        F.col("vec_id").alias("qv"),
+        F.col("doc").alias("qdoc"),
+        F.col("embedding").alias("qe"),
+    )
+    c = v.filter(F.col("doc") >= 2).select(
+        F.col("doc").alias("cdoc"), F.col("embedding").alias("ce")
+    )
+    cos_micro = (
+        F.round(
+            dot_product(F.col("qe"), F.col("ce"))
+            / (norm(F.col("qe")) * norm(F.col("ce")))
+            * 1000000
+        )
+        .cast("long")
+        .alias("cos_micro")
+    )
+    sims = F.broadcast(q).crossJoin(c).select("qv", "qdoc", "cdoc", cos_micro)
+    mx = sims.groupBy("qv", "qdoc", "cdoc").agg(F.max("cos_micro").alias("m"))
+    ms = mx.groupBy("qdoc", "cdoc").agg(
+        F.sum("m").cast("long").alias("maxsim_micro"),
+        F.count("*").cast("long").alias("n_query_vecs"),
+    )
+    w = Window.partitionBy("qdoc").orderBy(
+        F.col("maxsim_micro").desc(), F.col("cdoc").asc()
+    )
+    return (
+        ms.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("qdoc").alias("query_doc"),
+            F.col("cdoc").alias("candidate_doc"),
+            F.col("rnk").cast("int").alias("rank"),
+            "n_query_vecs",
+            F.round(F.col("maxsim_micro") / 1000000.0, 6).alias("maxsim"),
+        )
+        .orderBy("query_doc", "rank")
+    )
