@@ -420,6 +420,10 @@ HEADLINE = [
     "events_kleinberg_bursts",
     "supplier_graph_jaccard_linkpred",
     "knn_maxsim_colbert_embeddings",
+    "events_sprt_conversion",
+    "nation_trade_gravity_ols",
+    "part_newsvendor_stock",
+    "documents_repeat_epoch_value",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

@@ -10133,3 +10133,141 @@ def events_kleinberg_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame([row], schema)
+
+
+@register(
+    "events_sprt_conversion",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS s
+      FROM events GROUP BY 1
+    ),
+    inc AS (
+      SELECT d, n, s,
+             CAST(round((s * ln(0.22 / 0.18)
+                         + (n - s) * ln(0.78 / 0.82)) * 1000000) AS BIGINT)
+               AS llr_micro
+      FROM daily
+    ),
+    walk AS (
+      SELECT d, n, s,
+             sum(llr_micro) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_micro,
+             row_number() OVER (ORDER BY d) AS t
+      FROM inc
+    ),
+    thr AS (
+      SELECT CAST(round(ln(19.0) * 1000000) AS BIGINT) AS a_micro,
+             CAST(round(-ln(19.0) * 1000000) AS BIGINT) AS b_micro
+    ),
+    crossing AS (
+      SELECT min(t) AS first_cross_t
+      FROM walk CROSS JOIN thr
+      WHERE cum_micro >= a_micro OR cum_micro <= b_micro
+    ),
+    final AS (
+      SELECT t AS n_days, cum_micro AS final_llr_micro
+      FROM walk ORDER BY t DESC LIMIT 1
+    )
+    SELECT final.n_days,
+           crossing.first_cross_t,
+           CASE
+             WHEN crossing.first_cross_t IS NULL THEN 'continue'
+             WHEN (SELECT cum_micro FROM walk
+                   WHERE t = crossing.first_cross_t)
+                  >= (SELECT a_micro FROM thr) THEN 'accept_h1'
+             ELSE 'accept_h0'
+           END AS decision,
+           round(final.final_llr_micro / 1000000.0, 6) AS final_llr,
+           round((SELECT max(cum_micro) FROM walk) / 1000000.0, 6)
+             AS max_llr,
+           round((SELECT min(cum_micro) FROM walk) / 1000000.0, 6)
+             AS min_llr
+    FROM final CROSS JOIN crossing
+    """,
+    doc="Wald sequential probability ratio test (SPRT, public 1945 "
+    "method — the always-valid precursor of modern sequential A/B "
+    "platforms) on daily purchase conversion: H0 p=0.18 vs H1 "
+    "p=0.22, alpha=beta=0.05, so the boundaries are +/- ln 19. The "
+    "daily log-likelihood-ratio increment s ln(p1/p0) + (n-s) "
+    "ln(q1/q0) freezes to integer micro-units, the random walk is "
+    "an exact integer cumulative window over the day-grain series, "
+    "and the report gives the first boundary crossing, decision, "
+    "and walk extremes. Scale shape: one day-grain aggregate over "
+    "events (map-side combinable), then windows over the "
+    "time-dimension-sized walk — corpus cost is the single scan at "
+    "any data volume.",
+)
+def events_sprt_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("s"),
+    )
+    l1 = F.log(F.lit(0.22) / F.lit(0.18))
+    l2 = F.log(F.lit(0.78) / F.lit(0.82))
+    inc = daily.select(
+        "d",
+        F.round((F.col("s") * l1 + (F.col("n") - F.col("s")) * l2) * 1000000)
+        .cast("long")
+        .alias("llr_micro"),
+    )
+    w_cum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walk = inc.select(
+        "d",
+        F.sum("llr_micro").over(w_cum).alias("cum_micro"),
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+    ).persist()
+    a_micro = round(math.log(19.0) * 1000000)
+    b_micro = round(-math.log(19.0) * 1000000)
+    agg = walk.agg(
+        F.max("t").alias("n_days"),
+        F.max("cum_micro").alias("mx"),
+        F.min("cum_micro").alias("mn"),
+    ).first()
+    cross = (
+        walk.filter(
+            (F.col("cum_micro") >= a_micro) | (F.col("cum_micro") <= b_micro)
+        )
+        .agg(F.min("t").alias("first_cross_t"))
+        .first()
+    )
+    final_llr = (
+        walk.orderBy(F.col("t").desc()).select("cum_micro").first()["cum_micro"]
+    )
+    first_t = cross["first_cross_t"]
+    if first_t is None:
+        decision = "continue"
+    else:
+        at_cross = (
+            walk.filter(F.col("t") == first_t).first()["cum_micro"]
+        )
+        decision = "accept_h1" if at_cross >= a_micro else "accept_h0"
+    walk.unpersist()
+    out = [
+        (
+            int(agg["n_days"]),
+            int(first_t) if first_t is not None else None,
+            decision,
+            round(final_llr / 1000000.0, 6),
+            round(int(agg["mx"]) / 1000000.0, 6),
+            round(int(agg["mn"]) / 1000000.0, 6),
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "n_days BIGINT, first_cross_t BIGINT, decision STRING, "
+        "final_llr DOUBLE, max_llr DOUBLE, min_llr DOUBLE",
+    )

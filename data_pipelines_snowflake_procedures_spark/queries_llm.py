@@ -8690,3 +8690,72 @@ def knn_maxsim_colbert_embeddings(
         )
         .orderBy("query_doc", "rank")
     )
+
+
+@register(
+    "documents_repeat_epoch_value",
+    f"""
+    WITH u AS (
+      SELECT source,
+             sum(len({_TOKS}))::BIGINT AS unique_tokens
+      FROM documents GROUP BY source
+    ),
+    sweep AS (
+      SELECT u.source, u.unique_tokens, e.epochs
+      FROM u CROSS JOIN (SELECT unnest([1, 4, 16]) AS epochs) e
+    )
+    SELECT source, unique_tokens, CAST(epochs AS BIGINT) AS epochs,
+           CAST(unique_tokens * epochs AS BIGINT) AS budget_tokens,
+           round(unique_tokens * (1.0 + 15.0
+                 * (1.0 - exp(-(CAST(epochs AS DOUBLE) - 1) / 15.0))), 2)
+             AS effective_tokens,
+           round((1.0 + 15.0
+                  * (1.0 - exp(-(CAST(epochs AS DOUBLE) - 1) / 15.0)))
+                 / epochs, 6) AS token_value_ratio
+    FROM sweep
+    ORDER BY source, epochs
+    """,
+    doc="Data-constrained scaling readout per source (the "
+    "repeated-epoch value-decay law of Muennighoff et al. 2023, "
+    "'Scaling Data-Constrained Language Models', public): training "
+    "for R epochs over U unique tokens is worth an EFFECTIVE "
+    "D' = U (1 + R* (1 - exp(-(R-1)/R*))) tokens with the paper's "
+    "fitted half-life R* ~ 15 — i.e. the 4th epoch still buys "
+    "~90% of fresh-token value, the 16th ~60%. The sweep reports "
+    "effective tokens and the per-token value ratio at 1/4/16 "
+    "epochs for every source's whitespace-token count, the number "
+    "a mix planner needs to decide repeat-vs-acquire (the "
+    "companion to documents_token_budget_waterfill, which splits a "
+    "budget ACROSS sources). Exact integer token counts; the decay "
+    "factor is one identical exp expression per row, rounded on "
+    "output. Scale shape: one source-grain aggregate with map-side "
+    "combine, then a 3x broadcast sweep over the source-sized "
+    "frame.",
+)
+def documents_repeat_epoch_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("long").alias("unique_tokens")
+    )
+    epochs = spark.createDataFrame(
+        [(1,), (4,), (16,)], "epochs INT"
+    )
+    sweep = u.crossJoin(F.broadcast(epochs))
+    decay = F.lit(1.0) + F.lit(15.0) * (
+        F.lit(1.0)
+        - F.exp(-(F.col("epochs").cast("double") - 1) / F.lit(15.0))
+    )
+    return sweep.select(
+        "source",
+        "unique_tokens",
+        F.col("epochs").cast("long").alias("epochs"),
+        (F.col("unique_tokens") * F.col("epochs"))
+        .cast("long")
+        .alias("budget_tokens"),
+        F.round(F.col("unique_tokens") * decay, 2).alias("effective_tokens"),
+        F.round(decay / F.col("epochs"), 6).alias("token_value_ratio"),
+    ).orderBy("source", "epochs")

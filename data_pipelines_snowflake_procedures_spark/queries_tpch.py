@@ -4481,3 +4481,282 @@ def orders_its_segmented_regression(
             "level_jump"
         ),
     )
+
+
+@register(
+    "nation_trade_gravity_ols",
+    """
+    WITH flows AS (
+      SELECT n1.n_name AS i, n2.n_name AS j,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT))::BIGINT AS cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+      JOIN orders   o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN nation  n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation  n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE n1.n_name <> n2.n_name
+      GROUP BY 1, 2
+    ),
+    mo AS (SELECT i, sum(cents)::BIGINT AS m_out FROM flows GROUP BY i),
+    mi AS (SELECT j, sum(cents)::BIGINT AS m_in FROM flows GROUP BY j),
+    obs AS (
+      SELECT ln(CAST(f.cents AS DOUBLE)) AS y,
+             ln(CAST(mo.m_out AS DOUBLE)) AS x1,
+             ln(CAST(mi.m_in AS DOUBLE)) AS x2
+      FROM flows f JOIN mo ON mo.i = f.i JOIN mi ON mi.j = f.j
+      WHERE f.cents > 0
+    ),
+    s AS (
+      SELECT
+        sum(CAST(round(1.0 * 1000000) AS BIGINT)) AS s00,
+        sum(CAST(round(x1 * 1000000) AS BIGINT)) AS sx1,
+        sum(CAST(round(x2 * 1000000) AS BIGINT)) AS sx2,
+        sum(CAST(round(x1 * x1 * 1000000) AS BIGINT)) AS sx11,
+        sum(CAST(round(x1 * x2 * 1000000) AS BIGINT)) AS sx12,
+        sum(CAST(round(x2 * x2 * 1000000) AS BIGINT)) AS sx22,
+        sum(CAST(round(y * 1000000) AS BIGINT)) AS sy,
+        sum(CAST(round(x1 * y * 1000000) AS BIGINT)) AS sx1y,
+        sum(CAST(round(x2 * y * 1000000) AS BIGINT)) AS sx2y,
+        sum(CAST(round(y * y * 1000000) AS BIGINT)) AS syy,
+        count(*)::BIGINT AS n
+      FROM obs
+    ),
+    t AS (
+      SELECT n,
+        CAST(s00 AS DOUBLE) / 1000000 AS a,
+        CAST(sx1 AS DOUBLE) / 1000000 AS b,
+        CAST(sx2 AS DOUBLE) / 1000000 AS c,
+        CAST(sx11 AS DOUBLE) / 1000000 AS d,
+        CAST(sx12 AS DOUBLE) / 1000000 AS e,
+        CAST(sx22 AS DOUBLE) / 1000000 AS f,
+        CAST(sy AS DOUBLE) / 1000000 AS g0,
+        CAST(sx1y AS DOUBLE) / 1000000 AS g1,
+        CAST(sx2y AS DOUBLE) / 1000000 AS g2,
+        CAST(syy AS DOUBLE) / 1000000 AS tyy
+      FROM s
+    ),
+    fit AS (
+      SELECT n, g0 AS ty, g1 AS tx1y, g2 AS tx2y, tyy, a,
+        a * (d * f - e * e) - b * (b * f - e * c) + c * (b * e - d * c)
+          AS det,
+        round(((d * f - e * e) * g0 + (c * e - b * f) * g1
+               + (b * e - c * d) * g2) / det, 9) AS b0,
+        round(((c * e - b * f) * g0 + (a * f - c * c) * g1
+               + (c * b - a * e) * g2) / det, 9) AS b1,
+        round(((b * e - c * d) * g0 + (c * b - a * e) * g1
+               + (a * d - b * b) * g2) / det, 9) AS b2
+      FROM t
+    )
+    SELECT n AS n_pairs,
+           round(b0, 6) AS beta0,
+           round(b1, 6) AS beta_out,
+           round(b2, 6) AS beta_in,
+           round(1.0 - (tyy - (b0 * ty + b1 * tx1y + b2 * tx2y))
+                 / (tyy - ty * ty / a), 6) AS r2
+    FROM fit
+    """,
+    doc="Gravity model of inter-nation trade (the classic empirical "
+    "trade-economics regression, public since Tinbergen 1962): "
+    "ln(flow i->j) ~ beta0 + beta_out ln(exports of i) + beta_in "
+    "ln(imports of j), fit by OLS over the ~600 directed nation "
+    "pairs. Per-pair log observations come from exact integer cent "
+    "flows; the ten OLS sufficient statistics freeze to integer "
+    "micro-units (order-independent sums), and the 3x3 normal-"
+    "equation solve reuses the closed-form adjugate recipe of the "
+    "IRLS classifier entry, with R^2 evaluated AT the 9-rounded "
+    "coefficients so both engines compute the identical expression. "
+    "Scale shape: the only data-sized work is the Q7-style "
+    "fact-table join + nation-pair aggregate (one orderkey "
+    "shuffle, nation dims broadcast); everything after runs on a "
+    "nation^2-sized frame.",
+)
+def nation_trade_gravity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("i")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("j")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    flows = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == F.col("nk1"))
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("nk2"))
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum(cents).cast("long").alias("cents"))
+        .persist()
+    )
+    mo = flows.groupBy("i").agg(F.sum("cents").cast("long").alias("m_out"))
+    mi = flows.groupBy("j").agg(F.sum("cents").cast("long").alias("m_in"))
+    obs = (
+        flows.join(F.broadcast(mo), "i")
+        .join(F.broadcast(mi), "j")
+        .filter(F.col("cents") > 0)
+        .select(
+            F.log(F.col("cents").cast("double")).alias("y"),
+            F.log(F.col("m_out").cast("double")).alias("x1"),
+            F.log(F.col("m_in").cast("double")).alias("x2"),
+        )
+    )
+
+    def _micro(col):
+        return F.sum(F.round(col * 1000000).cast("long"))
+
+    y, x1, x2 = F.col("y"), F.col("x1"), F.col("x2")
+    row = obs.agg(
+        _micro(F.lit(1.0)).alias("s00"),
+        _micro(x1).alias("sx1"),
+        _micro(x2).alias("sx2"),
+        _micro(x1 * x1).alias("sx11"),
+        _micro(x1 * x2).alias("sx12"),
+        _micro(x2 * x2).alias("sx22"),
+        _micro(y).alias("sy"),
+        _micro(x1 * y).alias("sx1y"),
+        _micro(x2 * y).alias("sx2y"),
+        _micro(y * y).alias("syy"),
+        F.count("*").alias("n"),
+    ).first()
+    flows.unpersist()
+    a = float(row["s00"]) / 1000000
+    b = float(row["sx1"]) / 1000000
+    c = float(row["sx2"]) / 1000000
+    d = float(row["sx11"]) / 1000000
+    e = float(row["sx12"]) / 1000000
+    f = float(row["sx22"]) / 1000000
+    g0 = float(row["sy"]) / 1000000
+    g1 = float(row["sx1y"]) / 1000000
+    g2 = float(row["sx2y"]) / 1000000
+    tyy = float(row["syy"]) / 1000000
+    det = a * (d * f - e * e) - b * (b * f - e * c) + c * (b * e - d * c)
+    b0 = round(
+        ((d * f - e * e) * g0 + (c * e - b * f) * g1 + (b * e - c * d) * g2)
+        / det,
+        9,
+    )
+    b1 = round(
+        ((c * e - b * f) * g0 + (a * f - c * c) * g1 + (c * b - a * e) * g2)
+        / det,
+        9,
+    )
+    b2 = round(
+        ((b * e - c * d) * g0 + (c * b - a * e) * g1 + (a * d - b * b) * g2)
+        / det,
+        9,
+    )
+    r2 = round(
+        1.0 - (tyy - (b0 * g0 + b1 * g1 + b2 * g2)) / (tyy - g0 * g0 / a), 6
+    )
+    out = [
+        (
+            int(row["n"]),
+            round(b0, 6),
+            round(b1, 6),
+            round(b2, 6),
+            r2,
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "n_pairs BIGINT, beta0 DOUBLE, beta_out DOUBLE, beta_in DOUBLE, "
+        "r2 DOUBLE",
+    )
+
+
+@register(
+    "part_newsvendor_stock",
+    """
+    WITH daily AS (
+      SELECT p.p_brand AS brand,
+             date_trunc('day', l.l_shipdate) AS d,
+             CAST(sum(l.l_quantity) AS BIGINT) AS demand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT brand, demand,
+             row_number() OVER (
+               PARTITION BY brand ORDER BY demand ASC, d ASC
+             ) AS rn,
+             count(*) OVER (PARTITION BY brand) AS n
+      FROM daily
+    )
+    SELECT brand, max(n)::BIGINT AS n_days,
+           max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                    THEN demand END)::BIGINT AS median_daily_demand,
+           max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                    THEN demand END)::BIGINT AS stock_level_cf75
+    FROM ranked GROUP BY brand ORDER BY brand
+    """,
+    doc="Newsvendor stock levels per brand (the classic single-period "
+    "inventory model, public OR textbook material): with underage "
+    "cost 3x overage cost the optimal order-up-to level is the "
+    "critical fractile F^-1(cu/(cu+co)) = F^-1(0.75) of daily "
+    "demand — here the exact type-1 order statistic (ceil(0.75 n)) "
+    "of the brand's daily shipped-quantity distribution, alongside "
+    "the median for reference. Demands are exact integer sums, the "
+    "quantile is an order-statistic SELECTION (no interpolated "
+    "float quantile), so the report is bit-identical cross-engine. "
+    "Scale shape: one (brand, day)-grain aggregate with map-side "
+    "combine; the per-brand window sorts day-grain frames (bounded "
+    "by calendar x 25 brands, not data volume).",
+)
+def part_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("day", F.col("l_shipdate")).alias("d"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("demand"))
+    )
+    w = Window.partitionBy("brand").orderBy(
+        F.col("demand").asc(), F.col("d").asc()
+    )
+    wc = Window.partitionBy("brand")
+    ranked = daily.select(
+        "brand",
+        "demand",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    return (
+        ranked.groupBy("brand")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"),
+                    F.col("demand"),
+                )
+            )
+            .cast("long")
+            .alias("median_daily_demand"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(0.75 * F.col("n")).cast("long"),
+                    F.col("demand"),
+                )
+            )
+            .cast("long")
+            .alias("stock_level_cf75"),
+        )
+        .orderBy("brand")
+    )
