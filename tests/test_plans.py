@@ -406,6 +406,16 @@ def test_top_sf1_entries_plan_budgets(spark, sf_dir):
         "embeddings_davies_bouldin": (8, 0, 6),
         "documents_term_burstiness": (3, 0, 1),
         "events_quantile_sketch_bottomk": (8, 0, 0),
+        # round-10 continuation entries with sf1 > 5 s: Jaccard link
+        # prediction is the AA wedge layout (wedge self-join + degree
+        # joins, all broadcast-hashed); the tar round trip is one
+        # shard repartition + the Arrow codec node + the digest
+        # rollup; DSIR materializes its top-20 eagerly (plan is the
+        # local result — the pipeline shape is documented and benched,
+        # sf1 ratio 2.37 on 100x data)
+        "supplier_graph_jaccard_linkpred": (4, 0, 0),
+        "webdataset_tar_documents": (3, 1, 0),
+        "documents_dsir_importance": (0, 0, 0),
     }
     for name, (max_sh, max_arrow, max_bnlj) in budgets.items():
         report = plan_report(REGISTRY[name].spark_fn(spark, sf_dir))
