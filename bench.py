@@ -424,6 +424,9 @@ HEADLINE = [
     "nation_trade_gravity_ols",
     "part_newsvendor_stock",
     "documents_repeat_epoch_value",
+    "embeddings_mmd_two_sample",
+    "orders_panel_fe_regression",
+    "part_eoq_policy",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

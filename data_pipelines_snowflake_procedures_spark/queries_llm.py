@@ -8759,3 +8759,120 @@ def documents_repeat_epoch_value(
         F.round(F.col("unique_tokens") * decay, 2).alias("effective_tokens"),
         F.round(decay / F.col("epochs"), 6).alias("token_value_ratio"),
     ).orderBy("source", "epochs")
+
+
+def _mmd_pairs_sql(side: str, label: int) -> str:
+    """Odd/even consecutive pairing of one group ordered by vec_id —
+    the linear-time MMD estimator's sample layout."""
+    return f"""
+    {side}r AS (
+      SELECT embedding AS e,
+             row_number() OVER (ORDER BY vec_id) AS rn
+      FROM embeddings WHERE label = {label}
+    ),
+    {side}p AS (
+      SELECT (a.rn + 1) // 2 AS pid, a.e AS e1, b.e AS e2
+      FROM {side}r a JOIN {side}r b ON b.rn = a.rn + 1
+      WHERE a.rn % 2 = 1
+    )"""
+
+
+@register(
+    "embeddings_mmd_two_sample",
+    f"""
+    WITH {_mmd_pairs_sql("x", 0).lstrip()},
+    {_mmd_pairs_sql("y", 1).lstrip()},
+    h AS (
+      SELECT x.pid,
+             CAST(round((
+               exp(-list_aggregate([ (x.e1[i]::DOUBLE - x.e2[i]::DOUBLE)
+                                     * (x.e1[i]::DOUBLE - x.e2[i]::DOUBLE)
+                                     FOR i IN range(1, len(x.e1) + 1)],
+                                   'sum') / 128.0)
+               + exp(-list_aggregate([ (y.e1[i]::DOUBLE - y.e2[i]::DOUBLE)
+                                       * (y.e1[i]::DOUBLE - y.e2[i]::DOUBLE)
+                                       FOR i IN range(1, len(y.e1) + 1)],
+                                     'sum') / 128.0)
+               - exp(-list_aggregate([ (x.e1[i]::DOUBLE - y.e2[i]::DOUBLE)
+                                       * (x.e1[i]::DOUBLE - y.e2[i]::DOUBLE)
+                                       FOR i IN range(1, len(x.e1) + 1)],
+                                     'sum') / 128.0)
+               - exp(-list_aggregate([ (x.e2[i]::DOUBLE - y.e1[i]::DOUBLE)
+                                       * (x.e2[i]::DOUBLE - y.e1[i]::DOUBLE)
+                                       FOR i IN range(1, len(x.e2) + 1)],
+                                     'sum') / 128.0)
+             ) * 1000000) AS BIGINT) AS h_micro
+      FROM xp x JOIN yp y ON y.pid = x.pid
+    )
+    SELECT count(*)::BIGINT AS n_pairs,
+           round(sum(h_micro) / 1000000.0 / count(*), 6) AS mmd2_linear
+    FROM h
+    """,
+    doc="Linear-time MMD two-sample test (Gretton et al. 2012, "
+    "public) between embedding label groups 0 and 1: the unbiased "
+    "streaming estimator h(z_i) = k(x1,x2) + k(y1,y2) - k(x1,y2) - "
+    "k(x2,y1) over consecutive vec_id-ordered pairs, RBF kernel "
+    "with fixed bandwidth 2 sigma^2 = 128 (2 x dim). Each h "
+    "freezes to integer micro-units before the sum, so the "
+    "statistic is exact and order-independent; near-zero MMD^2 "
+    "says the groups are draws from the same distribution — the "
+    "kernel-method counterpart to embeddings_split_drift's moment "
+    "check. Scale shape: the estimator is LINEAR by construction "
+    "(consecutive pairing, no m^2 kernel matrix — the entire point "
+    "of the streaming variant at 100 TB); per-group rank windows "
+    "partition by label, pair joins are rank equi-joins.",
+)
+def embeddings_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+
+    def pairs(label: int, out_prefix: str) -> DataFrame:
+        r = emb.filter(F.col("label") == label).select(
+            "embedding",
+            F.row_number()
+            .over(Window.partitionBy("label").orderBy("vec_id"))
+            .alias("rn"),
+        )
+        a = r.filter(F.col("rn") % 2 == 1).select(
+            (((F.col("rn") + 1) / 2).cast("long")).alias("pid"),
+            F.col("embedding").alias(f"{out_prefix}1"),
+            F.col("rn").alias("rna"),
+        )
+        b = r.select(
+            F.col("rn").alias("rnb"), F.col("embedding").alias(f"{out_prefix}2")
+        )
+        return a.join(b, F.col("rnb") == F.col("rna") + 1).select(
+            "pid", f"{out_prefix}1", f"{out_prefix}2"
+        )
+
+    def rbf(u: str, v: str) -> "F.Column":
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col(u).cast("array<double>"),
+                F.col(v).cast("array<double>"),
+                lambda p, q: (p - q) * (p - q),
+            ),
+            F.lit(0.0),
+            lambda acc, w: acc + w,
+        )
+        return F.exp(-d2 / 128.0)
+
+    xp = pairs(0, "x")
+    yp = pairs(1, "y")
+    h = xp.join(yp, "pid").select(
+        F.round(
+            (rbf("x1", "x2") + rbf("y1", "y2") - rbf("x1", "y2") - rbf("x2", "y1"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("h_micro")
+    )
+    return h.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            F.sum("h_micro") / 1000000.0 / F.count("*"), 6
+        ).alias("mmd2_linear"),
+    )

@@ -4760,3 +4760,214 @@ def part_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@register(
+    "orders_panel_fe_regression",
+    """
+    WITH seq AS (
+      SELECT o_custkey AS cust,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+             ) AS x,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT cust, count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::HUGEINT AS sxy, sum(x * x)::BIGINT AS sxx
+      FROM seq GROUP BY cust
+    ),
+    within AS (
+      SELECT
+        sum(CAST(round((CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * sy / n) * 1000) AS BIGINT))
+          AS d1_milli,
+        sum(CAST(round((CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * sx / n) * 1000) AS BIGINT))
+          AS d2_milli,
+        count(*)::BIGINT AS n_customers,
+        sum(n)::BIGINT AS n_orders
+      FROM g WHERE n >= 2
+    ),
+    pooled AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::HUGEINT AS sxy, sum(x * x)::HUGEINT AS sxx
+      FROM seq
+    )
+    SELECT w.n_customers, w.n_orders,
+           round(CAST(w.d1_milli AS DOUBLE) / w.d2_milli / 100, 4)
+             AS fe_slope_per_order,
+           round((p.n * CAST(p.sxy AS DOUBLE) - CAST(p.sx AS DOUBLE) * p.sy)
+                 / (p.n * CAST(p.sxx AS DOUBLE) - CAST(p.sx AS DOUBLE) * p.sx)
+                 / 100, 4) AS pooled_slope_per_order
+    FROM within w CROSS JOIN pooled p
+    """,
+    doc="Panel fixed-effects (within) regression of order value on the "
+    "customer's order sequence number — 'do customers spend more as "
+    "they mature?' with customer-level heterogeneity absorbed: the "
+    "within estimator sums per-customer demeaned cross products "
+    "Sxy - SxSy/n over customers with >= 2 orders, each group "
+    "contribution frozen to integer milli-units so the two totals "
+    "are exact order-independent sums; the pooled OLS slope from "
+    "global exact sufficient statistics sits beside it, and the "
+    "gap between the two IS the customer-heterogeneity bias the FE "
+    "design removes (textbook econometrics, public). Scale shape: "
+    "one per-customer window for the sequence index (customer-"
+    "keyed, bounded partitions), one customer-grain aggregate, one "
+    "global aggregate — no data-sized join anywhere.",
+)
+def orders_panel_fe_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    seq = o.select(
+        "cust",
+        F.row_number()
+        .over(
+            Window.partitionBy("cust").orderBy("o_orderdate", "o_orderkey")
+        )
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    ).persist()
+    g = seq.groupBy("cust").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    d1 = F.round(
+        (
+            F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+        )
+        * 1000
+    ).cast("long")
+    d2 = F.round(
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+        )
+        * 1000
+    ).cast("long")
+    within = g.filter(F.col("n") >= 2).agg(
+        F.sum(d1).alias("d1_milli"),
+        F.sum(d2).alias("d2_milli"),
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("n").cast("long").alias("n_orders"),
+    )
+    pooled = seq.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    out = within.crossJoin(F.broadcast(pooled)).select(
+        "n_customers",
+        "n_orders",
+        F.round(
+            F.col("d1_milli").cast("double") / F.col("d2_milli") / 100, 4
+        ).alias("fe_slope_per_order"),
+        F.round(
+            (
+                F.col("n") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / (
+                F.col("n") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+            / 100,
+            4,
+        ).alias("pooled_slope_per_order"),
+    )
+    rows = out.collect()
+    seq.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "part_eoq_policy",
+    """
+    WITH d AS (
+      SELECT p.p_brand AS brand,
+             CAST(sum(l.l_quantity) AS BIGINT) AS demand_qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ),
+    h AS (
+      SELECT p_brand AS brand,
+             sum(CAST(round(p_retailprice * 100) AS BIGINT))::BIGINT
+               AS price_cents,
+             count(*)::BIGINT AS n_parts
+      FROM part GROUP BY 1
+    )
+    SELECT d.brand, d.demand_qty,
+           round(CAST(h.price_cents AS DOUBLE) / h.n_parts / 100, 2)
+             AS avg_unit_price,
+           round(sqrt(2.0 * d.demand_qty * 100.0
+                      / (0.2 * (CAST(h.price_cents AS DOUBLE)
+                                / h.n_parts / 100))), 2) AS eoq_units,
+           round(d.demand_qty
+                 / sqrt(2.0 * d.demand_qty * 100.0
+                        / (0.2 * (CAST(h.price_cents AS DOUBLE)
+                                  / h.n_parts / 100))), 2)
+             AS orders_per_period
+    FROM d JOIN h ON h.brand = d.brand
+    ORDER BY d.brand
+    """,
+    doc="Economic order quantity policy per brand (the classic Wilson "
+    "EOQ formula, public OR textbook): EOQ = sqrt(2DS/H) with "
+    "demand D = total shipped quantity (exact integer), fixed order "
+    "cost S = $100, and holding cost H = 20% of the brand's average "
+    "unit retail price (a single division of exact integer cents) — "
+    "plus the implied order frequency D/EOQ. The restock-sizing "
+    "companion to part_newsvendor_stock's service-level quantile "
+    "(EOQ prices the ORDERING cadence, the newsvendor fractile the "
+    "buffer). One fact-side aggregate with a broadcast part dim and "
+    "one part-dim aggregate; identical sqrt/divide trees on both "
+    "engines, rounded on output.",
+)
+def part_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    d = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum("l_quantity").cast("long").alias("demand_qty"))
+    )
+    h = part.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.sum(F.round(F.col("p_retailprice") * 100).cast("long"))
+        .cast("long")
+        .alias("price_cents"),
+        F.count("*").cast("long").alias("n_parts"),
+    )
+    unit_price = F.col("price_cents").cast("double") / F.col("n_parts") / 100
+    eoq = F.sqrt(
+        2.0 * F.col("demand_qty") * 100.0 / (0.2 * unit_price)
+    )
+    return (
+        d.join(F.broadcast(h), "brand")
+        .select(
+            "brand",
+            "demand_qty",
+            F.round(unit_price, 2).alias("avg_unit_price"),
+            F.round(eoq, 2).alias("eoq_units"),
+            F.round(F.col("demand_qty") / eoq, 2).alias("orders_per_period"),
+        )
+        .orderBy("brand")
+    )

@@ -223,3 +223,39 @@ def test_webdataset_entry_member_count_is_two_per_doc(spark, sf_dir):
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert sum(r.n_members for r in rows) == 2 * n_docs
     assert {r.shard for r in rows} <= set(range(8))
+
+
+def test_mmd_same_distribution_is_small(spark, sf_dir):
+    row = REGISTRY["embeddings_mmd_two_sample"].spark_fn(
+        spark, sf_dir
+    ).collect()[0]
+    assert row.n_pairs > 0
+    # labels partition one synthetic cloud: linear MMD^2 should hover
+    # near zero (|MMD^2| bounded by 4 for any RBF kernel regardless)
+    assert abs(row.mmd2_linear) <= 4.0
+
+
+def test_fe_regression_reports_both_slopes(spark, sf_dir):
+    row = REGISTRY["orders_panel_fe_regression"].spark_fn(
+        spark, sf_dir
+    ).collect()[0]
+    assert row.n_customers > 0
+    assert row.n_orders >= 2 * row.n_customers
+    assert math.isfinite(row.fe_slope_per_order)
+    assert math.isfinite(row.pooled_slope_per_order)
+
+
+def test_eoq_scales_with_sqrt_demand(spark, sf_dir):
+    rows = REGISTRY["part_eoq_policy"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.eoq_units > 0 and r.avg_unit_price > 0
+        # EOQ identity: orders_per_period * eoq ~ demand
+        assert abs(r.orders_per_period * r.eoq_units - r.demand_qty) < max(
+            0.02 * r.demand_qty, 2.0
+        )
+        # recompute from the published rounded columns
+        recomputed = math.sqrt(
+            2 * r.demand_qty * 100.0 / (0.2 * r.avg_unit_price)
+        )
+        assert abs(r.eoq_units - recomputed) < 0.02 * recomputed + 1.0
