@@ -427,6 +427,8 @@ HEADLINE = [
     "embeddings_mmd_two_sample",
     "orders_panel_fe_regression",
     "part_eoq_policy",
+    "events_sprt_streaming",
+    "corpus_chinchilla_planner",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

@@ -10271,3 +10271,98 @@ def events_sprt_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days BIGINT, first_cross_t BIGINT, decision STRING, "
         "final_llr DOUBLE, max_llr DOUBLE, min_llr DOUBLE",
     )
+
+
+@register(
+    "events_sprt_streaming",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS s
+      FROM events GROUP BY 1
+    ),
+    inc AS (
+      SELECT d, n, s,
+             CAST(round((s * ln(0.22 / 0.18)
+                         + (n - s) * ln(0.78 / 0.82)) * 1000000) AS BIGINT)
+               AS llr_micro
+      FROM daily
+    ),
+    walk AS (
+      SELECT d, n, s,
+             sum(llr_micro) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_micro,
+             row_number() OVER (ORDER BY d) AS t
+      FROM inc
+    ),
+    thr AS (
+      SELECT CAST(round(ln(19.0) * 1000000) AS BIGINT) AS a_micro,
+             CAST(round(-ln(19.0) * 1000000) AS BIGINT) AS b_micro
+    ),
+    crossing AS (
+      SELECT min(t) AS first_cross_t
+      FROM walk CROSS JOIN thr
+      WHERE cum_micro >= a_micro OR cum_micro <= b_micro
+    ),
+    final AS (
+      SELECT t AS n_days, cum_micro AS final_llr_micro
+      FROM walk ORDER BY t DESC LIMIT 1
+    )
+    SELECT final.n_days,
+           crossing.first_cross_t,
+           CASE
+             WHEN crossing.first_cross_t IS NULL THEN 'continue'
+             WHEN (SELECT cum_micro FROM walk
+                   WHERE t = crossing.first_cross_t)
+                  >= (SELECT a_micro FROM thr) THEN 'accept_h1'
+             ELSE 'accept_h0'
+           END AS decision,
+           round(final.final_llr_micro / 1000000.0, 6) AS final_llr,
+           round((SELECT max(cum_micro) FROM walk) / 1000000.0, 6)
+             AS max_llr,
+           round((SELECT min(cum_micro) FROM walk) / 1000000.0, 6)
+             AS min_llr
+    FROM final CROSS JOIN crossing
+    """,
+    doc="STREAMING leg of the Wald SPRT (events_sprt_conversion), "
+    "hash-checked against the SAME batch oracle — the sequential "
+    "test run the way it actually deploys: per-day (trials, "
+    "successes) counters persist in applyInPandasWithState under "
+    "one constant key (day count is time-dimension-sized, so state "
+    "stays KB-sized at any volume), the integer LLR walk re-emits "
+    "per micro-batch, and the drained final emission must equal the "
+    "batch answer exactly. The log constants and the ln(19) "
+    "boundary are evaluated ONCE on the JVM and closed over by the "
+    "state function, so batch, stream, and oracle share literally "
+    "identical doubles. Single stateful operator (no upstream "
+    "streaming agg — update mode forbids chaining); the day rollup "
+    "happens in pandas inside the state function.",
+)
+def events_sprt_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import sprt_stream
+    from .streaming.stream import run_to_memory
+
+    consts = (
+        spark.range(1)
+        .select(
+            F.log(F.lit(0.22) / F.lit(0.18)).alias("l1"),
+            F.log(F.lit(0.78) / F.lit(0.82)).alias("l2"),
+            F.round(F.log(F.lit(19.0)) * 1000000).cast("long").alias("am"),
+        )
+        .first()
+    )
+    drained = run_to_memory(
+        sprt_stream(
+            spark, sf_dir, float(consts["l1"]), float(consts["l2"]),
+            int(consts["am"]),
+        ),
+        output_mode="update",
+    )
+    return (
+        drained.orderBy(F.col("n_events_seen").desc())
+        .limit(1)
+        .drop("n_events_seen")
+    )

@@ -8876,3 +8876,88 @@ def embeddings_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("h_micro") / 1000000.0 / F.count("*"), 6
         ).alias("mmd2_linear"),
     )
+
+
+@register(
+    "corpus_chinchilla_planner",
+    f"""
+    WITH corpus AS (
+      SELECT sum(len({_TOKS}))::BIGINT AS corpus_tokens FROM documents
+    ),
+    budgets AS (SELECT unnest([19, 21, 23]) AS log10_flops),
+    consts AS (
+      SELECT
+        (ln(0.34 * 406.4) - ln(0.28 * 410.7)) / (0.34 + 0.28) AS ln_g,
+        0.28 / (0.34 + 0.28) AS a,
+        0.34 / (0.34 + 0.28) AS b
+    ),
+    plan AS (
+      SELECT corpus.corpus_tokens, CAST(budgets.log10_flops AS BIGINT)
+               AS log10_flops,
+             consts.ln_g + consts.a
+               * (budgets.log10_flops * ln(10.0) - ln(6.0)) AS ln_n,
+             -consts.ln_g + consts.b
+               * (budgets.log10_flops * ln(10.0) - ln(6.0)) AS ln_d
+      FROM corpus CROSS JOIN budgets CROSS JOIN consts
+    )
+    SELECT corpus_tokens, log10_flops,
+           round(ln_n / ln(10.0), 4) AS n_opt_log10,
+           round(ln_d / ln(10.0), 4) AS d_opt_log10,
+           round(exp(ln_d - ln(CAST(corpus_tokens AS DOUBLE))), 2)
+             AS epochs_needed,
+           exp(ln_d - ln(CAST(corpus_tokens AS DOUBLE))) > 4.0
+             AS data_limited,
+           round(1.69 + exp(ln(406.4) - 0.34 * ln_n)
+                 + exp(ln(410.7) - 0.28 * ln_d), 4) AS est_loss
+    FROM plan ORDER BY log10_flops
+    """,
+    doc="Chinchilla compute-optimal training planner (Hoffmann et al. "
+    "2022 parametric-loss fit, public constants E=1.69, A=406.4, "
+    "B=410.7, alpha=0.34, beta=0.28): for compute budgets 1e19/1e21/"
+    "1e23 FLOPs, the optimal parameter and token counts N ~ C^0.45, "
+    "D ~ C^0.55 (log10), the epochs of THIS corpus the optimal D "
+    "requires, a data-limited flag at the >4-epoch repeat-value "
+    "cliff (the E313 decay law's knee), and the predicted loss "
+    "E + A/N^alpha + B/D^beta. The capstone of the mix-planning "
+    "family: waterfill splits a budget across sources, E313 prices "
+    "repeats, this entry says what budget the corpus can even "
+    "support. Everything is log-space scalar arithmetic over one "
+    "exact corpus token count — a single map-side-combined "
+    "aggregate is all that touches data.",
+)
+def corpus_chinchilla_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.agg(
+        F.sum(F.size(tokens("text"))).cast("long").alias("corpus_tokens")
+    )
+    budgets = spark.createDataFrame([(19,), (21,), (23,)], "log10_flops INT")
+    ln10 = F.log(F.lit(10.0))
+    ln_g = (F.log(F.lit(0.34) * 406.4) - F.log(F.lit(0.28) * 410.7)) / (
+        F.lit(0.34) + 0.28
+    )
+    a = F.lit(0.28) / (F.lit(0.34) + 0.28)
+    b = F.lit(0.34) / (F.lit(0.34) + 0.28)
+    lnc6 = F.col("log10_flops") * F.log(F.lit(10.0)) - F.log(F.lit(6.0))
+    ln_n = ln_g + a * lnc6
+    ln_d = -ln_g + b * lnc6
+    ln_corpus = F.log(F.col("corpus_tokens").cast("double"))
+    return (
+        corpus.crossJoin(F.broadcast(budgets))
+        .select(
+            "corpus_tokens",
+            F.col("log10_flops").cast("long").alias("log10_flops"),
+            F.round(ln_n / ln10, 4).alias("n_opt_log10"),
+            F.round(ln_d / ln10, 4).alias("d_opt_log10"),
+            F.round(F.exp(ln_d - ln_corpus), 2).alias("epochs_needed"),
+            (F.exp(ln_d - ln_corpus) > 4.0).alias("data_limited"),
+            F.round(
+                F.lit(1.69)
+                + F.exp(F.log(F.lit(406.4)) - F.lit(0.34) * ln_n)
+                + F.exp(F.log(F.lit(410.7)) - F.lit(0.28) * ln_d),
+                4,
+            ).alias("est_loss"),
+        )
+        .orderBy("log10_flops")
+    )

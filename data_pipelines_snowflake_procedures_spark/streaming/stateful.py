@@ -217,3 +217,142 @@ def quantile_sketch_stream(spark, sf_dir: str, k: int = 256) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SPRT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("n_days", LongType()),
+        StructField("first_cross_t", LongType()),
+        StructField("decision", StringType()),
+        StructField("final_llr", DoubleType()),
+        StructField("max_llr", DoubleType()),
+        StructField("min_llr", DoubleType()),
+        StructField("n_events_seen", LongType()),
+    ]
+)
+
+SPRT_STATE_SCHEMA = StructType(
+    [
+        StructField("days", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
+        StructField("ss", ArrayType(LongType())),
+    ]
+)
+
+
+def sprt_walk_report(
+    per_day: list[tuple[int, int, int]], l1: float, l2: float, a_micro: int
+) -> tuple:
+    """Replay the SPRT integer walk from (day, n, s) rows — the SAME
+    arithmetic as the batch entry's windowed cumulative sum: per-day
+    LLR increments frozen to micro-units with the JVM-evaluated log
+    constants, exact integer accumulation, strict boundary test.
+    Returns (n_days, first_cross_t, decision, final, max, min) with
+    the llr fields already /1e6-rounded to 6."""
+    cum = 0
+    mx: int | None = None
+    mn: int | None = None
+    first_t = None
+    decision = "continue"
+    for t, (_, n, s) in enumerate(sorted(per_day), start=1):
+        cum += round((s * l1 + (n - s) * l2) * 1000000)
+        mx = cum if mx is None or cum > mx else mx
+        mn = cum if mn is None or cum < mn else mn
+        if first_t is None and (cum >= a_micro or cum <= -a_micro):
+            first_t = t
+            decision = "accept_h1" if cum >= a_micro else "accept_h0"
+    return (
+        len(per_day),
+        first_t,
+        decision,
+        round(cum / 1000000.0, 6),
+        round((mx if mx is not None else 0) / 1000000.0, 6),
+        round((mn if mn is not None else 0) / 1000000.0, 6),
+    )
+
+
+def _make_update_sprt(l1: float, l2: float, a_micro: int):
+    def _update_sprt(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Merge this micro-batch's (day, n, s) aggregates into the
+        persisted per-day map and emit the SPRT report over all data
+        seen so far — the always-valid sequential-test readout."""
+        acc: dict[int, list[int]] = {}
+        if state.exists:
+            days, ns, ss = state.get
+            for d, n, s in zip(days, ns, ss):
+                acc[int(d)] = [int(n), int(s)]
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            g = pdf.groupby("day_key")["c"].agg(["count", "sum"])
+            for d, (n, s) in g.iterrows():
+                cur = acc.setdefault(int(d), [0, 0])
+                cur[0] += int(n)
+                cur[1] += int(s)
+        days_sorted = sorted(acc)
+        state.update(
+            (
+                days_sorted,
+                [acc[d][0] for d in days_sorted],
+                [acc[d][1] for d in days_sorted],
+            )
+        )
+        per_day = [(d, acc[d][0], acc[d][1]) for d in days_sorted]
+        n_days, first_t, decision, fin, mx, mn = sprt_walk_report(
+            per_day, l1, l2, a_micro
+        )
+        n_seen = sum(acc[d][0] for d in days_sorted)
+        yield pd.DataFrame(
+            [
+                (
+                    n_days,
+                    first_t,
+                    decision,
+                    fin,
+                    mx,
+                    mn,
+                    n_seen,
+                )
+            ],
+            columns=[
+                "n_days", "first_cross_t", "decision",
+                "final_llr", "max_llr", "min_llr", "n_events_seen",
+            ],
+        )
+
+    return _update_sprt
+
+
+def sprt_stream(
+    spark, sf_dir: str, l1: float, l2: float, a_micro: int
+) -> DataFrame:
+    """Streaming Wald SPRT over the harness events: rows fold
+    into a per-day state map under one constant key (the walk is a
+    single global test; day count is time-dimension-sized, so state
+    stays KB-sized at any volume), report re-emitted per batch."""
+    from pyspark.sql import functions as F
+
+    from .stream import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir).select(
+        F.lit("all").alias("k"),
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_key"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("c"),
+    )
+    # no streaming pre-aggregation: chaining a streaming agg into
+    # applyInPandasWithState would be two stateful operators (update
+    # mode forbids it) — the day-grain rollup happens in pandas inside
+    # the state function; at 100 TB the production layout shards the
+    # feed by (experiment, day) partial sums upstream and keeps this
+    # operator's state day-grain either way
+    return ev.groupBy("k").applyInPandasWithState(
+        _make_update_sprt(l1, l2, a_micro),
+        outputStructType=SPRT_OUTPUT_SCHEMA,
+        stateStructType=SPRT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

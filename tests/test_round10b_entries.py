@@ -259,3 +259,36 @@ def test_eoq_scales_with_sqrt_demand(spark, sf_dir):
             2 * r.demand_qty * 100.0 / (0.2 * r.avg_unit_price)
         )
         assert abs(r.eoq_units - recomputed) < 0.02 * recomputed + 1.0
+
+
+def test_sprt_streaming_equals_batch(spark, sf_dir):
+    batch = REGISTRY["events_sprt_conversion"].spark_fn(
+        spark, sf_dir
+    ).collect()[0]
+    stream = REGISTRY["events_sprt_streaming"].spark_fn(
+        spark, sf_dir
+    ).collect()[0]
+    assert stream.asDict() == batch.asDict()
+
+
+def test_chinchilla_monotone_in_budget(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["corpus_chinchilla_planner"].spark_fn(
+            spark, sf_dir
+        ).collect(),
+        key=lambda r: r.log10_flops,
+    )
+    assert [r.log10_flops for r in rows] == [19, 21, 23]
+    for a, b in zip(rows, rows[1:]):
+        # bigger budgets want more params, more tokens, lower loss
+        assert b.n_opt_log10 > a.n_opt_log10
+        assert b.d_opt_log10 > a.d_opt_log10
+        assert b.est_loss < a.est_loss
+        assert b.epochs_needed > a.epochs_needed
+    for r in rows:
+        # Hoffmann scaling: N and D split the ln(C/6) budget exactly
+        assert abs(
+            (r.n_opt_log10 + r.d_opt_log10)
+            - (r.log10_flops - math.log10(6.0))
+        ) < 2e-3
+        assert r.data_limited == (r.epochs_needed > 4.0)
