@@ -168,8 +168,25 @@ _TAR_SCHEMA = (
 def read_tar(spark: SparkSession, path: str, parallelism: int = 64) -> DataFrame:
     """Distributed tar read: driver header-index walk, then member
     (offset, size) ranges fan out via ``mapInPandas``; each task seeks
-    to and reads only its members' payload bytes."""
-    idx = index_tar(path)
+    to and reads only its members' payload bytes. ``path`` may be a
+    single shard or a DIRECTORY of ``.tar`` shards — the production
+    WebDataset layout — in which case the index spans every shard and
+    work distributes by (shard, member) range."""
+    if os.path.isdir(path):
+        shards = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".tar")
+        )
+        if not shards:
+            raise ValueError(f"no .tar shards in directory {path!r}")
+        idx = [
+            (sp, name, off, size)
+            for sp in shards
+            for name, off, size in index_tar(sp)
+        ]
+    else:
+        idx = [(path, name, off, size) for name, off, size in index_tar(path)]
     if not idx:
         return spark.createDataFrame([], _TAR_SCHEMA)
 
@@ -180,18 +197,22 @@ def read_tar(spark: SparkSession, path: str, parallelism: int = 64) -> DataFrame
             if len(pdf) == 0:
                 continue
             rows = []
-            with open(path, "rb") as f:
-                for name, off, size in zip(
-                    pdf["name"], pdf["off"], pdf["size"]
-                ):
-                    f.seek(int(off))
-                    payload = f.read(int(size))
-                    if len(payload) != int(size):
-                        raise ValueError(
-                            f"tar member {name!r}: payload truncated"
+            # group by shard so each file opens once per task
+            for shard, grp in pdf.groupby("shard", sort=False):
+                with open(shard, "rb") as f:
+                    for name, off, size in zip(
+                        grp["name"], grp["off"], grp["size"]
+                    ):
+                        f.seek(int(off))
+                        payload = f.read(int(size))
+                        if len(payload) != int(size):
+                            raise ValueError(
+                                f"tar member {name!r}: payload truncated"
+                            )
+                        key, ext = split_key(str(name))
+                        rows.append(
+                            (str(name), key, ext, int(size), payload)
                         )
-                    key, ext = split_key(str(name))
-                    rows.append((str(name), key, ext, int(size), payload))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -200,7 +221,7 @@ def read_tar(spark: SparkSession, path: str, parallelism: int = 64) -> DataFrame
             )
 
     frame = spark.createDataFrame(
-        idx, "name STRING, off BIGINT, size BIGINT"
+        idx, "shard STRING, name STRING, off BIGINT, size BIGINT"
     ).repartition(min(len(idx), parallelism))
     return frame.mapInPandas(read_members, schema=_TAR_SCHEMA)
 

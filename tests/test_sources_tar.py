@@ -150,3 +150,26 @@ def test_empty_tar_is_empty_frame(spark, tmp_path):
     path = tmp_path / "empty.tar"
     path.write_bytes(encode_ustar([]))
     assert read_tar(spark, str(path)).count() == 0
+
+
+def test_read_tar_directory_of_shards(spark, tmp_path):
+    shard_a = [("a/0001.txt", b"alpha"), ("a/0001.cls", b"en")]
+    shard_b = [("b/0002.txt", b"beta"), ("b/0002.cls", b"de")]
+    (tmp_path / "s0.tar").write_bytes(encode_ustar(shard_a))
+    (tmp_path / "s1.tar").write_bytes(encode_ustar(shard_b))
+    (tmp_path / "ignore.txt").write_text("not a shard")
+    rows = {
+        r["member_name"]: bytes(r["payload"])
+        for r in read_tar(spark, str(tmp_path)).collect()
+    }
+    assert rows == dict(shard_a + shard_b)
+    wds = {
+        r["sample_key"]: r["n_parts"]
+        for r in read_webdataset(spark, str(tmp_path)).collect()
+    }
+    assert wds == {"a/0001": 2, "b/0002": 2}
+
+
+def test_read_tar_empty_directory_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="no .tar shards"):
+        read_tar(spark, str(tmp_path))
