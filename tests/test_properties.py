@@ -104,3 +104,54 @@ def test_card_mask_keeps_only_last4(card):
     masked = mask_value(card, "CREDIT_CARD")
     assert masked == "XXXX-XXXX-XXXX-" + card[-4:]
     assert card[:4] not in masked or card[:4] == card[-4:]
+
+
+# -- ustar codec (sources/tar.py) ------------------------------------------
+
+from data_pipelines_snowflake_procedures_spark.sources.tar import (  # noqa: E402
+    encode_ustar,
+    parse_ustar,
+    split_key,
+)
+
+_member_name = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd"),
+        whitelist_characters="._-/",
+    ),
+    min_size=1,
+    max_size=60,
+).filter(lambda s: not s.startswith("/") and "\x00" not in s)
+
+
+@given(
+    st.lists(
+        st.tuples(_member_name, st.binary(min_size=0, max_size=2000)),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_ustar_round_trip_arbitrary_members(members):
+    blob = encode_ustar(members)
+    # archive is block-aligned with the two-zero-block trailer
+    assert len(blob) % 512 == 0
+    parsed = parse_ustar(blob)
+    assert [(n, s) for n, _, s in parsed] == [
+        (n, len(p)) for n, p in members
+    ]
+    for (name, off, size), (_, payload) in zip(parsed, members):
+        assert blob[off : off + size] == payload
+
+
+@given(_member_name)
+@settings(max_examples=150, deadline=None)
+def test_split_key_reassembles(name):
+    key, ext = split_key(name)
+    d, _, base = name.rpartition("/")
+    assert (base if "." not in base else base.split(".", 1)[0]) == (
+        key if not d else key[len(d) + 1 :]
+    )
+    if ext:
+        assert name.endswith("." + ext)
