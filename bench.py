@@ -429,6 +429,7 @@ HEADLINE = [
     "part_eoq_policy",
     "events_sprt_streaming",
     "corpus_chinchilla_planner",
+    "events_shapley_attribution",
 ]
 
 # The bench must cover the FULL registry: a silent selection rule reads

@@ -10366,3 +10366,137 @@ def events_sprt_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .drop("n_events_seen")
     )
+
+
+@register(
+    "events_shapley_attribution",
+    """
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c_view,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_click,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS c_signup,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT c_view * 4 + c_click * 2 + c_signup AS mask,
+             count(*)::BIGINT AS n, sum(conv)::BIGINT AS s
+      FROM u GROUP BY 1
+    ),
+    v AS (
+      SELECT g.mask,
+             COALESCE(CAST(m.s AS DOUBLE) / m.n, 0.0) AS rate
+      FROM (SELECT unnest(range(0, 8)) AS mask) g
+      LEFT JOIN m ON m.mask = g.mask
+    ),
+    chan AS (
+      SELECT * FROM (VALUES ('view', 4), ('click', 2), ('signup', 1))
+        t(channel, bit)
+    ),
+    contrib AS (
+      SELECT chan.channel, chan.bit, v.mask AS s_mask,
+             CASE WHEN (v.mask // 4) % 2 + (v.mask // 2) % 2 + v.mask % 2 = 0
+                  THEN 2.0 / 6
+                  WHEN (v.mask // 4) % 2 + (v.mask // 2) % 2 + v.mask % 2 = 1
+                  THEN 1.0 / 6
+                  ELSE 2.0 / 6 END
+               * ((SELECT rate FROM v v2 WHERE v2.mask = v.mask + chan.bit)
+                  - v.rate) AS phi_term
+      FROM chan JOIN v ON (v.mask // chan.bit) % 2 = 0
+    )
+    SELECT channel,
+           round(sum(CAST(round(phi_term * 1000000000) AS BIGINT))
+                 / 1000000000.0, 6) AS shapley_value
+    FROM contrib GROUP BY channel ORDER BY channel
+    """,
+    doc="Exact Shapley-value channel attribution (the cooperative-"
+    "game model of marketing credit, public — Shapley 1953 applied "
+    "to conversion paths): channels view/click/signup, "
+    "characteristic function v(S) = purchase rate of users exposed "
+    "to exactly coalition S (8 exact per-mask rates from one "
+    "user-grain aggregate), and each channel's credit is the "
+    "exactly-enumerated weighted marginal sum over the 4 coalitions "
+    "not containing it (weights |S|!(n-|S|-1)!/n! = 2/6, 1/6, 1/6, "
+    "2/6 at n=3). The game-theoretic leg of the attribution family "
+    "beside the heuristic (events_attribution_models), time-decay, "
+    "and Markov removal-effect entries. The phi sum is 4 doubles "
+    "per channel combined in a fixed grouped order (mask-keyed "
+    "aggregation of identical terms cross-engine). Scale shape: one "
+    "user-grain aggregate with map-side combine, then all work on "
+    "the 8-row coalition lattice — channel count bounds the "
+    "lattice, never data volume.",
+)
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "c_view"
+        ),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "c_click"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).alias("c_signup"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    m = u.groupBy(
+        (F.col("c_view") * 4 + F.col("c_click") * 2 + F.col("c_signup")).alias(
+            "mask"
+        )
+    ).agg(F.count("*").alias("n"), F.sum("conv").alias("s"))
+    grid = spark.range(0, 8).select(F.col("id").alias("mask"))
+    v = (
+        grid.join(m, "mask", "left")
+        .select(
+            "mask",
+            F.coalesce(
+                F.col("s").cast("double") / F.col("n"), F.lit(0.0)
+            ).alias("rate"),
+        )
+    )
+    chan = spark.createDataFrame(
+        [("view", 4), ("click", 2), ("signup", 1)], "channel STRING, bit INT"
+    )
+    v2 = v.select(
+        F.col("mask").alias("mask2"), F.col("rate").alias("rate_with")
+    )
+    popcount = (
+        (F.col("mask") / 4).cast("long") % 2
+        + (F.col("mask") / 2).cast("long") % 2
+        + F.col("mask") % 2
+    )
+    weight = (
+        F.when(popcount == 0, F.lit(2.0) / 6)
+        .when(popcount == 1, F.lit(1.0) / 6)
+        .otherwise(F.lit(2.0) / 6)
+    )
+    contrib = (
+        F.broadcast(chan)
+        .join(v, (F.col("mask") / F.col("bit")).cast("long") % 2 == 0)
+        .join(v2, F.col("mask2") == F.col("mask") + F.col("bit"))
+        .select(
+            "channel",
+            F.round(
+                (weight * (F.col("rate_with") - F.col("rate"))) * 1000000000
+            )
+            .cast("long")
+            .alias("phi_nano"),
+        )
+    )
+    # nano-unit freeze before the 4-term sum: float addition order in a
+    # grouped agg is partition-dependent; integer sums are not
+    return (
+        contrib.groupBy("channel")
+        .agg(
+            F.round(F.sum("phi_nano") / 1000000000.0, 6).alias(
+                "shapley_value"
+            )
+        )
+        .orderBy("channel")
+    )

@@ -292,3 +292,26 @@ def test_chinchilla_monotone_in_budget(spark, sf_dir):
             - (r.log10_flops - math.log10(6.0))
         ) < 2e-3
         assert r.data_limited == (r.epochs_needed > 4.0)
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    rows = REGISTRY["events_shapley_attribution"].spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert {r.channel for r in rows} == {"view", "click", "signup"}
+    # efficiency: the values sum to v(grand coalition) - v(empty set)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("a"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("b"),
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("c"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+    ).collect()
+    full = [r for r in u if r.a and r.b and r.c]
+    none = [r for r in u if not (r.a or r.b or r.c)]
+    v_full = sum(r.y for r in full) / len(full) if full else 0.0
+    v_none = sum(r.y for r in none) / len(none) if none else 0.0
+    total = sum(r.shapley_value for r in rows)
+    assert abs(total - (v_full - v_none)) < 1e-4
