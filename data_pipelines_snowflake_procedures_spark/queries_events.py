@@ -9872,14 +9872,15 @@ def events_hourly_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         a.join(b, F.col("xb") >= F.col("xa") + 4)
         .select("xa", "xb", r.alias("r"))
+        .select("xa", "xb", F.col("r"), dist.alias("d"))
+        .orderBy(F.col("d").asc(), F.col("xa").asc(), F.col("xb").asc())
+        .limit(5)
         .select(
             "xa",
             "xb",
             F.round(F.col("r"), 6).alias("znorm_corr"),
-            F.round(dist, 6).alias("znorm_dist"),
+            F.round(F.col("d"), 6).alias("znorm_dist"),
         )
-        .orderBy(dist.asc(), F.col("xa").asc(), F.col("xb").asc())
-        .limit(5)
     )
     rows = out.collect()
     hourly.unpersist()
