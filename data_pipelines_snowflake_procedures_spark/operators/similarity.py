@@ -927,6 +927,56 @@ def ivf_residuals(
     )
 
 
+def ivfpq_index(
+    corpus: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    residuals: DataFrame | None = None,
+) -> DataFrame:
+    """The searchable IVF-PQ corpus index: one row per vector with its
+    coarse cell, the reconstructed (centroid + dequantized residual)
+    vector, and its norm — everything the approximate-scan phase needs
+    and nothing query-dependent. Build once (and persist) per
+    (corpus, coarse, codebooks); every :func:`knn_ivfpq` call with a
+    different nprobe/k/rerank then reuses it, exactly how a FAISS-style
+    index amortizes encode cost across queries. The coarse matrix
+    rides in as a 1-row broadcast — a literal k_coarse x dim tree
+    would re-create the plan-analysis cost kmeans_assign_df
+    documents."""
+    spark = corpus.sparkSession
+    res = (
+        residuals
+        if residuals is not None
+        else ivf_residuals(corpus, coarse, emb_col, id_col)
+    )
+    enc = pq_encode(res, codebooks, emb_col="remb")
+    deq_res = pq_reconstruct_expr(codebooks)
+    rmat = _matrix_df(spark, coarse, "__ivf_rmat")
+    recon = F.zip_with(
+        F.element_at(F.col("__ivf_rmat"), (F.col("cell") + 1).cast("int")),
+        deq_res,
+        lambda a, b: a + b,
+    )
+    return (
+        enc.crossJoin(F.broadcast(rmat))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "cell",
+            recon.alias("c_recon"),
+        )
+        .withColumn(
+            "c_recon_nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.col("c_recon"), F.lit(0.0), lambda acc, v: acc + v * v
+                )
+            ),
+        )
+    )
+
+
 def knn_ivfpq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -938,6 +988,7 @@ def knn_ivfpq(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     residuals: DataFrame | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN with exact re-ranking. Three phases, all
     hash-deterministic (6-decimal rounding, lowest-id tie-breaks):
@@ -962,7 +1013,11 @@ def knn_ivfpq(
 
     Pass ``residuals`` (an :func:`ivf_residuals` frame over the same
     corpus/centroids) to reuse the assignment pass that codebook
-    training already ran — otherwise it is recomputed here.
+    training already ran — otherwise it is recomputed here. Pass
+    ``index`` (an :func:`ivfpq_index` frame, ideally persisted) to
+    skip the corpus encode+reconstruct entirely — the
+    build-once/search-many layout every production IVF-PQ deployment
+    uses; values are identical by construction.
     """
     spark = corpus.sparkSession
     # query-side probe: rank cells per query over the broadcast coarse
@@ -991,33 +1046,13 @@ def knn_ivfpq(
         .select("query_id", "q_emb", "q_nrm", F.col("cell").cast("long").alias("cell"))
     )
     # corpus side: residual-encode, reconstruct cell centroid + residual
-    # (coarse matrix rides in as the same 1-row broadcast — a literal
-    # k_coarse×dim tree would re-create the plan-analysis cost
-    # kmeans_assign_df documents)
-    res = (
-        residuals
-        if residuals is not None
-        else ivf_residuals(corpus, coarse, emb_col, id_col)
-    )
-    enc = pq_encode(res, codebooks, emb_col="remb")
-    deq_res = pq_reconstruct_expr(codebooks)
-    rmat = _matrix_df(spark, coarse, "__ivf_rmat")
-    recon = F.zip_with(
-        F.element_at(F.col("__ivf_rmat"), (F.col("cell") + 1).cast("int")),
-        deq_res,
-        lambda a, b: a + b,
-    )
-    c = enc.crossJoin(F.broadcast(rmat)).select(
-        F.col(id_col).alias("neighbor_id"),
-        "cell",
-        recon.alias("c_recon"),
-    ).withColumn(
-        "c_recon_nrm",
-        F.sqrt(
-            F.aggregate(
-                F.col("c_recon"), F.lit(0.0), lambda acc, v: acc + v * v
-            )
-        ),
+    # — shared across searches via a prebuilt ``index`` when provided
+    c = (
+        index
+        if index is not None
+        else ivfpq_index(
+            corpus, coarse, codebooks, emb_col, id_col, residuals=residuals
+        )
     )
     approx = (
         c.join(F.broadcast(probes), "cell")

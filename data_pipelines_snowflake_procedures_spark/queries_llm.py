@@ -3976,6 +3976,7 @@ def knn_recall_report_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.similarity import (
         ivf_residuals,
+        ivfpq_index,
         kmeans_fit,
         knn_bruteforce,
         knn_ivfpq,
@@ -3998,6 +3999,10 @@ def knn_recall_report_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir, "pq_books_res",
         lambda: pq_fit(res, m=4, k=16, iters=2, emb_col="remb"),
     )
+    # build-once IVF-PQ index shared by both nprobe variants: the
+    # corpus encode+reconstruct is query-independent, so running it
+    # per variant was pure waste (values identical by construction)
+    index = ivfpq_index(emb, coarse, books_res, residuals=res).persist()
     truth = (
         knn_bruteforce(emb, queries, k=5)
         .select("query_id", "neighbor_id")
@@ -4009,14 +4014,14 @@ def knn_recall_report_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ivfpq_nprobe1",
             knn_ivfpq(
                 emb, queries, coarse, books_res, k=5, nprobe=1, rerank=3,
-                residuals=res,
+                index=index,
             ),
         ),
         (
             "ivfpq_nprobe2",
             knn_ivfpq(
                 emb, queries, coarse, books_res, k=5, nprobe=2, rerank=3,
-                residuals=res,
+                index=index,
             ),
         ),
     ]
@@ -4042,6 +4047,7 @@ def knn_recall_report_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb.unpersist()
     truth.unpersist()
     res.unpersist()
+    index.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 
