@@ -188,6 +188,7 @@ def knn_ivf(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     nprobe: int = 1,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: quantize corpus vectors to their nearest
     centroid, then search the query's ``nprobe`` closest cells.
@@ -195,8 +196,15 @@ def knn_ivf(
     neighbor lives outside the probed cells — raise ``nprobe`` to trade
     scan cost for recall. At scale the corpus is pre-partitioned (and
     pre-written bucketed) by centroid_id, so a query touches
-    ~nprobe/k_cells of the data."""
-    c_assigned = ivf_assign(corpus, centroids, emb_col, id_col)
+    ~nprobe/k_cells of the data. Pass ``assigned`` (an
+    :func:`ivf_assign` frame, ideally persisted) to share the
+    query-independent corpus assignment across searches with different
+    nprobe — values identical by construction."""
+    c_assigned = (
+        assigned
+        if assigned is not None
+        else ivf_assign(corpus, centroids, emb_col, id_col)
+    )
     q_assigned = ivf_assign_multi(queries, centroids, nprobe, emb_col, id_col)
     q = q_assigned.select(
         F.col(id_col).alias("query_id"),
@@ -237,6 +245,7 @@ def knn_lsh(
     id_col: str = "vec_id",
     seed: str = "srp",
     multiprobe: bool = False,
+    corpus_hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: compare only within SRP buckets. Same output
     shape as :func:`knn_bruteforce`; recall < 1 by construction (a
@@ -270,11 +279,18 @@ def knn_lsh(
         norm(F.col(emb_col)).alias("q_nrm"),
         probe.alias("bucket"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(emb_col).alias("c_emb"),
-        norm(F.col(emb_col)).alias("c_nrm"),
-        srp_bucket(F.col(emb_col), planes).alias("bucket"),
+    # corpus side is query-independent and identical for the plain and
+    # multiprobe variants (multiprobe only widens the QUERY probes):
+    # share it via corpus_hashed across searches
+    c = (
+        corpus_hashed
+        if corpus_hashed is not None
+        else corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(emb_col).alias("c_emb"),
+            norm(F.col(emb_col)).alias("c_nrm"),
+            srp_bucket(F.col(emb_col), planes).alias("bucket"),
+        )
     )
     scored = (
         c.join(F.broadcast(q), on="bucket")

@@ -2886,11 +2886,15 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     from .operators.similarity import (
+        ivf_assign,
         knn_bruteforce,
         knn_ivf,
         knn_lsh,
         knn_sq,
+        norm,
         sq_bounds,
+        srp_bucket,
+        srp_hyperplanes,
     )
 
     # Persist the corpus once: five variants each probe it several times
@@ -2908,11 +2912,31 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .persist()
     )
+    # corpus-side structures shared across variant pairs: the IVF cell
+    # assignment (both nprobe settings) and the SRP-hashed corpus
+    # (plain + multiprobe differ only on the query side)
+    assigned = ivf_assign(emb, centroids).persist()
+    planes = srp_hyperplanes(8, 64, "srp")
+    hashed = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_nrm"),
+        srp_bucket(F.col("embedding"), planes).alias("bucket"),
+    ).persist()
     variants = [
-        ("ivf_nprobe1", knn_ivf(emb, queries, centroids, k=5)),
-        ("ivf_nprobe2", knn_ivf(emb, queries, centroids, k=5, nprobe=2)),
-        ("lsh", knn_lsh(emb, queries, k=5, n_planes=8)),
-        ("lsh_multiprobe", knn_lsh(emb, queries, k=5, n_planes=8, multiprobe=True)),
+        ("ivf_nprobe1", knn_ivf(emb, queries, centroids, k=5, assigned=assigned)),
+        (
+            "ivf_nprobe2",
+            knn_ivf(emb, queries, centroids, k=5, nprobe=2, assigned=assigned),
+        ),
+        ("lsh", knn_lsh(emb, queries, k=5, n_planes=8, corpus_hashed=hashed)),
+        (
+            "lsh_multiprobe",
+            knn_lsh(
+                emb, queries, k=5, n_planes=8, multiprobe=True,
+                corpus_hashed=hashed,
+            ),
+        ),
         ("sq8", knn_sq(emb, queries, sq_bounds(emb), k=5, rerank=3)),
     ]
     parts = [
@@ -2937,6 +2961,8 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # caches can be RELEASED here instead of leaking for the session
     # lifetime behind a lazy return (ADVICE r4 #2).
     rows = out.collect()
+    assigned.unpersist()
+    hashed.unpersist()
     emb.unpersist()
     truth.unpersist()
     return spark.createDataFrame(rows, out.schema)
