@@ -336,15 +336,21 @@ def rare_value_accuracy_long(df: DataFrame, cols: list[str]) -> DataFrame:
             )
             .groupBy("column_name")
             .agg(
+                # sum the INTEGER counts of rare values and divide once:
+                # summing per-row cnt/tot floats is partition-order
+                # dependent and can land at 1.0 +/- 1ulp, flipping the
+                # sign of the rounded zero (a real flake caught by the
+                # sign-sensitive oracle comparator)
                 F.round(
                     1.0
                     - F.coalesce(
                         F.sum(
                             F.when(
                                 F.col("cnt") / F.col("tot") < RARE_FREQ,
-                                F.col("cnt") / F.col("tot"),
-                            ).otherwise(F.lit(0.0))
-                        ),
+                                F.col("cnt"),
+                            ).otherwise(F.lit(0))
+                        ).cast("double")
+                        / F.max("tot"),
                         F.lit(0.0),
                     ),
                     6,

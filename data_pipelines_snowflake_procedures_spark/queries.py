@@ -483,10 +483,14 @@ def _rare_oracle(table: str, cols: list[str]) -> str:
     selects = []
     for c in cols:
         inner = (
-            f"SELECT count(*)::DOUBLE / (SELECT count({c}) FROM {table}) AS freq "
+            f"SELECT count(*)::BIGINT AS cnt, "
+            f"(SELECT count({c}) FROM {table})::BIGINT AS tot "
             f"FROM {table} WHERE {c} IS NOT NULL GROUP BY {c}"
         )
-        expr = "1.0 - coalesce(sum(CASE WHEN freq < 0.01 THEN freq END), 0)"
+        expr = (
+            "1.0 - coalesce(CAST(sum(CASE WHEN CAST(cnt AS DOUBLE) / tot "
+            "< 0.01 THEN cnt ELSE 0 END) AS DOUBLE) / max(tot), 0)"
+        )
         selects.append(
             f"""SELECT '{c}' AS column_name, round({expr}, 6) AS result,
                 CASE WHEN ({expr}) >= 0.95 THEN 'passed' ELSE 'failed' END AS status
