@@ -6265,6 +6265,124 @@ def dedup_source_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cell_knn_blocks(pdf, k: int):
+    """Exact within-cell k-nearest-neighbor kernel shared by the LOF
+    and TwoNN entries: for every point in one k-means cell, the k
+    nearest OTHER points by (dm, vec_id) where ``dm = round(sqrt(
+    Σ_d (x_d − y_d)²) · 1e6)`` as BIGINT — bit-identical to the old
+    pair-join expression (and to the DuckDB oracle restatement):
+
+    * the squared distance accumulates over dimensions IN INDEX ORDER
+      starting from 0.0 (one vectorized add per dimension), i.e. the
+      exact IEEE-754 op sequence of the ``aggregate(zip_with(...))``
+      fold it replaces;
+    * ``sqrt`` is correctly rounded in both engines;
+    * the half-up integer rounding reproduces Spark's
+      ``round(double, 0)`` (BigDecimal HALF_UP — for positive x below
+      2^52 that is exactly ``floor(x) + (frac(x) >= 0.5)``, since the
+      decimal .5 boundary is itself a representable double).
+
+    Returns (ids int64[n], dm_rows list of int64 arrays, nb_rows list
+    of int32 index arrays into ids). Points in singleton cells yield
+    no rows (no pairs — same as the join form). O(n²) work per cell —
+    identical to the pair join it replaces — but vectorized (BLAS-
+    grade) instead of one JVM array-lambda fold per pair, and with
+    row-blocked memory so a skewed cell cannot hold an n×n matrix.
+    """
+    import numpy as np
+
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    n = len(ids)
+    if n < 2:
+        return ids, [], []
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    dim = X.shape[1]
+    kk = min(k, n - 1)
+    maxi = np.iinfo(np.int64).max
+    dm_rows: list = []
+    nb_rows: list = []
+    block = max(1, 4_000_000 // max(n, 1))
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        acc = np.zeros((hi - lo, n), dtype=np.float64)
+        for d in range(dim):
+            diff = X[lo:hi, d][:, None] - X[None, :, d]
+            acc += diff * diff
+        dmf = np.sqrt(acc) * 1e6
+        ip = np.floor(dmf)
+        dm = (ip + (dmf - ip >= 0.5)).astype(np.int64)
+        for r in range(hi - lo):
+            row = dm[r]
+            row[lo + r] = maxi  # exclude self
+            part = np.argpartition(row, kk - 1)[:kk]
+            thresh = row[part].max()
+            cand = np.flatnonzero(row <= thresh)
+            order = cand[np.lexsort((ids[cand], row[cand]))][:kk]
+            dm_rows.append(row[order])
+            nb_rows.append(order.astype(np.int64))
+    return ids, dm_rows, nb_rows
+
+
+def _lof_cell_scores(af) -> "DataFrame":
+    """Per-cell LOF (k=5): the WHOLE pair→top5→k-dist→reachability→
+    lrd→lof chain is cell-local, so it runs in ONE applyInPandas over
+    the assignment frame — one shuffle keyed on the cell id replaces
+    the old n×cell_size pair-join plus four node-keyed join/aggregate
+    shuffles (plan before/after: plans/r10/embeddings_lof_outliers_
+    *.txt). Arithmetic is bit-identical to the old DataFrame algebra
+    (see :func:`_cell_knn_blocks` for the distance contract): rsum is
+    an exact int64 sum, ``lrd = keff·1e6 / rsum`` and
+    ``lof = suml / keff / lrd`` are the same IEEE double ops, and
+    ``suml`` folds the neighbors' lrd values in neighbor-rank order
+    left-to-right exactly like the ``aggregate(array_sort(...))`` it
+    replaces. All 6-decimal rounding stays in Spark. Hash-checked
+    against the unchanged DuckDB oracle at the sf0.001/sf0.01 gates."""
+
+    def per_cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        cell = int(pdf["cell"].iloc[0])
+        ids, dm_rows, nb_rows = _cell_knn_blocks(pdf, 5)
+        n_out = len(dm_rows)
+        if n_out == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "cell": pd.Series([], dtype="int64"),
+                    "kdist": pd.Series([], dtype="int64"),
+                    "lrd": pd.Series([], dtype="float64"),
+                    "lof": pd.Series([], dtype="float64"),
+                }
+            )
+        kdist = np.array([r[-1] for r in dm_rows], dtype=np.int64)
+        keff = np.array([len(r) for r in dm_rows], dtype=np.int64)
+        lrd = np.empty(n_out, dtype=np.float64)
+        for i in range(n_out):
+            rsum = int(np.maximum(kdist[nb_rows[i]], dm_rows[i]).sum())
+            lrd[i] = np.float64(keff[i]) * 1e6 / np.float64(rsum)
+        lof = np.empty(n_out, dtype=np.float64)
+        for i in range(n_out):
+            suml = np.float64(0.0)
+            for j in nb_rows[i]:  # neighbor-rank order (rn = 1..keff)
+                suml = suml + lrd[j]
+            lof[i] = suml / np.float64(keff[i]) / lrd[i]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,  # every point in an n>=2 cell has neighbors
+                "cell": np.full(n_out, cell, dtype=np.int64),
+                "kdist": kdist,
+                "lrd": lrd,
+                "lof": lof,
+            }
+        )
+
+    return af.groupBy("cell").applyInPandas(
+        per_cell,
+        schema="vec_id LONG, cell LONG, kdist LONG, lrd DOUBLE, lof DOUBLE",
+    )
+
+
 def _lof_oracle() -> str:
     pair_d2 = (
         "list_aggregate([(a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)"
@@ -6373,118 +6491,27 @@ def embeddings_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = "coarse_k8" if k == _KM_K else f"lof_coarse_k{k}"
     fit_src = emb if k == _KM_K else emb.filter(F.col("vec_id") % 4 == 0)
     cents = _cached_fit(sf_dir, tag, lambda: kmeans_fit(fit_src, k=k, iters=2))
-    af = (
-        kmeans_assign_df(emb, cents, "embedding")
-        .select("vec_id", "embedding", F.col("__cl").alias("cell"))
-        .persist()
+    af = kmeans_assign_df(emb, cents, "embedding").select(
+        "vec_id", "embedding", F.col("__cl").alias("cell")
     )
-    a = af.select(
-        F.col("vec_id").alias("ia"),
-        F.col("cell"),
-        F.col("embedding").alias("ea"),
-    )
-    b = af.select(
-        F.col("vec_id").alias("ib"),
-        F.col("cell"),
-        F.col("embedding").alias("eb"),
-    )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("ea"),
-            F.col("eb"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("ib") != F.col("ia"))
-        .select(
-            "ia",
-            "cell",
-            "ib",
-            F.round(F.sqrt(d2) * 1e6, 0).cast("long").alias("dm"),
-        )
-    )
-    top = (
-        pairs.groupBy("ia", "cell")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list(F.struct("dm", "ib"))), 1, 5
-            ).alias("nb")
-        )
-        .select(
-            "ia",
-            "cell",
-            F.posexplode("nb").alias("p", "s"),
-        )
-        .select(
-            "ia",
-            "cell",
-            (F.col("p") + 1).alias("rn"),
-            F.col("s")["ib"].alias("ib"),
-            F.col("s")["dm"].alias("dm"),
-        )
-        .persist()
-    )
-    kd = top.groupBy("ia").agg(
-        F.max("dm").alias("kdist"), F.count("*").cast("long").alias("keff")
-    )
-    r = (
-        top.join(
-            kd.select(F.col("ia").alias("ib"), F.col("kdist").alias("kdist_b")),
-            "ib",
-        )
-        .groupBy("ia", "cell")
-        .agg(
-            F.sum(F.greatest(F.col("kdist_b"), F.col("dm")))
-            .cast("long")
-            .alias("rsum")
-        )
-    )
-    lrd = r.join(kd, "ia").select(
-        "ia",
-        "cell",
-        "kdist",
-        "keff",
-        (F.col("keff") * 1e6 / F.col("rsum")).alias("lrd"),
-    )
-    nb_lrd = top.join(
-        lrd.select(F.col("ia").alias("ib"), F.col("lrd").alias("lrd_b")), "ib"
-    )
-    lofv = (
-        nb_lrd.groupBy("ia")
-        .agg(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("rn", "lrd_b"))),
-                    lambda s: s["lrd_b"],
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("suml")
-        )
-        .join(lrd, "ia")
-        .select(
-            "ia",
-            "cell",
-            "kdist",
-            "lrd",
-            (F.col("suml") / F.col("keff") / F.col("lrd")).alias("lof"),
-        )
-    )
+    # The whole neighbor→k-dist→reachability→lrd→lof chain is
+    # CELL-LOCAL, so it collapses into one per-cell vectorized kernel
+    # (optimization r10): one Exchange on the cell id instead of the
+    # n×cell_size pair join + four node-keyed join/aggregate shuffles,
+    # and BLAS-grade distance math instead of a JVM array-lambda fold
+    # per pair. Values are bit-identical (see _lof_cell_scores); the
+    # unchanged oracle above still hash-checks at the small-SF gates.
+    lofv = _lof_cell_scores(af)
     scored = lofv.select(
-        F.col("ia").alias("vec_id"),
-        F.col("cell").cast("long").alias("cell"),
+        "vec_id",
+        "cell",
         F.round(F.col("kdist") / 1e6, 6).alias("k_dist"),
         F.round("lrd", 6).alias("lrd"),
         F.round("lof", 6).alias("lof"),
     )
     top20 = scored.orderBy(F.desc("lof"), "vec_id").limit(20)
     w = Window.orderBy(F.desc("lof"), "vec_id")
-    out = top20.select(
+    return top20.select(
         "vec_id",
         "cell",
         "k_dist",
@@ -6492,10 +6519,6 @@ def embeddings_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lof",
         F.row_number().over(w).cast("long").alias("rank"),
     )
-    out = out.localCheckpoint(eager=True)
-    top.unpersist()
-    af.unpersist()
-    return out
 
 
 @register(
@@ -6624,45 +6647,40 @@ def embeddings_intrinsic_dimension(
     tag = "coarse_k8" if k == _KM_K else f"lof_coarse_k{k}"
     fit_src = emb if k == _KM_K else emb.filter(F.col("vec_id") % 4 == 0)
     cents = _cached_fit(sf_dir, tag, lambda: kmeans_fit(fit_src, k=k, iters=2))
-    af = (
-        kmeans_assign_df(emb, cents, "embedding")
-        .select("vec_id", "embedding", F.col("__cl").alias("cell"))
-        .persist()
+    af = kmeans_assign_df(emb, cents, "embedding").select(
+        "vec_id", "embedding", F.col("__cl").alias("cell")
     )
-    a = af.select(
-        F.col("vec_id").alias("ia"), "cell", F.col("embedding").alias("ea")
+
+    # Per-cell top-2 distances via the shared vectorized kernel
+    # (optimization r10, same contract as the LOF rewrite): one
+    # Exchange on the cell id replaces the pair join + per-point
+    # collect_list aggregate. dm values are bit-identical to the old
+    # fold (see _cell_knn_blocks); ln() stays in Spark so the
+    # transcendental is evaluated by the same engine as before.
+    def per_cell_top2(pdf):
+        import numpy as np
+        import pandas as pd
+
+        _ids, dm_rows, _nb = _cell_knn_blocks(pdf, 2)
+        # estimator filter applied here with the same exact-integer
+        # semantics as the old Spark-side filter: keep points with a
+        # nonzero first distance (not an exact duplicate) AND a second
+        # neighbor (cell size >= 3)
+        kept = [(int(r[0]), int(r[1])) for r in dm_rows
+                if len(r) >= 2 and r[0] > 0]
+        if not kept:
+            return pd.DataFrame(
+                {
+                    "r1": pd.Series([], dtype="int64"),
+                    "r2": pd.Series([], dtype="int64"),
+                }
+            )
+        arr = np.array(kept, dtype=np.int64)
+        return pd.DataFrame({"r1": arr[:, 0], "r2": arr[:, 1]})
+
+    mu = af.groupBy("cell").applyInPandas(
+        per_cell_top2, schema="r1 LONG, r2 LONG"
     )
-    b = af.select(
-        F.col("vec_id").alias("ib"), "cell", F.col("embedding").alias("eb")
-    )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("ea"),
-            F.col("eb"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("ib") != F.col("ia"))
-        .select(
-            "ia",
-            F.round(F.sqrt(d2) * 1e6, 0).cast("long").alias("dm"),
-            "ib",
-        )
-    )
-    top2 = pairs.groupBy("ia").agg(
-        F.slice(
-            F.array_sort(F.collect_list(F.struct("dm", "ib"))), 1, 2
-        ).alias("nb")
-    )
-    mu = top2.select(
-        F.col("nb")[0]["dm"].alias("r1"),
-        F.when(F.size("nb") >= 2, F.col("nb")[1]["dm"]).alias("r2"),
-    ).filter((F.col("r1") > 0) & F.col("r2").isNotNull())
     out = mu.select(
         F.round(
             F.log(F.col("r2").cast("double") / F.col("r1")) * 1e12, 0
@@ -6676,8 +6694,6 @@ def embeddings_intrinsic_dimension(
             F.count("*") / (F.sum("lnmu_pico") / 1e12), 6
         ).alias("intrinsic_dim"),
     )
-    out = out.localCheckpoint(eager=True)
-    af.unpersist()
     return out
 
 
