@@ -381,12 +381,14 @@ def test_top_sf1_entries_plan_budgets(spark, sf_dir):
         # round-9 additions whose sf1 time exceeds 10 s
         "documents_rake_keywords": (0, 0, 0),
         "trade_graph_hits": (0, 0, 0),
-        # round-9 continuation wave (E261-E272): LOF returns a
-        # localCheckpoint scan (its pipeline is budgeted by the
-        # persisted-stage structure documented in SCALING.md); novelty
+        # round-9 continuation wave (E261-E272): novelty
         # is 3 exchanges (gram-stat groupBy, first-seen join, rollup)
         "documents_ngram_novelty": (3, 0, 0),
-        "embeddings_lof_outliers": (0, 0, 0),
+        # r10 optimization: LOF now surfaces its real (lazy) plan — one
+        # cell-keyed Exchange into the per-cell Arrow kernel, plus the
+        # 1-row centroid-matrix broadcast (BNLJ); previously it hid
+        # behind a localCheckpoint scan with budget (0, 0, 0)
+        "embeddings_lof_outliers": (1, 1, 1),
         # round-10 completion of the E246-E276 coverage (VERDICT r9
         # #4): every wave entry with sf1 > 5 s is pinned. TwoNN, like
         # LOF, surfaces a localCheckpoint scan (pipeline budgeted by
@@ -396,7 +398,9 @@ def test_top_sf1_entries_plan_budgets(spark, sf_dir):
         "part_croston_demand_forecast": (2, 0, 0),
         "events_hourly_ljung_box": (12, 0, 5),
         "orders_little_law_wip": (4, 0, 0),
-        "embeddings_intrinsic_dimension": (0, 0, 0),
+        # r10 optimization: TwoNN surfaces its real plan (the LOF shape
+        # + the final single-partition estimator aggregate)
+        "embeddings_intrinsic_dimension": (2, 1, 1),
         # round-10 additions with sf1 > 5 s: FLIC is one repartition +
         # one Arrow codec node (the MJPEG shape); Davies-Bouldin's 6
         # BNLJ are 1-row scalar broadcasts and its k-sized joins are
