@@ -915,6 +915,95 @@ def cosine(a: Column, b: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def _grouped_cosine_pairs(
+    normed: DataFrame,
+    group_col: str,
+    threshold: float,
+    include_group: bool = False,
+) -> DataFrame:
+    """Within-group pair cosines, vectorized (optimization r10): one
+    applyInPandas keyed on the blocking column replaces the
+    group-keyed self-join whose per-pair JVM array-lambda fold
+    dominated the near-dup entries. Bit-identical arithmetic to the
+    old ``dot_product / (nrm_a * nrm_b)`` expression:
+
+    * the dot accumulates per dimension IN INDEX ORDER from 0.0 — the
+      exact IEEE op sequence of the ordered ``aggregate(zip_with)``
+      fold;
+    * ``nrm`` is NOT recomputed — the caller's JVM-computed norm
+      column rides through and the denominator multiplies
+      ``nrm_a * nrm_b`` before the one division, as before.
+
+    Emits RAW cosines pre-filtered with a conservative margin
+    (``threshold − 1e−6``; HALF_UP 6-decimal rounding moves a value by
+    at most 5e−7, so no qualifying pair can be dropped); the caller
+    applies the exact ``F.round(c, 6) >= threshold`` in Spark so the
+    rounding engine is unchanged. Expects columns
+    ``(id, emb, nrm, <group_col>)``; returns ``(id_a, id_b,
+    [group,] c_raw)`` with ``id_a < id_b``. Row-blocked so a skewed
+    group cannot hold an n×n float matrix."""
+    import numpy as np
+    import pandas as pd
+
+    cut = threshold - 1e-6
+    out_cols = ["id_a", "id_b"] + (["grp"] if include_group else []) + ["c_raw"]
+
+    def per_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    **(
+                        {"grp": pd.Series([], dtype="int64")}
+                        if include_group
+                        else {}
+                    ),
+                    "c_raw": pd.Series([], dtype="float64"),
+                }
+            )
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+        dim = X.shape[1]
+        grp = int(pdf[group_col].iloc[0]) if include_group else 0
+        ia_all: list = []
+        ib_all: list = []
+        c_all: list = []
+        block = max(1, 4_000_000 // n)
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            acc = np.zeros((hi - lo, n), dtype=np.float64)
+            for d in range(dim):
+                acc += X[lo:hi, d][:, None] * X[None, :, d]
+            c = acc / (nrm[lo:hi][:, None] * nrm[None, :])
+            # strict upper triangle in id order: ids are sorted, so
+            # column index > row index  <=>  id_b > id_a
+            ri, ci = np.nonzero(c >= cut)
+            keep = ci > (ri + lo)
+            ri, ci = ri[keep], ci[keep]
+            ia_all.append(ids[ri + lo])
+            ib_all.append(ids[ci])
+            c_all.append(c[ri, ci])
+        data = {
+            "id_a": np.concatenate(ia_all) if ia_all else np.array([], dtype=np.int64),
+            "id_b": np.concatenate(ib_all) if ib_all else np.array([], dtype=np.int64),
+        }
+        if include_group:
+            data["grp"] = np.full(len(data["id_a"]), grp, dtype=np.int64)
+        data["c_raw"] = (
+            np.concatenate(c_all) if c_all else np.array([], dtype=np.float64)
+        )
+        return pd.DataFrame(data)
+
+    schema = "id_a LONG, id_b LONG, " + (
+        "grp LONG, " if include_group else ""
+    ) + "c_raw DOUBLE"
+    return normed.groupBy(group_col).applyInPandas(per_group, schema=schema)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     emb_col: str = "embedding",
@@ -983,28 +1072,13 @@ def embedding_near_dup_blocked(
         norm(F.col(emb_col)).alias("nrm"),
         srp_bucket(F.col(emb_col), planes).alias("bucket"),
     )
-    a = normed.select(
-        F.col("id").alias("id_a"), F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"), "bucket",
-    )
-    b = normed.select(
-        F.col("id").alias("id_b"), F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"), "bucket",
-    )
-    return (
-        a.join(b, on="bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                dot_product(F.col("emb_a"), F.col("emb_b"))
-                / (F.col("nrm_a") * F.col("nrm_b")),
-                6,
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+    # r10 optimization: bucket-keyed self-join + per-pair fold → one
+    # per-bucket vectorized kernel (same contract as the kmeans form)
+    return _grouped_cosine_pairs(normed, "bucket", threshold).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("c_raw"), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
 
 
 def split_oversized_cells(
@@ -1227,25 +1301,15 @@ def embedding_near_dup_kmeans(
             normed, max_cell_size, k=min(k, 8), iters=iters,
             unpersist_input=True,
         )
-    a = normed.select(
-        F.col("id").alias("id_a"), F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"), "cluster",
-    )
-    b = normed.select(
-        F.col("id").alias("id_b"), F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"), F.col("cluster").alias("cluster_b"),
-    )
-    return (
-        a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("id_a") < F.col("id_b")))
-        .select(
-            "id_a",
-            "id_b",
-            F.col("cluster").cast("long").alias("cluster"),
-            F.round(
-                dot_product(F.col("emb_a"), F.col("emb_b"))
-                / (F.col("nrm_a") * F.col("nrm_b")),
-                6,
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+    # r10 optimization: the cluster-keyed self-join + per-pair fold is
+    # now one per-cluster vectorized kernel (see _grouped_cosine_pairs
+    # for the bit-exactness contract); the 6-decimal rounding and the
+    # threshold filter stay in Spark, unchanged.
+    return _grouped_cosine_pairs(
+        normed, "cluster", threshold, include_group=True
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("grp").cast("long").alias("cluster"),
+        F.round(F.col("c_raw"), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
