@@ -143,19 +143,44 @@ def _make_update_sketch(k: int):
         """Fold this micro-batch's (hash, key, value) rows into the
         persisted bottom-k sample and emit the current quantiles.
         NoTimeout: the sample must survive to the end of the drain —
-        an idle-expiry here would silently truncate the sketch."""
+        an idle-expiry here would silently truncate the sketch.
+
+        The per-batch fold is vectorized (optimization r10): each
+        Arrow batch is reduced to ITS bottom-k by (h, event_id) with
+        numpy argpartition (tie-safe: every row at the threshold hash
+        is kept for the exact (h, event_id) lexsort) before merging
+        with the persisted sample — the bottom-k of a union equals the
+        bottom-k of per-part bottom-k's (merge invariance), so the
+        state and emitted quantiles are unchanged; the old form pushed
+        every batch row through per-row Python generators and a full
+        Python sort (~10 s per million rows per key at sf1)."""
+        import numpy as np
+
         if state.exists:
             n_seen, hs, ks, vs = state.get
             sample = list(zip(hs, ks, vs))
         else:
             n_seen, sample = 0, []
         for pdf in pdfs:
-            n_seen += len(pdf)
+            n = len(pdf)
+            if n == 0:
+                continue
+            n_seen += n
+            h = pdf["h"].to_numpy(dtype=np.int64)
+            e = pdf["event_id"].to_numpy(dtype=np.int64)
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            if n > k:
+                part = np.argpartition(h, k - 1)[:k]
+                thresh = h[part].max()
+                cand = np.flatnonzero(h <= thresh)
+            else:
+                cand = np.arange(n)
+            order = cand[np.lexsort((e[cand], h[cand]))][:k]
             sample.extend(
                 zip(
-                    (int(h) for h in pdf["h"]),
-                    (int(e) for e in pdf["event_id"]),
-                    (float(v) for v in pdf["value"]),
+                    (int(x) for x in h[order]),
+                    (int(x) for x in e[order]),
+                    (float(x) for x in v[order]),
                 )
             )
         sample.sort(key=lambda t: (t[0], t[1]))
