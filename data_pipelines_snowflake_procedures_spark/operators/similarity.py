@@ -740,6 +740,62 @@ def knn_sq(
 # ---------------------------------------------------------------------------
 
 
+def _books_matrix_df(spark, books: list[list[list[float]]], col: str) -> DataFrame:
+    """All m codebooks as ONE 1-row broadcastable table (m × k × sub
+    doubles) — the pq analogue of :func:`_matrix_df`."""
+    return spark.createDataFrame(
+        [([[[float(x) for x in c] for c in b] for b in books],)],
+        f"{col}: array<array<array<double>>>",
+    )
+
+
+def _pq_assign_all(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    sub_exprs: "list[Column]",
+    code_prefix: str = "code_",
+) -> DataFrame:
+    """Append every subspace's argmin code in ONE projection over ONE
+    broadcast books matrix (optimization r10): the previous form
+    chained m separate :func:`kmeans_assign_df` crossJoins — m 1-row
+    matrix DataFrames, m plan layers, m× the analysis cost — per
+    encode pass and per Lloyd iteration. ``sub_exprs[j]`` is the j-th
+    subvector column (a pre-sliced column or a slice expression).
+    Distances are the same ordered ``aggregate(zip_with(sub, c))``
+    fold per book entry, argmin ties to the lowest code via
+    array_position(array_min) — codes bit-identical to the chained
+    form."""
+    mat = _books_matrix_df(df.sparkSession, codebooks, "__pq_books")
+    out = df.crossJoin(F.broadcast(mat))
+
+    def _dist_fn(s):
+        # closure, not a default arg: F.transform treats a 2-arg
+        # lambda as (element, index)
+        return lambda c: F.aggregate(
+            F.zip_with(
+                s,
+                c,
+                lambda x, y: (x.cast("double") - y)
+                * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    code_cols = []
+    for j in range(len(codebooks)):
+        dists = F.transform(
+            F.element_at(F.col("__pq_books"), j + 1),
+            _dist_fn(sub_exprs[j]),
+        )
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("long")
+            .alias(f"{code_prefix}{j}")
+        )
+    return out.select(*df.columns, *code_cols)
+
+
 def pq_fit(
     df: DataFrame,
     m: int = 4,
@@ -774,12 +830,13 @@ def pq_fit(
         for j in range(m)
     ]
     for _ in range(iters):
-        assigned = base
-        for j in range(m):
-            assigned = kmeans_assign_df(
-                assigned, books[j], f"__s{j}",
-                cluster_col=f"__cl{j}", dist_col=f"__d{j}",
-            )
+        # ONE broadcast books-matrix projection assigns every subspace
+        # (optimization r10 — was m chained kmeans_assign_df
+        # crossJoins; codes bit-identical, see _pq_assign_all)
+        assigned = _pq_assign_all(
+            base, books, [F.col(f"__s{j}") for j in range(m)],
+            code_prefix="__cl",
+        )
         stacked = assigned.select(
             F.explode(
                 F.array(*[
@@ -815,25 +872,21 @@ def pq_encode(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """Append ``code_0..code_{m-1}``: per subspace, the argmin-distance
-    codebook entry — m zero-shuffle assignment passes via
-    :func:`kmeans_assign_df`, each codebook riding in as a 1-row
-    BROADCAST matrix (VERDICT r4 wrong-list #3): at production PQ
-    sizes (m=16, k=256) the literal-expression form would re-create
-    the ~k×dim-literal plan-analysis cost the k-means path already
-    measured and fixed; the broadcast form keeps the plan tiny at any
-    (m, k). Codes are bit-identical to the literal form — same matrix,
-    same argmin, same lowest-cluster tie-break."""
+    codebook entry — ONE zero-shuffle projection over ONE broadcast
+    books matrix (r10; previously m chained assignment passes, each
+    with its own 1-row matrix crossJoin — m× the plan-analysis cost).
+    The broadcast form keeps the plan tiny at any (m, k) (VERDICT r4
+    wrong-list #3). Codes are bit-identical to both earlier forms —
+    same fold, same argmin, same lowest-cluster tie-break."""
     sub = len(codebooks[0][0])
-    out = df
-    for j, book in enumerate(codebooks):
-        out = kmeans_assign_df(
-            out.withColumn("__pq_sub", F.slice(F.col(emb_col), j * sub + 1, sub)),
-            book,
-            "__pq_sub",
-            cluster_col=f"code_{j}",
-            dist_col="__pq_dist",
-        ).drop("__pq_sub", "__pq_dist")
-    return out
+    # ONE broadcast books-matrix projection for all m subspaces
+    # (optimization r10 — was m chained kmeans_assign_df crossJoins;
+    # codes bit-identical, see _pq_assign_all)
+    return _pq_assign_all(
+        df,
+        codebooks,
+        [F.slice(F.col(emb_col), j * sub + 1, sub) for j in range(len(codebooks))],
+    )
 
 
 def pq_reconstruct_expr(codebooks: list[list[list[float]]]) -> Column:
