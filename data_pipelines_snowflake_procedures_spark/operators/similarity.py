@@ -77,29 +77,48 @@ def knn_bruteforce(
     The join is a broadcast nested loop over corpus partitions (query
     sets are small by definition); ranking is a per-query window over
     k·|queries| candidate rows after AQE's partial top-k pushdown."""
-    # norms are computed once per row BEFORE the join — recomputing
-    # them per (query, corpus) pair would redo |queries|× the work
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(emb_col).alias("q_emb"),
-        norm(F.col(emb_col)).alias("q_nrm"),
+    import numpy as np
+
+    # r10: the full scan runs as one Arrow numpy kernel emitting each
+    # batch's margin superset of the per-query top-k on RAW cosines
+    # (see _approx_scan_candidates); the exact 6-decimal rounding and
+    # the (cosine desc, neighbor_id) window stay in Spark, so the
+    # ranked output is identical to the old per-pair JVM fold scan.
+    # The query side was broadcast before — collecting it keeps the
+    # JVM-computed q_nrm so nothing is re-derived.
+    q_rows = [
+        (int(r["query_id"]), np.asarray(r["q_emb"], dtype=np.float64),
+         float(r["q_nrm"]))
+        for r in queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(emb_col).alias("q_emb"),
+            norm(F.col(emb_col)).alias("q_nrm"),
+        ).collect()
+    ]
+
+    def score(pdf, qr):
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+        # norm fold: sequential sum of squares, then sqrt — the exact
+        # op sequence of norm()
+        acc = np.zeros(len(ids), dtype=np.float64)
+        for d in range(X.shape[1]):
+            acc += X[:, d] * X[:, d]
+        c_nrm = np.sqrt(acc)
+        for qid, qe, qn in qr:
+            dots = _np_seq_dot(qe[None, :], X)[0]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = dots / (qn * c_nrm)  # plain division, like the old /
+            mask = ids != qid
+            yield qid, ids[mask], c[mask]
+
+    cand_raw = _approx_scan_candidates(
+        score, corpus.select(id_col, emb_col), q_rows, k
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(emb_col).alias("c_emb"),
-        norm(F.col(emb_col)).alias("c_nrm"),
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot_product(F.col("q_emb"), F.col("c_emb"))
-                / (F.col("q_nrm") * F.col("c_nrm")),
-                6,
-            ).alias("cosine"),
-        )
+    scored = cand_raw.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("c_raw"), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -398,16 +417,19 @@ def _sq_dists_to_matrix(emb: Column, matrix_col: str) -> Column:
     )
 
 
-#: Centroid count at or above which assignment switches to the
-#: Arrow-batched numpy matmul kernel. The native zip_with fold costs
-#: ~40× more per flop than BLAS (measured at sf1, k=391: 33 s native
+#: Centroid count at or above which a RETURNED assignment plan
+#: switches to the Arrow-batched numpy kernel. The native zip_with
+#: fold costs ~40× more per flop (measured at sf1, k=391: 33 s native
 #: vs ~2 s numpy for 100k×391×64) because it allocates a zipped
-#: 64-element array per (point, centroid). Every DuckDB-oracle gate
-#: runs at sf0.01 where the adaptive k is 8 — below this threshold —
-#: so the bit-exact native fold remains the single source of truth for
-#: every hash-checked result; the numpy path only serves the large-k
-#: (large-corpus) assignments where no oracle binds and the two
-#: kernels differ by at most float ulps in near-ties.
+#: 64-element array per (point, centroid). Since r10 the numpy kernel
+#: accumulates distances per dimension in index order and is therefore
+#: BIT-IDENTICAL to the native fold (same values, same tie-breaks), so
+#: this constant is purely a plan-shape choice: below it, entry plans
+#: keep their JVM-native expression form (stable plan budgets, no
+#: Python node); at or above it, the Arrow kernel wins on throughput.
+#: Model FITS (kmeans_fit / pq_fit iterations) always use the numpy
+#: kernel — their assignment never appears in a returned plan, and the
+#: collected means are identical because the codes are.
 NUMPY_ASSIGN_MIN_K = 32
 
 
@@ -418,9 +440,11 @@ def _kmeans_assign_numpy(
     cluster_col: str,
     dist_col: str,
 ) -> DataFrame:
-    """Arrow-batched BLAS assignment: d²(x,C) = |x|² − 2xCᵀ + |C|² per
-    batch, argmin ties to the lowest centroid id (numpy argmin takes
-    the first minimum — the same tie-break as the native kernel)."""
+    """Arrow-batched vectorized assignment, argmin ties to the lowest
+    centroid id (numpy argmin takes the first minimum — the same
+    tie-break as the native kernel). Since r10 the distances accumulate
+    per dimension in index order, making the kernel bit-identical to
+    the native fold (see the inline comment)."""
     import numpy as np
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -435,7 +459,6 @@ def _kmeans_assign_numpy(
 
     def assign(batches):
         C = np.asarray(mat, dtype=np.float64)
-        cn = (C * C).sum(axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 pdf[cluster_col] = np.array([], dtype="int64")
@@ -443,8 +466,16 @@ def _kmeans_assign_numpy(
                 yield pdf
                 continue
             X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn[None, :]
-            np.maximum(d2, 0.0, out=d2)
+            # Per-dimension index-order accumulation from 0.0 — the
+            # exact IEEE op sequence of the native zip_with fold, so
+            # since r10 this kernel is BIT-IDENTICAL to the JVM
+            # assignment (not merely ulp-close as the earlier
+            # |x|²−2xCᵀ+|C|² matmul form was): same distances, same
+            # first-minimum tie-break, same __dist values.
+            d2 = np.zeros((len(X), C.shape[0]), dtype=np.float64)
+            for d in range(X.shape[1]):
+                diff = X[:, d][:, None] - C[None, :, d]
+                d2 += diff * diff
             cl = d2.argmin(axis=1)
             out = pdf.copy()
             out[cluster_col] = cl.astype("int64")
@@ -512,8 +543,13 @@ def kmeans_fit(
     seed_rows = base.orderBy(id_col).limit(k).select(emb_col).collect()
     cents = [[float(x) for x in r[emb_col]] for r in seed_rows]
     for _ in range(iters):
+        # fit iterations always assign via the Arrow numpy kernel
+        # (r10): it is bit-identical to the native fold since the
+        # per-dimension rewrite, never appears in a returned plan
+        # (the fit ends in a driver collect), and removes the
+        # dominant per-(point,centroid) JVM lambda cost at scale
         means = (
-            kmeans_assign_df(base, cents, emb_col)
+            _kmeans_assign_numpy(base, cents, emb_col, "__cl", "__dist")
             .select("__cl", F.posexplode(F.col(emb_col)))
             .groupBy("__cl", "pos")
             .agg(F.round(F.avg(F.col("col").cast("double")), round_decimals).alias("m"))
@@ -796,6 +832,47 @@ def _pq_assign_all(
     return out.select(*df.columns, *code_cols)
 
 
+def _pq_assign_all_numpy(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    sub_cols: list[str],
+    code_prefix: str = "code_",
+) -> DataFrame:
+    """Every subspace's argmin code in one Arrow pass — the numpy twin
+    of :func:`_pq_assign_all` for fit-internal use: per-dimension
+    index-order distance accumulation (the native fold's exact IEEE op
+    sequence) and numpy's first-minimum argmin (the lowest-code
+    tie-break), so codes are bit-identical to the JVM projection."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    books = [
+        np.asarray([[float(x) for x in c] for c in b], dtype=np.float64)
+        for b in codebooks
+    ]
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(f"{code_prefix}{j}", LongType()) for j in range(len(books))]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            for j, B in enumerate(books):
+                if len(pdf) == 0:
+                    out[f"{code_prefix}{j}"] = np.array([], dtype="int64")
+                    continue
+                X = np.stack(pdf[sub_cols[j]].to_numpy()).astype(np.float64)
+                d2 = np.zeros((len(X), B.shape[0]), dtype=np.float64)
+                for d in range(X.shape[1]):
+                    diff = X[:, d][:, None] - B[None, :, d]
+                    d2 += diff * diff
+                out[f"{code_prefix}{j}"] = d2.argmin(axis=1).astype("int64")
+            yield out
+
+    return df.mapInPandas(assign, schema)
+
+
 def pq_fit(
     df: DataFrame,
     m: int = 4,
@@ -830,12 +907,12 @@ def pq_fit(
         for j in range(m)
     ]
     for _ in range(iters):
-        # ONE broadcast books-matrix projection assigns every subspace
-        # (optimization r10 — was m chained kmeans_assign_df
-        # crossJoins; codes bit-identical, see _pq_assign_all)
-        assigned = _pq_assign_all(
-            base, books, [F.col(f"__s{j}") for j in range(m)],
-            code_prefix="__cl",
+        # fit iterations assign every subspace in ONE Arrow numpy pass
+        # (r10): bit-identical to the native fold (per-dimension
+        # index-order accumulation, first-min ties), plan-invisible
+        # (the fit ends in a driver collect)
+        assigned = _pq_assign_all_numpy(
+            base, books, [f"__s{j}" for j in range(m)], code_prefix="__cl"
         )
         stacked = assigned.select(
             F.explode(
@@ -879,14 +956,22 @@ def pq_encode(
     wrong-list #3). Codes are bit-identical to both earlier forms —
     same fold, same argmin, same lowest-cluster tie-break."""
     sub = len(codebooks[0][0])
-    # ONE broadcast books-matrix projection for all m subspaces
-    # (optimization r10 — was m chained kmeans_assign_df crossJoins;
-    # codes bit-identical, see _pq_assign_all)
-    return _pq_assign_all(
-        df,
-        codebooks,
-        [F.slice(F.col(emb_col), j * sub + 1, sub) for j in range(len(codebooks))],
+    m = len(codebooks)
+    # ONE Arrow numpy pass for all m subspaces (optimization r10 —
+    # was m chained kmeans_assign_df crossJoins, then one JVM
+    # projection; the numpy kernel is bit-identical to both — same
+    # per-dimension fold order, same first-min tie-break — and removes
+    # the per-(point,codeword) JVM lambda cost at scale: the encode of
+    # a 100k-vector corpus was ~8 s of fold time at sf1)
+    slices = [
+        F.slice(F.col(emb_col), j * sub + 1, sub).alias(f"__pqs{j}")
+        for j in range(m)
+    ]
+    tmp = df.select("*", *slices)
+    out = _pq_assign_all_numpy(
+        tmp, codebooks, [f"__pqs{j}" for j in range(m)]
     )
+    return out.drop(*[f"__pqs{j}" for j in range(m)])
 
 
 def pq_reconstruct_expr(codebooks: list[list[list[float]]]) -> Column:
@@ -898,6 +983,98 @@ def pq_reconstruct_expr(codebooks: list[list[list[float]]]) -> Column:
         matrix = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
         parts.append(F.element_at(matrix, (F.col(f"code_{j}") + 1).cast("int")))
     return F.concat(*parts)
+
+
+#: Margin used by the vectorized approximate-scan kernels when
+#: pre-pruning candidates on RAW cosine before Spark applies the exact
+#: 6-decimal rounding: two reals more than 1e-6 apart cannot round to
+#: the same 6-decimal value, so rows more than 2e-6 below a batch's
+#: rerank_k-th best raw score are strictly below it after rounding and
+#: can never enter the top-rerank_k set under any tie-break.
+_SCAN_PRUNE_MARGIN = 2e-6
+
+
+def _approx_scan_candidates(
+    scored_batches_fn,
+    corpus_side: DataFrame,
+    q_rows: list,
+    rerank_k: int,
+):
+    """Shared mapInPandas wrapper for the PQ/IVF-PQ approximate scans
+    (optimization r10): ``scored_batches_fn(pdf, q_rows)`` returns,
+    per batch, an iterable of (query_id, ids_array, c_raw_array) with
+    RAW cosines whose arithmetic is bit-identical to the old JVM fold
+    (per-dimension index-order accumulation, multiply-then-divide).
+    Each batch emits only the margin superset of its per-query top
+    ``rerank_k`` (see :data:`_SCAN_PRUNE_MARGIN`) plus every
+    NaN-scored row (zero denominator — the old ``try_divide`` NULLs,
+    which sort after all real scores and matter only when a query has
+    fewer than rerank_k real candidates); the caller applies the exact
+    ``round(c,6)`` ordering in Spark, so the selected candidate SET is
+    identical to the old full-scan window."""
+    import numpy as np
+    import pandas as pd
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_q: list = []
+            out_i: list = []
+            out_c: list = []
+            for qid, ids, c in scored_batches_fn(pdf, q_rows):
+                n = len(ids)
+                if n == 0:
+                    continue
+                real = ~np.isnan(c)
+                nr = int(real.sum())
+                if nr > rerank_k:
+                    creal = c[real]
+                    kth = np.partition(creal, nr - rerank_k)[nr - rerank_k]
+                    keep = (c >= kth - _SCAN_PRUNE_MARGIN) | ~real
+                else:
+                    keep = np.ones(n, dtype=bool)
+                out_q.append(np.full(int(keep.sum()), qid, dtype=np.int64))
+                out_i.append(ids[keep])
+                out_c.append(c[keep])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_i),
+                        "c_raw": np.concatenate(out_c),
+                    }
+                )
+
+    return corpus_side.mapInPandas(
+        scan, schema="query_id LONG, neighbor_id LONG, c_raw DOUBLE"
+    )
+
+
+def _np_seq_sq_dists(Xsub, book):
+    """Squared distances of every row of ``Xsub`` (n×sub float64) to
+    every book entry, accumulated per dimension in index order from
+    0.0 — the exact IEEE op sequence of the JVM
+    ``aggregate(zip_with(...))`` fold."""
+    import numpy as np
+
+    B = np.asarray(book, dtype=np.float64)
+    acc = np.zeros((Xsub.shape[0], B.shape[0]), dtype=np.float64)
+    for d in range(Xsub.shape[1]):
+        diff = Xsub[:, d][:, None] - B[None, :, d]
+        acc += diff * diff
+    return acc
+
+
+def _np_seq_dot(Q, C):
+    """Q (q×dim) · C (n×dim) accumulated per dimension in index order
+    from 0.0 (the JVM dot_product fold's op sequence); returns q×n."""
+    import numpy as np
+
+    acc = np.zeros((Q.shape[0], C.shape[0]), dtype=np.float64)
+    for d in range(Q.shape[1]):
+        acc += Q[:, d][:, None] * C[None, :, d]
+    return acc
 
 
 def knn_pq(
@@ -918,34 +1095,57 @@ def knn_pq(
     the first pass reads m bytes per vector (vs 4·dim for floats);
     exact embeddings enter via :func:`_candidates_exact_rerank`'s
     join-back, touched once per candidate."""
-    deq = pq_reconstruct_expr(codebooks)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(emb_col).alias("q_emb"),
-        norm(F.col(emb_col)).alias("q_nrm"),
+    import numpy as np
+
+    # The query side is broadcast-small by this operator's existing
+    # contract (the old plan broadcast it); collecting it keeps the
+    # JVM-computed q_nrm values so nothing is re-derived.
+    q_rows = [
+        (int(r["query_id"]), np.asarray(r["q_emb"], dtype=np.float64),
+         float(r["q_nrm"]))
+        for r in queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(emb_col).alias("q_emb"),
+            norm(F.col(emb_col)).alias("q_nrm"),
+        ).collect()
+    ]
+    books = [
+        np.asarray([[float(x) for x in c] for c in b], dtype=np.float64)
+        for b in codebooks
+    ]
+    sub = books[0].shape[1]
+
+    def score(pdf, qr):
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+        # encode + reconstruct (bit-identical to _pq_assign_all +
+        # pq_reconstruct_expr: same ordered fold, argmin first-min)
+        C = np.empty_like(X)
+        for j, B in enumerate(books):
+            d2 = _np_seq_sq_dists(X[:, j * sub:(j + 1) * sub], B)
+            C[:, j * sub:(j + 1) * sub] = B[d2.argmin(axis=1)]
+        # norm fold: sequential sum of squares, then sqrt
+        acc = np.zeros(len(ids), dtype=np.float64)
+        for d in range(C.shape[1]):
+            acc += C[:, d] * C[:, d]
+        c_nrm = np.sqrt(acc)
+        for qid, qe, qn in qr:
+            dots = _np_seq_dot(qe[None, :], C)[0]
+            denom = qn * c_nrm
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = np.where(denom == 0.0, np.nan, dots / denom)
+            mask = ids != qid
+            yield qid, ids[mask], c[mask]
+
+    cand_raw = _approx_scan_candidates(
+        score, corpus.select(id_col, emb_col), q_rows, rerank * k
     )
-    c = pq_encode(corpus, codebooks, emb_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        deq.alias("c_deq"),
-    ).withColumn(
-        "c_deq_nrm",
-        F.sqrt(
-            F.aggregate(F.col("c_deq"), F.lit(0.0), lambda acc, v: acc + v * v)
-        ),
-    )
-    approx = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.try_divide(
-                    dot_product(F.col("q_emb"), F.col("c_deq")),
-                    F.col("q_nrm") * F.col("c_deq_nrm"),
-                ),
-                6,
-            ).alias("approx_cosine"),
-        )
+    approx = cand_raw.select(
+        "query_id",
+        "neighbor_id",
+        # NaN (zero denominator) maps back to the old try_divide NULL
+        # so desc ordering still puts it after every real score
+        F.when(~F.isnan("c_raw"), F.round("c_raw", 6)).alias("approx_cosine"),
     )
     w_a = Window.partitionBy("query_id").orderBy(
         F.desc("approx_cosine"), F.asc("neighbor_id")
@@ -978,22 +1178,48 @@ def ivf_residuals(
     assignment (broadcast 1-row matrix, zero shuffle, lowest-cell
     tie-break) and ``remb = emb − centroid[cell]`` as a double array —
     the input both to residual-codebook training (:func:`pq_fit` with
-    ``emb_col=res_col``) and to :func:`knn_ivfpq`'s encode pass."""
-    mat = _matrix_df(df.sparkSession, centroids, "__ivf_matrix")
-    dists = _sq_dists_to_matrix(F.col(emb_col), "__ivf_matrix")
-    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
-    cent = F.element_at(F.col("__ivf_matrix"), (cell + 1).cast("int"))
-    return (
-        df.crossJoin(F.broadcast(mat))
-        .withColumn(cell_col, cell)
-        .withColumn(
-            res_col,
-            F.zip_with(
-                F.col(emb_col), cent, lambda x, y: x.cast("double") - y
-            ),
-        )
-        .drop("__ivf_matrix")
+    ``emb_col=res_col``) and to :func:`knn_ivfpq`'s encode pass.
+
+    r10: one Arrow numpy pass — the cell argmin is bit-identical to
+    the old broadcast-matrix JVM fold (per-dimension index-order
+    accumulation, first-minimum tie-break), and the residual is a
+    per-element subtraction (no accumulation, exact either way). The
+    JVM form cost ~4 s of fold time per 100k vectors at sf1."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
     )
+
+    C = [[float(x) for x in c] for c in centroids]
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(cell_col, LongType()),
+            StructField(res_col, ArrayType(DoubleType())),
+        ]
+    )
+
+    def assign(batches):
+        Cm = np.asarray(C, dtype=np.float64)
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf) == 0:
+                out[cell_col] = np.array([], dtype="int64")
+                out[res_col] = []
+                yield out
+                continue
+            X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            d2 = np.zeros((len(X), Cm.shape[0]), dtype=np.float64)
+            for d in range(X.shape[1]):
+                diff = X[:, d][:, None] - Cm[None, :, d]
+                d2 += diff * diff
+            cl = d2.argmin(axis=1)
+            R = X - Cm[cl]
+            out[cell_col] = cl.astype("int64")
+            out[res_col] = list(R)
+            yield out
+
+    return df.mapInPandas(assign, schema)
 
 
 def ivfpq_index(
@@ -1123,20 +1349,50 @@ def knn_ivfpq(
             corpus, coarse, codebooks, emb_col, id_col, residuals=residuals
         )
     )
-    approx = (
-        c.join(F.broadcast(probes), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.try_divide(
-                    dot_product(F.col("q_emb"), F.col("c_recon")),
-                    F.col("q_nrm") * F.col("c_recon_nrm"),
-                ),
-                6,
-            ).alias("approx_cosine"),
-        )
+    import numpy as np
+
+    # Probe rows are |queries| x nprobe — broadcast-small by the
+    # operator's contract (the old plan broadcast them); collecting
+    # keeps the JVM-computed q_nrm, so nothing is re-derived.
+    probe_rows = probes.collect()
+    by_q: dict = {}
+    for r in probe_rows:
+        qid = int(r["query_id"])
+        if qid not in by_q:
+            by_q[qid] = (
+                np.asarray(r["q_emb"], dtype=np.float64),
+                float(r["q_nrm"]),
+                set(),
+            )
+        by_q[qid][2].add(int(r["cell"]))
+    q_list = [(qid, qe, qn, cells) for qid, (qe, qn, cells) in by_q.items()]
+
+    def score(pdf, qr):
+        ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        cells = pdf["cell"].to_numpy(dtype=np.int64)
+        C = np.stack(pdf["c_recon"].to_numpy()).astype(np.float64)
+        c_nrm = pdf["c_recon_nrm"].to_numpy(dtype=np.float64)
+        for qid, qe, qn, qcells in qr:
+            mask = np.isin(cells, list(qcells)) & (ids != qid)
+            if not mask.any():
+                continue
+            Cm = C[mask]
+            dots = _np_seq_dot(qe[None, :], Cm)[0]
+            denom = qn * c_nrm[mask]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cs = np.where(denom == 0.0, np.nan, dots / denom)
+            yield qid, ids[mask], cs
+
+    cand_raw = _approx_scan_candidates(
+        score,
+        c.select("neighbor_id", "cell", "c_recon", "c_recon_nrm"),
+        q_list,
+        rerank * k,
+    )
+    approx = cand_raw.select(
+        "query_id",
+        "neighbor_id",
+        F.when(~F.isnan("c_raw"), F.round("c_raw", 6)).alias("approx_cosine"),
     )
     w_a = Window.partitionBy("query_id").orderBy(
         F.desc("approx_cosine"), F.asc("neighbor_id")

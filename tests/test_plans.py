@@ -381,7 +381,14 @@ def test_top_sf1_entries_plan_budgets(spark, sf_dir):
         "trade_graph_labelprop": (0, 0, 0),
         "nation_revenue_bridge": (0, 0, 0),
         "knn_recall_report_quantized": (0, 0, 0),
-        "knn_ivfpq_embeddings": (3, 0, 7),
+        # r10 optimization: the residual assignment, the corpus encode
+        # (index build) and the approximate scan are each one Arrow
+        # kernel (codes-only emission: query_id/neighbor_id/raw
+        # score), which also drops the probe-broadcast BNLJ layers
+        # (7 -> 1: only the query-probe matrix remains) and an
+        # exchange; every kernel is bit-identical to the JVM fold it
+        # replaces (per-dimension index-order accumulation)
+        "knn_ivfpq_embeddings": (2, 3, 1),
         "multimodal_sniff_documents": (0, 4, 0),
         # round-9 additions whose sf1 time exceeds 10 s
         "documents_rake_keywords": (0, 0, 0),
