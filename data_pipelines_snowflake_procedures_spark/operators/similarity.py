@@ -729,34 +729,56 @@ def knn_sq(
     rerank·k ids back to the corpus for the float pass, so the first
     pass really is codes-bound I/O and exact embeddings are fetched
     only for candidates."""
-    deq = sq_dequantized_expr(F.col(emb_col), bounds)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(emb_col).alias("q_emb"),
-        norm(F.col(emb_col)).alias("q_nrm"),
+    import numpy as np
+
+    # r10: the dequantize+scan runs as one Arrow numpy kernel (margin
+    # superset of the per-query top rerank*k on raw cosines; exact
+    # round+window stay in Spark — see _approx_scan_candidates). The
+    # dequantization replicates sq_dequantized_expr op for op:
+    # scaled = round((x-lo)/span*(levels-1)) with Spark's HALF_UP
+    # (x >= lo always, so the positive-value floor+frac rule is exact),
+    # clamped, then deq = lo + (code*span)/(levels-1); norm and dot
+    # accumulate per dimension in index order.
+    q_rows = [
+        (int(r["query_id"]), np.asarray(r["q_emb"], dtype=np.float64),
+         float(r["q_nrm"]))
+        for r in queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(emb_col).alias("q_emb"),
+            norm(F.col(emb_col)).alias("q_nrm"),
+        ).collect()
+    ]
+    lo = np.asarray([b[0] for b in bounds], dtype=np.float64)
+    hi = np.asarray([b[1] for b in bounds], dtype=np.float64)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    n_levels = float(256 - 1)
+
+    def score(pdf, qr):
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+        v = (X - lo[None, :]) / span[None, :] * n_levels
+        ip = np.floor(v)
+        code = ip + (v - ip >= 0.5)  # Spark round(double, 0) HALF_UP
+        code = np.minimum(np.maximum(code, 0.0), n_levels)
+        C = lo[None, :] + (code * span[None, :]) / n_levels
+        acc = np.zeros(len(ids), dtype=np.float64)
+        for d in range(C.shape[1]):
+            acc += C[:, d] * C[:, d]
+        c_nrm = np.sqrt(acc)
+        for qid, qe, qn in qr:
+            dots = _np_seq_dot(qe[None, :], C)[0]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = dots / (qn * c_nrm)
+            mask = ids != qid
+            yield qid, ids[mask], c[mask]
+
+    cand_raw = _approx_scan_candidates(
+        score, corpus.select(id_col, emb_col), q_rows, rerank * k
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        deq.alias("c_deq"),
-    ).withColumn(
-        "c_deq_nrm",
-        F.sqrt(
-            F.aggregate(
-                F.col("c_deq"), F.lit(0.0), lambda acc, v: acc + v * v
-            )
-        ),
-    )
-    approx = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot_product(F.col("q_emb"), F.col("c_deq"))
-                / (F.col("q_nrm") * F.col("c_deq_nrm")),
-                6,
-            ).alias("approx_cosine"),
-        )
+    approx = cand_raw.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("c_raw"), 6).alias("approx_cosine"),
     )
     w_a = Window.partitionBy("query_id").orderBy(
         F.desc("approx_cosine"), F.asc("neighbor_id")
