@@ -221,21 +221,78 @@ def grouped_replicate_partials(
     replicate is bit-identical to a global groupBy(__r)). Collected
     state is groups × B rows — driver metadata for dimension-like
     groups."""
-    w = F.col("__w")
+    # r10: the b× posexplode fanout (n·b rows through the CASE +
+    # partial agg — 300M rows at sf1 for b=200) is replaced by ONE
+    # Arrow pass that reduces each batch to its (group, replicate)
+    # integer partials in numpy. The draw arithmetic is identical op
+    # for op: the same single md5 per row (hex halves reduced mod
+    # 2^30), the same affine-universal 15-bit uniforms in int64 (all
+    # products < 2^62), and the same integer-threshold inverse CDF
+    # (searchsorted(side='right') ≡ the CASE's smallest k with
+    # u < T[k]). Weighted partials are exact long sums, so the final
+    # groupBy totals are bit-identical to the exploded form
+    # (asserted against poisson_weights in tests/test_bootstrap.py).
+    src = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(group_col).alias("__g"),
+        F.col(value_col).alias("__x"),
+    )
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    consts = boot_perm_consts(b, seed)
+    thresholds = poisson1_cdf15()
+    gtype = dict(src.dtypes)["__g"]
+
+    def partials(batches):
+        import hashlib as _hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        A = np.asarray([c[0] for c in consts], dtype=np.int64)
+        C = np.asarray([c[1] for c in consts], dtype=np.int64)
+        D = np.asarray([c[2] for c in consts], dtype=np.int64)
+        T = np.asarray(thresholds, dtype=np.int64)
+        sfx = f"|{seed}".encode()
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            h0a = np.empty(n, dtype=np.int64)
+            h0b = np.empty(n, dtype=np.int64)
+            for i, k in enumerate(pdf["__k"]):
+                h = _hashlib.md5(str(k).encode() + sfx).hexdigest()
+                h0a[i] = int(h[:15], 16) % _BOOT_M30
+                h0b[i] = int(h[15:30], 16) % _BOOT_M30
+            u = (
+                h0a[:, None] * A[None, :]
+                + h0b[:, None] * C[None, :]
+                + D[None, :]
+            ) % _BOOT_P & 32767
+            W = np.searchsorted(T, u, side="right").astype(np.int64)
+            x = pdf["__x"].to_numpy(dtype=np.int64)
+            codes, uniq = pd.factorize(pdf["__g"])
+            rows = []
+            for gi, g in enumerate(uniq):
+                sel = codes == gi
+                Wg = W[sel]
+                swx = Wg.T @ x[sel]
+                sw = Wg.sum(axis=0)
+                for r in range(len(consts)):
+                    rows.append((g, r, int(swx[r]), int(sw[r])))
+            yield pd.DataFrame(
+                rows, columns=["__g", "__r", "__swx", "__sw"]
+            )
+
     per = [
         (p["__g"], p["__r"], p["__swx"], p["__sw"])
-        for p in poisson_draws(
-            df.select(
-                F.col(key_col),
-                F.col(group_col).alias("__g"),
-                F.col(value_col).alias("__x"),
-            ),
-            key_col,
-            b,
-            seed,
+        for p in src.mapInPandas(
+            partials,
+            schema=f"__g {gtype}, __r INT, __swx LONG, __sw LONG",
         )
         .groupBy("__g", "__r")
-        .agg(F.sum(w * F.col("__x")).alias("__swx"), F.sum(w).alias("__sw"))
+        .agg(F.sum("__swx").alias("__swx"), F.sum("__sw").alias("__sw"))
         .collect()
     ]
     totals = [
