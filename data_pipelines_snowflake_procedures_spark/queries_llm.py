@@ -2648,16 +2648,22 @@ def _kmeans_oracle() -> str:
     "oracle unrolls both iterations in CTEs.",
 )
 def kmeans_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import kmeans_assign_df, kmeans_fit
+    from .operators.similarity import _kmeans_assign_numpy, kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
     # identical fit to the IVF entries' coarse quantizer (k=8, iters=2,
     # deterministic) — share it through the driver-side memo; the
-    # assignment below is kmeans_lloyd's own final select
+    # assignment below is kmeans_lloyd's own final select. r10: the
+    # assignment runs the Arrow numpy kernel — bit-identical to the
+    # JVM fold since the per-dimension rewrite — because this entry's
+    # k is FIXED at 8, so the k>=32 adaptive switch would never route
+    # its full-corpus scan off the per-pair JVM lambda at any scale.
     cents = _cached_fit(
         sf_dir, "coarse_k8", lambda: kmeans_fit(emb, k=_KM_K, iters=2)
     )
-    return kmeans_assign_df(emb, cents, "embedding").select(
+    return _kmeans_assign_numpy(
+        emb, cents, "embedding", "__cl", "__dist"
+    ).select(
         F.col("vec_id"),
         F.col("__cl").alias("cluster"),
         F.round(F.col("__dist"), 6).alias("dist"),
@@ -6955,13 +6961,15 @@ def _davies_bouldin_oracle() -> str:
 def embeddings_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    from .operators.similarity import kmeans_assign_df, kmeans_fit
+    from .operators.similarity import _kmeans_assign_numpy, kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _cached_fit(
         sf_dir, "coarse_k8", lambda: kmeans_fit(emb, k=_KM_K, iters=2)
     )
-    asg = kmeans_assign_df(emb, cents, "embedding")
+    # r10: fixed k=8 — route the full-corpus assignment to the Arrow
+    # numpy kernel (bit-identical; the k>=32 switch never fires here)
+    asg = _kmeans_assign_numpy(emb, cents, "embedding", "__cl", "__dist")
     sc = asg.groupBy(F.col("__cl").alias("cid")).agg(
         F.count("*").cast("long").alias("n_members"),
         F.sum(
@@ -6973,6 +6981,11 @@ def embeddings_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         (F.col("smic").cast("double") / F.col("n_members") / 1e6).alias("s"),
     )
+    # si is k rows (driver metadata). The plan references it three
+    # times (s_i join, s_j join, final readout) — left lazy, each
+    # reference re-runs the full-corpus assignment scan (5 copies
+    # after the r10 Arrow-kernel switch). Materialize the k rows once.
+    si = spark.createDataFrame(si.collect(), si.schema)
     # centroid separations on the driver: k x dim literals. The squared
     # distance accumulates in EXACT integer micro-units (centroids are
     # 6-decimal values, so x1e6 rounds to exact ints) — order-free, so

@@ -419,7 +419,12 @@ def test_top_sf1_entries_plan_budgets(spark, sf_dir):
         # hinted broadcasts; bottom-k sketch pays its per-slice windows
         # + exact-calibration ranks (the calibration drops at scale)
         "multimodal_flc_video_documents": (1, 1, 0),
-        "embeddings_davies_bouldin": (8, 0, 6),
+        # r10 optimization: the per-cluster scatter frame (k rows) is
+        # materialized once, so the three readouts no longer replay
+        # the full-corpus assignment scan each (8 exchanges + 6
+        # scalar BNLJ -> 3 exchanges + 1), and the fixed-k=8
+        # assignment runs in the Arrow kernel inside that one pass
+        "embeddings_davies_bouldin": (3, 0, 1),
         "documents_term_burstiness": (3, 0, 1),
         "events_quantile_sketch_bottomk": (8, 0, 0),
         # round-10 continuation entries with sf1 > 5 s: Jaccard link
