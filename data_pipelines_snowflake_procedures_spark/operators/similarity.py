@@ -813,16 +813,16 @@ def _pq_assign_all(
     sub_exprs: "list[Column]",
     code_prefix: str = "code_",
 ) -> DataFrame:
-    """Append every subspace's argmin code in ONE projection over ONE
-    broadcast books matrix (optimization r10): the previous form
-    chained m separate :func:`kmeans_assign_df` crossJoins — m 1-row
-    matrix DataFrames, m plan layers, m× the analysis cost — per
-    encode pass and per Lloyd iteration. ``sub_exprs[j]`` is the j-th
+    """Every subspace's argmin code in ONE projection over ONE
+    broadcast books matrix — the JVM-NATIVE REFERENCE SPEC of the PQ
+    encode (the ``poisson_weights`` spec-vs-hot-path convention): the
+    hot paths (:func:`pq_encode`, the :func:`pq_fit` iterations) run
+    :func:`_pq_assign_all_numpy`, asserted code-identical to this
+    form in tests/test_llm_ops.py. ``sub_exprs[j]`` is the j-th
     subvector column (a pre-sliced column or a slice expression).
-    Distances are the same ordered ``aggregate(zip_with(sub, c))``
-    fold per book entry, argmin ties to the lowest code via
-    array_position(array_min) — codes bit-identical to the chained
-    form."""
+    Distances are the ordered ``aggregate(zip_with(sub, c))`` fold
+    per book entry, argmin ties to the lowest code via
+    array_position(array_min)."""
     mat = _books_matrix_df(df.sparkSession, codebooks, "__pq_books")
     out = df.crossJoin(F.broadcast(mat))
 

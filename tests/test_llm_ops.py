@@ -1720,3 +1720,35 @@ def test_fit_cache_is_sf_keyed_and_memoizes(spark):
     finally:
         QL._FIT_CACHE.clear()
         QL._FIT_CACHE.update(saved)
+
+
+def test_pq_numpy_assign_matches_jvm_spec(spark, sf_dir):
+    """r10: the Arrow numpy PQ encode (hot path) must emit codes
+    IDENTICAL to the JVM-native reference projection _pq_assign_all —
+    the bit-exactness claim behind routing pq_encode/pq_fit through
+    numpy (per-dimension index-order accumulation, first-min ties)."""
+    from data_pipelines_snowflake_procedures_spark.operators.similarity import (
+        _pq_assign_all,
+        pq_encode,
+        pq_fit,
+    )
+    from data_pipelines_snowflake_procedures_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=4, k=16, iters=2)
+    sub = len(books[0][0])
+    got = {
+        r["vec_id"]: tuple(r[f"code_{j}"] for j in range(4))
+        for r in pq_encode(emb, books).select(
+            "vec_id", *[f"code_{j}" for j in range(4)]
+        ).collect()
+    }
+    ref = {
+        r["vec_id"]: tuple(r[f"code_{j}"] for j in range(4))
+        for r in _pq_assign_all(
+            emb,
+            books,
+            [F.slice(F.col("embedding"), j * sub + 1, sub) for j in range(4)],
+        ).select("vec_id", *[f"code_{j}" for j in range(4)]).collect()
+    }
+    assert got == ref
