@@ -230,8 +230,9 @@ def grouped_replicate_partials(
     # products < 2^62), and the same integer-threshold inverse CDF
     # (searchsorted(side='right') ≡ the CASE's smallest k with
     # u < T[k]). Weighted partials are exact long sums, so the final
-    # groupBy totals are bit-identical to the exploded form
-    # (asserted against poisson_weights in tests/test_bootstrap.py).
+    # groupBy totals are bit-identical to the exploded form (asserted
+    # against poisson_draws — long AND string keys — in
+    # tests/test_bootstrap.py::test_grouped_partials_match_exploded_draws).
     src = df.select(
         F.col(key_col).alias("__k"),
         F.col(group_col).alias("__g"),

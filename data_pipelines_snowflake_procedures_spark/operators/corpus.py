@@ -308,7 +308,22 @@ def contamination_hits_bloom(
     ev_sh = (
         eval_df.select(F.explode(shingles(text_col, n)).alias("sh")).distinct()
     ).persist()
-    n_items = max(ev_sh.count(), 1)  # sketch sizing — a driver scalar
+    # Sketch sizing (r11): an UPPER BOUND on the distinct-shingle count
+    # is enough (a larger m only lowers the false-positive rate; the
+    # result is lossless either way), and the shingle INSTANCE count is
+    # one narrow no-shuffle aggregate — the old exact ev_sh.count()
+    # paid the full explode+distinct exchange once just to size m,
+    # before the mask build ran the same exchange again (guide §1.2:
+    # remove the redundant pass).
+    n_items = max(
+        eval_df.select(
+            F.size(shingles(text_col, n)).cast("long").alias("n")
+        )
+        .agg(F.sum("n").alias("s"))
+        .collect()[0]["s"]
+        or 0,
+        1,
+    )
     m_bits = ((n_items * bits_per_item + 63) // 64) * 64
     m_words = m_bits // 64
 
@@ -332,7 +347,10 @@ def contamination_hits_bloom(
         .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("mask"))
         .collect()
     )
-    ev_sh.unpersist()  # the exact join below recomputes the small eval side
+    # ev_sh stays persisted: the exact probe below broadcasts it, and
+    # releasing it here forced the explode+distinct exchange to run a
+    # THIRD time inside the returned plan (r11; the cached block is
+    # eval-sized — benchmarks are tiny next to train by contract).
     words = [0] * m_words
     for r in masks:
         words[int(r["word"])] = int(r["mask"])

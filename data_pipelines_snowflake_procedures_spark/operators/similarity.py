@@ -118,7 +118,10 @@ def knn_bruteforce(
     scored = cand_raw.select(
         "query_id",
         "neighbor_id",
-        F.round(F.col("c_raw"), 6).alias("cosine"),
+        # NaN (zero-norm vector: 0/0 in the kernel) maps back to NULL so
+        # it sorts LAST under desc, like the pre-kernel Spark `/` did —
+        # raw NaN would sort ABOVE every real double (the knn_pq guard).
+        F.when(~F.isnan("c_raw"), F.round("c_raw", 6)).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -693,10 +696,17 @@ def _candidates_exact_rerank(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot_product(F.col("qx_emb"), F.col("cx_emb"))
-                / (F.col("qx_nrm") * F.col("cx_nrm")),
-                6,
+            # zero-norm guard (r11, with the scan-stage guards): IEEE
+            # 0/0 is NaN and Spark sorts NaN above every real double
+            # under desc; NULL sorts last — the consistent "worst
+            # match" placement across all four scans.
+            F.when(
+                (F.col("qx_nrm") * F.col("cx_nrm")) > 0,
+                F.round(
+                    dot_product(F.col("qx_emb"), F.col("cx_emb"))
+                    / (F.col("qx_nrm") * F.col("cx_nrm")),
+                    6,
+                ),
             ).alias("cosine"),
         )
     )
@@ -778,7 +788,9 @@ def knn_sq(
     approx = cand_raw.select(
         "query_id",
         "neighbor_id",
-        F.round(F.col("c_raw"), 6).alias("approx_cosine"),
+        # NaN→NULL so zero-norm vectors sort last under desc (knn_pq's
+        # guard; plain NaN sorts above every real double in Spark).
+        F.when(~F.isnan("c_raw"), F.round("c_raw", 6)).alias("approx_cosine"),
     )
     w_a = Window.partitionBy("query_id").orderBy(
         F.desc("approx_cosine"), F.asc("neighbor_id")
@@ -1033,7 +1045,14 @@ def _approx_scan_candidates(
     which sort after all real scores and matter only when a query has
     fewer than rerank_k real candidates); the caller applies the exact
     ``round(c,6)`` ordering in Spark, so the selected candidate SET is
-    identical to the old full-scan window."""
+    identical to the old full-scan window.
+
+    Id contract (ADVICE r10): the emitted schema is ``query_id LONG,
+    neighbor_id LONG`` and callers coerce ids via int()/np.int64 — the
+    public knn_* scans therefore require an integer-typed ``id_col``
+    (the harness embeddings' vec_id is int64). A string-id corpus must
+    map ids to longs before the scan (or use knn_lsh/knn_ivf, which
+    keep the join form)."""
     import numpy as np
     import pandas as pd
 

@@ -1070,9 +1070,16 @@ def multimodal_flc_video_documents(
     "registry row.",
 )
 def events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .streaming.stream import hourly_stream, run_to_memory
+    from .streaming.stream import (
+        drain_shuffle_partitions,
+        hourly_stream,
+        run_to_memory,
+    )
 
-    return run_to_memory(hourly_stream(spark, sf_dir))
+    return run_to_memory(
+        hourly_stream(spark, sf_dir),
+        shuffle_partitions=drain_shuffle_partitions(spark, sf_dir),
+    )
 
 
 @register(
@@ -1333,10 +1340,16 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sides. Stream-equals-batch verified at value level.",
 )
 def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .streaming.stream import click_error_stream_join, run_to_memory
+    from .streaming.stream import (
+        click_error_stream_join,
+        drain_shuffle_partitions,
+        run_to_memory,
+    )
 
     return run_to_memory(
-        click_error_stream_join(spark, sf_dir), output_mode="append"
+        click_error_stream_join(spark, sf_dir),
+        output_mode="append",
+        shuffle_partitions=drain_shuffle_partitions(spark, sf_dir),
     )
 
 
@@ -1820,9 +1833,17 @@ def events_type_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "driver-sampleable.",
 )
 def events_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .streaming.stream import run_to_memory, sessions_stream
+    from .streaming.stream import (
+        drain_shuffle_partitions,
+        run_to_memory,
+        sessions_stream,
+    )
 
-    return run_to_memory(sessions_stream(spark, sf_dir), output_mode="append")
+    return run_to_memory(
+        sessions_stream(spark, sf_dir),
+        output_mode="append",
+        shuffle_partitions=drain_shuffle_partitions(spark, sf_dir),
+    )
 
 
 @register(
@@ -1842,7 +1863,11 @@ def events_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     "surface, now driver-sampleable.",
 )
 def events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .streaming.stream import dedup_stream, run_to_memory
+    from .streaming.stream import (
+        dedup_stream,
+        drain_shuffle_partitions,
+        run_to_memory,
+    )
 
     # per-drain state-store opt-out (the r6 contract): the dedup state
     # is insert-once per event_id with nothing read back or evicted
@@ -1852,7 +1877,10 @@ def events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # box and produced a truncated 0-row table — a correctness
     # hazard, not just a perf note)
     return run_to_memory(
-        dedup_stream(spark, sf_dir), output_mode="append", state_store="hdfs"
+        dedup_stream(spark, sf_dir),
+        output_mode="append",
+        state_store="hdfs",
+        shuffle_partitions=drain_shuffle_partitions(spark, sf_dir),
     )
 
 
@@ -2354,9 +2382,16 @@ def synthetic_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast-dim star join every ETL pipeline runs.",
 )
 def events_enriched_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .streaming.stream import enriched_hourly_stream, run_to_memory
+    from .streaming.stream import (
+        drain_shuffle_partitions,
+        enriched_hourly_stream,
+        run_to_memory,
+    )
 
-    return run_to_memory(enriched_hourly_stream(spark, sf_dir))
+    return run_to_memory(
+        enriched_hourly_stream(spark, sf_dir),
+        shuffle_partitions=drain_shuffle_partitions(spark, sf_dir),
+    )
 
 
 @register(
@@ -2404,6 +2439,7 @@ def events_enriched_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def events_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.stream import (
+        drain_shuffle_partitions,
         read_events_stream,
         run_to_memory,
         stream_left_outer_join,
@@ -2436,7 +2472,11 @@ def events_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFra
         & (F.col("error_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
         ["user_id", "click_id", "error_id"],
     )
-    return run_to_memory(joined, output_mode="append")
+    return run_to_memory(
+        joined,
+        output_mode="append",
+        shuffle_partitions=drain_shuffle_partitions(spark, sf_dir),
+    )
 
 
 @register(
@@ -2465,9 +2505,13 @@ def events_user_totals_stateful_streaming(
     from pyspark.sql.window import Window
 
     from .streaming.stateful import user_totals_stream
-    from .streaming.stream import run_to_memory
+    from .streaming.stream import drain_shuffle_partitions, run_to_memory
 
-    drained = run_to_memory(user_totals_stream(spark, sf_dir), output_mode="update")
+    drained = run_to_memory(
+        user_totals_stream(spark, sf_dir),
+        output_mode="update",
+        shuffle_partitions=drain_shuffle_partitions(spark, sf_dir),
+    )
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         drained.withColumn("__rn", F.row_number().over(w))
@@ -8943,7 +8987,11 @@ def _ph_from_daily(daily: DataFrame) -> DataFrame:
     "exactly where a production monitor would fold it.",
 )
 def events_page_hinkley_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .streaming.stream import read_events_stream, run_to_memory
+    from .streaming.stream import (
+        drain_shuffle_partitions,
+        read_events_stream,
+        run_to_memory,
+    )
 
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
     daily_stream = (
@@ -8955,7 +9003,10 @@ def events_page_hinkley_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count("*").alias("n"),
         )
     )
-    drained = run_to_memory(daily_stream)
+    drained = run_to_memory(
+        daily_stream,
+        shuffle_partitions=drain_shuffle_partitions(spark, sf_dir),
+    )
     daily = drained.select(
         "event_type",
         F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
@@ -9582,10 +9633,12 @@ def events_quantile_sketch_streaming(
     from pyspark.sql.window import Window
 
     from .streaming.stateful import quantile_sketch_stream
-    from .streaming.stream import run_to_memory
+    from .streaming.stream import drain_shuffle_partitions, run_to_memory
 
     drained = run_to_memory(
-        quantile_sketch_stream(spark, sf_dir), output_mode="update"
+        quantile_sketch_stream(spark, sf_dir),
+        output_mode="update",
+        shuffle_partitions=drain_shuffle_partitions(spark, sf_dir),
     )
     w = Window.partitionBy("event_type").orderBy(F.desc("n_seen"))
     return (
@@ -10344,7 +10397,7 @@ def events_sprt_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_sprt_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.stateful import sprt_stream
-    from .streaming.stream import run_to_memory
+    from .streaming.stream import drain_shuffle_partitions, run_to_memory
 
     consts = (
         spark.range(1)
@@ -10361,6 +10414,7 @@ def events_sprt_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(consts["am"]),
         ),
         output_mode="update",
+        shuffle_partitions=drain_shuffle_partitions(spark, sf_dir),
     )
     return (
         drained.orderBy(F.col("n_events_seen").desc())

