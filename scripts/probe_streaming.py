@@ -52,11 +52,13 @@ def main() -> None:
 
     orig_run = st.run_to_memory
 
-    def wrapped(streaming_df, name=None, timeout_sec=120,
-                output_mode="complete", state_store="rocksdb"):
+    def wrapped(streaming_df, *args, **kwargs):
         t0 = time.perf_counter()
-        out = orig_run(streaming_df, name, timeout_sec, output_mode, state_store)
-        print(f"drain wall: {time.perf_counter()-t0:.2f}s")
+        out = orig_run(streaming_df, *args, **kwargs)
+        print(
+            f"drain wall: {time.perf_counter()-t0:.2f}s "
+            f"(shuffle_partitions={kwargs.get('shuffle_partitions')})"
+        )
         return out
 
     st.run_to_memory = wrapped

@@ -15,6 +15,8 @@ its own query execution and the probe's plan would stay unexecuted.
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from pyspark.sql import functions as F
@@ -52,6 +54,7 @@ class _conf_patch:
                 self.spark.conf.set(k, v)
 
 
+@pytest.mark.slowtier
 def test_aqe_coalesces_overprovisioned_shuffle(spark):
     with _conf_patch(spark, **{"spark__sql__shuffle__partitions": "64"}):
         df = spark.range(0, 10000).groupBy((F.col("id") % 13).alias("k")).count()

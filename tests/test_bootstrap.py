@@ -3,6 +3,8 @@ distribution, determinism, CI sanity."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -25,6 +27,7 @@ def test_cdf15_thresholds_match_poisson1():
     assert t[-1] == 32767
 
 
+@pytest.mark.slowtier
 def test_weights_distribution_is_poisson1(spark):
     df = spark.range(2000).select(F.col("id"))
     w = df.select(

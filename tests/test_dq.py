@@ -1,3 +1,4 @@
+import pytest
 import pandas as pd
 
 from data_pipelines_snowflake_procedures_spark.operators.dq import (
@@ -158,6 +159,7 @@ def test_file_dq_engines_agree(spark):
     assert not diffs, diffs
 
 
+@pytest.mark.slowtier
 def test_fd_keylike_prefilter_skips_exactly_and_identically(spark):
     """VERDICT r3 #7: pairs whose determinant is unique are emitted as
     literal passed rows — answers bit-identical to the full sweep, with

@@ -3,6 +3,8 @@ similarity) — edge semantics the DuckDB oracle queries don't reach."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_pipelines_snowflake_procedures_spark.operators.dedup import (
@@ -574,6 +576,7 @@ def test_near_dup_kmeans_is_subset_with_high_recall(spark, sf_dir):
     assert exact and len(blocked) / len(exact) >= 0.5
 
 
+@pytest.mark.slowtier
 def test_semdedup_cell_cap_splits_skewed_cells(spark):
     """VERDICT r2 #5: a deliberately clustered corpus (4 well-separated
     blobs that a k=2 global fit lumps into oversized cells) ends with
@@ -700,6 +703,7 @@ def test_weighted_sample_fractional_weights_stay_proportional(spark):
     assert heavy_wins >= 28, f"heavy item won only {heavy_wins}/30 groups"
 
 
+@pytest.mark.slowtier
 def test_knn_recall_report_structural_invariants(spark, sf_dir):
     """The recall lever must actually lever: more probes/cells can only
     add candidates (recall monotone), and SQ8's full scan + exact
@@ -974,6 +978,7 @@ def test_pq_roundtrip_and_recall(spark, sf_dir):
     assert recall_wide >= recall, (recall, recall_wide)
 
 
+@pytest.mark.slowtier
 def test_ivfpq_full_coverage_equals_bruteforce(spark, sf_dir):
     """IVF-PQ degeneracy invariant: probing EVERY coarse cell and
     re-ranking a candidate set as large as the corpus must reproduce
@@ -1047,7 +1052,12 @@ def test_roc_auc_binned_identity_property(spark):
         st.integers(min_value=0, max_value=1),
     )
 
-    @settings(max_examples=10, deadline=None)
+    # 4 examples, not 10: each example costs two full Spark plan
+    # builds + actions (~12 s on the harness box), and the identity
+    # being checked is data-shape-insensitive past the degenerate
+    # cases hypothesis hits in the first few draws (r11 suite-runtime
+    # audit: this one test was 121 s of the 42-min suite).
+    @settings(max_examples=4, deadline=None)
     @given(rows=st.lists(pair_st, min_size=2, max_size=40))
     def check(rows):
         df = spark.createDataFrame(rows, "s DOUBLE, y INT")
@@ -1122,6 +1132,7 @@ def test_pca_matches_numpy_reference(spark, sf_dir):
     assert np.allclose(wvar, 1.0, atol=0.05), wvar
 
 
+@pytest.mark.slowtier
 def test_pagerank_invariants(spark):
     """Hand-checkable PageRank cases: a symmetric pair stays uniform
     (0.5/0.5 is the fixed point), a directed cycle stays uniform, mass
@@ -1157,6 +1168,7 @@ def test_pagerank_invariants(spark):
     assert sink["b"] > sink["a"]  # the sink receives, never gives
 
 
+@pytest.mark.slowtier
 def test_quantized_recall_report_invariants(spark, sf_dir):
     """Structural invariants of the quantized recall report: recall in
     [0,1], and probing more IVF cells never loses recall."""
@@ -1333,6 +1345,7 @@ def test_bpe_train_classic_example(spark):
     assert n0 > n2 > n4
 
 
+@pytest.mark.slowtier
 def test_prefix_filter_join_equals_full_join(spark, sf_dir):
     """Prefix filtering must be LOSSLESS at every threshold: identical
     (pair, jaccard) output to the full inverted-index join — including
@@ -1788,6 +1801,7 @@ def test_knn_scans_zero_norm_vector_sorts_last(spark):
     assert sq_rank[3]["neighbor_id"] == 4 and sq_rank[3]["cosine"] is None
 
 
+@pytest.mark.slowtier
 def test_near_dup_blocked_oversized_bucket_cap(spark):
     """VERDICT r10 #7: a hot SRP bucket must not materialize unbounded
     on one executor — oversized buckets split like oversized k-means

@@ -257,21 +257,25 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
     from data_pipelines_snowflake_procedures_spark.streaming.stateful import (
         user_totals_stream,
     )
-
-    q = (
-        user_totals_stream(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName("user_totals")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    from data_pipelines_snowflake_procedures_spark.streaming.stream import (
+        run_to_memory,
     )
-    q.awaitTermination(120)
+
+    # run_to_memory's two-idle-batch stop rule, NOT a bare
+    # awaitTermination(120): the ProcessingTimeTimeout keeps the query
+    # alive with no-data batches until every key's 10-min idle timeout
+    # fires, so awaitTermination blocked this test for its full 120 s
+    # (the r11 suite-runtime audit's single biggest test cost).
+    drained = run_to_memory(
+        user_totals_stream(spark, sf_dir),
+        name="user_totals",
+        output_mode="update",
+    )
     # update mode may emit a row per micro-batch; the last row per user
     # is the final state
     streamed = {
         r["user_id"]: (r["n_events"], r["total_value"])
-        for r in spark.table("user_totals").collect()
+        for r in drained.collect()
     }
     batch = {
         r["user_id"]: (r["n"], r["t"])
@@ -307,6 +311,7 @@ def test_streaming_dedup_drops_self_union_duplicates(spark, sf_dir):
     assert streamed == batch  # every duplicate from the self-union dropped
 
 
+@pytest.mark.slowtier
 def test_watermark_drops_late_data(spark, tmp_path):
     """Late-data semantics: with a 1-hour watermark and one file per
     micro-batch, a window whose state was already emitted and evicted
@@ -430,6 +435,7 @@ def test_gapfill_hourly_zero_fills(spark):
     assert out[("b", 1)] == 1 and out[("b", 0)] == 0 and out[("b", 3)] == 0
 
 
+@pytest.mark.slowtier
 def test_stream_left_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
     """Stream-stream LEFT OUTER semantics: a matched pair emits
     immediately; an unmatched click emits with NULL error columns only
@@ -508,6 +514,7 @@ def test_stream_left_outer_join_emits_unmatched_after_watermark(spark, tmp_path)
     assert 98 not in rows             # horizon not passed -> still pending
 
 
+@pytest.mark.slowtier
 def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
     """Restarting a checkpointed stream must resume from the committed
     offset: files processed before the stop are NOT reprocessed, late

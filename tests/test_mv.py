@@ -52,6 +52,7 @@ def _q(**over):
     return AggQuery(**base)
 
 
+@pytest.mark.slowtier
 def test_rewrite_matches_recompute(fact, view):
     """The rewrite over the rollup equals the from-scratch aggregate,
     for the plain case, a key-subset grouping, and a key filter."""

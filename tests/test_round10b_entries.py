@@ -5,6 +5,8 @@ conservation, known-answer identities)."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -128,6 +130,7 @@ def test_kleinberg_burst_metrics_consistent(spark, sf_dir):
         assert row.n_bursts == 0 and row.max_burst_len == 0
 
 
+@pytest.mark.slowtier
 def test_jaccard_linkpred_scores_are_valid(spark, sf_dir):
     df = REGISTRY["supplier_graph_jaccard_linkpred"].spark_fn(spark, sf_dir)
     rows = df.limit(500).collect()
@@ -139,6 +142,7 @@ def test_jaccard_linkpred_scores_are_valid(spark, sf_dir):
         assert abs(r.jaccard - round(r.common_neighbors / union, 6)) < 1e-9
 
 
+@pytest.mark.slowtier
 def test_maxsim_top5_per_query_and_bounds(spark, sf_dir):
     rows = REGISTRY["knn_maxsim_colbert_embeddings"].spark_fn(
         spark, sf_dir

@@ -8,6 +8,8 @@ hand-computed cases and invariants the oracle can't express."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_pipelines_snowflake_procedures_spark.queries import REGISTRY
@@ -676,6 +678,7 @@ def test_cohort_halflife_sanity(spark, sf_dir):
             assert r.half_life_weeks > 0
 
 
+@pytest.mark.slowtier
 def test_assortativity_vs_numpy(spark, sf_dir):
     import numpy as np
 

@@ -9,6 +9,8 @@ hand-computed cases and invariants the oracle can't express."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -51,6 +53,7 @@ def test_js_divergence_bounds_and_symmetry_inputs(spark, sf_dir):
     assert mismatched == 0
 
 
+@pytest.mark.slowtier
 def test_association_rules_match_bruteforce(spark):
     from data_pipelines_snowflake_procedures_spark.operators.itemsets import (
         association_rules,
@@ -80,6 +83,7 @@ def test_association_rules_match_bruteforce(spark):
     assert ca.confidence == 1.0 and ca.conviction is None
 
 
+@pytest.mark.slowtier
 def test_hits_normalization_and_bipartite_sides(spark):
     from data_pipelines_snowflake_procedures_spark.operators.graph import hits
 
@@ -294,6 +298,7 @@ def test_markov_attribution_invariants(spark, sf_dir):
     assert all(a >= 0 for a in attr)
 
 
+@pytest.mark.slowtier
 def test_lsh_pr_report_identities(spark, sf_dir):
     row = REGISTRY["dedup_lsh_pr_report"].spark_fn(spark, sf_dir).collect()[0]
     assert row.n_common <= min(row.n_truth, row.n_lsh)

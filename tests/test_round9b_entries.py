@@ -9,6 +9,8 @@ hand-recomputations the oracle can't express."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -87,6 +89,7 @@ def test_croston_matches_recursive_ses(spark, sf_dir):
     assert abs(got.p_hat - sp) < 1e-4
 
 
+@pytest.mark.slowtier
 def test_ngram_novelty_bounds_and_total(spark, sf_dir):
     rows = REGISTRY["documents_ngram_novelty"].spark_fn(
         spark, sf_dir

@@ -6,6 +6,7 @@ rows estimates (HLL register state is order/partition-insensitive),
 and the estimate must sit within the lgK=14 error envelope.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_pipelines_snowflake_procedures_spark.operators.sketch import (
@@ -188,6 +189,7 @@ def test_kmv_overlap_accuracy_and_merge_invariance(spark):
     assert o2["est_jaccard"] == 3333 / 10000
 
 
+@pytest.mark.slowtier
 def test_kmv_merge_fold_equals_recompute(spark):
     """Bottom-k-of-union folding is associative/commutative/idempotent:
     any merge order of per-slice sketches equals the direct sketch."""

@@ -16,6 +16,8 @@ with zero extra config — exactly the driver's environment.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import subprocess
 import sys
@@ -57,6 +59,7 @@ def test_load_table_forces_utc_session_tz(spark):
         spark.conf.set("spark.sql.session.timeZone", original)
 
 
+@pytest.mark.slowtier
 def test_registry_runs_under_vanilla_session():
     env = dict(os.environ)
     # Make sure nothing from the test session leaks config in.
