@@ -1023,33 +1023,30 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.99,
 ) -> DataFrame:
-    """Exact embedding near-dup pairs (cosine ≥ threshold) via
-    self-join — O(n²), the verification/baseline path. At scale, block
-    first with signed-random-projection buckets
-    (operators/similarity.py ``srp_bucket``) and run this inside
-    buckets only."""
+    """Exact embedding near-dup pairs (cosine ≥ threshold) — O(n²),
+    the verification/baseline path. At scale, use
+    :func:`embedding_near_dup_blocked` (SRP buckets) instead; this
+    operator deliberately computes EVERY pair, so the whole input is
+    one :func:`_grouped_cosine_pairs` group (r11: the id_a<id_b
+    BroadcastNestedLoopJoin with a per-pair 64-dim JVM fold → the
+    vectorized one-group kernel; pair memory stays row-blocked inside
+    it, the n×dim group matrix is the operator's own O(n²) contract).
+    Result bit-identical: the kernel accumulates the dot per dimension
+    in index order from 0.0 (the ordered fold's IEEE op sequence),
+    reuses the JVM-computed norm column, pre-filters RAW cosines at
+    threshold − 1e−6 (HALF_UP@6dp moves ≤5e−7, so no qualifying pair
+    can be dropped), and the exact ``round(c,6) >= threshold`` below
+    stays in Spark. Ids must be int64 (the similarity-module id
+    contract); string-id corpora must map ids first."""
     normed = df.select(
         F.col(id_col).alias("id"),
         F.col(emb_col).alias("emb"),
         norm(F.col(emb_col)).alias("nrm"),
-    )
-    a = normed.select(
-        F.col("id").alias("id_a"), F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a")
-    )
-    b = normed.select(
-        F.col("id").alias("id_b"), F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b")
+        F.lit(0).alias("__blk"),
     )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                dot_product(F.col("emb_a"), F.col("emb_b"))
-                / (F.col("nrm_a") * F.col("nrm_b")),
-                6,
-            ).alias("cosine"),
-        )
+        _grouped_cosine_pairs(normed, "__blk", threshold)
+        .select("id_a", "id_b", F.round("c_raw", 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

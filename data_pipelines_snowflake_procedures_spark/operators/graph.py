@@ -77,6 +77,101 @@ def pagerank(
     return out.drop("__g")
 
 
+#: Pair-generation expression over a sorted deduplicated item array
+#: ``__ss``: all C(n,2) ordered pairs (a < b), generated in-task.
+_PAIRGEN = (
+    "flatten(transform(__ss, (x, i) -> "
+    "transform(slice(__ss, i + 2, size(__ss)), "
+    "y -> struct(x AS a, y AS b))))"
+)
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    key_col: str | list[str],
+    item_col: str,
+    keep_key: bool = False,
+) -> DataFrame:
+    """Per-key unordered co-occurrence pair INSTANCES: one row
+    ``(a, b)`` with ``a < b`` for every key and every pair of distinct
+    items under that key — exactly the row multiset of the classic
+    self-equi-join ``x.join(y, key).filter(x.item < y.item)`` over the
+    deduplicated (key, item) table.
+
+    Why not the join (guide §2.4): the self-join scans and shuffles the
+    (key, item) lineage TWICE (once per side) plus once more for the
+    upstream distinct; this shape pays ONE groupBy shuffle, collects
+    each key's distinct items as a sorted array, and generates the
+    pairs with an in-task array expression. The pair EXPLOSION itself
+    is unchanged — Σ|group|² rows either way — so callers' basket
+    caps / sparsifiers still bound the quadratic work; the per-key
+    array is only safe when group sizes are bounded (orders hold ≤7
+    lineitems; capped baskets), which every caller guarantees.
+
+    ``key_col`` may be a list (composite key); with ``keep_key`` the
+    key columns ride along in the output (key..., a, b)."""
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    sets = df.groupBy(*keys).agg(
+        F.sort_array(F.collect_set(F.col(item_col))).alias("__ss")
+    )
+    kept = keys if keep_key else []
+    return sets.select(
+        *kept, F.explode(F.expr(_PAIRGEN)).alias("__p")
+    ).select(*kept, F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+
+
+def topk_cooccurrence_edges(
+    df: DataFrame, key_col: str, item_col: str, k: int = 10
+) -> DataFrame:
+    """Top-k-sparsified co-occurrence graph — result-identical to
+    ``topk_sparsify`` over the per-key co-occurrence pair counts (same
+    (w desc, nbr asc) cutoff, same symmetrize + least/greatest
+    canonicalization), built with ONE wide shuffle of the pair
+    instances instead of four (guide §2.4):
+
+    the pair instances are emitted in BOTH directions at explode time
+    (so no union-of-two-scans and no persist), then repartitioned by
+    ``node`` ONCE — hash partitioning on node satisfies the
+    (node, nbr) count aggregate AND the per-node top-k window, so both
+    run exchange-free on top of it. The final least/greatest distinct
+    is edge-sized (≤ n·k rows)."""
+    sets = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.sort_array(F.collect_set(F.col(item_col))).alias("__ss")
+    )
+    inst = (
+        sets.select(F.explode(F.expr(_PAIRGEN)).alias("__p"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("__p.a").alias("node"), F.col("__p.b").alias("nbr")
+                    ),
+                    F.struct(
+                        F.col("__p.b").alias("node"), F.col("__p.a").alias("nbr")
+                    ),
+                )
+            ).alias("__q")
+        )
+        .select("__q.node", "__q.nbr")
+    )
+    w_n = Window.partitionBy("node").orderBy(F.col("w").desc(), F.col("nbr").asc())
+    kept = (
+        inst.repartition("node")
+        .groupBy("node", "nbr")
+        .agg(F.count("*").cast("double").alias("w"))
+        .withColumn("rn", F.row_number().over(w_n))
+        .filter(F.col("rn") <= k)
+    )
+    return (
+        kept.select(
+            F.least("node", "nbr").alias("a"),
+            F.greatest("node", "nbr").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def topk_sparsify(
     edges: DataFrame,
     k: int = 10,

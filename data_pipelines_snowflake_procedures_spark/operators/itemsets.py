@@ -36,46 +36,78 @@ def frequent_pairs(
     min_support: int = 2,
     max_basket: int | None = None,
     decimals: int = 6,
+    eager: bool = True,
 ) -> DataFrame:
     """Frequent item pairs with lift; returns ``(item_a, item_b,
     support, support_a, support_b, lift)`` for every unordered pair
     co-occurring in ≥ ``min_support`` baskets (items deduplicated
     within a basket first).
 
+    ``eager=False`` skips the final materialization and returns the
+    lazy pair plan with the internal basket-sets frame left persisted
+    (caller releases it) — for plan inspection/tests only.
+
     ``lift = support·N / (support_a·support_b)`` over N = number of
     baskets — >1 means the pair co-occurs more than independence
     predicts. Item supports count ALL baskets (before any
     ``max_basket`` drop is applied to the pair expansion), keeping the
     marginals honest."""
-    bi = baskets.select(
-        F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
-    ).distinct()
-    if max_basket is not None:
-        sizes = bi.groupBy("bk").agg(F.count("*").alias("bsz"))
-        kept_bk = sizes.filter(F.col("bsz") <= max_basket).select("bk")
-        expanded = bi.join(kept_bk, "bk", "left_semi")
-    else:
-        expanded = bi
-    isup = bi.groupBy("item").agg(F.count("*").alias("s"))
+    from .graph import _PAIRGEN
+
+    # One groupBy collects each basket's distinct items as a sorted
+    # array (replacing bi.distinct() + per-aggregate re-scans of it:
+    # guide §2.4 — the basket table's lineage is shuffled ONCE and the
+    # persisted sets frame feeds supports, sizes, the pair expansion
+    # and the basket count).
+    sets = (
+        baskets.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
+        )
+        .groupBy("bk")
+        .agg(F.sort_array(F.collect_set("item")).alias("__ss"))
+        .persist()
+    )
+    isup = (
+        sets.select(F.explode("__ss").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("s"))
+    )
     freq_items = isup.filter(F.col("s") >= min_support).select("item")
-    # Apriori prune: items below min_support can't be in any frequent
-    # pair. The frequent-item list is vocabulary-sized after the prune,
-    # so it broadcasts; the expensive |basket|² expansion below runs on
-    # pruned rows only.
-    fbi = expanded.join(F.broadcast(freq_items), "item", "left_semi")
-    x = fbi.select("bk", F.col("item").alias("item_a"))
-    y = fbi.select("bk", F.col("item").alias("item_b"))
+    expanded = (
+        sets.filter(F.size("__ss") <= max_basket)
+        if max_basket is not None
+        else sets
+    )
+    # In-task array pair generation == the self-equi-join on bk
+    # (items sorted + deduplicated, so a < b exactly like the join's
+    # filter). The Apriori prune (items below min_support can't be in
+    # any frequent pair) moves from the item stream to two broadcast
+    # semi-joins on the exploded pairs — still applied BEFORE the
+    # pair shuffle, which is the expensive boundary; the in-task
+    # explosion stays bounded by max_basket.
     pairs = (
-        x.join(y, "bk")
-        .filter(F.col("item_a") < F.col("item_b"))
+        expanded.select(F.explode(F.expr(_PAIRGEN)).alias("__p"))
+        .select(
+            F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b")
+        )
+        .join(
+            F.broadcast(freq_items.select(F.col("item").alias("item_a"))),
+            "item_a",
+            "left_semi",
+        )
+        .join(
+            F.broadcast(freq_items.select(F.col("item").alias("item_b"))),
+            "item_b",
+            "left_semi",
+        )
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= min_support)
     )
-    n_baskets = bi.select("bk").distinct().count()
+    n_baskets = sets.count()
     sa = isup.select(F.col("item").alias("item_a"), F.col("s").alias("support_a"))
     sb = isup.select(F.col("item").alias("item_b"), F.col("s").alias("support_b"))
-    return (
+    out = (
         pairs.join(F.broadcast(sa), "item_a")
         .join(F.broadcast(sb), "item_b")
         .select(
@@ -91,6 +123,14 @@ def frequent_pairs(
             ).alias("lift"),
         )
     )
+    if not eager:
+        return out
+    # frequent-pair output is min_support-pruned (vocabulary²-bounded,
+    # tiny next to the basket table): materialize it eagerly so the
+    # persisted sets frame can be released before returning
+    out = out.localCheckpoint(eager=True)
+    sets.unpersist()
+    return out
 
 
 def association_rules(
@@ -117,33 +157,35 @@ def association_rules(
     top of frequent_pairs — nothing new shuffles at corpus scale."""
     pairs = frequent_pairs(
         baskets, basket_col, item_col, min_support, max_basket, decimals
-    ).select("item_a", "item_b", "support")
-    bi = baskets.select(
-        F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
-    ).distinct()
-    isup = bi.groupBy("item").agg(F.count("*").alias("s"))
-    n = float(bi.select("bk").distinct().count())
+    )
+    # the pair table already carries both items' marginal supports
+    # (support_a/support_b = isup) — deriving the directed marginals
+    # from it avoids re-scanning and re-shuffling the basket table
+    # (guide §1.2: don't compute things twice); only the basket count
+    # needs one extra narrow aggregate.
+    n = float(
+        baskets.select(F.col(basket_col).alias("bk"))
+        .agg(F.count_distinct("bk"))
+        .collect()[0][0]
+    )
     directed = pairs.select(
         F.col("item_a").alias("antecedent"),
         F.col("item_b").alias("consequent"),
         "support",
+        F.col("support_a").alias("support_ante"),
+        F.col("support_b").alias("support_cons"),
     ).unionByName(
         pairs.select(
             F.col("item_b").alias("antecedent"),
             F.col("item_a").alias("consequent"),
             "support",
+            F.col("support_b").alias("support_ante"),
+            F.col("support_a").alias("support_cons"),
         )
-    )
-    sa = isup.select(
-        F.col("item").alias("antecedent"), F.col("s").alias("support_ante")
-    )
-    sc = isup.select(
-        F.col("item").alias("consequent"), F.col("s").alias("support_cons")
     )
     conf = F.col("support").cast("double") / F.col("support_ante")
     return (
-        directed.join(F.broadcast(sa), "antecedent")
-        .join(F.broadcast(sc), "consequent")
+        directed
         .select(
             "antecedent",
             "consequent",

@@ -2032,23 +2032,17 @@ def _cosupplier_graph_sql(k: int = 10) -> str:
 
 def _cosupplier_edges(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Spark side of :func:`_cosupplier_graph_sql`: same-order supplier
-    co-occurrence weights, top-k sparsified."""
-    from .operators.graph import topk_sparsify
+    co-occurrence weights, top-k sparsified. Built with the one-shuffle
+    set-based pair generation (operators/graph.py::
+    topk_cooccurrence_edges) — result-identical to the self-join +
+    topk_sparsify form the oracle CTE restates (the per-order supplier
+    sets are ≤7 wide, so the in-task pair explosion is bounded)."""
+    from .operators.graph import topk_cooccurrence_edges
 
-    bi = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
     )
-    x = bi.select("ok", F.col("s").alias("src"))
-    y = bi.select("ok", F.col("s").alias("dst"))
-    co = (
-        x.join(y, "ok")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").cast("double").alias("w"))
-    )
-    return topk_sparsify(co, k=k)
+    return topk_cooccurrence_edges(li, "ok", "s", k=k)
 
 
 @register(
@@ -3126,20 +3120,14 @@ def _kcore_steps_sql(k: int, rounds: int) -> str:
     "degrees, comparisons only — hash-exact.",
 )
 def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.graph import kcore
+    from .operators.graph import cooccurrence_pairs, kcore
 
-    bi = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s"))
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s")
     )
-    edges = (
-        bi.select("ok", F.col("s").alias("a"))
-        .join(bi.select("ok", F.col("s").alias("b")), "ok")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    # set-based pair generation == the deduplicated self-join on ok
+    # (guide §2.4: one groupBy shuffle instead of distinct + join)
+    edges = cooccurrence_pairs(li, "ok", "s").distinct()
     return kcore(edges, k=70, rounds=3)
 
 

@@ -4767,42 +4767,29 @@ def documents_textrank_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.graph import grouped_pagerank
 
+    from .operators.graph import cooccurrence_pairs
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tk = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     ).filter(F.col("tok") != "")
-    # ch feeds the a-side, b-side, and nodes frames — persist so the
-    # tokenize+explode+distinct runs once, not three times (released
-    # after grouped_pagerank's eager checkpoint materializes).
-    ch = (
-        tk.select("doc_id", F.expr("pos div 10").alias("chunk"), "tok")
-        .distinct()
-        .persist()
-    )
-    a, b = ch.alias("a"), ch.alias("b")
-    # shared-token counts are symmetric (w(x,y) == w(y,x)), so join and
-    # aggregate only the src<dst half of the pair space and mirror the
-    # aggregated edges — halves the join output and the groupBy shuffle,
-    # the widest stage of the whole entry. Values identical to the
+    ch = tk.select("doc_id", F.expr("pos div 10").alias("chunk"), "tok")
+    # shared-token counts are symmetric (w(x,y) == w(y,x)), so build
+    # only the src<dst half of the pair space and mirror the aggregated
+    # edges. r11 (guide §2.4): the (doc_id, tok)-keyed self-join became
+    # the set-based pair generation — ONE groupBy collects each
+    # (doc, token)'s distinct chunks (absorbing the old ch.distinct():
+    # collect_set dedups), pairs explode in-task (per-group width ≤
+    # chunks-per-doc, bounded by doc length), and the persisted pairs
+    # feed both grouped_pagerank edge scans. Values identical to the
     # oracle's full `chunk <> chunk` edge relation.
     ed_half = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.chunk") < F.col("b.chunk")),
-        )
+        cooccurrence_pairs(ch, ["doc_id", "tok"], "chunk", keep_key=True)
         .groupBy(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("a.chunk").alias("src"),
-            F.col("b.chunk").alias("dst"),
+            "doc_id", F.col("a").alias("src"), F.col("b").alias("dst")
         )
         .agg(F.count("*").cast("double").alias("w"))
     )
-    # grouped_pagerank scans its edge frame twice (out-weight aggregate
-    # + fraction join); persist the aggregated half-edges so the
-    # token self-join runs once, not twice — under bench-wide memory
-    # pressure the recomputation dominated the entry
     ed_half = ed_half.persist()
     ed = ed_half.unionByName(
         ed_half.select(
@@ -4816,7 +4803,6 @@ def documents_textrank_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = grouped_pagerank(
         ed, "doc_id", iters=3, weight_col="w", nodes=nodes
     )
-    ch.unpersist()
     ed_half.unpersist()
     w = Window.partitionBy("doc_id").orderBy(F.desc("pr"), F.asc("node"))
     return (

@@ -2116,38 +2116,43 @@ def nation_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rank window.",
 )
 def part_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import _PAIRGEN
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    bi0 = (
+    # capped basket arrays in ONE shuffle (guide §2.4): collect_set
+    # dedups (== the old bi0.distinct()) and slice(sort_array(...), 1,
+    # 50) == the old row_number().over(orderBy pk) <= 50 cap — the
+    # distinct shuffle, the window shuffle and the pair self-join all
+    # collapse into this groupBy + an in-task array pair expansion.
+    bi = (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    w_cap = Window.partitionBy("ck").orderBy("pk")
-    bi = (
-        bi0.withColumn("rn", F.row_number().over(w_cap))
-        .filter(F.col("rn") <= 50)
-        .drop("rn")
+        .groupBy("ck")
+        .agg(F.slice(F.sort_array(F.collect_set("pk")), 1, 50).alias("__ss"))
         .persist()
     )
-    np_ = bi.groupBy("pk").agg(F.count("*").alias("n"))
+    np_ = (
+        bi.select(F.explode("__ss").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").alias("n"))
+    )
     # a pair with c >= 2 needs both items in >= 2 baskets: semi-filter
-    # single-buyer items BEFORE the pair explosion
+    # single-buyer items from the pair stream BEFORE the pair shuffle
     keep = np_.filter(F.col("n") >= 2).select("pk")
-    bi2 = bi.join(F.broadcast(keep), "pk")
-    a = bi2.select(F.col("ck"), F.col("pk").alias("i"))
-    b = bi2.select(F.col("ck"), F.col("pk").alias("j"))
     # Size the pair aggregation from the data instead of a constant
     # (VERDICT r8 #5): upper-bound the pair stream as rows x (cap-1)/2
     # pre-agg pairs at ~24 B each, target ~64 MB per partition, floor
     # at the sf1-A/B'd 64 (76s cold -> 23s with the widened hash-agg;
-    # a literal 64 would under-partition again at 100x). The count
+    # a literal 64 would under-partition again at 100x). The sum also
     # materializes the persisted basket frame the plan reuses 3x.
-    n_baskets = bi.count()
+    n_baskets = bi.agg(F.sum(F.size("__ss"))).collect()[0][0] or 0
     pair_parts = max(64, min(4096, (n_baskets * 49 // 2) * 24 // (64 << 20) + 1))
     co = (
-        a.join(b, "ck")
-        .filter(F.col("j") > F.col("i"))
+        bi.select(F.explode(F.expr(_PAIRGEN)).alias("__p"))
+        .select(F.col("__p.a").alias("i"), F.col("__p.b").alias("j"))
+        .join(F.broadcast(keep.select(F.col("pk").alias("i"))), "i", "left_semi")
+        .join(F.broadcast(keep.select(F.col("pk").alias("j"))), "j", "left_semi")
         .repartition(pair_parts, "i", "j")
         .groupBy("i", "j")
         .agg(F.count("*").alias("c"))

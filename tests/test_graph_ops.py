@@ -275,3 +275,70 @@ def test_grouped_pagerank_matches_single_graph_per_group(spark):
             }
             for n, pr in solo.items():
                 assert got[(g, n)] == pr, (g, n)
+
+
+def test_cooccurrence_pairs_matches_self_join(spark):
+    """Property pin for the r11 set-based pair generation: the
+    exploded-array pair multiset equals the classic self-equi-join on
+    the key (dedup within key, a < b), including duplicate input rows
+    and singleton keys."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_snowflake_procedures_spark.operators.graph import (
+        cooccurrence_pairs,
+    )
+
+    rows = [
+        (1, 10), (1, 30), (1, 20), (1, 10),   # dup item within key
+        (2, 5),                               # singleton → no pairs
+        (3, 7), (3, 8),
+        (4, 9), (4, 9),                       # dup-only key → no pairs
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = sorted(
+        (r["a"], r["b"]) for r in cooccurrence_pairs(df, "k", "v").collect()
+    )
+    bi = df.select("k", "v").distinct()
+    x = bi.select("k", F.col("v").alias("a"))
+    y = bi.select("k", F.col("v").alias("b"))
+    want = sorted(
+        (r["a"], r["b"])
+        for r in x.join(y, "k").filter(F.col("a") < F.col("b")).collect()
+    )
+    assert got == want == [(7, 8), (10, 20), (10, 30), (20, 30)]
+
+
+def test_topk_cooccurrence_edges_matches_sparsified_join(spark):
+    """topk_cooccurrence_edges == topk_sparsify over the self-join
+    co-occurrence counts, on a graph where the k-cutoff actually binds
+    (node 1 co-occurs with 2,3,4 at different weights)."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_snowflake_procedures_spark.operators.graph import (
+        topk_cooccurrence_edges,
+        topk_sparsify,
+    )
+
+    rows = [  # (basket, item): weights = co-occurrence counts
+        (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2),
+        (3, 1), (3, 4),
+        (4, 2), (4, 3),
+    ]
+    df = spark.createDataFrame(rows, ["bk", "it"])
+    for k in (1, 2, 10):
+        got = {
+            (r["a"], r["b"])
+            for r in topk_cooccurrence_edges(df, "bk", "it", k=k).collect()
+        }
+        bi = df.distinct()
+        x = bi.select("bk", F.col("it").alias("src"))
+        y = bi.select("bk", F.col("it").alias("dst"))
+        co = (
+            x.join(y, "bk")
+            .filter(F.col("src") < F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count("*").cast("double").alias("w"))
+        )
+        want = {(r["a"], r["b"]) for r in topk_sparsify(co, k=k).collect()}
+        assert got == want, f"k={k}: {got} != {want}"

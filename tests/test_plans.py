@@ -211,13 +211,31 @@ def test_graph_entries_native_no_cartesian(spark, sf_dir):
 
 
 def test_basket_rules_broadcasts_apriori_prune(spark, sf_dir):
-    """The frequent-item semi-join and the marginal joins must
-    broadcast (vocabulary-sized sides); the basket self-join is an
-    equi-join on the basket key."""
-    plan = _plan(spark, "part_basket_rules", sf_dir)
+    """The Apriori semi-joins and the marginal joins must broadcast
+    (vocabulary-sized sides) and nothing may go cartesian. r11: the
+    entry's returned frame is checkpoint-terminated (frequent_pairs
+    materializes eagerly), so inspect the operator's lazy plan on the
+    entry's own basket frame instead."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_snowflake_procedures_spark.operators.itemsets import (
+        frequent_pairs,
+    )
+    from data_pipelines_snowflake_procedures_spark.queries import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("item")
+    )
+    df = frequent_pairs(li, basket_col="bk", item_col="item", eager=False)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
+    spark.catalog.clearCache()  # release the eager=False sets persist
 
 
 def test_stats_entries_single_pass_aggregates(spark, sf_dir):
