@@ -388,9 +388,11 @@ def fd_consistency_long(
     (c1, c2), passed iff no c1 value maps to more than one distinct c2
     value. Output ``(pair, inconsistent_keys, result, status)``.
 
-    The reference runs O(cols²) full pandas scans; here each pair is a
-    groupBy-countDistinct subplan and all pairs union into ONE Spark
-    plan. ``max_pairs`` caps the quadratic blowup on wide tables.
+    The reference runs O(cols²) full pandas scans; here each
+    DETERMINANT is one groupBy subplan computing every dependent's
+    countDistinct at once (r11 — N scans/shuffles instead of N²) and
+    all determinants union into ONE Spark plan. ``max_pairs`` caps the
+    quadratic blowup on wide tables.
 
     **Key-like pre-filter** (SURVEY §4; VERDICT r3 #7): a pair whose
     determinant c1 is UNIQUE over its non-null rows passes with
@@ -438,27 +440,65 @@ def fd_consistency_long(
     parts = []
     if skipped_rows:
         parts.append(df.sparkSession.createDataFrame(skipped_rows, skipped_schema))
+    # r11 (guide §1.2 fewer passes, §2.4 fewer shuffles): every
+    # dependent of one determinant shares the SAME groupBy(c1), so one
+    # subplan per DETERMINANT computes all its countDistinct(c2)
+    # columns at once — N scans/shuffles instead of N² — and the single
+    # wide summary row unpivots to the per-pair contract rows. Counts
+    # are identical to the old per-pair subplans: count_distinct
+    # ignores NULL c2 (the only effect the old both-non-null filter had
+    # on the aggregate), and a c1 value whose c2 are all NULL yields
+    # n=0 (not > 1) exactly like the old pre-filtered groupBy that
+    # never formed the group.
+    by_det: dict[str, list[str]] = {}
     for c1, c2 in pairs:
         if c1 in unique_cols:
             continue
-        inconsistent = (
-            df.filter(F.col(c1).isNotNull() & F.col(c2).isNotNull())
+        by_det.setdefault(c1, []).append(c2)
+    for c1, deps in by_det.items():
+        g = (
+            df.filter(F.col(c1).isNotNull())
             .groupBy(c1)
-            .agg(F.countDistinct(c2).alias("n"))
-            .filter(F.col("n") > 1)
-            .agg(F.count(F.lit(1)).alias("inconsistent_keys"))
-            .select(
-                F.lit(f"{c1}->{c2}").alias("pair"),
-                F.col("inconsistent_keys").cast("long").alias("inconsistent_keys"),
-                F.when(F.col("inconsistent_keys") == 0, F.lit(1.0))
+            .agg(
+                *[
+                    F.countDistinct(F.col(c2)).alias(f"__n_{j}")
+                    for j, c2 in enumerate(deps)
+                ]
+            )
+        )
+        # coalesce: an all-NULL determinant column leaves g empty and
+        # sum() NULL — the old empty count was 0 ("passed")
+        wide = g.agg(
+            *[
+                F.coalesce(
+                    F.sum((F.col(f"__n_{j}") > 1).cast("long")), F.lit(0)
+                ).alias(f"__k_{j}")
+                for j in range(len(deps))
+            ]
+        )
+        unpivot = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"{c1}->{c2}").alias("pair"),
+                        F.col(f"__k_{j}").cast("long").alias("ik"),
+                    )
+                    for j, c2 in enumerate(deps)
+                ]
+            )
+        ).alias("s")
+        parts.append(
+            wide.select(unpivot).select(
+                F.col("s.pair").alias("pair"),
+                F.col("s.ik").alias("inconsistent_keys"),
+                F.when(F.col("s.ik") == 0, F.lit(1.0))
                 .otherwise(F.lit(0.0))
                 .alias("result"),
-                F.when(F.col("inconsistent_keys") == 0, F.lit("passed"))
+                F.when(F.col("s.ik") == 0, F.lit("passed"))
                 .otherwise(F.lit("failed"))
                 .alias("status"),
             )
         )
-        parts.append(inconsistent)
     if not parts:
         # single-column (or empty) frame: no pairs to check — return an
         # empty result with the contract schema instead of crashing

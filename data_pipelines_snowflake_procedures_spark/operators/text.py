@@ -41,6 +41,24 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
 
 
+def _let(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``value`` ONCE per
+    row and apply ``body`` to the bound variable, via
+    ``transform(array(value), v -> body(v))[0]``.
+
+    Why (r11, guide §7.2 duplicated subtrees): Spark performs no
+    common-subexpression elimination on lambda-bearing expression
+    trees, so a token array referenced k times in one projection is
+    re-split k times per row (measured: quality_score alone evaluated
+    split() 7×; score+langid entries 22×). Binding through a
+    single-element array's lambda variable makes every reference hit
+    the one materialized value. Value-identical by construction:
+    ``transform(array(x), f)[0] == f(x)`` for any expression x (the
+    array is never null, the lambda is applied to exactly that
+    element)."""
+    return F.transform(F.array(value), body)[0]
+
+
 def tokens(col: str | Column) -> Column:
     """Whitespace tokens of the lowercased, trimmed text. NULL text is
     treated as empty text everywhere in this module — otherwise NULLs
@@ -69,8 +87,8 @@ def punct_ratio(col: str | Column) -> Column:
     return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
-def mean_token_length(col: str | Column) -> Column:
-    toks = tokens(col)
+def _mean_token_length_of(toks: Column) -> Column:
+    """Mean token length over an already-bound token array."""
     total = F.aggregate(
         F.transform(toks, lambda t: F.length(t)),
         F.lit(0),
@@ -79,6 +97,10 @@ def mean_token_length(col: str | Column) -> Column:
     return F.when(
         F.size(toks) > 0, total.cast("double") / F.size(toks).cast("double")
     ).otherwise(F.lit(0.0))
+
+
+def mean_token_length(col: str | Column) -> Column:
+    return _let(tokens(col), _mean_token_length_of)
 
 
 def stopword_hits(col: str | Column, words: list[str] | None = None) -> Column:
@@ -91,27 +113,52 @@ def stopword_hits(col: str | Column, words: list[str] | None = None) -> Column:
     ).cast("long")
 
 
-def quality_indicators(col: str | Column) -> dict[str, Column]:
-    """Four pretraining-quality gates as boolean indicators. Indicator
-    (not continuous) scoring keeps the result exactly portable across
-    engines — no float-rounding edge cases at the pass boundary."""
-    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+def _quality_indicators_of(c: Column, toks: Column) -> dict[str, Column]:
+    """The four gates over already-bound text + token-array columns."""
     return {
         "len_ok": (F.length(c) >= 50) & (F.length(c) <= 20000),
-        "tok_len_ok": (mean_token_length(c) >= 2.0) & (mean_token_length(c) <= 12.0),
-        "stopword_ok": stopword_hits(c) >= 1,
+        "tok_len_ok": _let(
+            _mean_token_length_of(toks), lambda m: (m >= 2.0) & (m <= 12.0)
+        ),
+        "stopword_ok": F.size(
+            F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+            )
+        )
+        >= 1,
         "punct_ok": punct_ratio(c) <= 0.2,
     }
 
 
+def quality_indicators(col: str | Column) -> dict[str, Column]:
+    """Four pretraining-quality gates as boolean indicators. Indicator
+    (not continuous) scoring keeps the result exactly portable across
+    engines — no float-rounding edge cases at the pass boundary. Each
+    dict entry is an independent Column, so each binds its own token
+    array; :func:`quality_score` shares ONE binding across all four."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    return {
+        k: _let(tokens(c), lambda toks, k=k: _quality_indicators_of(c, toks)[k])
+        if k in ("tok_len_ok", "stopword_ok")
+        else v
+        for k, v in _quality_indicators_of(c, tokens(c)).items()
+    }
+
+
 def quality_score(col: str | Column) -> Column:
-    """Mean of the four indicators, in [0, 1] steps of 0.25."""
-    ind = quality_indicators(col)
-    total = None
-    for flag in ind.values():
-        term = F.when(flag, 1).otherwise(0)
-        total = term if total is None else total + term
-    return total.cast("double") / F.lit(float(len(ind)))
+    """Mean of the four indicators, in [0, 1] steps of 0.25. The token
+    array is let-bound once for all indicators (r11 — the inlined form
+    re-split the text 7× per row)."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+
+    def body(toks: Column) -> Column:
+        total = None
+        for flag in _quality_indicators_of(c, toks).values():
+            term = F.when(flag, 1).otherwise(0)
+            total = term if total is None else total + term
+        return total.cast("double") / F.lit(4.0)
+
+    return _let(tokens(c), body)
 
 
 def lang_hits(col: str | Column) -> dict[str, Column]:
@@ -122,21 +169,44 @@ def lang_hits(col: str | Column) -> dict[str, Column]:
 
 def detect_language(col: str | Column) -> Column:
     """Stopword-hit argmax language ID with fixed tie order
-    en > es > fr > de; 'und' when nothing matches."""
-    h = lang_hits(col)
-    return (
-        F.when(
-            (h["en"] == 0) & (h["es"] == 0) & (h["fr"] == 0) & (h["de"] == 0),
-            F.lit("und"),
+    en > es > fr > de; 'und' when nothing matches. The token array is
+    let-bound once for all four languages and the four hit counts are
+    let-bound once for the whole CASE chain (r11 — fully inlined, the
+    chain re-split the text 16× and re-intersected each lexicon up to
+    4× per row)."""
+
+    def argmax(s: Column) -> Column:
+        h = {lang: s[lang] for lang in LANG_STOPWORDS}
+        return (
+            F.when(
+                (h["en"] == 0) & (h["es"] == 0) & (h["fr"] == 0) & (h["de"] == 0),
+                F.lit("und"),
+            )
+            .when(
+                (h["en"] >= h["es"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["de"]),
+                F.lit("en"),
+            )
+            .when((h["es"] >= h["fr"]) & (h["es"] >= h["de"]), F.lit("es"))
+            .when(h["fr"] >= h["de"], F.lit("fr"))
+            .otherwise(F.lit("de"))
         )
-        .when(
-            (h["en"] >= h["es"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["de"]),
-            F.lit("en"),
+
+    def body(toks: Column) -> Column:
+        hits = F.struct(
+            *[
+                F.size(
+                    F.array_intersect(
+                        toks, F.array(*[F.lit(w) for w in words])
+                    )
+                )
+                .cast("long")
+                .alias(lang)
+                for lang, words in LANG_STOPWORDS.items()
+            ]
         )
-        .when((h["es"] >= h["fr"]) & (h["es"] >= h["de"]), F.lit("es"))
-        .when(h["fr"] >= h["de"], F.lit("fr"))
-        .otherwise(F.lit("de"))
-    )
+        return _let(hits, argmax)
+
+    return _let(tokens(col), body)
 
 
 def fingerprint(col: str | Column) -> Column:
@@ -156,15 +226,19 @@ def positional_shingles(col: str | Column, n: int = 3) -> Column:
     ``slice(tokens(col), i, n)`` per position re-evaluates the whole
     split per token, turning shingling O(L²) per document (measured
     ~10× on the bigram-LM operator before the same fix)."""
-    toks = tokens(col)
-    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    zipped = F.arrays_zip(
-        *[F.slice(toks, i + 1, cnt).alias(f"t{i}") for i in range(n)]
-    )
-    return F.transform(
-        zipped,
-        lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]),
-    )
+    def body(toks: Column) -> Column:
+        cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        zipped = F.arrays_zip(
+            *[F.slice(toks, i + 1, cnt).alias(f"t{i}") for i in range(n)]
+        )
+        return F.transform(
+            zipped,
+            lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]),
+        )
+
+    # let-bind the token array: the n slices + the size reference it
+    # n+1 times (r11 — same no-CSE-under-lambdas rule as quality_score)
+    return _let(tokens(col), body)
 
 
 def shingles(col: str | Column, n: int = 3) -> Column:
@@ -178,10 +252,12 @@ def min_shingle_fingerprint(col: str | Column, n: int = 3) -> Column:
     """Rolling-hash-style locality fingerprint: minimum md5 over the
     document's n-token shingles (a 1-permutation MinHash). Documents
     sharing their minimal shingle collide — cheap near-dup blocking."""
-    sh = shingles(col, n)
-    return F.when(
-        F.size(sh) > 0, F.array_min(F.transform(sh, F.md5))
-    ).otherwise(F.md5(F.lit("")))
+    return _let(
+        shingles(col, n),
+        lambda sh: F.when(
+            F.size(sh) > 0, F.array_min(F.transform(sh, F.md5))
+        ).otherwise(F.md5(F.lit(""))),
+    )
 
 
 def trim_repeated_lines(col: str | Column) -> Column:

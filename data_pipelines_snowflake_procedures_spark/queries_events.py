@@ -9510,11 +9510,17 @@ def events_hourly_spectral_entropy(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # persist the hour-sized aggregate: the chained broadcast
+    # aggregates below (st, ks, ft, pw, tt, terms, h) each re-ran the
+    # FULL events scan + groupBy through their lazy lineages — the
+    # plan held 16 parquet scans of events for one 84-row spectrum
+    # (r11, guide §1.2/§5 caching-when-reused). Released after the
+    # eager materialization of the 84-row result.
     hourly = ev.groupBy(
         (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
         .cast("long")
         .alias("hi")
-    ).agg(F.count("*").cast("long").alias("x"))
+    ).agg(F.count("*").cast("long").alias("x")).persist()
     st = hourly.agg(F.min("hi").alias("h0"))
     ks = (
         hourly.crossJoin(F.broadcast(st))
@@ -9563,14 +9569,16 @@ def events_hourly_spectral_entropy(
             "round(CAST(sum(term_micro) AS DOUBLE) / 1000000 / ln(84.0), 6)"
         ).alias("h_norm")
     )
-    return terms.crossJoin(F.broadcast(h)).select(
+    out = terms.crossJoin(F.broadcast(h)).select(
         F.col("j").alias("freq_per_week"),
         # CAST, not a bare 168.0 literal: Spark parses decimal-point
         # literals as DECIMAL (the measured literal-type trap)
         F.expr("round(CAST(168 AS DOUBLE) / j, 2)").alias("period_hours"),
         "share_bp",
         "h_norm",
-    )
+    ).localCheckpoint(eager=True)
+    hourly.unpersist()
+    return out
 
 
 @register(

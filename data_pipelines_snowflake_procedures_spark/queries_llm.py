@@ -5863,31 +5863,45 @@ def _rake_oracle() -> str:
 def documents_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import QUALITY_STOPWORDS, tokens
 
+    from .operators.text import _let
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(tokens("text"), lambda t: t != "")
     # Stopword positions delimit phrases; slice between consecutive
-    # boundaries (padded with -1 / size) and drop empty runs.
-    stops = F.filter(
-        F.transform(
-            toks, lambda t, i: F.when(t.isin(*QUALITY_STOPWORDS), i).otherwise(F.lit(-1))
-        ),
-        lambda x: x >= 0,
-    )
-    bounds = F.concat(
-        F.array(F.lit(-1)), stops, F.array(F.size(toks))
-    )
-    phrases = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.size(stops)),
-            lambda k: F.slice(
-                toks,
-                F.element_at(bounds, (k + 1).cast("int")) + 2,
-                F.element_at(bounds, (k + 2).cast("int"))
-                - F.element_at(bounds, (k + 1).cast("int"))
-                - 1,
+    # boundaries (padded with -1 / size) and drop empty runs. The token
+    # and boundary arrays are LET-BOUND (r11): inlined, every per-k
+    # lambda step re-derived the whole stops scan (bounds referenced
+    # 3x per phrase, each recomputing the O(L) stopword transform —
+    # O(L²) per document; no CSE under lambdas).
+    def phrases_of(tk):
+        stops = F.filter(
+            F.transform(
+                tk,
+                lambda t, i: F.when(
+                    t.isin(*QUALITY_STOPWORDS), i
+                ).otherwise(F.lit(-1)),
             ),
-        ),
-        lambda a: F.size(a) > 0,
+            lambda x: x >= 0,
+        )
+        bounds = F.concat(F.array(F.lit(-1)), stops, F.array(F.size(tk)))
+        return _let(
+            bounds,
+            lambda bd: F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(bd) - 2),
+                    lambda k: F.slice(
+                        tk,
+                        F.element_at(bd, (k + 1).cast("int")) + 2,
+                        F.element_at(bd, (k + 2).cast("int"))
+                        - F.element_at(bd, (k + 1).cast("int"))
+                        - 1,
+                    ),
+                ),
+                lambda a: F.size(a) > 0,
+            ),
+        )
+
+    phrases = _let(
+        F.filter(tokens("text"), lambda t: t != ""), phrases_of
     )
     ph = (
         docs.select("doc_id", F.explode(phrases).alias("ptoks"))
@@ -6112,6 +6126,11 @@ def documents_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<long>"))
+    # r11 examined-and-left: the totals and novelty branches both
+    # recompute the gram frame (2 scans / 2 md5 passes). Persisting the
+    # gram arrays was A/B'd and REJECTED — the columnar cache encode of
+    # wide long-arrays costs ~2x more than the second md5 pass
+    # (interleaved warm A/B: 4.7/5.0 s recompute vs 9.2 s persisted).
     keyed = docs.select("doc_id", "source", gram_arr.alias("garr")).filter(
         F.size("garr") > 0
     )

@@ -2000,27 +2000,45 @@ def nation_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     max_yr = base.agg(F.max("yr").alias("max_yr"))
-    a = base.select(
-        F.col("nation").alias("a_nation"),
-        F.col("partkey").alias("a_partkey"),
-        (F.col("yr") + 1).alias("a_yr1"),
-        F.col("q").alias("q0"),
-        F.col("cents").alias("r0"),
-    )
-    b = base.select("nation", "partkey", F.col("yr").alias("b_yr"), "q", "cents")
-    pair = a.join(
-        b,
-        (F.col("nation") == F.col("a_nation"))
-        & (F.col("partkey") == F.col("a_partkey"))
-        & (F.col("b_yr") == F.col("a_yr1")),
-        "full_outer",
-    ).select(
-        F.coalesce("a_nation", "nation").alias("nation"),
-        F.coalesce("a_yr1", "b_yr").alias("yr"),
-        F.coalesce("q", F.lit(0)).alias("q1"),
-        F.coalesce("cents", F.lit(0)).alias("r1"),
-        F.coalesce("q0", F.lit(0)).alias("q0"),
-        F.coalesce("r0", F.lit(0)).alias("r0"),
+    # r11 (guide §2.4): the year-over-year pairing was a full_outer
+    # SELF-join of base on (nation, partkey, yr+1 = yr). base is
+    # unique per (nation, partkey, yr), so each row can instead emit
+    # its two roles in ONE scan — previous-year side at slot yr+1,
+    # current-year side at slot yr — and a single groupBy reassembles
+    # exactly the join's row set (a-only slots ⇒ q1=r1=0 churn rows,
+    # b-only slots ⇒ q0=r0=0 new rows, both ⇒ the matched row); sums
+    # of one non-null value per side make the coalesce-to-0 identical.
+    pair = (
+        base.select(
+            "nation",
+            "partkey",
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("yr") + 1).alias("yr"),
+                        F.lit(0).cast("long").alias("q1"),
+                        F.lit(0).cast("long").alias("r1"),
+                        F.col("q").alias("q0"),
+                        F.col("cents").alias("r0"),
+                    ),
+                    F.struct(
+                        F.col("yr").alias("yr"),
+                        F.col("q").alias("q1"),
+                        F.col("cents").alias("r1"),
+                        F.lit(0).cast("long").alias("q0"),
+                        F.lit(0).cast("long").alias("r0"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .groupBy("nation", "partkey", F.col("s.yr").alias("yr"))
+        .agg(
+            F.sum("s.q1").alias("q1"),
+            F.sum("s.r1").alias("r1"),
+            F.sum("s.q0").alias("q0"),
+            F.sum("s.r0").alias("r0"),
+        )
+        .select("nation", "yr", "q1", "r1", "q0", "r0")
     )
     pair = pair.join(F.broadcast(max_yr), F.col("yr") <= F.col("max_yr")).drop(
         "max_yr"
